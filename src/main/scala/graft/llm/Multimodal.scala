@@ -1,0 +1,95 @@
+package graft.llm
+
+import graft.Tables
+import graft.queries.QuerySpec
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed per-partition in
+  * batches. The actual codec work (JPEG decode, audio resample, video
+  * frame extraction) is STUBBED — this container has no media
+  * libraries — behind [[decodeStub]], a deterministic fake keyed on the
+  * payload hash. Everything around the stub (schema, batched
+  * per-partition execution, metadata extraction, partitioning) is real
+  * and is what matters at 100 TB: payloads never pass through a
+  * shuffle; only extracted features do.
+  */
+object Multimodal {
+
+  /** The media-row schema: payload + typed metadata struct. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = true),
+      StructField("sha256", StringType, nullable = true))), nullable = true)))
+
+  /** Wrap any binary column into the canonical media shape. Metadata is
+    * computed with codegen'd built-ins — no payload leaves the scan. */
+  def toMedia(df: DataFrame, idCol: String, payloadCol: String, mime: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(payloadCol).cast("binary").as("payload"),
+      struct(
+        lit(mime).as("mime"),
+        length(col(payloadCol).cast("binary")).cast("long").as("n_bytes"),
+        sha2(col(payloadCol).cast("binary"), 256).as("sha256")).as("meta"))
+
+  /** Decoded-frame features produced by the (stubbed) codec. */
+  case class DecodedMeta(media_id: Long, width: Int, height: Int,
+      n_frames: Int, ok: Boolean)
+
+  /** STUB decoder — deterministic fake in place of a real codec.
+    *
+    * Real implementation would decode `payload` with an image/audio
+    * library inside this same per-partition batch loop (so one JVM-side
+    * codec context is reused across a partition's rows, the batch shape
+    * a Python `mapInPandas` pipeline would also use). The fake derives
+    * plausible dimensions from the payload bytes so tests can pin
+    * determinism end-to-end.
+    */
+  def decodeStub(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val decoded = media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition "codec context" init would go here (real impl)
+        rows.map { case (id, payload) =>
+          if (payload == null || payload.isEmpty) DecodedMeta(id, 0, 0, 0, ok = false)
+          else {
+            // ??? real codec goes here; deterministic fake below
+            val h = java.util.Arrays.hashCode(payload)
+            DecodedMeta(id, 16 + math.floorMod(h, 1024), 16 + math.floorMod(h >> 10, 1024),
+              1 + math.floorMod(h >> 20, 32), ok = true)
+          }
+        }
+      }
+    decoded.toDF()
+  }
+
+  /** Deterministic frame sampling plumbing: pick every k-th frame index
+    * from a decoded frame count — pure expression, no codec. */
+  def sampleFrameIdx(nFrames: Column, stride: Int): Column =
+    filter(sequence(lit(0), greatest(nFrames - 1, lit(0))),
+      i => pmod(i, lit(stride)) === 0 && nFrames > 0)
+
+  /** Oracle-checkable slice of the plumbing: metadata extraction over
+    * binary payloads (documents.text cast to bytes stands in for a blob
+    * column). The decode stub itself is exercised by ScalaTest. */
+  val qMultimodalMeta = QuerySpec(
+    "q_llm_multimodal_meta",
+    (s, d) =>
+      toMedia(Tables.load(s, d, "documents"), "doc_id", "text", "text/plain")
+        .select(col("media_id"), col("meta.mime").as("mime"),
+          col("meta.n_bytes").as("n_bytes"), col("meta.sha256").as("sha256"))
+        .orderBy(col("media_id")),
+    Some("""SELECT doc_id AS media_id, 'text/plain' AS mime,
+           |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           |  sha256(text) AS sha256
+           |FROM documents ORDER BY media_id""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(qMultimodalMeta)
+}

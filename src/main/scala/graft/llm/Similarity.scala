@@ -1,0 +1,152 @@
+package graft.llm
+
+import graft.Tables
+import graft.queries.QuerySpec
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float]
+  * vectors): brute-force cosine top-k as the exact baseline, plus two
+  * scale paths — random-hyperplane LSH bucketing (near-dup pairs) and
+  * IVF-style centroid partitioning (ANN search). The 100 TB shape:
+  * queries are tiny and broadcast; the corpus is only ever scanned,
+  * never self-joined; LSH/IVF turn O(n²) candidate generation into a
+  * hash-partitioned groupBy on bucket keys.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns (exact
+    * left-to-right double accumulation — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  private def vectors(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+
+  /** Brute-force cosine top-k: broadcast the query set, scan the corpus
+    * once, rank per query. Exact; the baseline the ANN paths are
+    * measured against. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+    val scored = corpus.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** No oracle (float math differs across engines); determinism and
+    * agreement with a reference implementation are pinned by ScalaTest. */
+  val qCosineTopK = QuerySpec(
+    "q_llm_cosine_topk",
+    (s, d) => {
+      val vs = vectors(s, d)
+      cosineTopK(vs, vs.filter(col("vec_id") < 5), k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    None)
+
+  // ---- random-hyperplane LSH --------------------------------------------
+
+  /** Deterministic pseudo-random hyperplanes: component (b, d) is
+    * derived from a seeded splitmix-style integer hash, mapped into
+    * [-0.5, 0.5). Constant-folded into the plan as a literal. */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    def mix(z0: Long): Double = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    (0 until bits).map(b => (0 until dim).map(d => mix(seed + b * 10007L + d)))
+  }
+
+  /** Embedding near-dup candidates: bucket by 16-bit sign-LSH
+    * signature (bit b = [dot(v, plane_b) >= 0] against deterministic
+    * pseudo-random hyperplanes, packed into a long), emit
+    * within-bucket pairs ranked by exact cosine. */
+  def embNearDupPairs(vecs: DataFrame, bits: Int = 16, dim: Int = 64): DataFrame = {
+    val planesLit = typedLit(hyperplanes(bits, dim))
+    val sig = expr(
+      s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, b) ->
+         |  acc + IF(aggregate(zip_with(embedding, element_at(planes, b + 1),
+         |                              (x, y) -> x * y), CAST(0.0 AS DOUBLE),
+         |                     (s, x) -> s + x) >= 0,
+         |           shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
+    val withSig = vecs.withColumn("planes", planesLit).withColumn("sig", sig).drop("planes")
+    val pairs = withSig
+      .groupBy(col("sig"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"), col("nrm")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(xs, (x, i) ->
+          |  transform(slice(xs, i + 2, size(xs)), y ->
+          |    struct(x.vec_id AS ida, y.vec_id AS idb,
+          |           x.embedding AS ea, y.embedding AS eb,
+          |           x.nrm AS na, y.nrm AS nb))))""".stripMargin)).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"),
+        cosine(col("p.ea"), col("p.eb"), col("p.na"), col("p.nb")).as("cos"))
+    pairs
+  }
+
+  val qEmbNearDup = QuerySpec(
+    "q_llm_emb_neardup",
+    (s, d) =>
+      embNearDupPairs(vectors(s, d))
+        .orderBy(col("cos").desc, col("ida"), col("idb"))
+        .limit(200),
+    None)
+
+  // ---- IVF ---------------------------------------------------------------
+
+  /** IVF-style ANN: a deterministic centroid subset partitions the
+    * corpus (argmax-cosine assignment); queries search only their
+    * centroid's bucket. Probes=1 here; at scale the centroid list is
+    * broadcast and assignment is one scan. */
+  def ivfTopK(vecs: DataFrame, queries: DataFrame, k: Int, centroidStride: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = broadcast(
+      vecs.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm")))
+    def assign(df: DataFrame, idCol: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("c_id"))
+      df.join(centroids)
+        .withColumn("c_cos", cosine(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") === 1)
+        .drop("c_emb", "c_nrm", "c_cos", "c_rank")
+    }
+    val corpusAssigned = assign(vecs, "vec_id")
+    val queriesAssigned = assign(queries, "vec_id")
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("c_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpusAssigned.join(broadcast(queriesAssigned), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"), col("c_id"))
+  }
+
+  val qAnnIvf = QuerySpec(
+    "q_llm_ann_ivf",
+    (s, d) => {
+      val vs = vectors(s, d)
+      ivfTopK(vs, vs.filter(col("vec_id") < 5), k = 5, centroidStride = 100)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    None)
+
+  val all: Seq[QuerySpec] = Seq(qCosineTopK, qEmbNearDup, qAnnIvf)
+}

@@ -1,0 +1,121 @@
+package graft.llm
+
+import graft.Tables
+import graft.queries.QuerySpec
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, n-gram-heuristic
+  * language ID, and document fingerprinting. All are pure Catalyst
+  * expressions (no UDFs) so they stay inside whole-stage codegen and
+  * scale linearly with no shuffle except the final aggregates.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Spark `split` and DuckDB `string_split` agree
+    * on empty-segment semantics for single-space separators. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokens on a `text` column: runs of alphanumerics or
+    * single symbols. */
+  val reTokensOfText: Column =
+    expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0)")
+
+  /** Per-source token accounting (sums are exact longs). */
+  val qTokens = QuerySpec(
+    "q_llm_tokens",
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("source"), col("text"),
+          size(tokens(col("text"))).cast("long").as("ws"),
+          size(expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0)")).cast("long").as("re"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("total_ws_tokens"),
+          sum(col("re")).as("total_re_tokens"))
+        .orderBy(col("source")),
+    Some("""SELECT source, count(*) AS n_docs,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+           |  CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0))) AS BIGINT) AS total_re_tokens
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Per-document quality signals: length, token stats, punctuation and
+    * stopword ratios. Per-row double arithmetic is IEEE-identical in
+    * DuckDB so the oracle matches exactly. */
+  val qQuality = QuerySpec(
+    "q_llm_quality",
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("len_chars"),
+          expr("size(filter(split(text, ' '), t -> t IN ('the', 'a')))")
+            .cast("long").as("n_stop"),
+          length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("n_punct"))
+        .withColumn("avg_token_len",
+          (col("len_chars") - col("n_tokens") + lit(1)) / col("n_tokens"))
+        .withColumn("stopword_ratio", col("n_stop") / col("n_tokens"))
+        .withColumn("punct_ratio", col("n_punct") / col("len_chars"))
+        .drop("len_chars")
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, n_chars,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop,
+           |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+           |  (length(text) - len(string_split(text, ' ')) + 1) / len(string_split(text, ' ')) AS avg_token_len,
+           |  len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) / len(string_split(text, ' ')) AS stopword_ratio,
+           |  length(regexp_replace(text, '[^.,!?;:]', '', 'g')) / length(text) AS punct_ratio
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Language-ID marker profiles (tiny n-gram/stopword heuristic). The
+    * synthetic corpus is English-ish regardless of its `lang` label, so
+    * this exercises the operator shape: score per profile, argmax with
+    * a deterministic tiebreak. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "de" -> Seq("der", "die", "und", "ein"),
+    "fr" -> Seq("le", "la", "et", "un"),
+    "es" -> Seq("el", "la", "y", "un"),
+    "zh" -> Seq("de", "le", "he", "shi"))
+
+  /** No oracle: the scoring profile tables aren't worth re-encoding in
+    * SQL; determinism is pinned by ScalaTest instead. */
+  val qLangId = QuerySpec(
+    "q_llm_lang_id",
+    (s, d) => {
+      val scores = array(langMarkers.map { case (lang, markers) =>
+        struct(
+          size(expr(s"filter(split(text, ' '), t -> t IN (${markers.map("'" + _ + "'").mkString(",")}))"))
+            .cast("long").as("score"),
+          lit(lang).as("lang"))
+      }: _*)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          // sort asc by (score, lang), take last = max score, tiebreak
+          // on largest lang string — total and deterministic.
+          element_at(array_sort(scores), -1).as("best"))
+        .select(col("doc_id"), col("labeled_lang"),
+          col("best.lang").as("pred_lang"), col("best.score").as("score"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  /** Polynomial rolling-hash fingerprint over the token sequence,
+    * mod 1e9+7 to stay overflow-safe under ANSI arithmetic (per-token
+    * hash is xxhash64, reduced mod 1000003). Order-sensitive: permuted
+    * token order yields a different fingerprint, unlike set-based
+    * dedup keys. */
+  val qFingerprint = QuerySpec(
+    "q_llm_fingerprint",
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          expr("""aggregate(split(text, ' '), CAST(7 AS BIGINT),
+                 |  (acc, t) -> pmod(acc * 31 + pmod(xxhash64(t), 1000003), 1000000007))"""
+            .stripMargin).as("fingerprint"))
+        .orderBy(col("doc_id")),
+    None)
+
+  val all: Seq[QuerySpec] = Seq(qTokens, qQuality, qLangId, qFingerprint)
+}

@@ -1,0 +1,175 @@
+package graft.llm
+
+import graft.Tables
+import graft.queries.QuerySpec
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact
+  * (hash-groupBy), n-gram Jaccard, MinHash+LSH, and SimHash. Everything
+  * is built from Catalyst expressions (xxhash64, higher-order array
+  * functions) — no UDFs — so the hot path stays codegen'd, and every
+  * shuffle is keyed on bounded-cardinality bucket keys (band signatures
+  * / simhash bands), which is what makes the approach survive 100 TB:
+  * candidate generation is a hash-partitioned groupBy, never a cross
+  * join.
+  */
+object TextDedup {
+
+  /** Distinct whitespace tokens (the unigram shingle set). */
+  def tokenSet(text: Column): Column = array_distinct(split(text, " "))
+
+  /** Exact dedup via content hash: one shuffle on the digest, keep the
+    * smallest doc_id per group (E1's WasUnknown gate in batch form). */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.select(sha2(col("text").cast("binary"), 256).as("text_hash"), col("doc_id"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val qExactDedup = QuerySpec(
+    "q_llm_exact_dedup",
+    (s, d) => exactDedup(Tables.load(s, d, "documents")).orderBy(col("text_hash")),
+    Some("""SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id,
+           |  count(*) AS n_copies
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Bounded pairwise token-set Jaccard (the exact oracle-checkable
+    * form; LSH below is the scale path). Pairs are limited to a keyed
+    * block (same lang, doc_id < 200) so the pair count stays O(block²)
+    * regardless of corpus size. */
+  val qNgramJaccard = QuerySpec(
+    "q_llm_ngram_jaccard",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("lang"), tokenSet(col("text")).as("toks"))
+      val a = docs.select(col("lang"), col("doc_id").as("ida"), col("toks").as("ta"))
+      val b = docs.select(col("lang"), col("doc_id").as("idb"), col("toks").as("tb"))
+      a.join(b, Seq("lang")).filter(col("ida") < col("idb"))
+        .withColumn("jac",
+          size(array_intersect(col("ta"), col("tb"))) / size(array_union(col("ta"), col("tb"))))
+        .filter(col("jac") >= 0.5)
+        .select(col("lang"), col("ida"), col("idb"), col("jac"))
+        .orderBy(col("lang"), col("ida"), col("idb"))
+    },
+    Some("""SELECT a.lang AS lang, a.doc_id AS ida, b.doc_id AS idb,
+           |  len(list_intersect(list_distinct(string_split(a.text, ' ')),
+           |                     list_distinct(string_split(b.text, ' ')))) /
+           |  len(list_distinct(list_concat(string_split(a.text, ' '),
+           |                                string_split(b.text, ' ')))) AS jac
+           |FROM documents a JOIN documents b
+           |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |WHERE a.doc_id < 200 AND b.doc_id < 200
+           |  AND len(list_intersect(list_distinct(string_split(a.text, ' ')),
+           |                         list_distinct(string_split(b.text, ' ')))) /
+           |      len(list_distinct(list_concat(string_split(a.text, ' '),
+           |                                    string_split(b.text, ' ')))) >= 0.5
+           |ORDER BY lang, ida, idb""".stripMargin))
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  /** MinHash signature: for each of `numPerm` permutations k, the min
+    * of xxhash64(k, token) over the token set. */
+  def minhashSignature(toks: Column, numPerm: Int): Column =
+    transform(sequence(lit(0), lit(numPerm - 1)),
+      k => array_min(transform(toks, t => xxhash64(k, t))))
+
+  /** LSH banding: docs sharing any band of the signature become
+    * candidate pairs. Returns (doc_id, band_key) exploded rows; the
+    * band index is folded into the key so all bands shuffle together
+    * yet never collide across bands. */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(":", b.cast("string"),
+        concat_ws(",", transform(slice(sig, b * rows + 1, lit(rows)), x => x.cast("string")))))
+
+  /** Candidate pairs from LSH buckets, verified with exact Jaccard.
+    * The groupBy(band_key) is the only wide op; bucket member lists are
+    * tiny for honest hash bands, so the pair explosion is local. */
+  def minhashPairs(docs: DataFrame, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val withSig = docs
+      .select(col("doc_id"), tokenSet(col("text")).as("toks"))
+      .withColumn("sig", minhashSignature(col("toks"), numPerm))
+    val rows = numPerm / bands
+    val candidates = withSig
+      .select(col("doc_id"), explode(lshBands(col("sig"), bands, rows)).as("band_key"))
+      .groupBy(col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ida, y AS idb))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
+      .distinct()
+    val toks = withSig.select(col("doc_id"), col("toks"))
+    candidates
+      .join(toks.select(col("doc_id").as("ida"), col("toks").as("ta")), Seq("ida"))
+      .join(toks.select(col("doc_id").as("idb"), col("toks").as("tb")), Seq("idb"))
+      .withColumn("jac",
+        size(array_intersect(col("ta"), col("tb"))) / size(array_union(col("ta"), col("tb"))))
+      .filter(col("jac") >= threshold)
+      .select(col("ida"), col("idb"), col("jac"))
+  }
+
+  /** No oracle (banding isn't SQL-expressible in DuckDB at reasonable
+    * cost); determinism + agreement with exact Jaccard is pinned by
+    * ScalaTest. */
+  val qMinhash = QuerySpec(
+    "q_llm_minhash",
+    (s, d) =>
+      minhashPairs(Tables.load(s, d, "documents"))
+        .orderBy(col("jac").desc, col("ida"), col("idb"))
+        .limit(1000),
+    None)
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash over a token-hash array column named `th`: bit i is
+    * the sign of the sum of (±1) votes from each token's xxhash64 bit
+    * i. Pure SQL expressions; `pmod(shiftright(h, i), 2)` is the
+    * two's-complement bit test. */
+  val simhash64OfTh: Column = expr(
+    """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+      |  acc + IF(aggregate(th, CAST(0 AS BIGINT),
+      |             (s, h) -> s + (pmod(shiftright(h, i), 2) * 2 - 1)) > 0,
+      |           shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+
+  /** Near-dup pairs by SimHash: bucket on 4×16-bit bands (any matching
+    * band → candidate), verify with hamming distance via
+    * bit_count(xor) — the classic "hamming ≤ k implies some band
+    * equal" pigeonhole. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val withSim = docs
+      .select(col("doc_id"), tokenSet(col("text")).as("toks"))
+      .withColumn("th", transform(col("toks"), t => xxhash64(t)))
+      .withColumn("simhash", simhash64OfTh)
+    val banded = withSim.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        """transform(sequence(0, 3), b ->
+          |  concat(b, ':', pmod(shiftright(simhash, b * 16), 65536)))""".stripMargin))
+        .as("band_key"))
+    val pairs = banded.groupBy(col("band_key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(xs, (x, i) ->
+          |  transform(slice(xs, i + 2, size(xs)), y ->
+          |    struct(x.doc_id AS ida, y.doc_id AS idb,
+          |           bit_count(x.simhash ^ y.simhash) AS hamming))))""".stripMargin)).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"), col("p.hamming").as("hamming"))
+      .distinct()
+    pairs.filter(col("hamming") <= maxHamming)
+  }
+
+  val qSimhash = QuerySpec(
+    "q_llm_simhash",
+    (s, d) =>
+      simhashPairs(Tables.load(s, d, "documents"))
+        .orderBy(col("hamming"), col("ida"), col("idb"))
+        .limit(1000),
+    None)
+
+  val all: Seq[QuerySpec] = Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash)
+}
