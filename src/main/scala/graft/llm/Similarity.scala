@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-fold dot product of two float-array columns (exact
-    * left-to-right double accumulation — deterministic). */
-  def dot(a: Column, b: Column): Column =
+    * left-to-right double accumulation — deterministic). Resolves to
+    * the native DotProductFExpr kernel; requires
+    * GraftFunctions.register on the session (vectors() does it). */
+  def dot(a: Column, b: Column): Column = call_udf("graft_dot", a, b)
+
+  /** Pure-SQL reference formulation of [[dot]] (same fold semantics);
+    * kept for equivalence testing. */
+  def dotSql(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
@@ -25,9 +31,11 @@ object Similarity {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
-  private def vectors(s: SparkSession, d: String): DataFrame =
+  private def vectors(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+  }
 
   /** Brute-force cosine top-k: broadcast the query set, scan the corpus
     * once, rank per query. Exact; the baseline the ANN paths are

@@ -19,6 +19,18 @@ object TextDedup {
   /** Distinct whitespace tokens (the unigram shingle set). */
   def tokenSet(text: Column): Column = array_distinct(split(text, " "))
 
+  /** Word n-gram shingle set (default 3). Order-sensitive — unlike the
+    * unigram set, shuffled copies of the same vocabulary do NOT
+    * collide, which keeps LSH buckets honest on repetitive corpora.
+    * Short texts fall back to the whole text as a single shingle. */
+  def shingleSet(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array(text))
+  }
+
   /** Exact dedup via content hash: one shuffle on the digest, keep the
     * smallest doc_id per group (E1's WasUnknown gate in batch form). */
   def exactDedup(docs: DataFrame): DataFrame =
@@ -68,11 +80,19 @@ object TextDedup {
 
   // ---- MinHash + LSH -----------------------------------------------------
 
-  /** MinHash signature: for each of `numPerm` permutations k, the min
-    * of xxhash64(k, token) over the token set. */
-  def minhashSignature(toks: Column, numPerm: Int): Column =
+  /** MinHash signature from a once-hashed shingle array `th` (each
+    * element already reduced mod 2^31-1): permutation k is the
+    * universal hash (a_k·h + b_k) mod p — pure long arithmetic, no
+    * per-permutation string rehash, overflow-safe under ANSI
+    * (a_k < 2^26, h < 2^31). */
+  def minhashSignature(th: Column, numPerm: Int): Column =
     transform(sequence(lit(0), lit(numPerm - 1)),
-      k => array_min(transform(toks, t => xxhash64(k, t))))
+      k => array_min(transform(th,
+        h => pmod((k * 1000003L + 12345L) * h + k * 998244353L + 7L, lit(2147483647L)))))
+
+  /** Shingle hashes for signature computation. */
+  def shingleHashes(toks: Column): Column =
+    transform(toks, t => pmod(xxhash64(t), lit(2147483647L)))
 
   /** LSH banding: docs sharing any band of the signature become
     * candidate pairs. Returns (doc_id, band_key) exploded rows; the
@@ -83,20 +103,29 @@ object TextDedup {
       b => concat_ws(":", b.cast("string"),
         concat_ws(",", transform(slice(sig, b * rows + 1, lit(rows)), x => x.cast("string")))))
 
-  /** Candidate pairs from LSH buckets, verified with exact Jaccard.
-    * The groupBy(band_key) is the only wide op; bucket member lists are
-    * tiny for honest hash bands, so the pair explosion is local. */
+  /** Candidate pairs from LSH buckets over word-trigram shingles,
+    * verified with exact shingle Jaccard. The groupBy(band_key) is the
+    * only wide op; bucket member lists are tiny for honest hash bands.
+    * `maxBucket` drops degenerate buckets (boilerplate shingles) —
+    * the standard guard that keeps the pair explosion local at scale;
+    * a dropped bucket's members still pair up in their other bands. */
   def minhashPairs(docs: DataFrame, numPerm: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 100): DataFrame = {
+    // Small-file inputs arrive as one split; spread the signature
+    // compute (the CPU-bound stage) across the cluster first.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val withSig = docs
-      .select(col("doc_id"), tokenSet(col("text")).as("toks"))
-      .withColumn("sig", minhashSignature(col("toks"), numPerm))
+      .repartition(par)
+      .select(col("doc_id"), shingleSet(col("text")).as("toks"))
+      .withColumn("sig",
+        call_udf("graft_minhash_sig", shingleHashes(col("toks")), lit(numPerm)))
     val rows = numPerm / bands
     val candidates = withSig
       .select(col("doc_id"), explode(lshBands(col("sig"), bands, rows)).as("band_key"))
       .groupBy(col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ida, y AS idb))))"""
@@ -136,15 +165,19 @@ object TextDedup {
       |             (s, h) -> s + (pmod(shiftright(h, i), 2) * 2 - 1)) > 0,
       |           shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
 
-  /** Near-dup pairs by SimHash: bucket on 4×16-bit bands (any matching
-    * band → candidate), verify with hamming distance via
-    * bit_count(xor) — the classic "hamming ≤ k implies some band
-    * equal" pigeonhole. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** Near-dup pairs by SimHash over word-trigram shingles: bucket on
+    * 4×16-bit bands (any matching band → candidate), verify with
+    * hamming distance via bit_count(xor) — the classic "hamming ≤ k
+    * implies some band equal" pigeonhole. Bucket cap as in
+    * [[minhashPairs]]. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val withSim = docs
-      .select(col("doc_id"), tokenSet(col("text")).as("toks"))
+      .repartition(par)
+      .select(col("doc_id"), shingleSet(col("text")).as("toks"))
       .withColumn("th", transform(col("toks"), t => xxhash64(t)))
-      .withColumn("simhash", simhash64OfTh)
+      .withColumn("simhash", call_udf("graft_simhash64", col("th")))
     val banded = withSim.select(col("doc_id"), col("simhash"),
       explode(expr(
         """transform(sequence(0, 3), b ->
@@ -152,7 +185,7 @@ object TextDedup {
         .as("band_key"))
     val pairs = banded.groupBy(col("band_key"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
-      .filter(size(col("xs")) > 1)
+      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
       .select(explode(expr(
         """flatten(transform(xs, (x, i) ->
           |  transform(slice(xs, i + 2, size(xs)), y ->
