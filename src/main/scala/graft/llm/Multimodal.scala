@@ -18,14 +18,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** The media-row schema: payload + typed metadata struct. */
+  /** The media-row schema: payload + typed metadata struct (meta and
+    * mime are always populated by [[toMedia]], hence non-nullable). */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = true),
     StructField("meta", StructType(Seq(
-      StructField("mime", StringType, nullable = true),
+      StructField("mime", StringType, nullable = false),
       StructField("n_bytes", LongType, nullable = true),
-      StructField("sha256", StringType, nullable = true))), nullable = true)))
+      StructField("sha256", StringType, nullable = true))), nullable = false)))
 
   /** Wrap any binary column into the canonical media shape. Metadata is
     * computed with codegen'd built-ins — no payload leaves the scan. */

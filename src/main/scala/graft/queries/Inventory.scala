@@ -442,52 +442,56 @@ object Inventory {
            |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
            |ORDER BY c_custkey""".stripMargin))
 
-  /** H6 anti join — set removal (SRem). */
+  /** H6 anti join — set removal (SRem). Keyed to the rarer 'P' status
+    * so the result is non-empty at every scale factor. */
   val qAntiJoin = QuerySpec(
     "q_anti_join",
     (s, d) =>
       t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey")),
     Some("""SELECT c_custkey, c_name FROM customer
-           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |WHERE NOT EXISTS (SELECT 1 FROM orders
+           |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
            |ORDER BY c_custkey""".stripMargin))
 
   // ---- set operations (I1-I3) --------------------------------------------
 
-  private def usersOf(s: SparkSession, d: String, et: String): DataFrame =
-    Tables.events(s, d).filter(col("event_type") === et).select(col("user_id"))
+  private def custkeysOf(s: SparkSession, d: String, status: String): DataFrame =
+    t(s, d, "orders").filter(col("o_orderstatus") === status).select(col("o_custkey"))
 
   /** I1 union-insert (SADD): SQL UNION dedups, so union + distinct. */
   val qUnion = QuerySpec(
     "q_union",
     (s, d) =>
-      usersOf(s, d, "view").union(usersOf(s, d, "click"))
-        .distinct().orderBy(col("user_id")),
-    Some("""SELECT user_id FROM events WHERE event_type = 'view'
-           |UNION SELECT user_id FROM events WHERE event_type = 'click'
-           |ORDER BY user_id""".stripMargin))
+      custkeysOf(s, d, "F").union(custkeysOf(s, d, "P"))
+        .distinct().orderBy(col("o_custkey")),
+    Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           |UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+           |ORDER BY o_custkey""".stripMargin))
 
-  /** I2 except-remove (SRem). */
+  /** I2 except-remove (SRem): F-status customers minus the (rare)
+    * P-status ones — non-empty at every scale factor. */
   val qExcept = QuerySpec(
     "q_except",
     (s, d) =>
-      usersOf(s, d, "view").except(usersOf(s, d, "click"))
-        .orderBy(col("user_id")),
-    Some("""SELECT user_id FROM events WHERE event_type = 'view'
-           |EXCEPT SELECT user_id FROM events WHERE event_type = 'click'
-           |ORDER BY user_id""".stripMargin))
+      custkeysOf(s, d, "F").except(custkeysOf(s, d, "P"))
+        .orderBy(col("o_custkey")),
+    Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+           |ORDER BY o_custkey""".stripMargin))
 
   /** I3 intersect-test (SIsMember). */
   val qIntersect = QuerySpec(
     "q_intersect",
     (s, d) =>
-      usersOf(s, d, "view").intersect(usersOf(s, d, "click"))
-        .orderBy(col("user_id")),
-    Some("""SELECT user_id FROM events WHERE event_type = 'view'
-           |INTERSECT SELECT user_id FROM events WHERE event_type = 'click'
-           |ORDER BY user_id""".stripMargin))
+      custkeysOf(s, d, "F").intersect(custkeysOf(s, d, "O"))
+        .orderBy(col("o_custkey")),
+    Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+           |ORDER BY o_custkey""".stripMargin))
 
   /** All relational specs, in SURVEY.md §7.3 order. */
   val all: Seq[QuerySpec] = Seq(

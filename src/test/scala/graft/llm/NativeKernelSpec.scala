@@ -1,0 +1,53 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** The native Catalyst kernels must be bit-for-bit equivalent to the
+  * pure-SQL formulations they replaced (NativeExpressions.scala
+  * documents each pair). Checked over the real corpus.
+  */
+class NativeKernelSpec extends SparkSpec {
+
+  lazy val docs = {
+    GraftFunctions.register(spark)
+    graft.Tables.load(spark, sf0001, "documents")
+  }
+
+  test("graft_minhash_sig matches SQL minhashSignature") {
+    val df = docs
+      .select(col("doc_id"), TextDedup.shingleSet(col("text")).as("toks"))
+      .withColumn("th", TextDedup.shingleHashes(col("toks")))
+      .withColumn("native", call_udf("graft_minhash_sig", col("th"), lit(64)))
+      .withColumn("sql", TextDedup.minhashSignature(col("th"), 64))
+    assert(df.filter(col("native") =!= col("sql")).count() == 0L)
+  }
+
+  test("graft_simhash64 matches SQL simhash64OfTh") {
+    val df = docs
+      .select(col("doc_id"), TextDedup.shingleSet(col("text")).as("toks"))
+      .withColumn("th", transform(col("toks"), t => xxhash64(t)))
+      .withColumn("native", call_udf("graft_simhash64", col("th")))
+      .withColumn("sql", TextDedup.simhash64OfTh)
+    assert(df.filter(col("native") =!= col("sql")).count() == 0L)
+  }
+
+  test("graft_dot matches SQL fold dot product") {
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    val df = vecs.select(col("vec_id"), col("embedding"))
+      .withColumn("other", reverse(col("embedding")))
+      .withColumn("native", Similarity.dot(col("embedding"), col("other")))
+      .withColumn("sql", Similarity.dotSql(col("embedding"), col("other")))
+    assert(df.filter(col("native") =!= col("sql")).count() == 0L)
+  }
+
+  test("null inputs yield null, not a crash") {
+    val df = spark.sql(
+      """SELECT graft_simhash64(CAST(NULL AS ARRAY<BIGINT>)) a,
+        |       graft_minhash_sig(CAST(NULL AS ARRAY<BIGINT>), 64) b,
+        |       graft_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) c""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+}

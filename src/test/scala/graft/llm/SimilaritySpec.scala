@@ -1,0 +1,54 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecsDf(rows: (Long, Seq[Float])*) = {
+    graft.functions.GraftFunctions.register(spark)
+    rows.toDF("vec_id", "embedding")
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+  }
+
+  test("cosineTopK ranks by cosine, excludes self, deterministic ties") {
+    // q = (1,0); neighbors at known angles
+    val vs = vecsDf(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(1f, 0.01f),   // ~1.0
+      2L -> Seq(1f, 1f),      // ~0.707
+      3L -> Seq(0f, 1f),      // 0.0
+      4L -> Seq(-1f, 0f))     // -1.0
+    val got = Similarity.cosineTopK(vs, vs.filter(col("vec_id") === 0), k = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(2), r.getLong(1)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("ivfTopK returns k neighbors per query from its bucket") {
+    val vs = vecsDf((0L until 40L).map(i =>
+      i -> Seq(math.cos(i / 40.0 * math.Pi).toFloat, math.sin(i / 40.0 * math.Pi).toFloat)): _*)
+    val out = Similarity.ivfTopK(vs, vs.filter(col("vec_id") < 2), k = 3, centroidStride = 10)
+      .collect()
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length == 3))
+    // neighbors of query 0 must be angle-near (small ids, same bucket)
+    val n0 = out.filter(_.getLong(0) == 0L).map(_.getLong(2)).toSet
+    assert(n0.forall(_ < 10L), s"IVF bucket leak: $n0")
+  }
+
+  test("embNearDupPairs finds the planted duplicate vector") {
+    val base = (0 until 64).map(i => (math.sin(i) * 0.3).toFloat)
+    val nearDup = base.updated(0, base(0) + 0.001f)
+    val noise = (0 until 64).map(i => (math.cos(i * 7 + 1) * 0.3).toFloat)
+    val vs = vecsDf(1L -> base, 2L -> nearDup, 3L -> noise)
+    val pairs = Similarity.embNearDupPairs(vs)
+      .filter(col("cos") > 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("hyperplanes are deterministic across calls") {
+    assert(Similarity.hyperplanes(16, 64) == Similarity.hyperplanes(16, 64))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exactDedup groups identical texts, keeps min id") {
+    val df = docsDf(
+      1L -> "a b c", 2L -> "a b c", 3L -> "x y z", 7L -> "a b c")
+    val out = exact(df)
+    assert(out("a b c") == (1L, 3L))
+    assert(out("x y z") == (3L, 1L))
+  }
+
+  private def exact(df: org.apache.spark.sql.DataFrame) =
+    TextDedup.exactDedup(df)
+      .join(df.select(sha2(col("text").cast("binary"), 256).as("text_hash"),
+        col("text")).distinct(), Seq("text_hash"))
+      .select(col("text"), col("keep_id"), col("n_copies"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("minhashPairs finds planted near-dup, skips dissimilar") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = docsDf(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = TextDedup.minhashPairs(df, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // exact trigram jaccard of base vs nearDup: changed word breaks 3
+    // of 38 shingles → 35 shared / 41 union
+    assert(math.abs(pairs.head._3 - 35.0 / 41.0) < 1e-12)
+  }
+
+  test("simhashPairs: identical docs collide at hamming 0") {
+    val a = (1 to 50).map(i => s"w$i").mkString(" ")
+    val b = (1 to 50).map(i => if (i == 25) "X" else s"w$i").mkString(" ")
+    val far = (200 to 250).map(i => s"z$i").mkString(" ")
+    val df = docsDf(1L -> a, 2L -> a, 3L -> far, 4L -> b)
+    val pairs = TextDedup.simhashPairs(df, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val identical = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(identical.exists(_._3 == 0), s"identical docs not at hamming 0: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), "dissimilar doc paired")
+  }
+
+  test("shingleSet falls back to whole text when shorter than n") {
+    val out = docsDf(1L -> "just two")
+      .select(TextDedup.shingleSet(col("text")).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("just two"))
+  }
+}
