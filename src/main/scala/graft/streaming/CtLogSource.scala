@@ -1,0 +1,213 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.Base64
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A CT-log source as a Spark DataSource V2 (SURVEY.md §2.A A1/A2).
+  *
+  * The reference's ingest (ct-fetch.go:398-488) pages `get-entries` in
+  * batches of 1000 from a checkpointed start position to the STH tree
+  * size, with backpressure via a bounded channel. The Spark-native
+  * restatement: a `MicroBatchStream` whose offsets are entry indices;
+  * `latestOffset` is the STH high-watermark (A2); per-trigger admission
+  * control (`maxEntriesPerTrigger`) is the bounded-channel analog (J4);
+  * checkpoint restore is Spark's offset log (A9/B3 — the reference's
+  * dual Redis+disk checkpoint collapses into the streaming checkpoint).
+  *
+  * Zero-egress stand-in for the HTTP transport: the "log" is a local
+  * directory of fixed-size pages `page-<firstEntryId>.tsv`, one entry
+  * per line (`entry_id \t ts_ms \t log_url \t base64(der)`) — the same
+  * pagination shape `get-entries` returns, so only the byte transport
+  * is simulated (SURVEY.md §7.4). Batch read is also supported, for
+  * catch-up jobs.
+  */
+object CtLog {
+  val schema: StructType = StructType(Seq(
+    StructField("entry_id", LongType, nullable = false),
+    StructField("ts_ms", LongType, nullable = false),
+    StructField("log_url", StringType, nullable = false),
+    StructField("der", BinaryType, nullable = false)))
+
+  val DefaultPageSize = 1000
+
+  /** Test/sim helper: write entries as fixed-size pages. */
+  def writePages(dir: String, entries: Seq[(Long, Long, String, Array[Byte])],
+      pageSize: Int = DefaultPageSize): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    entries.sortBy(_._1).grouped(pageSize).foreach { page =>
+      val first = page.head._1
+      val body = page.map { case (id, ts, url, der) =>
+        s"$id\t$ts\t$url\t${Base64.getEncoder.encodeToString(der)}"
+      }.mkString("", "\n", "\n")
+      Files.write(d.resolve(f"page-$first%012d.tsv"),
+        body.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** STH: one past the max entry id present (tree size). */
+  def treeSize(dir: String): Long = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return 0L
+    val pages = listPages(d)
+    if (pages.isEmpty) 0L
+    else {
+      val last = pages.last
+      last._1 + Files.readAllLines(last._2).asScala.count(_.nonEmpty)
+    }
+  }
+
+  private[streaming] def listPages(d: Path): Seq[(Long, Path)] =
+    Files.list(d).iterator.asScala
+      .filter(_.getFileName.toString.matches("page-\\d+\\.tsv"))
+      .map(p => (p.getFileName.toString.stripPrefix("page-").stripSuffix(".tsv").toLong, p))
+      .toSeq.sortBy(_._1)
+
+  /** Entries with start <= entry_id < end, streamed from the pages that
+    * can contain them (the get-entries range fetch, ct-fetch.go:417). */
+  private[streaming] def readRange(dir: String, start: Long, end: Long)
+      : Iterator[(Long, Long, String, Array[Byte])] = {
+    val pages = listPages(Paths.get(dir)).filter { case (first, _) => first < end }
+    pages.iterator.flatMap { case (_, p) =>
+      Files.readAllLines(p).asScala.iterator.filter(_.nonEmpty).map { line =>
+        val f = line.split("\t", 4)
+        (f(0).toLong, f(1).toLong, f(2), Base64.getDecoder.decode(f(3)))
+      }.filter(e => e._1 >= start && e._1 < end)
+    }
+  }
+}
+
+/** Entry point: `spark.readStream.format("graft.streaming.CtLogSource")
+  * .option("path", dir).option("maxEntriesPerTrigger", n)` (also batch
+  * `spark.read.format(...)`). */
+class CtLogSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = CtLog.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new CtLogTable(properties.asScala.toMap)
+}
+
+class CtLogTable(props: Map[String, String]) extends Table with SupportsRead {
+  private val path = props.getOrElse("path",
+    throw new IllegalArgumentException("ctlog source requires option 'path'"))
+  override def name(): String = s"ctlog($path)"
+  override def schema(): StructType = CtLog.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new CtLogScan(path,
+        Option(options.get("maxEntriesPerTrigger")).map(_.toLong))
+    }
+}
+
+class CtLogScan(path: String, maxPerTrigger: Option[Long]) extends Scan {
+  override def readSchema(): StructType = CtLog.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CtLogMicroBatchStream(path, maxPerTrigger)
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val end = CtLog.treeSize(path)
+      CtLogMicroBatchStream.partitionRange(path, 0L, end)
+    }
+    override def createReaderFactory(): PartitionReaderFactory = new CtLogReaderFactory
+  }
+}
+
+case class CtLogOffset(entry: Long) extends Offset {
+  override def json(): String = s"""{"entry":$entry}"""
+}
+
+object CtLogMicroBatchStream {
+  /** One input partition per page overlapping the range — partition
+    * parallelism mirrors page fetch parallelism (J5's worker pool).
+    * Each partition reads exactly one page file, bounded to
+    * [start, end), so ranges never overlap across partitions. */
+  def partitionRange(path: String, start: Long, end: Long): Array[InputPartition] = {
+    if (start >= end) return Array.empty
+    val pages = CtLog.listPages(Paths.get(path))
+    pages.zipWithIndex
+      .filter { case ((first, _), i) =>
+        val pageEnd = pages.lift(i + 1).map(_._1).getOrElse(Long.MaxValue)
+        first < end && pageEnd > start
+      }
+      .map { case ((_, pagePath), _) =>
+        CtLogInputPartition(pagePath.toString, start, end): InputPartition
+      }
+      .toArray
+  }
+}
+
+class CtLogMicroBatchStream(path: String, maxPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = CtLogOffset(0L)
+
+  override def deserializeOffset(json: String): Offset =
+    CtLogOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(0L))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  /** STH fetch (A2) capped by admission control (J4). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val sth = CtLog.treeSize(path)
+    val from = start.asInstanceOf[CtLogOffset].entry
+    val capped = limit match {
+      case rows: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        math.min(sth, from + rows.maxRows())
+      case _ => sth
+    }
+    CtLogOffset(math.max(from, capped))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    CtLogMicroBatchStream.partitionRange(path,
+      start.asInstanceOf[CtLogOffset].entry, end.asInstanceOf[CtLogOffset].entry)
+
+  override def createReaderFactory(): PartitionReaderFactory = new CtLogReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One page file + the batch's [start, end) entry-id bounds. */
+case class CtLogInputPartition(pageFile: String, start: Long, end: Long)
+    extends InputPartition
+
+class CtLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CtLogInputPartition]
+    new PartitionReader[InternalRow] {
+      private val iter = Files.readAllLines(Paths.get(p.pageFile)).asScala.iterator
+        .filter(_.nonEmpty)
+        .map { line =>
+          val f = line.split("\t", 4)
+          (f(0).toLong, f(1).toLong, f(2), Base64.getDecoder.decode(f(3)))
+        }
+        .filter(e => e._1 >= p.start && e._1 < p.end)
+      private var current: (Long, Long, String, Array[Byte]) = _
+      override def next(): Boolean =
+        if (iter.hasNext) { current = iter.next(); true } else false
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](
+          current._1, current._2, UTF8String.fromString(current._3), current._4))
+      override def close(): Unit = ()
+    }
+  }
+}

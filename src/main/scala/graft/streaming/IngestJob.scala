@@ -1,0 +1,127 @@
+package graft.streaming
+
+import graft.functions.CertFuncs
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The ingest pipeline (SURVEY.md §3.1 restated Spark-first): CT-log
+  * source → parse (D10, null-tolerant C7) → filters (C1-C3, C6 analog)
+  * → hour bucketing (D5) → stateful first-seen dedup with TTL at
+  * domain expiry (E1+E2) → partitioned parquet write (B1) + issuer
+  * dimension upsert (E3), checkpointed per micro-batch (J2/B3).
+  *
+  * Scale shape: the only stateful shuffle is keyed on
+  * (exp_date, issuer_id, serial_id) — exactly the reference's dedup
+  * set key — and the sink partitions by (exp_date, issuer_id), the
+  * reference's on-disk layout (localdiskbackend.go:194-199), so
+  * downstream map/reduce consumers get partition pruning for free.
+  */
+object IngestJob {
+
+  case class DedupKey(exp_date: String, issuer_id: String, serial_id: String)
+  case class CertRow(
+      exp_date: String, issuer_id: String, serial_id: String,
+      entry_id: Long, ts_ms: Long, log_url: String,
+      not_after: java.sql.Timestamp, issuer_cn: String, pem: String)
+
+  /** Parse + filter + derive keys; shared by stream and batch paths. */
+  def parsedEntries(raw: DataFrame, logExpiredEntries: Boolean,
+      issuerCNFilter: Seq[String], asOf: Option[java.sql.Timestamp]): DataFrame = {
+    val parsed = raw
+      .withColumn("cert", CertFuncs.parse_cert(col("der")))
+      .filter(col("cert").isNotNull)                             // C7
+      .filter(!(col("cert.bc_valid") && col("cert.is_ca")))      // C1
+    val now = asOf.map(lit(_)).getOrElse(current_timestamp())
+    val expiryFiltered =
+      if (logExpiredEntries) parsed
+      else parsed.filter(col("cert.not_after") >= now)           // C2
+    val cnFiltered =
+      if (issuerCNFilter.isEmpty) expiryFiltered
+      else expiryFiltered.filter(                                 // C3 OR-fold
+        issuerCNFilter.map(p => col("cert.issuer_cn").startsWith(p)).reduce(_ || _))
+    cnFiltered
+      .withColumn("exp_date", CertFuncs.expDateHourId(col("cert.not_after")))  // D5
+      .withColumn("issuer_id",
+        CertFuncs.issuerId(CertFuncs.spkiOrFallback(col("cert.ski"), col("cert.spki"))))
+      .withColumn("serial_id", CertFuncs.serialId(col("cert.serial")))
+      .withColumn("pem", CertFuncs.derToPem(col("der")))          // D7
+  }
+
+  /** Hour-bucket end in epoch ms for a `yyyy-MM-dd-HH` exp_date id —
+    * the state TTL instant (E2). */
+  def expDateEndMs(expDateId: String): Long = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH")
+    java.time.LocalDateTime.parse(expDateId, fmt)
+      .plusHours(1).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
+
+  /** Run the streaming ingest from a (simulated) CT log directory. */
+  def start(spark: SparkSession, logDir: String, certRoot: String,
+      checkpoint: String, maxEntriesPerTrigger: Long = 16384,
+      logExpiredEntries: Boolean = true, issuerCNFilter: Seq[String] = Nil,
+      asOf: Option[java.sql.Timestamp] = None,
+      runForever: Boolean = false, pollInterval: String = "10 minutes"): StreamingQuery = {
+    import spark.implicits._
+    val raw = spark.readStream
+      .format("graft.streaming.CtLogSource")
+      .option("path", logDir)
+      .option("maxEntriesPerTrigger", maxEntriesPerTrigger)       // J4
+      .load()
+    val entries = parsedEntries(raw, logExpiredEntries, issuerCNFilter, asOf)
+      .select(col("exp_date"), col("issuer_id"), col("serial_id"),
+        col("entry_id"), col("ts_ms"), col("log_url"),
+        col("cert.not_after").as("not_after"), col("cert.issuer_cn").as("issuer_cn"),
+        col("pem"))
+      .withColumn("event_ts", timestamp_millis(col("ts_ms")))     // D6: exact ms
+      .withWatermark("event_ts", "1 hour")                        // J7 lateness bound
+      .as[CertRowWithTs]
+    val deduped = StatefulDedup.firstSeen[DedupKey, CertRowWithTs](
+      entries,
+      r => DedupKey(r.exp_date, r.issuer_id, r.serial_id),
+      k => expDateEndMs(k.exp_date))                              // E1+E2
+    deduped.writeStream
+      .option("checkpointLocation", checkpoint)                   // J2/B3
+      .foreachBatch { (batch: Dataset[CertRowWithTs], batchId: Long) =>
+        val b = batch.drop("event_ts").cache()
+        // B1: the reference's <root>/<expDate>/<issuerID>/<serial> layout
+        b.write.mode("append")
+          .partitionBy("exp_date", "issuer_id")
+          .parquet(s"$certRoot/certs")
+        // E3: issuer dimension accumulation (idempotent overwrite)
+        b.groupBy(col("issuer_id"))
+          .agg(sort_array(collect_set(col("issuer_cn"))).as("issuer_cns"),
+            count(lit(1)).as("n_new"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$certRoot/issuer_batches")
+        b.unpersist()
+        ()
+      }
+      .trigger(if (runForever) Trigger.ProcessingTime(pollInterval)   // J3 daemon
+      else Trigger.AvailableNow())                                    // J3 catch-up
+      .start()
+  }
+
+  case class CertRowWithTs(
+      exp_date: String, issuer_id: String, serial_id: String,
+      entry_id: Long, ts_ms: Long, log_url: String,
+      not_after: java.sql.Timestamp, issuer_cn: String, pem: String,
+      event_ts: java.sql.Timestamp)
+
+  /** The map/reduce enumeration surface (SURVEY.md §3.4): partition-
+    * pruned reads over the ingested layout — ListExpirationDates /
+    * ListIssuersForExpirationDate / StreamSerials (types.go:61-67)
+    * become trivial pruned scans. */
+  def listExpirationDates(spark: SparkSession, certRoot: String): DataFrame =
+    spark.read.parquet(s"$certRoot/certs").select(col("exp_date")).distinct()
+
+  def listIssuers(spark: SparkSession, certRoot: String, expDate: String): DataFrame =
+    spark.read.parquet(s"$certRoot/certs")
+      .filter(col("exp_date") === expDate).select(col("issuer_id")).distinct()
+
+  def serials(spark: SparkSession, certRoot: String, expDate: String,
+      issuerId: String): DataFrame =
+    spark.read.parquet(s"$certRoot/certs")
+      .filter(col("exp_date") === expDate && col("issuer_id") === issuerId)
+      .select(col("serial_id"))
+}

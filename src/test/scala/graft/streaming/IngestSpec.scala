@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.{SparkSpec, TestCerts}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end streaming ingest (SURVEY.md §3.1): simulated CT log →
+  * custom micro-batch source → parse/filter → stateful first-seen
+  * dedup → partitioned write; exactly-once counts across duplicate
+  * entries and checkpoint resume (the reference's WasUnknown gate +
+  * MaxEntry checkpoint, verified the way its own tests do:
+  * knowncertificates_test.go first-seen semantics, §5).
+  *
+  * Fixture roles: kLeadingZeroes and the synthetic leaves are non-CA
+  * (ingestible); kEmptySPKI and kRealSPKI are CA certs, so the C1
+  * filter must drop them.
+  */
+class IngestSpec extends SparkSpec {
+
+  private def decode(pem: String): Array[Byte] = {
+    val body = pem.linesIterator
+      .filterNot(l => l.startsWith("-----") || l.isBlank).mkString
+    java.util.Base64.getMimeDecoder.decode(body)
+  }
+
+  lazy val leaf1 = decode(TestCerts.kLeadingZeroes)   // non-CA, issuer CN "ca"
+  lazy val leafS = decode(TestCerts.kSyntheticLeaf)   // non-CA, CN "synthetic leaf"
+  lazy val leafS2 = decode(TestCerts.kSyntheticLeaf2) // non-CA, CN "second leaf"
+  lazy val ca1 = decode(TestCerts.kEmptySPKI)         // CA
+  lazy val ca2 = decode(TestCerts.kRealSPKI)          // CA
+
+  private val ts0 = 1000000000000L // 2001-09: watermark stays below expiries
+
+  test("batch read of the ctlog source returns every entry once") {
+    val dir = Files.createTempDirectory("ctlog").toString
+    val entries = (0L until 25L).map(i =>
+      (i, ts0 + i, "log.example.com/2025", Seq(leaf1, leafS, ca1)((i % 3).toInt)))
+    CtLog.writePages(dir, entries, pageSize = 10)
+    val df = spark.read.format("graft.streaming.CtLogSource")
+      .option("path", dir).load()
+    assert(df.count() == 25L)
+    assert(df.select(col("entry_id")).distinct().count() == 25L)
+    assert(CtLog.treeSize(dir) == 25L)
+  }
+
+  test("streaming ingest: dedup, CA filter, partitioned layout, checkpoint resume") {
+    val root = Files.createTempDirectory("ingest").toString
+    val logDir = s"$root/log"
+    val certRoot = s"$root/out"
+    val ckpt = s"$root/ckpt"
+
+    // entries: 2 distinct non-CA certs (each duplicated) + 2 CA certs
+    val batch1 = Seq(leaf1, leafS, leaf1, leafS, ca1, ca2).zipWithIndex.map {
+      case (der, i) => (i.toLong, ts0 + i, "log.example.com/2025", der)
+    }
+    CtLog.writePages(logDir, batch1, pageSize = 4)
+    val q1 = IngestJob.start(spark, logDir, certRoot, ckpt,
+      maxEntriesPerTrigger = 4, logExpiredEntries = true)
+    q1.awaitTermination()
+
+    val certs = spark.read.parquet(s"$certRoot/certs")
+    assert(certs.count() == 2L, "first-seen gate must emit exactly once per key")
+    val dirs = new java.io.File(s"$certRoot/certs").listFiles.map(_.getName)
+    assert(dirs.exists(_.startsWith("exp_date=")), dirs.toSeq.toString)
+
+    // resume: re-deliver old duplicates + 1 genuinely new cert; the
+    // state + offsets restore from the checkpoint, so exactly one new
+    // row lands
+    val batch2 = Seq(leaf1, leafS, leafS2).zipWithIndex.map {
+      case (der, i) => ((i + 6).toLong, ts0 + 6 + i, "log.example.com/2025", der)
+    }
+    CtLog.writePages(logDir, batch1 ++ batch2, pageSize = 4)
+    val q2 = IngestJob.start(spark, logDir, certRoot, ckpt,
+      maxEntriesPerTrigger = 4, logExpiredEntries = true)
+    q2.awaitTermination()
+
+    val after = spark.read.parquet(s"$certRoot/certs")
+    assert(after.count() == 3L, "one new cert after resume, duplicates suppressed")
+    assert(after.select(col("serial_id")).distinct().count() == 3L)
+
+    // enumeration surface (§3.4)
+    val expDates = IngestJob.listExpirationDates(spark, certRoot)
+      .collect().map(_.getString(0)).sorted
+    assert(expDates.nonEmpty)
+    val issuers = IngestJob.listIssuers(spark, certRoot, expDates.head)
+      .collect().map(_.getString(0))
+    assert(issuers.nonEmpty)
+    assert(IngestJob.serials(spark, certRoot, expDates.head, issuers.head).count() >= 1L)
+  }
+
+  test("expiry filter drops expired certs unless logExpiredEntries (C2)") {
+    // kLeadingZeroes expired in 2020 → with the filter on and a 2026
+    // reference instant it is dropped
+    val raw = {
+      import spark.implicits._
+      Seq((0L, ts0, "log.example.com/2025", leaf1)).toDF("entry_id", "ts_ms", "log_url", "der")
+    }
+    val kept = IngestJob.parsedEntries(raw, logExpiredEntries = false,
+      issuerCNFilter = Nil, asOf = Some(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    assert(kept.count() == 0L)
+    val admitted = IngestJob.parsedEntries(raw, logExpiredEntries = true,
+      issuerCNFilter = Nil, asOf = None)
+    assert(admitted.count() == 1L)
+  }
+
+  test("issuer-CN prefix OR-fold filter (C3, ct-fetch.go:57-69)") {
+    import spark.implicits._
+    val raw = Seq(
+      (0L, ts0, "u", leaf1),   // issuer CN "ca"
+      (1L, ts0, "u", leafS))   // issuer CN "synthetic leaf"
+      .toDF("entry_id", "ts_ms", "log_url", "der")
+    val kept = IngestJob.parsedEntries(raw, logExpiredEntries = true,
+      issuerCNFilter = Seq("synthetic", "nonexistent"), asOf = None)
+    assert(kept.select(col("entry_id")).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // empty filter list keeps everything (ct-fetch.go:58-60)
+    val all = IngestJob.parsedEntries(raw, logExpiredEntries = true,
+      issuerCNFilter = Nil, asOf = None)
+    assert(all.count() == 2L)
+  }
+
+  test("expDateEndMs is the hour-bucket end (E2 TTL instant)") {
+    assert(IngestJob.expDateEndMs("2004-01-20-04") ==
+      java.time.Instant.parse("2004-01-20T05:00:00Z").toEpochMilli)
+  }
+}
