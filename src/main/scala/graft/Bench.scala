@@ -1,9 +1,25 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: executes every declared query at
+  * `SPARK_GRAFT_SF_DIR` and prints one JSON line of per-query seconds.
+  *
+  * Methodology:
+  *  - queries run in declared (SURVEY.md §7.3) order, so run-to-run
+  *    comparisons line up;
+  *  - each query executes its FULL plan into the `noop` sink (B6,
+  *    noopbackend.go:9-69) — `.count()` would let Catalyst prune
+  *    projections and eliminate sorts, timing a different plan than
+  *    Verify runs;
+  *  - best-of-2 per query, reported after a JVM/codegen warm-up query,
+  *    so one-off JIT/GC/VM-scheduling stalls don't masquerade as plan
+  *    regressions.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,14 +29,24 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // warm up parquet footers, codegen, shuffle machinery
+    try once(SparkEntry.queries("q_groupby_count")) catch { case _: Throwable => () }
+
+    val results = SparkEntry.specs.map { q =>
+      val t = try math.min(once(q.fn), once(q.fn))
+      catch { case _: Throwable => -1.0 }
+      q.name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -96,6 +96,67 @@ case class MinHashSigExpr(child: Expression, numPerm: Int)
     copy(child = newChild)
 }
 
+/** Distinct word-n-gram shingle hashes of a text column in one pass:
+  * tokenize on single spaces (Java regex `" "` split, limit -1 — the
+  * same tokens `split(text, " ")` yields), slide an n-token window,
+  * join with single spaces, xxhash64 (seed 42, Spark's), keep the
+  * first occurrence of each distinct shingle. Texts shorter than n
+  * tokens fall back to the whole text as one shingle.
+  *
+  * Equivalent SQL (pinned by ScalaTest):
+  *   modP=false: transform(shingleSet(text, n), t -> xxhash64(t))
+  *   modP=true:  transform(shingleSet(text, n), t ->
+  *                 pmod(xxhash64(t), 2147483647))
+  * where shingleSet is TextDedup.shingleSet. The SQL chain evaluates
+  * five interpreted higher-order lambdas per shingle; this kernel is
+  * one eval per row. */
+case class ShingleHashesExpr(child: Expression, n: Int, modP: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  private val P = 2147483647L
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes needs string, got $t")
+  }
+  private def xx(s: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(u, StringType, 42L)
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.toString
+    val toks = text.split(" ", -1)
+    val shingles: Iterator[String] =
+      if (toks.length >= n) {
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        val sb = new java.lang.StringBuilder()
+        while (i + n <= toks.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        import scala.jdk.CollectionConverters._
+        seen.iterator().asScala
+      } else Iterator.single(text)
+    val hs = shingles.map { s =>
+      val h = xx(s)
+      if (modP) { val m = h % P; if (m < 0) m + P else m } else h
+    }.toArray
+    new GenericArrayData(hs)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Dot product of two array<float> columns as double. Matches the SQL
   * aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) -> acc+x)
   * fold: per-element float multiply, left-to-right double accumulate —
@@ -117,9 +178,50 @@ case class DotProductFExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Session registration; idempotent, call before using
-  * `graft_simhash64` / `graft_minhash_sig` / `graft_dot` in plans
-  * (via expr(...) or call_udf). */
+/** Sign-LSH signature of an array<float> embedding against `bits`
+  * deterministic pseudo-random hyperplanes: bit b = [dot(v, plane_b)
+  * >= 0], packed into a long. Planes are the same splitmix-style
+  * derivation as Similarity.hyperplanes (component (b,d) =
+  * mix(seed + b*10007 + d), mapped into [-0.5, 0.5)), so this kernel
+  * is bit-identical to the SQL aggregate/zip_with formulation it
+  * replaces — including the SQL's null-poisoning on a dimension
+  * mismatch, which maps every bit to 0. */
+case class SignLshExpr(child: Expression, bits: Int, dim: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  @transient private lazy val planes: Array[Array[Double]] = {
+    def mix(z0: Long): Double = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    Array.tabulate(bits, dim)((b, d) => mix(seed + b * 10007L + d))
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) 0L
+    else {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val p = planes(b)
+        var acc = 0.0
+        var d = 0
+        while (d < dim) { acc += arr.getFloat(d) * p(d); d += 1 }
+        if (acc >= 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Session registration; idempotent, call before using the
+  * `graft_*` kernels in plans (via expr(...) or call_udf). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -132,5 +234,19 @@ object GraftFunctions {
       }, "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_dot", es => DotProductFExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_shingle_hashes", {
+        case Seq(c, Literal(n: Int, IntegerType), Literal(m: Boolean, BooleanType)) =>
+          ShingleHashesExpr(c, n, m)
+        case es => ShingleHashesExpr(es.head, 3, modP = true)
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_signlsh", {
+        case Seq(c, Literal(b: Int, IntegerType), Literal(d: Int, IntegerType),
+            Literal(s: Long, LongType)) => SignLshExpr(c, b, d, s)
+        case Seq(c, Literal(b: Int, IntegerType), Literal(d: Int, IntegerType)) =>
+          SignLshExpr(c, b, d, 42L)
+        case es => SignLshExpr(es.head, 16, 64, 42L)
+      }, "scala_udf")
   }
 }

@@ -79,11 +79,10 @@ object Similarity {
     (0 until bits).map(b => (0 until dim).map(d => mix(seed + b * 10007L + d)))
   }
 
-  /** Embedding near-dup candidates: bucket by 16-bit sign-LSH
-    * signature (bit b = [dot(v, plane_b) >= 0] against deterministic
-    * pseudo-random hyperplanes, packed into a long), emit
-    * within-bucket pairs ranked by exact cosine. */
-  def embNearDupPairs(vecs: DataFrame, bits: Int = 16, dim: Int = 64): DataFrame = {
+  /** Pure-SQL reference formulation of the sign-LSH signature over a
+    * `embedding` column (bit b = [dot(v, plane_b) >= 0], packed into a
+    * long); kept for kernel-equivalence testing. */
+  def signLshSql(df: DataFrame, bits: Int, dim: Int): DataFrame = {
     val planesLit = typedLit(hyperplanes(bits, dim))
     val sig = expr(
       s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, b) ->
@@ -91,7 +90,17 @@ object Similarity {
          |                              (x, y) -> x * y), CAST(0.0 AS DOUBLE),
          |                     (s, x) -> s + x) >= 0,
          |           shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
-    val withSig = vecs.withColumn("planes", planesLit).withColumn("sig", sig).drop("planes")
+    df.withColumn("planes", planesLit).withColumn("sig", sig).drop("planes")
+  }
+
+  /** Embedding near-dup candidates: bucket by 16-bit sign-LSH
+    * signature (the native SignLshExpr kernel — one eval per row
+    * against deterministic pseudo-random hyperplanes), emit
+    * within-bucket pairs ranked by exact cosine. */
+  def embNearDupPairs(vecs: DataFrame, bits: Int = 16, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val withSig = vecs.withColumn("sig",
+      call_udf("graft_signlsh", col("embedding"), lit(bits), lit(dim), lit(42L)))
     val pairs = withSig
       .groupBy(col("sig"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"), col("nrm")))).as("xs"))

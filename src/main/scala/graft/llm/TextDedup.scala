@@ -108,7 +108,14 @@ object TextDedup {
     * only wide op; bucket member lists are tiny for honest hash bands.
     * `maxBucket` drops degenerate buckets (boilerplate shingles) —
     * the standard guard that keeps the pair explosion local at scale;
-    * a dropped bucket's members still pair up in their other bands. */
+    * a dropped bucket's members still pair up in their other bands.
+    *
+    * The whole pipeline carries only `(doc_id, th)` where th is the
+    * hashed distinct-shingle array (one native-kernel pass over the
+    * text, graft_shingle_hashes): signatures derive from th, and the
+    * verification Jaccard runs set ops over longs rather than shingle
+    * strings — identical up to xxhash64 collisions (~n²/2³¹), at a
+    * fraction of the width on the wire. */
   def minhashPairs(docs: DataFrame, numPerm: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucket: Int = 100): DataFrame = {
     // Small-file inputs arrive as one split; spread the signature
@@ -117,9 +124,9 @@ object TextDedup {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val withSig = docs
       .repartition(par)
-      .select(col("doc_id"), shingleSet(col("text")).as("toks"))
-      .withColumn("sig",
-        call_udf("graft_minhash_sig", shingleHashes(col("toks")), lit(numPerm)))
+      .select(col("doc_id"),
+        call_udf("graft_shingle_hashes", col("text"), lit(3), lit(true)).as("th"))
+      .withColumn("sig", call_udf("graft_minhash_sig", col("th"), lit(numPerm)))
     val rows = numPerm / bands
     val candidates = withSig
       .select(col("doc_id"), explode(lshBands(col("sig"), bands, rows)).as("band_key"))
@@ -132,10 +139,10 @@ object TextDedup {
           .stripMargin)).as("p"))
       .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
       .distinct()
-    val toks = withSig.select(col("doc_id"), col("toks"))
+    val th = withSig.select(col("doc_id"), col("th"))
     candidates
-      .join(toks.select(col("doc_id").as("ida"), col("toks").as("ta")), Seq("ida"))
-      .join(toks.select(col("doc_id").as("idb"), col("toks").as("tb")), Seq("idb"))
+      .join(th.select(col("doc_id").as("ida"), col("th").as("ta")), Seq("ida"))
+      .join(th.select(col("doc_id").as("idb"), col("th").as("tb")), Seq("idb"))
       .withColumn("jac",
         size(array_intersect(col("ta"), col("tb"))) / size(array_union(col("ta"), col("tb"))))
       .filter(col("jac") >= threshold)
@@ -175,8 +182,8 @@ object TextDedup {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val withSim = docs
       .repartition(par)
-      .select(col("doc_id"), shingleSet(col("text")).as("toks"))
-      .withColumn("th", transform(col("toks"), t => xxhash64(t)))
+      .select(col("doc_id"),
+        call_udf("graft_shingle_hashes", col("text"), lit(3), lit(false)).as("th"))
       .withColumn("simhash", call_udf("graft_simhash64", col("th")))
     val banded = withSim.select(col("doc_id"), col("simhash"),
       explode(expr(

@@ -42,6 +42,40 @@ class NativeKernelSpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("sql")).count() == 0L)
   }
 
+  test("graft_shingle_hashes matches SQL shingleSet→hash chains") {
+    val df = docs
+      .select(col("doc_id"), TextDedup.shingleSet(col("text")).as("toks"),
+        call_udf("graft_shingle_hashes", col("text"), lit(3), lit(true)).as("native_p"),
+        call_udf("graft_shingle_hashes", col("text"), lit(3), lit(false)).as("native_raw"))
+      .withColumn("sql_p", TextDedup.shingleHashes(col("toks")))
+      .withColumn("sql_raw", transform(col("toks"), t => xxhash64(t)))
+    assert(df.filter(col("native_p") =!= col("sql_p")).count() == 0L)
+    assert(df.filter(col("native_raw") =!= col("sql_raw")).count() == 0L)
+  }
+
+  test("graft_shingle_hashes whole-text fallback and multi-space tokens match SQL") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "just two"),             // < n tokens → whole text
+      (2L, "a  b c d"),             // double space → empty token, like split()
+      (3L, "a b c"),                // exactly n
+      (4L, ""))).toDF("doc_id", "text")
+    val out = df
+      .select(col("doc_id"), TextDedup.shingleSet(col("text")).as("toks"),
+        call_udf("graft_shingle_hashes", col("text"), lit(3), lit(true)).as("native"))
+      .withColumn("sql", TextDedup.shingleHashes(col("toks")))
+    assert(out.filter(col("native") =!= col("sql")).count() == 0L)
+  }
+
+  test("graft_signlsh matches SQL sign-LSH formulation") {
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    val sqlSig = Similarity.signLshSql(vecs, 16, 64)
+      .select(col("vec_id"), col("sig").as("sql"))
+    val nativeSig = vecs.select(col("vec_id"),
+      call_udf("graft_signlsh", col("embedding"), lit(16), lit(64), lit(42L)).as("native"))
+    val joined = nativeSig.join(sqlSig, "vec_id")
+    assert(joined.filter(col("native") =!= col("sql")).count() == 0L)
+  }
+
   test("null inputs yield null, not a crash") {
     val df = spark.sql(
       """SELECT graft_simhash64(CAST(NULL AS ARRAY<BIGINT>)) a,
