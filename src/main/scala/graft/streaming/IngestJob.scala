@@ -25,11 +25,16 @@ object IngestJob {
       entry_id: Long, ts_ms: Long, log_url: String,
       not_after: java.sql.Timestamp, issuer_cn: String, pem: String)
 
-  /** Parse + filter + derive keys; shared by stream and batch paths. */
+  /** Parse + filter + derive keys; shared by stream and batch paths.
+    * Parse totals/error counts ride along as observed metrics
+    * (F5; the reference counts skipped entries, ct-fetch.go:198-209). */
   def parsedEntries(raw: DataFrame, logExpiredEntries: Boolean,
       issuerCNFilter: Seq[String], asOf: Option[java.sql.Timestamp]): DataFrame = {
-    val parsed = raw
-      .withColumn("cert", CertFuncs.parse_cert(col("der")))
+    val parsed = Observability.observed(
+      raw.withColumn("cert", CertFuncs.parse_cert(col("der"))),
+      "graft_ingest_parse",
+      "n_entries" -> count(lit(1)),
+      "n_parse_errors" -> sum(when(col("cert").isNull, 1L).otherwise(0L)))
       .filter(col("cert").isNotNull)                             // C7
       .filter(!(col("cert.bc_valid") && col("cert.is_ca")))      // C1
     val now = asOf.map(lit(_)).getOrElse(current_timestamp())
@@ -124,4 +129,18 @@ object IngestJob {
     spark.read.parquet(s"$certRoot/certs")
       .filter(col("exp_date") === expDate && col("issuer_id") === issuerId)
       .select(col("serial_id"))
+
+  /** B4: sorted serial-list export — newline-delimited serial IDs, one
+    * directory per (expDate, issuer) partition (the reference writes
+    * one hex-serial file per issuer, localdiskbackend.go:212-237).
+    * One shuffle keyed on the partition columns; each writer task emits
+    * its partitions' files already sorted. */
+  def exportSerialLists(spark: SparkSession, certRoot: String, outDir: String): Unit =
+    spark.read.parquet(s"$certRoot/certs")
+      .select(col("exp_date"), col("issuer_id"), col("serial_id").as("value"))
+      .repartition(col("exp_date"), col("issuer_id"))
+      .sortWithinPartitions(col("exp_date"), col("issuer_id"), col("value"))
+      .write.mode("overwrite")
+      .partitionBy("exp_date", "issuer_id")
+      .text(outDir)
 }

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.{SparkSpec, TestCerts}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+import java.time.Instant
+
+/** F5 observed metrics, J8 staleness probe, B4 serial-list export. */
+class ObservabilitySpec extends SparkSpec {
+
+  private def decode(pem: String): Array[Byte] = {
+    val body = pem.linesIterator
+      .filterNot(l => l.startsWith("-----") || l.isBlank).mkString
+    java.util.Base64.getMimeDecoder.decode(body)
+  }
+
+  test("ingest parse metrics ride along via observe (F5)") {
+    import spark.implicits._
+    val listener = new Observability.MetricsListener
+    spark.listenerManager.register(listener)
+    try {
+      val raw = Seq(
+        (0L, 1L, "u", decode(TestCerts.kLeadingZeroes)),
+        (1L, 2L, "u", Array[Byte](1, 2, 3)))  // undecodable → parse error
+        .toDF("entry_id", "ts_ms", "log_url", "der")
+      IngestJob.parsedEntries(raw, logExpiredEntries = true,
+        issuerCNFilter = Nil, asOf = None).count()
+      // QueryExecutionListener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis() + 20000
+      var m = listener.get("graft_ingest_parse")
+      while (m.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); m = listener.get("graft_ingest_parse")
+      }
+      assert(m.isDefined, "observed metrics never delivered")
+      assert(m.get("n_entries") == 2L)
+      assert(m.get("n_parse_errors") == 1L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("health probe: Starting → Ok → Stale (J8, ct-fetch.go:566-608)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Int]
+    val q = ms.toDF().writeStream.format("noop")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      assert(Observability.health(q, 1000L) == Observability.Starting)
+      ms.addData(1, 2, 3)
+      val deadline = System.currentTimeMillis() + 20000
+      while (q.lastProgress == null && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(q.lastProgress != null, "no progress recorded")
+      val at = Instant.parse(q.lastProgress.timestamp)
+      assert(Observability.health(q, 60000L, at.plusMillis(1000)) == Observability.Ok)
+      assert(Observability.health(q, 1000L, at.plusMillis(60000)) == Observability.Stale)
+      assert(Observability.Starting.httpCode == 503 &&
+        Observability.Stale.httpCode == 500 && Observability.Ok.httpCode == 200)
+    } finally q.stop()
+  }
+
+  test("exportSerialLists writes sorted per-(expDate, issuer) text files (B4)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("export").toString
+    Seq(
+      ("2030-01-01-00", "issuerA", "s3"),
+      ("2030-01-01-00", "issuerA", "s1"),
+      ("2030-01-01-00", "issuerA", "s2"),
+      ("2030-01-01-00", "issuerB", "z9"),
+      ("2030-01-02-00", "issuerA", "s9"))
+      .toDF("exp_date", "issuer_id", "serial_id")
+      .write.partitionBy("exp_date", "issuer_id").parquet(s"$root/certs")
+
+    IngestJob.exportSerialLists(spark, root, s"$root/serials")
+
+    def readDir(p: String): Seq[String] =
+      spark.read.text(p).collect().map(_.getString(0)).toSeq
+    assert(readDir(s"$root/serials/exp_date=2030-01-01-00/issuer_id=issuerA")
+      == Seq("s1", "s2", "s3"), "serials must come out sorted")
+    assert(readDir(s"$root/serials/exp_date=2030-01-01-00/issuer_id=issuerB") == Seq("z9"))
+    assert(readDir(s"$root/serials/exp_date=2030-01-02-00/issuer_id=issuerA") == Seq("s9"))
+  }
+}
