@@ -51,6 +51,11 @@ object IngestJob {
         CertFuncs.issuerId(CertFuncs.spkiOrFallback(col("cert.ski"), col("cert.spki"))))
       .withColumn("serial_id", CertFuncs.serialId(col("cert.serial")))
       .withColumn("pem", CertFuncs.derToPem(col("der")))          // D7
+      // C5: keep only trimmed http/https CRL distribution points
+      // (ldap/ldaps silently dropped, issuermetadata.go:48-73)
+      .withColumn("crl_dps",
+        filter(transform(col("cert.crl_dps"), u => trim(u)),
+          u => u.rlike("^https?://")))
   }
 
   /** Hour-bucket end in epoch ms for a `yyyy-MM-dd-HH` exp_date id —
@@ -77,6 +82,7 @@ object IngestJob {
       .select(col("exp_date"), col("issuer_id"), col("serial_id"),
         col("entry_id"), col("ts_ms"), col("log_url"),
         col("cert.not_after").as("not_after"), col("cert.issuer_cn").as("issuer_cn"),
+        col("cert.issuer_dn").as("issuer_dn"), col("crl_dps"),
         col("pem"))
       .withColumn("event_ts", timestamp_millis(col("ts_ms")))     // D6: exact ms
       .withWatermark("event_ts", "1 hour")                        // J7 lateness bound
@@ -93,9 +99,13 @@ object IngestJob {
         b.write.mode("append")
           .partitionBy("exp_date", "issuer_id")
           .parquet(s"$certRoot/certs")
-        // E3: issuer dimension accumulation (idempotent overwrite)
+        // E3: issuer dimension accumulation (distinct DNs + CRL DPs per
+        // issuer, issuermetadata.go:92-138; partial aggregation is the
+        // map-side-combine the reference hand-codes)
         b.groupBy(col("issuer_id"))
           .agg(sort_array(collect_set(col("issuer_cn"))).as("issuer_cns"),
+            sort_array(collect_set(col("issuer_dn"))).as("issuer_dns"),
+            sort_array(array_distinct(flatten(collect_list(col("crl_dps"))))).as("crl_dps"),
             count(lit(1)).as("n_new"))
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(s"$certRoot/issuer_batches")
@@ -110,7 +120,8 @@ object IngestJob {
   case class CertRowWithTs(
       exp_date: String, issuer_id: String, serial_id: String,
       entry_id: Long, ts_ms: Long, log_url: String,
-      not_after: java.sql.Timestamp, issuer_cn: String, pem: String,
+      not_after: java.sql.Timestamp, issuer_cn: String,
+      issuer_dn: String, crl_dps: Seq[String], pem: String,
       event_ts: java.sql.Timestamp)
 
   /** The map/reduce enumeration surface (SURVEY.md §3.4): partition-
