@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skew-safe variants of the shuffle-heavy operators (SURVEY.md §7.4's
+  * 100 TB design rule).
+  *
+  * Plain `sum`/`count` aggregations are already skew-tolerant: Spark's
+  * partial aggregation compresses every hot key map-side before the
+  * shuffle. The operators that are NOT are the ones whose partial state
+  * grows with input — set/list accumulation (the reference's issuer
+  * metadata, issuermetadata.go:92-138, where one mega-CA can own most
+  * of the corpus) and per-key top-k windows — because every row of the
+  * hot key still lands on one reducer. These helpers split such keys
+  * over `buckets` salt partitions and merge, trading one extra (much
+  * smaller) shuffle for bounded per-task state. Equivalence with the
+  * direct forms is pinned by ScalaTest.
+  *
+  * Joins need no helper here: AQE's skew-join splitting
+  * (spark.sql.adaptive.skewJoin.enabled, on by default) re-plans hot
+  * partitions at runtime.
+  */
+object Skew {
+
+  /** `groupBy(keys).agg(sort_array(collect_set(value)))`, salted: the
+    * hot key's values spread over `buckets` partial sets (salt = hash
+    * of the VALUE, so duplicates of one value land in one bucket and
+    * partial sets stay disjoint-ish), then merge-distinct. */
+  def saltedCollectSet(df: DataFrame, keys: Seq[Column], value: Column,
+      buckets: Int): DataFrame =
+    df.groupBy((keys :+ pmod(hash(value), lit(buckets)).as("__salt")): _*)
+      .agg(collect_set(value).as("__partial"))
+      .groupBy(keys: _*)
+      .agg(sort_array(array_distinct(flatten(collect_list(col("__partial")))))
+        .as("values"))
+
+  /** Exact distinct count per key without `countDistinct`'s single-
+    * reducer exposure: dedup on (key, value) — a shuffle keyed on the
+    * PAIR, which a hot key cannot concentrate — then count. */
+  def distinctCountByPair(df: DataFrame, keys: Seq[Column], value: Column): DataFrame =
+    df.select((keys :+ value.as("__v")): _*)
+      .dropDuplicates()
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_distinct"))
+
+  /** Per-key top-k by `order`, salted two-phase: phase 1 takes top-k
+    * within (key, salt) — bounding any task to k·rows/buckets — phase 2
+    * re-ranks the ≤ k·buckets survivors per key. Identical to a direct
+    * row_number window when `order` is a total order per key. */
+  def saltedTopK(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+      k: Int, buckets: Int): DataFrame = {
+    // salt on the raw row (order expressions may carry sort direction,
+    // which hash() must not see); any deterministic spread is correct —
+    // per-bucket rank is a lower bound on global rank, so phase 1 never
+    // drops a global top-k row
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col).toSeq: _*), lit(buckets)))
+    val w1 = Window.partitionBy((keys :+ col("__salt")): _*).orderBy(order: _*)
+    val survivors = salted
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k)
+      .drop("__salt", "__rn")
+    val w2 = Window.partitionBy(keys: _*).orderBy(order: _*)
+    survivors
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}
