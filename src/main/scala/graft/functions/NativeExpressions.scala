@@ -241,6 +241,11 @@ object GraftFunctions {
         case es => ShingleHashesExpr(es.head, 3, modP = true)
       }, "scala_udf")
     reg.createOrReplaceTempFunction(
+      "graft_minhash_agg", {
+        case Seq(c, Literal(n: Int, IntegerType)) => MinHashAggExpr(c, n)
+        case es => MinHashAggExpr(es.head, 64)
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction(
       "graft_signlsh", {
         case Seq(c, Literal(b: Int, IntegerType), Literal(d: Int, IntegerType),
             Literal(s: Long, LongType)) => SignLshExpr(c, b, d, s)

@@ -211,5 +211,43 @@ object TextDedup {
         .limit(1000),
     None)
 
-  val all: Seq[QuerySpec] = Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash)
+  // ---- group-level similarity via the MinHash sketch aggregate -----------
+
+  /** Per-group MinHash signatures (the MinHashAggExpr sketch): state per
+    * group is numPerm longs however large the group, merged map-side —
+    * shingle sets never cross a shuffle. */
+  def groupSignatures(docs: DataFrame, groupCol: String, numPerm: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(groupCol),
+        call_udf("graft_shingle_hashes", col("text"), lit(3), lit(true)).as("th"))
+      .groupBy(col(groupCol))
+      .agg(call_udf("graft_minhash_agg", col("th"), lit(numPerm)).as("sig"))
+  }
+
+  /** Pairwise estimated Jaccard between groups' shingle sets: equal-slot
+    * fraction of the two signatures. Group count is small (sources,
+    * domains, shards), so the pair join is over sketches, never docs. */
+  def groupSimilarity(docs: DataFrame, groupCol: String, numPerm: Int = 64): DataFrame = {
+    val sigs = groupSignatures(docs, groupCol, numPerm)
+    val a = sigs.select(col(groupCol).as("ga"), col("sig").as("sa"))
+    val b = sigs.select(col(groupCol).as("gb"), col("sig").as("sb"))
+    a.join(b, col("ga") < col("gb"))
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))") / lit(numPerm))
+      .select(col("ga"), col("gb"), col("est_jaccard"))
+  }
+
+  /** No oracle (sketch estimate); agreement of the aggregate with the
+    * per-document signature path and estimate sanity are pinned by
+    * ScalaTest. */
+  val qSourceSim = QuerySpec(
+    "q_llm_source_sim",
+    (s, d) =>
+      groupSimilarity(Tables.load(s, d, "documents"), "source")
+        .orderBy(col("ga"), col("gb")),
+    None)
+
+  val all: Seq[QuerySpec] =
+    Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash, qSourceSim)
 }

@@ -76,6 +76,34 @@ class NativeKernelSpec extends SparkSpec {
     assert(joined.filter(col("native") =!= col("sql")).count() == 0L)
   }
 
+  test("graft_minhash_agg: group sketch equals signature of the unioned shingle sets") {
+    // signature of each doc individually, element-wise min over the
+    // group, must equal the aggregate's group signature
+    val perDoc = docs
+      .select(col("source"),
+        call_udf("graft_minhash_sig",
+          call_udf("graft_shingle_hashes", col("text"), lit(3), lit(true)), lit(64)).as("sig"))
+      .groupBy(col("source"))
+      .agg(expr(
+        """aggregate(collect_list(sig),
+          |  array_repeat(CAST(2147483647 AS BIGINT), 64),
+          |  (acc, s) -> zip_with(acc, s, (x, y) -> least(x, y)))""".stripMargin).as("expect"))
+    val agg = TextDedup.groupSignatures(docs, "source")
+    val joined = agg.join(perDoc, "source")
+    assert(joined.filter(col("sig") =!= col("expect")).count() == 0L)
+  }
+
+  test("groupSimilarity: identical groups estimate 1.0, disjoint near 0") {
+    val df = spark.createDataFrame(Seq(
+      ("g1", "alpha beta gamma delta epsilon zeta"),
+      ("g2", "alpha beta gamma delta epsilon zeta"),   // identical content
+      ("g3", "one two three four five six seven"))).toDF("source", "text")
+    val sims = TextDedup.groupSimilarity(df, "source").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(sims(("g1", "g2")) == 1.0)
+    assert(sims(("g1", "g3")) < 0.2)
+  }
+
   test("null inputs yield null, not a crash") {
     val df = spark.sql(
       """SELECT graft_simhash64(CAST(NULL AS ARRAY<BIGINT>)) a,
