@@ -118,6 +118,51 @@ class IngestSpec extends SparkSpec {
     assert(all.count() == 2L)
   }
 
+  test("daemon mode ingests pages as they arrive; graceful stop keeps state (J3/J9)") {
+    val root = Files.createTempDirectory("daemon").toString
+    val logDir = s"$root/log"
+    val certRoot = s"$root/out"
+
+    def certCount(): Long =
+      try spark.read.parquet(s"$certRoot/certs").count()
+      catch { case _: Throwable => -1L }
+    def awaitCount(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (certCount() != n && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(certCount() == n, s"expected $n certs")
+    }
+
+    CtLog.writePages(logDir, Seq((0L, ts0, "log.example.com/2025", leaf1)))
+    val q = IngestJob.start(spark, logDir, certRoot, s"$root/ckpt",
+      logExpiredEntries = true, runForever = true, pollInterval = "100 milliseconds")
+    try {
+      awaitCount(1L)
+      // a new page arrives while the daemon polls (ct-fetch runForever)
+      CtLog.writePages(logDir, Seq((1L, ts0 + 1, "log.example.com/2025", leafS)))
+      awaitCount(2L)
+    } finally q.stop() // J9: graceful — offsets/state committed per batch
+    // catch-up restart from the same checkpoint sees nothing new
+    val q2 = IngestJob.start(spark, logDir, certRoot, s"$root/ckpt",
+      logExpiredEntries = true)
+    q2.awaitTermination()
+    assert(certCount() == 2L, "stop+restart must not re-ingest")
+  }
+
+  test("admission cap splits a page across triggers without loss or dups (J4)") {
+    val root = Files.createTempDirectory("midpage").toString
+    val entries = Seq(leaf1, leafS, leafS2, ca1, leaf1).zipWithIndex.map {
+      case (der, i) => (i.toLong, ts0 + i, "log.example.com/2025", der)
+    }
+    CtLog.writePages(s"$root/log", entries, pageSize = 5) // one page, cap 2
+    val q = IngestJob.start(spark, s"$root/log", s"$root/out", s"$root/ckpt",
+      maxEntriesPerTrigger = 2, logExpiredEntries = true)
+    q.awaitTermination()
+    val certs = spark.read.parquet(s"$root/out/certs")
+    // 3 distinct non-CA certs; the duplicate leaf1 and the CA dropped
+    assert(certs.count() == 3L)
+    assert(certs.select(col("serial_id")).distinct().count() == 3L)
+  }
+
   test("expDateEndMs is the hour-bucket end (E2 TTL instant)") {
     assert(IngestJob.expDateEndMs("2004-01-20-04") ==
       java.time.Instant.parse("2004-01-20T05:00:00Z").toEpochMilli)
