@@ -109,19 +109,26 @@ class CtLogTable(props: Map[String, String]) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new CtLogScan(path,
-        Option(options.get("maxEntriesPerTrigger")).map(_.toLong))
+        Option(options.get("maxEntriesPerTrigger")).map(_.toLong),
+        Option(options.get("startEntry")).map(_.toLong).getOrElse(0L),
+        Option(options.get("limitEntries")).map(_.toLong))
     }
 }
 
-class CtLogScan(path: String, maxPerTrigger: Option[Long]) extends Scan {
+/** `startEntry` / `limitEntries` are the reference's `--offset X` /
+  * `--limit Y` ingestion window (G3, ct-fetch.go:288-305): start
+  * overrides the checkpointed position, limit caps the end position. */
+class CtLogScan(path: String, maxPerTrigger: Option[Long],
+    startEntry: Long = 0L, limitEntries: Option[Long] = None) extends Scan {
+  private[streaming] def cappedEnd(sth: Long): Long =
+    limitEntries.map(l => math.min(sth, startEntry + l)).getOrElse(sth)
   override def readSchema(): StructType = CtLog.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CtLogMicroBatchStream(path, maxPerTrigger)
+    new CtLogMicroBatchStream(path, maxPerTrigger, startEntry, limitEntries)
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] = {
-      val end = CtLog.treeSize(path)
-      CtLogMicroBatchStream.partitionRange(path, 0L, end)
-    }
+    override def planInputPartitions(): Array[InputPartition] =
+      CtLogMicroBatchStream.partitionRange(path, startEntry,
+        cappedEnd(CtLog.treeSize(path)))
     override def createReaderFactory(): PartitionReaderFactory = new CtLogReaderFactory
   }
 }
@@ -150,10 +157,11 @@ object CtLogMicroBatchStream {
   }
 }
 
-class CtLogMicroBatchStream(path: String, maxPerTrigger: Option[Long])
+class CtLogMicroBatchStream(path: String, maxPerTrigger: Option[Long],
+    startEntry: Long = 0L, limitEntries: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  override def initialOffset(): Offset = CtLogOffset(0L)
+  override def initialOffset(): Offset = CtLogOffset(startEntry)
 
   override def deserializeOffset(json: String): Offset =
     CtLogOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(0L))
@@ -161,9 +169,11 @@ class CtLogMicroBatchStream(path: String, maxPerTrigger: Option[Long])
   override def getDefaultReadLimit: ReadLimit =
     maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
 
-  /** STH fetch (A2) capped by admission control (J4). */
+  /** STH fetch (A2), bounded by the --limit window (G3) and capped by
+    * admission control (J4). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val sth = CtLog.treeSize(path)
+    val sth = limitEntries.map(l => math.min(CtLog.treeSize(path), startEntry + l))
+      .getOrElse(CtLog.treeSize(path))
     val from = start.asInstanceOf[CtLogOffset].entry
     val capped = limit match {
       case rows: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>

@@ -71,13 +71,16 @@ object IngestJob {
       checkpoint: String, maxEntriesPerTrigger: Long = 16384,
       logExpiredEntries: Boolean = true, issuerCNFilter: Seq[String] = Nil,
       asOf: Option[java.sql.Timestamp] = None,
-      runForever: Boolean = false, pollInterval: String = "10 minutes"): StreamingQuery = {
+      runForever: Boolean = false, pollInterval: String = "10 minutes",
+      startEntry: Long = 0L, limitEntries: Option[Long] = None): StreamingQuery = {
     import spark.implicits._
-    val raw = spark.readStream
+    val rawReader = spark.readStream
       .format("graft.streaming.CtLogSource")
       .option("path", logDir)
       .option("maxEntriesPerTrigger", maxEntriesPerTrigger)       // J4
-      .load()
+      .option("startEntry", startEntry)                           // G3 --offset
+    val raw = limitEntries.fold(rawReader)(l =>
+      rawReader.option("limitEntries", l)).load()                 // G3 --limit
     val entries = parsedEntries(raw, logExpiredEntries, issuerCNFilter, asOf)
       .select(col("exp_date"), col("issuer_id"), col("serial_id"),
         col("entry_id"), col("ts_ms"), col("log_url"),

@@ -1,0 +1,92 @@
+package graft.tools
+
+import graft.config.GraftConfig
+import graft.queries.Statistics
+import graft.streaming.{IngestJob, Observability}
+import org.apache.spark.sql.SparkSession
+
+/** The reference's three binaries as thin CLI mains over the library —
+  * a ct-mapreduce user maps each command 1:1:
+  *
+  *   ct-fetch            → graft.tools.CtFetch [-config f] [-offset n] [-limit n]
+  *   storage-statistics  → graft.tools.StorageStatistics [-config f]
+  *   ct-getcert          → graft.tools.CtGetCert <logDir> <entryId>
+  *
+  * Config keys/precedence match config/config.go (see GraftConfig).
+  */
+object Cli {
+  private[tools] def session(name: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+  }
+}
+
+/** Streaming ingest (cmd/ct-fetch/ct-fetch.go:490-638): one streaming
+  * query per configured log, checkpointed under
+  * `<certPath>/state/<base64url(log)>` like the reference's state dir. */
+object CtFetch {
+  def main(args: Array[String]): Unit = {
+    val cfg = GraftConfig.load(args.toSeq)
+    require(cfg.logList.nonEmpty, "logList is required (ini/env)")
+    require(cfg.certPath.nonEmpty, "certPath is required (ini/env)")
+    val spark = Cli.session("ct-fetch")
+    spark.sparkContext.setLogLevel("WARN")
+    val queries = cfg.logList.map { logDir =>
+      val logId = java.util.Base64.getUrlEncoder.encodeToString(
+        logDir.getBytes("UTF-8"))
+      IngestJob.start(spark, logDir,
+        certRoot = cfg.certPath,
+        checkpoint = s"${cfg.certPath}/state/$logId",
+        logExpiredEntries = cfg.logExpiredEntries,
+        issuerCNFilter = cfg.issuerCNFilter,
+        runForever = cfg.runForever,
+        pollInterval = cfg.pollTrigger,
+        startEntry = cfg.offset,
+        limitEntries = if (cfg.limit > 0) Some(cfg.limit) else None)
+    }
+    queries.foreach(_.awaitTermination())
+    queries.foreach(q => println(
+      s"[ct-fetch] ${q.name}: health=${Observability.health(q, 600000L)}"))
+    spark.stop()
+  }
+}
+
+/** Batch rollup report (cmd/storage-statistics/storage-statistics.go:22-100). */
+object StorageStatistics {
+  def main(args: Array[String]): Unit = {
+    val cfg = GraftConfig.load(args.toSeq)
+    require(cfg.certPath.nonEmpty, "certPath is required (ini/env)")
+    val spark = Cli.session("storage-statistics")
+    spark.sparkContext.setLogLevel("WARN")
+    Statistics.report(spark, cfg.certPath).collect().foreach { r =>
+      val issuer = if (r.isNullAt(0)) "<total>" else r.getString(0)
+      val exp = if (r.isNullAt(1)) "<all dates>" else r.getString(1)
+      println(s"$issuer\t$exp\tserials=${r.getLong(2)}" +
+        (if (r.isNullAt(1) && !r.isNullAt(0))
+          s"\tdns=${r.get(3)}\tcrls=${r.get(4)}" else ""))
+    }
+    spark.stop()
+  }
+}
+
+/** Point query (cmd/ct-getcert/ct-getcert.go:16-57): one entry by log
+  * position, PEM to stdout. */
+object CtGetCert {
+  def main(args: Array[String]): Unit = {
+    val Array(certRoot, logUrl, entryId) = args
+    val spark = Cli.session("ct-getcert")
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = Statistics.certPemByEntry(spark, certRoot, logUrl, entryId.toLong)
+      .collect()
+    if (rows.isEmpty) System.err.println(s"entry $entryId not found")
+    else println(rows.head.getString(0))
+    spark.stop()
+  }
+}

@@ -163,6 +163,27 @@ class IngestSpec extends SparkSpec {
     assert(certs.select(col("serial_id")).distinct().count() == 3L)
   }
 
+  test("startEntry/limitEntries bound the ingestion window (G3, --offset/--limit)") {
+    val root = Files.createTempDirectory("window").toString
+    val entries = (0L until 10L).map(i =>
+      (i, ts0 + i, "log.example.com/2025", Seq(leaf1, leafS, leafS2)((i % 3).toInt)))
+    CtLog.writePages(s"$root/log", entries, pageSize = 4)
+    // batch read honors the window
+    val windowed = spark.read.format("graft.streaming.CtLogSource")
+      .option("path", s"$root/log")
+      .option("startEntry", 2).option("limitEntries", 5)
+      .load()
+    assert(windowed.select(col("entry_id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      (2L until 7L).toSeq)
+    // streaming ingest stops at the limit
+    val q = IngestJob.start(spark, s"$root/log", s"$root/out", s"$root/ckpt",
+      logExpiredEntries = true, startEntry = 3L, limitEntries = Some(2L))
+    q.awaitTermination()
+    val ids = spark.read.parquet(s"$root/out/certs")
+      .select(col("entry_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(3L, 4L), s"window [3, 5) expected: $ids")
+  }
+
   test("expDateEndMs is the hour-bucket end (E2 TTL instant)") {
     assert(IngestJob.expDateEndMs("2004-01-20-04") ==
       java.time.Instant.parse("2004-01-20T05:00:00Z").toEpochMilli)
