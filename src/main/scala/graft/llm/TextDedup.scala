@@ -229,7 +229,11 @@ object TextDedup {
     * fraction of the two signatures. Group count is small (sources,
     * domains, shards), so the pair join is over sketches, never docs. */
   def groupSimilarity(docs: DataFrame, groupCol: String, numPerm: Int = 64): DataFrame = {
+    // both pair-join sides read the signatures; persist the (group ×
+    // numPerm·8B, i.e. KB-sized) sketch table so the corpus-wide
+    // aggregation runs once, not once per side
     val sigs = groupSignatures(docs, groupCol, numPerm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.select(col(groupCol).as("ga"), col("sig").as("sa"))
     val b = sigs.select(col(groupCol).as("gb"), col("sig").as("sb"))
     a.join(b, col("ga") < col("gb"))

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Pins the physical-plan properties the 100 TB design depends on
+  * (SCALE.md §2-§3): filter pushdown into the scan, column pruning,
+  * broadcast join selection, rollup expansion, and map-side partial
+  * aggregation of the sketch aggregate. A regression here is a silent
+  * 10-100× cost at scale long before it is a wrong answer.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf0001).queryExecution
+      .explainString(FormattedMode)
+
+  test("q_partition_prune pushes the date range into the parquet scan") {
+    val p = plan("q_partition_prune")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"date filter not pushed:\n$p")
+  }
+
+  test("q_scan_project prunes to the referenced columns only") {
+    val p = plan("q_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("q_broadcast_join and q_rollup broadcast their dimensions") {
+    assert(plan("q_broadcast_join").contains("BroadcastHashJoin"))
+    val rollup = plan("q_rollup")
+    assert(rollup.contains("BroadcastHashJoin"))
+    assert(rollup.contains("Expand"), "rollup must expand grouping sets")
+  }
+
+  test("q_semi_join / q_anti_join plan as semi/anti hash joins") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("sketch aggregate runs with map-side partials (no raw rows cross the shuffle)") {
+    val p = plan("q_llm_source_sim")
+    assert(p.contains("partial_minhashaggexpr"),
+      s"MinHashAgg lost partial aggregation:\n$p")
+    assert(p.contains("ObjectHashAggregate"))
+  }
+
+  test("point lookup pushes the key filter into the scan") {
+    val p = plan("q_point_lookup")
+    assert(p.contains("EqualTo(o_orderkey,42)"), s"key not pushed:\n$p")
+  }
+}
