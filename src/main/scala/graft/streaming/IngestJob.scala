@@ -144,6 +144,41 @@ object IngestJob {
       .filter(col("exp_date") === expDate && col("issuer_id") === issuerId)
       .select(col("serial_id"))
 
+  /** Compact the streaming sink's per-batch files: every micro-batch
+    * appends one parquet file per touched (exp_date, issuer_id)
+    * partition, so a long-running daemon accumulates small files. One
+    * keyed repartition rewrites each partition as a single file;
+    * dynamic partition overwrite replaces only the partitions present
+    * in the data, so concurrent appends to other buckets are safe.
+    * (The reference sidesteps this by writing one file per cert —
+    * which at 100 TB is exactly the small-file problem.) */
+  def compact(spark: SparkSession, certRoot: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val live = Paths.get(s"$certRoot/certs")
+    val staged = Paths.get(s"$certRoot/certs_compacting")
+    val retired = Paths.get(s"$certRoot/certs_old")
+    // Spark refuses to overwrite a path it is reading, so stage the
+    // rewrite and swap directories (maintenance op: run between, not
+    // during, ingest batches)
+    spark.read.parquet(live.toString)
+      .repartition(col("exp_date"), col("issuer_id"))
+      .write.mode("overwrite")
+      .partitionBy("exp_date", "issuer_id")
+      .parquet(staged.toString)
+    Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        val children = try s.iterator().asScala.toList finally s.close()
+        children.foreach(rmTree)
+      }
+      Files.delete(p)
+    }
+    rmTree(retired)
+  }
+
   /** B4: sorted serial-list export — newline-delimited serial IDs, one
     * directory per (expDate, issuer) partition (the reference writes
     * one hex-serial file per issuer, localdiskbackend.go:212-237).

@@ -56,6 +56,24 @@ class EncodingPropsSpec extends SparkSpec {
     assert(badDf.filter(col("parsed").isNotNull).count() == 0L)
   }
 
+  test("PEM encode/decode round-trips arbitrary DER bytes (D7)") {
+    import spark.implicits._
+    // include sizes straddling the 64-char (48-byte) PEM line width
+    val gen = Gen.chooseNum(1, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 255).map(_.toByte)).map(_.toArray))
+    val ders = sample(gen, 200).zipWithIndex.map { case (b, i) => (i.toLong, b) }
+    val df = ders.toDF("id", "der")
+      .withColumn("pem", CertFuncs.derToPem(col("der")))
+      .withColumn("back", CertFuncs.pem_to_der(col("pem")))
+    assert(df.filter(col("back") =!= col("der")).count() == 0L)
+    // PEM body lines are 64 chars max, header/footer intact
+    val pem = df.filter(col("id") === ders.maxBy(_._2.length)._1)
+      .select(col("pem")).collect()(0).getString(0)
+    assert(pem.startsWith("-----BEGIN CERTIFICATE-----\n"))
+    assert(pem.endsWith("\n-----END CERTIFICATE-----"))
+    assert(pem.linesIterator.filterNot(_.startsWith("-----")).forall(_.length <= 64))
+  }
+
   test("hour buckets: id parses back to bucket start; expiry flips exactly at bucket end (D5/E2)") {
     import spark.implicits._
     // epoch millis across 1970..2200, arbitrary sub-hour offsets

@@ -61,6 +61,31 @@ class ObservabilitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compact merges per-batch files and preserves every row") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("compact").toString
+    val mk = (ids: Range) => ids.map(i =>
+      ("2030-01-01-00", s"issuer${i % 2}", s"s$i", s"pem$i"))
+      .toDF("exp_date", "issuer_id", "serial_id", "pem")
+    // three appends → ≥3 files per touched partition
+    mk(0 until 4).write.partitionBy("exp_date", "issuer_id").mode("append").parquet(s"$root/certs")
+    mk(4 until 8).write.partitionBy("exp_date", "issuer_id").mode("append").parquet(s"$root/certs")
+    mk(8 until 12).write.partitionBy("exp_date", "issuer_id").mode("append").parquet(s"$root/certs")
+    def files(): Int = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "certs"))
+      try it.filter(p => p.toString.endsWith(".parquet")).count().toInt
+      finally it.close()
+    }
+    val before = spark.read.parquet(s"$root/certs")
+      .orderBy(col("serial_id")).collect().toSeq
+    val nBefore = files()
+    IngestJob.compact(spark, root)
+    val after = spark.read.parquet(s"$root/certs")
+      .orderBy(col("serial_id")).collect().toSeq
+    assert(after == before, "compaction must preserve every row")
+    assert(files() < nBefore, s"expected fewer files than $nBefore")
+  }
+
   test("exportSerialLists writes sorted per-(expDate, issuer) text files (B4)") {
     import spark.implicits._
     val root = Files.createTempDirectory("export").toString
