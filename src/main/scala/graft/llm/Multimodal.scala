@@ -77,6 +77,56 @@ object Multimodal {
     filter(sequence(lit(0), greatest(nFrames - 1, lit(0))),
       i => pmod(i, lit(stride)) === 0 && nFrames > 0)
 
+  /** Resized-frame output of the (stubbed) resize kernel. */
+  case class ResizedMeta(media_id: Long, width: Int, height: Int,
+      payload: Array[Byte], ok: Boolean)
+
+  /** STUB resize — real impl would decode, scale to (targetW, targetH)
+    * preserving the batch loop, and re-encode. The fake passes the
+    * payload through and rewrites dimensions, keeping the Spark shape
+    * (binary in → binary out, per-partition batches) real. */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition codec/scaler context init would go here
+        rows.map { case (id, payload) =>
+          if (payload == null || payload.isEmpty)
+            ResizedMeta(id, 0, 0, Array.emptyByteArray, ok = false)
+          else ResizedMeta(id, targetW, targetH, /* ??? re-encode */ payload, ok = true)
+        }
+      }.toDF()
+  }
+
+  /** STUB feature extraction — real impl would run an image/audio
+    * encoder over the decoded media in this same batch loop (one model
+    * context per partition, the shape a `mapInPandas` batch would
+    * take). The fake derives a deterministic unit-norm vector from the
+    * payload bytes so downstream similarity plumbing (cosine top-k,
+    * sign-LSH over these vectors) is testable end-to-end. */
+  def extractFeaturesStub(media: DataFrame, dim: Int = 16)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition model load would go here (real impl)
+        rows.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val raw = Array.tabulate(dim) { d =>
+            // ??? real encoder goes here; deterministic fake below
+            var h = 1125899906842597L + d
+            bytes.foreach(b => h = h * 31 + b)
+            ((h % 1000).toFloat / 1000f) - 0.5f
+          }
+          val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+          (id, if (n == 0f) raw.toSeq else raw.map(_ / n).toSeq)
+        }
+      }.toDF("media_id", "embedding")
+  }
+
   /** Oracle-checkable slice of the plumbing: metadata extraction over
     * binary payloads (documents.text cast to bytes stands in for a blob
     * column). The decode stub itself is exercised by ScalaTest. */

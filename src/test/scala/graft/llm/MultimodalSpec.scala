@@ -31,6 +31,33 @@ class MultimodalSpec extends SparkSpec {
     assert(ok.getBoolean(4) && ok.getInt(1) >= 16 && ok.getInt(2) >= 16)
   }
 
+  test("resizeStub rewrites dimensions, keeps payload shape, flags empties") {
+    implicit val s = spark
+    val out = Multimodal.resizeStub(media, 224, 224).orderBy("media_id").collect()
+    val ok = out.find(_.getLong(0) == 1L).get
+    assert(ok.getInt(1) == 224 && ok.getInt(2) == 224 && ok.getBoolean(4))
+    assert(ok.getAs[Array[Byte]](3).nonEmpty)
+    val empty = out.find(_.getLong(0) == 2L).get
+    assert(!empty.getBoolean(4))
+  }
+
+  test("extractFeaturesStub yields deterministic unit-norm vectors feeding similarity ops") {
+    implicit val s = spark
+    val f1 = Multimodal.extractFeaturesStub(media).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeaturesStub(media).orderBy("media_id").collect()
+    assert(f1.map(_.getSeq[Float](1)).toSeq == f2.map(_.getSeq[Float](1)).toSeq)
+    val v = f1.head.getSeq[Float](1)
+    assert(v.length == 16)
+    assert(math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-5, "unit norm")
+    // the vectors plug into the similarity operators (cosine top-k)
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Multimodal.extractFeaturesStub(media)
+      .select(col("media_id").as("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val top = Similarity.cosineTopK(vecs, vecs.filter(col("vec_id") === 1), k = 2)
+    assert(top.count() == 2L)
+  }
+
   test("sampleFrameIdx picks every k-th frame") {
     val out = Seq(Tuple1(10)).toDF("n")
       .select(Multimodal.sampleFrameIdx(col("n"), 3).as("idx"))
