@@ -79,6 +79,35 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "y", "un"),
     "zh" -> Seq("de", "le", "he", "shi"))
 
+  /** Character-trigram language profiles: the classic n-gram-overlap
+    * heuristic (score = |doc's char-trigram set ∩ profile|, argmax with
+    * deterministic tiebreak). Profiles here are small inline exemplars;
+    * a production table would be a broadcast dimension learned from
+    * labeled text — the plan shape (one scan, no shuffle until the
+    * final sort) is the point. */
+  private val charProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", " th", "ing", "and", "ion"),
+    "de" -> Seq("der", "ein", "ich", "sch", "und", "che"),
+    "fr" -> Seq("les", "de ", "ent", "que", "ion", "eur"),
+    "es" -> Seq("de ", "la ", "os ", "ent", "ión", "que"))
+
+  /** Score a text column against every char-trigram profile; returns a
+    * (score, lang) struct via deterministic argmax (max score, then
+    * largest lang id — total order, same tiebreak as qLangId). */
+  def charNgramLangId(text: Column): Column = {
+    val tri = when(length(text) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - 2),
+        i => lower(text).substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val scores = array(charProfiles.map { case (lang, ps) =>
+      struct(
+        size(array_intersect(tri, array(ps.map(lit): _*))).cast("long").as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    element_at(array_sort(scores), -1)
+  }
+
   /** No oracle: the scoring profile tables aren't worth re-encoding in
     * SQL; determinism is pinned by ScalaTest instead. */
   val qLangId = QuerySpec(

@@ -49,6 +49,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("char-trigram language ID scores by profile overlap with total tiebreak") {
+    val out = docs(
+      1L -> "the thing and the notion",          // en trigrams
+      2L -> "ich und der schein der einsicht",   // de trigrams
+      3L -> "xq")                                // too short → all zero
+      .select(col("doc_id"), TextAnalysis.charNgramLangId(col("text")).as("best"))
+      .select(col("doc_id"), col("best.lang").as("lang"), col("best.score").as("score"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == "en" && out(1L)._2 >= 3L, s"got ${out(1L)}")
+    assert(out(2L)._1 == "de" && out(2L)._2 >= 3L, s"got ${out(2L)}")
+    assert(out(3L) == ("fr", 0L), "zero scores tiebreak to largest lang id")
+  }
+
   test("fingerprint matches an independent driver-side evaluation; order-sensitive") {
     def fpOf(text: String): Long = {
       val P = 1000000007L
