@@ -160,14 +160,19 @@ case class ShingleHashesExpr(child: Expression, n: Int, modP: Boolean)
 /** Dot product of two array<float> columns as double. Matches the SQL
   * aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) -> acc+x)
   * fold: per-element float multiply, left-to-right double accumulate —
-  * deterministic and engine-exact. */
+  * deterministic and engine-exact. Length mismatch yields NULL, exactly
+  * like the SQL form (zip_with pads the short side with nulls, which
+  * null-poisons the fold) — a silently-truncated partial dot product
+  * would score malformed vectors plausibly instead of flagging them. */
 case class DotProductFExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getFloat(i) * b.getFloat(i); i += 1 }

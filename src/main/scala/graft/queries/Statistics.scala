@@ -43,9 +43,15 @@ object Statistics {
     */
   def report(spark: SparkSession, certRoot: String): DataFrame = {
     val certs = spark.read.parquet(s"$certRoot/certs")
+    // count(*), not countDistinct(serial): serials are only unique
+    // within (exp_date, issuer_id) — the ingest's first-seen gate makes
+    // the table unique on the triple key, and the reference's subtotals
+    // and grand total SUM the per-bucket set sizes
+    // (storage-statistics.go:52-53,82), so equal serial values under
+    // different issuers/dates must count separately at every level.
     val cells = certs
       .rollup(col("issuer_id"), col("exp_date"))
-      .agg(countDistinct(col("serial_id")).as("n_serials"))
+      .agg(count(lit(1)).as("n_serials"))
     val dim = issuerDim(spark, certRoot)
       .select(col("issuer_id"), col("n_dns"), col("n_crls"))
     cells

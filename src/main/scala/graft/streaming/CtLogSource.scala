@@ -28,33 +28,55 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Zero-egress stand-in for the HTTP transport: the "log" is a local
   * directory of fixed-size pages `page-<firstEntryId>.tsv`, one entry
-  * per line (`entry_id \t ts_ms \t log_url \t base64(der)`) — the same
-  * pagination shape `get-entries` returns, so only the byte transport
-  * is simulated (SURVEY.md §7.4). Batch read is also supported, for
-  * catch-up jobs.
+  * per line (`entry_id \t ts_ms \t log_url \t base64(der) \t
+  * base64(chain0),base64(chain1),...`) — the same pagination shape
+  * `get-entries` returns (leaf + its issuer chain, the shape
+  * ct-fetch.go:215-225 consumes as `LogEntry.Chain`), so only the byte
+  * transport is simulated (SURVEY.md §7.4). Batch read is also
+  * supported, for catch-up jobs.
   */
 object CtLog {
   val schema: StructType = StructType(Seq(
     StructField("entry_id", LongType, nullable = false),
     StructField("ts_ms", LongType, nullable = false),
     StructField("log_url", StringType, nullable = false),
-    StructField("der", BinaryType, nullable = false)))
+    StructField("der", BinaryType, nullable = false),
+    StructField("chain", ArrayType(BinaryType, containsNull = false), nullable = false)))
 
   val DefaultPageSize = 1000
 
+  /** One log entry: leaf DER + issuer chain DERs (chain(0) is the
+    * direct issuing certificate, ct-fetch.go:221). */
+  case class Entry(entryId: Long, tsMs: Long, logUrl: String,
+      der: Array[Byte], chain: Seq[Array[Byte]])
+
   /** Test/sim helper: write entries as fixed-size pages. */
-  def writePages(dir: String, entries: Seq[(Long, Long, String, Array[Byte])],
-      pageSize: Int = DefaultPageSize): Unit = {
+  def writePages(dir: String, entries: Seq[Entry],
+      pageSize: Int): Unit = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
-    entries.sortBy(_._1).grouped(pageSize).foreach { page =>
-      val first = page.head._1
-      val body = page.map { case (id, ts, url, der) =>
-        s"$id\t$ts\t$url\t${Base64.getEncoder.encodeToString(der)}"
+    entries.sortBy(_.entryId).grouped(pageSize).foreach { page =>
+      val first = page.head.entryId
+      val body = page.map { e =>
+        val chain = e.chain.map(Base64.getEncoder.encodeToString).mkString(",")
+        s"${e.entryId}\t${e.tsMs}\t${e.logUrl}\t${Base64.getEncoder.encodeToString(e.der)}\t$chain"
       }.mkString("", "\n", "\n")
       Files.write(d.resolve(f"page-$first%012d.tsv"),
         body.getBytes(StandardCharsets.UTF_8))
     }
+  }
+
+  def writePages(dir: String, entries: Seq[Entry]): Unit =
+    writePages(dir, entries, DefaultPageSize)
+
+  /** Parse one page line; a missing/empty 5th field is an empty chain
+    * (the C6 guard downstream drops such entries, ct-fetch.go:215-219). */
+  private[streaming] def parseLine(line: String): Entry = {
+    val f = line.split("\t", 5)
+    val chain =
+      if (f.length < 5 || f(4).isEmpty) Seq.empty[Array[Byte]]
+      else f(4).split(",").toSeq.filter(_.nonEmpty).map(Base64.getDecoder.decode)
+    Entry(f(0).toLong, f(1).toLong, f(2), Base64.getDecoder.decode(f(3)), chain)
   }
 
   /** STH: one past the max entry id present (tree size). */
@@ -78,13 +100,12 @@ object CtLog {
   /** Entries with start <= entry_id < end, streamed from the pages that
     * can contain them (the get-entries range fetch, ct-fetch.go:417). */
   private[streaming] def readRange(dir: String, start: Long, end: Long)
-      : Iterator[(Long, Long, String, Array[Byte])] = {
+      : Iterator[Entry] = {
     val pages = listPages(Paths.get(dir)).filter { case (first, _) => first < end }
     pages.iterator.flatMap { case (_, p) =>
-      Files.readAllLines(p).asScala.iterator.filter(_.nonEmpty).map { line =>
-        val f = line.split("\t", 4)
-        (f(0).toLong, f(1).toLong, f(2), Base64.getDecoder.decode(f(3)))
-      }.filter(e => e._1 >= start && e._1 < end)
+      Files.readAllLines(p).asScala.iterator.filter(_.nonEmpty)
+        .map(parseLine)
+        .filter(e => e.entryId >= start && e.entryId < end)
     }
   }
 }
@@ -206,17 +227,17 @@ class CtLogReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private val iter = Files.readAllLines(Paths.get(p.pageFile)).asScala.iterator
         .filter(_.nonEmpty)
-        .map { line =>
-          val f = line.split("\t", 4)
-          (f(0).toLong, f(1).toLong, f(2), Base64.getDecoder.decode(f(3)))
-        }
-        .filter(e => e._1 >= p.start && e._1 < p.end)
-      private var current: (Long, Long, String, Array[Byte]) = _
+        .map(CtLog.parseLine)
+        .filter(e => e.entryId >= p.start && e.entryId < p.end)
+      private var current: CtLog.Entry = _
       override def next(): Boolean =
         if (iter.hasNext) { current = iter.next(); true } else false
       override def get(): InternalRow =
         new GenericInternalRow(Array[Any](
-          current._1, current._2, UTF8String.fromString(current._3), current._4))
+          current.entryId, current.tsMs, UTF8String.fromString(current.logUrl),
+          current.der,
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            current.chain.toArray[Any])))
       override def close(): Unit = ()
     }
   }

@@ -27,15 +27,30 @@ object IngestJob {
 
   /** Parse + filter + derive keys; shared by stream and batch paths.
     * Parse totals/error counts ride along as observed metrics
-    * (F5; the reference counts skipped entries, ct-fetch.go:198-209). */
+    * (F5; the reference counts skipped entries, ct-fetch.go:198-209).
+    *
+    * Issuer identity comes from the ISSUING certificate — `chain(0)`
+    * parsed alongside the leaf (H1, ct-fetch.go:221) and digested over
+    * its raw SubjectPublicKeyInfo TLV (Store(cert, aIssuer) →
+    * NewIssuer(aIssuer), filesystemdatabase.go:158 + types.go:109-130)
+    * — NOT from the leaf's own key material. Entries with an empty
+    * chain are skipped (C6, ct-fetch.go:215-219), as are entries whose
+    * issuer cert fails to parse (ct-fetch.go:221-225). */
   def parsedEntries(raw: DataFrame, logExpiredEntries: Boolean,
       issuerCNFilter: Seq[String], asOf: Option[java.sql.Timestamp]): DataFrame = {
     val parsed = Observability.observed(
-      raw.withColumn("cert", CertFuncs.parse_cert(col("der"))),
+      raw.withColumn("cert", CertFuncs.parse_cert(col("der")))
+        .withColumn("issuer_cert",
+          when(size(col("chain")) > 0,
+            CertFuncs.parse_cert(element_at(col("chain"), 1)))),
       "graft_ingest_parse",
       "n_entries" -> count(lit(1)),
-      "n_parse_errors" -> sum(when(col("cert").isNull, 1L).otherwise(0L)))
+      "n_parse_errors" -> sum(when(col("cert").isNull, 1L).otherwise(0L)),
+      "n_empty_chain" -> sum(when(size(col("chain")) === 0, 1L).otherwise(0L)),
+      "n_issuer_parse_errors" -> sum(
+        when(size(col("chain")) > 0 && col("issuer_cert").isNull, 1L).otherwise(0L)))
       .filter(col("cert").isNotNull)                             // C7
+      .filter(col("issuer_cert").isNotNull)                      // C6 + H1
       .filter(!(col("cert.bc_valid") && col("cert.is_ca")))      // C1
     val now = asOf.map(lit(_)).getOrElse(current_timestamp())
     val expiryFiltered =
@@ -47,8 +62,10 @@ object IngestJob {
         issuerCNFilter.map(p => col("cert.issuer_cn").startsWith(p)).reduce(_ || _))
     cnFiltered
       .withColumn("exp_date", CertFuncs.expDateHourId(col("cert.not_after")))  // D5
-      .withColumn("issuer_id",
-        CertFuncs.issuerId(CertFuncs.spkiOrFallback(col("cert.ski"), col("cert.spki"))))
+      // D3 over the issuing cert's raw SPKI — the reference never
+      // applies the D2 SKI fallback to issuer identity (getSpki is
+      // test-only, filesystemdatabase_test.go:80-106)
+      .withColumn("issuer_id", CertFuncs.issuerId(col("issuer_cert.spki")))
       .withColumn("serial_id", CertFuncs.serialId(col("cert.serial")))
       .withColumn("pem", CertFuncs.derToPem(col("der")))          // D7
       // C5: keep only trimmed http/https CRL distribution points
@@ -147,36 +164,73 @@ object IngestJob {
   /** Compact the streaming sink's per-batch files: every micro-batch
     * appends one parquet file per touched (exp_date, issuer_id)
     * partition, so a long-running daemon accumulates small files. One
-    * keyed repartition rewrites each partition as a single file;
-    * dynamic partition overwrite replaces only the partitions present
-    * in the data, so concurrent appends to other buckets are safe.
+    * keyed repartition rewrites each partition as a single file.
     * (The reference sidesteps this by writing one file per cert —
-    * which at 100 TB is exactly the small-file problem.) */
+    * which at 100 TB is exactly the small-file problem.)
+    *
+    * Swap protocol (crash-safe, FS-portable): Spark refuses to
+    * overwrite a path it is reading, so the rewrite is staged and then
+    * swapped with two Hadoop `FileSystem.rename`s. The two renames are
+    * not atomic as a pair, so a `_COMPACT_SWAP` marker brackets them:
+    * the marker is created only AFTER the staged rewrite fully commits,
+    * which makes roll-FORWARD always safe — [[recoverCompaction]] (run
+    * at the start of every compact; callable at startup) finishes the
+    * swap from whichever window the crash hit, so readers always find a
+    * complete `certs/` directory afterwards. Maintenance op: run
+    * between, not during, ingest batches. */
   def compact(spark: SparkSession, certRoot: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    val live = Paths.get(s"$certRoot/certs")
-    val staged = Paths.get(s"$certRoot/certs_compacting")
-    val retired = Paths.get(s"$certRoot/certs_old")
-    // Spark refuses to overwrite a path it is reading, so stage the
-    // rewrite and swap directories (maintenance op: run between, not
-    // during, ingest batches)
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$certRoot/certs")
+    val staged = new Path(s"$certRoot/certs_compacting")
+    val retired = new Path(s"$certRoot/certs_old")
+    val marker = new Path(s"$certRoot/_COMPACT_SWAP")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(spark, certRoot)
+    fs.delete(staged, true)
     spark.read.parquet(live.toString)
       .repartition(col("exp_date"), col("issuer_id"))
       .write.mode("overwrite")
       .partitionBy("exp_date", "issuer_id")
       .parquet(staged.toString)
-    Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
-    def rmTree(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        val children = try s.iterator().asScala.toList finally s.close()
-        children.foreach(rmTree)
-      }
-      Files.delete(p)
+    fs.create(marker, true).close() // staged is complete from here on
+    if (!fs.rename(live, retired))
+      throw new java.io.IOException(s"rename $live -> $retired failed")
+    if (!fs.rename(staged, live))
+      throw new java.io.IOException(s"rename $staged -> $live failed")
+    fs.delete(retired, true)
+    fs.delete(marker, false)
+  }
+
+  /** Finish (roll forward) a compaction swap interrupted between the
+    * two renames. No-op when no `_COMPACT_SWAP` marker is present. The
+    * marker's existence guarantees the staged directory was fully
+    * written, so promoting it is always correct; the retired copy holds
+    * the same rows and is discarded. */
+  def recoverCompaction(spark: SparkSession, certRoot: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$certRoot/certs")
+    val staged = new Path(s"$certRoot/certs_compacting")
+    val retired = new Path(s"$certRoot/certs_old")
+    val marker = new Path(s"$certRoot/_COMPACT_SWAP")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) return
+    if (!fs.exists(live) && fs.exists(staged)) {
+      // crashed between the renames: promote the staged rewrite
+      if (!fs.rename(staged, live))
+        throw new java.io.IOException(s"recovery rename $staged -> $live failed")
     }
-    rmTree(retired)
+    if (fs.exists(live)) {
+      fs.delete(retired, true)
+      fs.delete(staged, true)
+      fs.delete(marker, false)
+    } else if (fs.exists(retired)) {
+      // staged lost before the marker protocol could see it complete
+      // (should not happen — marker implies staged committed); restore
+      // the retired copy rather than leave no live directory
+      if (!fs.rename(retired, live))
+        throw new java.io.IOException(s"recovery rename $retired -> $live failed")
+      fs.delete(marker, false)
+    }
   }
 
   /** B4: sorted serial-list export — newline-delimited serial IDs, one

@@ -104,6 +104,18 @@ class NativeKernelSpec extends SparkSpec {
     assert(sims(("g1", "g3")) < 0.2)
   }
 
+  test("graft_dot: length mismatch is NULL, like the SQL zip_with fold") {
+    val df = spark.sql(
+      """SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                 array(CAST(3.0 AS FLOAT))) a,
+        |       aggregate(zip_with(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                          array(CAST(3.0 AS FLOAT)), (x, y) -> x * y),
+        |                 CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) b""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.isNullAt(0), "mismatched dims must not produce a partial dot product")
+    assert(r.isNullAt(1), "the SQL formulation null-poisons too")
+  }
+
   test("null inputs yield null, not a crash") {
     val df = spark.sql(
       """SELECT graft_simhash64(CAST(NULL AS ARRAY<BIGINT>)) a,

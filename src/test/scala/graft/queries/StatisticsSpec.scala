@@ -19,13 +19,16 @@ class StatisticsSpec extends SparkSpec {
 
   private lazy val certRoot: String = {
     val root = Files.createTempDirectory("stats").toString
+    // kLeadingZeroes chains to its real issuer kEmptySPKI; the
+    // synthetic leaves are self-signed → three distinct issuers
+    val ca = decode(TestCerts.kEmptySPKI)
     val entries = Seq(
-      decode(TestCerts.kLeadingZeroes),   // issuer A
-      decode(TestCerts.kSyntheticLeaf),   // issuer B
-      decode(TestCerts.kSyntheticLeaf2),  // issuer B
-      decode(TestCerts.kLeadingZeroes))   // dup → dedup'd
-      .zipWithIndex.map { case (der, i) =>
-        (i.toLong, 1000000000000L + i, "log.example.com/2025", der)
+      decode(TestCerts.kLeadingZeroes) -> Seq(ca),
+      decode(TestCerts.kSyntheticLeaf) -> Seq(decode(TestCerts.kSyntheticLeaf)),
+      decode(TestCerts.kSyntheticLeaf2) -> Seq(decode(TestCerts.kSyntheticLeaf2)),
+      decode(TestCerts.kLeadingZeroes) -> Seq(ca))   // dup → dedup'd
+      .zipWithIndex.map { case ((der, chain), i) =>
+        CtLog.Entry(i.toLong, 1000000000000L + i, "log.example.com/2025", der, chain)
       }
     CtLog.writePages(s"$root/log", entries, pageSize = 10)
     IngestJob.start(spark, s"$root/log", s"$root/out", s"$root/ckpt",
@@ -52,6 +55,30 @@ class StatisticsSpec extends SparkSpec {
     val dim = Statistics.issuerDim(spark, certRoot).collect()
     assert(dim.length == 3, s"three issuers expected: ${dim.toSeq}")
     assert(dim.forall(_.getSeq[String](1).nonEmpty))
+  }
+
+  test("rollup sums per-bucket set sizes: equal serials under different " +
+      "issuers count separately (storage-statistics.go:52-53,82)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("stats2").toString
+    // two issuers share serial "s1" — SCARD-sum semantics require the
+    // grand total to be 3, not 2 (a distinct-over-serials would collapse)
+    Seq(
+      ("2030-01-01-00", "issuerA", "s1"),
+      ("2030-01-01-00", "issuerB", "s1"),
+      ("2030-01-02-00", "issuerA", "s2"))
+      .toDF("exp_date", "issuer_id", "serial_id")
+      .write.partitionBy("exp_date", "issuer_id").parquet(s"$root/certs")
+    Seq(("issuerA", Seq("dnA"), Seq.empty[String]),
+      ("issuerB", Seq("dnB"), Seq.empty[String]))
+      .toDF("issuer_id", "issuer_dns", "crl_dps")
+      .write.parquet(s"$root/issuer_batches")
+    val rows = Statistics.report(spark, root).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1)).head
+    assert(grand.getLong(2) == 3L, s"grand total must sum buckets: ${rows.toSeq}")
+    val subA = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1) &&
+      r.getString(0) == "issuerA").head
+    assert(subA.getLong(2) == 2L, "issuerA subtotal sums its two buckets")
   }
 
   test("certPem point reads return exactly the stored PEM (§3.3)") {

@@ -26,20 +26,29 @@ class IngestSpec extends SparkSpec {
   lazy val leaf1 = decode(TestCerts.kLeadingZeroes)   // non-CA, issuer CN "ca"
   lazy val leafS = decode(TestCerts.kSyntheticLeaf)   // non-CA, CN "synthetic leaf"
   lazy val leafS2 = decode(TestCerts.kSyntheticLeaf2) // non-CA, CN "second leaf"
-  lazy val ca1 = decode(TestCerts.kEmptySPKI)         // CA
+  lazy val ca1 = decode(TestCerts.kEmptySPKI)         // CA; issued kLeadingZeroes
   lazy val ca2 = decode(TestCerts.kRealSPKI)          // CA
+
+  /** Issuer chain for a leaf: kLeadingZeroes was issued by kEmptySPKI
+    * (same CA fixture pairing the reference uses); the synthetic
+    * leaves are self-signed, so each is its own chain(0). */
+  def chainOf(der: Array[Byte]): Seq[Array[Byte]] =
+    if (der eq leaf1) Seq(ca1) else Seq(der)
+  def entry(id: Long, ts: Long, url: String, der: Array[Byte]): CtLog.Entry =
+    CtLog.Entry(id, ts, url, der, chainOf(der))
 
   private val ts0 = 1000000000000L // 2001-09: watermark stays below expiries
 
   test("batch read of the ctlog source returns every entry once") {
     val dir = Files.createTempDirectory("ctlog").toString
     val entries = (0L until 25L).map(i =>
-      (i, ts0 + i, "log.example.com/2025", Seq(leaf1, leafS, ca1)((i % 3).toInt)))
+      entry(i, ts0 + i, "log.example.com/2025", Seq(leaf1, leafS, ca1)((i % 3).toInt)))
     CtLog.writePages(dir, entries, pageSize = 10)
     val df = spark.read.format("graft.streaming.CtLogSource")
       .option("path", dir).load()
     assert(df.count() == 25L)
     assert(df.select(col("entry_id")).distinct().count() == 25L)
+    assert(df.select(size(col("chain"))).collect().forall(_.getInt(0) == 1))
     assert(CtLog.treeSize(dir) == 25L)
   }
 
@@ -51,7 +60,7 @@ class IngestSpec extends SparkSpec {
 
     // entries: 2 distinct non-CA certs (each duplicated) + 2 CA certs
     val batch1 = Seq(leaf1, leafS, leaf1, leafS, ca1, ca2).zipWithIndex.map {
-      case (der, i) => (i.toLong, ts0 + i, "log.example.com/2025", der)
+      case (der, i) => entry(i.toLong, ts0 + i, "log.example.com/2025", der)
     }
     CtLog.writePages(logDir, batch1, pageSize = 4)
     val q1 = IngestJob.start(spark, logDir, certRoot, ckpt,
@@ -67,7 +76,7 @@ class IngestSpec extends SparkSpec {
     // state + offsets restore from the checkpoint, so exactly one new
     // row lands
     val batch2 = Seq(leaf1, leafS, leafS2).zipWithIndex.map {
-      case (der, i) => ((i + 6).toLong, ts0 + 6 + i, "log.example.com/2025", der)
+      case (der, i) => entry((i + 6).toLong, ts0 + 6 + i, "log.example.com/2025", der)
     }
     CtLog.writePages(logDir, batch1 ++ batch2, pageSize = 4)
     val q2 = IngestJob.start(spark, logDir, certRoot, ckpt,
@@ -93,7 +102,8 @@ class IngestSpec extends SparkSpec {
     // reference instant it is dropped
     val raw = {
       import spark.implicits._
-      Seq((0L, ts0, "log.example.com/2025", leaf1)).toDF("entry_id", "ts_ms", "log_url", "der")
+      Seq((0L, ts0, "log.example.com/2025", leaf1, Seq(ca1)))
+        .toDF("entry_id", "ts_ms", "log_url", "der", "chain")
     }
     val kept = IngestJob.parsedEntries(raw, logExpiredEntries = false,
       issuerCNFilter = Nil, asOf = Some(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
@@ -106,9 +116,9 @@ class IngestSpec extends SparkSpec {
   test("issuer-CN prefix OR-fold filter (C3, ct-fetch.go:57-69)") {
     import spark.implicits._
     val raw = Seq(
-      (0L, ts0, "u", leaf1),   // issuer CN "ca"
-      (1L, ts0, "u", leafS))   // issuer CN "synthetic leaf"
-      .toDF("entry_id", "ts_ms", "log_url", "der")
+      (0L, ts0, "u", leaf1, Seq(ca1)),    // issuer CN "ca"
+      (1L, ts0, "u", leafS, Seq(leafS)))  // issuer CN "synthetic leaf"
+      .toDF("entry_id", "ts_ms", "log_url", "der", "chain")
     val kept = IngestJob.parsedEntries(raw, logExpiredEntries = true,
       issuerCNFilter = Seq("synthetic", "nonexistent"), asOf = None)
     assert(kept.select(col("entry_id")).collect().map(_.getLong(0)).toSeq == Seq(1L))
@@ -132,13 +142,13 @@ class IngestSpec extends SparkSpec {
       assert(certCount() == n, s"expected $n certs")
     }
 
-    CtLog.writePages(logDir, Seq((0L, ts0, "log.example.com/2025", leaf1)))
+    CtLog.writePages(logDir, Seq(entry(0L, ts0, "log.example.com/2025", leaf1)))
     val q = IngestJob.start(spark, logDir, certRoot, s"$root/ckpt",
       logExpiredEntries = true, runForever = true, pollInterval = "100 milliseconds")
     try {
       awaitCount(1L)
       // a new page arrives while the daemon polls (ct-fetch runForever)
-      CtLog.writePages(logDir, Seq((1L, ts0 + 1, "log.example.com/2025", leafS)))
+      CtLog.writePages(logDir, Seq(entry(1L, ts0 + 1, "log.example.com/2025", leafS)))
       awaitCount(2L)
     } finally q.stop() // J9: graceful — offsets/state committed per batch
     // catch-up restart from the same checkpoint sees nothing new
@@ -151,7 +161,7 @@ class IngestSpec extends SparkSpec {
   test("admission cap splits a page across triggers without loss or dups (J4)") {
     val root = Files.createTempDirectory("midpage").toString
     val entries = Seq(leaf1, leafS, leafS2, ca1, leaf1).zipWithIndex.map {
-      case (der, i) => (i.toLong, ts0 + i, "log.example.com/2025", der)
+      case (der, i) => entry(i.toLong, ts0 + i, "log.example.com/2025", der)
     }
     CtLog.writePages(s"$root/log", entries, pageSize = 5) // one page, cap 2
     val q = IngestJob.start(spark, s"$root/log", s"$root/out", s"$root/ckpt",
@@ -166,7 +176,7 @@ class IngestSpec extends SparkSpec {
   test("startEntry/limitEntries bound the ingestion window (G3, --offset/--limit)") {
     val root = Files.createTempDirectory("window").toString
     val entries = (0L until 10L).map(i =>
-      (i, ts0 + i, "log.example.com/2025", Seq(leaf1, leafS, leafS2)((i % 3).toInt)))
+      entry(i, ts0 + i, "log.example.com/2025", Seq(leaf1, leafS, leafS2)((i % 3).toInt)))
     CtLog.writePages(s"$root/log", entries, pageSize = 4)
     // batch read honors the window
     val windowed = spark.read.format("graft.streaming.CtLogSource")
@@ -182,6 +192,40 @@ class IngestSpec extends SparkSpec {
     val ids = spark.read.parquet(s"$root/out/certs")
       .select(col("entry_id")).collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(3L, 4L), s"window [3, 5) expected: $ids")
+  }
+
+  test("issuer identity comes from chain(0)'s raw SPKI; empty chains drop (C6/H1)") {
+    import spark.implicits._
+    val raw = Seq(
+      (0L, ts0, "u", leaf1, Seq(ca1)),            // issued by ca1
+      (1L, ts0, "u", leafS, Seq(leafS)),          // self-issued
+      (2L, ts0, "u", leafS2, Seq.empty),          // C6: no chain → dropped
+      (3L, ts0, "u", leafS2, Seq(Array[Byte](1)))) // issuer unparseable → dropped
+      .toDF("entry_id", "ts_ms", "log_url", "der", "chain")
+    val out = IngestJob.parsedEntries(raw, logExpiredEntries = true,
+      issuerCNFilter = Nil, asOf = None)
+      .select(col("entry_id"), col("issuer_id")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(0L, 1L), s"C6/parse guards must drop 2 and 3: $out")
+    // NewIssuer(aIssuer) digests the ISSUING cert's RawSubjectPublicKeyInfo
+    // (types.go:109-130): base64url(SHA256(spki TLV)) — never the leaf's
+    // key, never the D2 SKI fallback.
+    def expectedId(der: Array[Byte]): String = {
+      val spki = graft.functions.CertFuncs.parseCert(der).spki
+      java.util.Base64.getUrlEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("SHA-256").digest(spki))
+    }
+    assert(out(0L) == expectedId(ca1), "leaf1's issuer id = digest of ca1's SPKI")
+    assert(out(1L) == expectedId(leafS), "self-issued: digest of own SPKI")
+    // regression pin vs the old (wrong) identity: leafS carries an SKI
+    // extension, so the D2 fallback path would have digested the SKI
+    // bytes instead of the raw SPKI TLV — those must differ
+    val skiId = {
+      val ski = graft.functions.CertFuncs.parseCert(leafS).ski
+      java.util.Base64.getUrlEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("SHA-256").digest(ski))
+    }
+    assert(out(1L) != skiId, "identity must digest the SPKI TLV, not the SKI")
   }
 
   test("expDateEndMs is the hour-bucket end (E2 TTL instant)") {

@@ -22,10 +22,12 @@ class ObservabilitySpec extends SparkSpec {
     val listener = new Observability.MetricsListener
     spark.listenerManager.register(listener)
     try {
+      val ca = decode(TestCerts.kEmptySPKI)
       val raw = Seq(
-        (0L, 1L, "u", decode(TestCerts.kLeadingZeroes)),
-        (1L, 2L, "u", Array[Byte](1, 2, 3)))  // undecodable → parse error
-        .toDF("entry_id", "ts_ms", "log_url", "der")
+        (0L, 1L, "u", decode(TestCerts.kLeadingZeroes), Seq(ca)),
+        (1L, 2L, "u", Array[Byte](1, 2, 3), Seq(ca)),  // undecodable → parse error
+        (2L, 3L, "u", decode(TestCerts.kSyntheticLeaf), Seq.empty[Array[Byte]]))
+        .toDF("entry_id", "ts_ms", "log_url", "der", "chain")
       IngestJob.parsedEntries(raw, logExpiredEntries = true,
         issuerCNFilter = Nil, asOf = None).count()
       // QueryExecutionListener delivery is async; poll briefly
@@ -35,8 +37,10 @@ class ObservabilitySpec extends SparkSpec {
         Thread.sleep(100); m = listener.get("graft_ingest_parse")
       }
       assert(m.isDefined, "observed metrics never delivered")
-      assert(m.get("n_entries") == 2L)
+      assert(m.get("n_entries") == 3L)
       assert(m.get("n_parse_errors") == 1L)
+      assert(m.get("n_empty_chain") == 1L)
+      assert(m.get("n_issuer_parse_errors") == 0L)
     } finally spark.listenerManager.unregister(listener)
   }
 
@@ -84,6 +88,33 @@ class ObservabilitySpec extends SparkSpec {
       .orderBy(col("serial_id")).collect().toSeq
     assert(after == before, "compaction must preserve every row")
     assert(files() < nBefore, s"expected fewer files than $nBefore")
+  }
+
+  test("recoverCompaction rolls a half-completed swap forward") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("recover").toString
+    val df = (0 until 6).map(i => ("2030-01-01-00", s"issuer${i % 2}", s"s$i", s"pem$i"))
+      .toDF("exp_date", "issuer_id", "serial_id", "pem")
+    df.write.partitionBy("exp_date", "issuer_id").parquet(s"$root/certs")
+    val rows = spark.read.parquet(s"$root/certs")
+      .orderBy(col("serial_id")).collect().toSeq
+    // simulate the worst crash window: staged rewrite committed, marker
+    // created, live renamed aside — process died before staged→live
+    df.repartition(col("exp_date"), col("issuer_id"))
+      .write.partitionBy("exp_date", "issuer_id").parquet(s"$root/certs_compacting")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(root, "_COMPACT_SWAP"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(root, "certs"), java.nio.file.Paths.get(root, "certs_old"))
+    IngestJob.recoverCompaction(spark, root)
+    assert(spark.read.parquet(s"$root/certs")
+      .orderBy(col("serial_id")).collect().toSeq == rows,
+      "recovery must leave a complete live directory")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_COMPACT_SWAP")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "certs_old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "certs_compacting")))
+    // idempotent: calling again with no marker is a no-op
+    IngestJob.recoverCompaction(spark, root)
+    assert(spark.read.parquet(s"$root/certs").count() == 6L)
   }
 
   test("exportSerialLists writes sorted per-(expDate, issuer) text files (B4)") {
