@@ -183,6 +183,43 @@ case class DotProductFExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Polynomial rolling-hash fingerprint of a text column's token
+  * sequence (TextAnalysis.qFingerprint): tokenize on single spaces
+  * (Java split, limit -1 — identical to SQL `split(text, ' ')`), then
+  * fold acc = (acc·31 + pmod(xxhash64(token), 1000003)) mod 1e9+7 from
+  * acc₀ = 7. Order-sensitive by construction.
+  * Equivalent SQL (pinned by ScalaTest):
+  *   aggregate(split(text, ' '), CAST(7 AS BIGINT),
+  *     (acc, t) -> pmod(acc * 31 + pmod(xxhash64(t), 1000003), 1000000007))
+  * The SQL fold evaluates ~6 interpreted expression nodes per token;
+  * this kernel is one eval per row. */
+case class FingerprintExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"fingerprint needs string, got $t")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.toString.split(" ", -1)
+    var acc = 7L
+    var i = 0
+    while (i < toks.length) {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)), StringType, 42L)
+      val th = { val m = h % 1000003L; if (m < 0) m + 1000003L else m }
+      acc = (acc * 31L + th) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Sign-LSH signature of an array<float> embedding against `bits`
   * deterministic pseudo-random hyperplanes: bit b = [dot(v, plane_b)
   * >= 0], packed into a long. Planes are the same splitmix-style
@@ -250,6 +287,8 @@ object GraftFunctions {
         case Seq(c, Literal(n: Int, IntegerType)) => MinHashAggExpr(c, n)
         case es => MinHashAggExpr(es.head, 64)
       }, "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_fingerprint", es => FingerprintExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_signlsh", {
         case Seq(c, Literal(b: Int, IntegerType), Literal(d: Int, IntegerType),

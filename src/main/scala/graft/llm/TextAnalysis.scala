@@ -131,19 +131,25 @@ object TextAnalysis {
     None)
 
   /** Polynomial rolling-hash fingerprint over the token sequence,
-    * mod 1e9+7 to stay overflow-safe under ANSI arithmetic (per-token
-    * hash is xxhash64, reduced mod 1000003). Order-sensitive: permuted
-    * token order yields a different fingerprint, unlike set-based
-    * dedup keys. */
+    * mod 1e9+7 to stay overflow-safe (per-token hash is xxhash64,
+    * reduced mod 1000003). Order-sensitive: permuted token order
+    * yields a different fingerprint, unlike set-based dedup keys.
+    * Runs as the native FingerprintExpr kernel; [[fingerprintSql]] is
+    * the bit-identical SQL formulation it replaced. */
+  val fingerprintSql: Column =
+    expr("""aggregate(split(text, ' '), CAST(7 AS BIGINT),
+           |  (acc, t) -> pmod(acc * 31 + pmod(xxhash64(t), 1000003), 1000000007))"""
+      .stripMargin)
+
   val qFingerprint = QuerySpec(
     "q_llm_fingerprint",
-    (s, d) =>
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.load(s, d, "documents")
         .select(col("doc_id"),
-          expr("""aggregate(split(text, ' '), CAST(7 AS BIGINT),
-                 |  (acc, t) -> pmod(acc * 31 + pmod(xxhash64(t), 1000003), 1000000007))"""
-            .stripMargin).as("fingerprint"))
-        .orderBy(col("doc_id")),
+          call_udf("graft_fingerprint", col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
     None)
 
   val all: Seq[QuerySpec] = Seq(qTokens, qQuality, qLangId, qFingerprint)

@@ -122,11 +122,17 @@ object TextDedup {
     // compute (the CPU-bound stage) across the cluster first.
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // Persisted because three downstream branches read it (banding +
+    // both sides of the verification join): without the persist the
+    // shingle+signature kernels — the dominant CPU cost — re-run per
+    // branch. (doc_id, th, sig) is the narrow projection of the corpus,
+    // spilling to disk if it outgrows memory.
     val withSig = docs
       .repartition(par)
       .select(col("doc_id"),
         call_udf("graft_shingle_hashes", col("text"), lit(3), lit(true)).as("th"))
       .withColumn("sig", call_udf("graft_minhash_sig", col("th"), lit(numPerm)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rows = numPerm / bands
     val candidates = withSig
       .select(col("doc_id"), explode(lshBands(col("sig"), bands, rows)).as("band_key"))

@@ -104,6 +104,17 @@ class NativeKernelSpec extends SparkSpec {
     assert(sims(("g1", "g3")) < 0.2)
   }
 
+  test("graft_fingerprint matches the SQL rolling-hash fold") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val edges = spark.createDataFrame(Seq(
+      (-1L, ""), (-2L, "one"), (-3L, "a  b"), (-4L, " lead trail ")))
+      .toDF("doc_id", "text")
+    val df = corpus.union(edges)
+      .withColumn("native", call_udf("graft_fingerprint", col("text")))
+      .withColumn("sql", TextAnalysis.fingerprintSql)
+    assert(df.filter(col("native") =!= col("sql")).count() == 0L)
+  }
+
   test("graft_dot: length mismatch is NULL, like the SQL zip_with fold") {
     val df = spark.sql(
       """SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
