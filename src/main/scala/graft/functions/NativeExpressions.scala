@@ -262,40 +262,47 @@ case class SignLshExpr(child: Expression, bits: Int, dim: Int, seed: Long)
     copy(child = newChild)
 }
 
-/** Session registration; idempotent, call before using the
-  * `graft_*` kernels in plans (via expr(...) or call_udf). */
+/** The `graft_*` kernel function surface, registerable two ways:
+  *  - [[GraftFunctions.register]] — per-session temp functions (what
+  *    the query builders call);
+  *  - `spark.sql.extensions=graft.GraftExtensions` — cluster-wide
+  *    injection at session build time, the idiomatic deployment path
+  *    (no code change in the consuming job).
+  */
 object GraftFunctions {
+  type Builder = Seq[Expression] => Expression
+
+  val builders: Seq[(String, Builder)] = Seq(
+    "graft_simhash64" -> (es => SimHash64Expr(es.head)),
+    "graft_minhash_sig" -> {
+      case Seq(c, Literal(n: Int, IntegerType)) => MinHashSigExpr(c, n)
+      case es => MinHashSigExpr(es.head, 64)
+    },
+    "graft_dot" -> (es => DotProductFExpr(es(0), es(1))),
+    "graft_shingle_hashes" -> {
+      case Seq(c, Literal(n: Int, IntegerType), Literal(m: Boolean, BooleanType)) =>
+        ShingleHashesExpr(c, n, m)
+      case es => ShingleHashesExpr(es.head, 3, modP = true)
+    },
+    "graft_minhash_agg" -> {
+      case Seq(c, Literal(n: Int, IntegerType)) => MinHashAggExpr(c, n)
+      case es => MinHashAggExpr(es.head, 64)
+    },
+    "graft_fingerprint" -> (es => FingerprintExpr(es.head)),
+    "graft_signlsh" -> {
+      case Seq(c, Literal(b: Int, IntegerType), Literal(d: Int, IntegerType),
+          Literal(s: Long, LongType)) => SignLshExpr(c, b, d, s)
+      case Seq(c, Literal(b: Int, IntegerType), Literal(d: Int, IntegerType)) =>
+        SignLshExpr(c, b, d, 42L)
+      case es => SignLshExpr(es.head, 16, 64, 42L)
+    })
+
+  /** Session registration; idempotent, call before using the
+    * `graft_*` kernels in plans (via expr(...) or call_udf). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_simhash64", es => SimHash64Expr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_minhash_sig", {
-        case Seq(c, Literal(n: Int, IntegerType)) => MinHashSigExpr(c, n)
-        case es => MinHashSigExpr(es.head, 64)
-      }, "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_dot", es => DotProductFExpr(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_shingle_hashes", {
-        case Seq(c, Literal(n: Int, IntegerType), Literal(m: Boolean, BooleanType)) =>
-          ShingleHashesExpr(c, n, m)
-        case es => ShingleHashesExpr(es.head, 3, modP = true)
-      }, "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_minhash_agg", {
-        case Seq(c, Literal(n: Int, IntegerType)) => MinHashAggExpr(c, n)
-        case es => MinHashAggExpr(es.head, 64)
-      }, "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_fingerprint", es => FingerprintExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_signlsh", {
-        case Seq(c, Literal(b: Int, IntegerType), Literal(d: Int, IntegerType),
-            Literal(s: Long, LongType)) => SignLshExpr(c, b, d, s)
-        case Seq(c, Literal(b: Int, IntegerType), Literal(d: Int, IntegerType)) =>
-          SignLshExpr(c, b, d, 42L)
-        case es => SignLshExpr(es.head, 16, 64, 42L)
-      }, "scala_udf")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 }

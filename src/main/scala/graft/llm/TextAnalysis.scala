@@ -108,8 +108,9 @@ object TextAnalysis {
     element_at(array_sort(scores), -1)
   }
 
-  /** No oracle: the scoring profile tables aren't worth re-encoding in
-    * SQL; determinism is pinned by ScalaTest instead. */
+  /** Oracle'd: marker scoring + struct-sort argmax are expressible in
+    * DuckDB with the identical lexicographic (score, lang) tiebreak;
+    * both sides are generated from the same [[langMarkers]] table. */
   val qLangId = QuerySpec(
     "q_llm_lang_id",
     (s, d) => {
@@ -128,7 +129,18 @@ object TextAnalysis {
           col("best.lang").as("pred_lang"), col("best.score").as("score"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some {
+      val structs = langMarkers.map { case (lang, markers) =>
+        s"{'score': len(list_filter(string_split(text, ' '), t -> t IN (${
+          markers.map("'" + _ + "'").mkString(",")}))), 'lang': '$lang'}"
+      }.mkString(",\n    ")
+      s"""SELECT doc_id, labeled_lang, best.lang AS pred_lang,
+         |  CAST(best.score AS BIGINT) AS score
+         |FROM (SELECT doc_id, lang AS labeled_lang,
+         |  (list_sort([
+         |    $structs
+         |  ])[-1]) AS best FROM documents) t ORDER BY doc_id""".stripMargin
+    })
 
   /** Polynomial rolling-hash fingerprint over the token sequence,
     * mod 1e9+7 to stay overflow-safe (per-token hash is xxhash64,

@@ -45,25 +45,29 @@ object TextDedup {
            |  count(*) AS n_copies
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** Bounded pairwise token-set Jaccard (the exact oracle-checkable
-    * form; LSH below is the scale path). Pairs are limited to a keyed
-    * block (same lang, doc_id < 200) so the pair count stays O(block²)
-    * regardless of corpus size. */
+  /** Bounded pairwise token-set Jaccard pairs within a keyed block
+    * (same lang, doc_id < `blockMax`) — the exact oracle-checkable
+    * form; LSH below is the scale path. The block bound keeps the pair
+    * count O(block²) regardless of corpus size. */
+  def jaccardBlockPairs(docs0: DataFrame, threshold: Double = 0.5,
+      blockMax: Long = 200L): DataFrame = {
+    val docs = docs0
+      .filter(col("doc_id") < blockMax)
+      .select(col("doc_id"), col("lang"), tokenSet(col("text")).as("toks"))
+    val a = docs.select(col("lang"), col("doc_id").as("ida"), col("toks").as("ta"))
+    val b = docs.select(col("lang"), col("doc_id").as("idb"), col("toks").as("tb"))
+    a.join(b, Seq("lang")).filter(col("ida") < col("idb"))
+      .withColumn("jac",
+        size(array_intersect(col("ta"), col("tb"))) / size(array_union(col("ta"), col("tb"))))
+      .filter(col("jac") >= threshold)
+      .select(col("lang"), col("ida"), col("idb"), col("jac"))
+  }
+
   val qNgramJaccard = QuerySpec(
     "q_llm_ngram_jaccard",
-    (s, d) => {
-      val docs = Tables.load(s, d, "documents")
-        .filter(col("doc_id") < 200)
-        .select(col("doc_id"), col("lang"), tokenSet(col("text")).as("toks"))
-      val a = docs.select(col("lang"), col("doc_id").as("ida"), col("toks").as("ta"))
-      val b = docs.select(col("lang"), col("doc_id").as("idb"), col("toks").as("tb"))
-      a.join(b, Seq("lang")).filter(col("ida") < col("idb"))
-        .withColumn("jac",
-          size(array_intersect(col("ta"), col("tb"))) / size(array_union(col("ta"), col("tb"))))
-        .filter(col("jac") >= 0.5)
-        .select(col("lang"), col("ida"), col("idb"), col("jac"))
-        .orderBy(col("lang"), col("ida"), col("idb"))
-    },
+    (s, d) =>
+      jaccardBlockPairs(Tables.load(s, d, "documents"))
+        .orderBy(col("lang"), col("ida"), col("idb")),
     Some("""SELECT a.lang AS lang, a.doc_id AS ida, b.doc_id AS idb,
            |  len(list_intersect(list_distinct(string_split(a.text, ' ')),
            |                     list_distinct(string_split(b.text, ' ')))) /
@@ -217,6 +221,95 @@ object TextDedup {
         .limit(1000),
     None)
 
+  // ---- dedup clusters (connected components over near-dup pairs) ---------
+
+  /** Connected components over an undirected pair list `(ida, idb)` by
+    * iterative min-label propagation: every node starts labeled with
+    * its own id; each round every node takes the min of its own and
+    * its neighbors' labels; at fixpoint each component is labeled with
+    * its minimum member id — the canonical representative.
+    *
+    * Scale shape: each round is ONE shuffle keyed on node id (join +
+    * min-aggregate), with `localCheckpoint` truncating the lineage so
+    * plan depth stays constant across rounds. Rounds needed = max
+    * component diameter, which for near-dup clusters (dense blobs of
+    * mutual duplicates) is small; for adversarially long chains the
+    * known upgrade path is alternating star contraction (O(log n)
+    * rounds), same per-round shuffle shape. Convergence is detected by
+    * counting changed labels, so the `maxIter` cap is a guard, not a
+    * tuning knob.
+    *
+    * Returns `(id, cluster_id)` for every node present in `pairs`. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("ida").cast("long").as("src"), col("idb").cast("long").as("dst"))
+      .union(pairs.select(col("idb").cast("long"), col("ida").cast("long")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // neighbor labels flow along edges; min with the node's own label
+      val viaEdges = edges
+        .join(labels.select(col("id").as("src"), col("cluster_id")), "src")
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels.select(col("id"), col("cluster_id"))
+        .union(viaEdges)
+        .groupBy(col("id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** The keep-list: one canonical survivor (the min doc_id) per
+    * near-dup cluster, all other members marked for drop. Docs that
+    * appear in no pair are implicitly kept (they are their own
+    * cluster). */
+  def dedupKeepList(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** Oracle'd: over the bounded Jaccard block pairs the component
+    * assignment is expressible in DuckDB as a recursive transitive
+    * closure with min-reachable-id labeling. */
+  val qDedupClusters = QuerySpec(
+    "q_llm_dedup_clusters",
+    (s, d) =>
+      connectedComponents(jaccardBlockPairs(Tables.load(s, d, "documents")))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id")),
+    Some("""WITH RECURSIVE pairs AS (
+           |  SELECT a.doc_id AS ida, b.doc_id AS idb
+           |  FROM documents a JOIN documents b
+           |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |  WHERE a.doc_id < 200 AND b.doc_id < 200
+           |    AND len(list_intersect(list_distinct(string_split(a.text, ' ')),
+           |                           list_distinct(string_split(b.text, ' ')))) /
+           |        len(list_distinct(list_concat(string_split(a.text, ' '),
+           |                                      string_split(b.text, ' ')))) >= 0.5
+           |), edges AS (
+           |  SELECT ida AS a, idb AS b FROM pairs
+           |  UNION SELECT idb, ida FROM pairs
+           |), reach(a, b) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+           |)
+           |SELECT a AS doc_id, min(b) AS cluster_id
+           |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin))
+
   // ---- group-level similarity via the MinHash sketch aggregate -----------
 
   /** Per-group MinHash signatures (the MinHashAggExpr sketch): state per
@@ -259,5 +352,5 @@ object TextDedup {
     None)
 
   val all: Seq[QuerySpec] =
-    Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash, qSourceSim)
+    Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash, qSourceSim, qDedupClusters)
 }

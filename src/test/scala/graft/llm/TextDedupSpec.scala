@@ -49,6 +49,25 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), "dissimilar doc paired")
   }
 
+  test("connectedComponents labels every component with its min id") {
+    // chain 1-2-3 (transitive, never directly paired 1-3), pair 10-11,
+    // cross-linked 20-21-22-20 cycle
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))
+      .toDF("ida", "idb")
+    val out = TextDedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L), out.toString)
+  }
+
+  test("dedupKeepList keeps one canonical doc per cluster plus unpaired docs") {
+    val docs = docsDf(1L -> "a", 2L -> "b", 3L -> "c", 10L -> "d", 99L -> "lonely")
+    val pairs = Seq((2L, 1L), (2L, 3L)).toDF("ida", "idb")
+    val kept = TextDedup.dedupKeepList(docs, pairs)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 99L), s"min of {1,2,3} + unpaired survive: $kept")
+  }
+
   test("shingleSet falls back to whole text when shorter than n") {
     val out = docsDf(1L -> "just two")
       .select(TextDedup.shingleSet(col("text")).as("s"))
