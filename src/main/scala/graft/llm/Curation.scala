@@ -1,0 +1,94 @@
+package graft.llm
+
+import graft.Tables
+import graft.queries.QuerySpec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline needs around the
+  * dedup/similarity core: deterministic sampling, train/val/test
+  * splitting, and PII-pattern redaction. All pure codegen'd expressions
+  * (no UDFs, no shuffle except declared sorts), and all deterministic
+  * BY CONTENT — the split a document lands in depends only on its
+  * bytes, not on partitioning, row order, or a seed table, so reruns
+  * and backfills at 100 TB assign identically without coordination
+  * (the property `rand(seed)`-based sampling lacks: it is
+  * partition-order dependent).
+  */
+object Curation {
+
+  /** Deterministic content bucket in [0, buckets): the first 16 bits of
+    * SHA256 as an integer, mod buckets. Engine-portable (hex-string
+    * arithmetic only), uniform, stable. */
+  def hashBucket(c: Column, buckets: Int = 100): Column =
+    conv(substring(sha2(c.cast("binary"), 256), 1, 4), 16, 10)
+      .cast("long") % buckets
+
+  /** Keep a deterministic pct% sample by content hash. */
+  def sampleByHash(df: DataFrame, c: Column, pct: Int): DataFrame =
+    df.filter(hashBucket(c) < pct)
+
+  /** Stable train/val/test assignment from the content bucket:
+    * [0, trainPct) → train, [trainPct, trainPct+valPct) → val,
+    * rest → test. */
+  def splitByHash(c: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    val b = hashBucket(c)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+  private val longNumRe = "[0-9]{6,}"
+
+  /** PII-pattern scrub: emails and long digit runs replaced with typed
+    * placeholder tokens; match counts ride along for audit. */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), longNumRe, "<NUM>")
+
+  val qSample = QuerySpec(
+    "q_llm_sample",
+    (s, d) =>
+      sampleByHash(Tables.load(s, d, "documents"), col("text"), 10)
+        .select(col("doc_id"), hashBucket(col("text")).as("bucket"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |  CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT) % 100 AS bucket
+           |FROM documents
+           |WHERE CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT) % 100 < 10
+           |ORDER BY doc_id""".stripMargin))
+
+  val qSplit = QuerySpec(
+    "q_llm_split",
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), splitByHash(col("text")).as("split"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM (SELECT doc_id,
+           |        CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT) % 100 AS b
+           |      FROM documents) t
+           |ORDER BY doc_id""".stripMargin))
+
+  val qRedact = QuerySpec(
+    "q_llm_redact",
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          redact(col("text")).as("redacted"),
+          size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(longNumRe), lit(0)))
+            .cast("long").as("n_long_nums"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+            |  regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+            |                 '$longNumRe', '<NUM>', 'g') AS redacted,
+            |  CAST(len(regexp_extract_all(text, '$emailRe', 0)) AS BIGINT) AS n_emails,
+            |  CAST(len(regexp_extract_all(text, '$longNumRe', 0)) AS BIGINT) AS n_long_nums
+            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(qSample, qSplit, qRedact)
+}

@@ -1,0 +1,50 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Curation ops: content-determinism of sampling/splits, redaction. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashBucket depends only on content: stable across partitioning and order") {
+    val texts = (1 to 50).map(i => (i.toLong, s"document number $i"))
+    val a = texts.toDF("doc_id", "text")
+    val b = texts.reverse.toDF("doc_id", "text").repartition(7)
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), Curation.hashBucket(col("text")).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(a) == buckets(b))
+    assert(buckets(a).values.forall(v => v >= 0 && v < 100))
+  }
+
+  test("splitByHash partitions every doc into exactly one split with stable bounds") {
+    val df = (1 to 200).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+      .select(col("doc_id"), Curation.hashBucket(col("text")).as("b"),
+        Curation.splitByHash(col("text")).as("split"))
+    val rows = df.collect()
+    assert(rows.forall { r =>
+      val (b, s) = (r.getLong(1), r.getString(2))
+      (b < 90 && s == "train") || (b >= 90 && b < 95 && s == "val") ||
+        (b >= 95 && s == "test")
+    })
+    // content-hash uniformity: train should dominate on 200 docs
+    val n = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(n.getOrElse("train", 0) > 150, n.toString)
+  }
+
+  test("sampleByHash keeps exactly the sub-pct buckets") {
+    val df = (1 to 100).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    val kept = Curation.sampleByHash(df, col("text"), 10)
+      .select(Curation.hashBucket(col("text")).as("b")).collect()
+    assert(kept.forall(_.getLong(0) < 10))
+    assert(kept.nonEmpty && kept.length < 30, s"~10% expected, got ${kept.length}")
+  }
+
+  test("redact scrubs emails and long digit runs, leaves short numbers") {
+    val out = Seq((1L, "mail bob@example.com card 12345678 zip 02139 pin 123"))
+      .toDF("doc_id", "text")
+      .select(Curation.redact(col("text")).as("r")).collect()(0).getString(0)
+    assert(out == "mail <EMAIL> card <NUM> zip 02139 pin 123", out)
+  }
+}
