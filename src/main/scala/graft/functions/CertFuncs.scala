@@ -98,12 +98,17 @@ object CertFuncs {
         .find(_.getType.equalsIgnoreCase("CN")).map(_.getValue.toString).orNull
     } catch { case _: Throwable => null }
 
+  /** Factory per thread: getInstance costs a provider lookup per call
+    * and thread-safety of a shared instance isn't guaranteed. */
+  private val cfTL: ThreadLocal[CertificateFactory] =
+    ThreadLocal.withInitial(() => CertificateFactory.getInstance("X.509"))
+
   /** Parse one DER certificate; null on any failure (the reference
     * skips undecodable entries and counts them, ct-fetch.go:198-209 —
     * PERMISSIVE-mode analog, C7). */
   def parseCert(der: Array[Byte]): ParsedCert =
     try {
-      val cf = CertificateFactory.getInstance("X.509")
+      val cf = cfTL.get()
       val cert = cf.generateCertificate(new ByteArrayInputStream(der))
         .asInstanceOf[X509Certificate]
       val (serial, spkiRaw) = derSerialAndSpki(der)
@@ -136,6 +141,39 @@ object CertFuncs {
 
   /** The UDF: der binary → parsed struct or null. */
   val parse_cert = udf(parseCert _)
+
+  /** LRU-cached parse for hot repeated certs — the issuing certificate
+    * in particular: one CA signs millions of leaves, so chain(0) is
+    * drawn from a tiny population per partition. The per-thread LRU is
+    * this engine's analog of the reference's ARC cache of hot
+    * per-group handles (filesystemdatabase.go:32, 8192 entries).
+    * Deterministic DER→struct means caching cannot change results
+    * (pinned by CertFuncsSpec). */
+  private val CacheSize = 8192
+  private val parseCacheTL
+      : ThreadLocal[java.util.LinkedHashMap[java.nio.ByteBuffer, ParsedCert]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[java.nio.ByteBuffer, ParsedCert](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[java.nio.ByteBuffer, ParsedCert]): Boolean =
+          size() > CacheSize
+      })
+
+  def parseCertCached(der: Array[Byte]): ParsedCert = {
+    val cache = parseCacheTL.get()
+    val key = java.nio.ByteBuffer.wrap(der) // content-based equals/hashCode
+    val hit = cache.get(key)
+    if (hit != null || cache.containsKey(key)) hit
+    else {
+      val parsed = parseCert(der)
+      cache.put(key, parsed)
+      parsed
+    }
+  }
+
+  /** The cached-parse UDF, for columns with heavy value repetition
+    * (issuer chains). */
+  val parse_cert_cached = udf(parseCertCached _)
 
   /** PEM text → DER bytes (null on malformed input). */
   val pem_to_der = udf((pem: String) =>

@@ -40,9 +40,11 @@ object IngestJob {
       issuerCNFilter: Seq[String], asOf: Option[java.sql.Timestamp]): DataFrame = {
     val parsed = Observability.observed(
       raw.withColumn("cert", CertFuncs.parse_cert(col("der")))
+        // issuer certs repeat massively (one CA, millions of leaves):
+        // LRU-cached parse, the reference's hot-handle ARC cache analog
         .withColumn("issuer_cert",
           when(size(col("chain")) > 0,
-            CertFuncs.parse_cert(element_at(col("chain"), 1)))),
+            CertFuncs.parse_cert_cached(element_at(col("chain"), 1)))),
       "graft_ingest_parse",
       "n_entries" -> count(lit(1)),
       "n_parse_errors" -> sum(when(col("cert").isNull, 1L).otherwise(0L)),

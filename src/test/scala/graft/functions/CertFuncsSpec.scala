@@ -73,6 +73,18 @@ class CertFuncsSpec extends SparkSpec {
       .contains("http://public.wisekey.com/crl/wcidsg1ca.crl"))
   }
 
+  test("cached parse is value-identical to the direct parse, hits included") {
+    // repeat rows so the LRU serves hits; every field must match the
+    // uncached parse (including null for malformed DER)
+    val ders = parsed.select(col("der")).collect().map(_.getAs[Array[Byte]](0))
+    val rep = (ders ++ ders ++ ders ++ Array(Array[Byte](9, 9))).zipWithIndex
+      .map { case (d, i) => (i.toLong, d) }.toSeq.toDF("i", "der")
+    val cmp = rep
+      .withColumn("a", CertFuncs.parse_cert(col("der")))
+      .withColumn("b", CertFuncs.parse_cert_cached(col("der")))
+    assert(cmp.filter(not(col("a") <=> col("b"))).count() == 0L)
+  }
+
   test("malformed DER parses to null, not an exception (C7)") {
     val n = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("der")
       .select(CertFuncs.parse_cert(col("der")).as("c"))
