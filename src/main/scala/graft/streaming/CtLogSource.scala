@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -180,7 +180,27 @@ object CtLogMicroBatchStream {
 
 class CtLogMicroBatchStream(path: String, maxPerTrigger: Option[Long],
     startEntry: Long = 0L, limitEntries: Option[Long] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  /** Pinned high-watermark for Trigger.AvailableNow: without
+    * SupportsTriggerAvailableNow, Spark bypasses admission control in
+    * catch-up mode and the ENTIRE backlog lands in one micro-batch —
+    * exactly the unbounded-buffer failure the reference's bounded
+    * channel (J4, ct-fetch.go:132) exists to prevent. Pinning the STH
+    * once also matches ct-fetch's run-to-head semantics (the end
+    * position is the tree size observed at start, ct-fetch.go:288-305;
+    * entries appended mid-run wait for the next poll). */
+  @volatile private var fixedEnd: Option[Long] = None
+
+  private def cappedSth(): Long =
+    limitEntries.map(l => math.min(CtLog.treeSize(path), startEntry + l))
+      .getOrElse(CtLog.treeSize(path))
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    fixedEnd = Some(cappedSth())
+
+  override def reportLatestOffset(): Offset =
+    CtLogOffset(fixedEnd.getOrElse(cappedSth()))
 
   override def initialOffset(): Offset = CtLogOffset(startEntry)
 
@@ -193,8 +213,7 @@ class CtLogMicroBatchStream(path: String, maxPerTrigger: Option[Long],
   /** STH fetch (A2), bounded by the --limit window (G3) and capped by
     * admission control (J4). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val sth = limitEntries.map(l => math.min(CtLog.treeSize(path), startEntry + l))
-      .getOrElse(CtLog.treeSize(path))
+    val sth = fixedEnd.getOrElse(cappedSth())
     val from = start.asInstanceOf[CtLogOffset].entry
     val capped = limit match {
       case rows: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>

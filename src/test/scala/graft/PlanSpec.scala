@@ -46,6 +46,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"))
   }
 
+  test("minhash signature stage is cached, not recomputed per branch") {
+    val p = plan("q_llm_minhash")
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+      s"withSig persist lost — signature kernels would run 3x:\n$p")
+  }
+
   test("point lookup pushes the key filter into the scan") {
     val p = plan("q_point_lookup")
     assert(p.contains("EqualTo(o_orderkey,42)"), s"key not pushed:\n$p")

@@ -167,6 +167,11 @@ class IngestSpec extends SparkSpec {
     val q = IngestJob.start(spark, s"$root/log", s"$root/out", s"$root/ckpt",
       maxEntriesPerTrigger = 2, logExpiredEntries = true)
     q.awaitTermination()
+    // the cap must bind in AvailableNow catch-up too
+    // (SupportsTriggerAvailableNow): 5 entries / cap 2 → ≥ 3 batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      q.recentProgress.map(p => s"batch=${p.batchId} rows=${p.numInputRows}").toSeq.toString)
+    assert(q.recentProgress.forall(_.numInputRows <= 2))
     val certs = spark.read.parquet(s"$root/out/certs")
     // 3 distinct non-CA certs; the duplicate leaf1 and the CA dropped
     assert(certs.count() == 3L)
@@ -226,6 +231,30 @@ class IngestSpec extends SparkSpec {
         java.security.MessageDigest.getInstance("SHA-256").digest(ski))
     }
     assert(out(1L) != skiId, "identity must digest the SPKI TLV, not the SKI")
+  }
+
+  test("dedup state evicts when a key's own expiry bucket passes (E2 TTL)") {
+    // leaf1 expires 2020-02-05 → its dedup state times out once the
+    // watermark (event time − 1h) passes the bucket end; the synthetic
+    // leaves expire in 2045/2046 and must stay. The reference gets the
+    // same bound from Redis ExpireAt(bucket end),
+    // knowncertificates.go:98-104.
+    val root = Files.createTempDirectory("ttl").toString
+    val wmPush = java.time.Instant.parse("2020-03-01T00:00:00Z").toEpochMilli
+    CtLog.writePages(s"$root/log", Seq(
+      entry(0L, ts0, "u", leaf1),
+      entry(1L, ts0 + 1, "u", leafS),
+      // later entries push the watermark far past leaf1's bucket end
+      entry(2L, wmPush, "u", leafS2),
+      entry(3L, wmPush + 1, "u", leafS2)), pageSize = 1)
+    val q = IngestJob.start(spark, s"$root/log", s"$root/out", s"$root/ckpt",
+      maxEntriesPerTrigger = 1, logExpiredEntries = true)
+    q.awaitTermination()
+    val states = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+    val totals = states.map(_.numRowsTotal)
+    assert(totals.max >= 3, s"three distinct keys entered state: $totals")
+    assert(states.map(_.numRowsRemoved).sum >= 1 && totals.last < totals.max,
+      s"expired key's state must be evicted, not retained forever: $totals")
   }
 
   test("expDateEndMs is the hour-bucket end (E2 TTL instant)") {
