@@ -246,23 +246,32 @@ object TextDedup {
       .union(pairs.select(col("idb").cast("long"), col("ida").cast("long")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
+    // round 0 folds the first neighbor-min in directly: label = min(id,
+    // neighbors), one round fewer to converge
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("cluster_id"))
       .localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      // neighbor labels flow along edges; min with the node's own label
+      // neighbor labels flow along edges; min with the node's own label.
+      // The changed-count rides the checkpoint materialization as an
+      // observed metric — one Spark job per round, not two.
       val viaEdges = edges
         .join(labels.select(col("id").as("src"), col("cluster_id")), "src")
         .select(col("dst").as("id"), col("cluster_id"))
+      val obs = new org.apache.spark.sql.Observation()
       val next = labels.select(col("id"), col("cluster_id"))
         .union(viaEdges)
         .groupBy(col("id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
+        .join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .observe(obs,
+          sum(when(col("cluster_id") =!= col("old"), 1L).otherwise(0L)).as("changed"))
+        .select(col("id"), col("cluster_id"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .filter(col("cluster_id") =!= col("old")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next
       i += 1
     }
