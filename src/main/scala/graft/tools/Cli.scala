@@ -15,9 +15,14 @@ import org.apache.spark.sql.SparkSession
   * Config keys/precedence match config/config.go (see GraftConfig).
   */
 object Cli {
-  private[tools] def session(name: String): SparkSession = {
+  /** Session for a CLI main. When embedded (tests, notebooks) an
+    * active session is reused and `stop` becomes a no-op — the CLI
+    * only tears down what it created. */
+  private[tools] def session(name: String): (SparkSession, () => Unit) = {
+    val preexisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    SparkSession.builder()
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(name)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,6 +30,7 @@ object Cli {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
+    (s, () => if (!preexisting) s.stop())
   }
 }
 
@@ -36,7 +42,7 @@ object CtFetch {
     val cfg = GraftConfig.load(args.toSeq)
     require(cfg.logList.nonEmpty, "logList is required (ini/env)")
     require(cfg.certPath.nonEmpty, "certPath is required (ini/env)")
-    val spark = Cli.session("ct-fetch")
+    val (spark, stop) = Cli.session("ct-fetch")
     spark.sparkContext.setLogLevel("WARN")
     val queries = cfg.logList.map { logDir =>
       val logId = java.util.Base64.getUrlEncoder.encodeToString(
@@ -54,16 +60,22 @@ object CtFetch {
     queries.foreach(_.awaitTermination())
     queries.foreach(q => println(
       s"[ct-fetch] ${q.name}: health=${Observability.health(q, 600000L)}"))
-    spark.stop()
+    stop()
   }
 }
 
-/** Batch rollup report (cmd/storage-statistics/storage-statistics.go:22-100). */
+/** Batch rollup report (cmd/storage-statistics/storage-statistics.go:22-100).
+  * `-v 2` additionally lists each bucket's serials, `-v 3` each
+  * serial's encodings plus its PEM (storage-statistics.go:57-75).
+  * Dumps stream through `toLocalIterator`, so the driver never holds
+  * more than one partition of certs. */
 object StorageStatistics {
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.load(args.toSeq)
     require(cfg.certPath.nonEmpty, "certPath is required (ini/env)")
-    val spark = Cli.session("storage-statistics")
+    val verbosity = args.toSeq.sliding(2).collectFirst {
+      case Seq("-v", v) => v.toInt }.getOrElse(1)
+    val (spark, stop) = Cli.session("storage-statistics")
     spark.sparkContext.setLogLevel("WARN")
     Statistics.report(spark, cfg.certPath).collect().foreach { r =>
       val issuer = if (r.isNullAt(0)) "<total>" else r.getString(0)
@@ -72,7 +84,22 @@ object StorageStatistics {
         (if (r.isNullAt(1) && !r.isNullAt(0))
           s"\tdns=${r.get(3)}\tcrls=${r.get(4)}" else ""))
     }
-    spark.stop()
+    if (verbosity >= 2) {
+      import org.apache.spark.sql.functions._
+      // serial_id is base64url of the raw serial bytes; recover the
+      // hex form the reference logs alongside it (types.go:210-224)
+      val certs = spark.read.parquet(s"${cfg.certPath}/certs")
+        .select(col("exp_date"), col("issuer_id"), col("serial_id"),
+          lower(hex(unbase64(translate(col("serial_id"), "-_", "+/")))).as("serial_hex"),
+          col("pem"))
+        .orderBy(col("issuer_id"), col("exp_date"), col("serial_id"))
+      certs.toLocalIterator().forEachRemaining { r =>
+        println(s"  ${r.getString(1)}/${r.getString(0)} serial " +
+          s"hex={${r.getString(3)}} id={${r.getString(2)}}")
+        if (verbosity >= 3) println(r.getString(4))
+      }
+    }
+    stop()
   }
 }
 
@@ -81,12 +108,12 @@ object StorageStatistics {
 object CtGetCert {
   def main(args: Array[String]): Unit = {
     val Array(certRoot, logUrl, entryId) = args
-    val spark = Cli.session("ct-getcert")
+    val (spark, stop) = Cli.session("ct-getcert")
     spark.sparkContext.setLogLevel("WARN")
     val rows = Statistics.certPemByEntry(spark, certRoot, logUrl, entryId.toLong)
       .collect()
     if (rows.isEmpty) System.err.println(s"entry $entryId not found")
     else println(rows.head.getString(0))
-    spark.stop()
+    stop()
   }
 }
