@@ -72,6 +72,36 @@ object Curation {
            |      FROM documents) t
            |ORDER BY doc_id""".stripMargin))
 
+  /** Intra-document repetition removal: drop repeated
+    * paragraphs/sentences within one document, keeping the first
+    * occurrence — the classic boilerplate scrub. Pure per-row array
+    * ops, no shuffle. */
+  def dedupParagraphs(text: Column, sep: String = ". "): Column =
+    array_join(
+      array_distinct(split(text, java.util.regex.Pattern.quote(sep))), sep)
+
+  /** Oracle'd on the sorted distinct-paragraph form (DuckDB's
+    * list_distinct does not preserve first-occurrence order, Spark's
+    * array_distinct does; the order-preserving operator itself is
+    * pinned by ScalaTest). */
+  val qParaDedup = QuerySpec(
+    "q_llm_para_dedup",
+    (s, d) => {
+      val paras = split(col("text"), java.util.regex.Pattern.quote(". "))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          size(paras).cast("long").as("n_paras"),
+          size(array_distinct(paras)).cast("long").as("n_uniq"),
+          array_join(sort_array(array_distinct(paras)), ". ").as("uniq_sorted"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+           |  CAST(len(string_split(text, '. ')) AS BIGINT) AS n_paras,
+           |  CAST(len(list_distinct(string_split(text, '. '))) AS BIGINT) AS n_uniq,
+           |  array_to_string(list_sort(list_distinct(string_split(text, '. '))), '. ')
+           |    AS uniq_sorted
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   val qRedact = QuerySpec(
     "q_llm_redact",
     (s, d) =>
@@ -90,5 +120,5 @@ object Curation {
             |  CAST(len(regexp_extract_all(text, '$longNumRe', 0)) AS BIGINT) AS n_long_nums
             |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(qSample, qSplit, qRedact)
+  val all: Seq[QuerySpec] = Seq(qSample, qSplit, qParaDedup, qRedact)
 }

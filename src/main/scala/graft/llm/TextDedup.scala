@@ -239,8 +239,17 @@ object TextDedup {
     * counting changed labels, so the `maxIter` cap is a guard, not a
     * tuning knob.
     *
+    * `reliable = true` uses reliable checkpoints (requires
+    * `sparkContext.setCheckpointDir`) instead of `localCheckpoint`:
+    * local checkpoints live in executor storage, so on a real cluster
+    * a lost executor kills the job mid-iteration — fine for short
+    * local runs, wrong for a 100 TB multi-hour clustering pass.
+    *
     * Returns `(id, cluster_id)` for every node present in `pairs`. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+      reliable: Boolean = false): DataFrame = {
+    def ck(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val edges = pairs
       .select(col("ida").cast("long").as("src"), col("idb").cast("long").as("dst"))
       .union(pairs.select(col("idb").cast("long"), col("ida").cast("long")))
@@ -251,7 +260,7 @@ object TextDedup {
     var labels = edges
       .groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), col("src")).as("cluster_id"))
-      .localCheckpoint(true)
+      .transform(ck)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -270,7 +279,7 @@ object TextDedup {
         .observe(obs,
           sum(when(col("cluster_id") =!= col("old"), 1L).otherwise(0L)).as("changed"))
         .select(col("id"), col("cluster_id"))
-        .localCheckpoint(true)
+        .transform(ck)
       changed = obs.get("changed").asInstanceOf[Long]
       labels = next
       i += 1

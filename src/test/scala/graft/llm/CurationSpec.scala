@@ -41,6 +41,13 @@ class CurationSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.length < 30, s"~10% expected, got ${kept.length}")
   }
 
+  test("dedupParagraphs drops repeats, keeps first-occurrence order") {
+    val out = Seq((1L, "x y. a b. x y. c d. a b"))
+      .toDF("doc_id", "text")
+      .select(Curation.dedupParagraphs(col("text")).as("t")).collect()(0).getString(0)
+    assert(out == "x y. a b. c d", out)
+  }
+
   test("redact scrubs emails and long digit runs, leaves short numbers") {
     val out = Seq((1L, "mail bob@example.com card 12345678 zip 02139 pin 123"))
       .toDF("doc_id", "text")
