@@ -107,6 +107,17 @@ object TextDedup {
       b => concat_ws(":", b.cast("string"),
         concat_ws(",", transform(slice(sig, b * rows + 1, lit(rows)), x => x.cast("string")))))
 
+  /** The signature kernels are CPU-bound: when the input arrives in
+    * fewer splits than the cluster has cores (single small file — the
+    * local-test shape), spread it first. Inputs that already have
+    * enough splits (any real-scale table) pass through unshuffled —
+    * repartitioning 100 TB of text to "spread" it would double the
+    * job's IO for nothing. */
+  private def spreadSmallInput(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+  }
+
   /** Candidate pairs from LSH buckets over word-trigram shingles,
     * verified with exact shingle Jaccard. The groupBy(band_key) is the
     * only wide op; bucket member lists are tiny for honest hash bands.
@@ -125,14 +136,12 @@ object TextDedup {
     // Small-file inputs arrive as one split; spread the signature
     // compute (the CPU-bound stage) across the cluster first.
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val par = docs.sparkSession.sparkContext.defaultParallelism
     // Persisted because three downstream branches read it (banding +
     // both sides of the verification join): without the persist the
     // shingle+signature kernels — the dominant CPU cost — re-run per
     // branch. (doc_id, th, sig) is the narrow projection of the corpus,
     // spilling to disk if it outgrows memory.
-    val withSig = docs
-      .repartition(par)
+    val withSig = spreadSmallInput(docs)
       .select(col("doc_id"),
         call_udf("graft_shingle_hashes", col("text"), lit(3), lit(true)).as("th"))
       .withColumn("sig", call_udf("graft_minhash_sig", col("th"), lit(numPerm)))
@@ -189,9 +198,7 @@ object TextDedup {
     * [[minhashPairs]]. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val withSim = docs
-      .repartition(par)
+    val withSim = spreadSmallInput(docs)
       .select(col("doc_id"),
         call_udf("graft_shingle_hashes", col("text"), lit(3), lit(false)).as("th"))
       .withColumn("simhash", call_udf("graft_simhash64", col("th")))
