@@ -13,8 +13,9 @@ object SparkEntry {
 
   /** All declared query specs (relational inventory + LLM-pipeline ops). */
   def specs: Seq[QuerySpec] =
-    Inventory.all ++ llm.TextAnalysis.all ++ llm.TextDedup.all ++
-      llm.Similarity.all ++ llm.Multimodal.all ++ llm.Curation.all
+    Inventory.all ++ graft.queries.Skew.all ++ llm.TextAnalysis.all ++
+      llm.TextDedup.all ++ llm.Similarity.all ++ llm.Multimodal.all ++
+      llm.Curation.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The hierarchical rollup report (storage-statistics.go:33-82). */

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -67,4 +68,58 @@ object Skew {
       .withColumn("rank", row_number().over(w2).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  // ---- driver-oracle'd forms ----------------------------------------------
+  // The salted operators must be RESULT-identical to the direct forms,
+  // so they share the direct forms' DuckDB oracles — the driver gate
+  // proves the skew-safe rewrites change the plan, not the answer.
+
+  /** Salted collect_set, same output shape + oracle as q_collect_set. */
+  val qSkewCollectSet = QuerySpec(
+    "q_skew_collect_set",
+    (s, d) =>
+      saltedCollectSet(Tables.load(s, d, "customer"),
+        Seq(col("c_mktsegment")), col("c_nationkey"), buckets = 8)
+        .select(col("c_mktsegment"),
+          array_join(transform(col("values"),
+            x => lpad(x.cast("string"), 3, "0")), ",").as("nations_csv"),
+          size(col("values")).cast("long").as("n_nations"))
+        .orderBy(col("c_mktsegment")),
+    Some("""SELECT c_mktsegment,
+           |  array_to_string(list_sort(list_transform(list_distinct(list(c_nationkey)),
+           |    x -> lpad(CAST(x AS VARCHAR), 3, '0'))), ',') AS nations_csv,
+           |  len(list_distinct(list(c_nationkey))) AS n_nations
+           |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Pair-keyed distinct count, same oracle as a direct countDistinct. */
+  val qSkewDistinct = QuerySpec(
+    "q_skew_distinct",
+    (s, d) =>
+      distinctCountByPair(Tables.events(s, d),
+        Seq(col("event_type")), col("user_id"))
+        .withColumnRenamed("n_distinct", "n_users")
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Salted two-phase top-k, same output + oracle as q_window_rank. */
+  val qSkewTopK = QuerySpec(
+    "q_skew_topk",
+    (s, d) =>
+      saltedTopK(
+        Tables.load(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")),
+        k = 3, buckets = 8)
+        .select(col("o_custkey"), col("rank").as("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn")),
+    Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+           |  SELECT o_custkey, o_orderkey, o_totalprice,
+           |    row_number() OVER (PARTITION BY o_custkey
+           |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           |  FROM orders) WHERE rn <= 3
+           |ORDER BY o_custkey, rn""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(qSkewCollectSet, qSkewDistinct, qSkewTopK)
 }
