@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Generative round-trip for the CT-log page serialization (A1): any
+  * entry set — arbitrary bytes, empty and multi-cert chains, any page
+  * size — must survive writePages → readRange byte-for-byte. Pure
+  * JVM-side (no Spark session): the reader factory shares parseLine
+  * with readRange, which this pins. */
+class CtLogPageProps extends AnyFunSuite {
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  private val genBytes: Gen[Array[Byte]] = for {
+    n <- Gen.chooseNum(1, 64)
+    bytes <- Gen.listOfN(n, Gen.chooseNum(0, 255).map(_.toByte))
+  } yield bytes.toArray
+
+  private val genEntry: Gen[(Long, String, Array[Byte], Seq[Array[Byte]])] = for {
+    ts <- Gen.chooseNum(0L, 4102444800000L)
+    url <- Gen.oneOf("log.example.com/2025", "a/b", "x")
+    der <- genBytes
+    chainLen <- Gen.chooseNum(0, 3)
+    chain <- Gen.listOfN(chainLen, genBytes)
+  } yield (ts, url, der, chain)
+
+  test("writePages -> readRange round-trips entries, chains included") {
+    for (pageSize <- Seq(1, 3, 7, 1000)) {
+      val dir = Files.createTempDirectory("pageprops").toString
+      val entries = sample(genEntry, 41).zipWithIndex.map { case ((ts, url, der, chain), i) =>
+        CtLog.Entry(i.toLong, ts, url, der, chain)
+      }
+      CtLog.writePages(dir, entries, pageSize)
+      assert(CtLog.treeSize(dir) == entries.length.toLong)
+      val back = CtLog.readRange(dir, 0L, entries.length.toLong).toSeq
+      assert(back.length == entries.length)
+      entries.zip(back).foreach { case (e, b) =>
+        assert(e.entryId == b.entryId && e.tsMs == b.tsMs && e.logUrl == b.logUrl)
+        assert(java.util.Arrays.equals(e.der, b.der), s"der mismatch at ${e.entryId}")
+        assert(e.chain.length == b.chain.length, s"chain arity at ${e.entryId}")
+        e.chain.zip(b.chain).foreach { case (c1, c2) =>
+          assert(java.util.Arrays.equals(c1, c2), s"chain bytes at ${e.entryId}")
+        }
+      }
+      // sub-ranges honor [start, end)
+      val mid = CtLog.readRange(dir, 10L, 20L).toSeq
+      assert(mid.map(_.entryId) == (10L until 20L).toSeq)
+    }
+  }
+}
