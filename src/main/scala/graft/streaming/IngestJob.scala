@@ -116,7 +116,10 @@ object IngestJob {
     deduped.writeStream
       .option("checkpointLocation", checkpoint)                   // J2/B3
       .foreachBatch { (batch: Dataset[CertRowWithTs], batchId: Long) =>
-        val b = batch.drop("event_ts").cache()
+        // two sinks read the batch; spill-tolerant persist, not cache —
+        // a catch-up batch can be admission-cap-sized (16384 full rows)
+        val b = batch.drop("event_ts")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // B1: the reference's <root>/<expDate>/<issuerID>/<serial> layout
         b.write.mode("append")
           .partitionBy("exp_date", "issuer_id")
@@ -201,6 +204,36 @@ object IngestJob {
       throw new java.io.IOException(s"rename $staged -> $live failed")
     fs.delete(retired, true)
     fs.delete(marker, false)
+    compactIssuerBatches(spark, certRoot)
+  }
+
+  /** Fold the append-only per-batch issuer upserts into one row per
+    * issuer. A long-running daemon appends one row per (batch, issuer),
+    * so reads of the dimension re-aggregate an ever-growing table;
+    * after this pass it is one snapshot row per CA. Same staged-swap
+    * protocol as the cert store, with its own marker. */
+  def compactIssuerBatches(spark: SparkSession, certRoot: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$certRoot/issuer_batches")
+    val staged = new Path(s"$certRoot/issuer_batches_compacting")
+    val marker = new Path(s"$certRoot/_ISSUER_COMPACT_SWAP")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) return
+    fs.delete(staged, true)
+    val src = spark.read.parquet(live.toString)
+    src.groupBy(col("issuer_id"))
+      .agg(
+        sort_array(array_distinct(flatten(collect_list(col("issuer_cns"))))).as("issuer_cns"),
+        sort_array(array_distinct(flatten(collect_list(col("issuer_dns"))))).as("issuer_dns"),
+        sort_array(array_distinct(flatten(collect_list(col("crl_dps"))))).as("crl_dps"),
+        sum(col("n_new")).as("n_new"),
+        max(col("batch_id")).as("batch_id"))
+      .write.mode("overwrite").parquet(staged.toString)
+    fs.create(marker, true).close()
+    fs.delete(live, true)
+    if (!fs.rename(staged, live))
+      throw new java.io.IOException(s"rename $staged -> $live failed")
+    fs.delete(marker, false)
   }
 
   /** Finish (roll forward) a compaction swap interrupted between the
@@ -215,6 +248,19 @@ object IngestJob {
     val retired = new Path(s"$certRoot/certs_old")
     val marker = new Path(s"$certRoot/_COMPACT_SWAP")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // issuer-dimension swap recovery first (same roll-forward logic:
+    // its marker is only created after the staged snapshot commits)
+    val iLive = new Path(s"$certRoot/issuer_batches")
+    val iStaged = new Path(s"$certRoot/issuer_batches_compacting")
+    val iMarker = new Path(s"$certRoot/_ISSUER_COMPACT_SWAP")
+    if (fs.exists(iMarker)) {
+      if (!fs.exists(iLive) && fs.exists(iStaged)) {
+        if (!fs.rename(iStaged, iLive))
+          throw new java.io.IOException(s"recovery rename $iStaged -> $iLive failed")
+      }
+      fs.delete(iStaged, true)
+      fs.delete(iMarker, false)
+    }
     if (!fs.exists(marker)) return
     if (!fs.exists(live) && fs.exists(staged)) {
       // crashed between the renames: promote the staged rewrite

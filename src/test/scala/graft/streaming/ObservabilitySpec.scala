@@ -90,6 +90,32 @@ class ObservabilitySpec extends SparkSpec {
     assert(files() < nBefore, s"expected fewer files than $nBefore")
   }
 
+  test("compactIssuerBatches folds per-batch upserts into one row per issuer") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("issuercompact").toString
+    // needs a certs dir for compact()'s main pass
+    Seq(("2030-01-01-00", "issuerA", "s1", "p"))
+      .toDF("exp_date", "issuer_id", "serial_id", "pem")
+      .write.partitionBy("exp_date", "issuer_id").parquet(s"$root/certs")
+    def batch(id: Long, cns: Seq[String], dns: Seq[String], crls: Seq[String], n: Long) =
+      Seq(("issuerA", cns, dns, crls, n, id))
+        .toDF("issuer_id", "issuer_cns", "issuer_dns", "crl_dps", "n_new", "batch_id")
+        .write.mode("append").parquet(s"$root/issuer_batches")
+    batch(0L, Seq("ca"), Seq("CN=ca"), Seq("http://a/crl"), 2L)
+    batch(1L, Seq("ca"), Seq("CN=ca", "CN=ca2"), Seq.empty, 3L)
+    val before = graft.queries.Statistics.issuerDim(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+    IngestJob.compact(spark, root)
+    val rows = spark.read.parquet(s"$root/issuer_batches").collect()
+    assert(rows.length == 1, "one snapshot row per issuer after compaction")
+    assert(rows.head.getAs[Long]("n_new") == 5L)
+    assert(rows.head.getSeq[String](2).toSet == Set("CN=ca", "CN=ca2"))
+    // the derived dimension is unchanged by compaction
+    val after = graft.queries.Statistics.issuerDim(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+  }
+
   test("recoverCompaction rolls a half-completed swap forward") {
     import spark.implicits._
     val root = Files.createTempDirectory("recover").toString
