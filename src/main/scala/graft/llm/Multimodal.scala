@@ -142,5 +142,22 @@ object Multimodal {
            |  sha256(text) AS sha256
            |FROM documents ORDER BY media_id""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(qMultimodalMeta)
+  /** The full decode → frame-sample pipeline over real binary payloads
+    * (documents.text as blobs). Rows-only: the decode is the stubbed
+    * codec, whose determinism MultimodalSpec pins; the declared query
+    * exercises the Spark plumbing end-to-end at driver scale. */
+  val qMultimodalDecode = QuerySpec(
+    "q_llm_mm_decode",
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      val media = toMedia(Tables.load(s, d, "documents"), "doc_id", "text", "image/x-stub")
+      decodeStub(media)
+        .withColumn("sampled_frames", sampleFrameIdx(col("n_frames"), 4))
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames"), col("ok"), col("sampled_frames"))
+        .orderBy(col("media_id"))
+    },
+    None)
+
+  val all: Seq[QuerySpec] = Seq(qMultimodalMeta, qMultimodalDecode)
 }
