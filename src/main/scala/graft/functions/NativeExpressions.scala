@@ -220,6 +220,37 @@ case class FingerprintExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Cross-engine-verifiable variant of [[FingerprintExpr]]: the
+  * per-token hash is the first 4 bytes of MD5 (unsigned, big-endian)
+  * mod 1000003 instead of xxhash64 — MD5 exists in every engine, so
+  * the whole rolling hash is DuckDB-oracle-checkable.
+  * Equivalent SQL (pinned by ScalaTest):
+  *   aggregate(split(text, ' '), CAST(7 AS BIGINT), (acc, t) ->
+  *     pmod(acc * 31 + pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10)
+  *       AS BIGINT), 1000003), 1000000007)) */
+case class Md5FingerprintExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  @transient private lazy val mdTL: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.toString.split(" ", -1)
+    val md = mdTL.get()
+    var acc = 7L
+    var i = 0
+    while (i < toks.length) {
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      acc = (acc * 31L + h % 1000003L) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Sign-LSH signature of an array<float> embedding against `bits`
   * deterministic pseudo-random hyperplanes: bit b = [dot(v, plane_b)
   * >= 0], packed into a long. Planes are the same splitmix-style
@@ -289,6 +320,7 @@ object GraftFunctions {
       case es => MinHashAggExpr(es.head, 64)
     },
     "graft_fingerprint" -> (es => FingerprintExpr(es.head)),
+    "graft_fingerprint_md5" -> (es => Md5FingerprintExpr(es.head)),
     "graft_signlsh" -> {
       case Seq(c, Literal(b: Int, IntegerType), Literal(d: Int, IntegerType),
           Literal(s: Long, LongType)) => SignLshExpr(c, b, d, s)

@@ -164,5 +164,25 @@ object TextAnalysis {
     },
     None)
 
-  val all: Seq[QuerySpec] = Seq(qTokens, qQuality, qLangId, qFingerprint)
+  /** The MD5-token-hash fingerprint variant (Md5FingerprintExpr):
+    * identical fold arithmetic, but every piece exists in DuckDB, so
+    * the rolling hash itself is oracle-verified cross-engine. */
+  val qFingerprintMd5 = QuerySpec(
+    "q_llm_fingerprint_md5",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          call_udf("graft_fingerprint_md5", col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+           |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+           |    list_transform(string_split(text, ' '),
+           |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1000003)),
+           |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QuerySpec] =
+    Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5)
 }

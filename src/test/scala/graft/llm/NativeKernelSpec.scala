@@ -115,6 +115,19 @@ class NativeKernelSpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("sql")).count() == 0L)
   }
 
+  test("graft_fingerprint_md5 matches the SQL md5-fold formulation") {
+    val sqlForm = expr(
+      """aggregate(split(text, ' '), CAST(7 AS BIGINT), (acc, t) ->
+        |  pmod(acc * 31 + pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10)
+        |    AS BIGINT), 1000003), 1000000007))""".stripMargin)
+    val edges = spark.createDataFrame(Seq(
+      (-1L, ""), (-2L, "one"), (-3L, "a  b"), (-4L, " x "))).toDF("doc_id", "text")
+    val df = docs.select(col("doc_id"), col("text")).union(edges)
+      .withColumn("native", call_udf("graft_fingerprint_md5", col("text")))
+      .withColumn("sql", sqlForm)
+    assert(df.filter(col("native") =!= col("sql")).count() == 0L)
+  }
+
   test("graft_dot: length mismatch is NULL, like the SQL zip_with fold") {
     val df = spark.sql(
       """SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
