@@ -85,21 +85,42 @@ object IngestJob {
       .plusHours(1).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
   }
 
-  /** Run the streaming ingest from a (simulated) CT log directory. */
+  /** Run the streaming ingest from one (simulated) CT log directory. */
   def start(spark: SparkSession, logDir: String, certRoot: String,
+      checkpoint: String, maxEntriesPerTrigger: Long = 16384,
+      logExpiredEntries: Boolean = true, issuerCNFilter: Seq[String] = Nil,
+      asOf: Option[java.sql.Timestamp] = None,
+      runForever: Boolean = false, pollInterval: String = "10 minutes",
+      startEntry: Long = 0L, limitEntries: Option[Long] = None): StreamingQuery =
+    startAll(spark, Seq(logDir), certRoot, checkpoint, maxEntriesPerTrigger,
+      logExpiredEntries, issuerCNFilter, asOf, runForever, pollInterval,
+      startEntry, limitEntries)
+
+  /** Run the streaming ingest over MANY CT logs as ONE query: the
+    * per-log sources union into a single pipeline, so the first-seen
+    * gate holds ACROSS logs — the reference's dedup set is shared by
+    * every log worker (one Redis behind all of them,
+    * filesystemdatabase.go:179-182), and a cert appearing in two logs
+    * must still be stored exactly once. One query also means one
+    * checkpoint carrying every source's offsets (the reference keeps
+    * one `log::<url>` state blob per log in the same store). */
+  def startAll(spark: SparkSession, logDirs: Seq[String], certRoot: String,
       checkpoint: String, maxEntriesPerTrigger: Long = 16384,
       logExpiredEntries: Boolean = true, issuerCNFilter: Seq[String] = Nil,
       asOf: Option[java.sql.Timestamp] = None,
       runForever: Boolean = false, pollInterval: String = "10 minutes",
       startEntry: Long = 0L, limitEntries: Option[Long] = None): StreamingQuery = {
     import spark.implicits._
-    val rawReader = spark.readStream
-      .format("graft.streaming.CtLogSource")
-      .option("path", logDir)
-      .option("maxEntriesPerTrigger", maxEntriesPerTrigger)       // J4
-      .option("startEntry", startEntry)                           // G3 --offset
-    val raw = limitEntries.fold(rawReader)(l =>
-      rawReader.option("limitEntries", l)).load()                 // G3 --limit
+    require(logDirs.nonEmpty, "at least one log directory")
+    val raw = logDirs.map { logDir =>
+      val rawReader = spark.readStream
+        .format("graft.streaming.CtLogSource")
+        .option("path", logDir)
+        .option("maxEntriesPerTrigger", maxEntriesPerTrigger)     // J4
+        .option("startEntry", startEntry)                         // G3 --offset
+      limitEntries.fold(rawReader)(l =>
+        rawReader.option("limitEntries", l)).load()               // G3 --limit
+    }.reduce(_.unionByName(_))
     val entries = parsedEntries(raw, logExpiredEntries, issuerCNFilter, asOf)
       .select(col("exp_date"), col("issuer_id"), col("serial_id"),
         col("entry_id"), col("ts_ms"), col("log_url"),

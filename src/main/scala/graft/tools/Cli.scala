@@ -34,9 +34,12 @@ object Cli {
   }
 }
 
-/** Streaming ingest (cmd/ct-fetch/ct-fetch.go:490-638): one streaming
-  * query per configured log, checkpointed under
-  * `<certPath>/state/<base64url(log)>` like the reference's state dir. */
+/** Streaming ingest (cmd/ct-fetch/ct-fetch.go:490-638): ALL configured
+  * logs feed one streaming query (union of per-log sources), so the
+  * first-seen dedup gate holds across logs exactly as the reference's
+  * shared Redis set does; the single checkpoint under
+  * `<certPath>/state/ingest` carries every log's offsets (the
+  * reference's per-log `log::<url>` blobs in one store). */
 object CtFetch {
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.load(args.toSeq)
@@ -44,22 +47,17 @@ object CtFetch {
     require(cfg.certPath.nonEmpty, "certPath is required (ini/env)")
     val (spark, stop) = Cli.session("ct-fetch")
     spark.sparkContext.setLogLevel("WARN")
-    val queries = cfg.logList.map { logDir =>
-      val logId = java.util.Base64.getUrlEncoder.encodeToString(
-        logDir.getBytes("UTF-8"))
-      IngestJob.start(spark, logDir,
-        certRoot = cfg.certPath,
-        checkpoint = s"${cfg.certPath}/state/$logId",
-        logExpiredEntries = cfg.logExpiredEntries,
-        issuerCNFilter = cfg.issuerCNFilter,
-        runForever = cfg.runForever,
-        pollInterval = cfg.pollTrigger,
-        startEntry = cfg.offset,
-        limitEntries = if (cfg.limit > 0) Some(cfg.limit) else None)
-    }
-    queries.foreach(_.awaitTermination())
-    queries.foreach(q => println(
-      s"[ct-fetch] ${q.name}: health=${Observability.health(q, 600000L)}"))
+    val q = IngestJob.startAll(spark, cfg.logList,
+      certRoot = cfg.certPath,
+      checkpoint = s"${cfg.certPath}/state/ingest",
+      logExpiredEntries = cfg.logExpiredEntries,
+      issuerCNFilter = cfg.issuerCNFilter,
+      runForever = cfg.runForever,
+      pollInterval = cfg.pollTrigger,
+      startEntry = cfg.offset,
+      limitEntries = if (cfg.limit > 0) Some(cfg.limit) else None)
+    q.awaitTermination()
+    println(s"[ct-fetch] ${q.name}: health=${Observability.health(q, 600000L)}")
     stop()
   }
 }

@@ -233,6 +233,27 @@ class IngestSpec extends SparkSpec {
     assert(out(1L) != skiId, "identity must digest the SPKI TLV, not the SKI")
   }
 
+  test("first-seen gate holds ACROSS logs in a multi-log ingest") {
+    // the same cert lands in two different logs; the reference's shared
+    // dedup set stores it once (filesystemdatabase.go:179-182) — one
+    // unioned query with one state gives the same guarantee
+    val root = Files.createTempDirectory("multilog").toString
+    CtLog.writePages(s"$root/logA", Seq(
+      entry(0L, ts0, "log-a.example.com/2025", leaf1),
+      entry(1L, ts0 + 1, "log-a.example.com/2025", leafS)))
+    CtLog.writePages(s"$root/logB", Seq(
+      entry(0L, ts0 + 2, "log-b.example.com/2025", leaf1),   // cross-log dup
+      entry(1L, ts0 + 3, "log-b.example.com/2025", leafS2)))
+    val q = IngestJob.startAll(spark, Seq(s"$root/logA", s"$root/logB"),
+      s"$root/out", s"$root/ckpt", logExpiredEntries = true)
+    q.awaitTermination()
+    val certs = spark.read.parquet(s"$root/out/certs")
+    assert(certs.count() == 3L, "cross-log duplicate must be stored once")
+    assert(certs.select(col("serial_id")).distinct().count() == 3L)
+    // both logs contributed rows
+    assert(certs.select(col("log_url")).distinct().count() >= 2L)
+  }
+
   test("dedup state evicts when a key's own expiry bucket passes (E2 TTL)") {
     // leaf1 expires 2020-02-05 → its dedup state times out once the
     // watermark (event time − 1h) passes the bucket end; the synthetic
