@@ -127,31 +127,36 @@ object Similarity {
   // ---- IVF ---------------------------------------------------------------
 
   /** IVF-style ANN: a deterministic centroid subset partitions the
-    * corpus (argmax-cosine assignment); queries search only their
-    * centroid's bucket. Probes=1 here; at scale the centroid list is
-    * broadcast and assignment is one scan.
+    * corpus (argmax-cosine assignment); each query searches its
+    * `probes` closest centroids' buckets (probes=1 = classic IVF;
+    * more probes trade scan width for recall). At scale the centroid
+    * list is broadcast and corpus assignment is one scan.
     *
-    * Assignment is an aggregation, not a window: the broadcast
+    * Corpus assignment is an aggregation, not a window: the broadcast
     * nested-loop join scores n×k (vector, centroid) rows, and
     * `max_by` reduces them to n map-side before any shuffle — a
     * window rank would shuffle all n×k scored rows just to keep one
     * per vector. Tiebreak on equal cosine = smallest centroid id
-    * (the negated id in the max_by key). */
-  def ivfTopK(vecs: DataFrame, queries: DataFrame, k: Int, centroidStride: Int): DataFrame = {
+    * (the negated id in the max_by key). Queries are few, so their
+    * top-`probes` assignment is a tiny window. */
+  def ivfTopK(vecs: DataFrame, queries: DataFrame, k: Int, centroidStride: Int,
+      probes: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroids = broadcast(
       vecs.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm")))
-    def assign(df: DataFrame, idCol: String): DataFrame =
-      df.join(centroids)
-        .withColumn("c_cos", cosine(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
-        .groupBy(col(idCol))
-        .agg(
-          first(col("embedding")).as("embedding"),
-          first(col("nrm")).as("nrm"),
-          max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("neg"))).as("c_id"))
-    val corpusAssigned = assign(vecs, "vec_id")
-    val queriesAssigned = assign(queries, "vec_id")
+    val corpusAssigned = vecs.join(centroids)
+      .withColumn("c_cos", cosine(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"),
+        max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("neg"))).as("c_id"))
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val queriesAssigned = queries.join(centroids)
+      .withColumn("c_cos", cosine(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+      .withColumn("c_rank", row_number().over(wq))
+      .filter(col("c_rank") <= probes)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("c_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))

@@ -37,6 +37,24 @@ class SimilaritySpec extends SparkSpec {
     assert(n0.forall(_ < 10L), s"IVF bucket leak: $n0")
   }
 
+  test("multi-probe IVF recall dominates single-probe and approaches brute force") {
+    val vs = vecsDf((0L until 40L).map(i =>
+      i -> Seq(math.cos(i / 40.0 * math.Pi).toFloat, math.sin(i / 40.0 * math.Pi).toFloat)): _*)
+    // query 9 sits at a bucket boundary (stride 10): its true neighbors
+    // 8 and 10 straddle two buckets
+    val q = vs.filter(col("vec_id") === 9)
+    def neighbors(probes: Int): Set[Long] =
+      Similarity.ivfTopK(vs, q, k = 3, centroidStride = 10, probes = probes)
+        .collect().map(_.getLong(2)).toSet
+    val exact = Similarity.cosineTopK(vs, q, k = 3)
+      .collect().map(_.getLong(2)).toSet
+    val p1 = neighbors(1)
+    val p2 = neighbors(2)
+    assert(p1.subsetOf(p2.union(exact)), "probe sets are nested searches")
+    assert((p2 & exact).size >= (p1 & exact).size, "recall must not drop with probes")
+    assert(p2 == exact, s"2 probes cover the boundary query's true top-3: $p2 vs $exact")
+  }
+
   test("embNearDupPairs finds the planted duplicate vector") {
     val base = (0 until 64).map(i => (math.sin(i) * 0.3).toFloat)
     val nearDup = base.updated(0, base(0) + 0.001f)
