@@ -110,10 +110,14 @@ object CtLog {
   }
 }
 
-/** Entry point: `spark.readStream.format("graft.streaming.CtLogSource")
-  * .option("path", dir).option("maxEntriesPerTrigger", n)` (also batch
-  * `spark.read.format(...)`). */
-class CtLogSource extends TableProvider {
+/** Entry point: `spark.readStream.format("ctlog")` (short name via
+  * DataSourceRegister / META-INF services; the full class name
+  * `graft.streaming.CtLogSource` also works)
+  * `.option("path", dir).option("maxEntriesPerTrigger", n)`; batch
+  * `spark.read.format("ctlog")` too. */
+class CtLogSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "ctlog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = CtLog.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =

@@ -44,7 +44,7 @@ class IngestSpec extends SparkSpec {
     val entries = (0L until 25L).map(i =>
       entry(i, ts0 + i, "log.example.com/2025", Seq(leaf1, leafS, ca1)((i % 3).toInt)))
     CtLog.writePages(dir, entries, pageSize = 10)
-    val df = spark.read.format("graft.streaming.CtLogSource")
+    val df = spark.read.format("ctlog")   // short name via DataSourceRegister
       .option("path", dir).load()
     assert(df.count() == 25L)
     assert(df.select(col("entry_id")).distinct().count() == 25L)
