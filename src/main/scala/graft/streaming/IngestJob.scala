@@ -173,9 +173,22 @@ object IngestJob {
   /** The map/reduce enumeration surface (SURVEY.md §3.4): partition-
     * pruned reads over the ingested layout — ListExpirationDates /
     * ListIssuersForExpirationDate / StreamSerials (types.go:61-67)
-    * become trivial pruned scans. */
-  def listExpirationDates(spark: SparkSession, certRoot: String): DataFrame =
-    spark.read.parquet(s"$certRoot/certs").select(col("exp_date")).distinct()
+    * become trivial pruned scans.
+    *
+    * ListExpirationDates SKIPS expired buckets relative to `notBefore`
+    * truncated to the DAY (localdiskbackend.go:93-119: the walk
+    * day-truncates aNotBefore at :97 and `filepath.SkipDir`s expired
+    * dirs) — so the whole current day stays live. An hour bucket is
+    * unexpired iff its start >= the truncated instant, and the
+    * `yyyy-MM-dd-HH` ids sort chronologically, so the cut is a string
+    * partition filter Catalyst prunes with (the SkipDir analog). */
+  def listExpirationDates(spark: SparkSession, certRoot: String,
+      notBefore: Option[java.sql.Timestamp] = None): DataFrame = {
+    val t = notBefore.map(lit(_)).getOrElse(current_timestamp())
+    spark.read.parquet(s"$certRoot/certs")
+      .filter(col("exp_date") >= date_format(date_trunc("DAY", t), "yyyy-MM-dd-HH"))
+      .select(col("exp_date")).distinct()
+  }
 
   def listIssuers(spark: SparkSession, certRoot: String, expDate: String): DataFrame =
     spark.read.parquet(s"$certRoot/certs")

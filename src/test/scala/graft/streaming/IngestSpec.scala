@@ -233,6 +233,25 @@ class IngestSpec extends SparkSpec {
     assert(out(1L) != skiId, "identity must digest the SPKI TLV, not the SKI")
   }
 
+  test("listExpirationDates skips expired buckets, day-truncated (A4/C4)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("enum").toString
+    Seq("2020-01-10-05", "2020-01-11-00", "2020-01-11-17", "2021-06-01-00")
+      .zipWithIndex.map { case (d, i) => (d, "issuerX", s"s$i", "p") }
+      .toDF("exp_date", "issuer_id", "serial_id", "pem")
+      .write.partitionBy("exp_date", "issuer_id").parquet(s"$root/certs")
+    def listedAt(ts: String): Set[String] =
+      IngestJob.listExpirationDates(spark, root,
+        Some(java.sql.Timestamp.valueOf(ts)))
+        .collect().map(_.getString(0)).toSet
+    // mid-day reference: truncation to the DAY keeps the whole current
+    // day (even hour buckets already past), drops strictly older days
+    assert(listedAt("2020-01-11 12:30:00") ==
+      Set("2020-01-11-00", "2020-01-11-17", "2021-06-01-00"))
+    assert(listedAt("2022-01-01 00:00:00") == Set.empty[String])
+    assert(listedAt("2019-01-01 00:00:00").size == 4)
+  }
+
   test("first-seen gate holds ACROSS logs in a multi-log ingest") {
     // the same cert lands in two different logs; the reference's shared
     // dedup set stores it once (filesystemdatabase.go:179-182) — one
