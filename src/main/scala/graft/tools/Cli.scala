@@ -82,6 +82,21 @@ object StorageStatistics {
         (if (r.isNullAt(1) && !r.isNullAt(0))
           s"\tdns=${r.get(3)}\tcrls=${r.get(4)}" else ""))
     }
+    // per-log sync report (storage-statistics.go:86-99: GetLogState per
+    // log), derived from the stored data: latest entry + entry time
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"${cfg.certPath}/certs")
+        .groupBy(col("log_url"))
+        .agg(max(col("entry_id")).as("max_entry"),
+          max(timestamp_millis(col("ts_ms"))).as("last_entry_time"),
+          count(lit(1)).as("n_stored"))
+        .orderBy(col("log_url"))
+        .collect().foreach { r =>
+          println(s"log ${r.getString(0)}\tmaxEntry=${r.getLong(1)}" +
+            s"\tlastEntryTime=${r.getTimestamp(2)}\tstored=${r.getLong(3)}")
+        }
+    }
     if (verbosity >= 2) {
       import org.apache.spark.sql.functions._
       // serial_id is base64url of the raw serial bytes; recover the

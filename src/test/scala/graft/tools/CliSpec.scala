@@ -57,6 +57,7 @@ class CliSpec extends SparkSpec {
       StorageStatistics.main(Array("-config", s"$root/ct-fetch.ini"))
     }
     assert(v1.contains("<total>\t<all dates>\tserials=2"), v1)
+    assert(v1.contains("log log.example.com/2025\tmaxEntry=1"), v1)
     val v2 = captureOut {
       StorageStatistics.main(Array("-config", s"$root/ct-fetch.ini", "-v", "2"))
     }
