@@ -202,6 +202,12 @@ object CertFuncs {
   def serialId(serial: Column): Column =
     translate(regexp_replace(base64(serial), "\r\n", ""), "+/", "-_")
 
+  /** D4: big-integer view of a serial (types.go:251-255 AsBigInt) —
+    * arbitrary precision, since CT serials run to 20 bytes; emitted as
+    * a decimal string (no Spark numeric holds 2^160). */
+  val serial_bigint = udf((b: Array[Byte]) =>
+    if (b == null) null else new java.math.BigInteger(1, b).toString)
+
   /** Log identity: base64url of the short URL (types.go:36-42; golden
     * "log.example.com/2525" → "bG9nLmV4YW1wbGUuY29tLzI1MjU="). */
   def logId(shortUrl: Column): Column =

@@ -37,6 +37,20 @@ class CertFuncsSpec extends SparkSpec {
     assert(row.getString(1) == "AKo=")
   }
 
+  test("serial big-int view: unsigned, arbitrary precision (types.go:251-255)") {
+    val rows = Seq(
+      Array(0x00.toByte, 0xAA.toByte),               // leading zero → 170
+      Array(0xFF.toByte),                            // unsigned → 255, not -1
+      Array.fill(20)(0xFF.toByte))                   // 2^160 − 1
+      .zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "serial")
+      .orderBy(col("i"))
+      .select(CertFuncs.serial_bigint(col("serial"))).collect().map(_.getString(0))
+    assert(rows(0) == "170")
+    assert(rows(1) == "255")
+    assert(rows(2) == new java.math.BigInteger("2").pow(160)
+      .subtract(java.math.BigInteger.ONE).toString)
+  }
+
   test("issuer digest golden: SPKI [0xFF] (types_test.go:41-57)") {
     val got = Seq(Tuple1(Array(0xFF.toByte))).toDF("spki")
       .select(CertFuncs.issuerId(col("spki"))).collect()(0).getString(0)
