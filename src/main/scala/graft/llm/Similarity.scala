@@ -96,15 +96,20 @@ object Similarity {
   /** Embedding near-dup candidates: bucket by 16-bit sign-LSH
     * signature (the native SignLshExpr kernel — one eval per row
     * against deterministic pseudo-random hyperplanes), emit
-    * within-bucket pairs ranked by exact cosine. */
-  def embNearDupPairs(vecs: DataFrame, bits: Int = 16, dim: Int = 64): DataFrame = {
+    * within-bucket pairs ranked by exact cosine. `maxBucket` drops
+    * degenerate buckets (correlated embeddings collapsing onto one
+    * signature would otherwise collect an unbounded embedding list on
+    * one reducer and explode O(bucket²) pairs — the same guard the
+    * text-LSH paths carry). */
+  def embNearDupPairs(vecs: DataFrame, bits: Int = 16, dim: Int = 64,
+      maxBucket: Int = 1000): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val withSig = vecs.withColumn("sig",
       call_udf("graft_signlsh", col("embedding"), lit(bits), lit(dim), lit(42L)))
     val pairs = withSig
       .groupBy(col("sig"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"), col("nrm")))).as("xs"))
-      .filter(size(col("xs")) > 1)
+      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
       .select(explode(expr(
         """flatten(transform(xs, (x, i) ->
           |  transform(slice(xs, i + 2, size(xs)), y ->
