@@ -61,7 +61,7 @@ object CertFuncs {
   /** Collect URI GeneralNames (context tag [6], 0x86) from a DER blob —
     * the CRL DistributionPoints shape the reference consumes
     * (issuermetadata.go:48-73 filters them to http/https anyway). */
-  private def collectUris(b: Array[Byte], off: Int, end: Int,
+  private[functions] def collectUris(b: Array[Byte], off: Int, end: Int,
       acc: scala.collection.mutable.ArrayBuffer[String]): Unit = {
     var p = off
     while (p < end && p >= 0) {

@@ -73,4 +73,40 @@ object DerProps extends Properties("CertFuncs.derSerialAndSpki") {
     val (serial, _) = CertFuncs.derSerialAndSpki(s.der)
     serial.length == s.serial.length
   }
+
+  // ---- CRL-DP URI collection (C5's extraction machinery) -----------------
+  // collectUris must find every [6] GeneralName URI nested at any depth
+  // under constructed/OCTET/[0] wrappers, in document order, and must
+  // NOT look inside primitives it does not recurse (a PrintableString
+  // decoy containing URI-shaped bytes stays invisible).
+
+  private val genUri: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https", "ldap")
+    host <- Gen.alphaLowerStr.map(s => if (s.isEmpty) "x" else s.take(12))
+  } yield s"$scheme://$host.example.com/crl"
+
+  private case class UriTree(der: Array[Byte], uris: Seq[String])
+
+  private def genTree(depth: Int): Gen[UriTree] =
+    if (depth == 0)
+      genUri.map(u => UriTree(tlv(0x86, u.getBytes("US-ASCII")), Seq(u)))
+    else
+      Gen.frequency(
+        3 -> genUri.map(u => UriTree(tlv(0x86, u.getBytes("US-ASCII")), Seq(u))),
+        // invisible decoy: primitive tag, never recursed into
+        1 -> genUri.map(u => UriTree(tlv(0x13, tlv(0x86, u.getBytes("US-ASCII"))), Seq.empty)),
+        3 -> (for {
+          wrapper <- Gen.oneOf(0x30, 0xA0, 0x04)
+          n <- Gen.chooseNum(0, 3)
+          children <- Gen.listOfN(n, genTree(depth - 1))
+        } yield UriTree(
+          tlv(wrapper, children.toArray.flatMap(_.der)),
+          children.flatMap(_.uris))))
+
+  property("collectUris finds nested URIs in order, skips primitive decoys") =
+    forAll(genTree(3)) { t =>
+      val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+      CertFuncs.collectUris(t.der, 0, t.der.length, acc)
+      Prop(acc.toSeq == t.uris) :| s"got ${acc.toSeq}, want ${t.uris}"
+    }
 }
