@@ -116,6 +116,36 @@ class ObservabilitySpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("ingest -> compact -> resumed ingest round-trip keeps all rows") {
+    // the real maintenance cycle: catch-up ingest, compact between
+    // runs, ingest more from the same checkpoint — nothing lost,
+    // nothing duplicated
+    val root = Files.createTempDirectory("cycle").toString
+    def decodePem(pem: String) = decode(pem)
+    val leaf1 = decodePem(graft.TestCerts.kLeadingZeroes)
+    val ca1 = decodePem(graft.TestCerts.kEmptySPKI)
+    val leafS = decodePem(graft.TestCerts.kSyntheticLeaf)
+    val leafS2 = decodePem(graft.TestCerts.kSyntheticLeaf2)
+    val ts0 = 1000000000000L
+    CtLog.writePages(s"$root/log", Seq(
+      CtLog.Entry(0L, ts0, "u", leaf1, Seq(ca1)),
+      CtLog.Entry(1L, ts0 + 1, "u", leafS, Seq(leafS))))
+    IngestJob.start(spark, s"$root/log", s"$root/out", s"$root/ckpt",
+      logExpiredEntries = true).awaitTermination()
+    IngestJob.compact(spark, s"$root/out")
+    CtLog.writePages(s"$root/log", Seq(
+      CtLog.Entry(0L, ts0, "u", leaf1, Seq(ca1)),
+      CtLog.Entry(1L, ts0 + 1, "u", leafS, Seq(leafS)),
+      CtLog.Entry(2L, ts0 + 2, "u", leaf1, Seq(ca1)),      // dup post-compact
+      CtLog.Entry(3L, ts0 + 3, "u", leafS2, Seq(leafS2)))) // new
+    IngestJob.start(spark, s"$root/log", s"$root/out", s"$root/ckpt",
+      logExpiredEntries = true).awaitTermination()
+    val certs = spark.read.parquet(s"$root/out/certs")
+    assert(certs.count() == 3L, "2 pre-compact + 1 new, dup suppressed")
+    assert(certs.select(col("serial_id")).distinct().count() == 3L)
+    assert(graft.queries.Statistics.issuerDim(spark, s"$root/out").count() == 3L)
+  }
+
   test("recoverCompaction rolls a half-completed swap forward") {
     import spark.implicits._
     val root = Files.createTempDirectory("recover").toString
