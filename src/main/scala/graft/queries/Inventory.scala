@@ -357,6 +357,54 @@ object Inventory {
            |  FROM orders) WHERE rn <= 3
            |ORDER BY o_custkey, rn""".stripMargin))
 
+  /** Sessionization over event time: a session breaks where the gap
+    * from the previous event exceeds 30 minutes (gaps-and-islands —
+    * lag → gap flag → running sum as session id → group). The same
+    * formulation runs in DuckDB for the oracle; equivalence with
+    * Spark's native `session_window` is pinned by ScalaTest
+    * (InventorySpec). Not in the reference (its only time bucketing is
+    * J1's fixed buckets); declared because event sessionization is a
+    * standard training-data-pipeline shape over the events table. */
+  val qWindowSession = QuerySpec(
+    "q_window_session",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapMs = 30L * 60 * 1000
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+      val sessions = ev
+        .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev").isNull || col("ts_us") - col("prev") > gapMs * 1000, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum(col("brk")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions.groupBy(col("user_id"), col("session_no"))
+        .agg(min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_no"))
+    },
+    Some("""SELECT user_id, session_no,
+           |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+           |  count(*) AS n_events
+           |FROM (
+           |  SELECT user_id, ts_us,
+           |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+           |  FROM (
+           |    SELECT user_id, ts_us,
+           |      CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1
+           |           ELSE 0 END AS brk
+           |    FROM (
+           |      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           |        lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+           |          PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))) AS prev
+           |      FROM events) a) b) c
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   /** J1 tumbling 1-hour buckets on event time (day/hour expiration
     * buckets, types.go:339-365). */
   val qWindowBucket = QuerySpec(
@@ -498,7 +546,7 @@ object Inventory {
     qScanProject, qPointLookup, qPartitionPrune, qFilterPred, qPrefixFilter,
     qUrlFilter, qScalarHash, qStringFuncs, qTimeFuncs, qDedupDistinct,
     qFirstSeen, qGroupbyCount, qCountDistinct, qApproxDistinct, qRollup,
-    qCollectSet, qSortLimit, qWindowRank, qWindowBucket, qJoinInner,
+    qCollectSet, qSortLimit, qWindowRank, qWindowSession, qWindowBucket, qJoinInner,
     qBroadcastJoin, qOuterJoin, qSemiJoin, qAntiJoin, qUnion, qExcept,
     qIntersect)
 }

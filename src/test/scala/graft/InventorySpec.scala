@@ -19,6 +19,46 @@ class InventorySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("q_window_session's gaps-and-islands equals native session_window") {
+    import spark.implicits._
+    // fixture with known sessions: user 1 has two (gap 45m), user 2 one
+    val m = 60L * 1000 * 1000 // a minute in micros
+    val ev = Seq(
+      (1L, 0L * m), (1L, 10L * m), (1L, 20L * m),       // session A: 3 events
+      (1L, 65L * m), (1L, 70L * m),                     // session B: 2 events
+      (2L, 5L * m))                                     // session C: 1 event
+      .toDF("user_id", "ts_us")
+    val native = ev
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+      .collect().toSeq
+    // the declared query's manual formulation over the same rows
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val manual = ev
+      .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("ts_us") - col("prev") > 30L * m, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+      .collect().toSeq
+    assert(native == manual, s"native $native vs manual $manual")
+    assert(manual.map(_.getLong(3)).toSeq == Seq(3L, 2L, 1L))
+  }
+
   for (spec <- SparkEntry.specs) {
     test(s"${spec.name} runs at sf0.001 and is deterministic") {
       val df1 = spec.fn(spark, sf0001)
