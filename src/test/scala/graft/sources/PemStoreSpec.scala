@@ -1,0 +1,65 @@
+package graft.sources
+
+import graft.{SparkSpec, TestCerts}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Legacy-store import: a reference-layout PEM tree
+  * (`<root>/<expDate>/<issuerID>/<serial>`, localdiskbackend.go:194-199)
+  * lands in the engine's partitioned layout with dedup and a working
+  * issuer dimension. */
+class PemStoreSpec extends SparkSpec {
+
+  private def pemOf(s: String): String = s.stripMargin
+
+  lazy val legacyRoot: String = {
+    val root = Files.createTempDirectory("legacy").toString
+    // layout keys as the reference writes them: day-resolution expDate
+    // dir, issuer-id dir, serial-id file name
+    def put(expDate: String, issuer: String, serial: String, pem: String): Unit = {
+      val dir = Paths.get(root, expDate, issuer)
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve(serial), pem)
+    }
+    // kLeadingZeroes: notAfter 2020-02-05, serial id AKo=
+    put("2020-02-05", "issuerA", "AKo=", TestCerts.kLeadingZeroes)
+    put("2020-02-05", "issuerA", "AKo=_dup", TestCerts.kLeadingZeroes) // dup append
+    put("2046-08-07", "issuerB", "JOlSbGjLf2rKREtCczv_fPBUNK4=", TestCerts.kSyntheticLeaf)
+    // reference side files that must be skipped
+    Files.createDirectories(Paths.get(root, "state"))
+    Files.writeString(Paths.get(root, "state", "bG9n"), "{}")
+    Files.writeString(Paths.get(root, "2020-02-05", "dirty"), "")
+    root
+  }
+
+  test("importLegacyStore lands the reference layout in the engine layout") {
+    val out = Files.createTempDirectory("imported").toString
+    val counts = PemStore.importLegacyStore(spark, legacyRoot, out)
+    assert(counts("files") == 3L, counts.toString)   // 2 certs + 1 dup; state/dirty skipped
+    assert(counts("stored") == 2L, "duplicate appends dedup on the triple key")
+    val certs = spark.read.parquet(s"$out/certs")
+    assert(certs.count() == 2L)
+    val lz = certs.filter(col("serial_id") === "AKo=").collect()(0)
+    assert(lz.getAs[String]("issuer_id") == "issuerA", "issuer identity from the path")
+    assert(lz.getAs[String]("exp_date").startsWith("2020-02-05"))
+    assert(lz.getAs[String]("pem").contains("BEGIN CERTIFICATE"))
+    // the issuer dimension works over the imported store
+    val dim = graft.queries.Statistics.issuerDim(spark, out).collect()
+    assert(dim.map(_.getString(0)).toSet == Set("issuerA", "issuerB"))
+    // and the statistics report runs end-to-end
+    val grand = graft.queries.Statistics.report(spark, out).collect()
+      .filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.head.getLong(2) == 2L)
+  }
+
+  test("path/content mismatches are counted, not silently imported") {
+    val root = Files.createTempDirectory("legacybad").toString
+    val dir = Paths.get(root, "1999-01-01", "issuerX")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("WRONG"), TestCerts.kLeadingZeroes)
+    val out = Files.createTempDirectory("importedbad").toString
+    val counts = PemStore.importLegacyStore(spark, root, out)
+    assert(counts("path_mismatches") == 1L, counts.toString)
+    assert(counts("stored") == 1L, "still imported under the re-derived key")
+  }
+}
