@@ -77,12 +77,16 @@ object IngestJob {
           u => u.rlike("^https?://")))
   }
 
-  /** Hour-bucket end in epoch ms for a `yyyy-MM-dd-HH` exp_date id —
-    * the state TTL instant (E2). */
-  def expDateEndMs(expDateId: String): Long = {
+  /** The state TTL instant (E2) for a `yyyy-MM-dd-HH` exp_date id: the
+    * bucket START, not its end — the reference's `ExpireTime()` returns
+    * the hour-truncated date itself (types.go:371-373), so the dedup
+    * set for certs expiring within an hour is dropped when that hour
+    * BEGINS (pinned by its own Test_ExpireAt: notAfter 04:22:19 →
+    * expiry exactly 04:00:00, knowncertificates_test.go:85-110). */
+  def expDateExpireMs(expDateId: String): Long = {
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH")
     java.time.LocalDateTime.parse(expDateId, fmt)
-      .plusHours(1).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
   }
 
   /** Run the streaming ingest from one (simulated) CT log directory. */
@@ -133,7 +137,7 @@ object IngestJob {
     val deduped = StatefulDedup.firstSeen[DedupKey, CertRowWithTs](
       entries,
       r => DedupKey(r.exp_date, r.issuer_id, r.serial_id),
-      k => expDateEndMs(k.exp_date))                              // E1+E2
+      k => expDateExpireMs(k.exp_date))                           // E1+E2
     deduped.writeStream
       .option("checkpointLocation", checkpoint)                   // J2/B3
       .foreachBatch { (batch: Dataset[CertRowWithTs], batchId: Long) =>

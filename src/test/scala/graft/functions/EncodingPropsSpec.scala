@@ -96,8 +96,10 @@ class EncodingPropsSpec extends SparkSpec {
       "bucket must not be expired at its last good millisecond")
     assert(df.filter(!col("exp_at_end")).count() == 0L,
       "bucket must be expired exactly at bucket end")
-    // the streaming TTL instant agrees with the column semantics
+    // the streaming TTL instant is the bucket START (ExpireTime()
+    // returns e.date, types.go:371-373) — one hour before bucket end
     val ends = df.select(col("hour_id"), col("end_ms")).distinct().collect()
-    ends.foreach(r => assert(IngestJob.expDateEndMs(r.getString(0)) == r.getLong(1)))
+    ends.foreach(r => assert(
+      IngestJob.expDateExpireMs(r.getString(0)) == r.getLong(1) - 3600000L))
   }
 }

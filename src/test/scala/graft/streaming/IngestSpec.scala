@@ -297,8 +297,10 @@ class IngestSpec extends SparkSpec {
       s"expired key's state must be evicted, not retained forever: $totals")
   }
 
-  test("expDateEndMs is the hour-bucket end (E2 TTL instant)") {
-    assert(IngestJob.expDateEndMs("2004-01-20-04") ==
-      java.time.Instant.parse("2004-01-20T05:00:00Z").toEpochMilli)
+  test("E2 TTL instant is the bucket START (knowncertificates_test.go:85-110)") {
+    // reference golden: cert with notAfter 2004-01-20 04:22:19 buckets
+    // to 2004-01-20-04 and its dedup state expires at exactly 04:00:00Z
+    assert(IngestJob.expDateExpireMs("2004-01-20-04") ==
+      java.time.Instant.parse("2004-01-20T04:00:00Z").toEpochMilli)
   }
 }
