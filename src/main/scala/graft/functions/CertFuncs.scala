@@ -227,6 +227,14 @@ object CertFuncs {
     t > bucketStart + expr(endExpr) - expr("INTERVAL 1 MILLISECOND")
   }
 
+  /** C5: CRL distribution-point keep-list — trim whitespace, keep only
+    * http/https, silently drop ldap/ldaps/unknown schemes
+    * (issuermetadata.go:48-73; conformance cases
+    * issuermetadata_test.go:16-60 incl. `http://::1/file.crl` with
+    * padding whitespace). */
+  def filterCrlDps(dps: Column): Column =
+    filter(transform(dps, u => trim(u)), u => u.rlike("^https?://"))
+
   /** D8: composite keys (types.go:273-331). Strict-arity parse returns
     * null structs for malformed keys, mirroring the reference's parse
     * errors. */

@@ -54,8 +54,7 @@ object PemStore {
         col("cert.not_after").as("not_after"),
         col("cert.issuer_cn").as("issuer_cn"),
         col("cert.issuer_dn").as("issuer_dn"),
-        filter(transform(col("cert.crl_dps"), u => trim(u)),
-          u => u.rlike("^https?://")).as("crl_dps"),
+        CertFuncs.filterCrlDps(col("cert.crl_dps")).as("crl_dps"),
         col("pem"),
         col("path_exp_date"), col("path_serial"))
 

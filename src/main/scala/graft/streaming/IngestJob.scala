@@ -72,9 +72,7 @@ object IngestJob {
       .withColumn("pem", CertFuncs.derToPem(col("der")))          // D7
       // C5: keep only trimmed http/https CRL distribution points
       // (ldap/ldaps silently dropped, issuermetadata.go:48-73)
-      .withColumn("crl_dps",
-        filter(transform(col("cert.crl_dps"), u => trim(u)),
-          u => u.rlike("^https?://")))
+      .withColumn("crl_dps", CertFuncs.filterCrlDps(col("cert.crl_dps")))
   }
 
   /** The state TTL instant (E2) for a `yyyy-MM-dd-HH` exp_date id: the
@@ -319,14 +317,19 @@ object IngestJob {
     }
   }
 
-  /** B4: sorted serial-list export — newline-delimited serial IDs, one
-    * directory per (expDate, issuer) partition (the reference writes
-    * one hex-serial file per issuer, localdiskbackend.go:212-237).
-    * One shuffle keyed on the partition columns; each writer task emits
-    * its partitions' files already sorted. */
+  /** B4: sorted serial-list export — newline-delimited lowercase HEX
+    * serials, one directory per (expDate, issuer) partition. The
+    * reference writes `serial.HexString() + "\n"` per serial
+    * (localdiskbackend.go:212-237; golden: serials 01,02,03 → bytes
+    * `30310A30320A30330A`, localdiskbackend_test.go:60-85) — the
+    * stored base64url id is decoded back to raw bytes for the hex
+    * view. One shuffle keyed on the partition columns; each writer
+    * task emits its partitions' files already sorted (hex sorts like
+    * the raw bytes, the reference's byte-wise SerialList order, G1). */
   def exportSerialLists(spark: SparkSession, certRoot: String, outDir: String): Unit =
     spark.read.parquet(s"$certRoot/certs")
-      .select(col("exp_date"), col("issuer_id"), col("serial_id").as("value"))
+      .select(col("exp_date"), col("issuer_id"),
+        lower(hex(unbase64(translate(col("serial_id"), "-_", "+/")))).as("value"))
       .repartition(col("exp_date"), col("issuer_id"))
       .sortWithinPartitions(col("exp_date"), col("issuer_id"), col("value"))
       .write.mode("overwrite")

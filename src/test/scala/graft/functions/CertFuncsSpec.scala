@@ -99,6 +99,18 @@ class CertFuncsSpec extends SparkSpec {
     assert(cmp.filter(not(col("a") <=> col("b"))).count() == 0L)
   }
 
+  test("CRL DP filter: schemes + whitespace (issuermetadata_test.go:16-60)") {
+    val got = Seq(Tuple1(Seq(
+      "ldaps://ldap.example/cn=crl",     // dropped silently
+      "gopher://odd.example/crl",        // unknown scheme dropped
+      "  http://::1/file.crl ",          // kept, trimmed
+      "https://ok.example/c.crl",        // kept
+      "ldap://ldap.example/x")))         // dropped
+      .toDF("dps")
+      .select(CertFuncs.filterCrlDps(col("dps"))).collect()(0).getSeq[String](0)
+    assert(got == Seq("http://::1/file.crl", "https://ok.example/c.crl"), got)
+  }
+
   test("malformed DER parses to null, not an exception (C7)") {
     val n = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("der")
       .select(CertFuncs.parse_cert(col("der")).as("c"))

@@ -173,25 +173,34 @@ class ObservabilitySpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/certs").count() == 6L)
   }
 
-  test("exportSerialLists writes sorted per-(expDate, issuer) text files (B4)") {
+  test("exportSerialLists writes sorted hex serial files (B4 golden)") {
     import spark.implicits._
     val root = Files.createTempDirectory("export").toString
+    // serial ids are base64url of the raw serial bytes; the reference
+    // golden uses raw serials 0x01, 0x02, 0x03 out of order
+    def id(b: Array[Byte]) = java.util.Base64.getUrlEncoder.encodeToString(b)
     Seq(
-      ("2030-01-01-00", "issuerA", "s3"),
-      ("2030-01-01-00", "issuerA", "s1"),
-      ("2030-01-01-00", "issuerA", "s2"),
-      ("2030-01-01-00", "issuerB", "z9"),
-      ("2030-01-02-00", "issuerA", "s9"))
+      ("2030-01-01-00", "issuerA", id(Array(3.toByte))),
+      ("2030-01-01-00", "issuerA", id(Array(1.toByte))),
+      ("2030-01-01-00", "issuerA", id(Array(2.toByte))),
+      ("2030-01-01-00", "issuerB", id(Array(0.toByte, 0xAA.toByte))),
+      ("2030-01-02-00", "issuerA", id(Array(9.toByte))))
       .toDF("exp_date", "issuer_id", "serial_id")
       .write.partitionBy("exp_date", "issuer_id").parquet(s"$root/certs")
 
     IngestJob.exportSerialLists(spark, root, s"$root/serials")
 
+    // the reference's file-byte golden: "01\n02\n03\n" = 30310A30320A30330A
+    // (localdiskbackend_test.go:60-85)
+    val dirA = new java.io.File(s"$root/serials/exp_date=2030-01-01-00/issuer_id=issuerA")
+    val partFile = dirA.listFiles.filter(_.getName.startsWith("part-")).head
+    val bytes = java.nio.file.Files.readAllBytes(partFile.toPath)
+    assert(bytes.map("%02X".format(_)).mkString == "30310A30320A30330A",
+      s"file bytes must match the reference golden: ${new String(bytes)}")
     def readDir(p: String): Seq[String] =
       spark.read.text(p).collect().map(_.getString(0)).toSeq
-    assert(readDir(s"$root/serials/exp_date=2030-01-01-00/issuer_id=issuerA")
-      == Seq("s1", "s2", "s3"), "serials must come out sorted")
-    assert(readDir(s"$root/serials/exp_date=2030-01-01-00/issuer_id=issuerB") == Seq("z9"))
-    assert(readDir(s"$root/serials/exp_date=2030-01-02-00/issuer_id=issuerA") == Seq("s9"))
+    assert(readDir(s"$root/serials/exp_date=2030-01-01-00/issuer_id=issuerB") == Seq("00aa"),
+      "leading-zero serials keep their zero byte in hex")
+    assert(readDir(s"$root/serials/exp_date=2030-01-02-00/issuer_id=issuerA") == Seq("09"))
   }
 }
