@@ -145,14 +145,18 @@ object Multimodal {
   /** The full decode → frame-sample pipeline over real binary payloads
     * (documents.text as blobs). Rows-only: the decode is the stubbed
     * codec, whose determinism MultimodalSpec pins; the declared query
-    * exercises the Spark plumbing end-to-end at driver scale. */
+    * exercises the Spark plumbing end-to-end at driver scale. The
+    * sampled-frame list is serialized to a comma-joined string so the
+    * driver harness (pandas sort over result columns) can hash it —
+    * array cells are unhashable there. */
   val qMultimodalDecode = QuerySpec(
     "q_llm_mm_decode",
     (s, d) => {
       implicit val sp: SparkSession = s
       val media = toMedia(Tables.load(s, d, "documents"), "doc_id", "text", "image/x-stub")
       decodeStub(media)
-        .withColumn("sampled_frames", sampleFrameIdx(col("n_frames"), 4))
+        .withColumn("sampled_frames",
+          array_join(transform(sampleFrameIdx(col("n_frames"), 4), _.cast("string")), ","))
         .select(col("media_id"), col("width"), col("height"),
           col("n_frames"), col("ok"), col("sampled_frames"))
         .orderBy(col("media_id"))

@@ -60,9 +60,12 @@ object PemStore {
 
   /** Import a legacy store into `certRoot` (the engine layout): dedup
     * on the triple key (legacy stores written by a crashed reference
-    * can hold duplicate appends), write partitioned, and upsert the
-    * issuer dimension exactly like the streaming sink. Returns
-    * per-check import counts. */
+    * can hold duplicate appends), skip rows the target already holds
+    * (issuer ids are the same SPKI digests in both layouts, so an
+    * import into a non-empty store would otherwise create triple-key
+    * duplicates), write partitioned, and upsert the issuer dimension
+    * exactly like the streaming sink. Returns per-check import
+    * counts, including how many rows the target already had. */
   def importLegacyStore(spark: SparkSession, legacyRoot: String,
       certRoot: String): Map[String, Long] = {
     val parsed = parseLegacy(readLegacyStore(spark, legacyRoot))
@@ -73,9 +76,19 @@ object PemStore {
     val keyMismatch = parsed.filter(
       !col("path_exp_date").startsWith(substring(col("exp_date"), 1, 10)) ||
         col("path_serial") =!= col("serial_id")).count()
-    val rows = parsed
+    val deduped = parsed
       .dropDuplicates("exp_date", "issuer_id", "serial_id")
       .drop("path_exp_date", "path_serial")
+    val certsPath = new org.apache.hadoop.fs.Path(s"$certRoot/certs")
+    val targetExists = certsPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(certsPath)
+    val rows =
+      if (!targetExists) deduped
+      else deduped.join(
+        spark.read.parquet(certsPath.toString)
+          .select(col("exp_date"), col("issuer_id"), col("serial_id")),
+        Seq("exp_date", "issuer_id", "serial_id"), "left_anti")
+    val candidates = deduped.count()
     val stored = rows.count()
     rows.write.mode("append")
       .partitionBy("exp_date", "issuer_id")
@@ -88,6 +101,7 @@ object PemStore {
       .withColumn("batch_id", lit(-1L))
       .write.mode("append").parquet(s"$certRoot/issuer_batches")
     parsed.unpersist()
-    Map("files" -> total, "stored" -> stored, "path_mismatches" -> keyMismatch)
+    Map("files" -> total, "stored" -> stored,
+      "already_present" -> (candidates - stored), "path_mismatches" -> keyMismatch)
   }
 }

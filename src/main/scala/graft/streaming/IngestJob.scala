@@ -105,7 +105,19 @@ object IngestJob {
     * filesystemdatabase.go:179-182), and a cert appearing in two logs
     * must still be stored exactly once. One query also means one
     * checkpoint carrying every source's offsets (the reference keeps
-    * one `log::<url>` state blob per log in the same store). */
+    * one `log::<url>` state blob per log in the same store).
+    *
+    * Checkpoint contract: Spark's offset log keys each unioned source
+    * by POSITION, not by path — so the log list is (a) canonicalized
+    * (dedup + sort) before the union, making the caller's argument
+    * order irrelevant, and (b) persisted as a manifest next to the
+    * checkpoint and checked on every start. Adding, removing, or
+    * renaming a log after a checkpoint exists fails fast instead of
+    * silently replaying log A's offsets against log B (the reference
+    * keys state by `log::<url>` and tolerates list edits,
+    * rediscache.go:180-191 — here an edited list requires a FRESH
+    * checkpoint, or per-log recovery via `startEntry` from the stored
+    * `max(entry_id)`). */
   def startAll(spark: SparkSession, logDirs: Seq[String], certRoot: String,
       checkpoint: String, maxEntriesPerTrigger: Long = 16384,
       logExpiredEntries: Boolean = true, issuerCNFilter: Seq[String] = Nil,
@@ -114,7 +126,8 @@ object IngestJob {
       startEntry: Long = 0L, limitEntries: Option[Long] = None): StreamingQuery = {
     import spark.implicits._
     require(logDirs.nonEmpty, "at least one log directory")
-    val raw = logDirs.map { logDir =>
+    val orderedDirs = checkLogManifest(spark, logDirs, checkpoint)
+    val raw = orderedDirs.map { logDir =>
       val rawReader = spark.readStream
         .format("graft.streaming.CtLogSource")
         .option("path", logDir)
@@ -163,6 +176,37 @@ object IngestJob {
       .trigger(if (runForever) Trigger.ProcessingTime(pollInterval)   // J3 daemon
       else Trigger.AvailableNow())                                    // J3 catch-up
       .start()
+  }
+
+  /** Canonicalize the log list (dedup + sort) and pin it to the
+    * checkpoint: the first start writes `<checkpoint>/_graft_log_list`;
+    * every later start re-reads it and refuses to run if the list
+    * changed, because the unioned sources' offsets are stored by
+    * position and would be misapplied across logs. Returns the
+    * canonical ordering to build the union with. */
+  private[streaming] def checkLogManifest(spark: SparkSession,
+      logDirs: Seq[String], checkpoint: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val ordered = logDirs.distinct.sorted
+    val manifest = new Path(checkpoint, "_graft_log_list")
+    val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList.filter(_.nonEmpty) finally in.close()
+      if (stored != ordered)
+        throw new IllegalStateException(
+          s"log list changed under checkpoint $checkpoint: offsets are stored per " +
+          s"source position, so resuming with a different list would apply one " +
+          s"log's offsets to another. Stored=${stored.mkString(",")} " +
+          s"requested=${ordered.mkString(",")}. Start a fresh checkpoint (optionally " +
+          s"seeding startEntry from max(entry_id) per log in the cert store).")
+    } else {
+      val out = fs.create(manifest, true)
+      try out.write((ordered.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    ordered
   }
 
   case class CertRowWithTs(
@@ -228,8 +272,17 @@ object IngestJob {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(spark, certRoot)
     fs.delete(staged, true)
+    // Restore the triple-key uniqueness invariant the statistics report
+    // counts on: the streaming first-seen gate can re-admit a duplicate
+    // after its state evicts at the bucket START (E2) — or any dup of an
+    // already-expired cert with logExpiredEntries=true — and a parquet
+    // append is not idempotent the way the reference's per-path file
+    // store is (localdiskbackend.go:194-199). The dedup rides the same
+    // shuffle as the repartition: hash partitioning on (exp_date,
+    // issuer_id) already clusters the triple key, so no extra exchange.
     spark.read.parquet(live.toString)
       .repartition(col("exp_date"), col("issuer_id"))
+      .dropDuplicates("exp_date", "issuer_id", "serial_id")
       .write.mode("overwrite")
       .partitionBy("exp_date", "issuer_id")
       .parquet(staged.toString)
@@ -331,6 +384,9 @@ object IngestJob {
       .select(col("exp_date"), col("issuer_id"),
         lower(hex(unbase64(translate(col("serial_id"), "-_", "+/")))).as("value"))
       .repartition(col("exp_date"), col("issuer_id"))
+      // distinct guards against triple-key dups an uncompacted store may
+      // hold (see compact()); clustered by the repartition, no 2nd shuffle
+      .distinct()
       .sortWithinPartitions(col("exp_date"), col("issuer_id"), col("value"))
       .write.mode("overwrite")
       .partitionBy("exp_date", "issuer_id")

@@ -9,15 +9,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * The reference gates every store on `WasUnknown(serial)`
   * (knowncertificates.go:38-55): true exactly once per
   * (expDate, issuer, serial), and the Redis dedup set is told to
-  * expire exactly when the certificate bucket itself expires
-  * (`ExpireAt(bucket end)`, knowncertificates.go:98-104) — state
+  * expire at the key's own expiration bucket START — `ExpireAt`
+  * passes `ExpDate.ExpireTime()`, the hour-truncated bucket time
+  * itself (knowncertificates.go:98-104, types.go:371-373; pinned by
+  * Test_ExpireAt: notAfter 04:22:19 → expiry 04:00:00) — state
   * eviction keyed to FUTURE event-domain time, not arrival time. A
   * plain watermark can't express "evict when the key's own expiry
   * passes", so this uses flatMapGroupsWithState with
   * EventTimeTimeout: the timeout timestamp for each key is its own
-  * `exp_date` bucket end; once the watermark passes that, the state
-  * is dropped — after which the cert is expired anyway and the
-  * expiry filter (C2) drops late duplicates upstream.
+  * `exp_date` bucket start; once the watermark passes that, the
+  * state is dropped.
+  *
+  * Known window (inherited from the reference): during the key's
+  * FINAL HOUR — between the bucket start, when state evicts, and
+  * `not_after`, when the expiry filter (C2) starts dropping the cert
+  * — a late duplicate is neither state-suppressed nor C2-filtered
+  * and is re-admitted. Downstream maintenance restores the
+  * triple-key uniqueness invariant (IngestJob.compact dedups on the
+  * triple key), matching the reference, whose per-path file store
+  * makes the re-admitted write idempotent.
   */
 object StatefulDedup {
 

@@ -52,6 +52,18 @@ class PemStoreSpec extends SparkSpec {
     assert(grand.head.getLong(2) == 2L)
   }
 
+  test("importing into a non-empty certRoot skips rows already present") {
+    val out = Files.createTempDirectory("importedtwice").toString
+    PemStore.importLegacyStore(spark, legacyRoot, out)
+    // same SPKI-digest issuer ids in both layouts: a second import of
+    // the same store must not create triple-key duplicates
+    val counts = PemStore.importLegacyStore(spark, legacyRoot, out)
+    assert(counts("stored") == 0L, counts.toString)
+    assert(counts("already_present") == 2L, counts.toString)
+    val certs = spark.read.parquet(s"$out/certs")
+    assert(certs.count() == 2L, "re-import must be a no-op on the cert store")
+  }
+
   test("path/content mismatches are counted, not silently imported") {
     val root = Files.createTempDirectory("legacybad").toString
     val dir = Paths.get(root, "1999-01-01", "issuerX")

@@ -273,6 +273,30 @@ class IngestSpec extends SparkSpec {
     assert(certs.select(col("log_url")).distinct().count() >= 2L)
   }
 
+  test("log-list manifest: reorder is canonicalized, edits fail fast") {
+    // Spark's offset log keys unioned sources by POSITION; the manifest
+    // pins the canonical list so a resume can never apply log A's
+    // offsets to log B
+    val root = Files.createTempDirectory("manifest").toString
+    CtLog.writePages(s"$root/logA", Seq(entry(0L, ts0, "a", leaf1)))
+    CtLog.writePages(s"$root/logB", Seq(entry(0L, ts0 + 1, "b", leafS)))
+    CtLog.writePages(s"$root/logC", Seq(entry(0L, ts0 + 2, "c", leafS2)))
+    val q = IngestJob.startAll(spark, Seq(s"$root/logB", s"$root/logA"),
+      s"$root/out", s"$root/ckpt", logExpiredEntries = true)
+    q.awaitTermination()
+    // resuming with the same set in a different order is fine
+    val q2 = IngestJob.startAll(spark, Seq(s"$root/logA", s"$root/logB"),
+      s"$root/out", s"$root/ckpt", logExpiredEntries = true)
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$root/out/certs").count() == 2L)
+    // resuming with an edited list must refuse, not silently misapply
+    val err = intercept[IllegalStateException] {
+      IngestJob.startAll(spark, Seq(s"$root/logA", s"$root/logC"),
+        s"$root/out", s"$root/ckpt", logExpiredEntries = true)
+    }
+    assert(err.getMessage.contains("log list changed"))
+  }
+
   test("dedup state evicts when a key's own expiry bucket passes (E2 TTL)") {
     // leaf1 expires 2020-02-05 → its dedup state times out once the
     // watermark (event time − 1h) passes the bucket end; the synthetic

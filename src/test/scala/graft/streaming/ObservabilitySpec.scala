@@ -90,6 +90,27 @@ class ObservabilitySpec extends SparkSpec {
     assert(files() < nBefore, s"expected fewer files than $nBefore")
   }
 
+  test("compact restores triple-key uniqueness after duplicate appends") {
+    import spark.implicits._
+    // a late duplicate in the cert's final hour (post state-eviction,
+    // pre not_after) re-appends; parquet append is not idempotent the
+    // way the reference's per-path file store is — compact() must
+    // restore the invariant the statistics rollup counts on
+    val root = Files.createTempDirectory("compactdup").toString
+    val rows = Seq(
+      ("2030-01-01-00", "issuerA", "s1", "pem1"),
+      ("2030-01-01-00", "issuerA", "s2", "pem2"))
+      .toDF("exp_date", "issuer_id", "serial_id", "pem")
+    rows.write.partitionBy("exp_date", "issuer_id").mode("append").parquet(s"$root/certs")
+    rows.limit(1).write.partitionBy("exp_date", "issuer_id").mode("append").parquet(s"$root/certs")
+    assert(spark.read.parquet(s"$root/certs").count() == 3L)
+    IngestJob.compact(spark, root)
+    val after = spark.read.parquet(s"$root/certs")
+    assert(after.count() == 2L, "compact must drop triple-key duplicates")
+    assert(after.select(col("exp_date"), col("issuer_id"), col("serial_id"))
+      .distinct().count() == 2L)
+  }
+
   test("compactIssuerBatches folds per-batch upserts into one row per issuer") {
     import spark.implicits._
     val root = Files.createTempDirectory("issuercompact").toString
