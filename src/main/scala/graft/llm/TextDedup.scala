@@ -335,6 +335,42 @@ object TextDedup {
            |SELECT a AS doc_id, min(b) AS cluster_id
            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin))
 
+  /** The end-to-end dedup deliverable as a first-class query: the
+    * keep-list over the bounded Jaccard pairs — every unpaired doc plus
+    * one canonical survivor (min doc_id) per near-dup cluster. This is
+    * the query a pipeline actually materializes (the filtered corpus);
+    * clusters/pairs above are its diagnostics. */
+  val qKeepList = QuerySpec(
+    "q_llm_keep_list",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      dedupKeepList(docs, jaccardBlockPairs(docs))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE pairs AS (
+           |  SELECT a.doc_id AS ida, b.doc_id AS idb
+           |  FROM documents a JOIN documents b
+           |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |  WHERE a.doc_id < 200 AND b.doc_id < 200
+           |    AND len(list_intersect(list_distinct(string_split(a.text, ' ')),
+           |                           list_distinct(string_split(b.text, ' ')))) /
+           |        len(list_distinct(list_concat(string_split(a.text, ' '),
+           |                                      string_split(b.text, ' ')))) >= 0.5
+           |), edges AS (
+           |  SELECT ida AS a, idb AS b FROM pairs
+           |  UNION SELECT idb, ida FROM pairs
+           |), reach(a, b) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+           |), drop_ids AS (
+           |  SELECT a FROM reach GROUP BY a HAVING a <> min(b)
+           |)
+           |SELECT doc_id, source, lang FROM documents
+           |WHERE doc_id NOT IN (SELECT a FROM drop_ids)
+           |ORDER BY doc_id""".stripMargin))
+
   // ---- group-level similarity via the MinHash sketch aggregate -----------
 
   /** Per-group MinHash signatures (the MinHashAggExpr sketch): state per
@@ -377,5 +413,6 @@ object TextDedup {
     None)
 
   val all: Seq[QuerySpec] =
-    Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash, qSourceSim, qDedupClusters)
+    Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash, qSourceSim,
+      qDedupClusters, qKeepList)
 }

@@ -79,6 +79,18 @@ object CtLog {
     Entry(f(0).toLong, f(1).toLong, f(2), Base64.getDecoder.decode(f(3)), chain)
   }
 
+  /** The log_url a simulated log directory serves, read from its first
+    * page's first entry (every entry in a directory carries the same
+    * url, the shape ct-fetch keys its `log::<url>` state on). None for
+    * an empty/missing directory. */
+  def logUrlOf(dir: String): Option[String] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return None
+    listPages(d).headOption.flatMap { case (_, p) =>
+      Files.readAllLines(p).asScala.find(_.nonEmpty).map(parseLine(_).logUrl)
+    }
+  }
+
   /** STH: one past the max entry id present (tree size). */
   def treeSize(dir: String): Long = {
     val d = Paths.get(dir)

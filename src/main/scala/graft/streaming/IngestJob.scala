@@ -123,7 +123,8 @@ object IngestJob {
       logExpiredEntries: Boolean = true, issuerCNFilter: Seq[String] = Nil,
       asOf: Option[java.sql.Timestamp] = None,
       runForever: Boolean = false, pollInterval: String = "10 minutes",
-      startEntry: Long = 0L, limitEntries: Option[Long] = None): StreamingQuery = {
+      startEntry: Long = 0L, limitEntries: Option[Long] = None,
+      startEntries: Map[String, Long] = Map.empty): StreamingQuery = {
     import spark.implicits._
     require(logDirs.nonEmpty, "at least one log directory")
     val orderedDirs = checkLogManifest(spark, logDirs, checkpoint)
@@ -132,7 +133,7 @@ object IngestJob {
         .format("graft.streaming.CtLogSource")
         .option("path", logDir)
         .option("maxEntriesPerTrigger", maxEntriesPerTrigger)     // J4
-        .option("startEntry", startEntry)                         // G3 --offset
+        .option("startEntry", startEntries.getOrElse(logDir, startEntry)) // G3 --offset
       limitEntries.fold(rawReader)(l =>
         rawReader.option("limitEntries", l)).load()               // G3 --limit
     }.reduce(_.unionByName(_))
@@ -176,6 +177,34 @@ object IngestJob {
       .trigger(if (runForever) Trigger.ProcessingTime(pollInterval)   // J3 daemon
       else Trigger.AvailableNow())                                    // J3 catch-up
       .start()
+  }
+
+  /** Per-log resume points recovered from the CERT STORE rather than a
+    * checkpoint: for each log dir, `max(entry_id) + 1` over the rows
+    * that log contributed (keyed by the log_url its pages carry — the
+    * reference's `log::<url>` state key), 0 for a log with no stored
+    * rows. This is the recovery path when the log list must change
+    * under an existing checkpoint (see [[checkLogManifest]]): start a
+    * FRESH checkpoint and pass the returned map as `startEntries` so
+    * no log re-reads what it already stored. One scan of the
+    * `(log_url, entry_id)` columns — parquet reads nothing else.
+    *
+    * The rebuilt dedup state starts empty, so a cert stored below some
+    * OTHER log's resume point can be re-admitted once from the resumed
+    * range (at-least-once across the recovery boundary, the
+    * reference's own "gentle collision" stance) — compact() restores
+    * triple-key uniqueness. */
+  def recoveredStartEntries(spark: SparkSession, certRoot: String,
+      logDirs: Seq[String]): Map[String, Long] = {
+    val certsPath = new org.apache.hadoop.fs.Path(s"$certRoot/certs")
+    val fs = certsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(certsPath)) return logDirs.map(_ -> 0L).toMap
+    val maxByUrl = spark.read.parquet(certsPath.toString)
+      .groupBy(col("log_url")).agg(max(col("entry_id")).as("max_entry"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    logDirs.map { dir =>
+      dir -> CtLog.logUrlOf(dir).flatMap(maxByUrl.get).map(_ + 1L).getOrElse(0L)
+    }.toMap
   }
 
   /** Canonicalize the log list (dedup + sort) and pin it to the

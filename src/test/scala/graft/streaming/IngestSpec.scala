@@ -297,6 +297,36 @@ class IngestSpec extends SparkSpec {
     assert(err.getMessage.contains("log list changed"))
   }
 
+  test("recoveredStartEntries resumes each log from its stored max(entry_id)") {
+    // the recovery path for an edited log list: fresh checkpoint,
+    // per-log start positions recovered from the cert store itself
+    val root = Files.createTempDirectory("recover").toString
+    CtLog.writePages(s"$root/logA", Seq(
+      entry(0L, ts0, "log-a.example.com/2025", leaf1),
+      entry(1L, ts0 + 1, "log-a.example.com/2025", leafS)))
+    val q = IngestJob.startAll(spark, Seq(s"$root/logA"),
+      s"$root/out", s"$root/ckpt1", logExpiredEntries = true)
+    q.awaitTermination()
+    // the log list grows (logB appears) → manifest refuses the old
+    // checkpoint; recovery computes per-log resume points instead
+    CtLog.writePages(s"$root/logB", Seq(
+      entry(0L, ts0 + 2, "log-b.example.com/2025", leafS2)))
+    val starts = IngestJob.recoveredStartEntries(spark, s"$root/out",
+      Seq(s"$root/logA", s"$root/logB"))
+    assert(starts(s"$root/logA") == 2L, s"resume past stored entries: $starts")
+    assert(starts(s"$root/logB") == 0L, s"new log starts from 0: $starts")
+    // fresh checkpoint + recovered starts: logA re-reads nothing, logB
+    // ingests from scratch
+    val q2 = IngestJob.startAll(spark, Seq(s"$root/logA", s"$root/logB"),
+      s"$root/out", s"$root/ckpt2", logExpiredEntries = true,
+      startEntries = starts)
+    q2.awaitTermination()
+    val certs = spark.read.parquet(s"$root/out/certs")
+    assert(certs.count() == 3L, "no re-ingest of logA's stored range")
+    assert(certs.filter(col("entry_id") === 0L &&
+      col("log_url") === "log-a.example.com/2025").count() == 1L)
+  }
+
   test("dedup state evicts when a key's own expiry bucket passes (E2 TTL)") {
     // leaf1 expires 2020-02-05 → its dedup state times out once the
     // watermark (event time − 1h) passes the bucket end; the synthetic
