@@ -120,5 +120,100 @@ object Curation {
             |  CAST(len(regexp_extract_all(text, '$longNumRe', 0)) AS BIGINT) AS n_long_nums
             |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(qSample, qSplit, qParaDedup, qRedact)
+  /** CROSS-corpus line dedup (the C4/CCNet boilerplate scrub): a line
+    * appearing in many documents is kept only in the lowest-doc_id
+    * owner and dropped everywhere else; each document is reassembled
+    * from its surviving lines in original order.
+    *
+    * Scale shape: ONE shuffle keyed on the line (hashed to a long with
+    * xxhash64 when `hashKey` — raw line strings never cross the wire),
+    * a min-aggregate to elect the owner, a join back, and a per-doc
+    * aggregate that rides the same doc_id clustering. The line table is
+    * the exploded corpus — the op that makes 100 TB feasible is
+    * shuffling 8-byte hashes instead of line text. */
+  def lineDedup(docs: DataFrame, sep: String = ". ",
+      hashKey: Boolean = true): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("col", "line")
+      .withColumn("line_key",
+        if (hashKey) xxhash64(col("line")) else col("line"))
+    val owner = lines.groupBy(col("line_key"))
+      .agg(min(col("doc_id")).as("keep_doc"))
+    lines.join(owner, "line_key")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("keep_doc") === col("doc_id"), 1L).otherwise(0L))
+          .cast("long").as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(   // nulls (dropped lines) never collect
+              when(col("keep_doc") === col("doc_id"),
+                struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          sep).as("cleaned"))
+  }
+
+  val qLineDedup = QuerySpec(
+    "q_llm_line_dedup",
+    (s, d) =>
+      lineDedup(Tables.load(s, d, "documents")).orderBy(col("doc_id")),
+    Some("""WITH lines AS (
+           |  SELECT doc_id, i,
+           |    list_extract(string_split(text, '. '), i) AS line
+           |  FROM documents,
+           |    LATERAL (SELECT unnest(generate_series(1,
+           |      len(string_split(text, '. ')))) AS i) t
+           |), owner AS (
+           |  SELECT line, min(doc_id) AS keep_doc FROM lines GROUP BY line
+           |)
+           |SELECT l.doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_lines,
+           |  CAST(sum(CASE WHEN o.keep_doc = l.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  coalesce(string_agg(CASE WHEN o.keep_doc = l.doc_id THEN l.line END,
+           |                      '. ' ORDER BY l.i), '') AS cleaned
+           |FROM lines l JOIN owner o ON l.line = o.line
+           |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin))
+
+  /** Token-budget sequence packing: assign documents to fixed-budget
+    * training sequences by running token count within each source
+    * stream, in deterministic doc_id order — the contiguous-chunking
+    * form of sample packing (greedy first-fit needs sequential state;
+    * contiguous packing is the distributed-friendly equivalent and is
+    * what data loaders that concatenate-then-split do anyway). One
+    * window shuffle per source partition; sources pack independently,
+    * so skew in one source never serializes the others. */
+  def packSequences(docs: DataFrame, budgetTokens: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("seq_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budgetTokens))
+      .withColumn("offset_in_seq",
+        (sum(col("n_tokens")).over(w) - col("n_tokens")) % budgetTokens)
+  }
+
+  val qPack = QuerySpec(
+    "q_llm_pack",
+    (s, d) =>
+      packSequences(Tables.load(s, d, "documents"))
+        .orderBy(col("source"), col("doc_id")),
+    Some("""SELECT doc_id, source,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |  CAST(floor((sum(len(string_split(text, ' ')))
+           |      OVER (PARTITION BY source ORDER BY doc_id
+           |            ROWS UNBOUNDED PRECEDING)
+           |    - len(string_split(text, ' '))) / 512) AS BIGINT) AS seq_id,
+           |  CAST((sum(len(string_split(text, ' ')))
+           |      OVER (PARTITION BY source ORDER BY doc_id
+           |            ROWS UNBOUNDED PRECEDING)
+           |    - len(string_split(text, ' '))) % 512 AS BIGINT) AS offset_in_seq
+           |FROM documents ORDER BY source, doc_id""".stripMargin))
+
+  val all: Seq[QuerySpec] =
+    Seq(qSample, qSplit, qParaDedup, qRedact, qLineDedup, qPack)
 }

@@ -48,6 +48,39 @@ class CurationSpec extends SparkSpec {
     assert(out == "x y. a b. c d", out)
   }
 
+  test("lineDedup keeps a shared line only in its lowest-doc_id owner") {
+    val docs = Seq(
+      (1L, "unique one. SHARED FOOTER. unique two"),
+      (2L, "other text. SHARED FOOTER"),
+      (3L, "SHARED FOOTER"))
+      .toDF("doc_id", "text")
+    val out = Curation.lineDedup(docs).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 3L, 3L, "unique one. SHARED FOOTER. unique two")))
+    assert(out(1) == ((2L, 2L, 1L, "other text")))
+    assert(out(2) == ((3L, 1L, 0L, "")), "all lines dropped -> empty doc")
+    // hashed and raw line keys agree (the scale path shuffles longs)
+    val raw = Curation.lineDedup(docs, hashKey = false)
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    assert(out.map(t => Seq(t._1, t._2, t._3, t._4)).toSeq == raw.toSeq)
+  }
+
+  test("packSequences chunks each source stream at the token budget") {
+    // 3 docs of 200 tokens: cumulative 200/400/600 → with budget 512
+    // the 3rd doc starts at 400 < 512 (seq 0), 4th at 600 (seq 1)
+    val docs = (1 to 4).map(i => (i.toLong, "s", ("w " * 199 + "w")))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.packSequences(docs).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 200L, 0L, 0L), (2L, 200L, 0L, 200L),
+      (3L, 200L, 0L, 400L), (4L, 200L, 1L, 88L)))
+    // independent sources pack independently
+    val two = docs.union(Seq((9L, "t", "w w w")).toDF("doc_id", "source", "text"))
+    val t9 = Curation.packSequences(two).filter(col("source") === "t").collect()(0)
+    assert(t9.getLong(3) == 0L && t9.getLong(4) == 0L)
+  }
+
   test("redact scrubs emails and long digit runs, leaves short numbers") {
     val out = Seq((1L, "mail bob@example.com card 12345678 zip 02139 pin 123"))
       .toDF("doc_id", "text")
