@@ -125,22 +125,24 @@ object Curation {
     * owner and dropped everywhere else; each document is reassembled
     * from its surviving lines in original order.
     *
-    * Scale shape: ONE shuffle keyed on the line (hashed to a long with
+    * Scale shape: the corpus is exploded ONCE; owner election is a
+    * `min(doc_id)` window over the line key (hashed to a long with
     * xxhash64 when `hashKey` — raw line strings never cross the wire),
-    * a min-aggregate to elect the owner, a join back, and a per-doc
-    * aggregate that rides the same doc_id clustering. The line table is
-    * the exploded corpus — the op that makes 100 TB feasible is
-    * shuffling 8-byte hashes instead of line text. */
+    * so the whole op is two shuffles: one on the 8-byte line key, one
+    * per-doc re-aggregate. A join formulation would scan + explode the
+    * corpus twice and shuffle the corpus-cardinality owner table a
+    * third time. */
   def lineDedup(docs: DataFrame, sep: String = ". ",
       hashKey: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val lines = docs.select(col("doc_id"),
       posexplode(split(col("text"), java.util.regex.Pattern.quote(sep))))
       .withColumnRenamed("col", "line")
       .withColumn("line_key",
         if (hashKey) xxhash64(col("line")) else col("line"))
-    val owner = lines.groupBy(col("line_key"))
-      .agg(min(col("doc_id")).as("keep_doc"))
-    lines.join(owner, "line_key")
+    lines
+      .withColumn("keep_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("line_key"))))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("long").as("n_lines"),
