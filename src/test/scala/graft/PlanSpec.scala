@@ -56,4 +56,20 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_point_lookup")
     assert(p.contains("EqualTo(o_orderkey,42)"), s"key not pushed:\n$p")
   }
+
+  test("line dedup explodes the corpus once: a single scan, keyed shuffles only") {
+    val p = plan("q_llm_line_dedup")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      s"owner election must not re-scan the corpus:\n$p")
+    assert(p.contains("hashpartitioning(line_key"),
+      s"owner window must shuffle on the hashed line key:\n$p")
+  }
+
+  test("sequence packing is one window shuffle keyed on source") {
+    val p = plan("q_llm_pack")
+    assert(p.contains("hashpartitioning(source"),
+      s"pack must partition by source:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"a global window would serialize all sources on one task:\n$p")
+  }
 }
