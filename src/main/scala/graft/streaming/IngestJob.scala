@@ -128,11 +128,17 @@ object IngestJob {
     import spark.implicits._
     require(logDirs.nonEmpty, "at least one log directory")
     val orderedDirs = checkLogManifest(spark, logDirs, checkpoint)
+    // J4: the reference's 16384-entry buffer bounds the WHOLE pipeline,
+    // not each log (one channel behind every downloader, ct-fetch
+    // .go:132) — split the admission cap across sources so a trigger
+    // admits at most ~maxEntriesPerTrigger rows however many logs feed
+    // the union
+    val perSourceCap = math.max(1L, maxEntriesPerTrigger / orderedDirs.size)
     val raw = orderedDirs.map { logDir =>
       val rawReader = spark.readStream
         .format("graft.streaming.CtLogSource")
         .option("path", logDir)
-        .option("maxEntriesPerTrigger", maxEntriesPerTrigger)     // J4
+        .option("maxEntriesPerTrigger", perSourceCap)              // J4
         .option("startEntry", startEntries.getOrElse(logDir, startEntry)) // G3 --offset
       limitEntries.fold(rawReader)(l =>
         rawReader.option("limitEntries", l)).load()               // G3 --limit

@@ -65,6 +65,18 @@ class PlanSpec extends SparkSpec {
       s"owner window must shuffle on the hashed line key:\n$p")
   }
 
+  test("no declared query plans a CartesianProduct (SCALE.md rule)") {
+    // non-equi pair joins must ride a broadcast of a structurally tiny
+    // side (query sets, group sketches, centroids) — a cartesian fall-
+    // back would be the 100 TB catastrophe SCALE.md §2 rules out
+    val offenders = SparkEntry.specs.flatMap { q =>
+      val p = SparkEntry.queries(q.name)(spark, sf0001).queryExecution
+        .explainString(FormattedMode)
+      if (p.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+  }
+
   test("sequence packing is one window shuffle keyed on source") {
     val p = plan("q_llm_pack")
     assert(p.contains("hashpartitioning(source"),
