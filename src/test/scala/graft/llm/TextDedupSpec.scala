@@ -60,6 +60,18 @@ class TextDedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L), out.toString)
   }
 
+  test("connectedComponents converges on the adversarial path graph") {
+    // a 12-node chain is the worst case for min-label propagation
+    // (rounds ≈ diameter; SCALE.md documents star contraction as the
+    // upgrade path) — it must still converge under maxIter and label
+    // everything with the chain head
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val out = TextDedup.connectedComponents(chain, maxIter = 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == (1L to 12L).toSet)
+    assert(out.values.forall(_ == 1L), s"one component labeled by head: $out")
+  }
+
   test("dedupKeepList keeps one canonical doc per cluster plus unpaired docs") {
     val docs = docsDf(1L -> "a", 2L -> "b", 3L -> "c", 10L -> "d", 99L -> "lonely")
     val pairs = Seq((2L, 1L), (2L, 3L)).toDF("ida", "idb")
