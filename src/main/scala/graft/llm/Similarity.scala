@@ -52,8 +52,13 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
-  /** No oracle (float math differs across engines); determinism and
-    * agreement with a reference implementation are pinned by ScalaTest. */
+  /** Oracle'd BIT-EXACTLY despite the float math: the kernel multiplies
+    * float pairs in float precision and accumulates the products
+    * left-to-right in double ([[dot]]) — DuckDB's `list_reduce` over
+    * `CAST(x*y AS DOUBLE)` (float×float stays float there too) is the
+    * identical IEEE operation sequence, so cosines, and therefore
+    * ranks, hash-match across engines. ScalaTest pins the ranking
+    * semantics besides. */
   val qCosineTopK = QuerySpec(
     "q_llm_cosine_topk",
     (s, d) => {
@@ -61,7 +66,28 @@ object Similarity {
       cosineTopK(vs, vs.filter(col("vec_id") < 5), k = 5)
         .orderBy(col("q_id"), col("rank"))
     },
-    None)
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(embedding, x -> CAST(x*x AS DOUBLE))),
+           |      (acc, p) -> acc + p)) AS nrm
+           |  FROM embeddings
+           |), qs AS (SELECT * FROM v WHERE vec_id < 5),
+           |scored AS (
+           |  SELECT qs.vec_id AS q_id, c.vec_id AS neighbor_id,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip(c.embedding, qs.embedding),
+           |        z -> CAST(z[1]*z[2] AS DOUBLE))),
+           |      (acc, p) -> acc + p) / (c.nrm * qs.nrm) AS cos
+           |  FROM v c, qs WHERE c.vec_id != qs.vec_id
+           |)
+           |SELECT q_id,
+           |  CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank",
+           |  neighbor_id, cos
+           |FROM scored
+           |QUALIFY "rank" <= 5
+           |ORDER BY q_id, "rank"""".stripMargin))
 
   // ---- random-hyperplane LSH --------------------------------------------
 
@@ -121,13 +147,60 @@ object Similarity {
     pairs
   }
 
+  /** The DuckDB `list_reduce` dot product with the kernels' exact IEEE
+    * operation order (see [[qCosineTopK]]'s oracle): float products
+    * (or float×double-plane products) accumulated left-to-right in
+    * double. */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list_zip($a, $b), z -> CAST(z[1]*z[2] AS DOUBLE))),
+       |      (acc, p) -> acc + p)""".stripMargin
+
+  private val duckNormCte: String =
+    """SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(embedding, x -> CAST(x*x AS DOUBLE))),
+      |      (acc, p) -> acc + p)) AS nrm
+      |  FROM embeddings""".stripMargin
+
+  /** Oracle'd bit-exactly, hyperplanes included: the SQL embeds the
+    * same [[hyperplanes]] values as double literals (shortest-decimal
+    * round-trip), and the kernel's float→double promotion before the
+    * plane multiply is DuckDB's promotion too, so signatures, buckets,
+    * pairs, and cosines all hash-match. */
   val qEmbNearDup = QuerySpec(
     "q_llm_emb_neardup",
     (s, d) =>
       embNearDupPairs(vectors(s, d))
         .orderBy(col("cos").desc, col("ida"), col("idb"))
         .limit(200),
-    None)
+    Some {
+      val planesSql = hyperplanes(16, 64, 42L)
+        .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      s"""WITH v AS (
+         |  $duckNormCte
+         |), pl AS (SELECT $planesSql::DOUBLE[][] AS planes),
+         |sigs AS (
+         |  SELECT vec_id, embedding, nrm,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(16), b ->
+         |        CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |            list_transform(list_zip(embedding, planes[b+1]),
+         |              z -> CAST(z[1] AS DOUBLE) * z[2])),
+         |            (acc, p) -> acc + p) >= 0
+         |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+         |      (a, x) -> a + x) AS sig
+         |  FROM v, pl
+         |), sized AS (
+         |  SELECT *, count(*) OVER (PARTITION BY sig) AS n FROM sigs
+         |)
+         |SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |  ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |FROM sized a JOIN sized b
+         |  ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |WHERE a.n > 1 AND a.n <= 1000
+         |ORDER BY cos DESC, ida, idb LIMIT 200""".stripMargin
+    })
 
   // ---- IVF ---------------------------------------------------------------
 
@@ -173,6 +246,10 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"), col("c_id"))
   }
 
+  /** Oracle'd bit-exactly: centroid assignment's max_by tiebreak
+    * (highest cosine, then lowest centroid id) is the row_number
+    * `ORDER BY c_cos DESC, c_id` in SQL; every cosine is the same
+    * IEEE sequence as the kernel (see [[qCosineTopK]]). */
   val qAnnIvf = QuerySpec(
     "q_llm_ann_ivf",
     (s, d) => {
@@ -180,7 +257,34 @@ object Similarity {
       ivfTopK(vs, vs.filter(col("vec_id") < 5), k = 5, centroidStride = 100)
         .orderBy(col("q_id"), col("rank"))
     },
-    None)
+    Some(s"""WITH v AS (
+            |  $duckNormCte
+            |), c AS (
+            |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+            |  FROM v WHERE vec_id % 100 = 0
+            |), scored_vc AS (
+            |  SELECT v.vec_id, v.embedding, v.nrm, c.c_id,
+            |    ${duckDot("v.embedding", "c.c_emb")} / (v.nrm * c.c_nrm) AS c_cos
+            |  FROM v, c
+            |), assigned AS (
+            |  SELECT vec_id, embedding, nrm, c_id FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY vec_id
+            |      ORDER BY c_cos DESC, c_id) AS crn
+            |    FROM scored_vc) WHERE crn = 1
+            |), qs AS (
+            |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, c_id
+            |  FROM assigned WHERE vec_id < 5
+            |)
+            |SELECT q_id,
+            |  CAST(row_number() OVER (PARTITION BY q_id
+            |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank",
+            |  neighbor_id, cos, c_id
+            |FROM (
+            |  SELECT qs.q_id, a.vec_id AS neighbor_id, qs.c_id,
+            |    ${duckDot("a.embedding", "qs.q_emb")} / (a.nrm * qs.q_nrm) AS cos
+            |  FROM assigned a JOIN qs ON a.c_id = qs.c_id AND a.vec_id != qs.q_id)
+            |QUALIFY "rank" <= 5
+            |ORDER BY q_id, "rank"""".stripMargin))
 
   val all: Seq[QuerySpec] = Seq(qCosineTopK, qEmbNearDup, qAnnIvf)
 }
