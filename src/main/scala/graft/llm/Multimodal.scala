@@ -143,12 +143,16 @@ object Multimodal {
            |FROM documents ORDER BY media_id""".stripMargin))
 
   /** The full decode → frame-sample pipeline over real binary payloads
-    * (documents.text as blobs). Rows-only: the decode is the stubbed
-    * codec, whose determinism MultimodalSpec pins; the declared query
-    * exercises the Spark plumbing end-to-end at driver scale. The
-    * sampled-frame list is serialized to a comma-joined string so the
-    * driver harness (pandas sort over result columns) can hash it —
-    * array cells are unhashable there. */
+    * (documents.text as blobs). Oracle'd: the stub's "codec" is
+    * `java.util.Arrays.hashCode` — the documented 31-fold over signed
+    * bytes in wrapping 32-bit arithmetic — which the SQL restates over
+    * the payload's hex bytes with an explicit wrap; dimensions and the
+    * frame-sample stride follow arithmetically. (A real codec would
+    * drop this to a rows-only check — the fake being SQL-expressible is
+    * what buys the cross-engine hash here.) The sampled-frame list is
+    * serialized to a comma-joined string so the driver harness (pandas
+    * sort over result columns) can hash it — array cells are unhashable
+    * there. */
   val qMultimodalDecode = QuerySpec(
     "q_llm_mm_decode",
     (s, d) => {
@@ -161,7 +165,32 @@ object Multimodal {
           col("n_frames"), col("ok"), col("sampled_frames"))
         .orderBy(col("media_id"))
     },
-    None)
+    Some("""WITH b AS (
+           |  SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hx,
+           |         octet_length(CAST(text AS BLOB)) AS n FROM documents
+           |), h AS (
+           |  SELECT media_id, n,
+           |    list_reduce(
+           |      list_prepend(CAST(1 AS BIGINT),
+           |        list_transform(range(1, n + 1), i ->
+           |          CASE WHEN CAST(('0x' || substr(hx, i*2-1, 2)) AS BIGINT) > 127
+           |               THEN CAST(('0x' || substr(hx, i*2-1, 2)) AS BIGINT) - 256
+           |               ELSE CAST(('0x' || substr(hx, i*2-1, 2)) AS BIGINT) END)),
+           |      (acc, bb) -> ((31 * acc + bb + 2147483648) % 4294967296
+           |                     + 4294967296) % 4294967296 - 2147483648) AS hash
+           |  FROM b
+           |)
+           |SELECT media_id,
+           |  CAST(16 + ((hash % 1024) + 1024) % 1024 AS INT) AS width,
+           |  CAST(16 + ((CAST(floor(hash / 1024.0) AS BIGINT) % 1024) + 1024) % 1024
+           |    AS INT) AS height,
+           |  CAST(1 + ((CAST(floor(hash / 1048576.0) AS BIGINT) % 32) + 32) % 32
+           |    AS INT) AS n_frames,
+           |  n > 0 AS ok,
+           |  array_to_string(range(0,
+           |    CAST(1 + ((CAST(floor(hash / 1048576.0) AS BIGINT) % 32) + 32) % 32
+           |      AS INT), 4), ',') AS sampled_frames
+           |FROM h ORDER BY media_id""".stripMargin))
 
   val all: Seq[QuerySpec] = Seq(qMultimodalMeta, qMultimodalDecode)
 }
