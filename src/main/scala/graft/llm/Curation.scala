@@ -126,12 +126,15 @@ object Curation {
     * from its surviving lines in original order.
     *
     * Scale shape: the corpus is exploded ONCE; owner election is a
-    * `min(doc_id)` window over the line key (hashed to a long with
-    * xxhash64 when `hashKey` — raw line strings never cross the wire),
-    * so the whole op is two shuffles: one on the 8-byte line key, one
-    * per-doc re-aggregate. A join formulation would scan + explode the
-    * corpus twice and shuffle the corpus-cardinality owner table a
-    * third time. */
+    * `min(doc_id)` window over the line key (two independently-seeded
+    * xxhash64s when `hashKey` — a 128-bit composite, so raw line
+    * strings never cross the wire and collisions stay negligible even
+    * at 10¹⁰ distinct lines, where a single 64-bit key would already
+    * expect a few and silently delete the losing line), so the whole
+    * op is two shuffles: one on the 16-byte key, one per-doc
+    * re-aggregate. A join formulation would scan + explode the corpus
+    * twice and shuffle the corpus-cardinality owner table a third
+    * time. */
   def lineDedup(docs: DataFrame, sep: String = ". ",
       hashKey: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -139,7 +142,8 @@ object Curation {
       posexplode(split(col("text"), java.util.regex.Pattern.quote(sep))))
       .withColumnRenamed("col", "line")
       .withColumn("line_key",
-        if (hashKey) xxhash64(col("line")) else col("line"))
+        if (hashKey) struct(xxhash64(col("line")), xxhash64(col("line"), lit(1)))
+        else struct(col("line"), lit(0L)))
     lines
       .withColumn("keep_doc",
         min(col("doc_id")).over(Window.partitionBy(col("line_key"))))

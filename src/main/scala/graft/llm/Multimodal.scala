@@ -166,8 +166,10 @@ object Multimodal {
         .orderBy(col("media_id"))
     },
     Some("""WITH b AS (
-           |  SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hx,
-           |         octet_length(CAST(text AS BLOB)) AS n FROM documents
+           |  SELECT doc_id AS media_id,
+           |         coalesce(hex(CAST(text AS BLOB)), '') AS hx,
+           |         coalesce(octet_length(CAST(text AS BLOB)), 0) AS n
+           |  FROM documents
            |), h AS (
            |  SELECT media_id, n,
            |    list_reduce(
@@ -180,16 +182,21 @@ object Multimodal {
            |                     + 4294967296) % 4294967296 - 2147483648) AS hash
            |  FROM b
            |)
+           |-- n = 0 branch mirrors decodeStub's empty/null-payload row:
+           |-- (0, 0, 0, false, '')
            |SELECT media_id,
-           |  CAST(16 + ((hash % 1024) + 1024) % 1024 AS INT) AS width,
-           |  CAST(16 + ((CAST(floor(hash / 1024.0) AS BIGINT) % 1024) + 1024) % 1024
-           |    AS INT) AS height,
-           |  CAST(1 + ((CAST(floor(hash / 1048576.0) AS BIGINT) % 32) + 32) % 32
-           |    AS INT) AS n_frames,
+           |  CAST(CASE WHEN n = 0 THEN 0
+           |    ELSE 16 + ((hash % 1024) + 1024) % 1024 END AS INT) AS width,
+           |  CAST(CASE WHEN n = 0 THEN 0
+           |    ELSE 16 + ((CAST(floor(hash / 1024.0) AS BIGINT) % 1024) + 1024) % 1024
+           |    END AS INT) AS height,
+           |  CAST(CASE WHEN n = 0 THEN 0
+           |    ELSE 1 + ((CAST(floor(hash / 1048576.0) AS BIGINT) % 32) + 32) % 32
+           |    END AS INT) AS n_frames,
            |  n > 0 AS ok,
-           |  array_to_string(range(0,
+           |  CASE WHEN n = 0 THEN '' ELSE array_to_string(range(0,
            |    CAST(1 + ((CAST(floor(hash / 1048576.0) AS BIGINT) % 32) + 32) % 32
-           |      AS INT), 4), ',') AS sampled_frames
+           |      AS INT), 4), ',') END AS sampled_frames
            |FROM h ORDER BY media_id""".stripMargin))
 
   val all: Seq[QuerySpec] = Seq(qMultimodalMeta, qMultimodalDecode)

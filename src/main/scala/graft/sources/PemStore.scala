@@ -82,12 +82,15 @@ object PemStore {
     val certsPath = new org.apache.hadoop.fs.Path(s"$certRoot/certs")
     val targetExists = certsPath
       .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(certsPath)
-    val rows =
+    // persisted: three consumers (count + both writes) would otherwise
+    // re-run the dedup shuffle and re-scan the existing target each time
+    val rows = (
       if (!targetExists) deduped
       else deduped.join(
         spark.read.parquet(certsPath.toString)
           .select(col("exp_date"), col("issuer_id"), col("serial_id")),
         Seq("exp_date", "issuer_id", "serial_id"), "left_anti")
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = deduped.count()
     val stored = rows.count()
     rows.write.mode("append")
@@ -100,6 +103,7 @@ object PemStore {
         count(lit(1)).as("n_new"))
       .withColumn("batch_id", lit(-1L))
       .write.mode("append").parquet(s"$certRoot/issuer_batches")
+    rows.unpersist()
     parsed.unpersist()
     Map("files" -> total, "stored" -> stored,
       "already_present" -> (candidates - stored), "path_mismatches" -> keyMismatch)

@@ -214,18 +214,24 @@ object IngestJob {
   }
 
   /** Canonicalize the log list (dedup + sort) and pin it to the
-    * checkpoint: the first start writes `<checkpoint>/_graft_log_list`;
-    * every later start re-reads it and refuses to run if the list
-    * changed, because the unioned sources' offsets are stored by
-    * position and would be misapplied across logs. Returns the
-    * canonical ordering to build the union with. */
+    * checkpoint via `<checkpoint>/_graft_log_list`. The pinned list is
+    * only ENFORCED once the checkpoint holds committed offsets — a
+    * first start that failed before any batch has nothing to misapply,
+    * so a corrected list may simply overwrite the manifest. With
+    * offsets present, a changed list refuses to run, because the
+    * unioned sources' offsets are stored by position and would be
+    * misapplied across logs. Returns the canonical ordering to build
+    * the union with. */
   private[streaming] def checkLogManifest(spark: SparkSession,
       logDirs: Seq[String], checkpoint: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val ordered = logDirs.distinct.sorted
     val manifest = new Path(checkpoint, "_graft_log_list")
     val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(manifest)) {
+    val offsetsDir = new Path(checkpoint, "offsets")
+    val offsetsCommitted = fs.exists(offsetsDir) &&
+      fs.listStatus(offsetsDir).nonEmpty
+    if (fs.exists(manifest) && offsetsCommitted) {
       val in = fs.open(manifest)
       val stored = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toList.filter(_.nonEmpty) finally in.close()
@@ -235,7 +241,8 @@ object IngestJob {
           s"source position, so resuming with a different list would apply one " +
           s"log's offsets to another. Stored=${stored.mkString(",")} " +
           s"requested=${ordered.mkString(",")}. Start a fresh checkpoint (optionally " +
-          s"seeding startEntry from max(entry_id) per log in the cert store).")
+          s"seeding startEntries from recoveredStartEntries, i.e. max(entry_id) " +
+          s"per log in the cert store).")
     } else {
       val out = fs.create(manifest, true)
       try out.write((ordered.mkString("\n") + "\n").getBytes("UTF-8"))

@@ -32,8 +32,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StatefulDedup {
 
   /** Emit the first row per key; suppress the rest while state lives.
-    * `expiryMs(key)` = the key's own domain-expiry instant (bucket
-    * end), which becomes the state timeout. */
+    * `expiryMs(key)` = the key's own domain-expiry instant (the
+    * bucket START, `ExpireTime()` semantics), which becomes the state
+    * timeout. */
   def firstSeen[K, V](
       ds: Dataset[V], key: V => K, expiryMs: K => Long)(
       implicit ke: Encoder[K], ve: Encoder[V]): Dataset[V] = {
@@ -49,7 +50,7 @@ object StatefulDedup {
             Iterator.empty // seen before: suppress every duplicate
           } else if (rows.hasNext) {
             state.update(true)
-            // evict when this key's own expiration bucket ends
+            // evict when this key's own expiration bucket STARTS
             state.setTimeoutTimestamp(math.max(expiryMs(k),
               state.getCurrentWatermarkMs() + 1))
             Iterator.single(rows.next())

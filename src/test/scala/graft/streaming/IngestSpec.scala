@@ -297,6 +297,26 @@ class IngestSpec extends SparkSpec {
     assert(err.getMessage.contains("log list changed"))
   }
 
+  test("log-list manifest only binds once offsets are committed") {
+    // a first start that died before any batch pinned nothing: the
+    // corrected list overwrites the manifest instead of failing
+    val root = Files.createTempDirectory("manifest0").toString
+    val ckpt = s"$root/ckpt"
+    IngestJob.checkLogManifest(spark, Seq(s"$root/logX"), ckpt)
+    // no offsets yet → a different list is accepted and re-pinned
+    assert(IngestJob.checkLogManifest(spark, Seq(s"$root/logY"), ckpt) ==
+      Seq(s"$root/logY"))
+    // once an offset commit exists, the pinned list is enforced
+    Files.createDirectories(java.nio.file.Paths.get(ckpt, "offsets"))
+    Files.writeString(java.nio.file.Paths.get(ckpt, "offsets", "0"), "{}")
+    intercept[IllegalStateException] {
+      IngestJob.checkLogManifest(spark, Seq(s"$root/logZ"), ckpt)
+    }
+    // and the matching list still passes
+    assert(IngestJob.checkLogManifest(spark, Seq(s"$root/logY"), ckpt) ==
+      Seq(s"$root/logY"))
+  }
+
   test("recoveredStartEntries resumes each log from its stored max(entry_id)") {
     // the recovery path for an edited log list: fresh checkpoint,
     // per-log start positions recovered from the cert store itself
