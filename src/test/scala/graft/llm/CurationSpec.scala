@@ -65,6 +65,37 @@ class CurationSpec extends SparkSpec {
     assert(out.map(t => Seq(t._1, t._2, t._3, t._4)).toSeq == raw.toSeq)
   }
 
+  test("lineDedup invariants hold on generated corpora (property)") {
+    import org.scalacheck.Gen
+    // small vocab of lines forces heavy cross-document sharing
+    val genLine = Gen.oneOf((1 to 12).map(i => s"line $i"))
+    val genDoc = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, genLine))
+    val corpus = Iterator.continually(genDoc.sample).flatten.take(40).toSeq
+      .zipWithIndex.map { case (ls, i) => (i.toLong, ls.mkString(". ")) }
+    val docs = corpus.toDF("doc_id", "text")
+    val out = Curation.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val lineOwner = corpus
+      .flatMap { case (id, t) => t.split(java.util.regex.Pattern.quote(". ")).map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    corpus.foreach { case (id, t) =>
+      val orig = t.split(java.util.regex.Pattern.quote(". ")).toSeq
+      val (nLines, nKept, cleaned) = out(id)
+      // every original line counted; kept = exactly the owned occurrences
+      assert(nLines == orig.length.toLong)
+      val expectKept = orig.filter(l => lineOwner(l) == id)
+      assert(nKept == expectKept.length.toLong, s"doc $id")
+      // reassembly preserves original order of surviving occurrences
+      assert(cleaned == expectKept.mkString(". "), s"doc $id")
+    }
+    // corpus-wide: each distinct line survives somewhere exactly once
+    // per owned occurrence — no line is deleted from its owner
+    lineOwner.foreach { case (line, owner) =>
+      assert(out(owner)._3.split(java.util.regex.Pattern.quote(". ")).contains(line),
+        s"'$line' missing from owner doc $owner")
+    }
+  }
+
   test("packSequences chunks each source stream at the token budget") {
     // 3 docs of 200 tokens: cumulative 200/400/600 → with budget 512
     // the 3rd doc starts at 400 < 512 (seq 0), 4th at 600 (seq 1)
