@@ -19,6 +19,22 @@ class InventorySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("every declared query emits only atomic columns (driver-hash contract)") {
+    // the driver loads each result into pandas and sorts on every
+    // column; array/struct/map cells are unhashable there and abort the
+    // whole verify pass (round-2 q_llm_mm_decode regression) —
+    // serialize complex values (array_join etc.) before declaring
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.specs.flatMap { q =>
+      SparkEntry.queries(q.name)(spark, sf0001).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] => s"${q.name}.${f.name}"
+      }
+    }
+    assert(offenders.isEmpty, s"complex output columns: $offenders")
+  }
+
   test("q_window_session's gaps-and-islands equals native session_window") {
     import spark.implicits._
     // fixture with known sessions: user 1 has two (gap 45m), user 2 one
