@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object StreamingCuration {
 
-  /** Content identity: sha256 digest of the text bytes (the batch
-    * exact-dedup key, TextDedup.exactDedup). */
-  def contentHash(text: Column): Column = sha2(text.cast("binary"), 256)
+  /** Content identity for state: the batch exact-dedup digest
+    * (TextDedup.contentHashHex — one shared definition) in its binary
+    * form, so each state-store key really is 32 bytes, not 64 hex
+    * chars. */
+  def contentHash(text: Column): Column = unhex(TextDedup.contentHashHex(text))
 
   /** Streaming exact dedup: emit each distinct content hash's FIRST
     * document, suppress duplicates arriving within the watermark
@@ -45,7 +47,7 @@ object StreamingCuration {
       .groupBy(window(col("event_ts"), windowLen), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+        sum(size(TextAnalysis.tokens(col("text")))).cast("long").as("n_tokens"))
       .select(col("window.start").as("window_start"), col("source"),
         col("n_docs"), col("n_tokens"))
 }

@@ -31,10 +31,17 @@ object TextDedup {
       .otherwise(array(text))
   }
 
+  /** Content identity: sha256 over the text's UTF-8 bytes, as hex. THE
+    * single definition of document identity — the streaming dedup path
+    * (StreamingCuration.contentHash) derives its binary state key from
+    * this same expression, so batch and streaming can never diverge on
+    * what "the same document" means. */
+  def contentHashHex(text: Column): Column = sha2(text.cast("binary"), 256)
+
   /** Exact dedup via content hash: one shuffle on the digest, keep the
     * smallest doc_id per group (E1's WasUnknown gate in batch form). */
   def exactDedup(docs: DataFrame): DataFrame =
-    docs.select(sha2(col("text").cast("binary"), 256).as("text_hash"), col("doc_id"))
+    docs.select(contentHashHex(col("text")).as("text_hash"), col("doc_id"))
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 

@@ -26,7 +26,7 @@ class InventorySpec extends SparkSpec {
     // serialize complex values (array_join etc.) before declaring
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val offenders = SparkEntry.specs.flatMap { q =>
-      SparkEntry.queries(q.name)(spark, sf0001).schema.fields.collect {
+      q.fn(spark, sf0001).schema.fields.collect {
         case f if f.dataType.isInstanceOf[ArrayType] ||
             f.dataType.isInstanceOf[MapType] ||
             f.dataType.isInstanceOf[StructType] => s"${q.name}.${f.name}"

@@ -67,10 +67,13 @@ class CurationSpec extends SparkSpec {
 
   test("lineDedup invariants hold on generated corpora (property)") {
     import org.scalacheck.Gen
-    // small vocab of lines forces heavy cross-document sharing
+    import org.scalacheck.rng.Seed
+    // small vocab of lines forces heavy cross-document sharing; fixed
+    // per-doc seeds make any failure replayable
     val genLine = Gen.oneOf((1 to 12).map(i => s"line $i"))
     val genDoc = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, genLine))
-    val corpus = Iterator.continually(genDoc.sample).flatten.take(40).toSeq
+    val corpus = (0 until 40)
+      .map(i => genDoc.pureApply(Gen.Parameters.default, Seed(9000L + i)))
       .zipWithIndex.map { case (ls, i) => (i.toLong, ls.mkString(". ")) }
     val docs = corpus.toDF("doc_id", "text")
     val out = Curation.lineDedup(docs).collect()
