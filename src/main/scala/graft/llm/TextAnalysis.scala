@@ -183,6 +183,42 @@ object TextAnalysis {
            |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Corpus vocabulary statistics: per-term document frequency and
+    * total occurrence count — the df table TF-IDF weighting, stopword
+    * induction, and vocabulary pruning all read. Scale shape: ONE scan
+    * of the corpus (the dominant cost at 100 TB — a df/tf pair of
+    * aggregations would read the text twice), exploded to per-(doc,
+    * term) counts whose first shuffle compresses map-side, then a
+    * term-keyed rollup where each doc contributes 1 to df and its
+    * in-doc count to tf. Top slice only for the declared query; the
+    * full df table is the operator's real output. */
+  def docFrequency(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf_doc"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf_doc")).as("tf_total"))
+
+  val qDocFreq = QuerySpec(
+    "q_llm_docfreq",
+    (s, d) =>
+      docFrequency(Tables.load(s, d, "documents"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(100),
+    Some("""WITH df AS (
+           |  SELECT term, count(*) AS df FROM (
+           |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+           |    FROM documents) GROUP BY term
+           |), tf AS (
+           |  SELECT term, count(*) AS tf_total FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS term
+           |    FROM documents) GROUP BY term
+           |)
+           |SELECT df.term, df.df, tf.tf_total
+           |FROM df JOIN tf USING (term)
+           |ORDER BY df DESC, term LIMIT 100""".stripMargin))
+
   val all: Seq[QuerySpec] =
-    Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5)
+    Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5, qDocFreq)
 }

@@ -24,6 +24,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getInt(1) == 5)            // the / cat / , / sat / !
   }
 
+  test("docFrequency counts docs-containing and total occurrences per term") {
+    val out = TextAnalysis.docFrequency(docs(
+      1L -> "a b a",      // a: tf 2; b: tf 1
+      2L -> "a c",
+      3L -> "c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      "a" -> (2L, 3L),    // in 2 docs, 3 occurrences
+      "b" -> (1L, 1L),
+      "c" -> (2L, 2L)), out.toString)
+  }
+
   test("language ID picks the profile with most marker hits") {
     val dfDe = docs(1L -> "der hund und die katze und ein vogel")
     val scored = TextAnalysis.qLangId.fn(spark, sf0001) // shape check on real data
