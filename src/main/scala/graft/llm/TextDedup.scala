@@ -302,6 +302,75 @@ object TextDedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (the MapReduce CC algorithm of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14):
+    * converges in O(log n) rounds on ANY graph — including the long
+    * chains that cost min-label propagation ([[connectedComponents]])
+    * diameter-many rounds — with the same per-round shuffle shape.
+    *
+    *  - large-star: every node links its LARGER neighbors to its
+    *    minimum neighborhood label;
+    *  - small-star: every node links its smaller-or-equal neighbors to
+    *    that label.
+    *
+    * Both are a window-min over the edge list keyed on the center node
+    * plus a projection — NO collect_list, so a hot node (a near-dup
+    * blob's hub) never materializes its neighbor list on one task.
+    * Fixpoint: the edge multiset is star-shaped and stable; labels are
+    * then each node's remaining neighbor minimum. Equivalence with
+    * min-label propagation is property-pinned in ScalaTest; rounds are
+    * logarithmic where propagation's are linear (chain test). */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50,
+      reliable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ck(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val spark = pairs.sparkSession
+    // undirected edge list, self-loops kept out; u is the center node
+    var edges = pairs
+      .select(col("ida").cast("long").as("u"), col("idb").cast("long").as("v"))
+      .union(pairs.select(col("idb").cast("long"), col("ida").cast("long")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .transform(ck)
+    val wU = Window.partitionBy(col("u"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: (v, m) for v > u, where m = min(N(u) ∪ {u})
+      val large = edges
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val undirectedL = large.union(large.select(col("v"), col("u")))
+        .filter(col("u") =!= col("v")).distinct().transform(ck)
+      // small-star: (v, m) for v < u (and u itself when m changed)
+      val small = undirectedL
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") < col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(undirectedL
+          .withColumn("m", least(min(col("v")).over(wU), col("u")))
+          .select(col("u"), col("m").as("v")))
+      val obs = new org.apache.spark.sql.Observation()
+      val next = small.union(small.select(col("v"), col("u")))
+        .filter(col("u") =!= col("v")).distinct()
+        .observe(obs, count(lit(1)).as("n_edges"))
+        .transform(ck)
+      // fixpoint when the canonical (undirected) edge multiset is stable
+      val nNext = obs.get("n_edges").asInstanceOf[Long]
+      converged = nNext == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      i += 1
+    }
+    // star-shaped fixpoint: each non-root points at its component root
+    edges
+      .groupBy(col("u").as("id"))
+      .agg(least(min(col("v")), col("u")).as("cluster_id"))
+  }
+
   /** The keep-list: one canonical survivor (the min doc_id) per
     * near-dup cluster, all other members marked for drop. Docs that
     * appear in no pair are implicitly kept (they are their own

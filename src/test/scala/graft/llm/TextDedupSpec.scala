@@ -72,6 +72,43 @@ class TextDedupSpec extends SparkSpec {
     assert(out.values.forall(_ == 1L), s"one component labeled by head: $out")
   }
 
+  test("star contraction equals min-label propagation on varied graphs") {
+    import org.scalacheck.{Gen, rng}
+    val shapes: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "chain" -> (1L until 20L).map(i => (i, i + 1)),
+      "clique" -> (for { a <- 1L to 6L; b <- (a + 1) to 6L } yield (a, b)),
+      "star" -> (2L to 9L).map(i => (10L, i)),          // hub is NOT the min
+      "two components" -> Seq((5L, 6L), (6L, 7L), (30L, 40L)),
+      "self-ish pairs" -> Seq((3L, 3L), (3L, 4L)))      // self-loop tolerated
+    val genEdge = for {
+      a <- Gen.chooseNum(1L, 30L); b <- Gen.chooseNum(1L, 30L)
+    } yield (a, b)
+    val random = (0 until 4).map { s =>
+      s"random$s" -> (0 until 25).map(i =>
+        genEdge.pureApply(Gen.Parameters.default, rng.Seed(777L + 100 * s + i)))
+        .filter { case (a, b) => a != b }
+    }
+    (shapes ++ random).foreach { case (name, pairList) =>
+      val pairs = pairList.toDF("ida", "idb")
+      val byProp = TextDedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byStar = TextDedup.connectedComponentsStar(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byStar == byProp, s"graph '$name': star=$byStar prop=$byProp")
+    }
+  }
+
+  test("star contraction converges in logarithmic rounds on a long chain") {
+    // a 64-node chain: min-label propagation needs ~63 rounds (capped
+    // by maxIter); star contraction must finish well under its cap
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val out = TextDedup.connectedComponentsStar(chain, maxIter = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == (1L to 64L).toSet)
+    assert(out.values.forall(_ == 1L),
+      s"must fully contract within 12 rounds: ${out.filter(_._2 != 1L)}")
+  }
+
   test("dedupKeepList keeps one canonical doc per cluster plus unpaired docs") {
     val docs = docsDf(1L -> "a", 2L -> "b", 3L -> "c", 10L -> "d", 99L -> "lonely")
     val pairs = Seq((2L, 1L), (2L, 3L)).toDF("ida", "idb")
