@@ -117,6 +117,19 @@ class TextDedupSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 99L), s"min of {1,2,3} + unpaired survive: $kept")
   }
 
+  test("end-to-end LSH dedup: keep-list over minhash pairs drops the planted dup") {
+    // the production path: MinHash+LSH candidate pairs (not the bounded
+    // Jaccard block) feeding the keep-list
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val docs = docsDf(
+      1L -> base,
+      2L -> (base + "tail"),             // planted near-dup of 1
+      3L -> "completely different text about nothing similar at all here")
+    val kept = TextDedup.dedupKeepList(docs, TextDedup.minhashPairs(docs))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"near-dup 2 dropped, canonical 1 kept: $kept")
+  }
+
   test("shingleSet falls back to whole text when shorter than n") {
     val out = docsDf(1L -> "just two")
       .select(TextDedup.shingleSet(col("text")).as("s"))
