@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -13,8 +13,16 @@ import org.apache.spark.sql.types._
   * permutation/bit — ~30k interpreted ops per document. These
   * expressions make one eval call per row and run a tight primitive
   * JVM loop instead (~100× faster), while staying inside the Catalyst
-  * planner: still codegen-compatible via CodegenFallback, still
-  * null-safe, still prunable.
+  * planner: null-safe and prunable.
+  *
+  * The pure-arithmetic kernels (dot product, SimHash, MinHash
+  * signature, sign-LSH) implement `doGenCode`, so whole-stage codegen
+  * inlines their loops directly into the generated stage — no per-row
+  * InternalRow boxing or interpreted dispatch. The string-shaped
+  * kernels (shingle hashing, fingerprints) stay on CodegenFallback:
+  * their cost is the tokenizer and UTF8 hashing, which generated code
+  * would call out to anyway. Every kernel's interpreted and generated
+  * paths are exercised by the same bit-exact ScalaTest pins.
   *
   * Semantics are bit-for-bit identical to the SQL formulations they
   * replace (documented per expression), so ScalaTest golden values pin
@@ -27,8 +35,32 @@ import org.apache.spark.sql.types._
   * IF(aggregate(th, 0L, (s,h) -> s + (pmod(shiftright(h,i),2)*2-1)) > 0,
   * shiftleft(1L,i), 0L)). */
 case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val counts = ctx.freshName("counts")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val sim = ctx.freshName("sim")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |int[] $counts = new int[64];
+         |int $n = $c.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $c.getLong($j);
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    $counts[$i] += (((int) (($h >>> $i) & 1L)) << 1) - 1;
+         |  }
+         |}
+         |long $sim = 0L;
+         |for (int $i = 0; $i < 64; $i++) {
+         |  if ($counts[$i] > 0) $sim |= (1L << $i);
+         |}
+         |${ev.value} = $sim;
+       """.stripMargin
+    })
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) =>
@@ -68,9 +100,37 @@ case class SimHash64Expr(child: Expression)
   * signature (array_min of empty is null in SQL; hashes are never
   * empty for non-empty shingle sets). */
 case class MinHashSigExpr(child: Expression, numPerm: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   private val P = 2147483647L
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      val best = ctx.freshName("best")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val m = ctx.freshName("m")
+      s"""
+         |long[] $sig = new long[$numPerm];
+         |int $n = $c.numElements();
+         |for (int $k = 0; $k < $numPerm; $k++) {
+         |  long $a = $k * 1000003L + 12345L;
+         |  long $b = $k * 998244353L + 7L;
+         |  long $best = java.lang.Long.MAX_VALUE;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $x = ($a * $c.getLong($j) + $b) % ${P}L;
+         |    long $m = $x < 0 ? $x + ${P}L : $x;
+         |    if ($m < $best) $best = $m;
+         |  }
+         |  $sig[$k] = $n == 0 ? ${P}L : $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -165,9 +225,29 @@ case class ShingleHashesExpr(child: Expression, n: Int, modP: Boolean)
   * null-poisons the fold) — a silently-truncated partial dot product
   * would score malformed vectors plausibly instead of flagging them. */
 case class DotProductFExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      // float * float stays a float multiply before the double
+      // accumulate — the exact interpreted (and DuckDB-oracle) op order
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getFloat($i) * $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -260,8 +340,33 @@ case class Md5FingerprintExpr(child: Expression)
   * replaces — including the SQL's null-poisoning on a dimension
   * mismatch, which maps every bit to 0. */
 case class SignLshExpr(child: Expression, bits: Int, dim: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      val sig = ctx.freshName("sig")
+      val pl = ctx.freshName("pl")
+      val acc = ctx.freshName("acc")
+      val b = ctx.freshName("b")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($c.numElements() != $dim) {
+         |  ${ev.value} = 0L;
+         |} else {
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    double[] $pl = $planesRef[$b];
+         |    double $acc = 0.0;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      $acc += $c.getFloat($d) * $pl[$d];
+         |    }
+         |    if ($acc >= 0) $sig |= (1L << $b);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+       """.stripMargin
+    })
   @transient private lazy val planes: Array[Array[Double]] = {
     def mix(z0: Long): Double = {
       var z = z0 + 0x9e3779b97f4a7c15L

@@ -148,4 +148,24 @@ class NativeKernelSpec extends SparkSpec {
     val r = df.collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
+
+  test("arithmetic kernels compile under CODEGEN_ONLY (no silent fallback)") {
+    // the four doGenCode kernels must produce janino-compilable code —
+    // a generation bug would otherwise degrade silently to interpreted
+    // eval with only a WARN in the logs
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val vecs = graft.Tables.load(spark, sf0001, "embeddings").limit(50)
+      val sims = vecs
+        .withColumn("dot", Similarity.dot(col("embedding"), col("embedding")))
+        .withColumn("lsh", call_udf("graft_signlsh",
+          col("embedding"), lit(16), lit(64), lit(42L)))
+      assert(sims.filter(col("dot").isNull || col("lsh").isNull).count() == 0L)
+      val sketches = docs.limit(50)
+        .select(call_udf("graft_shingle_hashes", col("text"), lit(3), lit(true)).as("th"))
+        .withColumn("sig", call_udf("graft_minhash_sig", col("th"), lit(64)))
+        .withColumn("sim", call_udf("graft_simhash64", col("th")))
+      assert(sketches.filter(size(col("sig")) =!= 64).count() == 0L)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
 }
