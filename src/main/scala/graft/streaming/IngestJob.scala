@@ -351,7 +351,11 @@ object IngestJob {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(live)) return
     fs.delete(staged, true)
+    // (issuer_id, batch_id) dedup first: a foreachBatch replay (crash
+    // between the append and the offset commit) re-appends the same
+    // batch's rows, which would double-count n_new in the sum below
     val src = spark.read.parquet(live.toString)
+      .dropDuplicates("issuer_id", "batch_id")
     src.groupBy(col("issuer_id"))
       .agg(
         sort_array(array_distinct(flatten(collect_list(col("issuer_cns"))))).as("issuer_cns"),

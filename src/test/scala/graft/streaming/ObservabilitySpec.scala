@@ -137,6 +137,27 @@ class ObservabilitySpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("issuer-batch compaction survives a replayed micro-batch (no double count)") {
+    import spark.implicits._
+    // a foreachBatch replay re-appends the same (issuer, batch_id) row;
+    // the n_new sum must count each batch once
+    val root = Files.createTempDirectory("issuerreplay").toString
+    Seq(("2030-01-01-00", "issuerA", "s1", "p"))
+      .toDF("exp_date", "issuer_id", "serial_id", "pem")
+      .write.partitionBy("exp_date", "issuer_id").parquet(s"$root/certs")
+    def append(id: Long, n: Long) =
+      Seq(("issuerA", Seq("ca"), Seq("CN=ca"), Seq.empty[String], n, id))
+        .toDF("issuer_id", "issuer_cns", "issuer_dns", "crl_dps", "n_new", "batch_id")
+        .write.mode("append").parquet(s"$root/issuer_batches")
+    append(0L, 2L)
+    append(0L, 2L)  // replayed batch 0
+    append(1L, 3L)
+    IngestJob.compact(spark, root)
+    val row = spark.read.parquet(s"$root/issuer_batches").collect().head
+    assert(row.getAs[Long]("n_new") == 5L,
+      s"2 + 3, replay of batch 0 counted once: ${row}")
+  }
+
   test("ingest -> compact -> resumed ingest round-trip keeps all rows") {
     // the real maintenance cycle: catch-up ingest, compact between
     // runs, ingest more from the same checkpoint — nothing lost,
