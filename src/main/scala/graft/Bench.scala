@@ -12,9 +12,13 @@ import org.apache.spark.sql.SparkSession
   *    noopbackend.go:9-69) — `.count()` would let Catalyst prune
   *    projections and eliminate sorts, timing a different plan than
   *    Verify runs;
-  *  - best-of-2 per query, reported after a JVM/codegen warm-up query,
+  *  - best-of-3 per query, reported after a JVM/codegen warm-up query,
   *    so one-off JIT/GC/VM-scheduling stalls don't masquerade as plan
-  *    regressions.
+  *    regressions. (Was best-of-2 through round 3; round 3's recorded
+  *    10×/14× "regression" on q_llm_cosine_topk / q_llm_emb_neardup
+  *    did not reproduce on the same code — whole-run totals were
+  *    uniformly elevated, i.e. a sustained VM-noise window that
+  *    best-of-2 straddled. See BASELINE.md bench history.)
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,7 +44,7 @@ object Bench {
     try once(SparkEntry.queries("q_groupby_count")) catch { case _: Throwable => () }
 
     val results = SparkEntry.specs.map { q =>
-      val t = try math.min(once(q.fn), once(q.fn))
+      val t = try (1 to 3).map(_ => once(q.fn)).min
       catch { case _: Throwable => -1.0 }
       q.name -> t
     }

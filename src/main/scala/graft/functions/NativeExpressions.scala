@@ -435,11 +435,18 @@ object GraftFunctions {
     })
 
   /** Session registration; idempotent, call before using the
-    * `graft_*` kernels in plans (via expr(...) or call_udf). */
+    * `graft_*` kernels in plans (via expr(...) or call_udf).
+    * Skips names already present so repeat calls from every query
+    * builder are true no-ops — createOrReplaceTempFunction logs a
+    * "replaced a previously registered function" warning per call,
+    * and those warnings flooded (and nearly truncated) the driver's
+    * captured bench tail in round 3. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
-      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
+        reg.createOrReplaceTempFunction(name, b, "scala_udf")
+      }
     }
   }
 }
