@@ -217,6 +217,78 @@ case class ShingleHashesExpr(child: Expression, n: Int, modP: Boolean)
     copy(child = newChild)
 }
 
+/** Cross-engine-verifiable variant of [[ShingleHashesExpr]]: the
+  * per-shingle hash is MD5-derived instead of xxhash64, so the whole
+  * LSH pipeline above it (MinHash signatures, band keys, bucket
+  * joins, verification Jaccard) is DuckDB-oracle-checkable
+  * end-to-end. Shingling is identical to ShingleHashesExpr; only the
+  * hash differs:
+  *  - modP=true  (MinHash path): first 4 MD5 bytes as unsigned
+  *    big-endian mod 2^31−1 — DuckDB
+  *    `CAST(('0x' || substr(md5(t),1,8)) AS BIGINT) % 2147483647`;
+  *  - modP=false (SimHash path): first 8 MD5 bytes as unsigned
+  *    big-endian, shifted right one bit to a 63-bit value — DuckDB
+  *    `CAST((CAST(('0x' || substr(md5(t),1,16)) AS UBIGINT) >> 1)
+  *    AS BIGINT)`. 63 bits (not 64) keeps the value non-negative in
+  *    BOTH engines' signed BIGINT, so every downstream shift/mod
+  *    agrees without two's-complement gymnastics; SimHash bit 63
+  *    then gets only −1 votes and is constantly 0, costing one of 64
+  *    sketch bits — an accepted trade for cross-engine checkability.
+  */
+case class Md5ShingleHashesExpr(child: Expression, n: Int, modP: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  private val P = 2147483647L
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes_md5 needs string, got $t")
+  }
+  @transient private lazy val mdTL: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.toString
+    val toks = text.split(" ", -1)
+    val shingles: Iterator[String] =
+      if (toks.length >= n) {
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        val sb = new java.lang.StringBuilder()
+        while (i + n <= toks.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        import scala.jdk.CollectionConverters._
+        seen.iterator().asScala
+      } else Iterator.single(text)
+    val md = mdTL.get()
+    val hs = shingles.map { s =>
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (modP) {
+        (((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)) % P
+      } else {
+        (((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+          ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+          ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+          ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 1
+      }
+    }.toArray
+    new GenericArrayData(hs)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Dot product of two array<float> columns as double. Matches the SQL
   * aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) -> acc+x)
   * fold: per-element float multiply, left-to-right double accumulate —
@@ -423,6 +495,11 @@ object GraftFunctions {
     "graft_minhash_agg" -> {
       case Seq(c, Literal(n: Int, IntegerType)) => MinHashAggExpr(c, n)
       case es => MinHashAggExpr(es.head, 64)
+    },
+    "graft_shingle_hashes_md5" -> {
+      case Seq(c, Literal(n: Int, IntegerType), Literal(m: Boolean, BooleanType)) =>
+        Md5ShingleHashesExpr(c, n, m)
+      case es => Md5ShingleHashesExpr(es.head, 3, modP = true)
     },
     "graft_fingerprint" -> (es => FingerprintExpr(es.head)),
     "graft_fingerprint_md5" -> (es => Md5FingerprintExpr(es.head)),

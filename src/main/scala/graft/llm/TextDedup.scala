@@ -139,7 +139,8 @@ object TextDedup {
     * strings — identical up to xxhash64 collisions (~n²/2³¹), at a
     * fraction of the width on the wire. */
   def minhashPairs(docs: DataFrame, numPerm: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, maxBucket: Int = 100): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 100,
+      shingleKernel: String = "graft_shingle_hashes"): DataFrame = {
     // Small-file inputs arrive as one split; spread the signature
     // compute (the CPU-bound stage) across the cluster first.
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -150,7 +151,7 @@ object TextDedup {
     // spilling to disk if it outgrows memory.
     val withSig = spreadSmallInput(docs)
       .select(col("doc_id"),
-        call_udf("graft_shingle_hashes", col("text"), lit(3), lit(true)).as("th"))
+        call_udf(shingleKernel, col("text"), lit(3), lit(true)).as("th"))
       .withColumn("sig", call_udf("graft_minhash_sig", col("th"), lit(numPerm)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rows = numPerm / bands
@@ -186,6 +187,67 @@ object TextDedup {
         .limit(1000),
     None)
 
+  /** The shared DuckDB CTE prefix: per-doc distinct word-trigram
+    * shingles with the short-text whole-text fallback — the SQL mirror
+    * of the kernels' shingling (ShingleHashesExpr /
+    * Md5ShingleHashesExpr). */
+  private val duckShinglesCte: String =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS tk, text FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(tk) - 1),
+      |        i -> array_to_string(tk[i:i+2], ' ')))
+      |    ELSE [text] END AS shingles
+      |  FROM tk)""".stripMargin
+
+  /** The MD5-shingle-hash MinHash+LSH variant (Md5ShingleHashesExpr):
+    * the identical banding pipeline, but every stage — shingle
+    * hashing, the 64-permutation signature, band keys, the
+    * bucket-size cap, candidate pairs, and the verification Jaccard
+    * over hashed shingle sets — is replayed in DuckDB, so the whole
+    * LSH path is hash-match-verified cross-engine (the xxhash64
+    * production variant above is pinned by ScalaTest instead, DuckDB
+    * having no xxhash64). */
+  val qMinhashMd5 = QuerySpec(
+    "q_llm_minhash_md5",
+    (s, d) =>
+      minhashPairs(Tables.load(s, d, "documents"),
+        shingleKernel = "graft_shingle_hashes_md5")
+        .orderBy(col("jac").desc, col("ida"), col("idb"))
+        .limit(1000),
+    Some(s"""WITH $duckShinglesCte,
+            |th AS (
+            |  SELECT doc_id, list_transform(shingles,
+            |    t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483647) AS th
+            |  FROM sh),
+            |sig AS (
+            |  SELECT doc_id, th, list_transform(range(0, 64), k ->
+            |    list_min(list_transform(th,
+            |      h -> ((k*1000003 + 12345)*h + k*998244353 + 7) % 2147483647))) AS sig
+            |  FROM th),
+            |bands AS (
+            |  SELECT doc_id, unnest(list_transform(range(0, 16),
+            |    b -> b::VARCHAR || ':' || array_to_string(sig[b*4+1:b*4+4], ','))) AS band_key
+            |  FROM sig),
+            |ok AS (
+            |  SELECT band_key FROM bands GROUP BY band_key
+            |  HAVING count(*) > 1 AND count(*) <= 100),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            |  FROM bands a JOIN bands b
+            |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            |  WHERE a.band_key IN (SELECT band_key FROM ok)),
+            |scored AS (
+            |  SELECT c.ida, c.idb,
+            |    len(list_intersect(ta.th, tb.th)) /
+            |    len(list_distinct(list_concat(ta.th, tb.th))) AS jac
+            |  FROM cand c
+            |  JOIN th ta ON ta.doc_id = c.ida
+            |  JOIN th tb ON tb.doc_id = c.idb)
+            |SELECT ida, idb, jac FROM scored WHERE jac >= 0.5
+            |ORDER BY jac DESC, ida, idb LIMIT 1000""".stripMargin))
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash over a token-hash array column named `th`: bit i is
@@ -203,11 +265,12 @@ object TextDedup {
     * hamming distance via bit_count(xor) — the classic "hamming ≤ k
     * implies some band equal" pigeonhole. Bucket cap as in
     * [[minhashPairs]]. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 100,
+      shingleKernel: String = "graft_shingle_hashes"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val withSim = spreadSmallInput(docs)
       .select(col("doc_id"),
-        call_udf("graft_shingle_hashes", col("text"), lit(3), lit(false)).as("th"))
+        call_udf(shingleKernel, col("text"), lit(3), lit(false)).as("th"))
       .withColumn("simhash", call_udf("graft_simhash64", col("th")))
     val banded = withSim.select(col("doc_id"), col("simhash"),
       explode(expr(
@@ -234,6 +297,50 @@ object TextDedup {
         .orderBy(col("hamming"), col("ida"), col("idb"))
         .limit(1000),
     None)
+
+  /** The MD5-shingle-hash SimHash variant: 63-bit per-shingle hashes
+    * (see Md5ShingleHashesExpr — bit 63 of the sketch is constantly 0)
+    * through the identical band/verify pipeline, fully replayed in
+    * DuckDB: sketch construction, the 4×16-bit band pigeonhole, the
+    * bucket cap, and the bit_count(xor) hamming verification all
+    * hash-match cross-engine. */
+  val qSimhashMd5 = QuerySpec(
+    "q_llm_simhash_md5",
+    (s, d) =>
+      simhashPairs(Tables.load(s, d, "documents"),
+        shingleKernel = "graft_shingle_hashes_md5")
+        .orderBy(col("hamming"), col("ida"), col("idb"))
+        .limit(1000),
+    Some(s"""WITH $duckShinglesCte,
+            |th AS (
+            |  SELECT doc_id, list_transform(shingles, t ->
+            |    CAST((CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) >> 1) AS BIGINT)) AS th
+            |  FROM sh),
+            |sim AS (
+            |  SELECT doc_id,
+            |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+            |      list_transform(range(0, 64), i ->
+            |        CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+            |            list_transform(th, h -> ((h >> i) & 1) * 2 - 1)),
+            |            (a, x) -> a + x) > 0
+            |        THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
+            |      (a, x) -> a + x) AS simhash
+            |  FROM th),
+            |bands AS (
+            |  SELECT doc_id, simhash, unnest(list_transform(range(0, 4),
+            |    b -> b::VARCHAR || ':' || ((simhash >> (b*16)) % 65536)::VARCHAR)) AS band_key
+            |  FROM sim),
+            |ok AS (
+            |  SELECT band_key FROM bands GROUP BY band_key
+            |  HAVING count(*) > 1 AND count(*) <= 100),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+            |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            |  FROM bands a JOIN bands b
+            |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            |  WHERE a.band_key IN (SELECT band_key FROM ok))
+            |SELECT ida, idb, hamming FROM cand WHERE hamming <= 3
+            |ORDER BY hamming, ida, idb LIMIT 1000""".stripMargin))
 
   // ---- dedup clusters (connected components over near-dup pairs) ---------
 
@@ -489,6 +596,6 @@ object TextDedup {
     None)
 
   val all: Seq[QuerySpec] =
-    Seq(qExactDedup, qNgramJaccard, qMinhash, qSimhash, qSourceSim,
-      qDedupClusters, qKeepList)
+    Seq(qExactDedup, qNgramJaccard, qMinhash, qMinhashMd5, qSimhash,
+      qSimhashMd5, qSourceSim, qDedupClusters, qKeepList)
 }

@@ -66,6 +66,43 @@ class NativeKernelSpec extends SparkSpec {
     assert(out.filter(col("native") =!= col("sql")).count() == 0L)
   }
 
+  test("graft_shingle_hashes_md5 matches SQL md5-hash chains (both widths)") {
+    // modP=true: first 4 MD5 bytes (unsigned, big-endian) mod 2^31-1.
+    // modP=false: first 8 MD5 bytes >>> 1 — reconstructed in SQL from
+    // two 32-bit halves: (hi·2^32 + lo) >> 1 = hi·2^31 + (lo >> 1),
+    // which stays inside signed BIGINT.
+    val sqlP = expr(
+      """transform(toks, t -> pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10)
+        |  AS BIGINT), 2147483647))""".stripMargin)
+    val sqlRaw = expr(
+      """transform(toks, t ->
+        |  CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) * 2147483648L +
+        |  shiftright(CAST(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT), 1))""".stripMargin)
+    val edges = spark.createDataFrame(Seq(
+      (-1L, ""), (-2L, "just two"), (-3L, "a  b c d"), (-4L, "a b c")))
+      .toDF("doc_id", "text")
+    val df = docs.select(col("doc_id"), col("text")).union(edges)
+      .select(col("doc_id"), TextDedup.shingleSet(col("text")).as("toks"),
+        call_udf("graft_shingle_hashes_md5", col("text"), lit(3), lit(true)).as("native_p"),
+        call_udf("graft_shingle_hashes_md5", col("text"), lit(3), lit(false)).as("native_raw"))
+      .withColumn("sql_p", sqlP)
+      .withColumn("sql_raw", sqlRaw)
+    assert(df.filter(col("native_p") =!= col("sql_p")).count() == 0L)
+    assert(df.filter(col("native_raw") =!= col("sql_raw")).count() == 0L)
+  }
+
+  test("md5 LSH variants find the same high-sim structure as the xxhash production path") {
+    // different hash families ⇒ possibly different *candidate* sets,
+    // but verified pairs at jaccard ≥ 0.5 are hash-independent except
+    // for band-recall misses; on the test corpus the md5 and xxhash
+    // pipelines must agree on the verified pair set itself.
+    val d = docs.select(col("doc_id"), col("text"))
+    val xx = TextDedup.minhashPairs(d).select(col("ida"), col("idb"))
+    val md = TextDedup.minhashPairs(d, shingleKernel = "graft_shingle_hashes_md5")
+      .select(col("ida"), col("idb"))
+    assert(xx.exceptAll(md).isEmpty && md.exceptAll(xx).isEmpty)
+  }
+
   test("graft_signlsh matches SQL sign-LSH formulation") {
     val vecs = graft.Tables.load(spark, sf0001, "embeddings")
     val sqlSig = Similarity.signLshSql(vecs, 16, 64)
