@@ -367,6 +367,25 @@ object TextDedup {
     * local runs, wrong for a 100 TB multi-hour clustering pass.
     *
     * Returns `(id, cluster_id)` for every node present in `pairs`. */
+  /** Release the storage behind an eagerly checkpointed DataFrame once
+    * no later round can re-read it: unpersists the local-checkpoint
+    * blocks (they otherwise accumulate O(rounds) in executor storage)
+    * and deletes reliable-checkpoint files (the cleaner only removes
+    * them under `spark.cleaner.referenceTracking.cleanCheckpoints`,
+    * which defaults false). Safe ONLY after every consumer of `df` has
+    * itself been materialized. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach { rdd =>
+      rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+      rdd.unpersist(blocking = false)
+    }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       reliable: Boolean = false): DataFrame = {
     def ck(df: DataFrame): DataFrame =
@@ -402,6 +421,7 @@ object TextDedup {
         .select(col("id"), col("cluster_id"))
         .transform(ck)
       changed = obs.get("changed").asInstanceOf[Long]
+      freeCheckpoint(labels) // next is materialized; round i−1's blocks are dead
       labels = next
       i += 1
     }
@@ -433,14 +453,25 @@ object TextDedup {
     import org.apache.spark.sql.expressions.Window
     def ck(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    val spark = pairs.sparkSession
+    // The per-round edge-set fingerprint: cardinality + order-independent
+    // XOR of per-edge hashes. Both ride the checkpoint materialization as
+    // observed metrics, so convergence detection costs NO extra Spark
+    // jobs — the definitive set-equality join below runs only once, when
+    // the fingerprints first claim a fixpoint.
+    def edgeMetrics: Seq[Column] = Seq(
+      count(lit(1)).as("n_edges"),
+      bit_xor(xxhash64(col("u"), col("v"))).as("x_edges"))
     // undirected edge list, self-loops kept out; u is the center node
+    val obs0 = new org.apache.spark.sql.Observation()
     var edges = pairs
       .select(col("ida").cast("long").as("u"), col("idb").cast("long").as("v"))
       .union(pairs.select(col("idb").cast("long"), col("ida").cast("long")))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .observe(obs0, edgeMetrics.head, edgeMetrics.tail: _*)
       .transform(ck)
+    var prevN = obs0.get("n_edges").asInstanceOf[Long]
+    var prevX = obs0.get("x_edges") match { case null => 0L; case x => x.asInstanceOf[Long] }
     val wU = Window.partitionBy(col("u"))
     var converged = false
     var i = 0
@@ -463,13 +494,22 @@ object TextDedup {
       val obs = new org.apache.spark.sql.Observation()
       val next = small.union(small.select(col("v"), col("u")))
         .filter(col("u") =!= col("v")).distinct()
-        .observe(obs, count(lit(1)).as("n_edges"))
+        .observe(obs, edgeMetrics.head, edgeMetrics.tail: _*)
         .transform(ck)
-      // fixpoint when the canonical (undirected) edge multiset is stable
-      val nNext = obs.get("n_edges").asInstanceOf[Long]
-      converged = nNext == edges.count() &&
+      val nextN = obs.get("n_edges").asInstanceOf[Long]
+      val nextX = obs.get("x_edges") match { case null => 0L; case x => x.asInstanceOf[Long] }
+      // fixpoint when the canonical (undirected) edge set is stable.
+      // Fingerprint equality is necessary but (theoretically) not
+      // sufficient, so a claimed fixpoint is confirmed with one exact
+      // set-difference join — correctness never rests on the hash; a
+      // colliding non-fixpoint merely costs one extra job and loops on.
+      converged = nextN == prevN && nextX == prevX &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      freeCheckpoint(undirectedL) // dead once next is materialized
+      freeCheckpoint(edges)       // ditto (the confirm join above already ran)
       edges = next
+      prevN = nextN
+      prevX = nextX
       i += 1
     }
     // star-shaped fixpoint: each non-root points at its component root

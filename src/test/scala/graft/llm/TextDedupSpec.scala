@@ -102,11 +102,46 @@ class TextDedupSpec extends SparkSpec {
     // a 64-node chain: min-label propagation needs ~63 rounds (capped
     // by maxIter); star contraction must finish well under its cap
     val chain = (1L until 64L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val out = TextDedup.connectedComponentsStar(chain, maxIter = 12).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.keySet == (1L to 64L).toSet)
     assert(out.values.forall(_ == 1L),
       s"must fully contract within 12 rounds: ${out.filter(_._2 != 1L)}")
+    // prior rounds' local-checkpoint blocks must be released as rounds
+    // retire — only the final round's edge frame may remain cached
+    // (executor storage would otherwise grow O(rounds))
+    val leaked = spark.sparkContext.getPersistentRDDs.size - persistedBefore
+    assert(leaked <= 1, s"star CC leaked $leaked checkpointed frames")
+  }
+
+  test("star contraction: one materialization per star step, one confirm join total") {
+    // convergence detection rides the checkpoint materializations as
+    // observed metrics (count + xor-fingerprint); the exact set-equality
+    // join runs only once, when the fingerprints first claim a fixpoint.
+    // An already-star-shaped graph converges in one round, so the
+    // expected Dataset actions are: initial ck + (undirectedL ck +
+    // next ck) + the single confirm join = 4.
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, duration: Long): Unit =
+        actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("ida", "idb")
+      TextDedup.connectedComponentsStar(pairs)
+      // the listener bus is async; wait for the expected count, then a
+      // grace period to surface over-counting
+      val deadline = System.currentTimeMillis + 20000
+      while (System.currentTimeMillis < deadline && actions.get < 4) Thread.sleep(100)
+      Thread.sleep(1000)
+      assert(actions.get == 4,
+        s"expected 4 actions (init ck + 2 ck/round + 1 confirm), got ${actions.get}")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("dedupKeepList keeps one canonical doc per cluster plus unpaired docs") {
