@@ -38,14 +38,18 @@ object PemStore {
   }
 
   /** Parse + re-key a legacy read into the engine's cert schema.
-    * Unparseable files are dropped and counted (C7 analog). */
-  def parseLegacy(raw: DataFrame): DataFrame =
+    * Unparseable files are dropped and counted (C7 analog).
+    * `hourResolution=false` keys exp_date at day resolution
+    * (types.go:21-23), so a day-bucketed legacy store round-trips with
+    * its own ids instead of being re-bucketed to hours. */
+  def parseLegacy(raw: DataFrame, hourResolution: Boolean = true): DataFrame =
     raw
       .withColumn("der", CertFuncs.pem_to_der(col("pem")))
       .withColumn("cert", CertFuncs.parse_cert(col("der")))
       .filter(col("cert").isNotNull)
       .select(
-        CertFuncs.expDateHourId(col("cert.not_after")).as("exp_date"),
+        (if (hourResolution) CertFuncs.expDateHourId(col("cert.not_after"))
+        else CertFuncs.expDateDayId(col("cert.not_after"))).as("exp_date"),
         col("path_issuer_id").as("issuer_id"),
         CertFuncs.serialId(col("cert.serial")).as("serial_id"),
         lit(-1L).as("entry_id"),              // unknown in the legacy layout
@@ -65,10 +69,13 @@ object PemStore {
     * import into a non-empty store would otherwise create triple-key
     * duplicates), write partitioned, and upsert the issuer dimension
     * exactly like the streaming sink. Returns per-check import
-    * counts, including how many rows the target already had. */
+    * counts, including how many rows the target already had.
+    * `hourResolution` must match the TARGET store's bucketing (a day
+    * store imported at hour keys — or vice versa — would duplicate
+    * certs under differently-shaped ids). */
   def importLegacyStore(spark: SparkSession, legacyRoot: String,
-      certRoot: String): Map[String, Long] = {
-    val parsed = parseLegacy(readLegacyStore(spark, legacyRoot))
+      certRoot: String, hourResolution: Boolean = true): Map[String, Long] = {
+    val parsed = parseLegacy(readLegacyStore(spark, legacyRoot), hourResolution)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = parsed.count()
     // path-vs-content consistency: exp_date dirs may be day-resolution

@@ -37,7 +37,8 @@ object IngestJob {
     * chain are skipped (C6, ct-fetch.go:215-219), as are entries whose
     * issuer cert fails to parse (ct-fetch.go:221-225). */
   def parsedEntries(raw: DataFrame, logExpiredEntries: Boolean,
-      issuerCNFilter: Seq[String], asOf: Option[java.sql.Timestamp]): DataFrame = {
+      issuerCNFilter: Seq[String], asOf: Option[java.sql.Timestamp],
+      hourResolution: Boolean = true): DataFrame = {
     val parsed = Observability.observed(
       raw.withColumn("cert", CertFuncs.parse_cert(col("der")))
         // issuer certs repeat massively (one CA, millions of leaves):
@@ -62,8 +63,15 @@ object IngestJob {
       if (issuerCNFilter.isEmpty) expiryFiltered
       else expiryFiltered.filter(                                 // C3 OR-fold
         issuerCNFilter.map(p => col("cert.issuer_cn").startsWith(p)).reduce(_ || _))
+    // D5: the reference buckets at hour OR day resolution (types.go:
+    // 21-23, 339-346); both are honored here — bucket id format, state
+    // TTL (expDateExpireMs keys off the id's width), and expiry pruning
+    // (listExpirationDates' day-prefix cut) all follow the id.
+    val bucket =
+      if (hourResolution) CertFuncs.expDateHourId(col("cert.not_after"))
+      else CertFuncs.expDateDayId(col("cert.not_after"))
     cnFiltered
-      .withColumn("exp_date", CertFuncs.expDateHourId(col("cert.not_after")))  // D5
+      .withColumn("exp_date", bucket)                              // D5
       // D3 over the issuing cert's raw SPKI — the reference never
       // applies the D2 SKI fallback to issuer identity (getSpki is
       // test-only, filesystemdatabase_test.go:80-106)
@@ -75,16 +83,23 @@ object IngestJob {
       .withColumn("crl_dps", CertFuncs.filterCrlDps(col("cert.crl_dps")))
   }
 
-  /** The state TTL instant (E2) for a `yyyy-MM-dd-HH` exp_date id: the
-    * bucket START, not its end — the reference's `ExpireTime()` returns
-    * the hour-truncated date itself (types.go:371-373), so the dedup
-    * set for certs expiring within an hour is dropped when that hour
-    * BEGINS (pinned by its own Test_ExpireAt: notAfter 04:22:19 →
-    * expiry exactly 04:00:00, knowncertificates_test.go:85-110). */
+  /** The state TTL instant (E2) for an exp_date id at either
+    * resolution: the bucket START, not its end — the reference's
+    * `ExpireTime()` returns the truncated date itself
+    * (types.go:371-373), so the dedup set for certs expiring within a
+    * bucket is dropped when that bucket BEGINS (pinned by its own
+    * Test_ExpireAt: notAfter 04:22:19 → expiry exactly 04:00:00,
+    * knowncertificates_test.go:85-110). The id's width selects the
+    * resolution: `yyyy-MM-dd-HH` (hour) or `yyyy-MM-dd` (day, start of
+    * day — types.go:371: day-resolution ExpireTime is midnight). */
   def expDateExpireMs(expDateId: String): Long = {
-    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH")
-    java.time.LocalDateTime.parse(expDateId, fmt)
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val ldt =
+      if (expDateId.length > 10)
+        java.time.LocalDateTime.parse(expDateId,
+          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH"))
+      else
+        java.time.LocalDate.parse(expDateId).atStartOfDay()
+    ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
   }
 
   /** Run the streaming ingest from one (simulated) CT log directory. */
@@ -93,10 +108,11 @@ object IngestJob {
       logExpiredEntries: Boolean = true, issuerCNFilter: Seq[String] = Nil,
       asOf: Option[java.sql.Timestamp] = None,
       runForever: Boolean = false, pollInterval: String = "10 minutes",
-      startEntry: Long = 0L, limitEntries: Option[Long] = None): StreamingQuery =
+      startEntry: Long = 0L, limitEntries: Option[Long] = None,
+      hourResolution: Boolean = true): StreamingQuery =
     startAll(spark, Seq(logDir), certRoot, checkpoint, maxEntriesPerTrigger,
       logExpiredEntries, issuerCNFilter, asOf, runForever, pollInterval,
-      startEntry, limitEntries)
+      startEntry, limitEntries, hourResolution = hourResolution)
 
   /** Run the streaming ingest over MANY CT logs as ONE query: the
     * per-log sources union into a single pipeline, so the first-seen
@@ -124,7 +140,8 @@ object IngestJob {
       asOf: Option[java.sql.Timestamp] = None,
       runForever: Boolean = false, pollInterval: String = "10 minutes",
       startEntry: Long = 0L, limitEntries: Option[Long] = None,
-      startEntries: Map[String, Long] = Map.empty): StreamingQuery = {
+      startEntries: Map[String, Long] = Map.empty,
+      hourResolution: Boolean = true): StreamingQuery = {
     import spark.implicits._
     require(logDirs.nonEmpty, "at least one log directory")
     val orderedDirs = checkLogManifest(spark, logDirs, checkpoint)
@@ -143,7 +160,8 @@ object IngestJob {
       limitEntries.fold(rawReader)(l =>
         rawReader.option("limitEntries", l)).load()               // G3 --limit
     }.reduce(_.unionByName(_))
-    val entries = parsedEntries(raw, logExpiredEntries, issuerCNFilter, asOf)
+    val entries = parsedEntries(raw, logExpiredEntries, issuerCNFilter, asOf,
+      hourResolution)
       .select(col("exp_date"), col("issuer_id"), col("serial_id"),
         col("entry_id"), col("ts_ms"), col("log_url"),
         col("cert.not_after").as("not_after"), col("cert.issuer_cn").as("issuer_cn"),
@@ -243,6 +261,20 @@ object IngestJob {
           s"requested=${ordered.mkString(",")}. Start a fresh checkpoint (optionally " +
           s"seeding startEntries from recoveredStartEntries, i.e. max(entry_id) " +
           s"per log in the cert store).")
+    } else if (offsetsCommitted) {
+      // Offsets exist but the manifest does not (pre-manifest-build
+      // checkpoint, or a lost manifest file): the stored offsets' source
+      // order is UNKNOWN, so silently re-pinning the requested list
+      // would be exactly the positional misapplication the manifest
+      // guards against. Fail fast instead.
+      throw new IllegalStateException(
+        s"checkpoint $checkpoint holds committed offsets but no _graft_log_list " +
+        s"manifest — the stored offsets' source order is unknown, so they cannot " +
+        s"be safely applied to the requested list (${ordered.mkString(",")}). " +
+        s"If the list is KNOWN to be unchanged since the checkpoint was written, " +
+        s"restore the manifest by hand (newline-separated canonical list); " +
+        s"otherwise start a fresh checkpoint, optionally seeding startEntries " +
+        s"from recoveredStartEntries.")
     } else {
       val out = fs.create(manifest, true)
       try out.write((ordered.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -273,9 +305,17 @@ object IngestJob {
   def listExpirationDates(spark: SparkSession, certRoot: String,
       notBefore: Option[java.sql.Timestamp] = None): DataFrame = {
     val t = notBefore.map(lit(_)).getOrElse(current_timestamp())
+    // cut at the DAY prefix: hour ids ("yyyy-MM-dd-HH") of the cut day
+    // sort ≥ "yyyy-MM-dd" and earlier days sort <, and day-resolution
+    // ids ("yyyy-MM-dd") compare directly — one filter serves both
+    // store resolutions. (A day-resolution store's partition values
+    // parse as dates, so Spark's partition-column type inference reads
+    // exp_date back as DATE — the comparison then coerces and prunes on
+    // the date; the cast below restores the engine's string-id surface
+    // either way.)
     spark.read.parquet(s"$certRoot/certs")
-      .filter(col("exp_date") >= date_format(date_trunc("DAY", t), "yyyy-MM-dd-HH"))
-      .select(col("exp_date")).distinct()
+      .filter(col("exp_date") >= date_format(date_trunc("DAY", t), "yyyy-MM-dd"))
+      .select(col("exp_date").cast("string").as("exp_date")).distinct()
   }
 
   def listIssuers(spark: SparkSession, certRoot: String, expDate: String): DataFrame =
@@ -321,10 +361,19 @@ object IngestJob {
     // append is not idempotent the way the reference's per-path file
     // store is (localdiskbackend.go:194-199). The dedup rides the same
     // shuffle as the repartition: hash partitioning on (exp_date,
-    // issuer_id) already clusters the triple key, so no extra exchange.
+    // issuer_id) already clusters the triple key, so the window below
+    // needs only a sort, no extra exchange. The survivor is the row
+    // with the least (log_url, entry_id, ts_ms) — NOT an arbitrary
+    // dropDuplicates pick — so compaction is idempotent and a log's
+    // max(entry_id) (which recoveredStartEntries reads) never regresses
+    // by re-compacting.
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("exp_date"), col("issuer_id"), col("serial_id"))
+      .orderBy(col("log_url"), col("entry_id"), col("ts_ms"))
     spark.read.parquet(live.toString)
       .repartition(col("exp_date"), col("issuer_id"))
-      .dropDuplicates("exp_date", "issuer_id", "serial_id")
+      .withColumn("_rn", row_number().over(wDup))
+      .filter(col("_rn") === 1).drop("_rn")
       .write.mode("overwrite")
       .partitionBy("exp_date", "issuer_id")
       .parquet(staged.toString)

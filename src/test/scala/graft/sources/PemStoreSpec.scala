@@ -64,6 +64,24 @@ class PemStoreSpec extends SparkSpec {
     assert(certs.count() == 2L, "re-import must be a no-op on the cert store")
   }
 
+  test("day-resolution import round-trips a legacy store's own bucket ids") {
+    // the reference's default layout is day-resolution dirs
+    // (types.go:21-23); importing at hourResolution=false keeps the
+    // legacy ids byte-identical instead of re-bucketing to hours
+    val out = Files.createTempDirectory("importedday").toString
+    val counts = PemStore.importLegacyStore(spark, legacyRoot, out,
+      hourResolution = false)
+    assert(counts("stored") == 2L, counts.toString)
+    val certs = spark.read.parquet(s"$out/certs")
+    assert(certs.select(col("exp_date").cast("string")).distinct().collect()
+      .map(_.getString(0)).toSet == Set("2020-02-05", "2046-08-07"),
+      "day ids must round-trip losslessly")
+    // re-import into the day store is still a no-op
+    val again = PemStore.importLegacyStore(spark, legacyRoot, out,
+      hourResolution = false)
+    assert(again("stored") == 0L && again("already_present") == 2L, again.toString)
+  }
+
   test("path/content mismatches are counted, not silently imported") {
     val root = Files.createTempDirectory("legacybad").toString
     val dir = Paths.get(root, "1999-01-01", "issuerX")

@@ -317,6 +317,55 @@ class IngestSpec extends SparkSpec {
       Seq(s"$root/logY"))
   }
 
+  test("committed offsets without a manifest fail fast (unknown source order)") {
+    // a pre-manifest-build checkpoint (or one whose manifest file was
+    // lost) must NOT silently re-pin the requested list: the stored
+    // offsets' source order is unknown, which is exactly the positional
+    // misapplication the manifest exists to prevent
+    val root = Files.createTempDirectory("manifestlost").toString
+    val ckpt = s"$root/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(ckpt, "offsets"))
+    Files.writeString(java.nio.file.Paths.get(ckpt, "offsets", "0"), "{}")
+    val err = intercept[IllegalStateException] {
+      IngestJob.checkLogManifest(spark, Seq(s"$root/logA"), ckpt)
+    }
+    assert(err.getMessage.contains("no _graft_log_list"))
+  }
+
+  test("day-resolution ingest buckets at yyyy-MM-dd with day-start TTL (types.go:21-23)") {
+    val root = Files.createTempDirectory("dayres").toString
+    val logDir = s"$root/log"
+    val certRoot = s"$root/out"
+    // a duplicate leaf plus two distinct certs: the first-seen gate must
+    // hold on the DAY-resolution triple key
+    CtLog.writePages(logDir, Seq(
+      entry(0L, ts0, "log.example.com/2025", leaf1),
+      entry(1L, ts0 + 1, "log.example.com/2025", leafS),
+      entry(2L, ts0 + 2, "log.example.com/2025", leaf1)))
+    val q = IngestJob.start(spark, logDir, certRoot, s"$root/ckpt",
+      logExpiredEntries = true, hourResolution = false)
+    q.awaitTermination()
+    val certs = spark.read.parquet(s"$certRoot/certs")
+    assert(certs.count() == 2L, "dedup must hold under day buckets")
+    // day-id partition values parse as dates, so read-back infers DATE;
+    // the string view must be the day id itself
+    val ids = certs.select(col("exp_date").cast("string")).collect().map(_.getString(0))
+    assert(ids.forall(_.matches("""\d{4}-\d{2}-\d{2}""")), ids.toSeq.toString)
+    // kLeadingZeroes expires 2020-02-05, kSyntheticLeaf 2046-08-07: the
+    // enumeration cut works on day ids too
+    val live = IngestJob.listExpirationDates(spark, certRoot,
+      Some(java.sql.Timestamp.valueOf("2021-01-01 00:00:00")))
+      .collect().map(_.getString(0)).toSeq
+    assert(live == Seq("2046-08-07"), live.toString)
+    // day-resolution TTL instant = start of day (types.go:371 midnight)
+    assert(IngestJob.expDateExpireMs("2020-02-05") ==
+      java.time.LocalDate.parse("2020-02-05").atStartOfDay()
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    // and the hour id of the same instant expires later the same day
+    assert(IngestJob.expDateExpireMs("2020-02-05-04") ==
+      IngestJob.expDateExpireMs("2020-02-05") + 4L * 3600 * 1000)
+  }
+
   test("recoveredStartEntries resumes each log from its stored max(entry_id)") {
     // the recovery path for an edited log list: fresh checkpoint,
     // per-log start positions recovered from the cert store itself

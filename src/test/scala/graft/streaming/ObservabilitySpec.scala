@@ -69,8 +69,8 @@ class ObservabilitySpec extends SparkSpec {
     import spark.implicits._
     val root = Files.createTempDirectory("compact").toString
     val mk = (ids: Range) => ids.map(i =>
-      ("2030-01-01-00", s"issuer${i % 2}", s"s$i", s"pem$i"))
-      .toDF("exp_date", "issuer_id", "serial_id", "pem")
+      ("2030-01-01-00", s"issuer${i % 2}", s"s$i", s"pem$i", i.toLong, i.toLong, "log"))
+      .toDF("exp_date", "issuer_id", "serial_id", "pem", "entry_id", "ts_ms", "log_url")
     // three appends → ≥3 files per touched partition
     mk(0 until 4).write.partitionBy("exp_date", "issuer_id").mode("append").parquet(s"$root/certs")
     mk(4 until 8).write.partitionBy("exp_date", "issuer_id").mode("append").parquet(s"$root/certs")
@@ -97,26 +97,36 @@ class ObservabilitySpec extends SparkSpec {
     // way the reference's per-path file store is — compact() must
     // restore the invariant the statistics rollup counts on
     val root = Files.createTempDirectory("compactdup").toString
-    val rows = Seq(
-      ("2030-01-01-00", "issuerA", "s1", "pem1"),
-      ("2030-01-01-00", "issuerA", "s2", "pem2"))
-      .toDF("exp_date", "issuer_id", "serial_id", "pem")
-    rows.write.partitionBy("exp_date", "issuer_id").mode("append").parquet(s"$root/certs")
-    rows.limit(1).write.partitionBy("exp_date", "issuer_id").mode("append").parquet(s"$root/certs")
+    def put(serial: String, entryId: Long) = Seq(
+      ("2030-01-01-00", "issuerA", serial, s"pem-$serial", entryId, entryId, "log"))
+      .toDF("exp_date", "issuer_id", "serial_id", "pem", "entry_id", "ts_ms", "log_url")
+      .write.partitionBy("exp_date", "issuer_id").mode("append").parquet(s"$root/certs")
+    put("s1", 1L); put("s2", 2L)
+    put("s1", 7L) // the re-admitted duplicate carries a later entry_id
     assert(spark.read.parquet(s"$root/certs").count() == 3L)
     IngestJob.compact(spark, root)
     val after = spark.read.parquet(s"$root/certs")
     assert(after.count() == 2L, "compact must drop triple-key duplicates")
     assert(after.select(col("exp_date"), col("issuer_id"), col("serial_id"))
       .distinct().count() == 2L)
+    // the survivor is DETERMINISTIC: the least (log_url, entry_id,
+    // ts_ms) row, so re-compacting is byte-for-byte idempotent and a
+    // log's max(entry_id) never shifts between compactions
+    assert(after.filter(col("serial_id") === "s1").collect()(0)
+      .getAs[Long]("entry_id") == 1L, "must keep the first-admitted row")
+    val snap1 = after.orderBy(col("serial_id")).collect().toSeq
+    IngestJob.compact(spark, root)
+    val snap2 = spark.read.parquet(s"$root/certs")
+      .orderBy(col("serial_id")).collect().toSeq
+    assert(snap1 == snap2, "compact must be idempotent")
   }
 
   test("compactIssuerBatches folds per-batch upserts into one row per issuer") {
     import spark.implicits._
     val root = Files.createTempDirectory("issuercompact").toString
     // needs a certs dir for compact()'s main pass
-    Seq(("2030-01-01-00", "issuerA", "s1", "p"))
-      .toDF("exp_date", "issuer_id", "serial_id", "pem")
+    Seq(("2030-01-01-00", "issuerA", "s1", "p", 0L, 0L, "log"))
+      .toDF("exp_date", "issuer_id", "serial_id", "pem", "entry_id", "ts_ms", "log_url")
       .write.partitionBy("exp_date", "issuer_id").parquet(s"$root/certs")
     def batch(id: Long, cns: Seq[String], dns: Seq[String], crls: Seq[String], n: Long) =
       Seq(("issuerA", cns, dns, crls, n, id))
@@ -142,8 +152,8 @@ class ObservabilitySpec extends SparkSpec {
     // a foreachBatch replay re-appends the same (issuer, batch_id) row;
     // the n_new sum must count each batch once
     val root = Files.createTempDirectory("issuerreplay").toString
-    Seq(("2030-01-01-00", "issuerA", "s1", "p"))
-      .toDF("exp_date", "issuer_id", "serial_id", "pem")
+    Seq(("2030-01-01-00", "issuerA", "s1", "p", 0L, 0L, "log"))
+      .toDF("exp_date", "issuer_id", "serial_id", "pem", "entry_id", "ts_ms", "log_url")
       .write.partitionBy("exp_date", "issuer_id").parquet(s"$root/certs")
     def append(id: Long, n: Long) =
       Seq(("issuerA", Seq("ca"), Seq("CN=ca"), Seq.empty[String], n, id))
