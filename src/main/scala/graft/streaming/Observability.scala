@@ -63,12 +63,60 @@ object Observability {
     * `now` is injectable for tests. */
   def health(query: StreamingQuery, pollingDelayMeanMs: Long,
       now: Instant = Instant.now()): Health = {
-    val p = query.lastProgress
+    val p = if (query == null) null else query.lastProgress
     if (p == null) Starting
     else {
       val last = Instant.parse(p.timestamp)
       if (now.toEpochMilli - last.toEpochMilli > 2 * pollingDelayMeanMs) Stale
       else Ok
+    }
+  }
+
+  /** The `/health` probe bound to an actual listener (GraftConfig's
+    * `healthAddr`, same key as the reference; handler semantics and
+    * message shapes per ct-fetch.go:566-597 — 503 + `Retry-After: 30`
+    * before the first progress, 500 past 2 × pollingDelayMean, 200
+    * otherwise). JDK built-in HttpServer: no dependency, one daemon
+    * thread; `query` is a thunk so the server can come up BEFORE the
+    * streaming query starts, reporting Starting until it does. */
+  final class HealthServer private[Observability] (
+      server: com.sun.net.httpserver.HttpServer) extends AutoCloseable {
+    /** The bound port (useful with an ephemeral `:0` bind). */
+    def port: Int = server.getAddress.getPort
+    override def close(): Unit = server.stop(0)
+  }
+
+  object HealthServer {
+    /** Bind `addr` (`host:port` or `:port`, port 0 = ephemeral) and
+      * serve GET /health. `now` is injectable for tests. */
+    def start(addr: String, pollingDelayMeanMs: Long,
+        query: () => StreamingQuery,
+        now: () => Instant = () => Instant.now()): HealthServer = {
+      val (host, port) = addr.lastIndexOf(':') match {
+        case -1 => ("", addr.toInt)
+        case i  => (addr.substring(0, i), addr.substring(i + 1).toInt)
+      }
+      val sock =
+        if (host.isEmpty) new java.net.InetSocketAddress(port)
+        else new java.net.InetSocketAddress(host, port)
+      val server = com.sun.net.httpserver.HttpServer.create(sock, 0)
+      server.createContext("/health", (exchange: com.sun.net.httpserver.HttpExchange) => {
+        val h = health(query(), pollingDelayMeanMs, now())
+        val msg = h match {
+          case Starting => "error: no health updates yet, Retry-After 30 seconds"
+          case Stale =>
+            s"error: longer than 2 * pollingDelayMean (${2 * pollingDelayMeanMs}ms) since last update"
+          case Ok =>
+            s"ok: shorter than 2 * pollingDelayMean (${2 * pollingDelayMeanMs}ms) since last update"
+        }
+        if (h == Starting) exchange.getResponseHeaders.add("Retry-After", "30")
+        val bytes = msg.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        exchange.sendResponseHeaders(h.httpCode, bytes.length.toLong)
+        val out = exchange.getResponseBody
+        try out.write(bytes) finally out.close()
+      })
+      server.start()
+      new HealthServer(server)
     }
   }
 }

@@ -47,6 +47,13 @@ object CtFetch {
     require(cfg.certPath.nonEmpty, "certPath is required (ini/env)")
     val (spark, stop) = Cli.session("ct-fetch")
     spark.sparkContext.setLogLevel("WARN")
+    // /health on cfg.healthAddr, up BEFORE the query (503 until the
+    // first progress — ct-fetch.go:566-608 starts its listener alongside
+    // the downloaders the same way)
+    @volatile var query: org.apache.spark.sql.streaming.StreamingQuery = null
+    val pollMs = GraftConfig.goDurationToSpark(cfg.pollingDelayMean)
+      .stripSuffix(" milliseconds").toLong
+    val health = Observability.HealthServer.start(cfg.healthAddr, pollMs, () => query)
     val q = IngestJob.startAll(spark, cfg.logList,
       certRoot = cfg.certPath,
       checkpoint = s"${cfg.certPath}/state/ingest",
@@ -56,8 +63,9 @@ object CtFetch {
       pollInterval = cfg.pollTrigger,
       startEntry = cfg.offset,
       limitEntries = if (cfg.limit > 0) Some(cfg.limit) else None)
-    q.awaitTermination()
-    println(s"[ct-fetch] ${q.name}: health=${Observability.health(q, 600000L)}")
+    query = q
+    try q.awaitTermination() finally health.close()
+    println(s"[ct-fetch] ${q.name}: health=${Observability.health(q, pollMs)}")
     stop()
   }
 }

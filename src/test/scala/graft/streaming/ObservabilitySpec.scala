@@ -65,6 +65,47 @@ class ObservabilitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("/health endpoint serves 503/500/200 through the query lifecycle (healthAddr)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def get(port: Int): (Int, String, Option[String]) = {
+      val conn = new java.net.URI(s"http://127.0.0.1:$port/health").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      try {
+        val code = conn.getResponseCode
+        val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = new String(in.readAllBytes(), "UTF-8")
+        (code, body, Option(conn.getHeaderField("Retry-After")))
+      } finally conn.disconnect()
+    }
+    // the clock is injectable; the query thunk lets the server come up
+    // before the query exists (reference starts its listener alongside)
+    @volatile var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    @volatile var now: Instant = Instant.now()
+    val srv = Observability.HealthServer.start(":0", 1000L, () => q, () => now)
+    try {
+      val (c0, b0, retry0) = get(srv.port)
+      assert(c0 == 503 && b0.contains("no health updates yet") &&
+        retry0.contains("30"))
+      val ms = MemoryStream[Int]
+      q = ms.toDF().writeStream.format("noop")
+        .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+      try {
+        ms.addData(1, 2, 3)
+        val deadline = System.currentTimeMillis() + 20000
+        while (q.lastProgress == null && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        assert(q.lastProgress != null, "no progress recorded")
+        now = Instant.parse(q.lastProgress.timestamp).plusMillis(100)
+        val (c1, b1, _) = get(srv.port)
+        assert(c1 == 200 && b1.startsWith("ok:"), s"$c1 $b1")
+        now = Instant.parse(q.lastProgress.timestamp).plusMillis(60000)
+        val (c2, b2, _) = get(srv.port)
+        assert(c2 == 500 && b2.contains("longer than 2 * pollingDelayMean"), s"$c2 $b2")
+      } finally q.stop()
+    } finally srv.close()
+  }
+
   test("compact merges per-batch files and preserves every row") {
     import spark.implicits._
     val root = Files.createTempDirectory("compact").toString

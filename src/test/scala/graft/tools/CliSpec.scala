@@ -38,6 +38,7 @@ class CliSpec extends SparkSpec {
          |logList = $root/log
          |certPath = $root/out
          |logExpiredEntries = true
+         |healthAddr = :0
          |""".stripMargin)
     root
   }
