@@ -114,15 +114,23 @@ object TextDedup {
       b => concat_ws(":", b.cast("string"),
         concat_ws(",", transform(slice(sig, b * rows + 1, lit(rows)), x => x.cast("string")))))
 
-  /** The signature kernels are CPU-bound: when the input arrives in
-    * fewer splits than the cluster has cores (single small file — the
-    * local-test shape), spread it first. Inputs that already have
-    * enough splits (any real-scale table) pass through unshuffled —
+  /** The signature kernels are CPU-bound: when the input is too small
+    * to fill the cluster's cores with scan splits (single small file —
+    * the local-test shape), spread it first. Inputs big enough to split
+    * across every core (any real-scale table) pass through unshuffled —
     * repartitioning 100 TB of text to "spread" it would double the
-    * job's IO for nothing. */
+    * job's IO for nothing. The decision reads Catalyst's logical size
+    * estimate (file size for a parquet scan) against cores ×
+    * maxPartitionBytes — the planner's own split arithmetic — instead
+    * of probing `.rdd.getNumPartitions`, which forced a plan-to-RDD
+    * conversion of the kernel entry just to count splits. */
   private def spreadSmallInput(docs: DataFrame): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    if (docs.queryExecution.optimizedPlan.stats.sizeInBytes <
+        BigInt(maxSplit) * par) docs.repartition(par)
+    else docs
   }
 
   /** Candidate pairs from LSH buckets over word-trigram shingles,
