@@ -79,11 +79,16 @@ object CtLog {
     Entry(f(0).toLong, f(1).toLong, f(2), Base64.getDecoder.decode(f(3)), chain)
   }
 
-  /** The log_url a simulated log directory serves, read from its first
-    * page's first entry (every entry in a directory carries the same
-    * url, the shape ct-fetch keys its `log::<url>` state on). None for
-    * an empty/missing directory. */
-  def logUrlOf(dir: String): Option[String] = {
+  /** The log_url a source path serves — the `log::<url>` state key.
+    * Transport-aware: an HTTP log's shortURL, or a simulated directory's
+    * url read from its first page's first entry. None for an
+    * empty/missing directory. */
+  def logUrlOf(path: String): Option[String] =
+    CtLogTransport.specFor(path).transport.logUrl()
+
+  /** Directory-transport log_url: every entry in a directory carries
+    * the same url. */
+  private[streaming] def dirLogUrl(dir: String): Option[String] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return None
     listPages(d).headOption.flatMap { case (_, p) =>
@@ -145,7 +150,8 @@ class CtLogTable(props: Map[String, String]) extends Table with SupportsRead {
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new CtLogScan(path,
+      override def build(): Scan = new CtLogScan(
+        CtLogTransport.specFor(path, k => Option(options.get(k))),
         Option(options.get("maxEntriesPerTrigger")).map(_.toLong),
         Option(options.get("startEntry")).map(_.toLong).getOrElse(0L),
         Option(options.get("limitEntries")).map(_.toLong))
@@ -155,17 +161,17 @@ class CtLogTable(props: Map[String, String]) extends Table with SupportsRead {
 /** `startEntry` / `limitEntries` are the reference's `--offset X` /
   * `--limit Y` ingestion window (G3, ct-fetch.go:288-305): start
   * overrides the checkpointed position, limit caps the end position. */
-class CtLogScan(path: String, maxPerTrigger: Option[Long],
+class CtLogScan(spec: CtLogTransportSpec, maxPerTrigger: Option[Long],
     startEntry: Long = 0L, limitEntries: Option[Long] = None) extends Scan {
   private[streaming] def cappedEnd(sth: Long): Long =
     limitEntries.map(l => math.min(sth, startEntry + l)).getOrElse(sth)
   override def readSchema(): StructType = CtLog.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CtLogMicroBatchStream(path, maxPerTrigger, startEntry, limitEntries)
+    new CtLogMicroBatchStream(spec, maxPerTrigger, startEntry, limitEntries)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      CtLogMicroBatchStream.partitionRange(path, startEntry,
-        cappedEnd(CtLog.treeSize(path)))
+      CtLogMicroBatchStream.partitionRange(spec, startEntry,
+        cappedEnd(spec.transport.treeSize()))
     override def createReaderFactory(): PartitionReaderFactory = new CtLogReaderFactory
   }
 }
@@ -175,28 +181,22 @@ case class CtLogOffset(entry: Long) extends Offset {
 }
 
 object CtLogMicroBatchStream {
-  /** One input partition per page overlapping the range — partition
+  /** One input partition per transport sub-range (a page file for the
+    * directory transport, a get-entries page for HTTP) — partition
     * parallelism mirrors page fetch parallelism (J5's worker pool).
-    * Each partition reads exactly one page file, bounded to
-    * [start, end), so ranges never overlap across partitions. */
-  def partitionRange(path: String, start: Long, end: Long): Array[InputPartition] = {
-    if (start >= end) return Array.empty
-    val pages = CtLog.listPages(Paths.get(path))
-    pages.zipWithIndex
-      .filter { case ((first, _), i) =>
-        val pageEnd = pages.lift(i + 1).map(_._1).getOrElse(Long.MaxValue)
-        first < end && pageEnd > start
-      }
-      .map { case ((_, pagePath), _) =>
-        CtLogInputPartition(pagePath.toString, start, end): InputPartition
-      }
+    * Sub-ranges never overlap across partitions. */
+  def partitionRange(spec: CtLogTransportSpec, start: Long, end: Long)
+      : Array[InputPartition] =
+    spec.transport.partitions(start, end)
+      .map { case (s, e) => CtLogInputPartition(spec, s, e): InputPartition }
       .toArray
-  }
 }
 
-class CtLogMicroBatchStream(path: String, maxPerTrigger: Option[Long],
+class CtLogMicroBatchStream(spec: CtLogTransportSpec, maxPerTrigger: Option[Long],
     startEntry: Long = 0L, limitEntries: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  @transient private lazy val transport = spec.transport
 
   /** Pinned high-watermark for Trigger.AvailableNow: without
     * SupportsTriggerAvailableNow, Spark bypasses admission control in
@@ -208,9 +208,10 @@ class CtLogMicroBatchStream(path: String, maxPerTrigger: Option[Long],
     * entries appended mid-run wait for the next poll). */
   @volatile private var fixedEnd: Option[Long] = None
 
-  private def cappedSth(): Long =
-    limitEntries.map(l => math.min(CtLog.treeSize(path), startEntry + l))
-      .getOrElse(CtLog.treeSize(path))
+  private def cappedSth(): Long = {
+    val sth = transport.treeSize()
+    limitEntries.map(l => math.min(sth, startEntry + l)).getOrElse(sth)
+  }
 
   override def prepareForTriggerAvailableNow(): Unit =
     fixedEnd = Some(cappedSth())
@@ -243,7 +244,7 @@ class CtLogMicroBatchStream(path: String, maxPerTrigger: Option[Long],
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    CtLogMicroBatchStream.partitionRange(path,
+    CtLogMicroBatchStream.partitionRange(spec,
       start.asInstanceOf[CtLogOffset].entry, end.asInstanceOf[CtLogOffset].entry)
 
   override def createReaderFactory(): PartitionReaderFactory = new CtLogReaderFactory
@@ -252,18 +253,16 @@ class CtLogMicroBatchStream(path: String, maxPerTrigger: Option[Long],
   override def stop(): Unit = ()
 }
 
-/** One page file + the batch's [start, end) entry-id bounds. */
-case class CtLogInputPartition(pageFile: String, start: Long, end: Long)
+/** One transport sub-range: the spec to rebuild the transport on the
+  * executor plus [start, end) entry-id bounds. */
+case class CtLogInputPartition(spec: CtLogTransportSpec, start: Long, end: Long)
     extends InputPartition
 
 class CtLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CtLogInputPartition]
     new PartitionReader[InternalRow] {
-      private val iter = Files.readAllLines(Paths.get(p.pageFile)).asScala.iterator
-        .filter(_.nonEmpty)
-        .map(CtLog.parseLine)
-        .filter(e => e.entryId >= p.start && e.entryId < p.end)
+      private val iter = p.spec.transport.readRange(p.start, p.end)
       private var current: CtLog.Entry = _
       override def next(): Boolean =
         if (iter.hasNext) { current = iter.next(); true } else false
