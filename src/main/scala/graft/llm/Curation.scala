@@ -220,6 +220,64 @@ object Curation {
            |    - len(string_split(text, ' '))) % 512 AS BIGINT) AS offset_in_seq
            |FROM documents ORDER BY source, doc_id""".stripMargin))
 
+  /** Domain mixing: per-source admission rates (per-10000, integer so
+    * both the plan literal and the oracle stay float-free), applied via
+    * the deterministic content bucket — the weighted form of
+    * [[sampleByHash]]. This is how a pipeline hits a target corpus
+    * composition ("2× web, 0.5× forums") without coordination: the
+    * admission decision depends only on document bytes and the rate
+    * table, so reruns, backfills, and late-arriving shards admit
+    * identically. Rates ride the plan as a map literal (tiny);
+    * `buckets` rows scan once with zero shuffle. */
+  def mixSample(docs: DataFrame, ratesPer10k: Map[String, Int],
+      defaultPer10k: Int, sourceCol: String = "source"): DataFrame = {
+    val rateExpr = coalesce(
+      element_at(typedLit(ratesPer10k), col(sourceCol)),
+      lit(defaultPer10k))
+    docs.filter(hashBucket(col("text"), 10000) < rateExpr)
+  }
+
+  val qMix = QuerySpec(
+    "q_llm_mix",
+    (s, d) =>
+      mixSample(Tables.load(s, d, "documents"),
+        Map("src0" -> 5000, "src1" -> 500), defaultPer10k = 1500)
+        .select(col("doc_id"), col("source"),
+          hashBucket(col("text"), 10000).as("bucket"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, source,
+           |  CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT) % 10000 AS bucket
+           |FROM documents
+           |WHERE CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT) % 10000 <
+           |  CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 500
+           |       ELSE 1500 END
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Deterministic global shuffle for training order: a seeded
+    * content-independent permutation key (md5 over seed:doc_id, first
+    * 15 hex chars → 60-bit long). Ordering by (key, doc_id) IS the
+    * shuffle — a range-partitioned distributed sort, NOT a
+    * single-partition row_number window; data loaders consume the
+    * sorted output sequentially. Reshuffling between epochs is a new
+    * seed, not a new random state: every rerun of (seed, corpus)
+    * yields byte-identical order. */
+  def shuffleKey(idCol: Column, seed: Long): Column =
+    conv(substring(md5(concat_ws(":", lit(seed), idCol.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  val qShuffle = QuerySpec(
+    "q_llm_shuffle",
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), shuffleKey(col("doc_id"), seed = 7L).as("shuffle_key"))
+        .orderBy(col("shuffle_key"), col("doc_id")),
+    Some("""SELECT doc_id,
+           |  CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           |    AS BIGINT) AS shuffle_key
+           |FROM documents
+           |ORDER BY shuffle_key, doc_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
-    Seq(qSample, qSplit, qParaDedup, qRedact, qLineDedup, qPack)
+    Seq(qSample, qSplit, qParaDedup, qRedact, qLineDedup, qPack, qMix,
+      qShuffle)
 }

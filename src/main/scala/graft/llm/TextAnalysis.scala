@@ -219,6 +219,62 @@ object TextAnalysis {
            |FROM df JOIN tf USING (term)
            |ORDER BY df DESC, term LIMIT 100""".stripMargin))
 
+  /** Per-document salient terms by TF-IDF. The idf factor is the exact
+    * rational n_docs/df rather than the usual log(n/df): log is
+    * monotone, so top-k per document is IDENTICAL for any fixed doc,
+    * and the rational form keeps every score an exact IEEE operation
+    * (long·long product, one correctly-rounded double division) that
+    * hash-matches across engines — libm's log differs in ULPs between
+    * implementations, which is exactly the nondeterminism a rerun-
+    * stable curation pipeline avoids.
+    *
+    * Scale shape: ONE corpus scan exploded to (doc, term, tf); the df
+    * table derives from the same persisted frame (vocabulary-sized, so
+    * the term join shuffles — a broadcast would assume vocab fits in
+    * one executor, false at 100 TB); the corpus-size scalar rides a
+    * broadcast cross join; top-k is a per-doc window rank. */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfTable = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    perDoc
+      .join(dfTable, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", (col("tf") * col("n_docs")) / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
+  val qTfIdf = QuerySpec(
+    "q_llm_tfidf",
+    (s, d) =>
+      tfIdfTopTerms(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id"), col("rank")),
+    Some("""WITH per_doc AS (
+           |  SELECT doc_id, term, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |    FROM documents) GROUP BY doc_id, term
+           |), dft AS (
+           |  SELECT term, count(*) AS df FROM per_doc GROUP BY term
+           |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+           |SELECT doc_id,
+           |  CAST(row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY (tf * n_docs) / df DESC, term) AS BIGINT) AS "rank",
+           |  term, tf, df, (tf * n_docs) / df AS score
+           |FROM per_doc JOIN dft USING (term), n
+           |QUALIFY "rank" <= 3
+           |ORDER BY doc_id, "rank"""".stripMargin))
+
   val all: Seq[QuerySpec] =
-    Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5, qDocFreq)
+    Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5, qDocFreq,
+      qTfIdf)
 }

@@ -602,6 +602,67 @@ object TextDedup {
            |WHERE doc_id NOT IN (SELECT a FROM drop_ids)
            |ORDER BY doc_id""".stripMargin))
 
+  // ---- benchmark contamination ------------------------------------------
+
+  /** Benchmark-contamination detection: documents sharing any word
+    * n-gram (default 8 — the eval-decontamination convention) with a
+    * benchmark set, with the shared-shingle count as evidence. The
+    * standard pre-training hygiene pass: anything overlapping the eval
+    * suite is flagged (and typically dropped via the keep-list
+    * machinery above).
+    *
+    * Scale shape: the benchmark (an eval suite — thousands of docs) is
+    * tiny next to the corpus, so its distinct shingle-hash set is
+    * BROADCAST; the corpus is scanned once, exploded to hashed
+    * shingles, and the overlap count is a map-side-combined groupBy on
+    * doc_id. Nothing corpus-sized shuffles except flagged hits. MD5
+    * shingle hashes (Md5ShingleHashesExpr) keep the whole operator
+    * DuckDB-verifiable; the kernel's distinct-shingle output makes
+    * count(*) a distinct-overlap count with no extra dedup. */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+      minOverlap: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    def shingles(df: DataFrame) = df.select(col("doc_id"),
+      explode(call_udf("graft_shingle_hashes_md5",
+        col("text"), lit(n), lit(true))).as("h"))
+    val benchSet = shingles(benchmark).select(col("h")).distinct()
+    shingles(docs)
+      .join(broadcast(benchSet), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** Benchmark = the first 10 docs; the corpus under test is everything
+    * else. Fully replayed in DuckDB (8-gram md5 shingles, broadcast-set
+    * semantics as a plain join). */
+  val qContamination = QuerySpec(
+    "q_llm_contamination",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      contamination(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+        .orderBy(col("n_overlap").desc, col("doc_id"))
+    },
+    Some("""WITH sh AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(string_split(text, ' ')) >= 8 THEN
+           |      list_distinct(list_transform(
+           |        range(1, len(string_split(text, ' ')) - 6),
+           |        i -> array_to_string((string_split(text, ' '))[i:i+7], ' ')))
+           |    ELSE [text] END AS shingles
+           |  FROM documents
+           |), th AS (
+           |  SELECT doc_id, unnest(list_transform(shingles,
+           |    t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483647)) AS h
+           |  FROM sh
+           |), bench AS (SELECT DISTINCT h FROM th WHERE doc_id < 10)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+           |FROM th JOIN bench USING (h)
+           |WHERE doc_id >= 10
+           |GROUP BY doc_id
+           |HAVING count(*) >= 1
+           |ORDER BY n_overlap DESC, doc_id""".stripMargin))
+
   // ---- group-level similarity via the MinHash sketch aggregate -----------
 
   /** Per-group MinHash signatures (the MinHashAggExpr sketch): state per
@@ -645,5 +706,5 @@ object TextDedup {
 
   val all: Seq[QuerySpec] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qMinhashMd5, qSimhash,
-      qSimhashMd5, qSourceSim, qDedupClusters, qKeepList)
+      qSimhashMd5, qSourceSim, qDedupClusters, qKeepList, qContamination)
 }

@@ -41,6 +41,36 @@ class CurationSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.length < 30, s"~10% expected, got ${kept.length}")
   }
 
+  test("mixSample admits per-source rates, content-deterministically") {
+    val df = (1 to 300).map(i =>
+      (i.toLong, s"src${i % 3}", s"document body number $i"))
+      .toDF("doc_id", "source", "text")
+    val rates = Map("src0" -> 10000, "src1" -> 0) // all of src0, none of src1
+    val kept = Curation.mixSample(df, rates, defaultPer10k = 5000)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(kept.count(_._2 == "src0") == 100, "rate 10000/10000 keeps all")
+    assert(!kept.exists(_._2 == "src1"), "rate 0 keeps none")
+    val src2 = kept.count(_._2 == "src2")
+    assert(src2 > 25 && src2 < 75, s"default 50% rate, got $src2/100")
+    // rerun on reshuffled input admits the identical set
+    val again = Curation.mixSample(df.repartition(13), rates, 5000)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == kept.map(_._1).sorted.toSeq)
+  }
+
+  test("shuffleKey: seeded deterministic permutation, new seed → new order") {
+    val df = (1 to 100).map(i => Tuple1(i.toLong)).toDF("doc_id")
+    def order(seed: Long): Seq[Long] =
+      df.select(col("doc_id"), Curation.shuffleKey(col("doc_id"), seed).as("k"))
+        .orderBy(col("k"), col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val o7 = order(7L)
+    assert(o7 == order(7L), "same seed must reproduce byte-identical order")
+    assert(o7 != order(8L), "different seeds must permute differently")
+    assert(o7.sorted == (1L to 100L), "a permutation, not a sample")
+    assert(o7 != (1L to 100L).toSeq, "and actually shuffled")
+  }
+
   test("dedupParagraphs drops repeats, keeps first-occurrence order") {
     val out = Seq((1L, "x y. a b. x y. c d. a b"))
       .toDF("doc_id", "text")

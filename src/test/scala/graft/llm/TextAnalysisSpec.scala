@@ -36,6 +36,22 @@ class TextAnalysisSpec extends SparkSpec {
       "c" -> (2L, 2L)), out.toString)
   }
 
+  test("tfIdfTopTerms ranks rare-but-frequent terms first, ties by term") {
+    // 3 docs: "z" appears 3× only in doc 1 (tf·n/df = 3·3/1 = 9);
+    // "a" is everywhere (df 3 → idf 1); doc 1's "b" df 2
+    val out = TextAnalysis.tfIdfTopTerms(docs(
+      1L -> "z z z a b",
+      2L -> "a b c",
+      3L -> "a c c"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getDouble(5))).toMap
+    assert(out((1L, 1L)) == ("z", 9.0), out.toString)          // 3·3/1
+    assert(out((1L, 2L)) == ("b", 1.5), out.toString)          // 1·3/2
+    assert(out((2L, 1L)) == ("b", 1.5), out.toString)
+    assert(out((2L, 2L)) == ("c", 1.5), out.toString)          // tie: b < c
+    assert(out((3L, 1L)) == ("c", 3.0), out.toString)          // 2·3/2
+  }
+
   test("language ID picks the profile with most marker hits") {
     val dfDe = docs(1L -> "der hund und die katze und ein vogel")
     val scored = TextAnalysis.qLangId.fn(spark, sf0001) // shape check on real data

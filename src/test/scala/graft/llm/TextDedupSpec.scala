@@ -165,6 +165,21 @@ class TextDedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L), s"near-dup 2 dropped, canonical 1 kept: $kept")
   }
 
+  test("contamination counts distinct shared n-grams against the benchmark") {
+    // bench doc 1: tokens b1..b20. doc 10 copies tokens b5..b16 (12
+    // tokens → 5 distinct 8-grams, all present in bench). doc 11 is
+    // clean. doc 12 shares only a 7-token run — under the 8-gram
+    // threshold, so NOT flagged.
+    val bench = docsDf(1L -> (1 to 20).map(i => s"b$i").mkString(" "))
+    val docs = docsDf(
+      10L -> (5 to 16).map(i => s"b$i").mkString(" "),
+      11L -> (1 to 20).map(i => s"c$i").mkString(" "),
+      12L -> ((5 to 11).map(i => s"b$i") :+ "X").mkString(" "))
+    val out = TextDedup.contamination(docs, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 5L), out.toString)
+  }
+
   test("shingleSet falls back to whole text when shorter than n") {
     val out = docsDf(1L -> "just two")
       .select(TextDedup.shingleSet(col("text")).as("s"))
