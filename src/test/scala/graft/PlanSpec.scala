@@ -77,6 +77,25 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian plans: $offenders")
   }
 
+  test("contamination broadcasts the benchmark shingle set") {
+    val p = plan("q_llm_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark set must broadcast — a shuffle join would move the corpus:\n$p")
+  }
+
+  test("shuffle order is a range sort, never a single-reducer window") {
+    val p = plan("q_llm_shuffle")
+    assert(p.contains("rangepartitioning"), s"expected a distributed sort:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"a global window would serialize the corpus on one task:\n$p")
+  }
+
+  test("tf-idf computes tf once: the (doc,term) frame is cached for both consumers") {
+    val p = plan("q_llm_tfidf")
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+      s"perDoc persist lost — the corpus explode would run twice:\n$p")
+  }
+
   test("sequence packing is one window shuffle keyed on source") {
     val p = plan("q_llm_pack")
     assert(p.contains("hashpartitioning(source"),
