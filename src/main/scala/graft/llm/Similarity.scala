@@ -286,5 +286,155 @@ object Similarity {
             |QUALIFY "rank" <= 5
             |ORDER BY q_id, "rank"""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(qCosineTopK, qEmbNearDup, qAnnIvf)
+  // ---- int8 scalar quantization + integer k-means ------------------------
+
+  /** Symmetric int8 scalar quantization: q_i = round(x_i / s · 127)
+    * with s = max |x_i|, expressed as floor(x/s·127 + 0.5) over doubles
+    * — every step (cast, correctly-rounded divide/multiply, floor) is
+    * IEEE-exact, so quantized vectors hash-match across engines, unlike
+    * a float pipeline's rounding-mode roulette. Zero vectors quantize
+    * to zeros (s = 0 guard). 4× narrower vectors on the wire; the
+    * integer domain is what makes exact distributed k-means below
+    * possible at all. */
+  def quantize(e: Column): Column = {
+    val s = array_max(transform(e, x => abs(x)))
+    when(s === 0.0f, transform(e, _ => lit(0)))
+      .otherwise(transform(e, x =>
+        floor(x.cast("double") / s.cast("double") * 127.0 + 0.5).cast("int")))
+  }
+
+  def quantScale(e: Column): Column = array_max(transform(e, x => abs(x)))
+
+  /** Serialized array view for the oracle compare (the driver's
+    * comparator is scalar-typed; same convention as q_llm_mm_decode). */
+  private def joined(a: Column): Column =
+    array_join(transform(a, x => x.cast("string")), ",")
+
+  val qQuantize = QuerySpec(
+    "q_llm_quantize",
+    (s, d) =>
+      Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), quantScale(col("embedding")).as("scale"),
+          joined(quantize(col("embedding"))).as("q"))
+        .orderBy(col("vec_id")),
+    Some("""SELECT vec_id,
+           |  list_max(list_transform(embedding, x -> abs(x))) AS scale,
+           |  array_to_string(CASE
+           |    WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+           |    THEN list_transform(embedding, x -> 0)
+           |    ELSE list_transform(embedding, x -> CAST(floor(
+           |      CAST(x AS DOUBLE) /
+           |      CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
+           |      * 127.0 + 0.5) AS INTEGER))
+           |  END, ',') AS q
+           |FROM embeddings ORDER BY vec_id""".stripMargin))
+
+  /** One exact k-means step over int8-quantized vectors: assign each
+    * vector to its nearest centroid (squared euclidean over ints —
+    * exact long arithmetic; ties → lowest centroid id), then recompute
+    * each centroid as the component-wise rounded mean of its members.
+    *
+    * Scale shape: centroids (k × dim ints) BROADCAST against one
+    * corpus scan; `max_by` reduces the n×k scored pairs map-side
+    * (exactly [[ivfTopK]]'s assignment shape); the mean runs as
+    * posexploded (c_id, dim) partial LONG sums — map-side combine
+    * leaves k·dim rows per partition on the wire, and integer sums are
+    * order-independent, so the result is bit-stable under ANY
+    * partitioning (the property float k-means lacks). Empty clusters
+    * keep their previous centroid. */
+  def kmeansStep(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val dist = aggregate(
+      zip_with(col("q"), col("c_q"), (a, b) => (a - b).cast("long") * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val assigned = vecs.join(broadcast(centroids))
+      .withColumn("dist", dist)
+      .groupBy(col("vec_id"))
+      .agg(first(col("q")).as("q"),
+        max_by(col("c_id"), struct((-col("dist")).as("nd"), (-col("c_id")).as("nc")))
+          .as("c_id"))
+    val sums = assigned
+      .select(col("c_id"), posexplode(col("q")))
+      .groupBy(col("c_id"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", floor(col("s").cast("double") / col("n").cast("double") + 0.5)
+        .cast("int"))
+      .groupBy(col("c_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("next_q"))
+    centroids.join(sums, Seq("c_id"), "left")
+      .select(col("c_id"), coalesce(col("next_q"), col("c_q")).as("c_q"))
+  }
+
+  /** Lloyd's iterations over [[kmeansStep]] with the deterministic
+    * stride seed (every `stride`-th vector, the [[ivfTopK]]
+    * convention). A fixed iteration count, not a convergence test:
+    * every quantity is exact, so runs are byte-identical, and a fixed
+    * depth keeps the job graph static for the scheduler. Returns
+    * (c_id, c_q). */
+  def kmeansQuantized(vecs0: DataFrame, centroidStride: Int,
+      iters: Int = 5): DataFrame = {
+    val vecs = vecs0.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids = vecs
+      .filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
+      .select(col("vec_id").as("c_id"), col("q").as("c_q"))
+    for (_ <- 1 to iters)
+      centroids = kmeansStep(vecs, centroids)
+    centroids
+  }
+
+  /** One step oracle'd exactly in DuckDB (assignment argmin, tiebreak,
+    * long-exact distances, rounded integer means); the fixed-depth
+    * trainer is the step iterated, pinned by ScalaTest against an
+    * independent driver-side implementation. */
+  val qKmeansStep = QuerySpec(
+    "q_llm_kmeans_step",
+    (s, d) => {
+      val vecs = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val seeds = vecs.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("c_id"), col("q").as("c_q"))
+      kmeansStep(vecs, seeds)
+        .select(col("c_id"), joined(col("c_q")).as("c_q"))
+        .orderBy(col("c_id"))
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id,
+           |    CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+           |      THEN list_transform(embedding, x -> 0)
+           |      ELSE list_transform(embedding, x -> CAST(floor(
+           |        CAST(x AS DOUBLE) /
+           |        CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
+           |        * 127.0 + 0.5) AS INTEGER))
+           |    END AS q
+           |  FROM embeddings
+           |), seeds AS (
+           |  SELECT vec_id AS c_id, q AS c_q FROM q WHERE vec_id % 100 = 0
+           |), scored AS (
+           |  SELECT q.vec_id, q.q, seeds.c_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(list_zip(q.q, seeds.c_q),
+           |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+           |      (a, x) -> a + x) AS dist
+           |  FROM q, seeds
+           |), assigned AS (
+           |  SELECT vec_id, q, c_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dist, c_id) AS rn FROM scored) WHERE rn = 1
+           |), comp AS (
+           |  SELECT a.c_id, t.d,
+           |    CAST(floor(CAST(sum(a.q[t.d]) AS DOUBLE) /
+           |               CAST(count(*) AS DOUBLE) + 0.5) AS INTEGER) AS m
+           |  FROM assigned a, LATERAL (SELECT unnest(range(1, len(a.q) + 1)) AS d) t
+           |  GROUP BY a.c_id, t.d
+           |), next AS (
+           |  SELECT c_id, list(m ORDER BY d) AS next_q FROM comp GROUP BY c_id
+           |)
+           |SELECT seeds.c_id,
+           |  array_to_string(coalesce(next.next_q, seeds.c_q), ',') AS c_q
+           |FROM seeds LEFT JOIN next USING (c_id)
+           |ORDER BY c_id""".stripMargin))
+
+  val all: Seq[QuerySpec] =
+    Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qQuantize, qKmeansStep)
 }

@@ -69,4 +69,35 @@ class SimilaritySpec extends SparkSpec {
   test("hyperplanes are deterministic across calls") {
     assert(Similarity.hyperplanes(16, 64) == Similarity.hyperplanes(16, 64))
   }
+
+  test("integer k-means equals an independent driver-side implementation, bit-stable") {
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Vector[Int]] =
+      Similarity.kmeansQuantized(df, centroidStride = 100, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    val got = run(vecs)
+
+    // independent in-memory Lloyd's over the same quantized vectors
+    val q = vecs.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toVector)
+    var cents = q.filter(_._1 % 100 == 0).toMap
+    for (_ <- 1 to 3) {
+      val assigned = q.map { case (_, v) =>
+        val cid = cents.toSeq.map { case (c, cv) =>
+          (v.zip(cv).map { case (a, b) => (a - b).toLong * (a - b) }.sum, c)
+        }.min._2 // min (dist, c_id): nearest, ties to lowest centroid id
+        (cid, v)
+      }
+      val byC = assigned.groupBy(_._1)
+      cents = cents.map { case (cid, cv) =>
+        cid -> byC.get(cid).fold(cv) { vs =>
+          cv.indices.map(d => math.floor(
+            vs.map(_._2(d).toLong).sum.toDouble / vs.size + 0.5).toInt).toVector
+        }
+      }
+    }
+    assert(got == cents, "distributed trainer must equal the sequential reference")
+    // exact integer arithmetic ⇒ bit-stable under any partitioning
+    assert(run(vecs.repartition(7)) == got)
+  }
 }
