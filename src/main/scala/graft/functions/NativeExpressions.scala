@@ -501,6 +501,18 @@ object GraftFunctions {
         Md5ShingleHashesExpr(c, n, m)
       case es => Md5ShingleHashesExpr(es.head, 3, modP = true)
     },
+    // Spark's internal bloom-filter pair (the runtime-filter machinery,
+    // not exposed in the public function registry): a distributed
+    // build over long keys + the codegen'd membership probe. Registered
+    // here for the historical-dedup prefilter (TextDedup.newAgainstHistory).
+    "graft_bloom_agg" -> {
+      case Seq(c, Literal(n: Long, LongType)) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+      case es =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es.head)
+    },
+    "graft_bloom_might_contain" -> (es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))),
     "graft_fingerprint" -> (es => FingerprintExpr(es.head)),
     "graft_fingerprint_md5" -> (es => Md5FingerprintExpr(es.head)),
     "graft_signlsh" -> {

@@ -602,6 +602,62 @@ object TextDedup {
            |WHERE doc_id NOT IN (SELECT a FROM drop_ids)
            |ORDER BY doc_id""".stripMargin))
 
+  // ---- historical-corpus dedup (bloom prefilter + exact anti join) -------
+
+  /** Documents NOT already in a historical corpus — the incremental-
+    * ingest hygiene pass ("only train on what the last crawl didn't
+    * have"). Correct answer = anti join on the content hash; at 100 TB
+    * the interesting part is not shuffling this crawl against ALL of
+    * history to learn that most documents are new.
+    *
+    * Scale shape: history's 64-bit content keys fold into a BLOOM
+    * FILTER via Spark's own runtime-filter aggregate (distributed
+    * build, map-side partials, one ~MB-scale binary out), broadcast to
+    * the corpus scan. `might_contain = false` proves a doc is NEW (no
+    * false negatives) — those rows skip the shuffle entirely; only the
+    * maybe-dup sliver (true dups + the configured false-positive rate)
+    * reaches the exact anti join that removes bloom false positives.
+    * Correctness never depends on the bloom: it shares the plain anti
+    * join's oracle, result-identical by construction. */
+  def newAgainstHistory(docs: DataFrame, history: DataFrame,
+      expectedItems: Long = 4000000L): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    def key(c: Column) = xxhash64(contentHashHex(c))
+    // might_contain requires its bloom binary as a constant or scalar
+    // subquery — the subquery IS the broadcast: the distributed build's
+    // single-row result feeds every probe task
+    history.agg(
+      call_udf("graft_bloom_agg", key(col("text")), lit(expectedItems)).as("bf"))
+      .createOrReplaceTempView("graft_hist_bloom")
+    val keyed = docs.withColumn("_h", contentHashHex(col("text")))
+      .withColumn("_k", xxhash64(col("_h")))
+    val probe = expr(
+      "graft_bloom_might_contain((SELECT bf FROM graft_hist_bloom), _k)")
+    val definitelyNew = keyed.filter(!probe)
+    val maybeDup = keyed.filter(probe)
+      .join(history.select(contentHashHex(col("text")).as("_h")).distinct(),
+        Seq("_h"), "left_anti")
+    definitelyNew.unionByName(maybeDup).drop("_k")
+      .withColumnRenamed("_h", "text_hash")
+  }
+
+  /** Shares the exact anti join's oracle — the bloom is a pure
+    * prefilter, so the result is identical however it is sized. */
+  val qHistDedup = QuerySpec(
+    "q_llm_hist_dedup",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      newAgainstHistory(docs.filter(col("doc_id") >= 250),
+        docs.filter(col("doc_id") < 250))
+        .select(col("doc_id"), col("text_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, sha256(text) AS text_hash
+           |FROM documents
+           |WHERE doc_id >= 250 AND sha256(text) NOT IN
+           |  (SELECT sha256(text) FROM documents WHERE doc_id < 250)
+           |ORDER BY doc_id""".stripMargin))
+
   // ---- benchmark contamination ------------------------------------------
 
   /** Benchmark-contamination detection: documents sharing any word
@@ -706,5 +762,6 @@ object TextDedup {
 
   val all: Seq[QuerySpec] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qMinhashMd5, qSimhash,
-      qSimhashMd5, qSourceSim, qDedupClusters, qKeepList, qContamination)
+      qSimhashMd5, qSourceSim, qDedupClusters, qKeepList, qContamination,
+      qHistDedup)
 }

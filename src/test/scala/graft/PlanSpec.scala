@@ -96,6 +96,16 @@ class PlanSpec extends SparkSpec {
       s"perDoc persist lost — the corpus explode would run twice:\n$p")
   }
 
+  test("historical dedup builds the bloom distributed and confirms via anti join") {
+    val p = plan("q_llm_hist_dedup")
+    assert(p.contains("partial_bloom_filter_agg"),
+      s"bloom build lost its map-side partials:\n$p")
+    assert(p.contains("might_contain"),
+      s"bloom prefilter missing from the probe side:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"exact anti-join confirmation missing:\n$p")
+  }
+
   test("sequence packing is one window shuffle keyed on source") {
     val p = plan("q_llm_pack")
     assert(p.contains("hashpartitioning(source"),

@@ -180,6 +180,22 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Map(10L -> 5L), out.toString)
   }
 
+  test("newAgainstHistory keeps only docs absent from history, at any bloom sizing") {
+    val history = docsDf(1L -> "old one", 2L -> "old two", 3L -> "old three")
+    val docs = docsDf(
+      10L -> "old two",      // exact dup of history → dropped
+      11L -> "brand new",
+      12L -> "old three",    // dup → dropped
+      13L -> "also new")
+    def run(expectedItems: Long) =
+      TextDedup.newAgainstHistory(docs, history, expectedItems)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(run(4000000L) == Seq(11L, 13L))
+    // a deliberately undersized bloom (high false-positive rate) routes
+    // more rows through the exact anti join but never changes the answer
+    assert(run(1L) == Seq(11L, 13L))
+  }
+
   test("shingleSet falls back to whole text when shorter than n") {
     val out = docsDf(1L -> "just two")
       .select(TextDedup.shingleSet(col("text")).as("s"))
