@@ -37,7 +37,12 @@ object Bench {
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // builders persist intra-query frames (minhash signatures, tf-idf
+      // term counts); drop them between queries so a 60-query run's
+      // executor storage stays bounded and reps stay independent
+      spark.catalog.clearCache()
+      t
     }
 
     // warm up parquet footers, codegen, shuffle machinery
