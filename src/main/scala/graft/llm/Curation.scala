@@ -277,7 +277,47 @@ object Curation {
            |FROM documents
            |ORDER BY shuffle_key, doc_id""".stripMargin))
 
+  /** Web-crawl markup scrub: drop script/style blocks wholesale, strip
+    * remaining tags and entities, collapse whitespace. Pure codegen'd
+    * regex chain (no UDF, no shuffle); patterns stay in the
+    * backreference-free subset shared by java.util.regex and RE2, so
+    * the operator is engine-portable by construction. */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val noEnts = regexp_replace(noTags, "&[a-zA-Z#0-9]+;", " ")
+    trim(regexp_replace(noEnts, "\\s+", " "))
+  }
+
+  /** The documents fixture is plain text, so the query manufactures the
+    * markup it strips — wrapping every text in tags/script/entities
+    * inside BOTH engines' plans — which makes the whole regex chain do
+    * real work on every row and hash-match cross-engine. */
+  val qStripMarkup = QuerySpec(
+    "q_llm_strip_markup",
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          stripMarkup(concat(
+            lit("""<html><head><style type="text/css">body{x}</style></head>"""),
+            lit("""<body onload="f()"><p class=t>"""), col("text"),
+            lit("""</p>&nbsp;&amp;<script>var x = "<p>";</script></body></html>""")))
+            .as("cleaned"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+           |  regexp_replace(regexp_replace(
+           |    '<html><head><style type="text/css">body{x}</style></head>' ||
+           |    '<body onload="f()"><p class=t>' || text ||
+           |    '</p>&nbsp;&amp;<script>var x = "<p>";</script></body></html>',
+           |    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+           |    '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+           |    '<[^>]*>', ' ', 'g'),
+           |    '&[a-zA-Z#0-9]+;', ' ', 'g'),
+           |    '\s+', ' ', 'g')) AS cleaned
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qSample, qSplit, qParaDedup, qRedact, qLineDedup, qPack, qMix,
-      qShuffle)
+      qShuffle, qStripMarkup)
 }

@@ -71,6 +71,17 @@ class CurationSpec extends SparkSpec {
     assert(o7 != (1L to 100L).toSeq, "and actually shuffled")
   }
 
+  test("stripMarkup drops script/style wholesale, tags, entities; collapses whitespace") {
+    val html =
+      """<html><head><style>p { color: red; }</style></head>
+        |<body onload="go()">Hello <b>world</b>!&nbsp;&amp; more
+        |<script type="text/js">if (a < b) { alert("<p>hi</p>"); }</script>
+        |tail</body></html>""".stripMargin
+    val out = Seq((1L, html)).toDF("doc_id", "text")
+      .select(Curation.stripMarkup(col("text")).as("t")).collect()(0).getString(0)
+    assert(out == "Hello world ! more tail", s"[$out]")
+  }
+
   test("dedupParagraphs drops repeats, keeps first-occurrence order") {
     val out = Seq((1L, "x y. a b. x y. c d. a b"))
       .toDF("doc_id", "text")
