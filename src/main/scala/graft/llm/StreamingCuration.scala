@@ -1,7 +1,8 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** The curation core under Structured Streaming: a continuous document
   * feed (crawl output, upload queue) deduped and accounted as it
@@ -35,6 +36,93 @@ object StreamingCuration {
       .withColumn("text_hash", contentHash(col("text")))
       .withWatermark("event_ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  /** Carries the WATERMARKED event_ts column through to the stateful
+    * operator — EventTimeTimeout requires the tagged attribute to
+    * survive into the FlatMapGroupsWithState child, so the banded rows
+    * stay relational (`.as[]`, no typed map) until groupByKey. */
+  case class BandedDoc(band_key: String, doc_id: Long, sig: Seq[Long],
+      event_ts: java.sql.Timestamp)
+  case class NearDupHit(ida: Long, idb: Long, est_jaccard: Double)
+  case class BandMembers(members: List[(Long, Seq[Long])], maxTsMs: Long)
+
+  /** Streaming MinHash near-dup detection: the batch LSH banding
+    * (TextDedup.minhashPairs) lifted onto a continuous feed. Each
+    * document's signature lands in its 16 band buckets; a bucket's
+    * members live in keyed state, so a near-dup is flagged THE MOMENT
+    * it arrives — against documents from any earlier micro-batch still
+    * inside the horizon — rather than in a nightly batch join.
+    *
+    * Scale shape: state is keyed on band keys (hash-uniform by
+    * construction) and holds at most `maxBucket` (doc_id, signature)
+    * pairs per bucket — signatures, never text or shingles, so a
+    * bucket entry is numPerm·8 bytes. EventTimeTimeout drops buckets
+    * `watermark` past their last member, so a 24/7 feed's state is
+    * bounded by the lateness horizon × arrival rate, not corpus size.
+    *
+    * Flag semantics: a pair sharing several bands is emitted once per
+    * sharing band (at-least-once, the same "gentle collision" stance
+    * as the ingest path — flags are idempotent to act on); similarity
+    * is the signature-agreement estimate, the quantity LSH actually
+    * banded on. Pairs are normalized (ida < idb). Docs past the
+    * horizon are forgotten — a duplicate of an evicted document is
+    * re-admitted, exactly like [[streamingExactDedup]], and the batch
+    * keep-list restores global exactness downstream. */
+  def streamingNearDup(docs: DataFrame, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxBucket: Int = 100,
+      watermark: String = "1 hour"): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    val horizonMs = iv.days * 86400000L + iv.microseconds / 1000L
+    val rows = numPerm / bands
+    val banded = docs
+      .withWatermark("event_ts", watermark)
+      .withColumn("sig", call_udf("graft_minhash_sig",
+        call_udf("graft_shingle_hashes", col("text"), lit(3), lit(true)),
+        lit(numPerm)))
+      .select(explode(TextDedup.lshBands(col("sig"), bands, rows)).as("band_key"),
+        col("doc_id"), col("sig"), col("event_ts"))
+      .as[BandedDoc]
+
+    def estJaccard(a: Seq[Long], b: Seq[Long]): Double =
+      a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / a.size
+
+    banded
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: String, it: Iterator[BandedDoc], state: GroupState[BandMembers]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(BandMembers(Nil, 0L))
+            var members = prev.members
+            var maxTs = prev.maxTsMs
+            val hits = List.newBuilder[NearDupHit]
+            // doc_id order makes within-batch pairing deterministic
+            it.toSeq.sortBy(_.doc_id).foreach { d =>
+              members.foreach { case (mid, msig) =>
+                if (mid != d.doc_id) {
+                  val est = estJaccard(d.sig, msig)
+                  if (est >= threshold)
+                    hits += NearDupHit(math.min(mid, d.doc_id),
+                      math.max(mid, d.doc_id), est)
+                }
+              }
+              if (members.size < maxBucket &&
+                  !members.exists(_._1 == d.doc_id))
+                members = (d.doc_id, d.sig) :: members
+              maxTs = math.max(maxTs, d.event_ts.getTime)
+            }
+            state.update(BandMembers(members, maxTs))
+            state.setTimeoutTimestamp(maxTs + horizonMs)
+            hits.result().iterator
+          }
+        })
+  }
 
   /** Tumbling-window ingest accounting per source: docs and exact token
     * sums per (window, source) — the continuous form of the batch

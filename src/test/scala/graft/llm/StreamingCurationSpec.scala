@@ -15,6 +15,42 @@ class StreamingCurationSpec extends SparkSpec {
   private def doc(id: Long, minute: Int, source: String, text: String) =
     Doc(id, new java.sql.Timestamp(minute * 60000L), source, text)
 
+  test("streaming near-dup flags LSH hits across micro-batches; horizon evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val in = MemoryStream[Doc]
+    val q = StreamingCuration.streamingNearDup(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sneardup")
+      .outputMode("append").start()
+    def hits(): Set[(Long, Long)] =
+      spark.table("sneardup").select(col("ida"), col("idb"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      // minute 60+, not 0: a row AT the initial watermark (epoch 0)
+      // would be dropped as late before reaching the stateful operator
+      in.addData(doc(1, 60, "a", base), doc(3, 61, "a", other))
+      q.processAllAvailable()
+      assert(hits().isEmpty, "no near-dups yet")
+      // batch 2: the near-dup arrives — flagged against batch 1's state
+      in.addData(doc(2, 62, "a", nearDup))
+      q.processAllAvailable()
+      assert(hits() == Set((1L, 2L)), hits().toString)
+      val est = spark.table("sneardup").select(col("est_jaccard"))
+        .collect().map(_.getDouble(0))
+      assert(est.forall(_ >= 0.5), est.toSeq.toString)
+      // advance the watermark far past the horizon; bucket state for the
+      // old docs evicts, so a late copy of base is NOT flagged
+      in.addData(doc(8, 120, "a", (200 to 240).map(i => s"z$i").mkString(" ")))
+      q.processAllAvailable()
+      in.addData(doc(9, 121, "a", base))
+      q.processAllAvailable()
+      assert(hits() == Set((1L, 2L)),
+        s"evicted state must not flag the late duplicate: ${hits()}")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup emits first occurrence, suppresses in-horizon dups") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Doc]
