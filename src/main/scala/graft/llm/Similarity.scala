@@ -378,8 +378,12 @@ object Similarity {
     var centroids = vecs
       .filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
       .select(col("vec_id").as("c_id"), col("q").as("c_q"))
+    // the centroid frame is k rows of k·dim ints — checkpointing it per
+    // round is ~free and keeps the final plan one round deep instead of
+    // `iters` nested broadcast+shuffle stages replanned together
     for (_ <- 1 to iters)
-      centroids = kmeansStep(vecs, centroids)
+      centroids = kmeansStep(vecs, centroids).localCheckpoint(true)
+    vecs.unpersist() // the checkpointed result no longer reads it
     centroids
   }
 
