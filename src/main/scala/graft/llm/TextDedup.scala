@@ -619,20 +619,28 @@ object TextDedup {
     * reaches the exact anti join that removes bloom false positives.
     * Correctness never depends on the bloom: it shares the plain anti
     * join's oracle, result-identical by construction. */
+  private val bloomViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The two probe branches each scan the corpus — deliberate: two
+    * NARROW parquet scans beat caching a 100 TB keyed projection, and
+    * neither branch shuffles corpus-wide (the definitely-new branch is
+    * scan→filter→output; only the maybe-dup sliver enters the join). */
   def newAgainstHistory(docs: DataFrame, history: DataFrame,
       expectedItems: Long = 4000000L): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     def key(c: Column) = xxhash64(contentHashHex(c))
     // might_contain requires its bloom binary as a constant or scalar
     // subquery — the subquery IS the broadcast: the distributed build's
-    // single-row result feeds every probe task
+    // single-row result feeds every probe task. View name is unique per
+    // call so concurrent pipelines in one session can't cross-wire.
+    val view = s"graft_hist_bloom_${bloomViewSeq.incrementAndGet()}"
     history.agg(
       call_udf("graft_bloom_agg", key(col("text")), lit(expectedItems)).as("bf"))
-      .createOrReplaceTempView("graft_hist_bloom")
+      .createOrReplaceTempView(view)
     val keyed = docs.withColumn("_h", contentHashHex(col("text")))
       .withColumn("_k", xxhash64(col("_h")))
     val probe = expr(
-      "graft_bloom_might_contain((SELECT bf FROM graft_hist_bloom), _k)")
+      s"graft_bloom_might_contain((SELECT bf FROM $view), _k)")
     val definitelyNew = keyed.filter(!probe)
     val maybeDup = keyed.filter(probe)
       .join(history.select(contentHashHex(col("text")).as("_h")).distinct(),

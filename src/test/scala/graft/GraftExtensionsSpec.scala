@@ -44,6 +44,19 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
           |  (SELECT graft_shingle_hashes('a b c d', 3, true) th)""".stripMargin)
         .collect()(0).getSeq[Long](0)
       assert(agg.length == 8)
+      // round-4 kernels: md5 shingles and the bloom build/probe pair
+      val r4 = s2.sql(
+        """SELECT graft_shingle_hashes_md5('x y z w', 3, true) th5,
+          |       graft_fingerprint_md5('a b c') fp5""".stripMargin).collect()(0)
+      assert(r4.getSeq[Long](0).length == 2 && r4.getLong(1) > 0)
+      val bloom = s2.sql(
+        """WITH b AS (SELECT graft_bloom_agg(x, CAST(100 AS BIGINT)) bf
+          |           FROM (SELECT CAST(42 AS BIGINT) AS x))
+          |SELECT graft_bloom_might_contain((SELECT bf FROM b), CAST(42 AS BIGINT)) hit,
+          |       graft_bloom_might_contain((SELECT bf FROM b), CAST(43 AS BIGINT)) miss"""
+          .stripMargin).collect()(0)
+      assert(bloom.getBoolean(0), "inserted key must probe true")
+      assert(!bloom.getBoolean(1), "absent key probes false at this sizing")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

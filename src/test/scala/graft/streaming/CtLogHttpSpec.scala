@@ -140,6 +140,23 @@ class CtLogHttpSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("retries exhaust loudly, not silently, when the log keeps refusing") {
+    val (srv, _, _) = startServer(wireEntries(5), deny429 = 1000)
+    try {
+      val url = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      val err = intercept[Exception] {
+        spark.read.format("ctlog")
+          .option("path", url).option("backoffBaseMs", 1)
+          .option("maxRetries", 2).load().count()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(err).exists(_.getMessage != null) &&
+        causes(err).flatMap(c => Option(c.getMessage)).exists(_.contains("HTTP 429")),
+        s"expected an HTTP 429 failure after retries: $err")
+    } finally srv.stop(0)
+  }
+
   test("streaming ingest end-to-end over the HTTP transport") {
     val (srv, _, _) = startServer(wireEntries(10))
     try {
