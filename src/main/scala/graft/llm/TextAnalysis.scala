@@ -219,6 +219,100 @@ object TextAnalysis {
            |FROM df JOIN tf USING (term)
            |ORDER BY df DESC, term LIMIT 100""".stripMargin))
 
+  /** Repetition dominance (the Gopher-family boilerplate signal): the
+    * most frequent word trigram's share of all trigram slots. A page of
+    * navigation chrome or a template-stamped doc scores near 1; prose
+    * scores near 1/n_tri. Trigrams here are NON-distinct (occurrence
+    * counts are the signal — contrast shingleSet); short texts fall
+    * back to the whole text as one trigram (ratio 1 — degenerate docs
+    * read as maximally repetitive, which is the right verdict for
+    * curation). Scale shape: one scan exploded to (doc, trigram)
+    * counts, map-side combined, then a per-doc max — the ratio is one
+    * exact int/int division. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val tris = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+      .otherwise(array(col("text")))
+    docs.select(col("doc_id"), explode(tris).as("tg"))
+      .groupBy(col("doc_id"), col("tg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tri"), max(col("c")).as("top_count"))
+      .withColumn("rep_ratio", col("top_count") / col("n_tri"))
+  }
+
+  val qRepetition = QuerySpec(
+    "q_llm_repetition",
+    (s, d) =>
+      repetition(Tables.load(s, d, "documents"))
+        .orderBy(col("rep_ratio").desc, col("doc_id"))
+        .limit(200),
+    Some("""WITH tris AS (
+           |  SELECT doc_id, unnest(
+           |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           |      list_transform(range(1, len(string_split(text, ' ')) - 1),
+           |        i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+           |    ELSE [text] END) AS tg
+           |  FROM documents
+           |), counts AS (
+           |  SELECT doc_id, tg, count(*) AS c FROM tris GROUP BY doc_id, tg
+           |)
+           |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
+           |  CAST(max(c) AS BIGINT) AS top_count,
+           |  max(c) / sum(c) AS rep_ratio
+           |FROM counts GROUP BY doc_id
+           |ORDER BY rep_ratio DESC, doc_id LIMIT 200""".stripMargin))
+
+  /** Gopher-style keep/drop rules composed from the per-row quality
+    * signals, in INTEGER comparisons only (the ratio thresholds are
+    * cross-multiplied) so the verdict is trivially exact cross-engine
+    * and rerun-stable: minimum length, mean-word-length band,
+    * punctuation ceiling, stopword presence. Per-row, zero shuffle —
+    * the filter a 100 TB curation pass applies during its first scan. */
+  def qualityRules(docs: DataFrame): DataFrame = {
+    val nTok = size(tokens(col("text"))).cast("long")
+    val lenC = length(col("text")).cast("long")
+    val alphaLen = lenC - nTok + 1 // chars in tokens (len minus separators)
+    val nStop = expr("size(filter(split(text, ' '), t -> t IN ('the', 'a')))")
+      .cast("long")
+    val nPunct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long")
+    docs.select(col("doc_id"),
+      (nTok >= 10).as("rule_min_tokens"),
+      (alphaLen >= nTok * 2 && alphaLen <= nTok * 12).as("rule_word_len"),
+      (nPunct * 10 <= lenC * 3).as("rule_punct"),
+      (nStop >= 1).as("rule_stopwords"))
+      .withColumn("keep",
+        col("rule_min_tokens") && col("rule_word_len") &&
+          col("rule_punct") && col("rule_stopwords"))
+  }
+
+  val qQualityRules = QuerySpec(
+    "q_llm_quality_rules",
+    (s, d) =>
+      qualityRules(Tables.load(s, d, "documents")).orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |  len(string_split(text, ' ')) >= 10 AS rule_min_tokens,
+           |  length(text) - len(string_split(text, ' ')) + 1
+           |      >= len(string_split(text, ' ')) * 2
+           |    AND length(text) - len(string_split(text, ' ')) + 1
+           |      <= len(string_split(text, ' ')) * 12 AS rule_word_len,
+           |  length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 10
+           |    <= length(text) * 3 AS rule_punct,
+           |  len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) >= 1
+           |    AS rule_stopwords,
+           |  len(string_split(text, ' ')) >= 10
+           |    AND length(text) - len(string_split(text, ' ')) + 1
+           |      >= len(string_split(text, ' ')) * 2
+           |    AND length(text) - len(string_split(text, ' ')) + 1
+           |      <= len(string_split(text, ' ')) * 12
+           |    AND length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 10
+           |      <= length(text) * 3
+           |    AND len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) >= 1
+           |    AS keep
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   /** Per-document salient terms by TF-IDF. The idf factor is the exact
     * rational n_docs/df rather than the usual log(n/df): log is
     * monotone, so top-k per document is IDENTICAL for any fixed doc,
@@ -276,5 +370,5 @@ object TextAnalysis {
 
   val all: Seq[QuerySpec] =
     Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5, qDocFreq,
-      qTfIdf)
+      qTfIdf, qRepetition, qQualityRules)
 }

@@ -52,6 +52,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((3L, 1L)) == ("c", 3.0), out.toString)          // 2·3/2
   }
 
+  test("repetition: top trigram dominance, whole-text fallback for short docs") {
+    val out = TextAnalysis.repetition(docs(
+      1L -> "x y z x y z x y z",  // 7 trigram slots; "x y z" ×3
+      2L -> "a b c d e f",        // all distinct → 1/4
+      3L -> "just two"))          // fallback: one whole-text trigram
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((7L, 3L, 3.0 / 7.0)), out.toString)
+    assert(out(2L) == ((4L, 1L, 0.25)), out.toString)
+    assert(out(3L) == ((1L, 1L, 1.0)), out.toString)
+  }
+
+  test("qualityRules: each rule gates exactly its own failure mode") {
+    val good = "the quick brown foxes jumped over a lazy dog, twice more today."
+    val out = TextAnalysis.qualityRules(docs(
+      1L -> good,
+      2L -> "too short",                                   // min_tokens
+      3L -> ("the " + Seq.fill(11)("a").mkString(" ") + " x y z w q r s t"), // word_len (mean < 2)
+      4L -> ("the a " + Seq.fill(10)("..!!..").mkString(" ")),               // punct
+      5L -> good.replace("the ", "zzz ").replace(" a ", " b ")))             // stopwords
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5))).toMap
+    assert(out(1L) == ((true, true, true, true, true)), out.toString)
+    assert(!out(2L)._1 && !out(2L)._5, out.toString)
+    assert(!out(3L)._2 && !out(3L)._5, out.toString)
+    assert(!out(4L)._3 && !out(4L)._5, out.toString)
+    assert(!out(5L)._4 && !out(5L)._5, out.toString)
+  }
+
   test("language ID picks the profile with most marker hits") {
     val dfDe = docs(1L -> "der hund und die katze und ein vogel")
     val scored = TextAnalysis.qLangId.fn(spark, sf0001) // shape check on real data
