@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -289,6 +289,64 @@ case class Md5ShingleHashesExpr(child: Expression, n: Int, modP: Boolean)
     copy(child = newChild)
 }
 
+/** Repetition-dominance kernel: word n-gram shingles of a text column
+  * (same tokenizer and shingling as [[ShingleHashesExpr]], but
+  * NON-distinct — occurrence counts are the signal), returned as
+  * struct(n_tri, top_count) where top_count is the most frequent
+  * shingle's occurrence count (longest equal run of the sorted
+  * shingles). Texts shorter than n tokens fall back to the whole text
+  * as one shingle. Equivalent SQL (pinned by ScalaTest): the
+  * array_sort + named_struct run-length fold in
+  * TextAnalysis.repetitionSql — ~6 interpreted lambda nodes per
+  * shingle; this kernel is one eval per row. */
+case class TopShingleRunExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tri", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false)))
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"top_shingle_run needs string, got $t")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.toString
+    val toks = text.split(" ", -1)
+    val shingles: Array[String] =
+      if (toks.length >= n) {
+        val out = new Array[String](toks.length - n + 1)
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i + n <= toks.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out(i) = sb.toString
+          i += 1
+        }
+        out
+      } else Array(text)
+    java.util.Arrays.sort(shingles, java.util.Comparator.naturalOrder[String]())
+    var best = 0L
+    var run = 0L
+    var i = 0
+    while (i < shingles.length) {
+      if (i > 0 && shingles(i) == shingles(i - 1)) run += 1 else run = 1
+      if (run > best) best = run
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](shingles.length.toLong, best))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Dot product of two array<float> columns as double. Matches the SQL
   * aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) -> acc+x)
   * fold: per-element float multiply, left-to-right double accumulate —
@@ -515,6 +573,10 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))),
     "graft_fingerprint" -> (es => FingerprintExpr(es.head)),
     "graft_fingerprint_md5" -> (es => Md5FingerprintExpr(es.head)),
+    "graft_top_shingle_run" -> {
+      case Seq(c, Literal(n: Int, IntegerType)) => TopShingleRunExpr(c, n)
+      case es => TopShingleRunExpr(es.head, 3)
+    },
     "graft_signlsh" -> {
       case Seq(c, Literal(b: Int, IntegerType), Literal(d: Int, IntegerType),
           Literal(s: Long, LongType)) => SignLshExpr(c, b, d, s)

@@ -229,17 +229,43 @@ object TextAnalysis {
     * curation). Scale shape: one scan exploded to (doc, trigram)
     * counts, map-side combined, then a per-doc max — the ratio is one
     * exact int/int division. */
-  def repetition(docs: DataFrame): DataFrame = {
+  /** Pure-SQL reference formulation of the repetition kernel (longest
+    * equal run of the sorted non-distinct trigram list); kept for
+    * kernel-equivalence testing. `tris` must be in scope. */
+  val repetitionSql: Column =
+    expr("""aggregate(array_sort(tris),
+           |  named_struct('prev', CAST(NULL AS STRING),
+           |    'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+           |  (acc, t) -> named_struct('prev', t,
+           |    'run', IF(t <=> acc.prev, acc.run + CAST(1 AS BIGINT),
+           |              CAST(1 AS BIGINT)),
+           |    'best', greatest(acc.best,
+           |      IF(t <=> acc.prev, acc.run + CAST(1 AS BIGINT),
+           |         CAST(1 AS BIGINT)))),
+           |  acc -> acc.best)""".stripMargin)
+
+  /** Non-distinct word-trigram list with the short-text fallback —
+    * the input shape of [[repetitionSql]]. */
+  val trigramsOfText: Column = {
     val toks = tokens(col("text"))
-    val tris = when(size(toks) >= 3,
+    when(size(toks) >= 3,
       transform(sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ", slice(toks, i, lit(3)))))
       .otherwise(array(col("text")))
-    docs.select(col("doc_id"), explode(tris).as("tg"))
-      .groupBy(col("doc_id"), col("tg"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tri"), max(col("c")).as("top_count"))
+  }
+
+  def repetition(docs: DataFrame): DataFrame = {
+    // top count = most frequent trigram's occurrences — the
+    // TopShingleRunExpr kernel, one eval per row, ZERO shuffle (an
+    // explode + (doc, trigram) groupBy computes the same thing but
+    // shuffles n_docs × n_tri rows of which almost none combine; the
+    // interpreted array_sort+fold SQL form is ~6 lambda evals per
+    // trigram — both measured slower at sf0.1)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_udf("graft_top_shingle_run", col("text"), lit(3)).as("r"))
+      .select(col("doc_id"), col("r.n_tri").as("n_tri"),
+        col("r.top_count").as("top_count"))
       .withColumn("rep_ratio", col("top_count") / col("n_tri"))
   }
 
@@ -250,19 +276,19 @@ object TextAnalysis {
         .orderBy(col("rep_ratio").desc, col("doc_id"))
         .limit(200),
     Some("""WITH tris AS (
-           |  SELECT doc_id, unnest(
+           |  SELECT doc_id,
            |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
            |      list_transform(range(1, len(string_split(text, ' ')) - 1),
            |        i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
-           |    ELSE [text] END) AS tg
+           |    ELSE [text] END AS tris
            |  FROM documents
-           |), counts AS (
-           |  SELECT doc_id, tg, count(*) AS c FROM tris GROUP BY doc_id, tg
            |)
-           |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
-           |  CAST(max(c) AS BIGINT) AS top_count,
-           |  max(c) / sum(c) AS rep_ratio
-           |FROM counts GROUP BY doc_id
+           |SELECT doc_id, CAST(len(tris) AS BIGINT) AS n_tri,
+           |  CAST(list_max(list_transform(list_distinct(tris),
+           |    t -> len(list_filter(tris, x -> x = t)))) AS BIGINT) AS top_count,
+           |  list_max(list_transform(list_distinct(tris),
+           |    t -> len(list_filter(tris, x -> x = t)))) / len(tris) AS rep_ratio
+           |FROM tris
            |ORDER BY rep_ratio DESC, doc_id LIMIT 200""".stripMargin))
 
   /** Gopher-style keep/drop rules composed from the per-row quality

@@ -103,6 +103,18 @@ class NativeKernelSpec extends SparkSpec {
     assert(xx.exceptAll(md).isEmpty && md.exceptAll(xx).isEmpty)
   }
 
+  test("graft_top_shingle_run matches the SQL sort+run-length fold") {
+    val edges = spark.createDataFrame(Seq(
+      (-1L, ""), (-2L, "just two"), (-3L, "x y z x y z x y z"),
+      (-4L, "a  b a  b a  b a"))).toDF("doc_id", "text")
+    val df = docs.select(col("doc_id"), col("text")).union(edges)
+      .withColumn("tris", TextAnalysis.trigramsOfText)
+      .withColumn("native", call_udf("graft_top_shingle_run", col("text"), lit(3)))
+      .withColumn("sql_top", TextAnalysis.repetitionSql)
+    assert(df.filter(col("native.top_count") =!= col("sql_top") ||
+      col("native.n_tri") =!= size(col("tris"))).count() == 0L)
+  }
+
   test("graft_signlsh matches SQL sign-LSH formulation") {
     val vecs = graft.Tables.load(spark, sf0001, "embeddings")
     val sqlSig = Similarity.signLshSql(vecs, 16, 64)
