@@ -122,14 +122,17 @@ final class HttpTransport(spec: HttpLogSpec) extends CtLogTransport {
               s"get-entries [$nextId,${pageEnd - 1}] returned no entries " +
               s"(tree truncated below the requested range?)")
           val first = nextId
-          buf = (0 until entries.size()).iterator.map { i =>
+          // a server over-delivering past the requested end would bleed
+          // entry ids into the NEXT partition's range — truncate hard
+          val take = math.min(entries.size().toLong, end - first).toInt
+          buf = (0 until take).iterator.map { i =>
             val e = entries.get(i)
             val dec = CtLogWire.decodeEntry(
               Base64.getDecoder.decode(e.get("leaf_input").asText()),
               Base64.getDecoder.decode(e.get("extra_data").asText()))
             CtLog.Entry(first + i, dec.tsMs, logUrl().get, dec.der, dec.chain)
           }
-          nextId = first + entries.size() // §4.6: maybe fewer than asked
+          nextId = first + take // §4.6: maybe fewer than asked
         }
         buf.next()
       }

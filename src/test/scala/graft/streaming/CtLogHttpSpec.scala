@@ -41,10 +41,11 @@ class CtLogHttpSpec extends SparkSpec {
     }
 
   /** Minimal RFC 6962 server: honors start/end, serves at most
-    * `maxPage` entries per request, optionally 429s the first
-    * `deny429` get-entries calls. */
+    * `maxPage` entries per request (`overDeliver` ignores the
+    * requested end and sends maxPage entries regardless — a buggy
+    * server), optionally 429s the first `deny429` get-entries calls. */
   private def startServer(entries: IndexedSeq[(Array[Byte], Array[Byte])],
-      maxPage: Int = 1000, deny429: Int = 0)
+      maxPage: Int = 1000, deny429: Int = 0, overDeliver: Boolean = false)
       : (com.sun.net.httpserver.HttpServer, AtomicInteger, AtomicInteger) = {
     val calls = new AtomicInteger(0)
     val denied = new AtomicInteger(0)
@@ -67,7 +68,8 @@ class CtLogHttpSpec extends SparkSpec {
         val q = x.getRequestURI.getQuery.split("&")
           .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
         val start = q("start").toInt
-        val end = math.min(math.min(q("end").toInt, start + maxPage - 1),
+        val reqEnd = if (overDeliver) Int.MaxValue else q("end").toInt
+        val end = math.min(math.min(reqEnd, start + maxPage - 1),
           entries.length - 1)
         val body = (start to end).map { i =>
           val (leaf, extra) = entries(i)
@@ -137,6 +139,20 @@ class CtLogHttpSpec extends SparkSpec {
       assert(denied.get == 2, "both denials must have been consumed by retries")
       // and the retries actually waited (2 backoffs ≥ 0.8×20ms each)
       assert((System.nanoTime() - t0) / 1e6 >= 30.0)
+    } finally srv.stop(0)
+  }
+
+  test("an over-delivering server cannot bleed entries across partition bounds") {
+    // the server ignores the requested end and always sends what it has;
+    // without the client-side truncation every partition would re-emit
+    // the following partitions' entries
+    val (srv, _, _) = startServer(wireEntries(20), overDeliver = true)
+    try {
+      val url = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      val ids = spark.read.format("ctlog")
+        .option("path", url).option("pageSize", 5).load()
+        .select(col("entry_id")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == (0L until 20L), s"duplicated/bled entries: $ids")
     } finally srv.stop(0)
   }
 
