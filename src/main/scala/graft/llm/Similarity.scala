@@ -387,6 +387,49 @@ object Similarity {
     centroids
   }
 
+  /** IVF search ENTIRELY in the quantized integer domain, against
+    * [[kmeansQuantized]]-trained centroids: corpus and queries assign
+    * to centroids by exact long L2 (the training metric — consistent
+    * train/serve assignment), and within-bucket ranking is the exact
+    * integer dot product, descending, ties to the lowest vector id.
+    * Every comparison is integer, so results are bit-stable under any
+    * partitioning AND reproducible across engines/hardware — the
+    * determinism story scalar-quantized ANN serving actually wants.
+    * Same scale shape as [[ivfTopK]]: centroids broadcast, corpus
+    * scanned once, `max_by` map-side assignment, per-query window
+    * rank. */
+  def ivfTopKQuantized(vecs: DataFrame, queries: DataFrame, k: Int,
+      centroids: DataFrame, probes: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = aggregate(
+      zip_with(col("q"), col("c_q"), (a, b) => (a - b).cast("long") * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val bCentroids = broadcast(centroids)
+    def assign(df: DataFrame): DataFrame = df.join(bCentroids)
+      .withColumn("dist", dist)
+      .groupBy(col("vec_id"))
+      .agg(first(col("q")).as("q"),
+        max_by(col("c_id"), struct((-col("dist")).as("nd"), (-col("c_id")).as("nc")))
+          .as("c_id"))
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("c_id"))
+    val queriesAssigned = queries.join(bCentroids)
+      .withColumn("dist", dist)
+      .withColumn("c_rank", row_number().over(wq))
+      .filter(col("c_rank") <= probes)
+      .select(col("vec_id").as("q_id"), col("q").as("q_q"), col("c_id"))
+    val idot = aggregate(
+      zip_with(col("q"), col("q_q"), (a, b) => a.cast("long") * b),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("idot").desc, col("vec_id"))
+    assign(vecs).join(broadcast(queriesAssigned), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("idot", idot)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("idot"), col("c_id"))
+  }
+
   /** One step oracle'd exactly in DuckDB (assignment argmin, tiebreak,
     * long-exact distances, rounded integer means); the fixed-depth
     * trainer is the step iterated, pinned by ScalaTest against an

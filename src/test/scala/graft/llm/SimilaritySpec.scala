@@ -70,6 +70,40 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.hyperplanes(16, 64) == Similarity.hyperplanes(16, 64))
   }
 
+  test("quantized IVF over trained centroids equals the sequential reference exactly") {
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    val qv = vecs.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    val centroids = Similarity.kmeansQuantized(vecs, centroidStride = 100, iters = 3)
+    val queries = qv.filter(col("vec_id") < 3)
+    def run() = Similarity.ivfTopKQuantized(qv, queries, k = 5, centroids, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val got = run()
+    assert(got == run(), "integer ranking must be run-stable")
+
+    // independent in-memory IVF with identical semantics: L2 assignment
+    // (ties → lowest c_id), probed buckets, integer-dot ranking
+    // (ties → lowest vec_id)
+    val all = qv.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    val cs = centroids.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toVector)
+    def l2(a: Vector[Int], b: Vector[Int]): Long =
+      a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
+    val assigned = all.map { case (id, v) =>
+      id -> cs.map { case (cid, cv) => (l2(v, cv), cid) }.min._2 }
+    val expect = (0L until 3L).flatMap { qid =>
+      val probed = cs.map { case (cid, cv) => (l2(all(qid), cv), cid) }
+        .sorted.take(2).map(_._2).toSet
+      val ranked = all.toSeq
+        .filter { case (id, _) => id != qid && probed.contains(assigned(id)) }
+        .map { case (id, v) =>
+          (all(qid).zip(v).map { case (a, b) => a.toLong * b }.sum, id) }
+        .sortBy { case (d, id) => (-d, id) }.take(5)
+      ranked.zipWithIndex.map { case ((d, id), i) =>
+        (qid, i + 1L) -> (id, d) }
+    }.toMap
+    assert(got == expect, s"got=$got\nexpect=$expect")
+  }
+
   test("integer k-means equals an independent driver-side implementation, bit-stable") {
     val vecs = graft.Tables.load(spark, sf0001, "embeddings")
     def run(df: org.apache.spark.sql.DataFrame): Map[Long, Vector[Int]] =

@@ -50,4 +50,22 @@ class CtLogPageProps extends AnyFunSuite {
       assert(mid.map(_.entryId) == (10L until 20L).toSeq)
     }
   }
+
+  test("RFC 6962 TLS codecs round-trip arbitrary certs and chains") {
+    sample(genEntry, 60).foreach { case (ts, _, der, chain) =>
+      val x = CtLogWire.decodeEntry(
+        CtLogWire.encodeX509Leaf(ts, der), CtLogWire.encodeX509Extra(chain))
+      assert(x.tsMs == ts && !x.precert)
+      assert(java.util.Arrays.equals(x.der, der))
+      assert(x.chain.length == chain.length &&
+        x.chain.zip(chain).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+      val ikh = Array.fill[Byte](32)(7)
+      val p = CtLogWire.decodeEntry(
+        CtLogWire.encodePrecertLeaf(ts, ikh, Array[Byte](1)),
+        CtLogWire.encodePrecertExtra(der, chain))
+      assert(p.tsMs == ts && p.precert)
+      assert(java.util.Arrays.equals(p.der, der), "submitted precert survives")
+      assert(p.chain.length == chain.length)
+    }
+  }
 }
