@@ -28,7 +28,11 @@ final case class GraftConfig(
     savePeriod: String,
     issuerCNFilter: Seq[String],
     logExpiredEntries: Boolean,
-    healthAddr: String) {
+    healthAddr: String,
+    /** Engine extension (no reference key — the reference picks the
+      * resolution per call site, types.go:21-23): expiry-bucket
+      * resolution for ingest; `false` = day buckets. */
+    hourResolution: Boolean) {
 
   /** Spark ProcessingTime trigger string for the daemon poll cadence. */
   def pollTrigger: String = GraftConfig.goDurationToSpark(pollingDelayMean)
@@ -104,7 +108,8 @@ object GraftConfig {
       savePeriod = conf("savePeriod", "15m"),
       issuerCNFilter = csv(conf("issuerCNFilter", "")),
       logExpiredEntries = confBool("logExpiredEntries", default = false),
-      healthAddr = conf("healthAddr", ":8080"))
+      healthAddr = conf("healthAddr", ":8080"),
+      hourResolution = confBool("hourResolution", default = true))
 
     // CLI overrides last (config.go:203-212: only when > 0)
     val withOffset = cli.get("offset").map(_.toLong).filter(_ > 0)

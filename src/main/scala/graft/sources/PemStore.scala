@@ -62,6 +62,38 @@ object PemStore {
         col("pem"),
         col("path_exp_date"), col("path_serial"))
 
+  /** Export the engine store BACK to the reference's on-disk layout —
+    * one PEM file per cert at `<root>/<expDate>/<issuerID>/<serial>`
+    * (localdiskbackend.go:194-199) — the escape hatch that makes
+    * migration bidirectional: a user can leave as losslessly as they
+    * arrived, and reference tooling can read the result directly.
+    *
+    * Scale shape: one scan of the narrow (exp_date, issuer_id,
+    * serial_id, pem) projection, file writes distributed via
+    * `foreachPartition` against the shared filesystem. This
+    * deliberately reproduces the reference's one-file-per-cert layout
+    * (including its small-file economics) because that IS the target
+    * format; the parquet store remains the engine's native form.
+    * Returns the number of files written. */
+  def exportLegacyStore(spark: SparkSession, certRoot: String,
+      outRoot: String): Long = {
+    val written = spark.sparkContext.longAccumulator("pem_files_written")
+    spark.read.parquet(s"$certRoot/certs")
+      // serial_id is base64url — already filesystem-safe, and exactly
+      // the file name the reference writes (types.go:210-212)
+      .select(col("exp_date").cast("string"), col("issuer_id"),
+        col("serial_id"), col("pem"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          val dir = java.nio.file.Paths.get(outRoot, r.getString(0), r.getString(1))
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.writeString(dir.resolve(r.getString(2)), r.getString(3))
+          written.add(1L)
+        }
+      }
+    written.value
+  }
+
   /** Import a legacy store into `certRoot` (the engine layout): dedup
     * on the triple key (legacy stores written by a crashed reference
     * can hold duplicate appends), skip rows the target already holds

@@ -62,7 +62,8 @@ object CtFetch {
       runForever = cfg.runForever,
       pollInterval = cfg.pollTrigger,
       startEntry = cfg.offset,
-      limitEntries = if (cfg.limit > 0) Some(cfg.limit) else None)
+      limitEntries = if (cfg.limit > 0) Some(cfg.limit) else None,
+      hourResolution = cfg.hourResolution)
     query = q
     try q.awaitTermination() finally health.close()
     println(s"[ct-fetch] ${q.name}: health=${Observability.health(q, pollMs)}")

@@ -21,6 +21,8 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(c.pollingDelayMean == "10m" && c.pollingDelayStdDev == 10)
     assert(c.savePeriod == "15m" && c.healthAddr == ":8080")
     assert(c.logList.isEmpty && c.issuerCNFilter.isEmpty)
+    assert(c.hourResolution, "hour buckets by default")
+    assert(!GraftConfig.load(env = Map("hourResolution" -> "false")).hourResolution)
   }
 
   test("ini overrides defaults; env overrides ini; CLI overrides env") {

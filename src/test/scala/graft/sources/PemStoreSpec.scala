@@ -82,6 +82,34 @@ class PemStoreSpec extends SparkSpec {
     assert(again("stored") == 0L && again("already_present") == 2L, again.toString)
   }
 
+  test("exportLegacyStore writes the reference layout; re-import round-trips") {
+    val engine = Files.createTempDirectory("engine").toString
+    PemStore.importLegacyStore(spark, legacyRoot, engine)
+    val exported = Files.createTempDirectory("exported").toString
+    val n = PemStore.exportLegacyStore(spark, engine, exported)
+    assert(n == 2L, "one PEM file per stored cert")
+    // <expDate>/<issuerID>/<serial> exactly (hour ids — the reference
+    // reads both resolutions, types.go:21-23)
+    val files = java.nio.file.Files.walk(Paths.get(exported)).iterator()
+    val paths = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .filter(java.nio.file.Files.isRegularFile(_)).map(_.toString).toSeq
+    assert(paths.exists(_.matches(""".*/2020-02-05-\d\d/issuerA/AKo=""")),
+      paths.toString)
+    assert(paths.forall(_.contains("issuer")), paths.toString)
+    // the exported tree is a valid legacy store: importing it lands the
+    // identical logical set (and nothing extra)
+    val back = Files.createTempDirectory("back").toString
+    val counts = PemStore.importLegacyStore(spark, exported, back)
+    assert(counts("stored") == 2L && counts("path_mismatches") == 0L, counts.toString)
+    val a = spark.read.parquet(s"$engine/certs")
+      .select(col("exp_date").cast("string"), col("issuer_id"), col("serial_id"))
+      .collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(s"$back/certs")
+      .select(col("exp_date").cast("string"), col("issuer_id"), col("serial_id"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b, "export → import must round-trip the key set")
+  }
+
   test("path/content mismatches are counted, not silently imported") {
     val root = Files.createTempDirectory("legacybad").toString
     val dir = Paths.get(root, "1999-01-01", "issuerX")
