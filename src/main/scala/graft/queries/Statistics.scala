@@ -42,7 +42,11 @@ object Statistics {
     *  - (null, null) row: grand totals (:82).
     */
   def report(spark: SparkSession, certRoot: String): DataFrame = {
+    // exp_date back to the engine's string-id surface: a day-resolution
+    // store's partition values parse as dates, so Spark's partition
+    // type inference reads them as DATE (see listExpirationDates)
     val certs = spark.read.parquet(s"$certRoot/certs")
+      .withColumn("exp_date", col("exp_date").cast("string"))
     // count(*), not countDistinct(serial): serials are only unique
     // within (exp_date, issuer_id) — the ingest's first-seen gate makes
     // the table unique on the triple key, and the reference's subtotals

@@ -145,6 +145,7 @@ object IngestJob {
     import spark.implicits._
     require(logDirs.nonEmpty, "at least one log directory")
     val orderedDirs = checkLogManifest(spark, logDirs, checkpoint)
+    checkStoreResolution(spark, certRoot, hourResolution)
     // J4: the reference's 16384-entry buffer bounds the WHOLE pipeline,
     // not each log (one channel behind every downloader, ct-fetch
     // .go:132) — split the admission cap across sources so a trigger
@@ -281,6 +282,33 @@ object IngestJob {
       finally out.close()
     }
     ordered
+  }
+
+  /** Refuse to append one resolution's bucket ids into a store built at
+    * the other: resuming (or pointing) an ingest at an existing store
+    * with a flipped `hourResolution` would silently interleave
+    * `yyyy-MM-dd` and `yyyy-MM-dd-HH` partitions — every downstream
+    * expiry cut, TTL, and report would straddle two key shapes. The
+    * check reads the store's OWN partition directory names (hour ids
+    * are 13 chars, day ids 10), so no extra metadata file is needed and
+    * pre-existing stores are covered. */
+  private[streaming] def checkStoreResolution(spark: SparkSession,
+      certRoot: String, hourResolution: Boolean): Unit = {
+    import org.apache.hadoop.fs.Path
+    val certs = new Path(s"$certRoot/certs")
+    val fs = certs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(certs)) return
+    val widths = fs.listStatus(certs).map(_.getPath.getName)
+      .filter(_.startsWith("exp_date="))
+      .map(_.stripPrefix("exp_date=").length).distinct
+    if (widths.isEmpty) return
+    val storeHour = widths.max >= 13
+    if (storeHour != hourResolution)
+      throw new IllegalStateException(
+        s"store $certRoot is ${if (storeHour) "hour" else "day"}-resolution but " +
+        s"ingest was configured hourResolution=$hourResolution — appending the " +
+        s"other shape would interleave yyyy-MM-dd and yyyy-MM-dd-HH bucket ids. " +
+        s"Use the store's resolution, or start a new certRoot.")
   }
 
   case class CertRowWithTs(

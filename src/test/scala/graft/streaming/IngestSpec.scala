@@ -364,6 +364,17 @@ class IngestSpec extends SparkSpec {
     // and the hour id of the same instant expires later the same day
     assert(IngestJob.expDateExpireMs("2020-02-05-04") ==
       IngestJob.expDateExpireMs("2020-02-05") + 4L * 3600 * 1000)
+    // statistics run over the day store (string-id surface restored)
+    val grand = graft.queries.Statistics.report(spark, certRoot).collect()
+      .filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.head.getLong(2) == 2L)
+    // flipping the resolution against the existing store must refuse —
+    // appending hour ids into a day store would interleave key shapes
+    val err = intercept[IllegalStateException] {
+      IngestJob.start(spark, logDir, certRoot, s"$root/ckpt2",
+        logExpiredEntries = true, hourResolution = true)
+    }
+    assert(err.getMessage.contains("day-resolution"), err.getMessage)
   }
 
   test("recoveredStartEntries resumes each log from its stored max(entry_id)") {
