@@ -732,11 +732,12 @@ object TextDedup {
   /** Per-group MinHash signatures (the MinHashAggExpr sketch): state per
     * group is numPerm longs however large the group, merged map-side —
     * shingle sets never cross a shuffle. */
-  def groupSignatures(docs: DataFrame, groupCol: String, numPerm: Int = 64): DataFrame = {
+  def groupSignatures(docs: DataFrame, groupCol: String, numPerm: Int = 64,
+      shingleKernel: String = "graft_shingle_hashes"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col(groupCol),
-        call_udf("graft_shingle_hashes", col("text"), lit(3), lit(true)).as("th"))
+        call_udf(shingleKernel, col("text"), lit(3), lit(true)).as("th"))
       .groupBy(col(groupCol))
       .agg(call_udf("graft_minhash_agg", col("th"), lit(numPerm)).as("sig"))
   }
@@ -744,11 +745,12 @@ object TextDedup {
   /** Pairwise estimated Jaccard between groups' shingle sets: equal-slot
     * fraction of the two signatures. Group count is small (sources,
     * domains, shards), so the pair join is over sketches, never docs. */
-  def groupSimilarity(docs: DataFrame, groupCol: String, numPerm: Int = 64): DataFrame = {
+  def groupSimilarity(docs: DataFrame, groupCol: String, numPerm: Int = 64,
+      shingleKernel: String = "graft_shingle_hashes"): DataFrame = {
     // both pair-join sides read the signatures; persist the (group ×
     // numPerm·8B, i.e. KB-sized) sketch table so the corpus-wide
     // aggregation runs once, not once per side
-    val sigs = groupSignatures(docs, groupCol, numPerm)
+    val sigs = groupSignatures(docs, groupCol, numPerm, shingleKernel)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.select(col(groupCol).as("ga"), col("sig").as("sa"))
     val b = sigs.select(col(groupCol).as("gb"), col("sig").as("sb"))
@@ -758,9 +760,10 @@ object TextDedup {
       .select(col("ga"), col("gb"), col("est_jaccard"))
   }
 
-  /** No oracle (sketch estimate); agreement of the aggregate with the
-    * per-document signature path and estimate sanity are pinned by
-    * ScalaTest. */
+  /** No oracle (sketch estimate keyed on xxhash64); agreement of the
+    * aggregate with the per-document signature path and estimate sanity
+    * are pinned by ScalaTest, and the md5 variant below hash-matches
+    * the whole pipeline cross-engine. */
   val qSourceSim = QuerySpec(
     "q_llm_source_sim",
     (s, d) =>
@@ -768,8 +771,41 @@ object TextDedup {
         .orderBy(col("ga"), col("gb")),
     None)
 
+  /** The group-sketch pipeline on MD5 shingle hashes, oracle'd
+    * END-TO-END: per-doc signatures, the group's element-wise-min
+    * sketch (MinHashAggExpr's merge = DuckDB's per-slot min over the
+    * group), and the pairwise equal-slot estimate all replayed in
+    * DuckDB and hash-matched. */
+  val qSourceSimMd5 = QuerySpec(
+    "q_llm_source_sim_md5",
+    (s, d) =>
+      groupSimilarity(Tables.load(s, d, "documents"), "source",
+        shingleKernel = "graft_shingle_hashes_md5")
+        .orderBy(col("ga"), col("gb")),
+    Some(s"""WITH $duckShinglesCte,
+            |th AS (
+            |  SELECT d.source, sh.doc_id, list_transform(sh.shingles,
+            |    t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483647) AS th
+            |  FROM sh JOIN documents d USING (doc_id)),
+            |sig AS (
+            |  SELECT source, doc_id, list_transform(range(0, 64), k ->
+            |    list_min(list_transform(th,
+            |      h -> ((k*1000003 + 12345)*h + k*998244353 + 7) % 2147483647))) AS sig
+            |  FROM th),
+            |slots AS (
+            |  SELECT source, t.k, min(sig[t.k + 1]) AS v
+            |  FROM sig, LATERAL (SELECT unnest(range(0, 64)) AS k) t
+            |  GROUP BY source, t.k),
+            |gsig AS (
+            |  SELECT source, list(v ORDER BY k) AS g FROM slots GROUP BY source)
+            |SELECT a.source AS ga, b.source AS gb,
+            |  len(list_filter(list_zip(a.g, b.g), z -> z[1] = z[2])) / 64
+            |    AS est_jaccard
+            |FROM gsig a JOIN gsig b ON a.source < b.source
+            |ORDER BY ga, gb""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qMinhashMd5, qSimhash,
-      qSimhashMd5, qSourceSim, qDedupClusters, qKeepList, qContamination,
-      qHistDedup)
+      qSimhashMd5, qSourceSim, qSourceSimMd5, qDedupClusters, qKeepList,
+      qContamination, qHistDedup)
 }
