@@ -461,6 +461,47 @@ case class Md5FingerprintExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Symmetric int8 scalar quantization of an array<float> embedding:
+  * q_i = floor(x_i / s · 127 + 0.5) with s = max |x_i|, zeros when
+  * s = 0. One pass for the max, one for the emit — replaces the
+  * two interpreted higher-order `transform`s of the SQL formulation
+  * (Similarity.quantizeSql, pinned bit-for-bit by ScalaTest on the
+  * corpus: float→double promotion, correctly rounded divide/multiply,
+  * exact floor — identical IEEE sequences). */
+case class QuantizeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"quantize needs array<float>, got $t")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var s = 0f
+    var i = 0
+    while (i < n) {
+      val a = math.abs(arr.getFloat(i))
+      if (a > s) s = a
+      i += 1
+    }
+    val out = new Array[Int](n)
+    if (s != 0f) {
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(arr.getFloat(i).toDouble / s.toDouble * 127.0 + 0.5).toInt
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Sign-LSH signature of an array<float> embedding against `bits`
   * deterministic pseudo-random hyperplanes: bit b = [dot(v, plane_b)
   * >= 0], packed into a long. Planes are the same splitmix-style
@@ -573,6 +614,7 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))),
     "graft_fingerprint" -> (es => FingerprintExpr(es.head)),
     "graft_fingerprint_md5" -> (es => Md5FingerprintExpr(es.head)),
+    "graft_quantize" -> (es => QuantizeExpr(es.head)),
     "graft_top_shingle_run" -> {
       case Seq(c, Literal(n: Int, IntegerType)) => TopShingleRunExpr(c, n)
       case es => TopShingleRunExpr(es.head, 3)

@@ -296,7 +296,11 @@ object Similarity {
     * to zeros (s = 0 guard). 4× narrower vectors on the wire; the
     * integer domain is what makes exact distributed k-means below
     * possible at all. */
-  def quantize(e: Column): Column = {
+  def quantize(e: Column): Column = call_udf("graft_quantize", e)
+
+  /** Pure-SQL reference formulation of [[quantize]] (identical IEEE
+    * sequence); kept for kernel-equivalence testing. */
+  def quantizeSql(e: Column): Column = {
     val s = array_max(transform(e, x => abs(x)))
     when(s === 0.0f, transform(e, _ => lit(0)))
       .otherwise(transform(e, x =>
@@ -312,11 +316,13 @@ object Similarity {
 
   val qQuantize = QuerySpec(
     "q_llm_quantize",
-    (s, d) =>
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.load(s, d, "embeddings")
         .select(col("vec_id"), quantScale(col("embedding")).as("scale"),
           joined(quantize(col("embedding"))).as("q"))
-        .orderBy(col("vec_id")),
+        .orderBy(col("vec_id"))
+    },
     Some("""SELECT vec_id,
            |  list_max(list_transform(embedding, x -> abs(x))) AS scale,
            |  array_to_string(CASE
@@ -373,6 +379,7 @@ object Similarity {
     * (c_id, c_q). */
   def kmeansQuantized(vecs0: DataFrame, centroidStride: Int,
       iters: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs0.sparkSession)
     val vecs = vecs0.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids = vecs
@@ -437,6 +444,7 @@ object Similarity {
   val qKmeansStep = QuerySpec(
     "q_llm_kmeans_step",
     (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val vecs = Tables.load(s, d, "embeddings")
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
       val seeds = vecs.filter(pmod(col("vec_id"), lit(100)) === 0)

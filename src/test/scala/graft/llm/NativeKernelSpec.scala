@@ -115,6 +115,20 @@ class NativeKernelSpec extends SparkSpec {
       col("native.n_tri") =!= size(col("tris"))).count() == 0L)
   }
 
+  test("graft_quantize matches the SQL max-abs/floor formulation") {
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    val edges = spark.createDataFrame(Seq(
+      (-1L, Seq(0f, 0f, 0f)),            // zero vector → zeros
+      (-2L, Seq(-1f, 0.5f, 0.25f)),
+      (-3L, Seq(Float.MinPositiveValue, 1e30f))))
+      .toDF("vec_id", "embedding")
+    val df = vecs.select(col("vec_id"), col("embedding"))
+      .union(edges)
+      .withColumn("native", Similarity.quantize(col("embedding")))
+      .withColumn("sql", Similarity.quantizeSql(col("embedding")))
+    assert(df.filter(col("native") =!= col("sql")).count() == 0L)
+  }
+
   test("graft_signlsh matches SQL sign-LSH formulation") {
     val vecs = graft.Tables.load(spark, sf0001, "embeddings")
     val sqlSig = Similarity.signLshSql(vecs, 16, 64)
