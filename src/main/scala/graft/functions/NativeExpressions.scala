@@ -461,6 +461,56 @@ case class Md5FingerprintExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Exact integer geometry over two array<int> columns (the quantized
+  * embedding domain): squared L2 distance and dot product as longs.
+  * Semantics identical to the SQL zip_with/aggregate folds they replace
+  * (Similarity.kmeansStep documents both; pinned by ScalaTest) —
+  * length mismatch null-poisons exactly like zip_with's null padding.
+  * One eval per (vector, centroid) pair instead of ~6 interpreted
+  * nodes per dimension — the n×k assignment scoring is the k-means
+  * hot loop. */
+case class IntL2Expr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = (a.getInt(i) - b.getInt(i)).toLong
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class IntDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getInt(i).toLong * b.getInt(i); i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Symmetric int8 scalar quantization of an array<float> embedding:
   * q_i = floor(x_i / s · 127 + 0.5) with s = max |x_i|, zeros when
   * s = 0. One pass for the max, one for the emit — replaces the
@@ -615,6 +665,8 @@ object GraftFunctions {
     "graft_fingerprint" -> (es => FingerprintExpr(es.head)),
     "graft_fingerprint_md5" -> (es => Md5FingerprintExpr(es.head)),
     "graft_quantize" -> (es => QuantizeExpr(es.head)),
+    "graft_l2_int" -> (es => IntL2Expr(es(0), es(1))),
+    "graft_dot_int" -> (es => IntDotExpr(es(0), es(1))),
     "graft_top_shingle_run" -> {
       case Seq(c, Literal(n: Int, IntegerType)) => TopShingleRunExpr(c, n)
       case es => TopShingleRunExpr(es.head, 3)

@@ -348,10 +348,19 @@ object Similarity {
     * order-independent, so the result is bit-stable under ANY
     * partitioning (the property float k-means lacks). Empty clusters
     * keep their previous centroid. */
+  /** SQL reference forms of the integer geometry (kept for
+    * kernel-equivalence testing; the kernels graft_l2_int /
+    * graft_dot_int are the production path). */
+  def intL2Sql(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (x, y) => (x - y).cast("long") * (x - y)),
+    lit(0L), (acc, x) => acc + x)
+  def intDotSql(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (x, y) => x.cast("long") * y),
+    lit(0L), (acc, x) => acc + x)
+
   def kmeansStep(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val dist = aggregate(
-      zip_with(col("q"), col("c_q"), (a, b) => (a - b).cast("long") * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val dist = call_udf("graft_l2_int", col("q"), col("c_q"))
     val assigned = vecs.join(broadcast(centroids))
       .withColumn("dist", dist)
       .groupBy(col("vec_id"))
@@ -408,9 +417,8 @@ object Similarity {
   def ivfTopKQuantized(vecs: DataFrame, queries: DataFrame, k: Int,
       centroids: DataFrame, probes: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dist = aggregate(
-      zip_with(col("q"), col("c_q"), (a, b) => (a - b).cast("long") * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val dist = call_udf("graft_l2_int", col("q"), col("c_q"))
     val bCentroids = broadcast(centroids)
     def assign(df: DataFrame): DataFrame = df.join(bCentroids)
       .withColumn("dist", dist)
@@ -424,9 +432,7 @@ object Similarity {
       .withColumn("c_rank", row_number().over(wq))
       .filter(col("c_rank") <= probes)
       .select(col("vec_id").as("q_id"), col("q").as("q_q"), col("c_id"))
-    val idot = aggregate(
-      zip_with(col("q"), col("q_q"), (a, b) => a.cast("long") * b),
-      lit(0L), (acc, x) => acc + x)
+    val idot = call_udf("graft_dot_int", col("q"), col("q_q"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("idot").desc, col("vec_id"))
     assign(vecs).join(broadcast(queriesAssigned), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -115,6 +115,24 @@ class NativeKernelSpec extends SparkSpec {
       col("native.n_tri") =!= size(col("tris"))).count() == 0L)
   }
 
+  test("graft_l2_int / graft_dot_int match the SQL zip_with folds") {
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), call_udf("graft_quantize", col("embedding")).as("q"))
+      .withColumn("other", reverse(col("q")))
+    val df = vecs
+      .withColumn("nl2", call_udf("graft_l2_int", col("q"), col("other")))
+      .withColumn("sl2", Similarity.intL2Sql(col("q"), col("other")))
+      .withColumn("nd", call_udf("graft_dot_int", col("q"), col("other")))
+      .withColumn("sd", Similarity.intDotSql(col("q"), col("other")))
+    assert(df.filter(col("nl2") =!= col("sl2") || col("nd") =!= col("sd"))
+      .count() == 0L)
+    // dimension mismatch null-poisons like zip_with
+    val r = spark.sql(
+      """SELECT graft_l2_int(array(1, 2), array(1)) a,
+        |       graft_dot_int(array(1, 2), array(1)) b""".stripMargin).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("graft_quantize matches the SQL max-abs/floor formulation") {
     val vecs = graft.Tables.load(spark, sf0001, "embeddings")
     val edges = spark.createDataFrame(Seq(
