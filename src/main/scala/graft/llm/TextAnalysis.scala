@@ -339,6 +339,56 @@ object TextAnalysis {
            |    AS keep
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** N-gram novelty: the fraction of a document's distinct trigram
+    * shingles that appear in NO other document — the info-density
+    * signal between exact dedup (all shingles shared) and boilerplate
+    * scoring: a doc of entirely corpus-unique phrasing scores 1, a
+    * stitched-together doc of recycled fragments scores near 0.
+    *
+    * Scale shape: one scan exploded to hashed distinct shingles
+    * (md5-keyed kernel — cross-engine checkable, and only 8-byte
+    * hashes cross the wire), a shingle-keyed df aggregate with
+    * map-side partials, then a per-doc rollup; the ratio is one exact
+    * int/int division. */
+  def novelty(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col("doc_id"),
+      explode(call_udf("graft_shingle_hashes_md5",
+        col("text"), lit(3), lit(true))).as("h"))
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty", col("n_unique") / col("n_shingles"))
+  }
+
+  val qNovelty = QuerySpec(
+    "q_llm_novelty",
+    (s, d) =>
+      novelty(Tables.load(s, d, "documents"))
+        .orderBy(col("novelty"), col("doc_id"))
+        .limit(200),
+    Some("""WITH sh AS (
+           |  SELECT doc_id, unnest(
+           |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           |      list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+           |        i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))
+           |    ELSE [text] END) AS t
+           |  FROM documents
+           |), th AS (
+           |  SELECT doc_id,
+           |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483647 AS h
+           |  FROM sh
+           |), dfh AS (
+           |  SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM th
+           |)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*) AS novelty
+           |FROM dfh GROUP BY doc_id
+           |ORDER BY novelty, doc_id LIMIT 200""".stripMargin))
+
   /** Per-document salient terms by TF-IDF. The idf factor is the exact
     * rational n_docs/df rather than the usual log(n/df): log is
     * monotone, so top-k per document is IDENTICAL for any fixed doc,
@@ -396,5 +446,5 @@ object TextAnalysis {
 
   val all: Seq[QuerySpec] =
     Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5, qDocFreq,
-      qTfIdf, qRepetition, qQualityRules)
+      qTfIdf, qRepetition, qQualityRules, qNovelty)
 }

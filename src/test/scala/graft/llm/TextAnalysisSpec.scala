@@ -64,6 +64,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((1L, 1L, 1.0)), out.toString)
   }
 
+  test("novelty: corpus-unique shingle fraction, shared phrasing scores low") {
+    val shared = "alpha beta gamma delta epsilon"
+    val out = TextAnalysis.novelty(docs(
+      1L -> (shared + " one two three"),   // 3 unique of 6 trigrams... compute below
+      2L -> (shared + " four five six"),
+      3L -> "wholly original text here now"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 3 shares nothing → fully novel
+    assert(out(3L)._1 == out(3L)._2, out.toString)
+    // docs 1/2 share the 3 trigrams inside "alpha beta gamma delta
+    // epsilon"; their remaining trigrams differ → partial novelty
+    assert(out(1L)._2 < out(1L)._1 && out(1L)._2 > 0, out.toString)
+    assert(out(1L)._1 == 6L && out(1L)._2 == 3L, out.toString)
+  }
+
   test("qualityRules: each rule gates exactly its own failure mode") {
     val good = "the quick brown foxes jumped over a lazy dog, twice more today."
     val out = TextAnalysis.qualityRules(docs(
