@@ -639,8 +639,11 @@ object TextDedup {
       .createOrReplaceTempView(view)
     val keyed = docs.withColumn("_h", contentHashHex(col("text")))
       .withColumn("_k", xxhash64(col("_h")))
-    val probe = expr(
-      s"graft_bloom_might_contain((SELECT bf FROM $view), _k)")
+    // An EMPTY history aggregates to a null bloom, and might_contain
+    // over null is null — which would make BOTH branches drop every
+    // row. A null bloom means "nothing in history": probe = false.
+    val probe = coalesce(expr(
+      s"graft_bloom_might_contain((SELECT bf FROM $view), _k)"), lit(false))
     val definitelyNew = keyed.filter(!probe)
     val maybeDup = keyed.filter(probe)
       .join(history.select(contentHashHex(col("text")).as("_h")).distinct(),

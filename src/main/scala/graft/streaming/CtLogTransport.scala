@@ -46,6 +46,14 @@ final case class HttpLogSpec(baseUrl: String, pageSize: Int,
 }
 
 object CtLogTransport {
+  /** A non-retryable HTTP failure (4xx other than 429): the URL is
+    * wrong or the log is gone; backing off would only delay the error.
+    * Extends IOException so existing callers' error handling still
+    * sees an IO failure — the fetch loop rethrows it before its
+    * IOException-retry arm can swallow it. */
+  final class PermanentHttpException(msg: String)
+      extends java.io.IOException(msg)
+
   /** Spec for a `path` option: URLs get the HTTP transport, everything
     * else the page-file directory. Option keys (HTTP): `pageSize`
     * (1000, ct-fetch.go:417), `httpTimeoutMs` (10000, :250-260),
@@ -150,6 +158,13 @@ final class HttpTransport(spec: HttpLogSpec) extends CtLogTransport {
         val code = conn.getResponseCode
         if (code == 200) {
           return new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+        } else if (code != 429 && code < 500) {
+          // Permanent client errors (404 retired log, 400/401/403 …)
+          // won't heal with time — fail immediately instead of burning
+          // maxRetries × up-to-5-min sleeps. The reference backs off
+          // only on 429 (ct-fetch.go:409-413).
+          throw new CtLogTransport.PermanentHttpException(
+            s"GET $url failed with HTTP $code (permanent; not retried)")
         } else if (attempt >= spec.maxRetries) {
           throw new java.io.IOException(s"GET $url failed with HTTP $code " +
             s"after ${attempt + 1} attempts")
@@ -157,6 +172,7 @@ final class HttpTransport(spec: HttpLogSpec) extends CtLogTransport {
         // 429 (and transient 5xx) → jittered exponential backoff,
         // 500 ms doubling to a 5 min cap (ct-fetch.go:409-413)
       } catch {
+        case e: CtLogTransport.PermanentHttpException => throw e
         case e: java.io.IOException if attempt < spec.maxRetries => // retry
         case e: java.io.IOException => throw e
       } finally conn.disconnect()

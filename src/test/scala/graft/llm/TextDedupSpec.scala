@@ -196,6 +196,16 @@ class TextDedupSpec extends SparkSpec {
     assert(run(1L) == Seq(11L, 13L))
   }
 
+  test("newAgainstHistory with an EMPTY history returns every document") {
+    // Zero history rows aggregate to a null bloom; might_contain(null)
+    // is null, which must read as "not in history", not "drop the row".
+    val docs = docsDf(10L -> "first ever", 11L -> "second ever")
+    val out = TextDedup.newAgainstHistory(docs,
+        docs.filter(col("doc_id") < 0))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(10L, 11L))
+  }
+
   test("shingleSet falls back to whole text when shorter than n") {
     val out = docsDf(1L -> "just two")
       .select(TextDedup.shingleSet(col("text")).as("s"))

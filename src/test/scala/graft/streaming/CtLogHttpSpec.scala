@@ -45,7 +45,8 @@ class CtLogHttpSpec extends SparkSpec {
     * requested end and sends maxPage entries regardless — a buggy
     * server), optionally 429s the first `deny429` get-entries calls. */
   private def startServer(entries: IndexedSeq[(Array[Byte], Array[Byte])],
-      maxPage: Int = 1000, deny429: Int = 0, overDeliver: Boolean = false)
+      maxPage: Int = 1000, deny429: Int = 0, overDeliver: Boolean = false,
+      denyCode: Int = 429)
       : (com.sun.net.httpserver.HttpServer, AtomicInteger, AtomicInteger) = {
     val calls = new AtomicInteger(0)
     val denied = new AtomicInteger(0)
@@ -63,7 +64,7 @@ class CtLogHttpSpec extends SparkSpec {
       calls.incrementAndGet()
       if (denied.get < deny429) {
         denied.incrementAndGet()
-        respond(x, 429, "slow down")
+        respond(x, denyCode, "slow down")
       } else {
         val q = x.getRequestURI.getQuery.split("&")
           .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
@@ -170,6 +171,42 @@ class CtLogHttpSpec extends SparkSpec {
       assert(causes(err).exists(_.getMessage != null) &&
         causes(err).flatMap(c => Option(c.getMessage)).exists(_.contains("HTTP 429")),
         s"expected an HTTP 429 failure after retries: $err")
+    } finally srv.stop(0)
+  }
+
+  test("permanent 4xx (404) fails after ONE attempt, no backoff burn") {
+    // a typo'd or retired log URL must surface immediately, not after
+    // maxRetries x up-to-5-min sleeps (only 429/5xx are transient)
+    val (srv, calls, _) = startServer(wireEntries(5), deny429 = 1000,
+      denyCode = 404)
+    try {
+      val url = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      val t0 = System.nanoTime()
+      val err = intercept[Exception] {
+        spark.read.format("ctlog")
+          .option("path", url).option("backoffBaseMs", 60000)
+          .load().count()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(err).flatMap(c => Option(c.getMessage))
+        .exists(m => m.contains("HTTP 404") && m.contains("permanent")),
+        s"expected a permanent HTTP 404 failure: $err")
+      assert(calls.get == 1, s"404 must not be retried, saw ${calls.get} calls")
+      // and we did NOT sleep a 60 s backoff before failing
+      assert((System.nanoTime() - t0) / 1e9 < 30.0)
+    } finally srv.stop(0)
+  }
+
+  test("5xx is transient: backs off, retries, then succeeds") {
+    val (srv, _, denied) = startServer(wireEntries(6), deny429 = 2,
+      denyCode = 503)
+    try {
+      val url = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      val df = spark.read.format("ctlog")
+        .option("path", url).option("backoffBaseMs", 5).load()
+      assert(df.count() == 6L)
+      assert(denied.get == 2, "both 503s must have been retried through")
     } finally srv.stop(0)
   }
 
