@@ -44,7 +44,10 @@ object StreamingCuration {
   case class BandedDoc(band_key: String, doc_id: Long, sig: Seq[Long],
       event_ts: java.sql.Timestamp)
   case class NearDupHit(ida: Long, idb: Long, est_jaccard: Double)
-  case class BandMembers(members: List[(Long, Seq[Long])], maxTsMs: Long)
+  /** Bucket state: (doc_id, signature, event-time ms) per member — the
+    * timestamp lets a HOT bucket prune members the horizon has passed,
+    * not just time out whole-bucket when traffic stops. */
+  case class BandMembers(members: List[(Long, Seq[Long], Long)], maxTsMs: Long)
 
   /** Streaming MinHash near-dup detection: the batch LSH banding
     * (TextDedup.minhashPairs) lifted onto a continuous feed. Each
@@ -76,6 +79,12 @@ object StreamingCuration {
     import spark.implicits._
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
       org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    // Month-bearing intervals have no fixed ms length, so the horizon
+    // below would silently read as 0 — reject them up front (Spark's
+    // own watermark-delay restriction).
+    require(iv.months == 0,
+      s"watermark '$watermark' must not use month units; express the " +
+      "horizon in days or smaller")
     val horizonMs = iv.days * 86400000L + iv.microseconds / 1000L
     val rows = numPerm / bands
     val banded = docs
@@ -104,7 +113,13 @@ object StreamingCuration {
             val hits = List.newBuilder[NearDupHit]
             // doc_id order makes within-batch pairing deterministic
             it.toSeq.sortBy(_.doc_id).foreach { d =>
-              members.foreach { case (mid, msig) =>
+              maxTs = math.max(maxTs, d.event_ts.getTime)
+              // Prune members the horizon has passed BEFORE pairing: a
+              // continuously-hot bucket never hits the whole-bucket
+              // timeout, so without this its first maxBucket members
+              // would pin state (and keep flagging) forever.
+              members = members.filter(_._3 >= maxTs - horizonMs)
+              members.foreach { case (mid, msig, _) =>
                 if (mid != d.doc_id) {
                   val est = estJaccard(d.sig, msig)
                   if (est >= threshold)
@@ -114,8 +129,7 @@ object StreamingCuration {
               }
               if (members.size < maxBucket &&
                   !members.exists(_._1 == d.doc_id))
-                members = (d.doc_id, d.sig) :: members
-              maxTs = math.max(maxTs, d.event_ts.getTime)
+                members = (d.doc_id, d.sig, d.event_ts.getTime) :: members
             }
             state.update(BandMembers(members, maxTs))
             state.setTimeoutTimestamp(maxTs + horizonMs)

@@ -51,6 +51,47 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hot band buckets prune members past the horizon (no eternal pinning)") {
+    // Steady traffic into ONE bucket family: exact copies of the same
+    // text every 8 minutes with a 10-minute horizon. The bucket never
+    // hits the whole-bucket timeout (it is always hot), so each new
+    // copy must pair ONLY with members still inside the horizon — the
+    // first member must stop flagging once the horizon passes it.
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val in = MemoryStream[Doc]
+    val q = StreamingCuration.streamingNearDup(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("shotbucket")
+      .outputMode("append").start()
+    def hits(): Set[(Long, Long)] =
+      spark.table("shotbucket").select(col("ida"), col("idb"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      var stateRows = List.empty[Long]
+      for ((id, minute) <- Seq((1L, 60), (2L, 68), (3L, 76), (4L, 84))) {
+        in.addData(doc(id, minute, "a", base))
+        q.processAllAvailable()
+        stateRows ::= q.lastProgress.stateOperators(0).numRowsTotal
+      }
+      // three horizon-spans of hot traffic: each doc pairs only with
+      // its in-horizon predecessor, never the pinned first members
+      assert(hits() == Set((1L, 2L), (2L, 3L), (3L, 4L)),
+        s"horizon-expired members must not keep flagging: ${hits()}")
+      // and bucket state does not grow across the spans
+      assert(stateRows.distinct.size == 1,
+        s"state rows must stay flat on a hot bucket: ${stateRows.reverse}")
+    } finally q.stop()
+  }
+
+  test("month-bearing watermarks are rejected up front, not read as 0 ms") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val err = intercept[IllegalArgumentException] {
+      StreamingCuration.streamingNearDup(in.toDF(), watermark = "1 month")
+    }
+    assert(err.getMessage.contains("month"))
+  }
+
   test("streaming exact dedup emits first occurrence, suppresses in-horizon dups") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Doc]
