@@ -348,15 +348,20 @@ object TextAnalysis {
     * Scale shape: one scan exploded to hashed distinct shingles
     * (md5-keyed kernel — cross-engine checkable, and only 8-byte
     * hashes cross the wire), a shingle-keyed df aggregate with
-    * map-side partials, then a per-doc rollup; the ratio is one exact
-    * int/int division. */
+    * map-side partials joined back on the same key, then a per-doc
+    * rollup; the ratio is one exact int/int division. The df is a
+    * groupBy + join, NOT `count(*) OVER (PARTITION BY h)`: a
+    * boilerplate shingle shared by millions of docs would land every
+    * row on one window task (windows are not AQE-skew-splittable),
+    * while the join form shares the aggregate's exchange (one
+    * shuffle either way) and AQE can split a skewed join key. */
   def novelty(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    import org.apache.spark.sql.expressions.Window
     val sh = docs.select(col("doc_id"),
       explode(call_udf("graft_shingle_hashes_md5",
         col("text"), lit(3), lit(true))).as("h"))
-    sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+    val dfs = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(dfs, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))

@@ -106,6 +106,16 @@ class PlanSpec extends SparkSpec {
       s"exact anti-join confirmation missing:\n$p")
   }
 
+  test("novelty's shingle df is an aggregate+join, not a window by hash") {
+    // a boilerplate shingle shared corpus-wide must be AQE-skew-
+    // splittable; count(*) OVER (PARTITION BY h) is not
+    val p = plan("q_llm_novelty")
+    assert(!p.toLowerCase.contains("window"),
+      s"novelty df regressed to a window-by-hash:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"df aggregate lost its map-side partials:\n$p")
+  }
+
   test("sequence packing is one window shuffle keyed on source") {
     val p = plan("q_llm_pack")
     assert(p.contains("hashpartitioning(source"),
