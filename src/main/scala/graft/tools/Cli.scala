@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.config.GraftConfig
 import graft.queries.Statistics
-import graft.streaming.{IngestJob, Observability}
+import graft.streaming.{CtLogTransport, IngestJob, Observability}
 import org.apache.spark.sql.SparkSession
 
 /** The reference's three binaries as thin CLI mains over the library —
@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
   *   ct-fetch            → graft.tools.CtFetch [-config f] [-offset n] [-limit n]
   *   storage-statistics  → graft.tools.StorageStatistics [-config f]
   *   ct-getcert          → graft.tools.CtGetCert <logDir> <entryId>
+  *                         | CtGetCert -log <url|dir> -index <i>  (storeless)
   *
   * Config keys/precedence match config/config.go (see GraftConfig).
   */
@@ -126,16 +127,38 @@ object StorageStatistics {
 }
 
 /** Point query (cmd/ct-getcert/ct-getcert.go:16-57): one entry by log
-  * position, PEM to stdout. */
+  * position, PEM to stdout. Two modes, like the reference:
+  *
+  *   CtGetCert <certRoot> <logUrl> <entryId>   — from the ingested store
+  *   CtGetCert -log <url|dir> -index <i>       — straight from the log
+  *
+  * The `-log` mode is the reference's actual behavior (GetRawEntries
+  * (idx, idx) → PEM, ct-getcert.go:32-56): no local store, no Spark
+  * session — one transport fetch on the driver. */
 object CtGetCert {
-  def main(args: Array[String]): Unit = {
-    val Array(certRoot, logUrl, entryId) = args
-    val (spark, stop) = Cli.session("ct-getcert")
-    spark.sparkContext.setLogLevel("WARN")
-    val rows = Statistics.certPemByEntry(spark, certRoot, logUrl, entryId.toLong)
-      .collect()
-    if (rows.isEmpty) System.err.println(s"entry $entryId not found")
-    else println(rows.head.getString(0))
-    stop()
+  /** Driver-side DER → PEM, the same 64-char-line block
+    * [[graft.functions.CertFuncs.derToPem]] emits plan-side. */
+  private[tools] def pem(der: Array[Byte]): String =
+    "-----BEGIN CERTIFICATE-----\n" +
+      java.util.Base64.getEncoder.encodeToString(der).grouped(64).mkString("\n") +
+      "\n-----END CERTIFICATE-----"
+
+  def main(args: Array[String]): Unit = args.toSeq match {
+    case Seq("-log", path, "-index", idx) =>
+      val i = idx.toLong
+      val it = CtLogTransport.specFor(path, _ => None).transport.readRange(i, i + 1)
+      if (it.hasNext) println(pem(it.next().der))
+      else System.err.println(s"entry $idx not found")
+    case Seq(certRoot, logUrl, entryId) =>
+      val (spark, stop) = Cli.session("ct-getcert")
+      spark.sparkContext.setLogLevel("WARN")
+      val rows = Statistics.certPemByEntry(spark, certRoot, logUrl, entryId.toLong)
+        .collect()
+      if (rows.isEmpty) System.err.println(s"entry $entryId not found")
+      else println(rows.head.getString(0))
+      stop()
+    case other =>
+      System.err.println("usage: CtGetCert <certRoot> <logUrl> <entryId> " +
+        "| CtGetCert -log <url|dir> -index <i>")
   }
 }

@@ -82,4 +82,48 @@ class CliSpec extends SparkSpec {
       decode(TestCerts.kSyntheticLeaf))
     assert(der != null)
   }
+
+  test("CtGetCert -log -index fetches straight from the log, no store") {
+    // the reference's actual ct-getcert behavior (ct-getcert.go:32-56):
+    // GetRawEntries(idx, idx) → PEM, no local store involved
+    root // materialize the fixture log
+    val golden = decode(TestCerts.kLeadingZeroes)
+    // 1) directory transport
+    val out = captureOut {
+      CtGetCert.main(Array("-log", s"$root/log", "-index", "0"))
+    }
+    assert(java.util.Arrays.equals(decode(out), golden),
+      "directory-mode PEM must round-trip to the exact stored DER")
+    // 2) HTTP transport: a minimal RFC 6962 server over the same entries
+    import graft.streaming.CtLogWire
+    val ca = decode(TestCerts.kEmptySPKI)
+    val leaf = CtLogWire.encodeX509Leaf(1000000000000L, golden)
+    val extra = CtLogWire.encodeX509Extra(Seq(ca))
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    def respond(x: com.sun.net.httpserver.HttpExchange, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      x.sendResponseHeaders(200, b.length.toLong)
+      val os = x.getResponseBody
+      try os.write(b) finally os.close()
+    }
+    val b64 = java.util.Base64.getEncoder
+    srv.createContext("/ct/v1/get-sth",
+      (x: com.sun.net.httpserver.HttpExchange) =>
+        respond(x, """{"tree_size":1,"timestamp":1000000000000}"""))
+    srv.createContext("/ct/v1/get-entries",
+      (x: com.sun.net.httpserver.HttpExchange) => respond(x,
+        s"""{"entries":[{"leaf_input":"${b64.encodeToString(leaf)}",""" +
+          s""""extra_data":"${b64.encodeToString(extra)}"}]}"""))
+    srv.start()
+    try {
+      val httpOut = captureOut {
+        CtGetCert.main(Array("-log",
+          s"http://127.0.0.1:${srv.getAddress.getPort}", "-index", "0"))
+      }
+      assert(java.util.Arrays.equals(decode(httpOut), golden),
+        "HTTP-mode PEM must round-trip to the exact served DER")
+      assert(httpOut.trim == out.trim, "both transports print one PEM block")
+    } finally srv.stop(0)
+  }
 }
