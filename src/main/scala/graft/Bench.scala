@@ -48,11 +48,18 @@ object Bench {
     // warm up parquet footers, codegen, shuffle machinery
     try once(SparkEntry.queries("q_groupby_count")) catch { case _: Throwable => () }
 
-    val results = SparkEntry.specs.map { q =>
-      val t = try (1 to 3).map(_ => once(q.fn)).min
-      catch { case _: Throwable => -1.0 }
-      q.name -> t
-    }
+    // isolation knobs for adjudicating single-query timings outside the
+    // full-run order (unset for driver runs): SPARK_GRAFT_ONLY=q1,q2
+    // restricts the set, SPARK_GRAFT_REPS overrides best-of-3
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
+    val results = SparkEntry.specs
+      .filter(q => only.forall(_.contains(q.name)))
+      .map { q =>
+        val t = try (1 to reps).map(_ => once(q.fn)).min
+        catch { case _: Throwable => -1.0 }
+        q.name -> t
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -14,7 +14,14 @@ import scala.jdk.CollectionConverters._
   * redisHost/redisTimeout (state store + checkpoint dir),
   * googleProjectId (storage layer), statsdHost/statsdPort
   * (`Dataset.observe` + listeners), numThreads (executor/core count —
-  * the session's to set).
+  * the session's to set), savePeriod (the reference checkpoints its
+  * offsets on a 15-min ticker, ct-fetch.go:307-312; Structured
+  * Streaming commits offsets per micro-batch, which is strictly
+  * finer), pollingDelayStdDev (the reference Gaussian-jitters each
+  * fetcher's poll, ct-fetch.go:551-552, to desynchronize a FLEET of
+  * pollers hitting the same logs; the single Spark driver owns every
+  * log's cadence, so a fixed `pollingDelayMean` ProcessingTime
+  * trigger reproduces the intent — only the mean is wired).
   */
 final case class GraftConfig(
     logList: Seq[String],

@@ -51,6 +51,37 @@ class CtLogPageProps extends AnyFunSuite {
     }
   }
 
+  test("HTTP transport partition math: any [start,end) tiles exactly by pageSize") {
+    // page-boundary fuzz over the fetch-parallel split
+    // (HttpTransport.partitions): starts/ends straddling page
+    // boundaries, empty ranges, ranges below one page
+    val genCase = for {
+      pageSize <- Gen.oneOf(1, 2, 3, 7, 256, 1000)
+      start <- Gen.chooseNum(0L, 5000L)
+      len <- Gen.chooseNum(0L, 4000L)
+    } yield (pageSize, start, start + len)
+    sample(genCase, 300).foreach { case (pageSize, start, end) =>
+      val spec = HttpLogSpec("http://unused.invalid", pageSize,
+        timeoutMs = 1, backoffBaseMs = 1L, maxRetries = 0)
+      val parts = spec.transport.partitions(start, end)
+      val label = s"pageSize=$pageSize [$start,$end): $parts"
+      if (start == end) assert(parts.isEmpty, label)
+      else {
+        // contiguous, in-order, gapless tiling of exactly [start, end)
+        assert(parts.head._1 == start && parts.last._2 == end, label)
+        parts.sliding(2).foreach {
+          case Seq((_, e1), (s2, _)) => assert(e1 == s2, label)
+          case _ =>
+        }
+        // every tile non-empty and at most one page
+        assert(parts.forall(p => p._2 > p._1 && p._2 - p._1 <= pageSize), label)
+        // all tiles except the last are FULL pages (no short fetches
+        // in the middle of the range)
+        assert(parts.dropRight(1).forall(p => p._2 - p._1 == pageSize), label)
+      }
+    }
+  }
+
   test("RFC 6962 TLS codecs round-trip arbitrary certs and chains") {
     sample(genEntry, 60).foreach { case (ts, _, der, chain) =>
       val x = CtLogWire.decodeEntry(
