@@ -317,7 +317,73 @@ object Curation {
            |    '\s+', ' ', 'g')) AS cleaned
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Canonical text normalization — the pass run before any
+    * hash-keyed dedup so trivially-different copies (case, stray
+    * control bytes, ragged whitespace) collapse to one identity:
+    * control characters → space, whitespace runs collapsed, trimmed,
+    * lowercased. Pure codegen'd per-row expressions (regexes in the
+    * java.regex∩RE2 subset — explicit byte ranges, no \p classes),
+    * ZERO shuffle. */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "), "\\s+", " ")))
+
+  val qNormalize = QuerySpec(
+    "q_llm_normalize",
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          normalize(concat(lit("\tA  Messy\u0001 "), col("text"), lit("  \n")))
+            .as("normalized"),
+          (length(col("text")) -
+            length(normalize(col("text")))).cast("long").as("n_removed"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |  lower(trim(regexp_replace(regexp_replace(
+           |    chr(9) || 'A  Messy' || chr(1) || ' ' || text || '  ' || chr(10),
+           |    '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS normalized,
+           |  CAST(len(text) - len(lower(trim(regexp_replace(regexp_replace(
+           |    text, '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))))
+           |    AS BIGINT) AS n_removed
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Exact-quota stratified sample: the first `quota` documents per
+    * source in deterministic content-hash order — "give me exactly N
+    * per domain" with rerun/backfill stability (same property as
+    * [[sampleByHash]]: the sample depends only on document bytes, not
+    * partitioning or seeds).
+    *
+    * Scale shape: one window shuffle keyed on source — per-source
+    * windows isolate skew exactly like sequence packing (q_llm_pack).
+    * For a source with billions of rows the window input can first be
+    * thinned with `hashBucket(text) < p` for any p that still admits
+    * ≥ quota rows (the filter is a prefix of the sort order over a
+    * uniform hash, so the surviving top-quota set is identical); the
+    * operator's semantics don't change, which is why the thinning is
+    * left to the caller. */
+  def quotaSample(docs: DataFrame, quota: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(sha2(col("text").cast("binary"), 256), col("doc_id"))
+    docs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= quota)
+  }
+
+  val qQuotaSample = QuerySpec(
+    "q_llm_quota_sample",
+    (s, d) =>
+      quotaSample(Tables.load(s, d, "documents"), quota = 25)
+        .select(col("source"), col("rk"), col("doc_id"))
+        .orderBy(col("source"), col("rk")),
+    Some("""SELECT source, rk, doc_id FROM (
+           |  SELECT source, doc_id,
+           |    CAST(row_number() OVER (PARTITION BY source
+           |      ORDER BY sha256(text), doc_id) AS BIGINT) AS rk
+           |  FROM documents) t
+           |WHERE rk <= 25
+           |ORDER BY source, rk""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qSample, qSplit, qParaDedup, qRedact, qLineDedup, qPack, qMix,
-      qShuffle, qStripMarkup)
+      qShuffle, qStripMarkup, qNormalize, qQuotaSample)
 }

@@ -286,6 +286,61 @@ object Similarity {
             |QUALIFY "rank" <= 5
             |ORDER BY q_id, "rank"""".stripMargin))
 
+  // ---- centroid-distance outliers ----------------------------------------
+
+  /** Embedding outlier detection: each vector's cosine to its NEAREST
+    * centroid (the IVF assignment), worst `k` reported — vectors far
+    * from every centroid are encoding damage, out-of-domain content,
+    * or novel clusters worth a look; the standard embedding-space
+    * hygiene scan over a training corpus.
+    *
+    * Scale shape: identical to [[ivfTopK]]'s corpus assignment — the
+    * centroid list is broadcast, the n×k scoring is reduced map-side
+    * by max/max_by before any shuffle (never a window over n×k), and
+    * only the k-row result sorts globally. Same max-cosine tiebreak
+    * (lowest centroid id). */
+  def centroidOutliers(vecs: DataFrame, centroidStride: Int, k: Int): DataFrame = {
+    val centroids = broadcast(
+      vecs.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm")))
+    vecs.join(centroids)
+      .withColumn("c_cos", cosine(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("neg"))).as("c_id"),
+        max(col("c_cos")).as("cos"))
+      .withColumn("dist", lit(1.0) - col("cos"))
+      .orderBy(col("cos").asc, col("vec_id")).limit(k)
+  }
+
+  /** Oracle'd bit-exactly: cosines are the [[qCosineTopK]] IEEE
+    * sequence, the assignment replay is [[qAnnIvf]]'s row_number form,
+    * and 1−cos is one further exact IEEE subtraction. */
+  val qEmbOutlier = QuerySpec(
+    "q_llm_emb_outlier",
+    (s, d) =>
+      centroidOutliers(vectors(s, d), centroidStride = 100, k = 25)
+        .orderBy(col("cos"), col("vec_id")),
+    Some(s"""WITH v AS (
+            |  $duckNormCte
+            |), c AS (
+            |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+            |  FROM v WHERE vec_id % 100 = 0
+            |), scored AS (
+            |  SELECT v.vec_id, c.c_id,
+            |    ${duckDot("v.embedding", "c.c_emb")} / (v.nrm * c.c_nrm) AS c_cos
+            |  FROM v, c
+            |), assigned AS (
+            |  SELECT vec_id, c_id, c_cos AS cos FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY vec_id
+            |      ORDER BY c_cos DESC, c_id) AS crn
+            |    FROM scored) WHERE crn = 1
+            |)
+            |SELECT vec_id, c_id, cos, 1.0 - cos AS dist
+            |FROM assigned
+            |ORDER BY cos, vec_id LIMIT 25""".stripMargin))
+
   // ---- int8 scalar quantization + integer k-means ------------------------
 
   /** Symmetric int8 scalar quantization: q_i = round(x_i / s · 127)
@@ -497,5 +552,5 @@ object Similarity {
            |ORDER BY c_id""".stripMargin))
 
   val all: Seq[QuerySpec] =
-    Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qQuantize, qKmeansStep)
+    Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qEmbOutlier, qQuantize, qKmeansStep)
 }

@@ -449,7 +449,56 @@ object TextAnalysis {
            |QUALIFY "rank" <= 3
            |ORDER BY doc_id, "rank"""".stripMargin))
 
+  /** Out-of-vocabulary rate against a corpus-derived top-`vocabSize`
+    * vocabulary (by total occurrences, ties by term — deterministic):
+    * the fraction of a document's token OCCURRENCES outside the
+    * vocabulary. High OOV = non-prose (tables, code dumps, encoding
+    * damage) or out-of-domain text — a standard cheap quality gate
+    * next to [[qualityRules]].
+    *
+    * Scale shape: term totals are one map-side-combined groupBy over
+    * a single corpus scan; the top-V cut is a sort of the (tiny)
+    * term-count table; the V-row vocabulary is BROADCAST back against
+    * the exploded corpus (contrast tf-idf's full-vocab join, which is
+    * deliberately shuffled — a bounded top-V list always fits one
+    * executor), and the per-doc rollup map-side-combines. The rate is
+    * one exact long/long IEEE division. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 100): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val vocab = broadcast(
+      tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+        .select(col("term"), lit(1L).as("in_vocab")))
+    tok.join(vocab, Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov") / col("n_tokens"))
+  }
+
+  val qOov = QuerySpec(
+    "q_llm_oov",
+    (s, d) =>
+      oovRate(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some("""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |  FROM documents
+           |), vocab AS (
+           |  SELECT term FROM (
+           |    SELECT term, count(*) AS cnt FROM tok GROUP BY term
+           |    ORDER BY cnt DESC, term LIMIT 100)
+           |)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_oov,
+           |  sum(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)
+           |    / count(*) AS oov_rate
+           |FROM tok LEFT JOIN vocab ON tok.term = vocab.term
+           |GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5, qDocFreq,
-      qTfIdf, qRepetition, qQualityRules, qNovelty)
+      qTfIdf, qRepetition, qQualityRules, qNovelty, qOov)
 }

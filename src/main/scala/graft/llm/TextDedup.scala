@@ -730,6 +730,75 @@ object TextDedup {
            |HAVING count(*) >= 1
            |ORDER BY n_overlap DESC, doc_id""".stripMargin))
 
+  // ---- cross-document long-span overlap ----------------------------------
+
+  /** Cross-document long-span overlap: pairs of documents sharing at
+    * least `minShared` distinct word `n`-grams — the cross-doc form of
+    * the substring-dedup hygiene pass (long verbatim spans copied
+    * between documents inflate memorization; dedup work on exactly
+    * this signal is public literature). `n` defaults to 10: long
+    * enough that a shared n-gram is essentially never coincidence,
+    * and k shared n-grams from one copied region witness a span of
+    * ~n+k-1 tokens.
+    *
+    * Scale shape: one corpus scan exploded to per-doc DISTINCT hashed
+    * n-grams (8-byte md5-derived hashes — nothing text-sized crosses
+    * the wire), a hash-partitioned groupBy(h) that collects each
+    * shingle's doc list with the standard degenerate-bucket cap
+    * (corpus-wide boilerplate n-grams are capped out rather than
+    * exploding into O(bucket²) pairs — same `maxBucket` stance as
+    * minhashPairs), pair explosion inside the capped buckets only,
+    * and a map-side-combined pair count. */
+  def spanOverlapPairs(docs: DataFrame, n: Int = 10, minShared: Int = 3,
+      maxBucket: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        explode(call_udf("graft_shingle_hashes_md5",
+          col("text"), lit(n), lit(true))).as("h"))
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ida, y AS idb))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.ida").as("ida"), col("p.idb").as("idb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Fully replayed in DuckDB: 10-gram md5 shingles, the bucket cap,
+    * and the pair counts (a self-join stands in for the capped-bucket
+    * pair explosion — identical output by construction). */
+  val qSpanOverlap = QuerySpec(
+    "q_llm_span_overlap",
+    (s, d) =>
+      spanOverlapPairs(Tables.load(s, d, "documents"))
+        .orderBy(col("ida"), col("idb")),
+    Some("""WITH sh AS (
+           |  SELECT doc_id, unnest(
+           |    CASE WHEN len(string_split(text, ' ')) >= 10 THEN
+           |      list_distinct(list_transform(
+           |        range(1, len(string_split(text, ' ')) - 8),
+           |        i -> array_to_string((string_split(text, ' '))[i:i+9], ' ')))
+           |    ELSE [text] END) AS t
+           |  FROM documents
+           |), th AS (
+           |  SELECT doc_id,
+           |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483647 AS h
+           |  FROM sh
+           |), buckets AS (
+           |  SELECT h FROM th GROUP BY h
+           |  HAVING count(*) > 1 AND count(*) <= 100
+           |)
+           |SELECT a.doc_id AS ida, b.doc_id AS idb,
+           |  CAST(count(*) AS BIGINT) AS n_shared
+           |FROM th a JOIN th b USING (h) JOIN buckets USING (h)
+           |WHERE a.doc_id < b.doc_id
+           |GROUP BY 1, 2
+           |HAVING count(*) >= 3
+           |ORDER BY ida, idb""".stripMargin))
+
   // ---- group-level similarity via the MinHash sketch aggregate -----------
 
   /** Per-group MinHash signatures (the MinHashAggExpr sketch): state per
@@ -810,5 +879,5 @@ object TextDedup {
   val all: Seq[QuerySpec] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qMinhashMd5, qSimhash,
       qSimhashMd5, qSourceSim, qSourceSimMd5, qDedupClusters, qKeepList,
-      qContamination, qHistDedup)
+      qContamination, qHistDedup, qSpanOverlap)
 }

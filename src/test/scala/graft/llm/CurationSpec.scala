@@ -162,4 +162,33 @@ class CurationSpec extends SparkSpec {
       .select(Curation.redact(col("text")).as("r")).collect()(0).getString(0)
     assert(out == "mail <EMAIL> card <NUM> zip 02139 pin 123", out)
   }
+
+  test("normalize: control chars out, whitespace collapsed, lowercased") {
+    val out = Seq((1L, "Hello\t  WORLD \r\n x"))
+      .toDF("doc_id", "text")
+      .select(Curation.normalize(col("text")).as("n")).collect()(0).getString(0)
+    assert(out == "hello world x", s"[$out]")
+    // already-normal text is a fixpoint
+    val fix = Seq((1L, "already clean text")).toDF("doc_id", "text")
+      .select(Curation.normalize(col("text")).as("n")).collect()(0).getString(0)
+    assert(fix == "already clean text")
+  }
+
+  test("quotaSample: exactly quota per source, content-deterministic") {
+    val docs = (1 to 60).map(i => (i.toLong, s"src${i % 3}", s"text number $i"))
+      .toDF("doc_id", "source", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Curation.quotaSample(df, 5).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+    val a = ids(docs)
+    // identical sample whatever the partitioning or input order
+    val b = ids(docs.repartition(13).orderBy(col("doc_id").desc))
+    assert(a == b, s"$a vs $b")
+    val perSource = Curation.quotaSample(docs, 5)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource == Map("src0" -> 5L, "src1" -> 5L, "src2" -> 5L))
+    // a quota above the stratum size returns the whole stratum
+    assert(Curation.quotaSample(docs, 100).count() == 60L)
+  }
 }

@@ -134,4 +134,20 @@ class SimilaritySpec extends SparkSpec {
     // exact integer arithmetic ⇒ bit-stable under any partitioning
     assert(run(vecs.repartition(7)) == got)
   }
+
+  test("centroidOutliers ranks by distance to the nearest centroid") {
+    // stride 100 makes vec 0 the single centroid; worst-2 by cosine:
+    // the orthogonal vec 2, then vec 3, never the centroid itself
+    val vs = vecsDf(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(1f, 0.1f),
+      2L -> Seq(0f, 1f),
+      3L -> Seq(0.9f, 0.3f))
+    val out = Similarity.centroidOutliers(vs, centroidStride = 100, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((2L, 0L), (3L, 0L)), out.toSeq)
+    // dist is exactly 1 - cos
+    val full = Similarity.centroidOutliers(vs, 100, 4).collect()
+    full.foreach(r => assert(r.getDouble(3) == 1.0 - r.getDouble(2)))
+  }
 }

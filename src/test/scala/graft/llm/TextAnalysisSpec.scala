@@ -160,4 +160,18 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(local(0L) != local(1L), "permuted token order must change the fingerprint")
   }
+
+  test("oovRate: occurrences outside the top-V vocabulary, exact rates") {
+    // counts: the=3, cat=3, dog=1, zebra=1, yak=1; top-2 by
+    // (count desc, term asc) = {cat, the}
+    val docs = Seq(
+      (1L, "the cat the cat dog"),
+      (2L, "the cat"),
+      (3L, "zebra yak")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, vocabSize = 2)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 1L, 0.2), (2L, 2L, 0L, 0.0), (3L, 2L, 2L, 1.0)), out.toSeq)
+  }
 }

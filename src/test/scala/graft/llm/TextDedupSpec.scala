@@ -206,6 +206,30 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq(10L, 11L))
   }
 
+  test("spanOverlapPairs flags doc pairs sharing a long copied span") {
+    // a 12-token span contributes exactly 3 distinct 10-grams wholly
+    // inside it — shared verbatim between docs 1 and 2 at different
+    // offsets; doc 3 shares nothing
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = docsDf(
+      1L -> (span + " tail one two three"),
+      2L -> ("prefix words here " + span),
+      3L -> (100 to 130).map(i => s"z$i").mkString(" "))
+    val out = TextDedup.spanOverlapPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 3L)), out.toString)
+  }
+
+  test("spanOverlapPairs caps degenerate buckets (corpus-wide boilerplate)") {
+    // the same span in every doc: bucket size 4 > maxBucket 3 → capped
+    // out, no O(bucket²) pair explosion, no pairs reported
+    val span = (1 to 15).map(i => s"s$i").mkString(" ")
+    val docs = docsDf((1L to 4L).map(i => i -> s"doc$i $span"): _*)
+    assert(TextDedup.spanOverlapPairs(docs, maxBucket = 3).isEmpty)
+    // with the cap admitting them, all 6 pairs surface
+    assert(TextDedup.spanOverlapPairs(docs, maxBucket = 10).count() == 6L)
+  }
+
   test("shingleSet falls back to whole text when shorter than n") {
     val out = docsDf(1L -> "just two")
       .select(TextDedup.shingleSet(col("text")).as("s"))
