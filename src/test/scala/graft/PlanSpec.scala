@@ -123,4 +123,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"a global window would serialize all sources on one task:\n$p")
   }
+
+  test("oov broadcasts the bounded top-V vocabulary, not a shuffled join") {
+    val p = plan("q_llm_oov")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the V-row vocabulary must broadcast against the exploded corpus:\n$p")
+  }
+
+  test("embedding outliers reduce n×k scores by aggregation, not a window") {
+    val p = plan("q_llm_emb_outlier")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroids must broadcast:\n$p")
+    assert(!p.toLowerCase.contains("window("),
+      s"a window over the n×k scored rows would shuffle them all:\n$p")
+    assert(p.contains("partial_max"),
+      s"assignment must map-side combine before the shuffle:\n$p")
+  }
+
+  test("span overlap pair counts are map-side combined over capped buckets") {
+    val p = plan("q_llm_span_overlap")
+    assert(p.contains("partial_count"),
+      s"pair counting lost its map-side partials:\n$p")
+  }
+
+  test("quota sampling shuffles per source, never a single partition") {
+    val p = plan("q_llm_quota_sample")
+    assert(p.contains("hashpartitioning(source"),
+      s"quota sample must partition by source:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"a global window would serialize all sources on one task:\n$p")
+  }
 }
