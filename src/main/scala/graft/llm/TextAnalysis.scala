@@ -498,7 +498,90 @@ object TextAnalysis {
            |GROUP BY doc_id
            |ORDER BY doc_id""".stripMargin))
 
+  /** Stopword scrub: drop the corpus's top-`topV` most frequent terms
+    * from every document — the frequency-derived (not list-derived)
+    * stopword pass run before n-gram/statistical features so function
+    * words don't dominate them. The transform sibling of [[oovRate]]'s
+    * gate.
+    *
+    * Scale shape: the top-V cut is computed once (map-side-combined
+    * term totals, a sort of the tiny term table, one `collect_list`
+    * into a single row) and CROSS-broadcast to every task — the same
+    * single-row broadcast stance as tf-idf's corpus-size scalar; the
+    * scrub itself is then a pure per-row array filter, no per-doc
+    * join, no second corpus shuffle. */
+  def stopwordScrub(docs: DataFrame, topV: Int = 20): DataFrame = {
+    val stop = broadcast(
+      docs.select(explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(topV)
+        .agg(sort_array(collect_list(col("term"))).as("stop")))
+    val toks = tokens(col("text"))
+    val kept = filter(toks, t => !array_contains(col("stop"), t))
+    docs.crossJoin(stop)
+      .select(col("doc_id"),
+        array_join(kept, " ").as("scrubbed"),
+        (size(toks) - size(kept)).cast("long").as("n_removed"))
+  }
+
+  val qStopwordScrub = QuerySpec(
+    "q_llm_stopword_scrub",
+    (s, d) =>
+      stopwordScrub(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some("""WITH tok AS (
+           |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+           |), stop AS (
+           |  SELECT list(term ORDER BY term) AS stop FROM (
+           |    SELECT term, count(*) AS cnt FROM tok GROUP BY term
+           |    ORDER BY cnt DESC, term LIMIT 20)
+           |)
+           |SELECT doc_id,
+           |  -- a fully-scrubbed doc is the EMPTY string (Spark array_join
+           |  -- semantics); DuckDB's array_to_string yields NULL there
+           |  coalesce(array_to_string(list_filter(string_split(text, ' '),
+           |    t -> NOT list_contains(stop.stop, t)), ' '), '') AS scrubbed,
+           |  CAST(len(string_split(text, ' ')) -
+           |    len(list_filter(string_split(text, ' '),
+           |      t -> NOT list_contains(stop.stop, t))) AS BIGINT) AS n_removed
+           |FROM documents, stop
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Per-source corpus report — the "data card" rollup every training
+    * corpus ships with: document and exact token counts, distinct-text
+    * count, and the exact-duplicate rate per source, in ONE scan.
+    *
+    * Scale shape: one groupBy(source) with map-side partials; the
+    * distinct-text count rides the same shuffle as a distinct count
+    * over 8-byte content-hash keys (text never shuffles); the dup rate
+    * is one exact long/long IEEE division. */
+  def sourceReport(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("text"),
+        xxhash64(TextDedup.contentHashHex(col("text"))).as("k"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).cast("long").as("n_tokens"),
+        countDistinct(col("k")).as("n_distinct"))
+      .withColumn("dup_rate",
+        (col("n_docs") - col("n_distinct")) / col("n_docs"))
+
+  val qSourceReport = QuerySpec(
+    "q_llm_source_report",
+    (s, d) =>
+      sourceReport(Tables.load(s, d, "documents"))
+        .orderBy(col("source")),
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct,
+           |  (count(*) - count(DISTINCT sha256(text))) / count(*) AS dup_rate
+           |FROM documents
+           |GROUP BY source
+           |ORDER BY source""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5, qDocFreq,
-      qTfIdf, qRepetition, qQualityRules, qNovelty, qOov)
+      qTfIdf, qRepetition, qQualityRules, qNovelty, qOov, qStopwordScrub,
+      qSourceReport)
 }

@@ -174,4 +174,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (1L, 5L, 1L, 0.2), (2L, 2L, 0L, 0.0), (3L, 2L, 2L, 1.0)), out.toSeq)
   }
+
+  test("stopwordScrub drops exactly the top-V corpus terms, keeps order") {
+    // counts: the=4, a=3, fox=2, dog=1, cat=1, ran=1; top-2 = {a, the}
+    val docs = Seq(
+      (1L, "the a fox the"),
+      (2L, "a dog ran the"),
+      (3L, "a cat the fox")).toDF("doc_id", "text")
+    val out = TextAnalysis.stopwordScrub(docs, topV = 2)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "fox", 3L), (2L, "dog ran", 2L), (3L, "cat fox", 2L)), out.toSeq)
+  }
+
+  test("sourceReport: exact counts and duplicate rate per source") {
+    val docs = Seq(
+      (1L, "s1", "alpha beta"),
+      (2L, "s1", "alpha beta"),   // exact dup within s1
+      (3L, "s1", "gamma"),
+      (4L, "s2", "delta epsilon zeta")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceReport(docs).orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("s1", 3L, 5L, 2L, 1.0 / 3.0), ("s2", 1L, 3L, 1L, 0.0)), out.toSeq)
+  }
 }
