@@ -580,8 +580,99 @@ object TextAnalysis {
            |GROUP BY source
            |ORDER BY source""".stripMargin))
 
+  /** One BPE-style merge-scoring step: corpus-wide counts of ADJACENT
+    * token pairs, top-k candidates by count — the inner loop of
+    * merge-based tokenizer vocabulary induction (score the pairs, merge
+    * the winner, repeat), run at corpus scale. Non-distinct by design:
+    * occurrence counts are the signal, exactly as in the published BPE
+    * procedure.
+    *
+    * Scale shape: one scan, a per-row zip of each token list with its
+    * own tail (no explode-then-self-join — adjacency is resolved
+    * row-locally), then a map-side-combined groupBy(pair) and a sort
+    * of the (vocabulary²-bounded, in practice tiny) pair table. */
+  def bpeMergeStep(docs: DataFrame, k: Int = 20): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.filter(size(tokens(col("text"))) >= 2)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(k)
+  }
+
+  val qBpeStep = QuerySpec(
+    "q_llm_bpe_step",
+    (s, d) =>
+      bpeMergeStep(Tables.load(s, d, "documents")),
+    Some("""WITH pairs AS (
+           |  SELECT unnest(list_transform(
+           |    range(1, len(string_split(text, ' '))),
+           |    i -> (string_split(text, ' '))[i] || ' ' ||
+           |         (string_split(text, ' '))[i+1])) AS pair
+           |  FROM documents
+           |  WHERE len(string_split(text, ' ')) >= 2
+           |)
+           |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+           |FROM pairs GROUP BY pair
+           |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin))
+
+  /** Exact nearest-rank length percentiles per source (p50/p90/p99 of
+    * token counts) — the distributional slice of the data card.
+    * Nearest-rank (value at row ⌈q·n⌉ of the sorted stratum), NOT
+    * interpolated: every reported number is a value that actually
+    * occurs, and the integer semantics are identical in any engine —
+    * no float interpolation to diverge on.
+    *
+    * Scale shape: lengths are computed in the scan (one int per row
+    * crosses the shuffle, never text); one window shuffle per source
+    * (skew-isolated like q_llm_pack); the rollup is map-side
+    * combined. */
+  def lengthPercentiles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    def atRank(q: Double) =
+      max(when(col("rk") === ceil(lit(q) * col("n")), col("n_tokens")))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        atRank(0.5).as("p50"), atRank(0.9).as("p90"), atRank(0.99).as("p99"),
+        max(col("n_tokens")).as("max_tokens"))
+  }
+
+  val qLenPercentiles = QuerySpec(
+    "q_llm_len_percentiles",
+    (s, d) =>
+      lengthPercentiles(Tables.load(s, d, "documents"))
+        .orderBy(col("source")),
+    Some("""WITH t AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents
+           |), r AS (
+           |  SELECT source, n_tokens,
+           |    CAST(row_number() OVER (PARTITION BY source
+           |      ORDER BY n_tokens, doc_id) AS BIGINT) AS rk,
+           |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+           |  FROM t
+           |)
+           |SELECT source, max(n) AS n_docs,
+           |  max(CASE WHEN rk = ceil(0.5 * n) THEN n_tokens END) AS p50,
+           |  max(CASE WHEN rk = ceil(0.9 * n) THEN n_tokens END) AS p90,
+           |  max(CASE WHEN rk = ceil(0.99 * n) THEN n_tokens END) AS p99,
+           |  max(n_tokens) AS max_tokens
+           |FROM r GROUP BY source
+           |ORDER BY source""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5, qDocFreq,
       qTfIdf, qRepetition, qQualityRules, qNovelty, qOov, qStopwordScrub,
-      qSourceReport)
+      qSourceReport, qBpeStep, qLenPercentiles)
 }

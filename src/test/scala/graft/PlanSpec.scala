@@ -146,6 +146,17 @@ class PlanSpec extends SparkSpec {
       s"pair counting lost its map-side partials:\n$p")
   }
 
+  test("length percentiles window per source, lengths computed in the scan") {
+    val p = plan("q_llm_len_percentiles")
+    assert(p.contains("hashpartitioning(source"),
+      s"percentiles must partition by source:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"a global window would serialize all sources on one task:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
   test("quota sampling shuffles per source, never a single partition") {
     val p = plan("q_llm_quota_sample")
     assert(p.contains("hashpartitioning(source"),

@@ -200,4 +200,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("s1", 3L, 5L, 2L, 1.0 / 3.0), ("s2", 1L, 3L, 1L, 0.0)), out.toSeq)
   }
+
+  test("bpeMergeStep counts adjacent pairs non-distinct, ranks candidates") {
+    // "a b" occurs 3x (twice in doc 1's alternation, once in doc 2);
+    // "b a" once inside doc 1; ties rank lexicographically
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeStep(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)), out.toSeq)
+  }
+
+  test("lengthPercentiles: exact nearest-rank values that occur in the data") {
+    // source s: lengths 1..10 → p50 = value at rank 5 = 5, p90 at rank
+    // 9 = 9, p99 at rank ceil(9.9)=10 → 10
+    val docs = ((1 to 10).map(i =>
+      (i.toLong, "s", (1 to i).map(j => s"w$j").mkString(" "))) :+
+      ((99L, "t", "only one doc")))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.lengthPercentiles(docs).orderBy(col("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("s", 10L, 5L, 9L, 10L, 10L), ("t", 1L, 3L, 3L, 3L, 3L)), out.toSeq)
+  }
 }
