@@ -383,7 +383,91 @@ object Curation {
            |WHERE rk <= 25
            |ORDER BY source, rk""".stripMargin))
 
+  /** Fixed-size overlapping character chunking — the pre-embedding /
+    * context-window split step of a RAG or training pipeline: each
+    * document becomes ceil(n/stride) windows of `size` chars starting
+    * every `stride` chars (empty text still yields one empty chunk, so
+    * no document silently vanishes). Pure per-row array expressions
+    * (sequence → posexplode → substr) with ZERO shuffle beyond the
+    * declared output sort: chunking is embarrassingly parallel and
+    * stays inside whole-stage codegen. Chunks are identified by
+    * (doc_id, chunk_id) and carried as an md5 + length rather than
+    * raw text, so downstream exchanges ship 40-byte rows. */
+  def chunkDocs(docs: DataFrame, size: Int = 500, stride: Int = 400): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0),
+          greatest(length(col("text")) - 1, lit(0)), lit(stride))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("start"),
+        length(col("text").substr(col("col") + 1, lit(size)))
+          .cast("long").as("chunk_len"),
+        md5(col("text").substr(col("col") + 1, lit(size))).as("chunk_md5"))
+
+  val qChunk = QuerySpec(
+    "q_llm_chunk",
+    (s, d) =>
+      chunkDocs(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id"), col("chunk_id")),
+    Some("""SELECT doc_id,
+           |  CAST(st // 400 AS BIGINT) AS chunk_id,
+           |  CAST(st AS BIGINT) AS "start",
+           |  CAST(len(substr(text, st + 1, 500)) AS BIGINT) AS chunk_len,
+           |  md5(substr(text, st + 1, 500)) AS chunk_md5
+           |FROM documents, LATERAL (SELECT unnest(generate_series(0,
+           |  greatest(len(text) - 1, 0), 400)) AS st) t
+           |ORDER BY doc_id, chunk_id""".stripMargin))
+
+  /** Boilerplate-line detection (the CCNet-style pass): a line is
+    * boilerplate when it appears in >= minDf distinct documents of the
+    * SAME source (nav bars, cookie banners, license footers repeat
+    * within a crawl source, not across unrelated ones). Reports the
+    * per-document line count, boilerplate-line count, and fraction.
+    *
+    * Scale shape: one scan exploded to (source, line) with the df
+    * aggregate as a groupBy + join back on the same key — NOT
+    * `count(*) OVER (PARTITION BY line)` — so both exchanges share one
+    * shuffle key and AQE can split a skewed boilerplate line (a window
+    * would pin the million-document cookie banner on one task). The
+    * per-line distinct-doc count is map-side partially aggregated. */
+  def boilerplate(docs: DataFrame, minDf: Int = 3,
+      sep: String = ". "): DataFrame = {
+    val lines = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"),
+        java.util.regex.Pattern.quote(sep))).as("line"))
+    val dfs = lines.groupBy(col("source"), col("line"))
+      .agg(count_distinct(col("doc_id")).as("line_df"))
+    lines.join(dfs, Seq("source", "line"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("line_df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac", col("n_boiler") / col("n_lines"))
+  }
+
+  val qBoilerplate = QuerySpec(
+    "q_llm_boilerplate",
+    (s, d) =>
+      boilerplate(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some("""WITH lines AS (
+           |  SELECT doc_id, source, unnest(string_split(text, '. ')) AS line
+           |  FROM documents
+           |), dfs AS (
+           |  SELECT source, line, count(DISTINCT doc_id) AS line_df
+           |  FROM lines GROUP BY source, line
+           |)
+           |SELECT l.doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_lines,
+           |  CAST(sum(CASE WHEN d.line_df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_boiler,
+           |  sum(CASE WHEN d.line_df >= 3 THEN 1 ELSE 0 END) / count(*)
+           |    AS boiler_frac
+           |FROM lines l JOIN dfs d ON l.source = d.source AND l.line = d.line
+           |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qSample, qSplit, qParaDedup, qRedact, qLineDedup, qPack, qMix,
-      qShuffle, qStripMarkup, qNormalize, qQuotaSample)
+      qShuffle, qStripMarkup, qNormalize, qQuotaSample, qChunk,
+      qBoilerplate)
 }

@@ -671,8 +671,135 @@ object TextAnalysis {
            |FROM r GROUP BY source
            |ORDER BY source""".stripMargin))
 
+  /** Positional trigram-shingle hashes as an array expression: the
+    * md5-keyed 31-bit hash the oracle side can replay (same construction
+    * as graft_shingle_hashes_md5, but position-preserving and built
+    * entirely from codegen'd builtins). Texts shorter than k fall back
+    * to one whole-text hash so no document vanishes. */
+  private[llm] def positionalShingleHashes(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
+    def h(s: Column): Column =
+      conv(substring(md5(s), 1, 8), 16, 10).cast("long") % 2147483647L
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => h(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array(h(text)))
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): the
+    * minimum shingle hash of every sliding window of `w` consecutive
+    * shingles, deduplicated — the classic guarantee that any shared
+    * run of >= w+k-1 tokens between two documents shares at least one
+    * selected fingerprint, at ~2/(w+1) of the full shingle density.
+    *
+    * Scale shape: the whole selection happens INSIDE one row — token
+    * split, positional hashes, per-window minima, and dedup are all
+    * array expressions — so the operator is a zero-shuffle scan
+    * emitting ~n/w 8-byte fingerprints per document; only those longs
+    * ever reach an exchange. That per-row form is what makes the MOSS
+    * scheme viable at 100 TB: no window function, no self-join. */
+  def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame = {
+    val hs = positionalShingleHashes(col("text"))
+    val fps = when(size(hs) >= w,
+      array_distinct(transform(sequence(lit(0), size(hs) - w),
+        j => array_min(slice(hs, j + 1, lit(w))))))
+      .otherwise(array(array_min(hs)))
+    docs.select(col("doc_id"), explode(fps).as("fp"))
+  }
+
+  val qWinnow = QuerySpec(
+    "q_llm_winnow",
+    (s, d) =>
+      winnowFingerprints(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id"), col("fp")),
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks, text
+           |  FROM documents
+           |), hs AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(toks) >= 3 THEN
+           |      list_transform(range(1, len(toks) - 1), i ->
+           |        CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),
+           |          1, 8)) AS BIGINT) % 2147483647)
+           |    ELSE [CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+           |          % 2147483647] END AS hs
+           |  FROM t
+           |), fp AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(hs) >= 4 THEN
+           |      list_distinct(list_transform(range(1, len(hs) - 2), j ->
+           |        list_min(hs[j:j+3])))
+           |    ELSE [list_min(hs)] END AS fps
+           |  FROM hs
+           |)
+           |SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp
+           |FROM fp ORDER BY doc_id, fp""".stripMargin))
+
+  /** Bigram language-model quality score — the KenLM-style corpus-
+    * fluency signal without a trained model: each document's adjacent
+    * token pairs are scored by the corpus-wide conditional frequency
+    * c(w1 w2)/c(w1), scaled to parts-per-million and floored to an
+    * INTEGER, so every per-bigram score, the per-document sum, and the
+    * mean are exact integer arithmetic that hash-matches across
+    * engines (a log-prob double sum would be partition-order
+    * dependent). Low scores flag disfluent/boilerplate-stitched text.
+    *
+    * Scale shape: one scan exploded to (w1, w2) pairs; bigram and
+    * unigram count tables are groupBy aggregates (map-side partial)
+    * joined back on their own grouping keys — NOT windows — so AQE
+    * can split a skewed stopword key; the scan is reused for both
+    * counts via one persisted pair frame. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val pairs = docs.select(col("doc_id"),
+      explode(when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => struct(element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = docs.select(explode(toks).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    pairs
+      .join(bg, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .withColumn("s", expr("(1000000 * cb) div cu"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("lm_score"))
+      .withColumn("mean_score", expr("lm_score div n_bigrams"))
+  }
+
+  val qLmScore = QuerySpec(
+    "q_llm_lm_score",
+    (s, d) =>
+      lmScore(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           |), pairs AS (
+           |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+           |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) x
+           |  WHERE len(toks) >= 2
+           |), uni AS (
+           |  SELECT w1, count(*) AS cu FROM (
+           |    SELECT unnest(toks) AS w1 FROM t) GROUP BY w1
+           |), bg AS (
+           |  SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2
+           |)
+           |SELECT p.doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  CAST(sum((1000000 * b.cb) // u.cu) AS BIGINT) AS lm_score,
+           |  CAST(sum((1000000 * b.cb) // u.cu) // count(*) AS BIGINT)
+           |    AS mean_score
+           |FROM pairs p
+           |JOIN bg b ON p.w1 = b.w1 AND p.w2 = b.w2
+           |JOIN uni u ON p.w1 = u.w1
+           |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5, qDocFreq,
       qTfIdf, qRepetition, qQualityRules, qNovelty, qOov, qStopwordScrub,
-      qSourceReport, qBpeStep, qLenPercentiles)
+      qSourceReport, qBpeStep, qLenPercentiles, qWinnow, qLmScore)
 }

@@ -876,8 +876,89 @@ object TextDedup {
             |FROM gsig a JOIN gsig b ON a.source < b.source
             |ORDER BY ga, gb""".stripMargin))
 
+  /** Duplicated-substring runs (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): for each document, the
+    * longest consecutive run of trigram shingles that also appear in
+    * at least one OTHER document, plus the duplicated-shingle total —
+    * the exact-substring-dedup signal that catches long verbatim
+    * passages MinHash's set view dilutes away (a 50-token quote inside
+    * a 5000-token document barely moves Jaccard but shows up here as
+    * max_dup_run ≈ 48).
+    *
+    * Scale shape: one scan exploded to positional 8-byte shingle
+    * hashes; the cross-document frequency is a groupBy(h) aggregate
+    * joined back on the same key (map-side partials, AQE-splittable —
+    * not a window over h, where one boilerplate shingle would pin a
+    * task); run lengths use the gaps-and-islands window PARTITIONED BY
+    * doc_id, so the window state is bounded by one document's
+    * shingles regardless of corpus size. */
+  def dupRuns(docs: DataFrame, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.positionalShingleHashes(col("text"))))
+      .withColumnRenamed("col", "h")
+    val dfs = sh.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("df_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = sh.join(dfs, Seq("h"))
+      .filter(col("df_docs") >= minDocs)
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("run")).as("n_dup"), max(col("run")).as("max_dup_run"))
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+  }
+
+  val qDupRun = QuerySpec(
+    "q_llm_dup_run",
+    (s, d) =>
+      dupRuns(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks, text
+           |  FROM documents
+           |), sh AS (
+           |  SELECT doc_id, i - 1 AS pos,
+           |    CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),
+           |      1, 8)) AS BIGINT) % 2147483647 AS h
+           |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) x
+           |  WHERE len(toks) >= 3
+           |  UNION ALL
+           |  SELECT doc_id, 0 AS pos,
+           |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+           |      % 2147483647 AS h
+           |  FROM t WHERE len(toks) < 3
+           |), dfs AS (
+           |  SELECT h, count(DISTINCT doc_id) AS df_docs FROM sh GROUP BY h
+           |), islands AS (
+           |  SELECT s.doc_id,
+           |    s.pos - row_number() OVER (PARTITION BY s.doc_id
+           |                               ORDER BY s.pos) AS grp
+           |  FROM sh s JOIN dfs d ON s.h = d.h WHERE d.df_docs >= 2
+           |), rl AS (
+           |  SELECT doc_id, grp, count(*) AS run FROM islands
+           |  GROUP BY doc_id, grp
+           |), agg AS (
+           |  SELECT doc_id, sum(run) AS n_dup, max(run) AS max_dup_run
+           |  FROM rl GROUP BY doc_id
+           |), tot AS (
+           |  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+           |)
+           |SELECT t.doc_id,
+           |  CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           |  CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup,
+           |  CAST(coalesce(a.max_dup_run, 0) AS BIGINT) AS max_dup_run
+           |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+           |ORDER BY t.doc_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qMinhashMd5, qSimhash,
       qSimhashMd5, qSourceSim, qSourceSimMd5, qDedupClusters, qKeepList,
-      qContamination, qHistDedup, qSpanOverlap)
+      qContamination, qHistDedup, qSpanOverlap, qDupRun)
 }

@@ -164,4 +164,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"a global window would serialize all sources on one task:\n$p")
   }
+
+  test("chunking is a zero-shuffle scan: no hash exchange, pruned columns") {
+    val p = plan("q_llm_chunk")
+    assert(!p.contains("hashpartitioning"),
+      s"chunking is per-row; any keyed shuffle is a regression:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("source") && !readSchema.contains("lang"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("winnowing selects fingerprints inside the row: no hash exchange at all") {
+    val p = plan("q_llm_winnow")
+    assert(!p.contains("hashpartitioning"),
+      s"winnowing is an array expression per row; a shuffle means the " +
+        s"selection left the scan:\n$p")
+  }
+
+  test("boilerplate line df is an aggregate+join with map-side partials") {
+    val p = plan("q_llm_boilerplate")
+    assert(!p.toLowerCase.contains("window("),
+      s"line df regressed to a window-by-line:\n$p")
+    assert(p.contains("partial_count"),
+      s"df aggregate lost its map-side partials:\n$p")
+  }
+
+  test("lm score explodes pairs once and joins aggregates, no windows") {
+    val p = plan("q_llm_lm_score")
+    assert(p.contains("InMemoryTableScan"),
+      s"the (w1,w2) pair frame must be cached for its two consumers:\n$p")
+    assert(!p.toLowerCase.contains("window("),
+      s"count tables must be aggregate+join, not windows:\n$p")
+    assert(p.contains("partial_count"),
+      s"bigram counts lost their map-side partials:\n$p")
+  }
+
+  test("dup runs: shingle df is an aggregate; islands window is per-document") {
+    val p = plan("q_llm_dup_run")
+    assert(p.contains("partial_count"),
+      s"shingle df lost its map-side partials:\n$p")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"the islands window must partition by doc_id (bounded state):\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"a global window would serialize the corpus on one task:\n$p")
+  }
 }

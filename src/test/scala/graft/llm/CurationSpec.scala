@@ -191,4 +191,35 @@ class CurationSpec extends SparkSpec {
     // a quota above the stratum size returns the whole stratum
     assert(Curation.quotaSample(docs, 100).count() == 60L)
   }
+
+  test("chunkDocs: stride-aligned windows that tile the text; empty text keeps one chunk") {
+    val text = "ab" * 500 // 1000 chars
+    val docs = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
+    val rows = Curation.chunkDocs(docs, size = 500, stride = 400)
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 0L, 500L), (1L, 1L, 400L, 500L), (1L, 2L, 800L, 200L),
+      (2L, 0L, 0L, 0L)), rows.toSeq)
+    // overlapping windows really overlap: chunk 0's tail = chunk 1's head
+    val md5s = Curation.chunkDocs(docs.filter(col("doc_id") === 1L))
+      .select(col("chunk_md5")).collect().map(_.getString(0))
+    assert(md5s.distinct.length == 2, // chunks 0 and 1 identical ("ab"*250)
+      "500-char windows of a 2-periodic string repeat")
+  }
+
+  test("boilerplate: lines repeated across >=3 docs of one source flag; cross-source repeats don't") {
+    val docs = Seq(
+      (1L, "web", "COOKIE BANNER. unique one"),
+      (2L, "web", "COOKIE BANNER. unique two"),
+      (3L, "web", "COOKIE BANNER. unique three"),
+      (4L, "forum", "COOKIE BANNER. forum text"), // only 1 forum doc has it
+      (5L, "forum", "clean forum post")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.boilerplate(docs, minDf = 3).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L),
+      (4L, 2L, 0L), (5L, 1L, 0L)), out.toSeq)
+  }
 }

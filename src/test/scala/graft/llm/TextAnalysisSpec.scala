@@ -226,4 +226,55 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("s", 10L, 5L, 9L, 10L, 10L), ("t", 1L, 3L, 3L, 3L, 3L)), out.toSeq)
   }
+
+  test("winnowFingerprints: shared runs of >= w+k-1 tokens share a fingerprint") {
+    // w=4, k=3: any shared 6-token run must contribute >= 1 common fp
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two $shared three four five six seven"),
+      (2L, s"$shared totally different trailing content here"),
+      (3L, "no overlap with anything else at all whatsoever")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared 6-token run must collide")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // density: selection keeps well under the full shingle count
+    val nShingles1 = docs.filter(col("doc_id") === 1L)
+      .select(size(split(col("text"), " "))).collect()(0).getInt(0) - 2
+    assert(fps(1L).size < nShingles1, s"${fps(1L).size} vs $nShingles1")
+    // short text: exactly one whole-text fingerprint
+    val short = Seq((9L, "tiny doc")).toDF("doc_id", "text")
+    assert(TextAnalysis.winnowFingerprints(short).count() == 1L)
+  }
+
+  test("winnowFingerprints is content-deterministic under repartitioning") {
+    val docs = (1 to 30).map(i =>
+      (i.toLong, (1 to 20).map(j => s"w${(i * j) % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.winnowFingerprints(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fps(docs) == fps(docs.repartition(11).orderBy(col("doc_id").desc)))
+  }
+
+  test("lmScore: exact integer ppm conditional frequencies") {
+    // corpus: "a b", "a b", "a c" → c(a)=3, bigram (a,b)=2, (a,c)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextDedupSpecHelpers.collectLm(TextAnalysis.lmScore(docs))
+    // (1000000*2) div 3 = 666666; (1000000*1) div 3 = 333333
+    assert(out == Seq(
+      (1L, 1L, 666666L, 666666L), (2L, 1L, 666666L, 666666L),
+      (3L, 1L, 333333L, 333333L)), out.toString)
+    // the single-token doc has no bigrams and drops out, like the oracle
+  }
+}
+
+/** Shared collect helper (kept outside the anonymous test closures so
+  * Spark never tries to serialize the enclosing suite). */
+object TextDedupSpecHelpers {
+  def collectLm(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+    df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
 }

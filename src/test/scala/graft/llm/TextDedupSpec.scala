@@ -236,4 +236,30 @@ class TextDedupSpec extends SparkSpec {
       .collect()(0).getSeq[String](0)
     assert(out == Seq("just two"))
   }
+
+  test("dupRuns: longest cross-document shingle run, gaps reset the island") {
+    // docs 1/2 share a 5-token prefix → 3 consecutive shared trigrams;
+    // doc 3 is disjoint; doc 4 shares with doc 1 a SECOND, separate run
+    val docs = docsDf(
+      1L -> "x1 x2 x3 x4 x5 a1 a2 y1 y2 y3 y4 a3",
+      2L -> "x1 x2 x3 x4 x5 b1 b2",
+      3L -> "c1 c2 c3 c4 c5 c6 c7",
+      4L -> "d1 y1 y2 y3 y4 d2")
+    val out = TextDedup.dupRuns(docs).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc1: 10 shingles; dup: pos 0-2 (x-run) and pos 7-8 (y-run) →
+    // n_dup 5, max run 3. doc2: 5 shingles, dup pos 0-2. doc4: 4
+    // shingles, dup pos 1-2 (y1 y2 y3, y2 y3 y4).
+    assert(out.toSeq == Seq(
+      (1L, 10L, 5L, 3L), (2L, 5L, 3L, 3L),
+      (3L, 5L, 0L, 0L), (4L, 4L, 2L, 2L)), out.toSeq)
+  }
+
+  test("dupRuns: identical short docs count via the whole-text fallback hash") {
+    val docs = docsDf(1L -> "same tiny", 2L -> "same tiny", 3L -> "other")
+    val out = TextDedup.dupRuns(docs).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, 1L), (2L, 1L, 1L, 1L), (3L, 1L, 0L, 0L)), out.toSeq)
+  }
 }
