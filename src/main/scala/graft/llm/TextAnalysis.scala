@@ -671,19 +671,27 @@ object TextAnalysis {
            |FROM r GROUP BY source
            |ORDER BY source""".stripMargin))
 
-  /** Positional trigram-shingle hashes as an array expression: the
-    * md5-keyed 31-bit hash the oracle side can replay (same construction
-    * as graft_shingle_hashes_md5, but position-preserving and built
-    * entirely from codegen'd builtins). Texts shorter than k fall back
-    * to one whole-text hash so no document vanishes. */
-  private[llm] def positionalShingleHashes(text: Column, k: Int = 3): Column = {
-    val toks = split(text, " ")
+  /** Positional trigram-shingle hashes over an ALREADY-MATERIALIZED
+    * token-array column: the md5-keyed 31-bit hash the oracle side can
+    * replay (same construction as graft_shingle_hashes_md5, but
+    * position-preserving and built entirely from builtins). Texts
+    * shorter than k fall back to one whole-text hash (concat_ws of a
+    * single-space split reconstructs the text byte-exactly) so no
+    * document vanishes.
+    *
+    * `toks` MUST be a projected column, not an inline `split(...)`:
+    * higher-order-function lambdas re-evaluate captured expressions
+    * per element, so an inlined split would re-tokenize the text once
+    * PER SHINGLE — O(n²) per row. Callers project toks in their own
+    * select; CollapseProject keeps the stages separate because the
+    * array is non-cheap and referenced more than once. */
+  private[llm] def shingleHashesOfToks(toks: Column, k: Int = 3): Column = {
     def h(s: Column): Column =
       conv(substring(md5(s), 1, 8), 16, 10).cast("long") % 2147483647L
     when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - k),
         i => h(concat_ws(" ", slice(toks, i + 1, lit(k))))))
-      .otherwise(array(h(text)))
+      .otherwise(array(h(concat_ws(" ", toks))))
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): the
@@ -697,14 +705,20 @@ object TextAnalysis {
     * array expressions — so the operator is a zero-shuffle scan
     * emitting ~n/w 8-byte fingerprints per document; only those longs
     * ever reach an exchange. That per-row form is what makes the MOSS
-    * scheme viable at 100 TB: no window function, no self-join. */
+    * scheme viable at 100 TB: no window function, no self-join. The
+    * token and hash arrays are materialized in their own projections
+    * (see [[shingleHashesOfToks]]) so each evaluates once per row, not
+    * once per sliding window. */
   def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame = {
-    val hs = positionalShingleHashes(col("text"))
+    val hs = col("hs")
     val fps = when(size(hs) >= w,
       array_distinct(transform(sequence(lit(0), size(hs) - w),
         j => array_min(slice(hs, j + 1, lit(w))))))
       .otherwise(array(array_min(hs)))
-    docs.select(col("doc_id"), explode(fps).as("fp"))
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), shingleHashesOfToks(col("toks")).as("hs"))
+      .select(col("doc_id"), explode(fps).as("fp"))
   }
 
   val qWinnow = QuerySpec(
@@ -750,8 +764,12 @@ object TextAnalysis {
     * can split a skewed stopword key; the scan is reused for both
     * counts via one persisted pair frame. */
   def lmScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val pairs = docs.select(col("doc_id"),
+    // toks is materialized in its own projection so the bigram lambda
+    // slices an attribute, not a re-evaluated split (see
+    // shingleHashesOfToks for the O(n²)-per-row failure mode)
+    val toksDf = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val toks = col("toks")
+    val pairs = toksDf.select(col("doc_id"),
       explode(when(size(toks) >= 2,
         transform(sequence(lit(0), size(toks) - 2),
           i => struct(element_at(toks, i + 1).as("w1"),
@@ -760,7 +778,7 @@ object TextAnalysis {
         .as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val uni = docs.select(explode(toks).as("w1"))
+    val uni = toksDf.select(explode(toks).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     pairs

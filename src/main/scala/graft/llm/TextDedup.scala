@@ -895,8 +895,9 @@ object TextDedup {
   def dupRuns(docs: DataFrame, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        posexplode(TextAnalysis.positionalShingleHashes(col("text"))))
+        posexplode(TextAnalysis.shingleHashesOfToks(col("toks"))))
       .withColumnRenamed("col", "h")
     val dfs = sh.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df_docs"))
