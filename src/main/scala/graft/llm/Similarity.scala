@@ -551,6 +551,82 @@ object Similarity {
            |FROM seeds LEFT JOIN next USING (c_id)
            |ORDER BY c_id""".stripMargin))
 
+  /** SemDeDup (Abbas et al.): semantic deduplication over the
+    * embedding space — sign-LSH candidate pairs above a cosine
+    * threshold become edges, connected components group semantic
+    * duplicates, and one canonical member (min vec_id) survives per
+    * component. The same keep-list shape as the text-LSH dedup, with
+    * cosine-over-embeddings as the similarity instead of Jaccard-over-
+    * shingles; 8 signature bits widen the candidate buckets so chains
+    * of moderately-similar vectors cluster transitively.
+    *
+    * Scale shape: inherits [[embNearDupPairs]]'s capped-bucket
+    * groupBy (no cross join, only hashed candidates shuffle) and the
+    * text path's logarithmic-round connected components; the final
+    * keep-list is one anti join on vec_id. */
+  def semDedupKeepList(vecs: DataFrame, bits: Int = 8,
+      tau: Double = 0.3): DataFrame = {
+    val pairs = embNearDupPairs(vecs, bits = bits)
+      .filter(col("cos") >= tau)
+      .select(col("ida"), col("idb"))
+    val drop = TextDedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("vec_id"))
+    vecs.join(drop, Seq("vec_id"), "left_anti")
+  }
+
+  /** Oracle'd bit-exactly end-to-end: signatures, bucket caps, cosine
+    * threshold, and the transitive closure are all replayed in SQL
+    * (the closure as a recursive CTE with min-reachable-id labeling,
+    * as the text dedup clusters oracle does). */
+  val qSemDedup = QuerySpec(
+    "q_llm_semdedup",
+    (s, d) =>
+      semDedupKeepList(vectors(s, d))
+        .select(col("vec_id"))
+        .orderBy(col("vec_id")),
+    Some {
+      val planesSql = hyperplanes(8, 64, 42L)
+        .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      s"""WITH RECURSIVE v AS (
+         |  $duckNormCte
+         |), pl AS (SELECT $planesSql::DOUBLE[][] AS planes),
+         |sigs AS (
+         |  SELECT vec_id, embedding, nrm,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(8), b ->
+         |        CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |            list_transform(list_zip(embedding, planes[b+1]),
+         |              z -> CAST(z[1] AS DOUBLE) * z[2])),
+         |            (acc, p) -> acc + p) >= 0
+         |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+         |      (a, x) -> a + x) AS sig
+         |  FROM v, pl
+         |), sized AS (
+         |  SELECT *, count(*) OVER (PARTITION BY sig) AS n FROM sigs
+         |), pairs AS (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb
+         |  FROM sized a JOIN sized b
+         |    ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |  WHERE a.n > 1 AND a.n <= 1000
+         |    AND ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+         |        >= 0.3
+         |), edges AS (
+         |  SELECT ida AS a, idb AS b FROM pairs
+         |  UNION SELECT idb, ida FROM pairs
+         |), reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |), drop_ids AS (
+         |  SELECT a FROM reach GROUP BY a HAVING a <> min(b)
+         |)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT a FROM drop_ids)
+         |ORDER BY vec_id""".stripMargin
+    })
+
   val all: Seq[QuerySpec] =
-    Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qEmbOutlier, qQuantize, qKmeansStep)
+    Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qEmbOutlier, qQuantize, qKmeansStep,
+      qSemDedup)
 }

@@ -70,6 +70,21 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.hyperplanes(16, 64) == Similarity.hyperplanes(16, 64))
   }
 
+  test("semDedupKeepList keeps one canonical vector per semantic cluster") {
+    val base = (0 until 64).map(i => (math.sin(i) * 0.3).toFloat)
+    val dupA = base.map(x => x * 2f) // same direction, cos = 1
+    val dupB = base.updated(0, base(0) + 0.001f)
+    val other = (0 until 64).map(i => (math.cos(i * 7 + 1) * 0.3).toFloat)
+    val vs = vecsDf(1L -> base, 2L -> dupA, 3L -> dupB, 4L -> other)
+    val kept = Similarity.semDedupKeepList(vs)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), s"min id survives each cluster: $kept")
+    // threshold above every pairwise cosine keeps everything
+    val all = Similarity.semDedupKeepList(vs, tau = 1.1)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 3L, 4L))
+  }
+
   test("quantized IVF over trained centroids equals the sequential reference exactly") {
     val vecs = graft.Tables.load(spark, sf0001, "embeddings")
     val qv = vecs.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
