@@ -1,0 +1,131 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Generative equivalence for the round-5 per-row text operators:
+  * random corpora (small token alphabet to force cross-document
+  * collisions, lengths 0..30) run through the Spark plans and an
+  * INDEPENDENT sequential Scala implementation of each definition —
+  * the k-means-trainer pattern. Catches expression-level drift
+  * (slice bounds, fallback hashing, empty-text edges) that the
+  * fixed-example tests can't enumerate.
+  */
+class CurationPropsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- sequential reference implementations ------------------------------
+
+  private def md5hash31(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % 2147483647L
+  }
+
+  private def toks(text: String): Vector[String] =
+    text.split(" ", -1).toVector // Spark split keeps trailing empties
+
+  private def refShingleHashes(text: String): Vector[Long] = {
+    val t = toks(text)
+    if (t.length >= 3)
+      (0 to t.length - 3).map(i => md5hash31(t.slice(i, i + 3).mkString(" "))).toVector
+    else Vector(md5hash31(t.mkString(" ")))
+  }
+
+  private def refWinnow(text: String, w: Int = 4): Set[Long] = {
+    val hs = refShingleHashes(text)
+    if (hs.length >= w)
+      (0 to hs.length - w).map(j => hs.slice(j, j + w).min).toSet
+    else Set(hs.min)
+  }
+
+  private def refDupRuns(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+    val sh = docs.map { case (id, t) => id -> refShingleHashes(t) }
+    val docsPerHash = sh.flatMap { case (id, hs) => hs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    sh.map { case (id, hs) =>
+      val dupPos = hs.zipWithIndex.collect {
+        case (h, p) if docsPerHash(h) >= 2 => p
+      }
+      // gaps and islands over the dup positions
+      val runs = dupPos.foldLeft(List.empty[Int]) {
+        case (len :: rest, p) if dupPos.contains(p - 1) => (len + 1) :: rest
+        case (acc, _) => 1 :: acc
+      }
+      id -> (hs.length.toLong, dupPos.length.toLong,
+        (if (runs.isEmpty) 0 else runs.max).toLong)
+    }.toMap
+  }
+
+  private def refChunks(text: String, size: Int = 500, stride: Int = 400)
+      : Seq[(Long, Long, Long)] = {
+    val n = text.length
+    val starts = 0 to math.max(n - 1, 0) by stride
+    starts.zipWithIndex.map { case (st, i) =>
+      (i.toLong, st.toLong,
+        text.substring(math.min(st, n), math.min(st + size, n)).length.toLong)
+    }
+  }
+
+  private def refLm(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+    val tokLists = docs.map { case (id, t) => id -> toks(t) }
+    val uni = tokLists.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val allPairs = tokLists.flatMap { case (_, t) => t.zip(t.drop(1)) }
+    val bg = allPairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    tokLists.collect { case (id, t) if t.length >= 2 =>
+      val scores = t.zip(t.drop(1)).map(p => 1000000L * bg(p) / uni(p._1))
+      id -> (scores.length.toLong, scores.sum, scores.sum / scores.length)
+    }.toMap
+  }
+
+  // ---- generated corpus --------------------------------------------------
+
+  private val genDoc: Gen[String] = for {
+    n <- Gen.chooseNum(0, 30)
+    ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "eee", "f0"))
+  } yield ws.mkString(" ")
+
+  private val corpus: Seq[(Long, String)] =
+    Iterator.continually(genDoc.sample).flatten.take(60).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private lazy val corpusDf = corpus.toDF("doc_id", "text")
+
+  // ---- properties --------------------------------------------------------
+
+  test("winnowFingerprints equals the sequential reference on random corpora") {
+    val got = TextAnalysis.winnowFingerprints(corpusDf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val want = corpus.map { case (id, t) => id -> refWinnow(t) }.toMap
+    assert(got == want)
+  }
+
+  test("dupRuns equals the sequential reference on random corpora") {
+    val got = TextDedup.dupRuns(corpusDf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = refDupRuns(corpus).map { case (id, (n, nd, mr)) =>
+      id -> (n, nd, mr)
+    }
+    assert(got == want)
+  }
+
+  test("chunkDocs tiles every text: stride starts, clamped lengths, full coverage") {
+    val got = Curation.chunkDocs(corpusDf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    corpus.foreach { case (id, t) =>
+      assert(got(id) == refChunks(t), s"doc $id '${t.take(30)}'")
+      // coverage: with stride < size, chunks reach the final character
+      val lastEnd = got(id).last match { case (_, st, len) => st + len }
+      assert(lastEnd == t.length || (t.isEmpty && lastEnd == 0))
+    }
+  }
+
+  test("lmScore equals the sequential reference on random corpora") {
+    val got = TextAnalysis.lmScore(corpusDf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == refLm(corpus))
+  }
+}
