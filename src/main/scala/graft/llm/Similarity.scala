@@ -626,7 +626,86 @@ object Similarity {
          |ORDER BY vec_id""".stripMargin
     })
 
+  /** ANN quality harness: recall@k of the IVF index against the exact
+    * brute-force top-k, per query — the number every index deployment
+    * is tuned by (probes/centroid count vs recall). Composes the two
+    * implemented pipelines; because both are bit-exact, recall is an
+    * exact set-intersection count, not an approximate estimate.
+    *
+    * Scale shape: both sides broadcast the query set and scan the
+    * corpus once; the intersection is a semi join on (q_id,
+    * neighbor_id) over 2·|queries|·k rows — negligible next to the
+    * scans — and the per-query hit count aggregates map-side. */
+  def annRecall(vecs: DataFrame, queries: DataFrame, k: Int,
+      centroidStride: Int, probes: Int = 1): DataFrame = {
+    val exact = cosineTopK(vecs, queries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = ivfTopK(vecs, queries, k, centroidStride, probes)
+      .select(col("q_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        lit(k.toLong).as("k"),
+        (coalesce(col("n_hit"), lit(0L)) / k).as("recall"))
+  }
+
+  /** Oracle'd exactly: both sides' cosines are the same IEEE sequences
+    * as their standalone oracles, so the top-k membership sets — and
+    * hence the intersection counts — replay in SQL verbatim. */
+  val qAnnRecall = QuerySpec(
+    "q_llm_ann_recall",
+    (s, d) => {
+      val vs = vectors(s, d)
+      annRecall(vs, vs.filter(col("vec_id") < 5), k = 5, centroidStride = 100)
+        .orderBy(col("q_id"))
+    },
+    Some(s"""WITH v AS (
+            |  $duckNormCte
+            |), qs AS (SELECT * FROM v WHERE vec_id < 5),
+            |exact AS (
+            |  SELECT q_id, neighbor_id FROM (
+            |    SELECT qs.vec_id AS q_id, c.vec_id AS neighbor_id,
+            |      ${duckDot("c.embedding", "qs.embedding")} / (c.nrm * qs.nrm) AS cos
+            |    FROM v c, qs WHERE c.vec_id != qs.vec_id)
+            |  QUALIFY row_number() OVER (PARTITION BY q_id
+            |    ORDER BY cos DESC, neighbor_id) <= 5
+            |), c AS (
+            |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+            |  FROM v WHERE vec_id % 100 = 0
+            |), assigned AS (
+            |  SELECT vec_id, embedding, nrm, c_id FROM (
+            |    SELECT v.vec_id, v.embedding, v.nrm, c.c_id,
+            |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+            |        ${duckDot("v.embedding", "c.c_emb")} / (v.nrm * c.c_nrm)
+            |          DESC, c.c_id) AS crn
+            |    FROM v, c) WHERE crn = 1
+            |), q2 AS (
+            |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, c_id
+            |  FROM assigned WHERE vec_id < 5
+            |), approx AS (
+            |  SELECT q_id, neighbor_id FROM (
+            |    SELECT q2.q_id, a.vec_id AS neighbor_id,
+            |      ${duckDot("a.embedding", "q2.q_emb")} / (a.nrm * q2.q_nrm) AS cos
+            |    FROM assigned a JOIN q2 ON a.c_id = q2.c_id AND a.vec_id != q2.q_id)
+            |  QUALIFY row_number() OVER (PARTITION BY q_id
+            |    ORDER BY cos DESC, neighbor_id) <= 5
+            |), hits AS (
+            |  SELECT e.q_id, count(*) AS n_hit
+            |  FROM exact e JOIN approx a
+            |    ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+            |  GROUP BY e.q_id
+            |)
+            |SELECT q.vec_id AS q_id,
+            |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+            |  CAST(5 AS BIGINT) AS k,
+            |  coalesce(h.n_hit, 0) / 5 AS recall
+            |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+            |LEFT JOIN hits h ON q.vec_id = h.q_id
+            |ORDER BY q_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qEmbOutlier, qQuantize, qKmeansStep,
-      qSemDedup)
+      qSemDedup, qAnnRecall)
 }

@@ -70,6 +70,22 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.hyperplanes(16, 64) == Similarity.hyperplanes(16, 64))
   }
 
+  test("annRecall: exact hit counts, monotone in probes, full probing = recall 1") {
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val queries = vecs.filter(col("vec_id") < 3)
+    def recall(probes: Int): Map[Long, Double] =
+      Similarity.annRecall(vecs, queries, k = 5, centroidStride = 10, probes)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val nCentroids = vecs.filter(pmod(col("vec_id"), lit(10)) === 0).count().toInt
+    val full = recall(nCentroids) // probing every bucket searches the whole corpus
+    assert(full.values.forall(_ == 1.0), s"full probing must be exact: $full")
+    val one = recall(1)
+    assert(one.keySet == full.keySet && one.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(one.forall { case (q, v) => v <= full(q) }, "recall monotone in probes")
+  }
+
   test("semDedupKeepList keeps one canonical vector per semantic cluster") {
     val base = (0 until 64).map(i => (math.sin(i) * 0.3).toFloat)
     val dupA = base.map(x => x * 2f) // same direction, cos = 1
