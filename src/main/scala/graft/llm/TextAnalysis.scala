@@ -297,22 +297,27 @@ object TextAnalysis {
     * and rerun-stable: minimum length, mean-word-length band,
     * punctuation ceiling, stopword presence. Per-row, zero shuffle —
     * the filter a 100 TB curation pass applies during its first scan. */
-  def qualityRules(docs: DataFrame): DataFrame = {
+  /** The four Gopher-style rule booleans over a text column, shared by
+    * [[qualityRules]] (reported individually) and [[qualityGate]]
+    * (folded into one verdict). */
+  private def ruleSet: Seq[Column] = {
     val nTok = size(tokens(col("text"))).cast("long")
     val lenC = length(col("text")).cast("long")
     val alphaLen = lenC - nTok + 1 // chars in tokens (len minus separators)
     val nStop = expr("size(filter(split(text, ' '), t -> t IN ('the', 'a')))")
       .cast("long")
     val nPunct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long")
-    docs.select(col("doc_id"),
-      (nTok >= 10).as("rule_min_tokens"),
+    Seq((nTok >= 10).as("rule_min_tokens"),
       (alphaLen >= nTok * 2 && alphaLen <= nTok * 12).as("rule_word_len"),
       (nPunct * 10 <= lenC * 3).as("rule_punct"),
       (nStop >= 1).as("rule_stopwords"))
+  }
+
+  def qualityRules(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: ruleSet: _*)
       .withColumn("keep",
         col("rule_min_tokens") && col("rule_word_len") &&
           col("rule_punct") && col("rule_stopwords"))
-  }
 
   val qQualityRules = QuerySpec(
     "q_llm_quality_rules",
@@ -816,8 +821,97 @@ object TextAnalysis {
            |JOIN uni u ON p.w1 = u.w1
            |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin))
 
+  /** The filter stack a curation pass actually materializes: the
+    * Gopher rule verdict, the repetition ceiling (most-frequent
+    * trigram ≤ 20% of trigrams), and the corpus-fluency floor
+    * (bigram LM mean ≥ `lmThresholdPpm`, missing = too short = drop)
+    * folded into one keep/drop verdict per document, with each
+    * signal's boolean kept for audit.
+    *
+    * Scale shape: the rules and the repetition kernel are PER-ROW
+    * expressions evaluated in one scan (no join between them — the
+    * rep kernel rides the same projection); only the LM aggregate
+    * side shuffles, and its verdict joins back on doc_id. */
+  def qualityGate(docs: DataFrame, lmThresholdPpm: Long = 34000L): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val perRow = docs
+      .select(col("doc_id") +: col("text") +: ruleSet: _*)
+      .withColumn("r", call_udf("graft_top_shingle_run", col("text"), lit(3)))
+      .select(col("doc_id"),
+        (col("rule_min_tokens") && col("rule_word_len") &&
+          col("rule_punct") && col("rule_stopwords")).as("keep_rules"),
+        (col("r.top_count") * 5 <= col("r.n_tri")).as("keep_rep"))
+    val lm = lmScore(docs).select(col("doc_id"), col("mean_score"))
+    perRow.join(lm, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("keep_rules"), col("keep_rep"),
+        (coalesce(col("mean_score"), lit(0L)) >= lmThresholdPpm).as("keep_lm"))
+      .withColumn("keep",
+        col("keep_rules") && col("keep_rep") && col("keep_lm"))
+  }
+
+  val qQualityGate = QuerySpec(
+    "q_llm_quality_gate",
+    (s, d) =>
+      qualityGate(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           |), pairs AS (
+           |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+           |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) x
+           |  WHERE len(toks) >= 2
+           |), uni AS (
+           |  SELECT w1, count(*) AS cu FROM (
+           |    SELECT unnest(toks) AS w1 FROM t) GROUP BY w1
+           |), bg AS (
+           |  SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2
+           |), lm AS (
+           |  SELECT p.doc_id,
+           |    CAST(sum((1000000 * b.cb) // u.cu) // count(*) AS BIGINT)
+           |      AS mean_score
+           |  FROM pairs p
+           |  JOIN bg b ON p.w1 = b.w1 AND p.w2 = b.w2
+           |  JOIN uni u ON p.w1 = u.w1
+           |  GROUP BY p.doc_id
+           |), tris AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           |      list_transform(range(1, len(string_split(text, ' ')) - 1),
+           |        i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+           |    ELSE [text] END AS tris
+           |  FROM documents
+           |), rep AS (
+           |  SELECT doc_id, len(tris) AS n_tri,
+           |    list_max(list_transform(list_distinct(tris),
+           |      t2 -> len(list_filter(tris, x -> x = t2)))) AS top_count
+           |  FROM tris
+           |), rules AS (
+           |  SELECT doc_id,
+           |    len(string_split(text, ' ')) >= 10
+           |      AND length(text) - len(string_split(text, ' ')) + 1
+           |        >= len(string_split(text, ' ')) * 2
+           |      AND length(text) - len(string_split(text, ' ')) + 1
+           |        <= len(string_split(text, ' ')) * 12
+           |      AND length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 10
+           |        <= length(text) * 3
+           |      AND len(list_filter(string_split(text, ' '),
+           |            tk -> tk IN ('the', 'a'))) >= 1
+           |      AS keep_rules
+           |  FROM documents
+           |)
+           |SELECT r.doc_id, r.keep_rules,
+           |  rep.top_count * 5 <= rep.n_tri AS keep_rep,
+           |  coalesce(lm.mean_score, 0) >= 34000 AS keep_lm,
+           |  r.keep_rules AND rep.top_count * 5 <= rep.n_tri
+           |    AND coalesce(lm.mean_score, 0) >= 34000 AS keep
+           |FROM rules r
+           |JOIN rep ON r.doc_id = rep.doc_id
+           |LEFT JOIN lm ON r.doc_id = lm.doc_id
+           |ORDER BY r.doc_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5, qDocFreq,
       qTfIdf, qRepetition, qQualityRules, qNovelty, qOov, qStopwordScrub,
-      qSourceReport, qBpeStep, qLenPercentiles, qWinnow, qLmScore)
+      qSourceReport, qBpeStep, qLenPercentiles, qWinnow, qLmScore,
+      qQualityGate)
 }

@@ -958,8 +958,55 @@ object TextDedup {
            |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
            |ORDER BY t.doc_id""".stripMargin))
 
+  /** Dedup data card: the cluster-size histogram of the near-dup
+    * graph — how many singleton pairs, how many 5-doc blobs, whether
+    * one mega-cluster is eating the corpus (the first diagnostic a
+    * dedup run is judged by, and the early warning for a too-loose
+    * threshold: cluster sizes should decay geometrically). Clustered
+    * docs only; unpaired docs are the complement of the node set.
+    *
+    * Scale shape: CC as elsewhere, then two tiny aggregates — sizes
+    * per label, counts per size; both shuffle keys are bounded by the
+    * cluster structure, both combine map-side. */
+  def dedupClusterStats(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
+  val qDedupStats = QuerySpec(
+    "q_llm_dedup_stats",
+    (s, d) =>
+      dedupClusterStats(jaccardBlockPairs(Tables.load(s, d, "documents")))
+        .orderBy(col("cluster_size")),
+    Some("""WITH RECURSIVE pairs AS (
+           |  SELECT a.doc_id AS ida, b.doc_id AS idb
+           |  FROM documents a JOIN documents b
+           |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |  WHERE a.doc_id < 200 AND b.doc_id < 200
+           |    AND len(list_intersect(list_distinct(string_split(a.text, ' ')),
+           |                           list_distinct(string_split(b.text, ' ')))) /
+           |        len(list_distinct(list_concat(string_split(a.text, ' '),
+           |                                      string_split(b.text, ' ')))) >= 0.5
+           |), edges AS (
+           |  SELECT ida AS a, idb AS b FROM pairs
+           |  UNION SELECT idb, ida FROM pairs
+           |), reach(a, b) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+           |), labels AS (
+           |  SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a
+           |), sizes AS (
+           |  SELECT cluster_id, count(*) AS cluster_size
+           |  FROM labels GROUP BY cluster_id
+           |)
+           |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           |  CAST(count(*) AS BIGINT) AS n_clusters
+           |FROM sizes GROUP BY cluster_size
+           |ORDER BY cluster_size""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qMinhashMd5, qSimhash,
       qSimhashMd5, qSourceSim, qSourceSimMd5, qDedupClusters, qKeepList,
-      qContamination, qHistDedup, qSpanOverlap, qDupRun)
+      qContamination, qHistDedup, qSpanOverlap, qDupRun, qDedupStats)
 }

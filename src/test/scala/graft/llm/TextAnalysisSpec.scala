@@ -258,6 +258,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(docs) == fps(docs.repartition(11).orderBy(col("doc_id").desc)))
   }
 
+  test("qualityGate: each signal can veto independently") {
+    val fluent = "the quick brown fox jumps over that lazy dog again today friend"
+    val docs = Seq(
+      (1L, fluent), (2L, fluent), // identical → high corpus bigram freq
+      // rules pass (>=10 tokens, 'the'/'a', no punct) but one trigram
+      // pair dominates → repetition veto
+      (3L, "the spam ham spam ham spam ham spam ham spam ham a"),
+      // short: rules veto; single trigram-fallback (1*5 > 1) → rep
+      // veto; no bigrams → lm veto
+      (4L, "hi")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityGate(docs, lmThresholdPpm = 1L)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, true, true, true, true), (2L, true, true, true, true),
+      (3L, true, false, true, false), (4L, false, false, false, false)),
+      out.toSeq)
+    // a threshold above every mean score drops even the fluent docs
+    val strict = TextAnalysis.qualityGate(docs, lmThresholdPpm = 2000000L)
+      .filter(col("keep")).count()
+    assert(strict == 0L)
+  }
+
   test("lmScore: exact integer ppm conditional frequencies") {
     // corpus: "a b", "a b", "a c" → c(a)=3, bigram (a,b)=2, (a,c)=1
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))

@@ -255,6 +255,14 @@ class TextDedupSpec extends SparkSpec {
       (3L, 5L, 0L, 0L), (4L, 4L, 2L, 2L)), out.toSeq)
   }
 
+  test("dedupClusterStats: histogram of component sizes") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ida", "idb")
+    val out = TextDedup.dedupClusterStats(pairs).orderBy(col("cluster_size"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((2L, 1L), (3L, 1L)), out.toSeq)
+  }
+
   test("dupRuns: identical short docs count via the whole-text fallback hash") {
     val docs = docsDf(1L -> "same tiny", 2L -> "same tiny", 3L -> "other")
     val out = TextDedup.dupRuns(docs).orderBy(col("doc_id")).collect()
