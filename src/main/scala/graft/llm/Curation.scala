@@ -466,6 +466,23 @@ object Curation {
            |FROM lines l JOIN dfs d ON l.source = d.source AND l.line = d.line
            |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin))
 
+  /** Materialize the curated corpus in the layout a training job
+    * reads: parquet partitioned by (split, source), rows sorted by
+    * doc_id within each file. The split is the content-hash
+    * assignment, so a rerun or backfill writes byte-identical
+    * partition memberships with zero coordination — the same
+    * idempotent-sink stance as the cert store's partitioned write.
+    * One shuffle (the repartition that co-locates each partition's
+    * rows so a partition is one file, not `shuffle.partitions`
+    * fragments — at 100 TB, small-file pressure is the failure mode,
+    * same reasoning as IngestJob.compact). */
+  def exportCorpus(docs: DataFrame, outDir: String): Unit =
+    docs
+      .withColumn("split", splitByHash(col("text")))
+      .repartition(col("split"), col("source"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").partitionBy("split", "source").parquet(outDir)
+
   val all: Seq[QuerySpec] =
     Seq(qSample, qSplit, qParaDedup, qRedact, qLineDedup, qPack, qMix,
       qShuffle, qStripMarkup, qNormalize, qQuotaSample, qChunk,

@@ -138,6 +138,28 @@ object StreamingCuration {
         })
   }
 
+  /** The per-row curation stack lifted onto the feed: normalization +
+    * PII redaction of the text, and the corpus-independent quality
+    * vetoes (the Gopher rule set and the repetition-kernel ceiling —
+    * the same column expressions the batch `qualityRules`/`qualityGate`
+    * evaluate, so stream and batch verdicts agree by construction).
+    * STATELESS: no watermark, no shuffle — each micro-batch is one
+    * codegen'd projection, which is exactly why this subset of the
+    * gate belongs on the hot path while the corpus-dependent LM floor
+    * stays a batch pass. */
+  def streamingCurate(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("*") +: TextAnalysis.ruleSet: _*)
+      .withColumn("r",
+        call_udf("graft_top_shingle_run", col("text"), lit(3)))
+      .select(col("doc_id"), col("source"), col("event_ts"),
+        Curation.redact(Curation.normalize(col("text"))).as("cleaned"),
+        (col("rule_min_tokens") && col("rule_word_len") &&
+          col("rule_punct") && col("rule_stopwords") &&
+          col("r.top_count") * 5 <= col("r.n_tri")).as("keep"))
+  }
+
   /** Tumbling-window ingest accounting per source: docs and exact token
     * sums per (window, source) — the continuous form of the batch
     * q_llm_tokens rollup. Partial aggregation compresses map-side; the

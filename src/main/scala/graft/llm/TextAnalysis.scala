@@ -300,7 +300,7 @@ object TextAnalysis {
   /** The four Gopher-style rule booleans over a text column, shared by
     * [[qualityRules]] (reported individually) and [[qualityGate]]
     * (folded into one verdict). */
-  private def ruleSet: Seq[Column] = {
+  private[llm] def ruleSet: Seq[Column] = {
     val nTok = size(tokens(col("text"))).cast("long")
     val lenC = length(col("text")).cast("long")
     val alphaLen = lenC - nTok + 1 // chars in tokens (len minus separators)

@@ -199,6 +199,34 @@ class PlanSpec extends SparkSpec {
       s"bigram counts lost their map-side partials:\n$p")
   }
 
+  test("quality gate: per-row signals share one projection, only the LM side joins") {
+    val p = plan("q_llm_quality_gate")
+    assert(p.contains("InMemoryTableScan"),
+      s"the LM pair frame must be cached for its two consumers:\n$p")
+    assert(!p.toLowerCase.contains("window("),
+      s"no window anywhere in the gate:\n$p")
+    // the gate's joins are exactly the LM side's: pairs⋈bg, pairs⋈uni,
+    // and ONE outer verdict join — rules and repetition never join
+    // each other (they share a projection)
+    val outerJoins = p.linesIterator.count(l =>
+      l.contains("Join") && l.contains("LeftOuter"))
+    assert(outerJoins >= 1, s"LM verdict must left-join:\n$p")
+  }
+
+  test("ann recall broadcasts both query sides; the intersection is a semi join") {
+    val p = plan("q_llm_ann_recall")
+    assert(p.contains("LeftSemi"), s"hit counting must be a semi join:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"query sets must broadcast on both pipelines:\n$p")
+  }
+
+  test("semdedup and dedup stats aggregate with map-side partials") {
+    assert(plan("q_llm_semdedup").contains("LeftAnti"),
+      "keep-list must be an anti join")
+    assert(plan("q_llm_dedup_stats").contains("partial_count"),
+      "histogram aggregates must map-side combine")
+  }
+
   test("dup runs: shingle df is an aggregate; islands window is per-document") {
     val p = plan("q_llm_dup_run")
     assert(p.contains("partial_count"),

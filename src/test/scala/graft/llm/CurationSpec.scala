@@ -208,6 +208,28 @@ class CurationSpec extends SparkSpec {
       "500-char windows of a 2-periodic string repeat")
   }
 
+  test("exportCorpus: (split, source) layout, rerun-identical memberships") {
+    val docs = (1 to 80).map(i =>
+      (i.toLong, s"src${i % 2}", s"document body number $i with words"))
+      .toDF("doc_id", "source", "text")
+    val d1 = java.nio.file.Files.createTempDirectory("corpus1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("corpus2").toString
+    Curation.exportCorpus(docs, d1)
+    Curation.exportCorpus(docs.repartition(13).orderBy(col("doc_id").desc), d2)
+    def layout(d: String): Map[(String, String), Seq[Long]] =
+      spark.read.parquet(d)
+        .select(col("split"), col("source"), col("doc_id")).collect()
+        .groupBy(r => (r.getString(0), r.getString(1)))
+        .view.mapValues(_.map(_.getLong(2)).sorted.toSeq).toMap
+    val (l1, l2) = (layout(d1), layout(d2))
+    assert(l1 == l2, "partition membership must be content-deterministic")
+    assert(l1.values.map(_.size).sum == 80)
+    assert(l1.keys.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    // the physical layout is hive-partitioned directories
+    val dirs = new java.io.File(d1).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("split=")), dirs.toSeq)
+  }
+
   test("boilerplate: lines repeated across >=3 docs of one source flag; cross-source repeats don't") {
     val docs = Seq(
       (1L, "web", "COOKIE BANNER. unique one"),

@@ -138,4 +138,37 @@ class StreamingCurationSpec extends SparkSpec {
       assert(rows == Set(("a", 2L, 5L), ("b", 1L, 1L)), rows.toString)
     } finally q.stop()
   }
+
+  test("streamingCurate: stateless per-row stack, verdicts identical to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      doc(1, 0, "a",
+        "the quick brown fox jumps over that lazy dog again today friend"),
+      doc(2, 1, "a", "the spam ham spam ham spam ham spam ham spam ham a"),
+      doc(3, 2, "b", "Contact meat  bob@example.com or 1234567 the a " +
+        "and some more words here to pass the minimum length rule today"),
+      doc(4, 3, "b", "hi"))
+    val in = MemoryStream[Doc]
+    val q = StreamingCuration.streamingCurate(in.toDF())
+      .writeStream.format("memory").queryName("scurate")
+      .outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("scurate")
+        .select(col("doc_id"), col("cleaned"), col("keep"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+      val batch = StreamingCuration.streamingCurate(
+        docs.map(d => (d.doc_id, d.event_ts, d.source, d.text))
+          .toDF("doc_id", "event_ts", "source", "text"))
+        .select(col("doc_id"), col("cleaned"), col("keep"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+      assert(streamed == batch, "stream and batch must agree by construction")
+      val keeps = streamed.map(t => t._1 -> t._3).toMap
+      assert(keeps == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false), keeps)
+      val cleaned3 = streamed.find(_._1 == 3L).get._2
+      assert(cleaned3.contains("<EMAIL>") && cleaned3.contains("<NUM>") &&
+        !cleaned3.contains("bob@") && !cleaned3.contains("  "), cleaned3)
+    } finally q.stop()
+  }
 }
