@@ -71,21 +71,26 @@ object StreamingCuration {
     * horizon are forgotten — a duplicate of an evicted document is
     * re-admitted, exactly like [[streamingExactDedup]], and the batch
     * keep-list restores global exactness downstream. */
+  /** The watermark string as a fixed horizon in ms. Month-bearing
+    * intervals have no fixed ms length, so the horizon would silently
+    * read as 0 — reject them up front (Spark's own watermark-delay
+    * restriction). */
+  private def horizonMsOf(watermark: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    require(iv.months == 0,
+      s"watermark '$watermark' must not use month units; express the " +
+      "horizon in days or smaller")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
   def streamingNearDup(docs: DataFrame, numPerm: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucket: Int = 100,
       watermark: String = "1 hour"): Dataset[NearDupHit] = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-      org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
-    // Month-bearing intervals have no fixed ms length, so the horizon
-    // below would silently read as 0 — reject them up front (Spark's
-    // own watermark-delay restriction).
-    require(iv.months == 0,
-      s"watermark '$watermark' must not use month units; express the " +
-      "horizon in days or smaller")
-    val horizonMs = iv.days * 86400000L + iv.microseconds / 1000L
+    val horizonMs = horizonMsOf(watermark)
     val rows = numPerm / bands
     val banded = docs
       .withWatermark("event_ts", watermark)
@@ -132,6 +137,80 @@ object StreamingCuration {
                 members = (d.doc_id, d.sig, d.event_ts.getTime) :: members
             }
             state.update(BandMembers(members, maxTs))
+            state.setTimeoutTimestamp(maxTs + horizonMs)
+            hits.result().iterator
+          }
+        })
+  }
+
+  case class EmbDoc(sig: Long, vec_id: Long, embedding: Seq[Float],
+      nrm: Double, event_ts: java.sql.Timestamp)
+  case class EmbHit(ida: Long, idb: Long, cos: Double)
+  case class EmbMembers(members: List[(Long, Seq[Float], Double, Long)],
+      maxTsMs: Long)
+
+  /** Streaming semantic near-dup over an embedding feed — the
+    * streaming cell of the similarity matrix, mirroring
+    * [[streamingNearDup]]'s state discipline with sign-LSH buckets:
+    * each vector lands in its signature bucket, pairs against the
+    * in-horizon members, and flags when exact cosine ≥ `tau` (the
+    * batch SemDeDup edge condition, so a flagged stream pair is
+    * exactly an edge the nightly SemDeDup pass would draw).
+    *
+    * Scale shape: state keys are 8-bit signatures (bounded bucket
+    * family); a member is vec_id + the embedding (dim·4 B) + norm —
+    * buckets cap at `maxBucket` members and prune to the lateness
+    * horizon on every update, so 24/7 state is horizon-bounded. Flags
+    * are at-least-once; the batch semDedupKeepList restores global
+    * exactness downstream. */
+  def streamingEmbNearDup(vecs: DataFrame, bits: Int = 8, dim: Int = 64,
+      tau: Double = 0.3, maxBucket: Int = 1000,
+      watermark: String = "1 hour"): Dataset[EmbHit] = {
+    val spark = vecs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val horizonMs = horizonMsOf(watermark)
+    val banded = vecs
+      .withWatermark("event_ts", watermark)
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+      .withColumn("sig", call_udf("graft_signlsh",
+        col("embedding"), lit(bits), lit(dim), lit(42L)))
+      .select(col("sig"), col("vec_id"), col("embedding"), col("nrm"),
+        col("event_ts"))
+      .as[EmbDoc]
+    // the kernels' IEEE order: float products, left-fold double sum
+    def cos(a: Seq[Float], b: Seq[Float], na: Double, nb: Double): Double =
+      a.iterator.zip(b.iterator).foldLeft(0.0)((s, p) => s + p._1 * p._2) /
+        (na * nb)
+    banded
+      .groupByKey(_.sig)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, it: Iterator[EmbDoc], state: GroupState[EmbMembers]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(EmbMembers(Nil, 0L))
+            var members = prev.members
+            var maxTs = prev.maxTsMs
+            val hits = List.newBuilder[EmbHit]
+            it.toSeq.sortBy(_.vec_id).foreach { d =>
+              maxTs = math.max(maxTs, d.event_ts.getTime)
+              members = members.filter(_._4 >= maxTs - horizonMs)
+              members.foreach { case (mid, memb, mnrm, _) =>
+                if (mid != d.vec_id) {
+                  val c = cos(d.embedding, memb, d.nrm, mnrm)
+                  if (c >= tau)
+                    hits += EmbHit(math.min(mid, d.vec_id),
+                      math.max(mid, d.vec_id), c)
+                }
+              }
+              if (members.size < maxBucket &&
+                  !members.exists(_._1 == d.vec_id))
+                members = (d.vec_id, d.embedding, d.nrm,
+                  d.event_ts.getTime) :: members
+            }
+            state.update(EmbMembers(members, maxTs))
             state.setTimeoutTimestamp(maxTs + horizonMs)
             hits.result().iterator
           }

@@ -139,6 +139,44 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private case class VDoc(vec_id: Long, event_ts: java.sql.Timestamp,
+      embedding: Seq[Float])
+  private def vdoc(id: Long, minute: Int, e: Seq[Float]) =
+    VDoc(id, new java.sql.Timestamp(minute * 60000L), e)
+
+  test("streaming embedding near-dup: cosine flags across batches, horizon evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (0 until 64).map(i => (math.sin(i) * 0.3).toFloat)
+    val sameDir = base.map(_ * 2f) // cos = 1, same sign signature
+    val ortho = (0 until 64).map(i => (math.cos(i * 7 + 1) * 0.3).toFloat)
+    val in = MemoryStream[VDoc]
+    val q = StreamingCuration.streamingEmbNearDup(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sembdup")
+      .outputMode("append").start()
+    def hits(): Set[(Long, Long)] =
+      spark.table("sembdup").select(col("ida"), col("idb"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      in.addData(vdoc(1, 60, base), vdoc(3, 61, ortho))
+      q.processAllAvailable()
+      assert(hits().isEmpty, "no semantic dups yet")
+      in.addData(vdoc(2, 62, sameDir)) // flagged against batch 1's state
+      q.processAllAvailable()
+      assert(hits() == Set((1L, 2L)), hits().toString)
+      val cosOut = spark.table("sembdup").select(col("cos"))
+        .collect().map(_.getDouble(0))
+      assert(cosOut.forall(c => c > 0.999 && c <= 1.0000001), cosOut.toSeq)
+      // push the watermark far past the horizon; a late same-direction
+      // copy is NOT flagged against the evicted members
+      in.addData(vdoc(8, 120, ortho.map(_ * 3f)))
+      q.processAllAvailable()
+      in.addData(vdoc(9, 121, base))
+      q.processAllAvailable()
+      assert(hits() == Set((1L, 2L)),
+        s"evicted state must not flag the late duplicate: ${hits()}")
+    } finally q.stop()
+  }
+
   test("streamingCurate: stateless per-row stack, verdicts identical to batch") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Seq(
