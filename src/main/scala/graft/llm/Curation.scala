@@ -425,20 +425,27 @@ object Curation {
     * within a crawl source, not across unrelated ones). Reports the
     * per-document line count, boilerplate-line count, and fraction.
     *
-    * Scale shape: one scan exploded to (source, line) with the df
-    * aggregate as a groupBy + join back on the same key — NOT
-    * `count(*) OVER (PARTITION BY line)` — so both exchanges share one
-    * shuffle key and AQE can split a skewed boilerplate line (a window
-    * would pin the million-document cookie banner on one task). The
-    * per-line distinct-doc count is map-side partially aggregated. */
+    * Scale shape: one scan exploded to lines, immediately narrowed to
+    * a 128-bit (source, line) hash key — two seeded xxhash64s, the
+    * lineDedup stance: 16 bytes cross the wire per line, never the
+    * line text, and 64 bits alone would expect collisions at 10¹⁰
+    * lines. The df aggregate is a groupBy + join back on that same
+    * key — NOT `count(*) OVER (PARTITION BY ...)` — so both exchanges
+    * share one shuffle key and AQE can split a skewed boilerplate
+    * line (a window would pin the million-document cookie banner on
+    * one task). The per-line distinct-doc count is map-side partially
+    * aggregated. */
   def boilerplate(docs: DataFrame, minDf: Int = 3,
       sep: String = ". "): DataFrame = {
     val lines = docs.select(col("doc_id"), col("source"),
       explode(split(col("text"),
         java.util.regex.Pattern.quote(sep))).as("line"))
-    val dfs = lines.groupBy(col("source"), col("line"))
+      .select(col("doc_id"),
+        struct(xxhash64(col("source"), col("line")),
+          xxhash64(col("source"), col("line"), lit(1))).as("lk"))
+    val dfs = lines.groupBy(col("lk"))
       .agg(count_distinct(col("doc_id")).as("line_df"))
-    lines.join(dfs, Seq("source", "line"))
+    lines.join(dfs, Seq("lk"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("line_df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
