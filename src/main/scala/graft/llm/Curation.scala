@@ -480,13 +480,19 @@ object Curation {
     * partition memberships with zero coordination — the same
     * idempotent-sink stance as the cert store's partitioned write.
     * One shuffle (the repartition that co-locates each partition's
-    * rows so a partition is one file, not `shuffle.partitions`
-    * fragments — at 100 TB, small-file pressure is the failure mode,
-    * same reasoning as IngestJob.compact). */
-  def exportCorpus(docs: DataFrame, outDir: String): Unit =
+    * rows so a partition is `filesPerPartition` files, not
+    * `shuffle.partitions` fragments — at 100 TB, small-file pressure
+    * is the failure mode, same reasoning as IngestJob.compact).
+    * `filesPerPartition` is also the skew valve: one hot (split,
+    * source) pair would otherwise serialize on a single write task,
+    * so the salt — itself a content hash, keeping rerun determinism —
+    * spreads it over that many tasks/files. */
+  def exportCorpus(docs: DataFrame, outDir: String,
+      filesPerPartition: Int = 1): Unit =
     docs
       .withColumn("split", splitByHash(col("text")))
-      .repartition(col("split"), col("source"))
+      .repartition(col("split"), col("source"),
+        pmod(xxhash64(col("text")), lit(filesPerPartition.toLong)))
       .sortWithinPartitions(col("doc_id"))
       .write.mode("overwrite").partitionBy("split", "source").parquet(outDir)
 

@@ -87,9 +87,16 @@ class CurationPropsSpec extends SparkSpec {
     ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "eee", "f0"))
   } yield ws.mkString(" ")
 
-  private val corpus: Seq[(Long, String)] =
-    Iterator.continually(genDoc.sample).flatten.take(60).toSeq
-      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  // seeded: the same corpus every run, so a failure is reproducible
+  private val corpus: Seq[(Long, String)] = {
+    val params = org.scalacheck.Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(42L)
+    (0 until 60).map { i =>
+      val t = genDoc.pureApply(params, seed)
+      seed = seed.next
+      (i.toLong, t)
+    }
+  }
 
   private lazy val corpusDf = corpus.toDF("doc_id", "text")
 

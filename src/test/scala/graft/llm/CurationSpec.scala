@@ -228,6 +228,10 @@ class CurationSpec extends SparkSpec {
     // the physical layout is hive-partitioned directories
     val dirs = new java.io.File(d1).listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.forall(_.startsWith("split=")), dirs.toSeq)
+    // the skew valve spreads a partition over N files, data unchanged
+    val d3 = java.nio.file.Files.createTempDirectory("corpus3").toString
+    Curation.exportCorpus(docs, d3, filesPerPartition = 4)
+    assert(layout(d3) == l1, "salting must not change memberships")
   }
 
   test("boilerplate: lines repeated across >=3 docs of one source flag; cross-source repeats don't") {
