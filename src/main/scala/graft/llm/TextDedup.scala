@@ -669,6 +669,94 @@ object TextDedup {
            |  (SELECT sha256(text) FROM documents WHERE doc_id < 250)
            |ORDER BY doc_id""".stripMargin))
 
+  /** The FUZZY companion of [[newAgainstHistory]]: new documents that
+    * near-duplicate ANY history document (rewrites, boilerplate
+    * variants, truncations — content-hash equality misses all of
+    * them). MinHash banding runs over the union; candidate pairs are
+    * filtered to cross-corpus ones; each flagged new doc reports its
+    * best history match (highest verified Jaccard, ties to the lowest
+    * history id — deterministic).
+    *
+    * Scale shape: inherits minhashPairs end to end — signatures
+    * persisted once over the union, capped band buckets, hashed-long
+    * verification. The cross filter and best-match rollup add one
+    * doc_id-keyed aggregate over the (tiny) verified-pair set. */
+  def nearDupAgainstHistory(docs: DataFrame, history: DataFrame,
+      threshold: Double = 0.5, maxBucket: Int = 100,
+      shingleKernel: String = "graft_shingle_hashes"): DataFrame = {
+    val union = docs.select(col("doc_id"), col("text"))
+      .unionByName(history.select(col("doc_id"), col("text")))
+    val pairs = minhashPairs(union, threshold = threshold,
+      maxBucket = maxBucket, shingleKernel = shingleKernel)
+    val tags = docs.select(col("doc_id"), lit(true).as("is_new"))
+      .unionByName(history.select(col("doc_id"), lit(false).as("is_new")))
+    pairs
+      .join(tags.select(col("doc_id").as("ida"), col("is_new").as("na")), Seq("ida"))
+      .join(tags.select(col("doc_id").as("idb"), col("is_new").as("nb")), Seq("idb"))
+      .filter(col("na") =!= col("nb"))
+      .select(
+        when(col("na"), col("ida")).otherwise(col("idb")).as("doc_id"),
+        when(col("na"), col("idb")).otherwise(col("ida")).as("matched_history_id"),
+        col("jac"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max_by(col("matched_history_id"),
+          struct(col("jac"), (-col("matched_history_id")).as("n")))
+          .as("matched_history_id"),
+        max(col("jac")).as("jac"))
+  }
+
+  /** Oracle'd end-to-end on the MD5 kernel (the qMinhashMd5 replay
+    * plus the cross filter and best-match window). */
+  val qHistNearDup = QuerySpec(
+    "q_llm_hist_neardup",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      nearDupAgainstHistory(docs.filter(col("doc_id") >= 250),
+        docs.filter(col("doc_id") < 250),
+        shingleKernel = "graft_shingle_hashes_md5")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $duckShinglesCte,
+            |th AS (
+            |  SELECT doc_id, list_transform(shingles,
+            |    t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483647) AS th
+            |  FROM sh),
+            |sig AS (
+            |  SELECT doc_id, th, list_transform(range(0, 64), k ->
+            |    list_min(list_transform(th,
+            |      h -> ((k*1000003 + 12345)*h + k*998244353 + 7) % 2147483647))) AS sig
+            |  FROM th),
+            |bands AS (
+            |  SELECT doc_id, unnest(list_transform(range(0, 16),
+            |    b -> b::VARCHAR || ':' || array_to_string(sig[b*4+1:b*4+4], ','))) AS band_key
+            |  FROM sig),
+            |ok AS (
+            |  SELECT band_key FROM bands GROUP BY band_key
+            |  HAVING count(*) > 1 AND count(*) <= 100),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            |  FROM bands a JOIN bands b
+            |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            |  WHERE a.band_key IN (SELECT band_key FROM ok)),
+            |scored AS (
+            |  SELECT c.ida, c.idb,
+            |    len(list_intersect(ta.th, tb.th)) /
+            |    len(list_distinct(list_concat(ta.th, tb.th))) AS jac
+            |  FROM cand c
+            |  JOIN th ta ON ta.doc_id = c.ida
+            |  JOIN th tb ON tb.doc_id = c.idb),
+            |cross_pairs AS (
+            |  SELECT CASE WHEN ida >= 250 THEN ida ELSE idb END AS doc_id,
+            |    CASE WHEN ida >= 250 THEN idb ELSE ida END AS matched_history_id,
+            |    jac
+            |  FROM scored
+            |  WHERE jac >= 0.5 AND ((ida < 250) <> (idb < 250)))
+            |SELECT doc_id, matched_history_id, jac FROM cross_pairs
+            |QUALIFY row_number() OVER (PARTITION BY doc_id
+            |  ORDER BY jac DESC, matched_history_id) = 1
+            |ORDER BY doc_id""".stripMargin))
+
   // ---- benchmark contamination ------------------------------------------
 
   /** Benchmark-contamination detection: documents sharing any word
@@ -1008,5 +1096,6 @@ object TextDedup {
   val all: Seq[QuerySpec] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qMinhashMd5, qSimhash,
       qSimhashMd5, qSourceSim, qSourceSimMd5, qDedupClusters, qKeepList,
-      qContamination, qHistDedup, qSpanOverlap, qDupRun, qDedupStats)
+      qContamination, qHistDedup, qHistNearDup, qSpanOverlap, qDupRun,
+      qDedupStats)
 }

@@ -255,6 +255,24 @@ class TextDedupSpec extends SparkSpec {
       (3L, 5L, 0L, 0L), (4L, 4L, 2L, 2L)), out.toSeq)
   }
 
+  test("nearDupAgainstHistory flags fuzzy matches exact hist-dedup misses") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val variant = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val history = docsDf(1L -> base,
+      2L -> ("completely different history doc " +
+        (1 to 30).map(i => s"h$i").mkString(" ")))
+    val docs = docsDf(10L -> variant, // near-dup of history 1, not exact
+      11L -> (200 to 240).map(i => s"z$i").mkString(" ")) // novel
+    val out = TextDedup.nearDupAgainstHistory(docs, history)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1 && out(0)._1 == 10L && out(0)._2 == 1L &&
+      out(0)._3 >= 0.5, out.toSeq)
+    // the exact path would NOT flag the variant (different content hash)
+    val exactNew = TextDedup.newAgainstHistory(docs, history)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(exactNew == Set(10L, 11L), "exact dedup keeps the rewrite")
+  }
+
   test("dedupClusterStats: histogram of component sizes") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ida", "idb")
