@@ -287,7 +287,7 @@ class TextAnalysisSpec extends SparkSpec {
     // corpus: "a b", "a b", "a c" → c(a)=3, bigram (a,b)=2, (a,c)=1
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
       .toDF("doc_id", "text")
-    val out = TextDedupSpecHelpers.collectLm(TextAnalysis.lmScore(docs))
+    val out = LmScoreSpecHelpers.collectLm(TextAnalysis.lmScore(docs))
     // (1000000*2) div 3 = 666666; (1000000*1) div 3 = 333333
     assert(out == Seq(
       (1L, 1L, 666666L, 666666L), (2L, 1L, 666666L, 666666L),
@@ -298,7 +298,7 @@ class TextAnalysisSpec extends SparkSpec {
 
 /** Shared collect helper (kept outside the anonymous test closures so
   * Spark never tries to serialize the enclosing suite). */
-object TextDedupSpecHelpers {
+object LmScoreSpecHelpers {
   def collectLm(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
     df.orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
