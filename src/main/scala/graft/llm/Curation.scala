@@ -496,8 +496,62 @@ object Curation {
       .sortWithinPartitions(col("doc_id"))
       .write.mode("overwrite").partitionBy("split", "source").parquet(outDir)
 
+  /** Corpus version diff — the dataset-release audit between two
+    * snapshots: per doc_id, whether it was added, removed, changed
+    * (same id, different content hash), or unchanged. What a data card
+    * cites between v1 and v2, and what an incremental pipeline uses to
+    * recompute only the changed slice.
+    *
+    * Scale shape: both snapshots narrow to (doc_id, 64-bit content
+    * hash) in their scans — text never shuffles — then one full outer
+    * join on doc_id; the status column is a null-pattern case over the
+    * two hash columns. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def keyed(df: DataFrame, h: String) =
+      df.select(col("doc_id"), xxhash64(col("text")).as(h))
+    keyed(oldDocs, "old_h").join(keyed(newDocs, "new_h"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_h").isNull, "added")
+          .when(col("new_h").isNull, "removed")
+          .when(col("old_h") === col("new_h"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** Oracle'd with the two snapshots carved from the documents table:
+    * v1 = doc_id < 400 with the odd ids' text perturbed in-plan, v2 =
+    * the table as shipped restricted to doc_id >= 100 — so all four
+    * statuses occur. xxhash64 is Spark-only, but equality of hashes is
+    * equality of text (mod collisions), which DuckDB states directly
+    * on the text columns. */
+  val qCorpusDiff = QuerySpec(
+    "q_llm_corpus_diff",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val v1 = docs.filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 1, concat(col("text"), lit(" v1-edit")))
+            .otherwise(col("text")).as("text"))
+      val v2 = docs.filter(col("doc_id") >= 100)
+      corpusDiff(v1, v2).orderBy(col("doc_id"))
+    },
+    Some("""WITH v1 AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 2 = 1 THEN text || ' v1-edit'
+           |         ELSE text END AS text
+           |  FROM documents WHERE doc_id < 400
+           |), v2 AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id >= 100
+           |)
+           |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+           |       WHEN v2.doc_id IS NULL THEN 'removed'
+           |       WHEN v1.text = v2.text THEN 'unchanged'
+           |       ELSE 'changed' END AS status
+           |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qSample, qSplit, qParaDedup, qRedact, qLineDedup, qPack, qMix,
       qShuffle, qStripMarkup, qNormalize, qQuotaSample, qChunk,
-      qBoilerplate)
+      qBoilerplate, qCorpusDiff)
 }

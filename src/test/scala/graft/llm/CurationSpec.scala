@@ -234,6 +234,17 @@ class CurationSpec extends SparkSpec {
     assert(layout(d3) == l1, "salting must not change memberships")
   }
 
+  test("corpusDiff labels added/removed/changed/unchanged by id and content") {
+    val v1 = Seq((1L, "same"), (2L, "old text"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "new text"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val out = Curation.corpusDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), out.toString)
+  }
+
   test("boilerplate: lines repeated across >=3 docs of one source flag; cross-source repeats don't") {
     val docs = Seq(
       (1L, "web", "COOKIE BANNER. unique one"),
