@@ -710,17 +710,19 @@ object TextAnalysis {
     * array expressions — so the operator is a zero-shuffle scan
     * emitting ~n/w 8-byte fingerprints per document; only those longs
     * ever reach an exchange. That per-row form is what makes the MOSS
-    * scheme viable at 100 TB: no window function, no self-join. The
-    * token and hash arrays are materialized in their own projections
-    * (see [[shingleHashesOfToks]]) so each evaluates once per row, not
-    * once per sliding window. */
+    * scheme viable at 100 TB: no window function, no self-join, no
+    * keyed shuffle (spreadSmallInput's round-robin fires only when a
+    * small input can't fill the cores, a stats-check no-op at scale).
+    * The token and hash arrays are materialized in their own
+    * projections (see [[shingleHashesOfToks]]) so each evaluates once
+    * per row, not once per sliding window. */
   def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame = {
     val hs = col("hs")
     val fps = when(size(hs) >= w,
       array_distinct(transform(sequence(lit(0), size(hs) - w),
         j => array_min(slice(hs, j + 1, lit(w))))))
       .otherwise(array(array_min(hs)))
-    docs
+    TextDedup.spreadSmallInput(docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), shingleHashesOfToks(col("toks")).as("hs"))
       .select(col("doc_id"), explode(fps).as("fp"))
@@ -772,7 +774,8 @@ object TextAnalysis {
     // toks is materialized in its own projection so the bigram lambda
     // slices an attribute, not a re-evaluated split (see
     // shingleHashesOfToks for the O(n²)-per-row failure mode)
-    val toksDf = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val toksDf = TextDedup.spreadSmallInput(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
     val toks = col("toks")
     val pairs = toksDf.select(col("doc_id"),
       explode(when(size(toks) >= 2,
@@ -834,7 +837,7 @@ object TextAnalysis {
     * side shuffles, and its verdict joins back on doc_id. */
   def qualityGate(docs: DataFrame, lmThresholdPpm: Long = 34000L): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val perRow = docs
+    val perRow = TextDedup.spreadSmallInput(docs)
       .select(col("doc_id") +: col("text") +: ruleSet: _*)
       .withColumn("r", call_udf("graft_top_shingle_run", col("text"), lit(3)))
       .select(col("doc_id"),

@@ -124,7 +124,7 @@ object TextDedup {
     * maxPartitionBytes — the planner's own split arithmetic — instead
     * of probing `.rdd.getNumPartitions`, which forced a plan-to-RDD
     * conversion of the kernel entry just to count splits. */
-  private def spreadSmallInput(docs: DataFrame): DataFrame = {
+  private[llm] def spreadSmallInput(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
@@ -982,7 +982,7 @@ object TextDedup {
     * shingles regardless of corpus size. */
   def dupRuns(docs: DataFrame, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = docs
+    val sh = spreadSmallInput(docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         posexplode(TextAnalysis.shingleHashesOfToks(col("toks"))))
