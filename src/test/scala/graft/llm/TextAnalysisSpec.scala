@@ -248,6 +248,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.winnowFingerprints(short).count() == 1L)
   }
 
+  test("positional shingle hashes agree with the native md5 kernel as sets") {
+    // Two independent implementations of the same hash scheme — the
+    // builtin-expression positional form (winnow/dup_run) and the
+    // Md5ShingleHashesExpr kernel (novelty/minhash_md5) — must collide
+    // exactly, or the operators silently stop sharing an identity.
+    graft.functions.GraftFunctions.register(spark)
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "rep rep rep rep rep", // duplicate shingles collapse in both
+      3L -> "just two",            // whole-text fallback
+      4L -> "")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"), col("text"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(
+          TextAnalysis.shingleHashesOfToks(col("toks")))).as("a"),
+        array_sort(call_udf("graft_shingle_hashes_md5",
+          col("text"), lit(3), lit(true))).as("b"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: ${r.getSeq[Long](1)} vs ${r.getSeq[Long](2)}")
+    }
+  }
+
   test("winnowFingerprints is content-deterministic under repartitioning") {
     val docs = (1 to 30).map(i =>
       (i.toLong, (1 to 20).map(j => s"w${(i * j) % 7}").mkString(" ")))
