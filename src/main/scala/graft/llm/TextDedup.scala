@@ -1093,9 +1093,68 @@ object TextDedup {
            |FROM sizes GROUP BY cluster_size
            |ORDER BY cluster_size""".stripMargin))
 
+  /** Dedup impact report — the data-card line a curation run publishes:
+    * per source, how many documents and tokens the keep-list retains
+    * ("dedup removed 12% of web tokens"). Token-weighted, because a
+    * dedup pass that drops 1% of documents can still drop 30% of
+    * tokens when the duplicates are long.
+    *
+    * Scale shape: the keep-list's CC + anti-join machinery, then one
+    * narrow (doc_id, source, token-count) scan left-joined to the
+    * kept set on doc_id and rolled up per source — token counts are
+    * per-row ints, text never reaches the rollup. */
+  def dedupImpact(docs: DataFrame): DataFrame = {
+    val kept = dedupKeepList(docs, jaccardBlockPairs(docs))
+      .select(col("doc_id"), lit(true).as("kept"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+  }
+
+  val qDedupImpact = QuerySpec(
+    "q_llm_dedup_impact",
+    (s, d) =>
+      dedupImpact(Tables.load(s, d, "documents"))
+        .orderBy(col("source")),
+    Some("""WITH RECURSIVE pairs AS (
+           |  SELECT a.doc_id AS ida, b.doc_id AS idb
+           |  FROM documents a JOIN documents b
+           |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |  WHERE a.doc_id < 200 AND b.doc_id < 200
+           |    AND len(list_intersect(list_distinct(string_split(a.text, ' ')),
+           |                           list_distinct(string_split(b.text, ' ')))) /
+           |        len(list_distinct(list_concat(string_split(a.text, ' '),
+           |                                      string_split(b.text, ' ')))) >= 0.5
+           |), edges AS (
+           |  SELECT ida AS a, idb AS b FROM pairs
+           |  UNION SELECT idb, ida FROM pairs
+           |), reach(a, b) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+           |), drop_ids AS (
+           |  SELECT a FROM reach GROUP BY a HAVING a <> min(b)
+           |)
+           |SELECT source,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN doc_id NOT IN (SELECT a FROM drop_ids)
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           |  CAST(sum(CASE WHEN doc_id NOT IN (SELECT a FROM drop_ids)
+           |           THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
+           |    AS kept_tokens
+           |FROM documents
+           |GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qMinhashMd5, qSimhash,
       qSimhashMd5, qSourceSim, qSourceSimMd5, qDedupClusters, qKeepList,
       qContamination, qHistDedup, qHistNearDup, qSpanOverlap, qDupRun,
-      qDedupStats)
+      qDedupStats, qDedupImpact)
 }

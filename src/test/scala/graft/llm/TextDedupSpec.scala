@@ -273,6 +273,23 @@ class TextDedupSpec extends SparkSpec {
     assert(exactNew == Set(10L, 11L), "exact dedup keeps the rewrite")
   }
 
+  test("dedupImpact: token-weighted keep rates per source") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "web", "en", base),
+      (2L, "web", "en", base), // dup of 1 → dropped, tokens and all
+      (3L, "web", "en", "totally different text right here"),
+      (4L, "forum", "en", "short post")
+    ).toDF("doc_id", "source", "lang", "text")
+    val out = TextDedup.dedupImpact(docs).orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("forum", 1L, 1L, 2L, 2L),
+      ("web", 3L, 2L, 65L, 35L)), out.toSeq)
+  }
+
   test("dedupClusterStats: histogram of component sizes") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ida", "idb")
