@@ -227,6 +227,28 @@ class PlanSpec extends SparkSpec {
       "histogram aggregates must map-side combine")
   }
 
+  test("corpus diff narrows both snapshots to hashes before the full outer join") {
+    val p = plan("q_llm_corpus_diff")
+    assert(p.contains("FullOuter"), s"diff must be one full outer join:\n$p")
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty &&
+      readSchemas.forall(s => !s.contains("source") && !s.contains("lang")),
+      s"snapshots must scan only (doc_id, text): $readSchemas")
+  }
+
+  test("fuzzy historical dedup caches signatures once and joins candidates narrow") {
+    val p = plan("q_llm_hist_neardup")
+    assert(p.contains("InMemoryTableScan"),
+      s"the (doc_id, th, sig) frame must be cached across branches:\n$p")
+  }
+
+  test("dedup impact rolls up per source with map-side partials") {
+    val p = plan("q_llm_dedup_impact")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the source rollup lost its map-side partials:\n$p")
+    assert(p.contains("LeftAnti"), s"keep-list must stay an anti join:\n$p")
+  }
+
   test("dup runs: shingle df is an aggregate; islands window is per-document") {
     val p = plan("q_llm_dup_run")
     assert(p.contains("partial_count"),
