@@ -135,4 +135,27 @@ class CurationPropsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got == refLm(corpus))
   }
+
+  test("corpusDiff equals the sequential set definition on random snapshots") {
+    // v1 = even-indexed docs, v2 = docs 20..59 with every 3rd text
+    // perturbed — ids overlap, diverge, and appear on one side only
+    val v1 = corpus.filter(_._1 % 2 == 0)
+    val v2 = corpus.filter(_._1 >= 20).map { case (id, t) =>
+      (id, if (id % 3 == 0) t + " edited" else t)
+    }
+    val got = Curation.corpusDiff(
+      v1.toDF("doc_id", "text"), v2.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m1 = v1.toMap
+    val m2 = v2.toMap
+    val want = (m1.keySet ++ m2.keySet).map { id =>
+      id -> ((m1.get(id), m2.get(id)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) if a == b => "unchanged"
+        case _ => "changed"
+      })
+    }.toMap
+    assert(got == want)
+  }
 }
