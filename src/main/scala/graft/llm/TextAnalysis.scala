@@ -716,7 +716,26 @@ object TextAnalysis {
     * The token and hash arrays are materialized in their own
     * projections (see [[shingleHashesOfToks]]) so each evaluates once
     * per row, not once per sliding window. */
-  def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame = {
+  def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame =
+    winnowWith(docs, w, shingleHashesOfToks(col("toks")))
+
+  /** The production twin (the fingerprint/minhash xxhash64-vs-md5
+    * convention): identical selection over pmod(xxhash64) positional
+    * hashes — one codegen'd hash per shingle instead of an MD5 + hex
+    * parse. Different hash → different (equally valid) fingerprint
+    * sets; the winnowing guarantee is hash-agnostic, pinned by the
+    * same ScalaTest property as the oracle variant. */
+  def winnowFingerprintsFast(docs: DataFrame, w: Int = 4): DataFrame = {
+    val toks = col("toks")
+    val hs = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => pmod(xxhash64(concat_ws(" ", slice(toks, i + 1, lit(3)))),
+          lit(2147483647L))))
+      .otherwise(array(pmod(xxhash64(concat_ws(" ", toks)), lit(2147483647L))))
+    winnowWith(docs, w, hs)
+  }
+
+  private def winnowWith(docs: DataFrame, w: Int, hsOfToks: Column): DataFrame = {
     val hs = col("hs")
     val fps = when(size(hs) >= w,
       array_distinct(transform(sequence(lit(0), size(hs) - w),
@@ -724,7 +743,7 @@ object TextAnalysis {
       .otherwise(array(array_min(hs)))
     TextDedup.spreadSmallInput(docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), shingleHashesOfToks(col("toks")).as("hs"))
+      .select(col("doc_id"), hsOfToks.as("hs"))
       .select(col("doc_id"), explode(fps).as("fp"))
   }
 

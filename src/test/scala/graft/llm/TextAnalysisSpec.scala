@@ -272,6 +272,23 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("winnowFingerprintsFast upholds the same guarantee on xxhash64 hashes") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = docs(
+      1L -> s"one two $shared three four five six seven",
+      2L -> s"$shared totally different trailing content here",
+      3L -> "no overlap with anything else at all whatsoever")
+    val fps = TextAnalysis.winnowFingerprintsFast(df).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared 6-token run must collide")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // deterministic across partitionings, like every content-keyed op
+    val again = TextAnalysis.winnowFingerprintsFast(df.repartition(7))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(again == fps)
+  }
+
   test("winnowFingerprints is content-deterministic under repartitioning") {
     val docs = (1 to 30).map(i =>
       (i.toLong, (1 to 20).map(j => s"w${(i * j) % 7}").mkString(" ")))
