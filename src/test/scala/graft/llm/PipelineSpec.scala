@@ -1,0 +1,53 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation pass over real testdata: stage counts narrow
+  * monotonically, planted artifacts are removed by the right stage,
+  * and the whole pass is rerun-deterministic. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate: monotone stage narrowing, rerun-identical output on sf0.001") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val benchmark = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("text"))
+    val (out, counts) = Pipeline.curateWithCounts(docs, benchmark)
+    assert(counts("input") >= counts("gated"))
+    assert(counts("gated") >= counts("deduped"))
+    assert(counts("deduped") >= counts("decontaminated"))
+    assert(counts("decontaminated") > 0, counts.toString)
+    // the benchmark docs themselves are corpus members sharing all
+    // their 8-grams → decontamination must have removed something
+    assert(counts("decontaminated") < counts("deduped"), counts.toString)
+    assert(out.columns.contains("split"))
+    val a = out.select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Pipeline.curate(docs.repartition(11), benchmark)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "the pass must be content-deterministic")
+  }
+
+  test("curate: each stage drops its own planted artifact") {
+    val fluent = "the a " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = fluent.replace(" w20 ", " changed ") // J ≈ 0.86 vs fluent
+    val docs = Seq(
+      (1L, "web", "en", fluent),
+      (2L, "web", "en", near),       // near-dup of 1 → dedup drops one
+      (3L, "web", "en", "x"),        // gate drops (short)
+      (4L, "web", "en", "the secret benchmark passage appears here " +
+        "word for word exactly as published in the eval suite today")
+    ).toDF("doc_id", "source", "lang", "text")
+    val benchmark = Seq((99L, "the secret benchmark passage appears here " +
+      "word for word exactly as published in the eval suite today"))
+      .toDF("doc_id", "text")
+    val kept = Pipeline.curate(docs, benchmark, lmThresholdPpm = 1L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(3L), "gate must drop the short doc")
+    assert(!kept.contains(4L), "decontamination must drop the benchmark hit")
+    assert(kept.intersect(Set(1L, 2L)).size == 1,
+      s"dedup keeps exactly one of the near-dup pair: $kept")
+  }
+}
