@@ -239,6 +239,21 @@ object StreamingCuration {
           col("r.top_count") * 5 <= col("r.n_tri")).as("keep"))
   }
 
+  /** The streaming half of Pipeline.curate: per-row curation (gate
+    * vetoes + normalize/redact into `cleaned`) followed by watermarked
+    * exact dedup ON THE CLEANED TEXT — so trivially-different copies
+    * collapse in-stream, the same normalize-before-hash identity the
+    * batch pass uses. Near-dup flagging and decontamination stay in
+    * [[streamingNearDup]] / the nightly batch pass (the documented
+    * split: corpus-dependent signals are batch-side). */
+  def streamingCurateDedup(docs: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    streamingCurate(docs)
+      .filter(col("keep"))
+      .withColumn("text_hash", contentHash(col("cleaned")))
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Tumbling-window ingest accounting per source: docs and exact token
     * sums per (window, source) — the continuous form of the batch
     * q_llm_tokens rollup. Partial aggregation compresses map-side; the

@@ -177,6 +177,28 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCurateDedup: gate then dedup on the NORMALIZED identity") {
+    implicit val sqlCtx = spark.sqlContext
+    val body = "the quick brown fox jumps over that lazy dog again today friend"
+    val in = MemoryStream[Doc]
+    val q = StreamingCuration.streamingCurateDedup(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("scuratededup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        doc(1, 60, "a", body),
+        doc(2, 61, "b", body.replace(" ", "  ")), // same modulo whitespace → dup
+        doc(3, 62, "a", "hi"))             // gate-dropped, never reaches dedup
+      q.processAllAvailable()
+      in.addData(doc(4, 63, "c", body + "  ")) // whitespace variant → dup
+      q.processAllAvailable()
+      val ids = spark.table("scuratededup").select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      // exactly one survivor of the {1,2} pair; 4 suppressed cross-batch
+      assert(ids.size == 1 && ids.subsetOf(Set(1L, 2L)), ids.toString)
+    } finally q.stop()
+  }
+
   test("streamingCurate: stateless per-row stack, verdicts identical to batch") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Seq(
