@@ -41,6 +41,31 @@ object Pipeline {
     clean.withColumn("split", Curation.splitByHash(col("text")))
   }
 
+  /** Incremental recompute of a PER-ROW verdict table between corpus
+    * snapshots: rescore only the added/changed slice (corpusDiff),
+    * keep old verdicts for unchanged docs, drop removed ones. Valid
+    * ONLY for corpus-independent signals — the quality-rule verdicts
+    * here, fingerprints, normalization — where a document's result
+    * depends on its own bytes; corpus-dependent scores (LM floor,
+    * novelty, df) shift with every snapshot and must recompute in
+    * full. PipelineSpec pins the invariant that makes this safe:
+    * incremental == full recompute, exactly.
+    *
+    * Scale shape: corpusDiff's narrow hash join, then the scorer runs
+    * over ONLY the changed slice — for the typical crawl delta that
+    * is orders of magnitude less compute than a full pass. */
+  def incrementalRules(oldDocs: DataFrame, newDocs: DataFrame,
+      oldVerdicts: DataFrame): DataFrame = {
+    val diff = Curation.corpusDiff(oldDocs, newDocs)
+    val toScore = newDocs.join(
+      diff.filter(col("status").isin("added", "changed")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val carried = oldVerdicts.join(
+      diff.filter(col("status") === "unchanged").select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    TextAnalysis.qualityRules(toScore).unionByName(carried)
+  }
+
   /** The same pass with per-stage survivor counts (one extra count
     * job per stage — the audit numbers a data card publishes). */
   def curateWithCounts(docs: DataFrame, benchmark: DataFrame,

@@ -30,6 +30,28 @@ class PipelineSpec extends SparkSpec {
     assert(a == b, "the pass must be content-deterministic")
   }
 
+  test("incrementalRules == full recompute on the new snapshot, exactly") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val v1 = docs.filter(col("doc_id") < 40)
+    // v2: drops 0-9, keeps 10-39 (5 of them edited), adds 40-49
+    val v2 = docs.filter(col("doc_id") >= 10 && col("doc_id") < 50)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")))
+    val oldVerdicts = TextAnalysis.qualityRules(v1)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5))).toMap
+    val inc = key(Pipeline.incrementalRules(v1, v2, oldVerdicts))
+    val full = key(TextAnalysis.qualityRules(v2))
+    assert(inc == full, "incremental must equal the full recompute")
+    // and it really is incremental: only the added/changed slice scores
+    val diff = Curation.corpusDiff(v1, v2)
+    val rescored = diff.filter(col("status").isin("added", "changed")).count()
+    assert(rescored < v2.count(), s"only $rescored of ${v2.count()} rescored")
+  }
+
   test("curate: each stage drops its own planted artifact") {
     val fluent = "the a " + (1 to 40).map(i => s"w$i").mkString(" ")
     val near = fluent.replace(" w20 ", " changed ") // J ≈ 0.86 vs fluent
