@@ -82,9 +82,15 @@ class CurationPropsSpec extends SparkSpec {
 
   // ---- generated corpus --------------------------------------------------
 
+  // multi-byte BMP tokens included: chunking slices by CHARACTERS and
+  // hashing by UTF-8 BYTES — both must agree with the reference across
+  // 1-, 2-, and 3-byte encodings (astral plane excluded: Java string
+  // ops count UTF-16 units there, a documented non-goal of the
+  // whitespace-token model)
   private val genDoc: Gen[String] = for {
     n <- Gen.chooseNum(0, 30)
-    ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "eee", "f0"))
+    ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "eee", "f0",
+      "é", "ü", "日本", "中"))
   } yield ws.mkString(" ")
 
   // seeded: the same corpus every run, so a failure is reproducible
