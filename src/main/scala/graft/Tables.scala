@@ -21,6 +21,20 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Register every table as a session temp view so the entire engine
+    * surface is reachable from plain `spark.sql(...)` — together with
+    * `GraftExtensions` (which registers the graft_* kernels at session
+    * build) this is the SQL-first entry point: a user can run the
+    * documented pipelines without touching the Scala API. Views are
+    * lazy scans; all pushdown/pruning behavior is identical to
+    * [[load]]. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+  }
+
   /** events with `ts` as raw epoch-nanos long plus derived `ts_us` timestamp. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Runtime-settable SQL conf; set defensively in case the session

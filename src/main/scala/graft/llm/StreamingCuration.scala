@@ -254,6 +254,52 @@ object StreamingCuration {
       .withWatermark("event_ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** The corpus-dependent LM fluency score on a STREAM, done the only
+    * way it can be correct: against a PINNED batch snapshot of the
+    * corpus counts (stream–static joins — the static side is the
+    * nightly batch's unigram/bigram count tables). A stream cannot
+    * compute corpus frequencies over itself without unbounded state
+    * and shifting scores; pinning the snapshot makes scores exact,
+    * reproducible, and identical to the batch lmScore over the same
+    * counts (spec-pinned). Bigrams explode per-row (the lmScore
+    * expression), join the static tables, and aggregate per
+    * (doc_id, event_ts) under the watermark — a document's bigrams
+    * all arrive in its own input row, so the aggregate state drains
+    * at the horizon like every other streaming rollup here; unseen
+    * bigrams/prefixes score 0, the conservative floor for
+    * out-of-snapshot text.
+    *
+    * Scale shape: the static count tables are real tables (bucketed
+    * via Warehouse if long-lived); per-doc aggregates combine
+    * map-side; state is horizon-bounded. */
+  def streamingLmScore(docs: DataFrame, uni: DataFrame, bg: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val toksDf = docs
+      .withWatermark("event_ts", watermark)
+      .select(col("doc_id"), col("event_ts"),
+        split(col("text"), " ").as("toks"))
+    val toks = col("toks")
+    val pairs = toksDf.select(col("doc_id"), col("event_ts"),
+      explode(when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => struct(element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("p"))
+      .select(col("doc_id"), col("event_ts"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    pairs
+      .join(bg.select(col("w1"), col("w2"), col("cb")), Seq("w1", "w2"), "left")
+      .join(uni.select(col("w1"), col("cu")), Seq("w1"), "left")
+      .withColumn("s",
+        coalesce(expr("(1000000 * cb) div cu"), lit(0L)))
+      .groupBy(col("doc_id"), col("event_ts"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("lm_score"))
+      .withColumn("mean_score", expr("lm_score div n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score"),
+        col("mean_score"))
+  }
+
   /** Tumbling-window ingest accounting per source: docs and exact token
     * sums per (window, source) — the continuous form of the batch
     * q_llm_tokens rollup. Partial aggregation compresses map-side; the

@@ -13,6 +13,20 @@ class InventorySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("registerViews: the whole table surface is reachable from spark.sql") {
+    Tables.registerViews(spark, sf0001)
+    val n = spark.sql(
+      "SELECT count(*) FROM documents JOIN embeddings ON doc_id = vec_id")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+    // the kernel registry composes with the SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    val fp = spark.sql(
+      "SELECT graft_fingerprint_md5(text) AS fp FROM documents LIMIT 1")
+    assert(fp.collect()(0).getLong(0) != 0L)
+    assert(Tables.names.forall(spark.catalog.tableExists))
+  }
+
   test("specs are uniquely named and oracle keys are a subset") {
     val names = SparkEntry.specs.map(_.name)
     assert(names.distinct.size == names.size)

@@ -139,6 +139,43 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingLmScore: stream-static join against a pinned count snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    // the nightly snapshot: corpus "a b", "a b", "a c" → c(a)=3, c(b)=2,
+    // c(c)=1; bigrams (a,b)=2, (a,c)=1 — same toy corpus as the batch
+    // lmScore test, so scores must line up with it
+    val uni = Seq(("a", 3L), ("b", 2L), ("c", 1L)).toDF("w1", "cu")
+    val bg = Seq(("a", "b", 2L), ("a", "c", 1L)).toDF("w1", "w2", "cb")
+    val in = MemoryStream[Doc]
+    val q = StreamingCuration.streamingLmScore(in.toDF(), uni, bg,
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("slm")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        doc(1, 60, "s", "a b"),    // in-snapshot: (1000000*2) div 3
+        doc(2, 61, "s", "a c x"),  // (a,c) scores, (c,x) unseen → 0
+        doc(3, 62, "s", "x y"))    // fully out-of-snapshot → 0
+      q.processAllAvailable()
+      in.addData(doc(9, 120, "s", "a b")) // push the watermark
+      q.processAllAvailable()
+      val rows = spark.table("slm")
+        .select(col("doc_id"), col("n_bigrams"), col("lm_score"),
+          col("mean_score"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(rows(1L) == ((1L, 666666L, 666666L)), rows.toString)
+      assert(rows(2L) == ((2L, 333333L, 166666L)), rows.toString)
+      assert(rows(3L) == ((1L, 0L, 0L)), rows.toString)
+      // agreement with the batch operator over the snapshot corpus
+      val batch = TextAnalysis.lmScore(Seq((100L, "a b"), (101L, "a b"),
+        (102L, "a c")).toDF("doc_id", "text"))
+        .filter(col("doc_id") === 100L).collect()(0)
+      assert((batch.getLong(1), batch.getLong(2), batch.getLong(3)) ==
+        ((1L, 666666L, 666666L)), "stream score == batch score for in-snapshot text")
+    } finally q.stop()
+  }
+
   private case class VDoc(vec_id: Long, event_ts: java.sql.Timestamp,
       embedding: Seq[Float])
   private def vdoc(id: Long, minute: Int, e: Seq[Float]) =
