@@ -300,6 +300,35 @@ object StreamingCuration {
         col("mean_score"))
   }
 
+  /** Benchmark decontamination ON INGEST — the batch contamination
+    * check as a stream–static join: each arriving document's distinct
+    * 8-gram hashes (the decontamination convention) join the static
+    * benchmark shingle set, and in-horizon per-doc overlap counts
+    * emit for every flagged document the moment its batch closes.
+    * The benchmark set is an eval suite — KBs–MBs — so Spark
+    * broadcasts the static side into every micro-batch; only flagged
+    * shingle hits reach the aggregate. Same kernel, same hashes, same
+    * n as the batch operator, so a streamed flag is exactly a row the
+    * nightly q_llm_contamination would report. */
+  def streamingContamination(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8, minOverlap: Int = 1,
+      watermark: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val benchSet = benchmark.select(
+      explode(call_udf("graft_shingle_hashes_md5",
+        col("text"), lit(n), lit(true))).as("h")).distinct()
+    docs
+      .withWatermark("event_ts", watermark)
+      .select(col("doc_id"), col("event_ts"),
+        explode(call_udf("graft_shingle_hashes_md5",
+          col("text"), lit(n), lit(true))).as("h"))
+      .join(broadcast(benchSet), Seq("h"))
+      .groupBy(col("doc_id"), col("event_ts"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col("doc_id"), col("n_overlap"))
+  }
+
   /** Tumbling-window ingest accounting per source: docs and exact token
     * sums per (window, source) — the continuous form of the batch
     * q_llm_tokens rollup. Partial aggregation compresses map-side; the

@@ -176,6 +176,37 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingContamination flags benchmark 8-gram hits as docs arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val passage = (1 to 12).map(i => s"b$i").mkString(" ") // 12-token passage
+    val benchmark = Seq((99L, passage)).toDF("doc_id", "text")
+    val in = MemoryStream[Doc]
+    val q = StreamingCuration.streamingContamination(in.toDF(), benchmark,
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("scontam")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        doc(1, 60, "s", s"leading words then $passage and trailing text"),
+        doc(2, 61, "s", (100 to 140).map(i => s"c$i").mkString(" ")))
+      q.processAllAvailable()
+      in.addData(doc(9, 120, "s", "push the watermark forward now"))
+      q.processAllAvailable()
+      val rows = spark.table("scontam")
+        .select(col("doc_id"), col("n_overlap"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // a 12-token passage inside doc 1 shares 5 distinct 8-grams
+      assert(rows == Map(1L -> 5L), rows.toString)
+      // agreement with the batch operator on the same inputs
+      val batch = TextDedup.contamination(
+        Seq((1L, s"leading words then $passage and trailing text"),
+          (2L, (100 to 140).map(i => s"c$i").mkString(" ")))
+          .toDF("doc_id", "text"), benchmark)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batch == rows, "stream flags == batch flags")
+    } finally q.stop()
+  }
+
   private case class VDoc(vec_id: Long, event_ts: java.sql.Timestamp,
       embedding: Seq[Float])
   private def vdoc(id: Long, minute: Int, e: Seq[Float]) =
