@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** The canonical training-data curation pass — the composition a user
@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   * PipelineSpec), every decision is content-deterministic (reruns and
   * backfills produce byte-identical output), and the whole pass is
   * ONE lazy plan — no intermediate materialization unless Spark
-  * decides to (the MinHash signature cache inside minhashPairs is the
-  * deliberate exception).
+  * decides to (the MinHash signature / LM pair caches are the
+  * deliberate exceptions, released via the caller's [[TempCache]]).
   *
   * Scale shape: inherits each operator's documented shape (SCALE.md
   * §2); nothing here adds a shuffle beyond the stages' own — the
@@ -24,21 +24,78 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Assemble the pass once for both entry points. `tap` instruments
+    * the SPINE — a strictly linear parallel chain where each stage
+    * node is consumed exactly once, so an attached CollectMetrics
+    * counts each stage's rows exactly once. The frames the side
+    * branches consume (gate verdict, pair generation, contamination
+    * probe) are the UN-tapped variants: a tapped frame feeding two
+    * branches would execute its metrics node once per branch and
+    * double-count. The connected-components drop list is computed
+    * once and shared by both chains (CC is eager — its loop must not
+    * run per consumer). */
+  private def stages(docs: DataFrame, benchmark: DataFrame,
+      lmThresholdPpm: Long, temps: TempCache,
+      tap: (DataFrame, String) => DataFrame,
+      shingleKernel: String = "graft_shingle_hashes"): DataFrame = {
+    val cleaned = docs.withColumn("text", Curation.normalize(col("text")))
+    val gateIds = TextAnalysis.qualityGate(cleaned, lmThresholdPpm, temps)
+      .filter(col("keep")).select(col("doc_id"))
+    val gated = cleaned.join(gateIds, Seq("doc_id"), "left_semi")
+    val dropIds = TextDedup.connectedComponents(
+        TextDedup.minhashPairs(gated, shingleKernel = shingleKernel,
+          temps = temps))
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val deduped = gated.join(dropIds, Seq("doc_id"), "left_anti")
+    val contaminatedIds = TextDedup.contamination(deduped, benchmark)
+      .select(col("doc_id"))
+    // the spine: same joins over the same id frames, tapped per stage
+    val spineGated = tap(cleaned, "input").join(gateIds, Seq("doc_id"), "left_semi")
+    val spineDeduped = tap(spineGated, "gated")
+      .join(dropIds, Seq("doc_id"), "left_anti")
+    val clean = tap(spineDeduped, "deduped")
+      .join(contaminatedIds, Seq("doc_id"), "left_anti")
+      .withColumn("split", Curation.splitByHash(col("text")))
+    tap(clean, "decontaminated")
+  }
+
   /** Run the full pass. `benchmark` is the eval suite to decontaminate
     * against (pass an empty frame to skip). Returns the curated corpus
     * with a `split` column; per-stage surviving counts are observable
-    * via [[curateWithCounts]]. */
+    * via [[curateWithCounts]]. Long-running drivers pass a [[TempCache]]
+    * and release it after materializing. */
   def curate(docs: DataFrame, benchmark: DataFrame,
-      lmThresholdPpm: Long = 34000L): DataFrame = {
-    val cleaned = docs.withColumn("text", Curation.normalize(col("text")))
-    val gate = TextAnalysis.qualityGate(cleaned, lmThresholdPpm)
-      .filter(col("keep")).select(col("doc_id"))
-    val gated = cleaned.join(gate, Seq("doc_id"), "left_semi")
-    val deduped = TextDedup.dedupKeepList(gated, TextDedup.minhashPairs(gated))
-    val contaminated = TextDedup.contamination(deduped, benchmark)
-      .select(col("doc_id"))
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-    clean.withColumn("split", Curation.splitByHash(col("text")))
+      lmThresholdPpm: Long = 34000L,
+      temps: TempCache = TempCache.noop,
+      shingleKernel: String = "graft_shingle_hashes"): DataFrame =
+    stages(docs, benchmark, lmThresholdPpm, temps, (df, _) => df,
+      shingleKernel)
+
+  /** The same pass with per-stage survivor counts — the audit numbers
+    * a data card publishes. The counts ride `observe()` metrics on ONE
+    * materialization (a noop-sink write): each stage's CollectMetrics
+    * node sits on the spine, so the audit costs one pipeline execution
+    * total, not one re-execution of the upstream lineage per stage
+    * (the r5 shape: 4 `.count()` actions ≈ 4× the nightly bill).
+    * The returned frame is still lazy for the caller's own sink. */
+  def curateWithCounts(docs: DataFrame, benchmark: DataFrame,
+      lmThresholdPpm: Long = 34000L,
+      temps: TempCache = TempCache.noop): (DataFrame, Map[String, Long]) = {
+    val names = Seq("input", "gated", "deduped", "decontaminated")
+    val obs = names.map(n => n -> new Observation(s"curate_$n")).toMap
+    val clean = stages(docs, benchmark, lmThresholdPpm, temps,
+      (df, name) => df.observe(obs(name), count(lit(1)).as("n")))
+    clean.write.format("noop").mode("overwrite").save()
+    // metric delivery rides the (async) listener bus; bound the wait
+    // rather than risking Observation.get's unbounded block
+    import scala.concurrent.duration.DurationInt
+    val counts = names.map { n =>
+      n -> scala.concurrent.Await.result(
+        scala.concurrent.Future(obs(n).get("n").asInstanceOf[Long])(
+          scala.concurrent.ExecutionContext.global), 120.seconds)
+    }.toMap
+    (clean, counts)
   }
 
   /** Incremental recompute of a PER-ROW verdict table between corpus
@@ -66,24 +123,164 @@ object Pipeline {
     TextAnalysis.qualityRules(toScore).unionByName(carried)
   }
 
-  /** The same pass with per-stage survivor counts (one extra count
-    * job per stage — the audit numbers a data card publishes). */
-  def curateWithCounts(docs: DataFrame, benchmark: DataFrame,
-      lmThresholdPpm: Long = 34000L): (DataFrame, Map[String, Long]) = {
-    val cleaned = docs.withColumn("text", Curation.normalize(col("text")))
-    val gate = TextAnalysis.qualityGate(cleaned, lmThresholdPpm)
-      .filter(col("keep")).select(col("doc_id"))
-    val gated = cleaned.join(gate, Seq("doc_id"), "left_semi")
-    val deduped = TextDedup.dedupKeepList(gated, TextDedup.minhashPairs(gated))
-    val contaminated = TextDedup.contamination(deduped, benchmark)
-      .select(col("doc_id"))
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-      .withColumn("split", Curation.splitByHash(col("text")))
-    val counts = Map(
-      "input" -> docs.count(),
-      "gated" -> gated.count(),
-      "deduped" -> deduped.count(),
-      "decontaminated" -> clean.count())
-    (clean, counts)
-  }
+  /** The WHOLE pass as one declared, ORACLE'D query — the composition
+    * itself gets a correctness row, not just its stages: normalize →
+    * full quality gate (rules + repetition + LM floor) → MinHash/LSH
+    * keep-list (md5 kernel so DuckDB replays the banding) → benchmark
+    * decontamination (first 10 docs as the eval suite) → split
+    * assignment. The oracle replays every stage in DuckDB, including
+    * the recursive-CTE transitive closure standing in for the CC
+    * loop. */
+  val qCurate = graft.queries.QuerySpec(
+    "q_llm_curate",
+    (s, d) => {
+      val docs = graft.Tables.load(s, d, "documents")
+      val benchmark = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text"))
+      curate(docs, benchmark, shingleKernel = "graft_shingle_hashes_md5")
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE nd AS (
+           |  SELECT doc_id, source,
+           |    lower(trim(regexp_replace(regexp_replace(
+           |      text, '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS text
+           |  FROM documents
+           |), t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM nd
+           |), wpairs AS (
+           |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+           |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) x
+           |  WHERE len(toks) >= 2
+           |), uni AS (
+           |  SELECT w1, count(*) AS cu FROM (
+           |    SELECT unnest(toks) AS w1 FROM t) GROUP BY w1
+           |), bg AS (
+           |  SELECT w1, w2, count(*) AS cb FROM wpairs GROUP BY w1, w2
+           |), lm AS (
+           |  SELECT p.doc_id,
+           |    CAST(sum((1000000 * b.cb) // u.cu) // count(*) AS BIGINT)
+           |      AS mean_score
+           |  FROM wpairs p
+           |  JOIN bg b ON p.w1 = b.w1 AND p.w2 = b.w2
+           |  JOIN uni u ON p.w1 = u.w1
+           |  GROUP BY p.doc_id
+           |), tris AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           |      list_transform(range(1, len(string_split(text, ' ')) - 1),
+           |        i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+           |    ELSE [text] END AS tris
+           |  FROM nd
+           |), rep AS (
+           |  SELECT doc_id, len(tris) AS n_tri,
+           |    list_max(list_transform(list_distinct(tris),
+           |      t2 -> len(list_filter(tris, x -> x = t2)))) AS top_count
+           |  FROM tris
+           |), rules AS (
+           |  SELECT doc_id,
+           |    len(string_split(text, ' ')) >= 10
+           |      AND length(text) - len(string_split(text, ' ')) + 1
+           |        >= len(string_split(text, ' ')) * 2
+           |      AND length(text) - len(string_split(text, ' ')) + 1
+           |        <= len(string_split(text, ' ')) * 12
+           |      AND length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 10
+           |        <= length(text) * 3
+           |      AND len(list_filter(string_split(text, ' '),
+           |            tk2 -> tk2 IN ('the', 'a'))) >= 1
+           |      AS keep_rules
+           |  FROM nd
+           |), gated AS (
+           |  SELECT nd.doc_id, nd.source, nd.text
+           |  FROM nd
+           |  JOIN rules r ON nd.doc_id = r.doc_id
+           |  JOIN rep ON nd.doc_id = rep.doc_id
+           |  LEFT JOIN lm ON nd.doc_id = lm.doc_id
+           |  WHERE r.keep_rules AND rep.top_count * 5 <= rep.n_tri
+           |    AND coalesce(lm.mean_score, 0) >= 34000
+           |), tk AS (
+           |  SELECT doc_id, string_split(text, ' ') AS tk, text FROM gated
+           |), sh AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(tk) >= 3 THEN
+           |      list_distinct(list_transform(range(1, len(tk) - 1),
+           |        i -> array_to_string(tk[i:i+2], ' ')))
+           |    ELSE [text] END AS shingles
+           |  FROM tk
+           |), th AS (
+           |  SELECT doc_id, list_transform(shingles,
+           |    t2 -> CAST(('0x' || substr(md5(t2), 1, 8)) AS BIGINT) % 2147483647) AS th
+           |  FROM sh
+           |), sig AS (
+           |  SELECT doc_id, th, list_transform(range(0, 64), k ->
+           |    list_min(list_transform(th,
+           |      h -> ((k*1000003 + 12345)*h + k*998244353 + 7) % 2147483647))) AS sig
+           |  FROM th
+           |), bands AS (
+           |  SELECT doc_id, unnest(list_transform(range(0, 16),
+           |    b -> b::VARCHAR || ':' || array_to_string(sig[b*4+1:b*4+4], ','))) AS band_key
+           |  FROM sig
+           |), ok AS (
+           |  SELECT band_key FROM bands GROUP BY band_key
+           |  HAVING count(*) > 1 AND count(*) <= 100
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+           |  FROM bands a JOIN bands b
+           |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |  WHERE a.band_key IN (SELECT band_key FROM ok)
+           |), scored AS (
+           |  SELECT c.ida, c.idb,
+           |    len(list_intersect(ta.th, tb.th)) /
+           |    len(list_distinct(list_concat(ta.th, tb.th))) AS jac
+           |  FROM cand c
+           |  JOIN th ta ON ta.doc_id = c.ida
+           |  JOIN th tb ON tb.doc_id = c.idb
+           |), edges AS (
+           |  SELECT ida AS a, idb AS b FROM scored WHERE jac >= 0.5
+           |  UNION SELECT idb, ida FROM scored WHERE jac >= 0.5
+           |), reach(a, b) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) e0
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+           |), drop_ids AS (
+           |  SELECT a FROM reach GROUP BY a HAVING a <> min(b)
+           |), deduped AS (
+           |  SELECT * FROM gated WHERE doc_id NOT IN (SELECT a FROM drop_ids)
+           |), bsh AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(string_split(text, ' ')) >= 8 THEN
+           |      list_distinct(list_transform(
+           |        range(1, len(string_split(text, ' ')) - 6),
+           |        i -> array_to_string((string_split(text, ' '))[i:i+7], ' ')))
+           |    ELSE [text] END AS shingles
+           |  FROM documents WHERE doc_id < 10
+           |), bth AS (
+           |  SELECT DISTINCT unnest(list_transform(shingles,
+           |    t2 -> CAST(('0x' || substr(md5(t2), 1, 8)) AS BIGINT) % 2147483647)) AS h
+           |  FROM bsh
+           |), dsh AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(string_split(text, ' ')) >= 8 THEN
+           |      list_distinct(list_transform(
+           |        range(1, len(string_split(text, ' ')) - 6),
+           |        i -> array_to_string((string_split(text, ' '))[i:i+7], ' ')))
+           |    ELSE [text] END AS shingles
+           |  FROM deduped
+           |), dth AS (
+           |  SELECT doc_id, unnest(list_transform(shingles,
+           |    t2 -> CAST(('0x' || substr(md5(t2), 1, 8)) AS BIGINT) % 2147483647)) AS h
+           |  FROM dsh
+           |), contam AS (
+           |  SELECT DISTINCT d.doc_id FROM dth d JOIN bth b ON d.h = b.h
+           |)
+           |SELECT doc_id, source,
+           |  CASE WHEN b2 < 90 THEN 'train' WHEN b2 < 95 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM (SELECT doc_id, source,
+           |        CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT) % 100 AS b2
+           |      FROM deduped
+           |      WHERE doc_id NOT IN (SELECT doc_id FROM contam)) f
+           |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[graft.queries.QuerySpec] = Seq(qCurate)
 }

@@ -219,9 +219,17 @@ object StreamingCuration {
 
   /** The per-row curation stack lifted onto the feed: normalization +
     * PII redaction of the text, and the corpus-independent quality
-    * vetoes (the Gopher rule set and the repetition-kernel ceiling —
-    * the same column expressions the batch `qualityRules`/`qualityGate`
-    * evaluate, so stream and batch verdicts agree by construction).
+    * vetoes (the Gopher rule set and the repetition-kernel ceiling).
+    * NORMALIZE-THEN-GATE, in exactly the batch Pipeline.curate order:
+    * the rules and the repetition kernel are evaluated over the
+    * NORMALIZED text — on raw text, a capitalized stopword ('The')
+    * fails the lowercase stopword rule and repeated whitespace breaks
+    * the word-length band via empty tokens, so a raw-text verdict
+    * silently drops documents the nightly batch pass keeps. The same
+    * column expressions as batch `qualityRules`/`qualityGate` over the
+    * same (normalized) input, so stream and batch verdicts agree —
+    * StreamingCurationSpec pins the agreement on a corpus built to
+    * diverge under raw-text gating.
     * STATELESS: no watermark, no shuffle — each micro-batch is one
     * codegen'd projection, which is exactly why this subset of the
     * gate belongs on the hot path while the corpus-dependent LM floor
@@ -229,11 +237,15 @@ object StreamingCuration {
   def streamingCurate(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
+      // rebind `text` to its normalized form FIRST: ruleSet and the
+      // repetition kernel read col("text"), so everything downstream
+      // gates on what the batch pass gates on
+      .withColumn("text", Curation.normalize(col("text")))
       .select(col("*") +: TextAnalysis.ruleSet: _*)
       .withColumn("r",
         call_udf("graft_top_shingle_run", col("text"), lit(3)))
       .select(col("doc_id"), col("source"), col("event_ts"),
-        Curation.redact(Curation.normalize(col("text"))).as("cleaned"),
+        Curation.redact(col("text")).as("cleaned"),
         (col("rule_min_tokens") && col("rule_word_len") &&
           col("rule_punct") && col("rule_stopwords") &&
           col("r.top_count") * 5 <= col("r.n_tri")).as("keep"))

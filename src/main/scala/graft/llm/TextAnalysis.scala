@@ -358,13 +358,19 @@ object TextAnalysis {
     * groupBy + join, NOT `count(*) OVER (PARTITION BY h)`: a
     * boilerplate shingle shared by millions of docs would land every
     * row on one window task (windows are not AQE-skew-splittable),
-    * while the join form shares the aggregate's exchange (one
-    * shuffle either way) and AQE can split a skewed join key. */
-  def novelty(docs: DataFrame): DataFrame = {
+    * while the join form lets AQE split a skewed join key. The
+    * exploded frame is PERSISTED for its two consumers (the df
+    * aggregate and the join's probe side): the aggregate's exchange
+    * carries partial counts, not rows, so ReuseExchange cannot serve
+    * the probe side — without the persist the shingle kernel and the
+    * corpus scan run twice (the r5-measured 4× regression). */
+  def novelty(docs: DataFrame, temps: TempCache = TempCache.noop): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sh = docs.select(col("doc_id"),
-      explode(call_udf("graft_shingle_hashes_md5",
-        col("text"), lit(3), lit(true))).as("h"))
+    val sh = temps.register(TextDedup.spreadSmallInput(docs)
+      .select(col("doc_id"),
+        explode(call_udf("graft_shingle_hashes_md5",
+          col("text"), lit(3), lit(true))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfs = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     sh.join(dfs, Seq("h"))
       .groupBy(col("doc_id"))
@@ -607,6 +613,73 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair")).limit(k)
   }
 
+  /** Full BPE vocabulary induction: `k` rounds of the published
+    * iterative procedure — score every adjacent symbol pair corpus-
+    * wide, merge the single best pair (count desc, then (w1, w2) —
+    * deterministic) greedily left-to-right in every document, rescore.
+    * Returns the ordered merge table, the artifact a tokenizer build
+    * consumes. [[bpeMergeStep]] is one round of the scoring half;
+    * TextAnalysisSpec pins this loop against a sequential reference
+    * implementation (the kmeansQuantized pattern).
+    *
+    * Scale shape: each round is ONE map-side-combined pair aggregate
+    * (top-1 via the existing sort-limit shape) plus a row-local merge
+    * application — no join, no window; the corpus round-trips through
+    * a localCheckpoint per round (freed as soon as the next round
+    * materializes, the CC discipline) to keep lineage flat across
+    * rounds. The loop is inherently sequential (merge i+1's counts
+    * depend on merge i), k driver actions by construction — and in
+    * published practice vocabulary induction runs over a bounded
+    * SAMPLE of the corpus ([[Curation]] sample/quotaSample feed it),
+    * not the full 100 TB.
+    *
+    * Greedy application note: the fold merges left-to-right and never
+    * reuses a token produced by a merge in the same round (the
+    * standard single-pass semantics — a run "b b b" under merge
+    * (b,b) yields ["b b", "b"]). */
+  def bpeInduce(docs: DataFrame, k: Int = 10): Seq[(String, String, Long)] = {
+    def adjacentPairs(toks: Column): Column =
+      when(size(toks) >= 2, zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    // one-pass greedy merge: append each token, collapsing it into the
+    // previous one when they form the merged pair
+    def applyMerge(toks: Column, a: String, b: String): Column =
+      aggregate(toks, array().cast("array<string>"),
+        (acc, t) => when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && t === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + " " + b))))
+          .otherwise(concat(acc, array(t))))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var cur = TextDedup.spreadSmallInput(docs)
+      .select(tokens(col("text")).as("toks"))
+      .localCheckpoint(true)
+    var rounds = 0
+    while (rounds < k) {
+      val top = cur
+        .select(explode(adjacentPairs(col("toks"))).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2"))
+        .limit(1).collect()
+      if (top.isEmpty) rounds = k
+      else {
+        val (w1, w2, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((w1, w2, cnt))
+        val next = cur.select(applyMerge(col("toks"), w1, w2).as("toks"))
+          .localCheckpoint(true)
+        TextDedup.freeCheckpoint(cur)
+        cur = next
+        rounds += 1
+      }
+    }
+    TextDedup.freeCheckpoint(cur)
+    merges.toSeq
+  }
+
   val qBpeStep = QuerySpec(
     "q_llm_bpe_step",
     (s, d) =>
@@ -789,14 +862,17 @@ object TextAnalysis {
     * joined back on their own grouping keys — NOT windows — so AQE
     * can split a skewed stopword key; the scan is reused for both
     * counts via one persisted pair frame. */
-  def lmScore(docs: DataFrame): DataFrame = {
+  def lmScore(docs: DataFrame, temps: TempCache = TempCache.noop): DataFrame = {
     // toks is materialized in its own projection so the bigram lambda
     // slices an attribute, not a re-evaluated split (see
     // shingleHashesOfToks for the O(n²)-per-row failure mode)
     val toksDf = TextDedup.spreadSmallInput(docs)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val toks = col("toks")
-    val pairs = toksDf.select(col("doc_id"),
+    // Persisted: both count tables and the scoring join read it. The
+    // blocks outlive this (lazy) call — long-running drivers pass a
+    // TempCache and release() after materializing (see TempCache).
+    val pairs = temps.register(toksDf.select(col("doc_id"),
       explode(when(size(toks) >= 2,
         transform(sequence(lit(0), size(toks) - 2),
           i => struct(element_at(toks, i + 1).as("w1"),
@@ -804,7 +880,7 @@ object TextAnalysis {
         .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
         .as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val uni = toksDf.select(explode(toks).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
@@ -854,7 +930,8 @@ object TextAnalysis {
     * expressions evaluated in one scan (no join between them — the
     * rep kernel rides the same projection); only the LM aggregate
     * side shuffles, and its verdict joins back on doc_id. */
-  def qualityGate(docs: DataFrame, lmThresholdPpm: Long = 34000L): DataFrame = {
+  def qualityGate(docs: DataFrame, lmThresholdPpm: Long = 34000L,
+      temps: TempCache = TempCache.noop): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val perRow = TextDedup.spreadSmallInput(docs)
       .select(col("doc_id") +: col("text") +: ruleSet: _*)
@@ -863,7 +940,7 @@ object TextAnalysis {
         (col("rule_min_tokens") && col("rule_word_len") &&
           col("rule_punct") && col("rule_stopwords")).as("keep_rules"),
         (col("r.top_count") * 5 <= col("r.n_tri")).as("keep_rep"))
-    val lm = lmScore(docs).select(col("doc_id"), col("mean_score"))
+    val lm = lmScore(docs, temps).select(col("doc_id"), col("mean_score"))
     perRow.join(lm, Seq("doc_id"), "left")
       .select(col("doc_id"), col("keep_rules"), col("keep_rep"),
         (coalesce(col("mean_score"), lit(0L)) >= lmThresholdPpm).as("keep_lm"))

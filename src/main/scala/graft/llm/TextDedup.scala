@@ -148,20 +148,43 @@ object TextDedup {
     * fraction of the width on the wire. */
   def minhashPairs(docs: DataFrame, numPerm: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucket: Int = 100,
-      shingleKernel: String = "graft_shingle_hashes"): DataFrame = {
-    // Small-file inputs arrive as one split; spread the signature
-    // compute (the CPU-bound stage) across the cluster first.
-    graft.functions.GraftFunctions.register(docs.sparkSession)
+      shingleKernel: String = "graft_shingle_hashes",
+      temps: TempCache = TempCache.noop): DataFrame = {
     // Persisted because three downstream branches read it (banding +
     // both sides of the verification join): without the persist the
     // shingle+signature kernels — the dominant CPU cost — re-run per
     // branch. (doc_id, th, sig) is the narrow projection of the corpus,
     // spilling to disk if it outgrows memory.
-    val withSig = spreadSmallInput(docs)
+    val withSig = temps.register(
+      minhashSignatures(docs, numPerm, shingleKernel)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    minhashPairsFromSigs(withSig, numPerm, bands, threshold, maxBucket)
+  }
+
+  /** The signature frame `(doc_id, th, sig)` of a corpus: hashed
+    * distinct-shingle array + numPerm-long MinHash signature, one
+    * kernel pass over the text. This is the frame worth PERSISTING
+    * long-term for recurring dedup against a fixed history — write it
+    * once via [[graft.sources.Warehouse.writeBucketed]] and every
+    * nightly [[nearDupAgainstHistorySigs]] run skips re-hashing
+    * history entirely. Small-file inputs are spread first (the kernel
+    * is the CPU-bound stage). */
+  def minhashSignatures(docs: DataFrame, numPerm: Int = 64,
+      shingleKernel: String = "graft_shingle_hashes"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    spreadSmallInput(docs)
       .select(col("doc_id"),
         call_udf(shingleKernel, col("text"), lit(3), lit(true)).as("th"))
       .withColumn("sig", call_udf("graft_minhash_sig", col("th"), lit(numPerm)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The banding + verification half of [[minhashPairs]], over an
+    * already-computed signature frame `(doc_id, th, sig)`. The caller
+    * owns the frame's storage (persist it, or read it from a bucketed
+    * warehouse table) — three branches read it. */
+  def minhashPairsFromSigs(withSig: DataFrame, numPerm: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 100): DataFrame = {
     val rows = numPerm / bands
     val candidates = withSig
       .select(col("doc_id"), explode(lshBands(col("sig"), bands, rows)).as("band_key"))
@@ -382,7 +405,7 @@ object TextDedup {
     * them under `spark.cleaner.referenceTracking.cleanCheckpoints`,
     * which defaults false). Safe ONLY after every consumer of `df` has
     * itself been materialized. */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[llm] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach { rdd =>
@@ -683,13 +706,57 @@ object TextDedup {
     * doc_id-keyed aggregate over the (tiny) verified-pair set. */
   def nearDupAgainstHistory(docs: DataFrame, history: DataFrame,
       threshold: Double = 0.5, maxBucket: Int = 100,
-      shingleKernel: String = "graft_shingle_hashes"): DataFrame = {
+      shingleKernel: String = "graft_shingle_hashes",
+      temps: TempCache = TempCache.noop): DataFrame = {
     val union = docs.select(col("doc_id"), col("text"))
       .unionByName(history.select(col("doc_id"), col("text")))
     val pairs = minhashPairs(union, threshold = threshold,
-      maxBucket = maxBucket, shingleKernel = shingleKernel)
-    val tags = docs.select(col("doc_id"), lit(true).as("is_new"))
-      .unionByName(history.select(col("doc_id"), lit(false).as("is_new")))
+      maxBucket = maxBucket, shingleKernel = shingleKernel, temps = temps)
+    crossCorpusBestMatch(pairs, docs.select(col("doc_id")),
+      history.select(col("doc_id")))
+  }
+
+  /** The recurring-run form of [[nearDupAgainstHistory]]: history
+    * arrives as its PRECOMPUTED signature frame `(doc_id, th, sig)`
+    * ([[minhashSignatures]], persisted once via
+    * [[graft.sources.Warehouse.writeBucketed]]), so the nightly pass
+    * hashes only the new slice — at 100 TB of history, re-running the
+    * shingle+signature kernels over the full union every night is the
+    * dominant cost this variant deletes. Result-identical to the
+    * recompute path (the kernels are content-deterministic; pinned in
+    * TextDedupSpec). */
+  def nearDupAgainstHistorySigs(docs: DataFrame, historySigs: DataFrame,
+      numPerm: Int = 64, threshold: Double = 0.5, maxBucket: Int = 100,
+      shingleKernel: String = "graft_shingle_hashes",
+      temps: TempCache = TempCache.noop): DataFrame = {
+    val unionSigs = temps.register(
+      minhashSignatures(docs, numPerm, shingleKernel)
+        .unionByName(historySigs.select(col("doc_id"), col("th"), col("sig")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pairs = minhashPairsFromSigs(unionSigs, numPerm,
+      threshold = threshold, maxBucket = maxBucket)
+    crossCorpusBestMatch(pairs, docs.select(col("doc_id")),
+      historySigs.select(col("doc_id")))
+  }
+
+  /** Cross-corpus filter + best-match rollup shared by both history
+    * variants. PRECONDITION: the two id spaces are disjoint — an id
+    * present on both sides would carry both tags, duplicating its
+    * joined pairs and corrupting the cross filter. The tag aggregate
+    * ENFORCES it: any id seen with both tags raises at execution time
+    * (no extra action — the check rides the tag build the join needs
+    * anyway, and the id-only aggregate is map-side combinable). */
+  private def crossCorpusBestMatch(pairs: DataFrame, newIds: DataFrame,
+      histIds: DataFrame): DataFrame = {
+    val tags = newIds.select(col("doc_id"), lit(true).as("is_new"))
+      .unionByName(histIds.select(col("doc_id"), lit(false).as("is_new")))
+      .groupBy(col("doc_id"))
+      .agg(min(col("is_new")).as("mn"), max(col("is_new")).as("mx"))
+      .select(col("doc_id"),
+        when(col("mn") === col("mx"), col("mn"))
+          .otherwise(raise_error(concat(lit("doc_id "), col("doc_id"),
+            lit(" present in BOTH docs and history: the id spaces must " +
+              "be disjoint")))).as("is_new"))
     pairs
       .join(tags.select(col("doc_id").as("ida"), col("is_new").as("na")), Seq("ida"))
       .join(tags.select(col("doc_id").as("idb"), col("is_new").as("nb")), Seq("idb"))
@@ -831,21 +898,36 @@ object TextDedup {
     *
     * Scale shape: one corpus scan exploded to per-doc DISTINCT hashed
     * n-grams (8-byte md5-derived hashes — nothing text-sized crosses
-    * the wire), a hash-partitioned groupBy(h) that collects each
-    * shingle's doc list with the standard degenerate-bucket cap
-    * (corpus-wide boilerplate n-grams are capped out rather than
-    * exploding into O(bucket²) pairs — same `maxBucket` stance as
-    * minhashPairs), pair explosion inside the capped buckets only,
-    * and a map-side-combined pair count. */
+    * the wire), then COUNT-THEN-CAP: per-hash doc counts aggregate
+    * first (map-side partials — a boilerplate n-gram shared by 10M
+    * documents reaches its reducer as ~one partial per map task, not
+    * 10M rows), the in-range hashes (1 < count ≤ `maxBucket`) semi-
+    * join back onto the exploded frame, and only THEN does each
+    * surviving bucket collect its doc list. collect_list has no
+    * map-side reduction — partials only concatenate — so capping
+    * AFTER collection would materialize the full hot-key list on one
+    * task; capping by count first means a hot key never aggregates
+    * anywhere. (The oracle SQL's own `buckets` CTE is this exact
+    * count-based shape, so the result is identical by construction.)
+    * Pair explosion stays inside the capped buckets; the pair count
+    * is map-side combined. The exploded frame is persisted for its
+    * two consumers (count build + probe side). */
   def spanOverlapPairs(docs: DataFrame, n: Int = 10, minShared: Int = 3,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100, temps: TempCache = TempCache.noop): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col("doc_id"),
+    val th = temps.register(spreadSmallInput(docs)
+      .select(col("doc_id"),
         explode(call_udf("graft_shingle_hashes_md5",
           col("text"), lit(n), lit(true))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the kernel emits per-doc DISTINCT shingles, so count(*) per hash
+    // IS the bucket's doc count
+    val inRange = th.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(1) && col("cnt") <= lit(maxBucket))
+      .select(col("h"))
+    th.join(inRange, Seq("h"), "left_semi")
       .groupBy(col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ida, y AS idb))))"""
@@ -1103,8 +1185,15 @@ object TextDedup {
     * narrow (doc_id, source, token-count) scan left-joined to the
     * kept set on doc_id and rolled up per source — token counts are
     * per-row ints, text never reaches the rollup. */
-  def dedupImpact(docs: DataFrame): DataFrame = {
-    val kept = dedupKeepList(docs, jaccardBlockPairs(docs))
+  def dedupImpact(docs: DataFrame): DataFrame =
+    dedupImpact(docs, jaccardBlockPairs(docs))
+
+  /** The production form: impact of ANY pair source — pass
+    * [[minhashPairs]] output for the report a real nightly run
+    * publishes (the no-arg overload keeps the bounded oracle pair
+    * generator for the DuckDB-replayable qid). */
+  def dedupImpact(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val kept = dedupKeepList(docs, pairs)
       .select(col("doc_id"), lit(true).as("kept"))
     docs
       .select(col("doc_id"), col("source"),

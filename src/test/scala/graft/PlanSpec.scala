@@ -114,6 +114,12 @@ class PlanSpec extends SparkSpec {
       s"novelty df regressed to a window-by-hash:\n$p")
     assert(p.contains("partial_count") || p.contains("partial count"),
       s"df aggregate lost its map-side partials:\n$p")
+    // the exploded shingle frame feeds the df aggregate AND the join
+    // probe; the aggregate's exchange carries partials so ReuseExchange
+    // cannot serve the probe — without the persist the kernel runs
+    // twice (the r5-measured 4× regression)
+    assert(p.contains("InMemoryTableScan"),
+      s"exploded shingle frame must be cached for both consumers:\n$p")
   }
 
   test("sequence packing is one window shuffle keyed on source") {
@@ -140,10 +146,21 @@ class PlanSpec extends SparkSpec {
       s"assignment must map-side combine before the shuffle:\n$p")
   }
 
-  test("span overlap pair counts are map-side combined over capped buckets") {
+  test("span overlap caps buckets by COUNT before any doc list collects") {
     val p = plan("q_llm_span_overlap")
     assert(p.contains("partial_count"),
       s"pair counting lost its map-side partials:\n$p")
+    // count-then-cap: the in-range hashes (map-side-combinable counts)
+    // must semi-join back BEFORE collect_list runs — a collect_list
+    // upstream of the cap would materialize a boilerplate n-gram's
+    // full doc list on one task (collect_list has no map-side
+    // reduction), the one scale-killer flagged in r5
+    assert(p.contains("LeftSemi"),
+      s"the bucket cap must be a count + semi join, not a size filter " +
+        s"after collection:\n$p")
+    // the exploded frame is cached for its two consumers
+    assert(p.contains("InMemoryTableScan"),
+      s"exploded shingle frame must be cached (count build + probe):\n$p")
   }
 
   test("length percentiles window per source, lengths computed in the scan") {

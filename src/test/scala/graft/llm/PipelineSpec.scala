@@ -13,7 +13,34 @@ class PipelineSpec extends SparkSpec {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val benchmark = docs.filter(col("doc_id") < 10)
       .select(col("doc_id"), col("text"))
-    val (out, counts) = Pipeline.curateWithCounts(docs, benchmark)
+    // pin the audit cost: the four stage counts must ride observe()
+    // metrics on ONE materialization (a single noop save) — never a
+    // .count() action per stage re-executing the upstream lineage
+    val actions = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val (out, counts) = try {
+      val r = Pipeline.curateWithCounts(docs, benchmark)
+      val deadline = System.currentTimeMillis + 15000
+      import scala.jdk.CollectionConverters._
+      // the V2 noop write surfaces as "overwrite" ("save" on the V1 path)
+      def isSave(a: String) = a == "save" || a == "overwrite"
+      while (!actions.asScala.exists(isSave) &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(actions.asScala.count(isSave) == 1,
+        s"audit counts must ride one noop save: $actions")
+      assert(!actions.asScala.contains("count"),
+        s"no per-stage count action may re-execute the pipeline: $actions")
+      r
+    } finally spark.listenerManager.unregister(listener)
     assert(counts("input") >= counts("gated"))
     assert(counts("gated") >= counts("deduped"))
     assert(counts("deduped") >= counts("decontaminated"))

@@ -267,15 +267,24 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streamingCurate: stateless per-row stack, verdicts identical to batch") {
+  test("streamingCurate gates on NORMALIZED text: verdicts match the batch gate") {
     implicit val sqlCtx = spark.sqlContext
+    // docs 5 and 6 are built to DIVERGE under raw-text gating: 5's
+    // capitalized stopwords fail the lowercase stopword rule raw, and
+    // 6's repeated whitespace inflates the token count with empties --
+    // both gate correctly once normalize runs first, which is the
+    // batch Pipeline.curate order (the r5 ADVICE divergence)
     val docs = Seq(
       doc(1, 0, "a",
         "the quick brown fox jumps over that lazy dog again today friend"),
       doc(2, 1, "a", "the spam ham spam ham spam ham spam ham spam ham a"),
-      doc(3, 2, "b", "Contact meat  bob@example.com or 1234567 the a " +
+      doc(3, 2, "b", "Contact me\u0001at  bob@example.com or 1234567 the a " +
         "and some more words here to pass the minimum length rule today"),
-      doc(4, 3, "b", "hi"))
+      doc(4, 3, "b", "hi"),
+      doc(5, 4, "c",
+        "The Quick Brown Fox Jumps Over That Lazy Dog Again Today Friend"),
+      doc(6, 5, "c", "the  quick  brown  fox  jumps  over  that  lazy  " +
+        "dog  again  today  friend"))
     val in = MemoryStream[Doc]
     val q = StreamingCuration.streamingCurate(in.toDF())
       .writeStream.format("memory").queryName("scurate")
@@ -286,14 +295,20 @@ class StreamingCurationSpec extends SparkSpec {
       val streamed = spark.table("scurate")
         .select(col("doc_id"), col("cleaned"), col("keep"))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
-      val batch = StreamingCuration.streamingCurate(
-        docs.map(d => (d.doc_id, d.event_ts, d.source, d.text))
-          .toDF("doc_id", "event_ts", "source", "text"))
-        .select(col("doc_id"), col("cleaned"), col("keep"))
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
-      assert(streamed == batch, "stream and batch must agree by construction")
-      val keeps = streamed.map(t => t._1 -> t._3).toMap
-      assert(keeps == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false), keeps)
+      // the batch reference, in the batch order: normalize FIRST, then
+      // the corpus-independent half of qualityGate (rules + repetition;
+      // the LM floor is batch-only by design)
+      val cleanedBatch = docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+        .withColumn("text", Curation.normalize(col("text")))
+      val batchKeeps = TextAnalysis.qualityGate(cleanedBatch)
+        .select(col("doc_id"), (col("keep_rules") && col("keep_rep")).as("keep"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val streamKeeps = streamed.map(t => (t._1, t._3)).toMap
+      assert(streamKeeps == batchKeeps,
+        s"stream verdicts must match the batch normalize-then-gate order: " +
+          s"stream=$streamKeeps batch=$batchKeeps")
+      assert(streamKeeps == Map(1L -> true, 2L -> false, 3L -> true,
+        4L -> false, 5L -> true, 6L -> true), streamKeeps.toString)
       val cleaned3 = streamed.find(_._1 == 3L).get._2
       assert(cleaned3.contains("<EMAIL>") && cleaned3.contains("<NUM>") &&
         !cleaned3.contains("bob@") && !cleaned3.contains("  "), cleaned3)

@@ -213,6 +213,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)), out.toSeq)
   }
 
+  test("bpeInduce == sequential reference BPE on a seeded random corpus") {
+    import spark.implicits._
+    // small alphabet forces repeated pairs, multi-round interactions,
+    // and (a, a) self-merges; the seed makes failures reproducible
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d")
+    val corpus: Seq[Vector[String]] = (1 to 50).map { _ =>
+      Vector.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val docs = corpus.zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    // sequential reference: identical scoring (count desc, (w1, w2)
+    // asc) and identical one-pass greedy left-to-right application
+    def seqBpe(start: Seq[Vector[String]], k: Int): Seq[(String, String, Long)] = {
+      var cur = start
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var done = false
+      while (out.size < k && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        cur.foreach { toks =>
+          if (toks.length >= 2)
+            toks.iterator.zip(toks.iterator.drop(1)).foreach { p =>
+              counts(p) = counts.getOrElse(p, 0L) + 1L
+            }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((w1, w2), cnt) =
+            counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+          out += ((w1, w2, cnt))
+          cur = cur.map(_.foldLeft(Vector.empty[String]) { (acc, t) =>
+            if (acc.nonEmpty && acc.last == w1 && t == w2)
+              acc.init :+ (w1 + " " + w2)
+            else acc :+ t
+          })
+        }
+      }
+      out.toSeq
+    }
+    val expected = seqBpe(corpus, 8)
+    val got = TextAnalysis.bpeInduce(docs, 8)
+    assert(got == expected, s"got=$got\nexpected=$expected")
+    // multi-round sanity: later merges build on earlier merged symbols
+    assert(got.size == 8 && got.map(m => (m._1, m._2)).distinct.size == 8)
+  }
+
   test("lengthPercentiles: exact nearest-rank values that occur in the data") {
     // source s: lengths 1..10 → p50 = value at rank 5 = 5, p90 at rank
     // 9 = 9, p99 at rank ceil(9.9)=10 → 10

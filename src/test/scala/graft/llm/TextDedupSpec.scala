@@ -305,4 +305,73 @@ class TextDedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (1L, 1L, 1L, 1L), (2L, 1L, 1L, 1L), (3L, 1L, 0L, 0L)), out.toSeq)
   }
+
+  test("nearDupAgainstHistorySigs == recompute path, over a bucketed sig table") {
+    // the recurring-run shape: history signed ONCE, written bucketed,
+    // nightly runs read the table and hash only the new slice
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val history = docs.filter(col("doc_id") < 250)
+      .select(col("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text"))
+    graft.sources.Warehouse.writeBucketed(
+      TextDedup.minhashSignatures(history), "hist_sigs_spec", buckets = 8)
+    try {
+      val histSigs = graft.sources.Warehouse.readBucketed(spark, "hist_sigs_spec")
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaSigs = key(TextDedup.nearDupAgainstHistorySigs(fresh, histSigs))
+      val recompute = key(TextDedup.nearDupAgainstHistory(fresh, history))
+      assert(viaSigs == recompute && viaSigs.nonEmpty,
+        s"sig path must equal recompute: ${viaSigs.size} vs ${recompute.size}")
+      // the bucketed read pre-pays the doc_id exchange: a groupBy on the
+      // bucket key plans with no Exchange on the table side
+      val p = histSigs.groupBy(col("doc_id")).agg(count(lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed sig table must aggregate exchange-free:\n$p")
+    } finally spark.sql("DROP TABLE IF EXISTS hist_sigs_spec")
+  }
+
+  test("history variants RAISE when the doc_id spaces overlap") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = docsDf(1L -> base, 2L -> (50 to 90).map(i => s"y$i").mkString(" "))
+    val history = docsDf(1L -> base) // id 1 on BOTH sides
+    val err = intercept[Exception] {
+      TextDedup.nearDupAgainstHistory(docs, history).collect()
+    }
+    assert(err.getMessage.contains("BOTH docs and history"),
+      s"expected the disjointness guard, got: ${err.getMessage}")
+  }
+
+  test("dedupImpact over production minhash pairs (not just the oracle block)") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = (1 to 30).map(i => if (i == 15) "CHANGED" else s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "web", "en", base),
+      (2L, "web", "en", near), // near-dup of 1 → LSH drops one
+      (3L, "forum", "en", (100 to 130).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "source", "lang", "text")
+    val out = TextDedup.dedupImpact(docs, TextDedup.minhashPairs(docs))
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // web: 2 docs, 1 kept after near-dup collapse; forum untouched
+    assert(out.toSeq == Seq(("forum", 1L, 1L), ("web", 2L, 1L)), out.toSeq)
+  }
+
+  test("TempCache releases every persisted intermediate after materialization") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 7) "X" else s"w$i").mkString(" ")
+    val docs = docsDf(1L -> base, 2L -> near,
+      3L -> (100 to 140).map(i => s"v$i").mkString(" "))
+    val temps = new TempCache
+    val before = spark.sparkContext.getPersistentRDDs.size
+    TextDedup.minhashPairs(docs, temps = temps).collect()
+    assert(temps.size == 1, "minhashPairs registers its signature cache")
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "the signature frame is cached while in use")
+    temps.release(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "release must drop the cached blocks (the r5 ADVICE leak)")
+  }
 }
