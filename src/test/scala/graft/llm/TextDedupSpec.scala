@@ -364,6 +364,9 @@ class TextDedupSpec extends SparkSpec {
     val near = (1 to 40).map(i => if (i == 7) "X" else s"w$i").mkString(" ")
     val docs = docsDf(1L -> base, 2L -> near,
       3L -> (100 to 140).map(i => s"v$i").mkString(" "))
+    // the shared session carries cached plans from earlier tests whose
+    // entries CacheManager may dedupe against — start from a clean slate
+    spark.catalog.clearCache()
     val temps = new TempCache
     val before = spark.sparkContext.getPersistentRDDs.size
     TextDedup.minhashPairs(docs, temps = temps).collect()
