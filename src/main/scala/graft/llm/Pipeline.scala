@@ -39,8 +39,14 @@ object Pipeline {
       tap: (DataFrame, String) => DataFrame,
       shingleKernel: String = "graft_shingle_hashes"): DataFrame = {
     val cleaned = docs.withColumn("text", Curation.normalize(col("text")))
-    val gateIds = TextAnalysis.qualityGate(cleaned, lmThresholdPpm, temps)
-      .filter(col("keep")).select(col("doc_id"))
+    // the gate VERDICT (id-only, 8 B/row — narrow even at 100 TB) is
+    // persisted: both its consumers (the pair-generation branch and
+    // the spine's semi join) would otherwise re-execute the whole
+    // rules + repetition + LM gate lineage
+    val gateIds = temps.register(
+      TextAnalysis.qualityGate(cleaned, lmThresholdPpm, temps)
+        .filter(col("keep")).select(col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val gated = cleaned.join(gateIds, Seq("doc_id"), "left_semi")
     val dropIds = TextDedup.connectedComponents(
         TextDedup.minhashPairs(gated, shingleKernel = shingleKernel,

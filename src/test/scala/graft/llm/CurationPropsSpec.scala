@@ -142,6 +142,33 @@ class CurationPropsSpec extends SparkSpec {
     assert(got == refLm(corpus))
   }
 
+  test("spanOverlapPairs (count-then-cap) equals the sequential reference") {
+    // trigram shingles + tiny alphabet ⇒ real hot buckets exist, so
+    // the count-then-cap rewrite is exercised on actual over-cap keys
+    // (the skew path the r6 fix exists for), not just tame ones
+    val minShared = 2
+    val maxBucket = 5
+    val perDoc = corpus.map { case (id, t) => id -> refShingleHashes(t).toSet }
+    val byHash = perDoc.flatMap { case (id, s) => s.toSeq.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted.toVector).toMap
+    val pc = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    var capped = 0
+    byHash.values.foreach { ids =>
+      if (ids.size > maxBucket) capped += 1
+      else if (ids.size > 1)
+        for (i <- ids.indices; j <- i + 1 until ids.size) {
+          val k = (ids(i), ids(j))
+          pc(k) = pc.getOrElse(k, 0L) + 1
+        }
+    }
+    val want = pc.filter(_._2 >= minShared).toMap
+    assert(capped > 0, "corpus must actually produce over-cap hot buckets")
+    val got = TextDedup.spanOverlapPairs(corpusDf, n = 3,
+      minShared = minShared, maxBucket = maxBucket).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == want, s"got=${got.size} want=${want.size}")
+  }
+
   test("corpusDiff equals the sequential set definition on random snapshots") {
     // v1 = even-indexed docs, v2 = docs 20..59 with every 3rd text
     // perturbed — ids overlap, diverge, and appear on one side only
