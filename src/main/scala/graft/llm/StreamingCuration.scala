@@ -341,6 +341,58 @@ object StreamingCuration {
       .select(col("doc_id"), col("n_overlap"))
   }
 
+  /** Fuzzy historical dedup ON INGEST — the streaming half of
+    * [[TextDedup.nearDupAgainstHistorySigs]], done stream–static like
+    * [[streamingLmScore]]/[[streamingContamination]]: the reference
+    * corpus arrives as its PRECOMPUTED signature frame
+    * `(doc_id, th, sig)` (TextDedup.minhashSignatures, persisted once,
+    * bucketed via Warehouse for a long-lived table), banded statically;
+    * each arriving document's 16 band keys join the static bands, and
+    * in-bucket signature agreement ≥ `threshold` flags the doc with
+    * its best history match (highest agreement, ties to the lowest
+    * history id — the batch rollup's tie-break).
+    *
+    * Similarity is the signature-agreement ESTIMATE (the quantity LSH
+    * banded on — [[streamingNearDup]]'s stance); the nightly batch
+    * pass verifies with exact Jaccard. History is never re-hashed and
+    * the stream holds NO keyed history state — only the per-doc
+    * best-match aggregate, which drains at the watermark horizon.
+    *
+    * Scale shape: the static side is history-banded — (band_key,
+    * hist_id, sig), numPerm·8 B per row × bands — a real table worth
+    * bucketing on band_key so the per-micro-batch join never
+    * re-shuffles it; only band-collided (doc, hist) rows reach the
+    * agreement filter, and only flagged rows reach the aggregate. */
+  def streamingHistNearDup(docs: DataFrame, historySigs: DataFrame,
+      numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      watermark: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val rows = numPerm / bands
+    val histBands = historySigs.select(
+        col("doc_id").as("hist_id"), col("sig").as("hsig"))
+      .withColumn("band_key",
+        explode(TextDedup.lshBands(col("hsig"), bands, rows)))
+    val est = expr(
+      s"""aggregate(zip_with(sig, hsig, (a, b) -> IF(a = b, 1, 0)),
+         |  0, (s, x) -> s + x) / CAST($numPerm AS DOUBLE)""".stripMargin)
+    docs
+      .withWatermark("event_ts", watermark)
+      .withColumn("sig", call_udf("graft_minhash_sig",
+        call_udf("graft_shingle_hashes", col("text"), lit(3), lit(true)),
+        lit(numPerm)))
+      .select(col("doc_id"), col("event_ts"), col("sig"),
+        explode(TextDedup.lshBands(col("sig"), bands, rows)).as("band_key"))
+      .join(histBands, Seq("band_key"))
+      .withColumn("est", est)
+      .filter(col("est") >= threshold)
+      .groupBy(col("doc_id"), col("event_ts"))
+      .agg(
+        max_by(col("hist_id"),
+          struct(col("est"), (-col("hist_id")).as("n"))).as("matched_history_id"),
+        max(col("est")).as("est_jaccard"))
+      .select(col("doc_id"), col("matched_history_id"), col("est_jaccard"))
+  }
+
   /** Tumbling-window ingest accounting per source: docs and exact token
     * sums per (window, source) — the continuous form of the batch
     * q_llm_tokens rollup. Partial aggregation compresses map-side; the

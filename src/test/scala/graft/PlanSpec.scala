@@ -266,6 +266,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"keep-list must stay an anti join:\n$p")
   }
 
+  test("curate composition: semi/anti verdict joins, cached id frames, no windows") {
+    val p = plan("q_llm_curate")
+    assert(p.contains("LeftSemi"), s"gate verdict must semi-join:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"keep-list and decontamination must anti-join:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the id-only gate verdict (and the minhash/LM caches) must be " +
+        s"cached, not re-executed per consumer:\n$p")
+    assert(!p.toLowerCase.contains("window("),
+      s"no stage of the pass may plan a window:\n$p")
+  }
+
   test("dup runs: shingle df is an aggregate; islands window is per-document") {
     val p = plan("q_llm_dup_run")
     assert(p.contains("partial_count"),

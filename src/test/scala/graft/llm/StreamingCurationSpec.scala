@@ -245,6 +245,41 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingHistNearDup: stream-static flags against precomputed history sigs") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val variant = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val histDf = Seq((1L, base),
+      (2L, (100 to 130).map(i => s"h$i").mkString(" "))).toDF("doc_id", "text")
+    // history hashed ONCE, batch-side — the stream only reads the sigs
+    val histSigs = TextDedup.minhashSignatures(histDf)
+    val in = MemoryStream[Doc]
+    val q = StreamingCuration.streamingHistNearDup(in.toDF(), histSigs,
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("shistdup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        doc(10, 60, "s", variant),  // near-dup of history 1
+        doc(11, 61, "s", (200 to 240).map(i => s"z$i").mkString(" "))) // novel
+      q.processAllAvailable()
+      in.addData(doc(99, 120, "s", "push the watermark forward"))
+      q.processAllAvailable()
+      val rows = spark.table("shistdup")
+        .select(col("doc_id"), col("matched_history_id"), col("est_jaccard"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.length == 1 && rows(0)._1 == 10L && rows(0)._2 == 1L &&
+        rows(0)._3 >= 0.5, rows.toSeq.toString)
+      // the batch pass over the same sigs flags the same (doc, match)
+      val batch = TextDedup.nearDupAgainstHistorySigs(
+        Seq((10L, variant), (11L, (200 to 240).map(i => s"z$i").mkString(" ")))
+          .toDF("doc_id", "text"), histSigs)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(batch.toSeq == Seq((10L, 1L)),
+        s"stream flag must match the batch verdict: ${batch.toSeq}")
+    } finally q.stop()
+  }
+
   test("streamingCurateDedup: gate then dedup on the NORMALIZED identity") {
     implicit val sqlCtx = spark.sqlContext
     val body = "the quick brown fox jumps over that lazy dog again today friend"
