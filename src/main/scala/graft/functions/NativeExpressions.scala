@@ -645,6 +645,10 @@ object GraftFunctions {
       case Seq(c, Literal(n: Int, IntegerType)) => MinHashAggExpr(c, n)
       case es => MinHashAggExpr(es.head, 64)
     },
+    "graft_collect_capped" -> {
+      case Seq(c, Literal(n: Int, IntegerType)) => BoundedCollectAggExpr(c, n)
+      case es => BoundedCollectAggExpr(es.head, 100)
+    },
     "graft_shingle_hashes_md5" -> {
       case Seq(c, Literal(n: Int, IntegerType), Literal(m: Boolean, BooleanType)) =>
         Md5ShingleHashesExpr(c, n, m)

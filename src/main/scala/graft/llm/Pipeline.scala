@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Assemble the pass once for both entry points. `tap` instruments
     * the SPINE — a strictly linear parallel chain where each stage
     * node is consumed exactly once, so an attached CollectMetrics
@@ -89,17 +91,25 @@ object Pipeline {
       lmThresholdPpm: Long = 34000L,
       temps: TempCache = TempCache.noop): (DataFrame, Map[String, Long]) = {
     val names = Seq("input", "gated", "deduped", "decontaminated")
-    val obs = names.map(n => n -> new Observation(s"curate_$n")).toMap
+    // unique per call: Spark rejects duplicate observation names across
+    // ACTIVE queries, so concurrent pipelines in one session must not
+    // collide (the bloomViewSeq stance)
+    val runId = obsSeq.incrementAndGet()
+    val obs = names.map(n => n -> new Observation(s"curate_${runId}_$n")).toMap
     val clean = stages(docs, benchmark, lmThresholdPpm, temps,
       (df, name) => df.observe(obs(name), count(lit(1)).as("n")))
     clean.write.format("noop").mode("overwrite").save()
-    // metric delivery rides the (async) listener bus; bound the wait
-    // rather than risking Observation.get's unbounded block
-    import scala.concurrent.duration.DurationInt
+    // metric delivery rides the (async) listener bus; poll the timed
+    // getOrEmpty (via the package bridge) against a deadline — no
+    // unbounded Observation.get park, no sacrificial thread to leak
     val counts = names.map { n =>
-      n -> scala.concurrent.Await.result(
-        scala.concurrent.Future(obs(n).get("n").asInstanceOf[Long])(
-          scala.concurrent.ExecutionContext.global), 120.seconds)
+      val deadline = System.currentTimeMillis + 120000
+      var m = org.apache.spark.sql.GraftObservationBridge.getOrEmpty(obs(n))
+      while (m.isEmpty && System.currentTimeMillis < deadline)
+        m = org.apache.spark.sql.GraftObservationBridge.getOrEmpty(obs(n))
+      require(m.nonEmpty,
+        s"observed metric curate_${runId}_$n never arrived (listener bus)")
+      n -> m("n").asInstanceOf[Long]
     }.toMap
     (clean, counts)
   }

@@ -132,10 +132,17 @@ object Similarity {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val withSig = vecs.withColumn("sig",
       call_udf("graft_signlsh", col("embedding"), lit(bits), lit(dim), lit(42L)))
+    // capped collect (BoundedCollectAggExpr): correlated embeddings
+    // collapsing onto one signature are exactly the degenerate bucket
+    // the cap guards against — buffer state tops out at maxBucket+1
+    // members (embeddings included) on any task, map-side partials
+    // too; saturated buckets eval to NULL and drop
     val pairs = withSig
       .groupBy(col("sig"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"), col("nrm")))).as("xs"))
-      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
+      .agg(sort_array(call_udf("graft_collect_capped",
+        struct(col("vec_id"), col("embedding"), col("nrm")),
+        lit(maxBucket))).as("xs"))
+      .filter(col("xs").isNotNull && size(col("xs")) > 1)
       .select(explode(expr(
         """flatten(transform(xs, (x, i) ->
           |  transform(slice(xs, i + 2, size(xs)), y ->

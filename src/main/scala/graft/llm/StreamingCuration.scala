@@ -365,24 +365,53 @@ object StreamingCuration {
     * agreement filter, and only flagged rows reach the aggregate. */
   def streamingHistNearDup(docs: DataFrame, historySigs: DataFrame,
       numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      shingleKernel: String = "graft_shingle_hashes"): DataFrame =
+    streamingHistNearDupBanded(docs,
+      bandHistorySigs(historySigs, numPerm, bands),
+      numPerm, bands, threshold, watermark, shingleKernel)
+
+  /** Band a history signature frame `(doc_id, th, sig)` into the
+    * static side [[streamingHistNearDupBanded]] joins: `(band_key,
+    * hist_id, hsig)`. Materialize the RESULT for a long-lived feed —
+    * persist it, or `Warehouse.writeBucketed(_, table, key =
+    * "band_key")` — so micro-batches join a ready table instead of
+    * re-deriving and re-shuffling the banding every trigger. */
+  def bandHistorySigs(historySigs: DataFrame, numPerm: Int = 64,
+      bands: Int = 16): DataFrame =
+    historySigs.select(col("doc_id").as("hist_id"), col("sig").as("hsig"))
+      .withColumn("band_key",
+        explode(TextDedup.lshBands(col("hsig"), bands, numPerm / bands)))
+      .select(col("band_key"), col("hist_id"), col("hsig"))
+
+  /** The pre-banded form: `historyBands` is [[bandHistorySigs]] output
+    * (persisted / bucketed by the caller). The signature kernel on the
+    * stream side MUST match the one that built the history sigs —
+    * `shingleKernel` selects it — and a history signature whose length
+    * differs from `numPerm` RAISES at execution (zip_with would
+    * otherwise null-pad and silently underestimate agreement). */
+  def streamingHistNearDupBanded(docs: DataFrame, historyBands: DataFrame,
+      numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      watermark: String = "1 hour",
+      shingleKernel: String = "graft_shingle_hashes"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val rows = numPerm / bands
-    val histBands = historySigs.select(
-        col("doc_id").as("hist_id"), col("sig").as("hsig"))
-      .withColumn("band_key",
-        explode(TextDedup.lshBands(col("hsig"), bands, rows)))
-    val est = expr(
-      s"""aggregate(zip_with(sig, hsig, (a, b) -> IF(a = b, 1, 0)),
-         |  0, (s, x) -> s + x) / CAST($numPerm AS DOUBLE)""".stripMargin)
+    val est = when(size(col("hsig")) === numPerm,
+      expr(
+        s"""aggregate(zip_with(sig, hsig, (a, b) -> IF(a = b, 1, 0)),
+           |  0, (s, x) -> s + x) / CAST($numPerm AS DOUBLE)""".stripMargin))
+      .otherwise(raise_error(concat(
+        lit(s"history signature length "), size(col("hsig")),
+        lit(s" != numPerm $numPerm: history sigs were built with a " +
+          "different permutation count"))))
     docs
       .withWatermark("event_ts", watermark)
       .withColumn("sig", call_udf("graft_minhash_sig",
-        call_udf("graft_shingle_hashes", col("text"), lit(3), lit(true)),
+        call_udf(shingleKernel, col("text"), lit(3), lit(true)),
         lit(numPerm)))
       .select(col("doc_id"), col("event_ts"), col("sig"),
         explode(TextDedup.lshBands(col("sig"), bands, rows)).as("band_key"))
-      .join(histBands, Seq("band_key"))
+      .join(historyBands, Seq("band_key"))
       .withColumn("est", est)
       .filter(col("est") >= threshold)
       .groupBy(col("doc_id"), col("event_ts"))

@@ -185,12 +185,22 @@ object TextDedup {
   def minhashPairsFromSigs(withSig: DataFrame, numPerm: Int = 64,
       bands: Int = 16, threshold: Double = 0.5,
       maxBucket: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(withSig.sparkSession)
     val rows = numPerm / bands
+    // Band keys are high-entropy for DISTINCT documents, but a doc
+    // mass-duplicated beyond maxBucket makes ALL its band buckets
+    // hot — exactly the corpus a dedup pass exists for. The capped
+    // collect (BoundedCollectAggExpr) enforces the bucket cap INSIDE
+    // the aggregation buffer: state tops out at maxBucket+1 members on
+    // any task (map-side partials included), saturated buckets eval to
+    // NULL and are dropped — same result as the collect-then-filter
+    // shape, one shuffle, no hot list ever materialized.
     val candidates = withSig
       .select(col("doc_id"), explode(lshBands(col("sig"), bands, rows)).as("band_key"))
       .groupBy(col("band_key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .agg(sort_array(call_udf("graft_collect_capped",
+        col("doc_id"), lit(maxBucket))).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ida, y AS idb))))"""
@@ -308,9 +318,14 @@ object TextDedup {
         """transform(sequence(0, 3), b ->
           |  concat(b, ':', pmod(shiftright(simhash, b * 16), 65536)))""".stripMargin))
         .as("band_key"))
+    // capped collect (BoundedCollectAggExpr): mass-duplicated docs
+    // share all 4 bands — buffer state tops out at maxBucket+1 on any
+    // task, saturated buckets eval to NULL and drop (see
+    // minhashPairsFromSigs)
     val pairs = banded.groupBy(col("band_key"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
-      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
+      .agg(sort_array(call_udf("graft_collect_capped",
+        struct(col("doc_id"), col("simhash")), lit(maxBucket))).as("xs"))
+      .filter(col("xs").isNotNull && size(col("xs")) > 1)
       .select(explode(expr(
         """flatten(transform(xs, (x, i) ->
           |  transform(slice(xs, i + 2, size(xs)), y ->

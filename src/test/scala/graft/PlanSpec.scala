@@ -50,6 +50,14 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_llm_minhash")
     assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
       s"withSig persist lost — signature kernels would run 3x:\n$p")
+    // the band-bucket cap lives INSIDE the aggregation buffer (bounded
+    // state, map-side partials) — a regression to collect_list + size
+    // filter would materialize a mass-duplicated doc's full bucket on
+    // one task
+    assert(p.contains("partial_boundedcollectaggexpr"),
+      s"band buckets must aggregate via the capped collect:\n$p")
+    assert(!p.contains("collect_list"),
+      s"no unbounded collect may build LSH buckets:\n$p")
   }
 
   test("point lookup pushes the key filter into the scan") {
@@ -140,7 +148,7 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_llm_emb_outlier")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"centroids must broadcast:\n$p")
-    assert(!p.toLowerCase.contains("window("),
+    assert(!p.toLowerCase.contains("window"),
       s"a window over the n×k scored rows would shuffle them all:\n$p")
     assert(p.contains("partial_max"),
       s"assignment must map-side combine before the shuffle:\n$p")
@@ -200,7 +208,7 @@ class PlanSpec extends SparkSpec {
 
   test("boilerplate line df is an aggregate+join with map-side partials") {
     val p = plan("q_llm_boilerplate")
-    assert(!p.toLowerCase.contains("window("),
+    assert(!p.toLowerCase.contains("window"),
       s"line df regressed to a window-by-line:\n$p")
     assert(p.contains("partial_count"),
       s"df aggregate lost its map-side partials:\n$p")
@@ -210,7 +218,7 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_llm_lm_score")
     assert(p.contains("InMemoryTableScan"),
       s"the (w1,w2) pair frame must be cached for its two consumers:\n$p")
-    assert(!p.toLowerCase.contains("window("),
+    assert(!p.toLowerCase.contains("window"),
       s"count tables must be aggregate+join, not windows:\n$p")
     assert(p.contains("partial_count"),
       s"bigram counts lost their map-side partials:\n$p")
@@ -220,7 +228,7 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_llm_quality_gate")
     assert(p.contains("InMemoryTableScan"),
       s"the LM pair frame must be cached for its two consumers:\n$p")
-    assert(!p.toLowerCase.contains("window("),
+    assert(!p.toLowerCase.contains("window"),
       s"no window anywhere in the gate:\n$p")
     // the gate's joins are exactly the LM side's: pairs⋈bg, pairs⋈uni,
     // and ONE outer verdict join — rules and repetition never join
@@ -274,7 +282,7 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"),
       s"the id-only gate verdict (and the minhash/LM caches) must be " +
         s"cached, not re-executed per consumer:\n$p")
-    assert(!p.toLowerCase.contains("window("),
+    assert(!p.toLowerCase.contains("window"),
       s"no stage of the pass may plan a window:\n$p")
   }
 

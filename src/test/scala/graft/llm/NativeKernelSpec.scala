@@ -249,4 +249,33 @@ class NativeKernelSpec extends SparkSpec {
       assert(sketches.filter(size(col("sig")) =!= 64).count() == 0L)
     } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
+
+  test("graft_collect_capped == collect_list under the cap; saturated groups null") {
+    import spark.implicits._
+    // group sizes 1, 3, cap(=4), cap+1, and a 40-member hot key;
+    // repartition(7) forces real partial-buffer merges
+    val rows = Seq.tabulate(1)(i => ("g1", i.toLong)) ++
+      Seq.tabulate(3)(i => ("g3", i.toLong)) ++
+      Seq.tabulate(4)(i => ("g4", i.toLong)) ++
+      Seq.tabulate(5)(i => ("g5", i.toLong)) ++
+      Seq.tabulate(40)(i => ("hot", i.toLong))
+    val df = rows.toDF("k", "v").repartition(7)
+    val got = df.groupBy(col("k"))
+      .agg(sort_array(call_udf("graft_collect_capped", col("v"), lit(4)))
+        .as("xs"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.getSeq[Long](1)).map(_.toList)).toMap
+    assert(got("g1") == Some(List(0L)))
+    assert(got("g3") == Some(List(0L, 1L, 2L)))
+    assert(got("g4") == Some(List(0L, 1L, 2L, 3L)))
+    assert(got("g5") == None, "one past the cap must saturate to null")
+    assert(got("hot") == None, "hot keys saturate — never a full list")
+    // struct elements round-trip through the serialized buffer too
+    val structGot = df.groupBy(col("k"))
+      .agg(call_udf("graft_collect_capped",
+        struct(col("v"), col("k")), lit(50)).as("xs"))
+      .filter(col("k") === "hot")
+      .select(size(col("xs"))).collect()(0).getInt(0)
+    assert(structGot == 40)
+  }
 }

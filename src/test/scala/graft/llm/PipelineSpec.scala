@@ -16,8 +16,10 @@ class PipelineSpec extends SparkSpec {
     // pin the audit cost: the four stage counts must ride observe()
     // metrics on ONE materialization (a single noop save) — never a
     // .count() action per stage re-executing the upstream lineage
-    val actions = java.util.Collections.synchronizedList(
-      new java.util.ArrayList[String]())
+    // CopyOnWriteArrayList: the listener-bus thread appends while the
+    // poll below iterates — synchronizedList iteration would need the
+    // monitor held and risks ConcurrentModificationException
+    val actions = new java.util.concurrent.CopyOnWriteArrayList[String]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,

@@ -278,6 +278,49 @@ class StreamingCurationSpec extends SparkSpec {
       assert(batch.toSeq == Seq((10L, 1L)),
         s"stream flag must match the batch verdict: ${batch.toSeq}")
     } finally q.stop()
+    // the pre-banded static path (what a long-lived feed persists /
+    // buckets) produces the identical flag
+    val in2 = MemoryStream[Doc]
+    val q2 = StreamingCuration.streamingHistNearDupBanded(in2.toDF(),
+      StreamingCuration.bandHistorySigs(histSigs), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("shistdup2")
+      .outputMode("append").start()
+    try {
+      in2.addData(doc(10, 60, "s", variant))
+      q2.processAllAvailable()
+      in2.addData(doc(99, 120, "s", "push the watermark forward"))
+      q2.processAllAvailable()
+      val rows2 = spark.table("shistdup2")
+        .select(col("doc_id"), col("matched_history_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows2.toSeq == Seq((10L, 1L)), rows2.toSeq.toString)
+    } finally q2.stop()
+  }
+
+  test("streamingHistNearDup RAISES on a numPerm-mismatched history sig table") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    // history signed with 32 permutations, stream configured for 64:
+    // zip_with would null-pad and silently underestimate agreement —
+    // the guard must fail the query instead
+    val histSigs32 = TextDedup.minhashSignatures(
+      Seq((1L, base)).toDF("doc_id", "text"), numPerm = 32)
+    val in = MemoryStream[Doc]
+    val q = StreamingCuration.streamingHistNearDup(in.toDF(), histSigs32,
+      numPerm = 64, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("shistbad")
+      .outputMode("append").start()
+    try {
+      val err = intercept[Exception] {
+        in.addData(doc(10, 60, "s", base))
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(err).exists(_.contains("numPerm")),
+        s"expected the signature-width guard, got: ${messages(err)}")
+    } finally q.stop()
   }
 
   test("streamingCurateDedup: gate then dedup on the NORMALIZED identity") {
