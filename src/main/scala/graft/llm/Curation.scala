@@ -253,6 +253,68 @@ object Curation {
            |       ELSE 1500 END
            |ORDER BY doc_id""".stripMargin))
 
+  /** Finer content bucket for fractional admission rates: first 8 hex
+    * chars of SHA256 (32 bits) mod 1e6 — parts-per-million
+    * granularity, same engine-portable construction as
+    * [[hashBucket]]. */
+  def ppmBucket(c: Column): Column =
+    conv(substring(sha2(c.cast("binary"), 256), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+
+  /** Temperature-balanced source mixing — the multilingual-pretraining
+    * rebalance (sample source s with probability ∝ n_s^α so
+    * low-resource sources aren't drowned; the XLM/XLM-R convention,
+    * α typically 0.3-0.7). Admitted counts here follow n_s^α with
+    * α = 0.5 FIXED: the per-source admission threshold is
+    * floor(1e6 · sqrt(min_n)/sqrt(n_s)), and IEEE-754 sqrt, divide,
+    * and multiply are all correctly rounded — every engine computes
+    * the identical thresholds bit-for-bit, which keeps this operator
+    * fully DuckDB-oracle-checkable (a pow(n, α) for free α is not
+    * guaranteed correctly rounded and could hash-diverge). The
+    * smallest source's threshold is exactly 1e6 — kept whole; larger
+    * sources admit ∝ 1/sqrt(n_s) of their documents, so admitted
+    * counts equalize toward sqrt scale. Admission is per-document
+    * content-hash vs threshold ([[mixSample]]'s determinism: rerun /
+    * backfill stable, no seed table, partition-independent).
+    *
+    * Scale shape: one tiny groupBy(source) count, a single-row min
+    * broadcast onto it, the ppm-threshold table broadcast back onto
+    * one corpus scan — no corpus-wide shuffle at all. */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val minC = counts.agg(min(col("n_src")).as("min_n"))
+    val rated = counts.crossJoin(broadcast(minC))
+      .withColumn("rate_ppm",
+        floor(lit(1000000.0) *
+          (sqrt(col("min_n").cast("double")) / sqrt(col("n_src").cast("double"))))
+          .cast("long"))
+      .select(col("source"), col("rate_ppm"))
+    docs.join(broadcast(rated), Seq("source"))
+      .filter(ppmBucket(col("text")) < col("rate_ppm"))
+  }
+
+  val qTempMix = QuerySpec(
+    "q_llm_temp_mix",
+    (s, d) =>
+      temperatureMix(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("source"), col("rate_ppm"))
+        .orderBy(col("doc_id")),
+    Some("""WITH counts AS (
+           |  SELECT source, count(*) AS n_src FROM documents GROUP BY source
+           |), m AS (
+           |  SELECT min(n_src) AS min_n FROM counts
+           |), rated AS (
+           |  SELECT source,
+           |    CAST(floor(1000000.0 * (sqrt(CAST(min_n AS DOUBLE)) /
+           |      sqrt(CAST(n_src AS DOUBLE)))) AS BIGINT) AS rate_ppm
+           |  FROM counts, m
+           |)
+           |SELECT d.doc_id, d.source, r.rate_ppm
+           |FROM documents d JOIN rated r USING (source)
+           |WHERE CAST(('0x' || substr(sha256(d.text), 1, 8)) AS BIGINT)
+           |      % 1000000 < r.rate_ppm
+           |ORDER BY d.doc_id""".stripMargin))
+
   /** Deterministic global shuffle for training order: a seeded
     * content-independent permutation key (md5 over seed:doc_id, first
     * 15 hex chars → 60-bit long). Ordering by (key, doc_id) IS the
@@ -552,6 +614,6 @@ object Curation {
 
   val all: Seq[QuerySpec] =
     Seq(qSample, qSplit, qParaDedup, qRedact, qLineDedup, qPack, qMix,
-      qShuffle, qStripMarkup, qNormalize, qQuotaSample, qChunk,
+      qTempMix, qShuffle, qStripMarkup, qNormalize, qQuotaSample, qChunk,
       qBoilerplate, qCorpusDiff)
 }

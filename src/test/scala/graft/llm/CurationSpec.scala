@@ -59,6 +59,33 @@ class CurationSpec extends SparkSpec {
     assert(again == kept.map(_._1).sorted.toSeq)
   }
 
+  test("temperatureMix: smallest source kept whole, larger admit ~sqrt-scaled") {
+    // sources of 40 / 360 / 1000 docs: thresholds 1e6, floor(1e6/3),
+    // floor(1e6/5) — admitted counts should land near 40 / 120 / 200
+    val df = ((1 to 40).map(i => (i.toLong, "tiny", s"tiny doc $i")) ++
+      (1 to 360).map(i => (1000L + i, "mid", s"mid doc $i")) ++
+      (1 to 1000).map(i => (10000L + i, "big", s"big doc $i")))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.temperatureMix(df)
+      .select(col("source"), col("rate_ppm")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    val rates = out.toMap
+    assert(rates("tiny") == 1000000L, "smallest source admits everything")
+    assert(rates("mid") == 333333L && rates("big") == 200000L,
+      s"thresholds must be the exact floored sqrt ratios: $rates")
+    assert(bySrc("tiny") == 40, "ppm 1e6 keeps the whole source")
+    // hash admission is ~uniform: expect 120 and 200 within wide bands
+    assert(bySrc("mid") > 80 && bySrc("mid") < 160, bySrc.toString)
+    assert(bySrc("big") > 140 && bySrc("big") < 260, bySrc.toString)
+    // content-deterministic under repartitioning
+    val again = Curation.temperatureMix(df.repartition(13))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val first = Curation.temperatureMix(df)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == first)
+  }
+
   test("shuffleKey: seeded deterministic permutation, new seed → new order") {
     val df = (1 to 100).map(i => Tuple1(i.toLong)).toDF("doc_id")
     def order(seed: Long): Seq[Long] =
