@@ -419,13 +419,14 @@ object TextAnalysis {
     * the term join shuffles — a broadcast would assume vocab fits in
     * one executor, false at 100 TB); the corpus-size scalar rides a
     * broadcast cross join; top-k is a per-doc window rank. */
-  def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3,
+      temps: TempCache = TempCache.noop): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perDoc = docs
+    val perDoc = temps.register(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfTable = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count_distinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))

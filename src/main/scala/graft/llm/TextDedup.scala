@@ -839,6 +839,71 @@ object TextDedup {
             |  ORDER BY jac DESC, matched_history_id) = 1
             |ORDER BY doc_id""".stripMargin))
 
+  /** Train/test SPLIT LEAKAGE: held-out documents whose near-duplicate
+    * sits in the training split — the eval-integrity check exact
+    * decontamination misses (a rewrite of a training doc in the test
+    * set still leaks). Pure composition: the deterministic content-hash
+    * split partitions the corpus, and [[nearDupAgainstHistory]] treats
+    * the held-out side as "docs" and the training side as "history",
+    * so every flagged row is (test doc, its best training-side match).
+    * Same scale shape as the history variants; the split predicate is
+    * the per-row [[Curation.hashBucket]] — no extra shuffle. */
+  val qSplitLeak = QuerySpec(
+    "q_llm_split_leak",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val b = Curation.hashBucket(col("text"))
+      nearDupAgainstHistory(docs.filter(b >= 90), docs.filter(b < 90),
+        shingleKernel = "graft_shingle_hashes_md5")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $duckShinglesCte,
+            |th AS (
+            |  SELECT doc_id, list_transform(shingles,
+            |    t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483647) AS th
+            |  FROM sh),
+            |sig AS (
+            |  SELECT doc_id, th, list_transform(range(0, 64), k ->
+            |    list_min(list_transform(th,
+            |      h -> ((k*1000003 + 12345)*h + k*998244353 + 7) % 2147483647))) AS sig
+            |  FROM th),
+            |bands AS (
+            |  SELECT doc_id, unnest(list_transform(range(0, 16),
+            |    b -> b::VARCHAR || ':' || array_to_string(sig[b*4+1:b*4+4], ','))) AS band_key
+            |  FROM sig),
+            |ok AS (
+            |  SELECT band_key FROM bands GROUP BY band_key
+            |  HAVING count(*) > 1 AND count(*) <= 100),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            |  FROM bands a JOIN bands b
+            |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            |  WHERE a.band_key IN (SELECT band_key FROM ok)),
+            |scored AS (
+            |  SELECT c.ida, c.idb,
+            |    len(list_intersect(ta.th, tb.th)) /
+            |    len(list_distinct(list_concat(ta.th, tb.th))) AS jac
+            |  FROM cand c
+            |  JOIN th ta ON ta.doc_id = c.ida
+            |  JOIN th tb ON tb.doc_id = c.idb),
+            |sp AS (
+            |  SELECT doc_id,
+            |    CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT) % 100 >= 90
+            |      AS is_test
+            |  FROM documents),
+            |cross_pairs AS (
+            |  SELECT CASE WHEN sa.is_test THEN ida ELSE idb END AS doc_id,
+            |    CASE WHEN sa.is_test THEN idb ELSE ida END AS matched_history_id,
+            |    jac
+            |  FROM scored
+            |  JOIN sp sa ON sa.doc_id = scored.ida
+            |  JOIN sp sb ON sb.doc_id = scored.idb
+            |  WHERE jac >= 0.5 AND sa.is_test <> sb.is_test)
+            |SELECT doc_id, matched_history_id, jac FROM cross_pairs
+            |QUALIFY row_number() OVER (PARTITION BY doc_id
+            |  ORDER BY jac DESC, matched_history_id) = 1
+            |ORDER BY doc_id""".stripMargin))
+
   // ---- benchmark contamination ------------------------------------------
 
   /** Benchmark-contamination detection: documents sharing any word
@@ -1003,12 +1068,14 @@ object TextDedup {
     * fraction of the two signatures. Group count is small (sources,
     * domains, shards), so the pair join is over sketches, never docs. */
   def groupSimilarity(docs: DataFrame, groupCol: String, numPerm: Int = 64,
-      shingleKernel: String = "graft_shingle_hashes"): DataFrame = {
+      shingleKernel: String = "graft_shingle_hashes",
+      temps: TempCache = TempCache.noop): DataFrame = {
     // both pair-join sides read the signatures; persist the (group ×
     // numPerm·8B, i.e. KB-sized) sketch table so the corpus-wide
     // aggregation runs once, not once per side
-    val sigs = groupSignatures(docs, groupCol, numPerm, shingleKernel)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = temps.register(
+      groupSignatures(docs, groupCol, numPerm, shingleKernel)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = sigs.select(col(groupCol).as("ga"), col("sig").as("sa"))
     val b = sigs.select(col(groupCol).as("gb"), col("sig").as("sb"))
     a.join(b, col("ga") < col("gb"))
@@ -1259,6 +1326,6 @@ object TextDedup {
   val all: Seq[QuerySpec] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qMinhashMd5, qSimhash,
       qSimhashMd5, qSourceSim, qSourceSimMd5, qDedupClusters, qKeepList,
-      qContamination, qHistDedup, qHistNearDup, qSpanOverlap, qDupRun,
-      qDedupStats, qDedupImpact)
+      qContamination, qHistDedup, qHistNearDup, qSplitLeak, qSpanOverlap,
+      qDupRun, qDedupStats, qDedupImpact)
 }
