@@ -575,6 +575,34 @@ object TextDedup {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** Quality-aware cluster representative selection: keep the doc
+    * maximizing `score` per near-dup cluster (ties → lowest doc_id)
+    * instead of keep-list's arbitrary min-id survivor — the production
+    * dedup policy ("keep the longest / highest-quality copy") used by
+    * web-scale curation pipelines. `score` is any Column over the doc
+    * row (length(text), a quality signal, a source-priority rank).
+    *
+    * With score = -doc_id the winner is the min id, so this reduces to
+    * dedupKeepList exactly (ScalaTest-pinned equivalence).
+    *
+    * Scale shape: only the graph-member slice (docs that appear in a
+    * pair — tiny vs the corpus) carries its score through the
+    * per-cluster shuffle, and max_by is a declarative aggregate
+    * (map-side combinable, constant state). The corpus itself sees one
+    * anti join on doc_id — identical to dedupKeepList's shape. */
+  def dedupKeepBest(docs: DataFrame, pairs: DataFrame, score: Column): DataFrame = {
+    val members = docs
+      .join(connectedComponents(pairs).withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"))
+    val winners = members
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+        struct(score.as("s"), (-col("doc_id")).as("t"))).as("doc_id"))
+    val drop = members.select(col("doc_id"))
+      .join(winners.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** Oracle'd: over the bounded Jaccard block pairs the component
     * assignment is expressible in DuckDB as a recursive transitive
     * closure with min-reachable-id labeling. */
@@ -638,6 +666,50 @@ object TextDedup {
            |)
            |SELECT doc_id, source, lang FROM documents
            |WHERE doc_id NOT IN (SELECT a FROM drop_ids)
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Keep-best over the same bounded pairs, scored by text length —
+    * "keep the longest copy", the policy real pipelines prefer over
+    * min-id because near-dup clusters usually contain one full document
+    * plus truncated variants. Winner per cluster = max length, ties →
+    * lowest doc_id; DuckDB replays the closure then ranks members with
+    * the identical (len DESC, doc_id ASC) ordering. */
+  val qKeepBest = QuerySpec(
+    "q_llm_keep_best",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      dedupKeepBest(docs, jaccardBlockPairs(docs), length(col("text")))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE pairs AS (
+           |  SELECT a.doc_id AS ida, b.doc_id AS idb
+           |  FROM documents a JOIN documents b
+           |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |  WHERE a.doc_id < 200 AND b.doc_id < 200
+           |    AND len(list_intersect(list_distinct(string_split(a.text, ' ')),
+           |                           list_distinct(string_split(b.text, ' ')))) /
+           |        len(list_distinct(list_concat(string_split(a.text, ' '),
+           |                                      string_split(b.text, ' ')))) >= 0.5
+           |), edges AS (
+           |  SELECT ida AS a, idb AS b FROM pairs
+           |  UNION SELECT idb, ida FROM pairs
+           |), reach(a, b) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+           |), members AS (
+           |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+           |), ranked AS (
+           |  SELECT m.doc_id,
+           |    row_number() OVER (PARTITION BY m.cluster_id
+           |      ORDER BY len(d.text) DESC, m.doc_id ASC) AS rn
+           |  FROM members m JOIN documents d ON m.doc_id = d.doc_id
+           |), drop_ids AS (
+           |  SELECT doc_id FROM ranked WHERE rn > 1
+           |)
+           |SELECT doc_id, source, lang FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
            |ORDER BY doc_id""".stripMargin))
 
   // ---- historical-corpus dedup (bloom prefilter + exact anti join) -------
@@ -1326,6 +1398,6 @@ object TextDedup {
   val all: Seq[QuerySpec] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qMinhashMd5, qSimhash,
       qSimhashMd5, qSourceSim, qSourceSimMd5, qDedupClusters, qKeepList,
-      qContamination, qHistDedup, qHistNearDup, qSplitLeak, qSpanOverlap,
-      qDupRun, qDedupStats, qDedupImpact)
+      qKeepBest, qContamination, qHistDedup, qHistNearDup, qSplitLeak,
+      qSpanOverlap, qDupRun, qDedupStats, qDedupImpact)
 }

@@ -152,6 +152,27 @@ class TextDedupSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 99L), s"min of {1,2,3} + unpaired survive: $kept")
   }
 
+  test("dedupKeepBest keeps the max-score doc per cluster, min-id on ties") {
+    val docs = docsDf(
+      1L -> "short", 2L -> "the much longer copy", 3L -> "mid len",
+      4L -> "same", 5L -> "same", 99L -> "lonely")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("ida", "idb")
+    val kept = TextDedup.dedupKeepBest(docs, pairs, length(col("text")))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // cluster {1,2,3}: 2 is longest; cluster {4,5}: tie → min id 4
+    assert(kept == Set(2L, 4L, 99L), s"longest (tie → min id) survive: $kept")
+  }
+
+  test("dedupKeepBest with score -doc_id reduces to dedupKeepList") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = TextDedup.minhashPairs(docs)
+    val best = TextDedup.dedupKeepBest(docs, pairs, -col("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val list = TextDedup.dedupKeepList(docs, pairs)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(best == list, "max(-id) winner IS the min-id survivor")
+  }
+
   test("end-to-end LSH dedup: keep-list over minhash pairs drops the planted dup") {
     // the production path: MinHash+LSH candidate pairs (not the bounded
     // Jaccard block) feeding the keep-list
