@@ -592,6 +592,78 @@ object TextAnalysis {
            |GROUP BY source
            |ORDER BY source""".stripMargin))
 
+  /** Corpus drift between two snapshots: the per-term shift of the
+    * unigram distribution, in integer parts-per-million — the
+    * "did the crawl change under us" retrain-decision signal a data
+    * card tracks between releases. Each snapshot's term frequency is
+    * floored to ppm of its own token total, the two vocabularies
+    * full-outer join (absent = 0 ppm), and only moved terms are
+    * reported. Integer ppm (not float probabilities) keeps the result
+    * exact and aggregation-order independent; total-variation distance
+    * is sum(abs(shift))/2e6 one step downstream.
+    *
+    * Scale shape: two corpus token scans into map-side-combined term
+    * counts; each snapshot's token total is a single-row broadcast
+    * (the tf-idf scalar stance); the only real shuffle joins two
+    * vocab-sized (term, ppm) frames — corpus text never shuffles. */
+  def corpusDrift(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def ppmOf(df: DataFrame, name: String): DataFrame = {
+      val w = TextDedup.spreadSmallInput(df)
+        .select(explode(tokens(col("text"))).as("term"))
+      val total = w.agg(count(lit(1)).as("n"))
+      w.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(total))
+        .select(col("term"), expr(s"(1000000 * c) div n").as(name))
+    }
+    ppmOf(oldDocs, "ppm_old")
+      .join(ppmOf(newDocs, "ppm_new"), Seq("term"), "full_outer")
+      .na.fill(0L, Seq("ppm_old", "ppm_new"))
+      .withColumn("shift", col("ppm_new") - col("ppm_old"))
+      .filter(col("shift") =!= 0)
+  }
+
+  /** Oracle'd over the same carved snapshots as q_llm_corpus_diff (v1 =
+    * doc_id < 400 with odd ids' text perturbed, v2 = doc_id >= 100), top
+    * movers by absolute ppm shift — (abs DESC, term) is a total order,
+    * so the LIMIT slice is deterministic on both engines. */
+  val qDrift = QuerySpec(
+    "q_llm_drift",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val v1 = docs.filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 1, concat(col("text"), lit(" v1-edit")))
+            .otherwise(col("text")).as("text"))
+      val v2 = docs.filter(col("doc_id") >= 100)
+      corpusDrift(v1, v2)
+        .orderBy(abs(col("shift")).desc, col("term")).limit(50)
+    },
+    Some("""WITH v1 AS (
+           |  SELECT CASE WHEN doc_id % 2 = 1 THEN text || ' v1-edit'
+           |              ELSE text END AS text
+           |  FROM documents WHERE doc_id < 400
+           |), v2 AS (
+           |  SELECT text FROM documents WHERE doc_id >= 100
+           |), w1 AS (
+           |  SELECT unnest(string_split(text, ' ')) AS term FROM v1
+           |), w2 AS (
+           |  SELECT unnest(string_split(text, ' ')) AS term FROM v2
+           |), p1 AS (
+           |  SELECT term, (1000000 * count(*)) // (SELECT count(*) FROM w1)
+           |    AS ppm_old FROM w1 GROUP BY term
+           |), p2 AS (
+           |  SELECT term, (1000000 * count(*)) // (SELECT count(*) FROM w2)
+           |    AS ppm_new FROM w2 GROUP BY term
+           |)
+           |SELECT coalesce(p1.term, p2.term) AS term,
+           |  CAST(coalesce(ppm_old, 0) AS BIGINT) AS ppm_old,
+           |  CAST(coalesce(ppm_new, 0) AS BIGINT) AS ppm_new,
+           |  CAST(coalesce(ppm_new, 0) - coalesce(ppm_old, 0) AS BIGINT)
+           |    AS shift
+           |FROM p1 FULL OUTER JOIN p2 ON p1.term = p2.term
+           |WHERE coalesce(ppm_new, 0) - coalesce(ppm_old, 0) <> 0
+           |ORDER BY abs(shift) DESC, term LIMIT 50""".stripMargin))
+
   /** One BPE-style merge-scoring step: corpus-wide counts of ADJACENT
     * token pairs, top-k candidates by count — the inner loop of
     * merge-based tokenizer vocabulary induction (score the pairs, merge
@@ -1012,6 +1084,6 @@ object TextAnalysis {
   val all: Seq[QuerySpec] =
     Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5, qDocFreq,
       qTfIdf, qRepetition, qQualityRules, qNovelty, qOov, qStopwordScrub,
-      qSourceReport, qBpeStep, qLenPercentiles, qWinnow, qLmScore,
+      qSourceReport, qDrift, qBpeStep, qLenPercentiles, qWinnow, qLmScore,
       qQualityGate)
 }

@@ -201,6 +201,24 @@ class TextAnalysisSpec extends SparkSpec {
       ("s1", 3L, 5L, 2L, 1.0 / 3.0), ("s2", 1L, 3L, 1L, 0.0)), out.toSeq)
   }
 
+  test("corpusDrift: identical snapshots produce zero movers") {
+    val d = docs(1L -> "a b c", 2L -> "x y z a")
+    assert(TextAnalysis.corpusDrift(d, d).isEmpty)
+  }
+
+  test("corpusDrift: exact integer ppm shifts, absentees at 0") {
+    // old: 4 tokens (a a b c) -> a 500000, b 250000, c 250000
+    // new: 5 tokens (a b b b d) -> a 200000, b 600000, d 200000
+    val old = docs(1L -> "a a b c")
+    val nw = docs(1L -> "a b b b d")
+    val out = TextAnalysis.corpusDrift(old, nw)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") == (500000L, 200000L, -300000L))
+    assert(out("b") == (250000L, 600000L, 350000L))
+    assert(out("c") == (250000L, 0L, -250000L))
+    assert(out("d") == (0L, 200000L, 200000L))
+  }
+
   test("bpeMergeStep counts adjacent pairs non-distinct, ranks candidates") {
     // "a b" occurs 3x (twice in doc 1's alternation, once in doc 2);
     // "b a" once inside doc 1; ties rank lexicographically
