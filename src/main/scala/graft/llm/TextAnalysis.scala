@@ -935,17 +935,13 @@ object TextAnalysis {
     * joined back on their own grouping keys — NOT windows — so AQE
     * can split a skewed stopword key; the scan is reused for both
     * counts via one persisted pair frame. */
-  def lmScore(docs: DataFrame, temps: TempCache = TempCache.noop): DataFrame = {
-    // toks is materialized in its own projection so the bigram lambda
-    // slices an attribute, not a re-evaluated split (see
-    // shingleHashesOfToks for the O(n²)-per-row failure mode)
-    val toksDf = TextDedup.spreadSmallInput(docs)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+  /** (doc_id, w1, w2) adjacent-token pairs of a (doc_id, toks) frame.
+    * toks must be a materialized attribute (not an inline split) so the
+    * lambda slices it rather than re-evaluating it per element — see
+    * shingleHashesOfToks for the O(n²)-per-row failure mode. */
+  private def adjacentPairsOf(toksDf: DataFrame): DataFrame = {
     val toks = col("toks")
-    // Persisted: both count tables and the scoring join read it. The
-    // blocks outlive this (lazy) call — long-running drivers pass a
-    // TempCache and release() after materializing (see TempCache).
-    val pairs = temps.register(toksDf.select(col("doc_id"),
+    toksDf.select(col("doc_id"),
       explode(when(size(toks) >= 2,
         transform(sequence(lit(0), size(toks) - 2),
           i => struct(element_at(toks, i + 1).as("w1"),
@@ -953,6 +949,16 @@ object TextAnalysis {
         .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
         .as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
+  def lmScore(docs: DataFrame, temps: TempCache = TempCache.noop): DataFrame = {
+    val toksDf = TextDedup.spreadSmallInput(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val toks = col("toks")
+    // Persisted: both count tables and the scoring join read it. The
+    // blocks outlive this (lazy) call — long-running drivers pass a
+    // TempCache and release() after materializing (see TempCache).
+    val pairs = temps.register(adjacentPairsOf(toksDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val uni = toksDf.select(explode(toks).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
@@ -990,6 +996,105 @@ object TextAnalysis {
            |FROM pairs p
            |JOIN bg b ON p.w1 = b.w1 AND p.w2 = b.w2
            |JOIN uni u ON p.w1 = u.w1
+           |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin))
+
+  /** DSIR-style importance score for domain-targeted data selection:
+    * each document's bigrams are scored under a TARGET corpus (the
+    * domain you want more of) and under the raw corpus itself, both in
+    * the integer-ppm conditional-frequency scheme of lmScore, and the
+    * importance is the per-document mean difference — positive means
+    * "reads more like the target than like the average crawl page".
+    * Published procedure: Xie et al., "Data Selection for Language
+    * Models via Importance Resampling" (hashed n-gram LM likelihood
+    * ratio); restated here in exact integer arithmetic so the score —
+    * and any resampling cutoff on it — hash-matches across engines.
+    * Bigrams the target has never seen score 0 under it (the floor),
+    * making unseen-domain text maximally negative, which is the
+    * selection behavior DSIR wants.
+    *
+    * Scale shape: the corpus pair frame is built and persisted ONCE
+    * (shared by the raw count tables and the scoring join); the target
+    * corpus is the small side by construction — its unigram/bigram
+    * count frames broadcast or hash-join on string keys, and absent
+    * keys stay absent (left join) rather than materializing the cross
+    * vocabulary. */
+  def importanceScore(docs: DataFrame, target: DataFrame,
+      temps: TempCache = TempCache.noop): DataFrame = {
+    val toksDf = TextDedup.spreadSmallInput(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val pairs = temps.register(adjacentPairsOf(toksDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val uni = toksDf.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val tToksDf = target.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tUni = tToksDf.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu_t"))
+    val tBg = adjacentPairsOf(tToksDf)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb_t"))
+    pairs
+      .join(bg, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .join(tBg, Seq("w1", "w2"), "left").join(tUni, Seq("w1"), "left")
+      .withColumn("s_raw", expr("(1000000 * cb) div cu"))
+      .withColumn("s_tgt", coalesce(expr("(1000000 * cb_t) div cu_t"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("s_raw")).as("raw_sum"), sum(col("s_tgt")).as("tgt_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("raw_sum div n_bigrams").as("raw_ppm"),
+        expr("tgt_sum div n_bigrams").as("target_ppm"),
+        (expr("tgt_sum div n_bigrams") - expr("raw_sum div n_bigrams"))
+          .as("importance"))
+  }
+
+  /** Oracle'd with the corpus's largest source as the target domain:
+    * score every document against src18-likeness. Docs with <2 tokens
+    * carry no bigram and are absent, exactly as in q_llm_lm_score. */
+  val qImportance = QuerySpec(
+    "q_llm_importance",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      importanceScore(docs, docs.filter(col("source") === "src18"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           |), pairs AS (
+           |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+           |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) x
+           |  WHERE len(toks) >= 2
+           |), uni AS (
+           |  SELECT w1, count(*) AS cu FROM (
+           |    SELECT unnest(toks) AS w1 FROM t) GROUP BY w1
+           |), bg AS (
+           |  SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2
+           |), tt AS (
+           |  SELECT string_split(text, ' ') AS toks FROM documents
+           |  WHERE source = 'src18'
+           |), tpairs AS (
+           |  SELECT toks[i] AS w1, toks[i+1] AS w2
+           |  FROM tt, LATERAL (SELECT unnest(range(1, len(toks))) AS i) x
+           |  WHERE len(toks) >= 2
+           |), tuni AS (
+           |  SELECT w1, count(*) AS cu_t FROM (
+           |    SELECT unnest(toks) AS w1 FROM tt) GROUP BY w1
+           |), tbg AS (
+           |  SELECT w1, w2, count(*) AS cb_t FROM tpairs GROUP BY w1, w2
+           |)
+           |SELECT p.doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  CAST(sum((1000000 * b.cb) // u.cu) // count(*) AS BIGINT)
+           |    AS raw_ppm,
+           |  CAST(sum(coalesce((1000000 * tb.cb_t) // tu.cu_t, 0))
+           |    // count(*) AS BIGINT) AS target_ppm,
+           |  CAST(sum(coalesce((1000000 * tb.cb_t) // tu.cu_t, 0)) // count(*)
+           |    - sum((1000000 * b.cb) // u.cu) // count(*) AS BIGINT)
+           |    AS importance
+           |FROM pairs p
+           |JOIN bg b ON p.w1 = b.w1 AND p.w2 = b.w2
+           |JOIN uni u ON p.w1 = u.w1
+           |LEFT JOIN tbg tb ON p.w1 = tb.w1 AND p.w2 = tb.w2
+           |LEFT JOIN tuni tu ON p.w1 = tu.w1
            |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin))
 
   /** The filter stack a curation pass actually materializes: the
@@ -1085,5 +1190,5 @@ object TextAnalysis {
     Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5, qDocFreq,
       qTfIdf, qRepetition, qQualityRules, qNovelty, qOov, qStopwordScrub,
       qSourceReport, qDrift, qBpeStep, qLenPercentiles, qWinnow, qLmScore,
-      qQualityGate)
+      qImportance, qQualityGate)
 }

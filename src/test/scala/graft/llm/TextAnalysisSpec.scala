@@ -219,6 +219,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("d") == (0L, 200000L, 200000L))
   }
 
+  test("importanceScore: target == corpus gives importance 0 everywhere") {
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = TextAnalysis.importanceScore(d, d)
+    assert(out.count() > 0)
+    assert(out.filter(col("importance") =!= 0L).isEmpty,
+      "identical target and raw LMs must cancel exactly")
+  }
+
+  test("importanceScore: unseen-by-target bigrams score maximally negative") {
+    val d = docs(1L -> "a b", 2L -> "x y")
+    val target = docs(10L -> "a b")
+    val out = TextAnalysis.importanceScore(d, target)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // corpus: c(a b)=1, c(a)=1 -> raw 1e6 for both docs. target knows
+    // only "a b": doc 1 target ppm 1e6 (importance 0), doc 2 target 0
+    assert(out(1L) == (1000000L, 0L))
+    assert(out(2L) == (0L, -1000000L))
+  }
+
   test("bpeMergeStep counts adjacent pairs non-distinct, ranks candidates") {
     // "a b" occurs 3x (twice in doc 1's alternation, once in doc 2);
     // "b a" once inside doc 1; ties rank lexicographically
