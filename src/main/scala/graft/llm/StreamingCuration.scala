@@ -284,14 +284,15 @@ object StreamingCuration {
     * Scale shape: the static count tables are real tables (bucketed
     * via Warehouse if long-lived); per-doc aggregates combine
     * map-side; state is horizon-bounded. */
-  def streamingLmScore(docs: DataFrame, uni: DataFrame, bg: DataFrame,
-      watermark: String = "1 hour"): DataFrame = {
+  /** Watermarked (doc_id, event_ts, w1, w2) adjacent-pair explode of a
+    * streaming docs frame — shared by the stream-static LM scorers. */
+  private def streamPairsOf(docs: DataFrame, watermark: String): DataFrame = {
     val toksDf = docs
       .withWatermark("event_ts", watermark)
       .select(col("doc_id"), col("event_ts"),
         split(col("text"), " ").as("toks"))
     val toks = col("toks")
-    val pairs = toksDf.select(col("doc_id"), col("event_ts"),
+    toksDf.select(col("doc_id"), col("event_ts"),
       explode(when(size(toks) >= 2,
         transform(sequence(lit(0), size(toks) - 2),
           i => struct(element_at(toks, i + 1).as("w1"),
@@ -300,6 +301,11 @@ object StreamingCuration {
         .as("p"))
       .select(col("doc_id"), col("event_ts"),
         col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
+  def streamingLmScore(docs: DataFrame, uni: DataFrame, bg: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val pairs = streamPairsOf(docs, watermark)
     pairs
       .join(bg.select(col("w1"), col("w2"), col("cb")), Seq("w1", "w2"), "left")
       .join(uni.select(col("w1"), col("cu")), Seq("w1"), "left")
@@ -310,6 +316,43 @@ object StreamingCuration {
       .withColumn("mean_score", expr("lm_score div n_bigrams"))
       .select(col("doc_id"), col("n_bigrams"), col("lm_score"),
         col("mean_score"))
+  }
+
+  /** DSIR importance scoring ON INGEST — the batch importanceScore as
+    * a stream–static join: each arriving document's bigrams score
+    * against BOTH a static target-domain LM snapshot (tUni/tBg:
+    * (w1, cu_t) / (w1, w2, cb_t)) and a static raw-corpus LM snapshot
+    * (uni/bg, the same tables streamingLmScore reads), and the per-doc
+    * integer-ppm mean difference emits when the batch closes — the
+    * admit/route-by-domain-affinity signal, available the moment a
+    * document arrives rather than at the nightly batch. An unbounded
+    * stream has no "corpus-wide counts of itself", so the raw LM is
+    * the nightly snapshot by construction; a doc whose text matches a
+    * snapshot-corpus doc scores exactly what the batch operator gave
+    * it (ScalaTest-pinned). Unseen bigrams floor to 0 under either LM,
+    * matching the batch floor.
+    *
+    * Scale shape: identical to streamingLmScore — static count tables
+    * broadcast or hash-join per micro-batch, per-doc aggregates
+    * combine map-side, state is horizon-bounded by the watermark. */
+  def streamingImportance(docs: DataFrame, uni: DataFrame, bg: DataFrame,
+      tUni: DataFrame, tBg: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    streamPairsOf(docs, watermark)
+      .join(bg.select(col("w1"), col("w2"), col("cb")), Seq("w1", "w2"), "left")
+      .join(uni.select(col("w1"), col("cu")), Seq("w1"), "left")
+      .join(tBg.select(col("w1"), col("w2"), col("cb_t")), Seq("w1", "w2"), "left")
+      .join(tUni.select(col("w1"), col("cu_t")), Seq("w1"), "left")
+      .withColumn("s_raw", coalesce(expr("(1000000 * cb) div cu"), lit(0L)))
+      .withColumn("s_tgt", coalesce(expr("(1000000 * cb_t) div cu_t"), lit(0L)))
+      .groupBy(col("doc_id"), col("event_ts"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("s_raw")).as("raw_sum"), sum(col("s_tgt")).as("tgt_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("raw_sum div n_bigrams").as("raw_ppm"),
+        expr("tgt_sum div n_bigrams").as("target_ppm"),
+        (expr("tgt_sum div n_bigrams") - expr("raw_sum div n_bigrams"))
+          .as("importance"))
   }
 
   /** Benchmark decontamination ON INGEST — the batch contamination

@@ -176,6 +176,46 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingImportance: stream score == batch importanceScore for in-snapshot text") {
+    implicit val sqlCtx = spark.sqlContext
+    // snapshot corpus {a b, a b, a c}; target domain {a b}
+    val uni = Seq(("a", 3L), ("b", 2L), ("c", 1L)).toDF("w1", "cu")
+    val bg = Seq(("a", "b", 2L), ("a", "c", 1L)).toDF("w1", "w2", "cb")
+    val tUni = Seq(("a", 1L), ("b", 1L)).toDF("w1", "cu_t")
+    val tBg = Seq(("a", "b", 1L)).toDF("w1", "w2", "cb_t")
+    val in = MemoryStream[Doc]
+    val q = StreamingCuration.streamingImportance(in.toDF(), uni, bg,
+      tUni, tBg, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("simp")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        doc(1, 60, "s", "a b"),  // target-favored: tgt 1e6, raw 666666
+        doc(2, 61, "s", "a c"),  // raw-only: tgt 0, raw 333333
+        doc(3, 62, "s", "x y"))  // out of both snapshots → 0 - 0
+      q.processAllAvailable()
+      in.addData(doc(9, 120, "s", "a b")) // push the watermark
+      q.processAllAvailable()
+      val rows = spark.table("simp")
+        .select(col("doc_id"), col("raw_ppm"), col("target_ppm"),
+          col("importance"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(rows(1L) == ((666666L, 1000000L, 333334L)), rows.toString)
+      assert(rows(2L) == ((333333L, 0L, -333333L)), rows.toString)
+      assert(rows(3L) == ((0L, 0L, 0L)), rows.toString)
+      // agreement with the batch operator: same corpus, same target
+      val corpus = Seq((100L, "a b"), (101L, "a b"), (102L, "a c"))
+        .toDF("doc_id", "text")
+      val target = Seq((200L, "a b")).toDF("doc_id", "text")
+      val batch = TextAnalysis.importanceScore(corpus, target)
+        .filter(col("doc_id") === 100L).collect()(0)
+      assert((batch.getLong(2), batch.getLong(3), batch.getLong(4)) ==
+        ((666666L, 1000000L, 333334L)),
+        "stream importance == batch importance for in-snapshot text")
+    } finally q.stop()
+  }
+
   test("streamingContamination flags benchmark 8-gram hits as docs arrive") {
     implicit val sqlCtx = spark.sqlContext
     val passage = (1 to 12).map(i => s"b$i").mkString(" ") // 12-token passage
