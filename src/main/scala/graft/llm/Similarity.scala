@@ -558,6 +558,168 @@ object Similarity {
            |FROM seeds LEFT JOIN next USING (c_id)
            |ORDER BY c_id""".stripMargin))
 
+  // ---- product quantization (PQ) ANN -------------------------------------
+
+  /** Per-subspace PQ codebooks (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search"): each int8-quantized vector splits
+    * into `m` contiguous subvectors of dim/m components, and every
+    * subspace trains its own small codebook with `iters` rounds of the
+    * exact integer [[kmeansStep]] from deterministic stride seeds.
+    * iters = 0 keeps the seeds verbatim — the fully-SQL-replayable
+    * form the oracle uses; the trained path is ScalaTest-pinned
+    * against a sequential reference (the [[kmeansQuantized]] stance).
+    * Returns (sub_id, c_id, c_q).
+    *
+    * Scale shape: `m` independent small training chains over sliced
+    * projections of ONE persisted quantized scan; each chain is
+    * [[kmeansStep]]'s broadcast + map-side-combine shape. */
+  def pqCodebooks(vecs0: DataFrame, m: Int, dim: Int,
+      centroidStride: Int, iters: Int = 0): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    graft.functions.GraftFunctions.register(vecs0.sparkSession)
+    val subDim = dim / m
+    val q0 = vecs0.select(col("vec_id"), quantize(col("embedding")).as("qfull"))
+    val q = if (iters > 0)
+      q0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else q0
+    val books = (0 until m).map { j =>
+      val sub = q.select(col("vec_id"),
+        slice(col("qfull"), j * subDim + 1, subDim).as("q"))
+      var cb = sub.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
+        .select(col("vec_id").as("c_id"), col("q").as("c_q"))
+      for (_ <- 1 to iters) cb = kmeansStep(sub, cb).localCheckpoint(true)
+      cb.select(lit(j).as("sub_id"), col("c_id"), col("c_q"))
+    }.reduce(_ unionByName _)
+    if (iters > 0) q.unpersist() // every chain ends in a checkpoint
+    books
+  }
+
+  /** (id, sub_id, q) sliced subvector view of a quantized frame. */
+  private def pqSubvectors(vecs: DataFrame, idCol: String, m: Int,
+      dim: Int): DataFrame = {
+    val subDim = dim / m
+    vecs.select(col("vec_id").as(idCol), quantize(col("embedding")).as("qfull"))
+      .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("sub_id"),
+        col("qfull"))
+      .select(col(idCol), col("sub_id"),
+        slice(col("qfull"), col("sub_id") * subDim + 1, lit(subDim)).as("q"))
+  }
+
+  /** PQ encoding: each vector compresses to `m` codebook ids — the
+    * argmin exact long L2 per subspace, ties → lowest c_id. At dim=64
+    * that is m bytes instead of 64, the memory ratio that lets a
+    * billion-vector index live in RAM. Returns (vec_id, codes).
+    *
+    * Scale shape: codebooks (m × K × subDim ints) broadcast against
+    * one corpus scan; max_by reduces the per-subspace scoring
+    * map-side; the code array reassembles in a per-vector aggregate —
+    * the corpus never joins itself. */
+  def pqEncode(vecs: DataFrame, codebooks: DataFrame, m: Int,
+      dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    pqSubvectors(vecs, "vec_id", m, dim)
+      .join(broadcast(codebooks), Seq("sub_id"))
+      .withColumn("dist", call_udf("graft_l2_int", col("q"), col("c_q")))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(max_by(col("c_id"),
+        struct((-col("dist")).as("nd"), (-col("c_id")).as("nc"))).as("code"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
+        s => s.getField("code")).as("codes"))
+  }
+
+  /** PQ ANN serving via asymmetric distance computation (ADC): the
+    * query stays exact (quantized, un-encoded); its per-subspace L2
+    * distances to every codebook entry form a tiny nq × m × K lookup
+    * table, and each encoded corpus vector's approximate distance is
+    * the sum of m table lookups — never a full-dimension distance at
+    * serving time. Top-k ascending, ties → lowest vector id; all
+    * integer, so results are bit-stable under any partitioning.
+    *
+    * Scale shape: the lookup table broadcasts; the corpus-side cost is
+    * one scan of the m-byte codes joined against it with a map-side-
+    * combinable sum; only per-query top-k rows cross the rank window. */
+  def pqTopK(vecs: DataFrame, queries: DataFrame, k: Int,
+      codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val table = pqSubvectors(queries, "q_id", m, dim)
+      .join(codebooks, Seq("sub_id"))
+      .withColumn("d", call_udf("graft_l2_int", col("q"), col("c_q")))
+      .select(col("q_id"), col("sub_id"), col("c_id").as("code"), col("d"))
+    val codes = pqEncode(vecs, codebooks, m, dim)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub_id", "code")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    codes.join(broadcast(table), Seq("sub_id", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adist"))
+  }
+
+  /** Oracle'd END-TO-END at iters = 0 (stride-seed codebooks): slice,
+    * quantize, per-subspace argmin encode, ADC table, summed lookups,
+    * rank — every step exact integer/IEEE arithmetic restated in
+    * DuckDB. The trained-codebook path differs only in the codebook
+    * rows it reads (ScalaTest pins it against a sequential PQ). */
+  val qPqAnn = QuerySpec(
+    "q_llm_pq_ann",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val vs = Tables.load(s, d, "embeddings")
+      val cb = pqCodebooks(vs, m = 4, dim = 64, centroidStride = 50, iters = 0)
+      pqTopK(vs, vs.filter(col("vec_id") < 5), k = 5, cb, m = 4, dim = 64)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id,
+           |    CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+           |      THEN list_transform(embedding, x -> 0)
+           |      ELSE list_transform(embedding, x -> CAST(floor(
+           |        CAST(x AS DOUBLE) /
+           |        CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
+           |        * 127.0 + 0.5) AS INTEGER))
+           |    END AS qfull
+           |  FROM embeddings
+           |), sub AS (
+           |  SELECT vec_id, j.sub_id,
+           |    qfull[j.sub_id * 16 + 1 : j.sub_id * 16 + 16] AS sq
+           |  FROM q, LATERAL (SELECT unnest(range(0, 4)) AS sub_id) j
+           |), cb AS (
+           |  SELECT sub_id, vec_id AS c_id, sq AS c_q FROM sub
+           |  WHERE vec_id % 50 = 0
+           |), scored AS (
+           |  SELECT s.vec_id, s.sub_id, c.c_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(list_zip(s.sq, c.c_q),
+           |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+           |      (a, x) -> a + x) AS dist
+           |  FROM sub s JOIN cb c USING (sub_id)
+           |), codes AS (
+           |  SELECT vec_id, sub_id, c_id AS code FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+           |      ORDER BY dist, c_id) AS rn FROM scored) WHERE rn = 1
+           |), qt AS (
+           |  SELECT vec_id AS q_id, sub_id, c_id AS code, dist AS d
+           |  FROM scored WHERE vec_id < 5
+           |), adist AS (
+           |  SELECT qt.q_id, codes.vec_id, CAST(sum(qt.d) AS BIGINT) AS adist
+           |  FROM codes JOIN qt
+           |    ON codes.sub_id = qt.sub_id AND codes.code = qt.code
+           |  WHERE codes.vec_id != qt.q_id
+           |  GROUP BY qt.q_id, codes.vec_id
+           |)
+           |SELECT q_id,
+           |  CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY adist, vec_id) AS BIGINT) AS "rank",
+           |  vec_id AS neighbor_id, adist
+           |FROM adist
+           |QUALIFY "rank" <= 5
+           |ORDER BY q_id, "rank"""".stripMargin))
+
   /** SemDeDup (Abbas et al.): semantic deduplication over the
     * embedding space — sign-LSH candidate pairs above a cosine
     * threshold become edges, connected components group semantic
@@ -714,5 +876,5 @@ object Similarity {
 
   val all: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qEmbOutlier, qQuantize, qKmeansStep,
-      qSemDedup, qAnnRecall)
+      qPqAnn, qSemDedup, qAnnRecall)
 }

@@ -135,6 +135,64 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect, s"got=$got\nexpect=$expect")
   }
 
+  test("trained PQ ADC equals a sequential product-quantization reference") {
+    val m = 4; val dim = 64; val subDim = dim / m
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    val cb = Similarity.pqCodebooks(vecs, m, dim, centroidStride = 50, iters = 2)
+    val got = Similarity.pqTopK(vecs, vecs.filter(col("vec_id") < 3), k = 5,
+      cb, m, dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // run-stability of the whole chain (train + encode + ADC)
+    val cb2 = Similarity.pqCodebooks(vecs.repartition(7), m, dim,
+      centroidStride = 50, iters = 2)
+    val got2 = Similarity.pqTopK(vecs, vecs.filter(col("vec_id") < 3), k = 5,
+      cb2, m, dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == got2, "PQ must be bit-stable under repartitioned training")
+
+    // sequential PQ with identical semantics over the quantized vectors
+    val q = vecs.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    def l2(a: Vector[Int], b: Vector[Int]): Long =
+      a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
+    def subv(v: Vector[Int], j: Int): Vector[Int] =
+      v.slice(j * subDim, (j + 1) * subDim)
+    // per-subspace k-means: stride seeds, 2 rounds, argmin tie → lowest
+    // c_id, rounded integer means, empty clusters keep their centroid
+    val books: Map[Int, Map[Long, Vector[Int]]] = (0 until m).map { j =>
+      var cents = q.filter(_._1 % 50 == 0).map { case (id, v) => id -> subv(v, j) }
+      for (_ <- 1 to 2) {
+        val assigned = q.values.map { v =>
+          val sv = subv(v, j)
+          (cents.toSeq.map { case (c, cv) => (l2(sv, cv), c) }.min._2, sv)
+        }
+        val byC = assigned.groupBy(_._1)
+        cents = cents.map { case (cid, cv) =>
+          cid -> byC.get(cid).fold(cv) { vs =>
+            cv.indices.map(d0 => math.floor(
+              vs.map(_._2(d0).toLong).sum.toDouble / vs.size + 0.5).toInt).toVector
+          }
+        }
+      }
+      j -> cents
+    }.toMap
+    val codes: Map[Long, Vector[Long]] = q.map { case (id, v) =>
+      id -> (0 until m).map { j =>
+        books(j).toSeq.map { case (c, cv) => (l2(subv(v, j), cv), c) }.min._2
+      }.toVector
+    }
+    val expect = (0L until 3L).flatMap { qid =>
+      val ranked = q.keys.filter(_ != qid).map { id =>
+        val d = (0 until m).map(j => l2(subv(q(qid), j), books(j)(codes(id)(j)))).sum
+        (d, id)
+      }.toSeq.sorted.take(5)
+      ranked.zipWithIndex.map { case ((d, id), i) => (qid, i + 1L) -> (id, d) }
+    }.toMap
+    assert(got == expect, s"got=$got\nexpect=$expect")
+  }
+
   test("integer k-means equals an independent driver-side implementation, bit-stable") {
     val vecs = graft.Tables.load(spark, sf0001, "embeddings")
     def run(df: org.apache.spark.sql.DataFrame): Map[Long, Vector[Int]] =
