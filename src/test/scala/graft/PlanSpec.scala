@@ -91,6 +91,14 @@ class PlanSpec extends SparkSpec {
       s"benchmark set must broadcast — a shuffle join would move the corpus:\n$p")
   }
 
+  test("PQ ADC broadcasts codebooks and lookup table against one corpus scan") {
+    val p = plan("q_llm_pq_ann")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebooks and the ADC table must broadcast, never shuffle the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized side may reach a shuffle join:\n$p")
+  }
+
   test("shuffle order is a range sort, never a single-reducer window") {
     val p = plan("q_llm_shuffle")
     assert(p.contains("rangepartitioning"), s"expected a distributed sort:\n$p")

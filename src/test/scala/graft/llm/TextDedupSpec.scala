@@ -165,12 +165,15 @@ class TextDedupSpec extends SparkSpec {
 
   test("dedupKeepBest with score -doc_id reduces to dedupKeepList") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
-    val pairs = TextDedup.minhashPairs(docs)
-    val best = TextDedup.dedupKeepBest(docs, pairs, -col("doc_id"))
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    val list = TextDedup.dedupKeepList(docs, pairs)
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    assert(best == list, "max(-id) winner IS the min-id survivor")
+    val temps = new TempCache
+    try {
+      val pairs = TextDedup.minhashPairs(docs, temps = temps)
+      val best = TextDedup.dedupKeepBest(docs, pairs, -col("doc_id"))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val list = TextDedup.dedupKeepList(docs, pairs)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(best == list, "max(-id) winner IS the min-id survivor")
+    } finally temps.release(blocking = true)
   }
 
   test("end-to-end LSH dedup: keep-list over minhash pairs drops the planted dup") {
@@ -389,13 +392,16 @@ class TextDedupSpec extends SparkSpec {
     // entries CacheManager may dedupe against — start from a clean slate
     spark.catalog.clearCache()
     val temps = new TempCache
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // track the SPECIFIC rdd ids this call adds: earlier tests' stray
+    // localCheckpoint rdds are reclaimed by the ContextCleaner at GC
+    // whim, so global counts are racy
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     TextDedup.minhashPairs(docs, temps = temps).collect()
     assert(temps.size == 1, "minhashPairs registers its signature cache")
-    assert(spark.sparkContext.getPersistentRDDs.size > before,
-      "the signature frame is cached while in use")
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "the signature frame is cached while in use")
     temps.release(blocking = true)
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
+    assert((spark.sparkContext.getPersistentRDDs.keySet & added).isEmpty,
       "release must drop the cached blocks (the r5 ADVICE leak)")
   }
 }
