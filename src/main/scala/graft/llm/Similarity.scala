@@ -720,6 +720,115 @@ object Similarity {
            |QUALIFY "rank" <= 5
            |ORDER BY q_id, "rank"""".stripMargin))
 
+  /** PQ quality harness: exact recall@k of [[pqTopK]] against the
+    * brute-force integer-L2 top-k over the same quantized vectors —
+    * the metric PQ approximates, so the recall number isolates the
+    * codebook quantization loss (not the int8 scalar loss). Both sides
+    * are exact integer rankings with the same (distance, vec_id)
+    * tiebreak, so the membership sets — and the intersection counts —
+    * replay in SQL verbatim, exactly like [[annRecall]].
+    *
+    * Scale shape: the query block broadcasts against one corpus scan
+    * on each side; only per-query top-k rows cross the rank windows;
+    * the recall rollup is a k-row join. */
+  def pqRecall(vecs: DataFrame, queries: DataFrame, k: Int,
+      codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val qv = vecs.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val qq = broadcast(queries
+      .select(col("vec_id").as("q_id"), quantize(col("embedding")).as("qq")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("vec_id"))
+    val exact = qv.join(qq, col("vec_id") =!= col("q_id"))
+      .withColumn("d", call_udf("graft_l2_int", col("q"), col("qq")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    val approx = pqTopK(vecs, queries, k, codebooks, m, dim)
+      .select(col("q_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        lit(k.toLong).as("k"),
+        (coalesce(col("n_hit"), lit(0L)) / k).as("recall"))
+  }
+
+  val qPqRecall = QuerySpec(
+    "q_llm_pq_recall",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val vs = Tables.load(s, d, "embeddings")
+      val cb = pqCodebooks(vs, m = 4, dim = 64, centroidStride = 50, iters = 0)
+      pqRecall(vs, vs.filter(col("vec_id") < 5), k = 5, cb, m = 4, dim = 64)
+        .orderBy(col("q_id"))
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id,
+           |    CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+           |      THEN list_transform(embedding, x -> 0)
+           |      ELSE list_transform(embedding, x -> CAST(floor(
+           |        CAST(x AS DOUBLE) /
+           |        CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
+           |        * 127.0 + 0.5) AS INTEGER))
+           |    END AS qfull
+           |  FROM embeddings
+           |), sub AS (
+           |  SELECT vec_id, j.sub_id,
+           |    qfull[j.sub_id * 16 + 1 : j.sub_id * 16 + 16] AS sq
+           |  FROM q, LATERAL (SELECT unnest(range(0, 4)) AS sub_id) j
+           |), cb AS (
+           |  SELECT sub_id, vec_id AS c_id, sq AS c_q FROM sub
+           |  WHERE vec_id % 50 = 0
+           |), scored AS (
+           |  SELECT s.vec_id, s.sub_id, c.c_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(list_zip(s.sq, c.c_q),
+           |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+           |      (a, x) -> a + x) AS dist
+           |  FROM sub s JOIN cb c USING (sub_id)
+           |), codes AS (
+           |  SELECT vec_id, sub_id, c_id AS code FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+           |      ORDER BY dist, c_id) AS rn FROM scored) WHERE rn = 1
+           |), qt AS (
+           |  SELECT vec_id AS q_id, sub_id, c_id AS code, dist AS d
+           |  FROM scored WHERE vec_id < 5
+           |), approx AS (
+           |  SELECT q_id, vec_id AS neighbor_id FROM (
+           |    SELECT qt.q_id, codes.vec_id, CAST(sum(qt.d) AS BIGINT) AS adist
+           |    FROM codes JOIN qt
+           |      ON codes.sub_id = qt.sub_id AND codes.code = qt.code
+           |    WHERE codes.vec_id != qt.q_id
+           |    GROUP BY qt.q_id, codes.vec_id)
+           |  QUALIFY row_number() OVER (PARTITION BY q_id
+           |    ORDER BY adist, neighbor_id) <= 5
+           |), exact AS (
+           |  SELECT q_id, neighbor_id FROM (
+           |    SELECT qs.vec_id AS q_id, c.vec_id AS neighbor_id,
+           |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(list_zip(c.qfull, qs.qfull),
+           |          z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+           |        (a, x) -> a + x) AS d
+           |    FROM q c, (SELECT * FROM q WHERE vec_id < 5) qs
+           |    WHERE c.vec_id != qs.vec_id)
+           |  QUALIFY row_number() OVER (PARTITION BY q_id
+           |    ORDER BY d, neighbor_id) <= 5
+           |), hits AS (
+           |  SELECT e.q_id, count(*) AS n_hit
+           |  FROM exact e JOIN approx a
+           |    ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+           |  GROUP BY e.q_id
+           |)
+           |SELECT q.vec_id AS q_id,
+           |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           |  CAST(5 AS BIGINT) AS k,
+           |  coalesce(h.n_hit, 0) / 5 AS recall
+           |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+           |LEFT JOIN hits h ON q.vec_id = h.q_id
+           |ORDER BY q_id""".stripMargin))
+
   /** SemDeDup (Abbas et al.): semantic deduplication over the
     * embedding space — sign-LSH candidate pairs above a cosine
     * threshold become edges, connected components group semantic
@@ -876,5 +985,5 @@ object Similarity {
 
   val all: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qEmbOutlier, qQuantize, qKmeansStep,
-      qPqAnn, qSemDedup, qAnnRecall)
+      qPqAnn, qPqRecall, qSemDedup, qAnnRecall)
 }

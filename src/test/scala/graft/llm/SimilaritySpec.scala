@@ -193,6 +193,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect, s"got=$got\nexpect=$expect")
   }
 
+  test("pqRecall: lossless codebooks (stride 1) give recall 1.0 everywhere") {
+    // with every corpus subvector in the codebook, each vector encodes
+    // to (a tie-broken copy of) itself and ADC degenerates to exact L2
+    // on codebook representatives — recall must be perfect
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+      .filter(col("vec_id") < 60)
+    val cb = Similarity.pqCodebooks(vecs, m = 4, dim = 64,
+      centroidStride = 1, iters = 0)
+    val out = Similarity.pqRecall(vecs, vecs.filter(col("vec_id") < 3), k = 5,
+      cb, m = 4, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out.size == 3 && out.values.forall(_ == 1.0), out.toString)
+  }
+
   test("integer k-means equals an independent driver-side implementation, bit-stable") {
     val vecs = graft.Tables.load(spark, sf0001, "embeddings")
     def run(df: org.apache.spark.sql.DataFrame): Map[Long, Vector[Int]] =
