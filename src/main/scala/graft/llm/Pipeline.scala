@@ -39,7 +39,8 @@ object Pipeline {
   private def stages(docs: DataFrame, benchmark: DataFrame,
       lmThresholdPpm: Long, temps: TempCache,
       tap: (DataFrame, String) => DataFrame,
-      shingleKernel: String = "graft_shingle_hashes"): DataFrame = {
+      shingleKernel: String = "graft_shingle_hashes",
+      survivorScore: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val cleaned = docs.withColumn("text", Curation.normalize(col("text")))
     // the gate VERDICT (id-only, 8 B/row — narrow even at 100 TB) is
     // persisted: both its consumers (the pair-generation branch and
@@ -50,11 +51,17 @@ object Pipeline {
         .filter(col("keep")).select(col("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val gated = cleaned.join(gateIds, Seq("doc_id"), "left_semi")
-    val dropIds = TextDedup.connectedComponents(
-        TextDedup.minhashPairs(gated, shingleKernel = shingleKernel,
-          temps = temps))
-      .filter(col("id") =!= col("cluster_id"))
-      .select(col("id").as("doc_id"))
+    // one CC run regardless of survivor policy: min-id reads the
+    // labels directly; max-score ranks cluster members by the caller's
+    // quality column (dedupKeepBest's policy) over the same assignment
+    val cc = TextDedup.connectedComponents(
+      TextDedup.minhashPairs(gated, shingleKernel = shingleKernel,
+        temps = temps))
+    val dropIds = survivorScore match {
+      case None => cc.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      case Some(score) => TextDedup.keepBestDropIds(gated, cc, score)
+    }
     val deduped = gated.join(dropIds, Seq("doc_id"), "left_anti")
     val contaminatedIds = TextDedup.contamination(deduped, benchmark)
       .select(col("doc_id"))
@@ -72,13 +79,18 @@ object Pipeline {
     * against (pass an empty frame to skip). Returns the curated corpus
     * with a `split` column; per-stage surviving counts are observable
     * via [[curateWithCounts]]. Long-running drivers pass a [[TempCache]]
-    * and release it after materializing. */
+    * and release it after materializing. `survivorScore` switches the
+    * dedup survivor policy from min-doc_id to max-score (ties → lowest
+    * id) over the SAME cluster assignment — e.g. `length(col("text"))`
+    * for keep-the-longest-copy; cluster structure, and therefore the
+    * survivor COUNT, is policy-independent (PipelineSpec pins it). */
   def curate(docs: DataFrame, benchmark: DataFrame,
       lmThresholdPpm: Long = 34000L,
       temps: TempCache = TempCache.noop,
-      shingleKernel: String = "graft_shingle_hashes"): DataFrame =
+      shingleKernel: String = "graft_shingle_hashes",
+      survivorScore: Option[org.apache.spark.sql.Column] = None): DataFrame =
     stages(docs, benchmark, lmThresholdPpm, temps, (df, _) => df,
-      shingleKernel)
+      shingleKernel, survivorScore)
 
   /** The same pass with per-stage survivor counts — the audit numbers
     * a data card publishes. The counts ride `observe()` metrics on ONE

@@ -590,17 +590,23 @@ object TextDedup {
     * per-cluster shuffle, and max_by is a declarative aggregate
     * (map-side combinable, constant state). The corpus itself sees one
     * anti join on doc_id — identical to dedupKeepList's shape. */
-  def dedupKeepBest(docs: DataFrame, pairs: DataFrame, score: Column): DataFrame = {
+  def dedupKeepBest(docs: DataFrame, pairs: DataFrame, score: Column): DataFrame =
+    docs.join(keepBestDropIds(docs, connectedComponents(pairs), score),
+      Seq("doc_id"), "left_anti")
+
+  /** The drop list under the max-score survivor policy, given a
+    * cluster assignment (id, cluster_id) — exposed separately so the
+    * Pipeline composition can swap survivor policies over ONE CC run. */
+  def keepBestDropIds(docs: DataFrame, clusters: DataFrame,
+      score: Column): DataFrame = {
     val members = docs
-      .join(connectedComponents(pairs).withColumnRenamed("id", "doc_id"),
-        Seq("doc_id"))
+      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
     val winners = members
       .groupBy(col("cluster_id"))
       .agg(max_by(col("doc_id"),
         struct(score.as("s"), (-col("doc_id")).as("t"))).as("doc_id"))
-    val drop = members.select(col("doc_id"))
+    members.select(col("doc_id"))
       .join(winners.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
   /** Oracle'd: over the bounded Jaccard block pairs the component

@@ -169,6 +169,60 @@ class CurationPropsSpec extends SparkSpec {
     assert(got == want, s"got=${got.size} want=${want.size}")
   }
 
+  test("corpusDrift equals the sequential ppm definition and is antisymmetric") {
+    val v1 = corpus.filter(_._1 % 2 == 0)
+    val v2 = corpus.filter(_._1 >= 20).map { case (id, t) =>
+      (id, if (id % 3 == 0) t + " edited" else t)
+    }
+    def refPpm(c: Seq[(Long, String)]): Map[String, Long] = {
+      val ws = c.flatMap { case (_, t) => toks(t) }
+      val n = ws.size.toLong
+      ws.groupBy(identity).view.mapValues(g => 1000000L * g.size / n).toMap
+    }
+    val p1 = refPpm(v1)
+    val p2 = refPpm(v2)
+    val want = (p1.keySet ++ p2.keySet).iterator.map { w =>
+      w -> (p1.getOrElse(w, 0L), p2.getOrElse(w, 0L))
+    }.collect { case (w, (a, b)) if a != b => w -> (a, b, b - a) }.toMap
+    def run(a: Seq[(Long, String)], b: Seq[(Long, String)]) =
+      TextAnalysis.corpusDrift(a.toDF("doc_id", "text"), b.toDF("doc_id", "text"))
+        .collect().map(r =>
+          r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = run(v1, v2)
+    assert(want.nonEmpty, "fixture must actually produce movers")
+    assert(got == want)
+    // reversing the snapshots mirrors every row and negates every shift
+    assert(run(v2, v1) ==
+      got.map { case (w, (a, b, s)) => w -> (b, a, -s) })
+  }
+
+  test("dedupKeepBest equals a sequential union-find + argmax reference") {
+    // exact-text pairs: the tiny alphabet guarantees real duplicate
+    // texts, so real multi-member clusters exist
+    val pairs = for {
+      (i, ti) <- corpus; (j, tj) <- corpus if i < j && ti == tj
+    } yield (i, j)
+    assert(pairs.nonEmpty, "fixture must produce duplicate texts")
+    val parent = scala.collection.mutable.Map(corpus.map(c => c._1 -> c._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    val text = corpus.toMap
+    val drop = corpus.map(_._1).groupBy(find).values
+      .filter(_.size > 1)
+      .flatMap { members =>
+        val winner = members.maxBy(id => (text(id).length.toLong, -id))
+        members.filterNot(_ == winner)
+      }.toSet
+    val want = corpus.map(_._1).toSet -- drop
+    val got = TextDedup.dedupKeepBest(corpusDf,
+      pairs.toDF("ida", "idb"), length(col("text")))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
   test("corpusDiff equals the sequential set definition on random snapshots") {
     // v1 = even-indexed docs, v2 = docs 20..59 with every 3rd text
     // perturbed — ids overlap, diverge, and appear on one side only

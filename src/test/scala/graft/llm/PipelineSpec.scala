@@ -59,6 +59,25 @@ class PipelineSpec extends SparkSpec {
     assert(a == b, "the pass must be content-deterministic")
   }
 
+  test("curate survivor policy: keep-best swaps survivors, not cluster structure") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val benchmark = docs.filter(col("doc_id") < 0) // empty: isolate dedup
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val minId = ids(Pipeline.curate(docs, benchmark))
+    val best = ids(Pipeline.curate(docs, benchmark,
+      survivorScore = Some(length(col("text")))))
+    // one survivor per cluster either way: the assignment is shared,
+    // only the representative changes
+    assert(minId.size == best.size,
+      s"policy must not change the survivor count: ${minId.size} vs ${best.size}")
+    // and keep-best genuinely picks by score: sf0.001's near-dup
+    // clusters include at least one whose longest member is not its
+    // min id, so the survivor sets must differ (a degenerate all-
+    // singleton fixture would pass policy-equal and fail here loudly)
+    assert(minId != best, "expected keep-best to pick different survivors")
+  }
+
   test("incrementalRules == full recompute on the new snapshot, exactly") {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val v1 = docs.filter(col("doc_id") < 40)
