@@ -746,6 +746,14 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"))
     val approx = pqTopK(vecs, queries, k, codebooks, m, dim)
       .select(col("q_id"), col("neighbor_id"))
+    recallOf(exact, approx, queries, k)
+  }
+
+  /** recall@k rollup shared by the ANN harnesses ([[annRecall]],
+    * [[pqRecall]]): exact-side hits found in the approx top-k, counted
+    * per query, with zero-hit queries kept at recall 0. */
+  private def recallOf(exact: DataFrame, approx: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
     val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
     queries.select(col("vec_id").as("q_id"))
@@ -920,13 +928,7 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"))
     val approx = ivfTopK(vecs, queries, k, centroidStride, probes)
       .select(col("q_id"), col("neighbor_id"))
-    val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
-      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-    queries.select(col("vec_id").as("q_id"))
-      .join(hits, Seq("q_id"), "left")
-      .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        lit(k.toLong).as("k"),
-        (coalesce(col("n_hit"), lit(0L)) / k).as("recall"))
+    recallOf(exact, approx, queries, k)
   }
 
   /** Oracle'd exactly: both sides' cosines are the same IEEE sequences

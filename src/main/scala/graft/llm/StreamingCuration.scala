@@ -266,24 +266,6 @@ object StreamingCuration {
       .withWatermark("event_ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
-  /** The corpus-dependent LM fluency score on a STREAM, done the only
-    * way it can be correct: against a PINNED batch snapshot of the
-    * corpus counts (stream–static joins — the static side is the
-    * nightly batch's unigram/bigram count tables). A stream cannot
-    * compute corpus frequencies over itself without unbounded state
-    * and shifting scores; pinning the snapshot makes scores exact,
-    * reproducible, and identical to the batch lmScore over the same
-    * counts (spec-pinned). Bigrams explode per-row (the lmScore
-    * expression), join the static tables, and aggregate per
-    * (doc_id, event_ts) under the watermark — a document's bigrams
-    * all arrive in its own input row, so the aggregate state drains
-    * at the horizon like every other streaming rollup here; unseen
-    * bigrams/prefixes score 0, the conservative floor for
-    * out-of-snapshot text.
-    *
-    * Scale shape: the static count tables are real tables (bucketed
-    * via Warehouse if long-lived); per-doc aggregates combine
-    * map-side; state is horizon-bounded. */
   /** Watermarked (doc_id, event_ts, w1, w2) adjacent-pair explode of a
     * streaming docs frame — shared by the stream-static LM scorers. */
   private def streamPairsOf(docs: DataFrame, watermark: String): DataFrame = {
@@ -303,6 +285,24 @@ object StreamingCuration {
         col("p.w1").as("w1"), col("p.w2").as("w2"))
   }
 
+  /** The corpus-dependent LM fluency score on a STREAM, done the only
+    * way it can be correct: against a PINNED batch snapshot of the
+    * corpus counts (stream–static joins — the static side is the
+    * nightly batch's unigram/bigram count tables). A stream cannot
+    * compute corpus frequencies over itself without unbounded state
+    * and shifting scores; pinning the snapshot makes scores exact,
+    * reproducible, and identical to the batch lmScore over the same
+    * counts (spec-pinned). Bigrams explode per-row (the lmScore
+    * expression), join the static tables, and aggregate per
+    * (doc_id, event_ts) under the watermark — a document's bigrams
+    * all arrive in its own input row, so the aggregate state drains
+    * at the horizon like every other streaming rollup here; unseen
+    * bigrams/prefixes score 0, the conservative floor for
+    * out-of-snapshot text.
+    *
+    * Scale shape: the static count tables are real tables (bucketed
+    * via Warehouse if long-lived); per-doc aggregates combine
+    * map-side; state is horizon-bounded. */
   def streamingLmScore(docs: DataFrame, uni: DataFrame, bg: DataFrame,
       watermark: String = "1 hour"): DataFrame = {
     val pairs = streamPairsOf(docs, watermark)

@@ -606,13 +606,19 @@ object TextAnalysis {
     * counts; each snapshot's token total is a single-row broadcast
     * (the tf-idf scalar stance); the only real shuffle joins two
     * vocab-sized (term, ppm) frames — corpus text never shuffles. */
-  def corpusDrift(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+  def corpusDrift(oldDocs: DataFrame, newDocs: DataFrame,
+      temps: TempCache = TempCache.noop): DataFrame = {
     def ppmOf(df: DataFrame, name: String): DataFrame = {
-      val w = TextDedup.spreadSmallInput(df)
+      // the vocab-sized count frame persists because BOTH its
+      // consumers (the token total and the ppm projection) would
+      // otherwise re-run the corpus explode — one token scan per
+      // snapshot, not two
+      val counts = temps.register(TextDedup.spreadSmallInput(df)
         .select(explode(tokens(col("text"))).as("term"))
-      val total = w.agg(count(lit(1)).as("n"))
-      w.groupBy(col("term")).agg(count(lit(1)).as("c"))
-        .crossJoin(broadcast(total))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val total = counts.agg(sum(col("c")).as("n"))
+      counts.crossJoin(broadcast(total))
         .select(col("term"), expr(s"(1000000 * c) div n").as(name))
     }
     ppmOf(oldDocs, "ppm_old")
@@ -921,20 +927,6 @@ object TextAnalysis {
            |SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp
            |FROM fp ORDER BY doc_id, fp""".stripMargin))
 
-  /** Bigram language-model quality score — the KenLM-style corpus-
-    * fluency signal without a trained model: each document's adjacent
-    * token pairs are scored by the corpus-wide conditional frequency
-    * c(w1 w2)/c(w1), scaled to parts-per-million and floored to an
-    * INTEGER, so every per-bigram score, the per-document sum, and the
-    * mean are exact integer arithmetic that hash-matches across
-    * engines (a log-prob double sum would be partition-order
-    * dependent). Low scores flag disfluent/boilerplate-stitched text.
-    *
-    * Scale shape: one scan exploded to (w1, w2) pairs; bigram and
-    * unigram count tables are groupBy aggregates (map-side partial)
-    * joined back on their own grouping keys — NOT windows — so AQE
-    * can split a skewed stopword key; the scan is reused for both
-    * counts via one persisted pair frame. */
   /** (doc_id, w1, w2) adjacent-token pairs of a (doc_id, toks) frame.
     * toks must be a materialized attribute (not an inline split) so the
     * lambda slices it rather than re-evaluating it per element — see
@@ -951,6 +943,20 @@ object TextAnalysis {
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
   }
 
+  /** Bigram language-model quality score — the KenLM-style corpus-
+    * fluency signal without a trained model: each document's adjacent
+    * token pairs are scored by the corpus-wide conditional frequency
+    * c(w1 w2)/c(w1), scaled to parts-per-million and floored to an
+    * INTEGER, so every per-bigram score, the per-document sum, and the
+    * mean are exact integer arithmetic that hash-matches across
+    * engines (a log-prob double sum would be partition-order
+    * dependent). Low scores flag disfluent/boilerplate-stitched text.
+    *
+    * Scale shape: one scan exploded to (w1, w2) pairs; bigram and
+    * unigram count tables are groupBy aggregates (map-side partial)
+    * joined back on their own grouping keys — NOT windows — so AQE
+    * can split a skewed stopword key; the scan is reused for both
+    * counts via one persisted pair frame. */
   def lmScore(docs: DataFrame, temps: TempCache = TempCache.noop): DataFrame = {
     val toksDf = TextDedup.spreadSmallInput(docs)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -1027,7 +1033,12 @@ object TextAnalysis {
     val uni = toksDf.select(explode(col("toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val tToksDf = target.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // persisted: tUni and tBg each consume it, and when the target is
+    // carved from the corpus (the qid's filter) re-running its lineage
+    // means two more full corpus scans
+    val tToksDf = temps.register(
+      target.select(col("doc_id"), tokens(col("text")).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val tUni = tToksDf.select(explode(col("toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("cu_t"))
     val tBg = adjacentPairsOf(tToksDf)

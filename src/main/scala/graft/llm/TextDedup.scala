@@ -599,13 +599,16 @@ object TextDedup {
     * Pipeline composition can swap survivor policies over ONE CC run. */
   def keepBestDropIds(docs: DataFrame, clusters: DataFrame,
       score: Column): DataFrame = {
-    val members = docs
+    val winners = docs
       .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
-    val winners = members
       .groupBy(col("cluster_id"))
       .agg(max_by(col("doc_id"),
         struct(score.as("s"), (-col("doc_id")).as("t"))).as("doc_id"))
-    members.select(col("doc_id"))
+    // the drop side starts from the tiny cluster-id frame, NOT the
+    // corpus-joined members frame — the corpus join runs once (for the
+    // winners' scores), and graph ids absent from docs are no-ops in
+    // the caller's anti join
+    clusters.select(col("id").as("doc_id"))
       .join(winners.select(col("doc_id")), Seq("doc_id"), "left_anti")
   }
 

@@ -33,14 +33,23 @@ object PlanAudit {
       else graft.SparkEntry.specs.map(_.name)
     def count(p: String, token: String): Int =
       token.r.findAllIn(p).length
+    // "exch" counts SHUFFLE exchanges only (hash/range/single-partition
+    // repartitions) — BroadcastExchange moves a small side, not the
+    // data, and ReusedExchange is a pointer, so neither is a shuffle.
+    // "1part" isolates the single-partition subset: legitimate for
+    // one-row scalar totals, a serialization bug under a window.
+    def shuffles(p: String): Int =
+      count(p, "Exchange hashpartitioning") +
+        count(p, "Exchange rangepartitioning") +
+        count(p, "Exchange SinglePartition")
     println(f"${"query"}%-28s ${"exch"}%5s ${"bhj"}%4s ${"smj"}%4s ${"bnlj"}%5s ${"cart"}%5s ${"1part"}%6s")
     names.foreach { name =>
       try {
         val p = graft.SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.executedPlan.toString
-        println(f"$name%-28s ${count(p, "Exchange")}%5d ${count(p, "BroadcastHashJoin")}%4d " +
+        println(f"$name%-28s ${shuffles(p)}%5d ${count(p, "BroadcastHashJoin")}%4d " +
           f"${count(p, "SortMergeJoin")}%4d ${count(p, "BroadcastNestedLoopJoin")}%5d " +
-          f"${count(p, "CartesianProduct")}%5d ${count(p, "SinglePartition")}%6d")
+          f"${count(p, "CartesianProduct")}%5d ${count(p, "Exchange SinglePartition")}%6d")
       } catch {
         case e: Throwable => println(f"$name%-28s FAILED: ${e.getMessage}")
       } finally spark.catalog.clearCache()
