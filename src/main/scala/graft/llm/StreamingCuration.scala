@@ -479,4 +479,38 @@ object StreamingCuration {
         sum(size(TextAnalysis.tokens(col("text")))).cast("long").as("n_tokens"))
       .select(col("window.start").as("window_start"), col("source"),
         col("n_docs"), col("n_tokens"))
+
+  /** Streaming vocabulary-drift alarm: per closed tumbling window, how
+    * far the arriving token stream has moved from a static reference
+    * unigram distribution ([[TextAnalysis.unigramPpm]] of the corpus
+    * the current model was trained on). Reports exact token counts,
+    * the NOVEL-token count/rate (tokens outside the reference vocab —
+    * the new-language/new-spam leading indicator), and the mean
+    * reference-ppm of observed tokens (drops when the stream shifts
+    * toward the reference's tail, even with zero novel tokens). The
+    * full TV distance needs the window's own totals inside a second
+    * stateful pass; these per-token-linear signals need ONE — a window
+    * that alarms here gets the exact batch [[TextAnalysis.corpusDrift]]
+    * run against it offline.
+    *
+    * Scale shape: the reference table (vocab-sized, KBs–MBs) broadcasts
+    * onto the exploded stream; one watermarked aggregate with map-side
+    * partials; state is one row per open window, drained on close. */
+  def streamingVocabDrift(docs: DataFrame, refPpm: DataFrame,
+      windowLen: String = "1 hour", watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("event_ts", watermark)
+      .select(col("event_ts"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .join(broadcast(refPpm.select(col("term"), col("ppm"))),
+        Seq("term"), "left")
+      .groupBy(window(col("event_ts"), windowLen))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("ppm").isNull, 1L).otherwise(0L)).as("n_novel"),
+        sum(coalesce(col("ppm"), lit(0L))).as("ref_mass"))
+      .select(col("window.start").as("window_start"),
+        col("n_tokens"), col("n_novel"),
+        (col("n_novel") / col("n_tokens")).as("novel_rate"),
+        expr("ref_mass div n_tokens").as("mean_ref_ppm"))
 }

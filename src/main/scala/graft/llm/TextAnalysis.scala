@@ -606,21 +606,29 @@ object TextAnalysis {
     * counts; each snapshot's token total is a single-row broadcast
     * (the tf-idf scalar stance); the only real shuffle joins two
     * vocab-sized (term, ppm) frames — corpus text never shuffles. */
+  /** (term, ppm) unigram distribution of a corpus, floored to integer
+    * parts-per-million of its token total — the reference table
+    * [[corpusDrift]] diffs and the streaming drift alarm reads.
+    *
+    * Scale shape: the vocab-sized count frame persists because BOTH
+    * its consumers (the token total and the ppm projection) would
+    * otherwise re-run the corpus explode — one token scan, not two;
+    * the total is a single-row broadcast scalar. */
+  def unigramPpm(df: DataFrame,
+      temps: TempCache = TempCache.noop): DataFrame = {
+    val counts = temps.register(TextDedup.spreadSmallInput(df)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val total = counts.agg(sum(col("c")).as("n"))
+    counts.crossJoin(broadcast(total))
+      .select(col("term"), expr("(1000000 * c) div n").as("ppm"))
+  }
+
   def corpusDrift(oldDocs: DataFrame, newDocs: DataFrame,
       temps: TempCache = TempCache.noop): DataFrame = {
-    def ppmOf(df: DataFrame, name: String): DataFrame = {
-      // the vocab-sized count frame persists because BOTH its
-      // consumers (the token total and the ppm projection) would
-      // otherwise re-run the corpus explode — one token scan per
-      // snapshot, not two
-      val counts = temps.register(TextDedup.spreadSmallInput(df)
-        .select(explode(tokens(col("text"))).as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val total = counts.agg(sum(col("c")).as("n"))
-      counts.crossJoin(broadcast(total))
-        .select(col("term"), expr(s"(1000000 * c) div n").as(name))
-    }
+    def ppmOf(df: DataFrame, name: String): DataFrame =
+      unigramPpm(df, temps).withColumnRenamed("ppm", name)
     ppmOf(oldDocs, "ppm_old")
       .join(ppmOf(newDocs, "ppm_new"), Seq("term"), "full_outer")
       .na.fill(0L, Seq("ppm_old", "ppm_new"))

@@ -139,6 +139,34 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingVocabDrift: exact per-window novel rates against a static reference") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference corpus "a a b c": a 500000, b 250000, c 250000 ppm
+    val ref = TextAnalysis.unigramPpm(
+      Seq((0L, "a a b c")).toDF("doc_id", "text"))
+    val in = MemoryStream[Doc]
+    val q = StreamingCuration.streamingVocabDrift(in.toDF(), ref,
+      windowLen = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("svdrift")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        doc(1, 0, "s", "a b"),     // window [0,10): 2 in-ref tokens
+        doc(2, 4, "s", "a x"))     // +1 in-ref, +1 novel
+      q.processAllAvailable()
+      in.addData(doc(9, 30, "s", "later")) // close the first window
+      q.processAllAvailable()
+      val rows = spark.table("svdrift")
+        .select(col("n_tokens"), col("n_novel"), col("novel_rate"),
+          col("mean_ref_ppm"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      // 4 tokens: a,b,a,x → 1 novel, rate 0.25; ref mass = 500000 +
+      // 250000 + 500000 + 0 = 1250000 → mean 312500
+      assert(rows.toSeq == Seq((4L, 1L, 0.25, 312500L)), rows.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("streamingLmScore: stream-static join against a pinned count snapshot") {
     implicit val sqlCtx = spark.sqlContext
     // the nightly snapshot: corpus "a b", "a b", "a c" → c(a)=3, c(b)=2,
