@@ -575,10 +575,18 @@ object Similarity {
     * [[kmeansStep]]'s broadcast + map-side-combine shape. */
   def pqCodebooks(vecs0: DataFrame, m: Int, dim: Int,
       centroidStride: Int, iters: Int = 0): DataFrame = {
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     graft.functions.GraftFunctions.register(vecs0.sparkSession)
+    pqCodebooksOfQuantized(
+      vecs0.select(col("vec_id"), quantize(col("embedding")).as("qfull")),
+      m, dim, centroidStride, iters)
+  }
+
+  /** [[pqCodebooks]] over an already-integer (vec_id, qfull) frame —
+    * the form [[ivfPqTrain]] reuses to train codebooks on RESIDUALS. */
+  private def pqCodebooksOfQuantized(q0: DataFrame, m: Int, dim: Int,
+      centroidStride: Int, iters: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val q0 = vecs0.select(col("vec_id"), quantize(col("embedding")).as("qfull"))
     val q = if (iters > 0)
       q0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else q0
@@ -709,6 +717,200 @@ object Similarity {
            |  SELECT qt.q_id, codes.vec_id, CAST(sum(qt.d) AS BIGINT) AS adist
            |  FROM codes JOIN qt
            |    ON codes.sub_id = qt.sub_id AND codes.code = qt.code
+           |  WHERE codes.vec_id != qt.q_id
+           |  GROUP BY qt.q_id, codes.vec_id
+           |)
+           |SELECT q_id,
+           |  CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY adist, vec_id) AS BIGINT) AS "rank",
+           |  vec_id AS neighbor_id, adist
+           |FROM adist
+           |QUALIFY "rank" <= 5
+           |ORDER BY q_id, "rank"""".stripMargin))
+
+  /** IVF-PQ training (the FAISS IVFADC architecture, Jégou et al.):
+    * a coarse integer-k-means quantizer partitions the corpus into
+    * inverted lists, and the PQ codebooks train on the RESIDUALS
+    * (vector − assigned coarse centroid) — residuals concentrate near
+    * zero, so the same codebook budget quantizes them far better than
+    * raw vectors. All integer end-to-end: residual components are
+    * exact int differences, every argmin/mean inherits the k-means
+    * bit-stability. iters = 0 keeps both the coarse seeds and the
+    * residual-seed codebooks verbatim (the SQL-replayable form).
+    * Returns (coarse (c_id, c_q), books (sub_id, c_id, c_q)).
+    *
+    * Scale shape: coarse training is [[kmeansQuantized]]'s shape; the
+    * residual projection is one broadcast join over the persisted
+    * quantized scan; codebooks train per-subspace on sliced residual
+    * projections exactly as [[pqCodebooks]]. */
+  def ivfPqTrain(vecs: DataFrame, coarseStride: Int, m: Int, dim: Int,
+      bookStride: Int, iters: Int = 0,
+      temps: TempCache = TempCache.noop): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val q = temps.register(
+      vecs.select(col("vec_id"), quantize(col("embedding")).as("qfull"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var coarse = q.filter(pmod(col("vec_id"), lit(coarseStride)) === 0)
+      .select(col("vec_id").as("c_id"), col("qfull").as("c_q"))
+    val step = q.select(col("vec_id"), col("qfull").as("q"))
+    for (_ <- 1 to iters) coarse = kmeansStep(step, coarse).localCheckpoint(true)
+    // persisted: each of the m subspace codebook chains consumes the
+    // residual frame — without the persist every branch re-runs the
+    // corpus-wide coarse assignment join
+    val resid = temps.register(assignCoarse(q, coarse)
+      .select(col("vec_id"),
+        zip_with(col("qfull"), col("list_q"), (a, b) => a - b).as("qfull"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    (coarse, pqCodebooksOfQuantized(resid, m, dim, bookStride, iters))
+  }
+
+  /** (vec_id, qfull, list_id, list_q): each quantized vector with its
+    * nearest coarse centroid (exact long L2, ties → lowest c_id). */
+  private def assignCoarse(q: DataFrame, coarse: DataFrame): DataFrame =
+    q.join(broadcast(coarse))
+      .withColumn("dist", call_udf("graft_l2_int", col("qfull"), col("c_q")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("qfull")).as("qfull"),
+        max_by(struct(col("c_id"), col("c_q")),
+          struct((-col("dist")).as("nd"), (-col("c_id")).as("nc"))).as("w"))
+      .select(col("vec_id"), col("qfull"),
+        col("w.c_id").as("list_id"), col("w.c_q").as("list_q"))
+
+  /** (id, list_id, sub_id, q) residual subvectors under a coarse
+    * assignment — the IVF-PQ slicing shared by encode and serving. */
+  private def residualSubvectors(assigned: DataFrame, idCol: String,
+      m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    assigned
+      .select(col("vec_id").as(idCol), col("list_id"),
+        zip_with(col("qfull"), col("list_q"), (a, b) => a - b).as("rfull"))
+      .select(col(idCol), col("list_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub_id"), col("rfull"))
+      .select(col(idCol), col("list_id"), col("sub_id"),
+        slice(col("rfull"), col("sub_id") * subDim + 1, lit(subDim)).as("q"))
+  }
+
+  /** IVF-PQ ANN serving (IVFADC): queries probe their `probes` nearest
+    * coarse lists; within a probed list, distances are asymmetric —
+    * the query's exact residual against each member's PQ-coded
+    * residual, summed from a per-(query, list) lookup table. Only
+    * same-list candidates are scored at all (the inverted-list
+    * pruning that makes billion-scale serving tractable); all
+    * arithmetic integer, ties → lowest vector id.
+    *
+    * Scale shape: coarse centroids and the nq×probes×m×K lookup table
+    * broadcast; the corpus-side cost is one assign + encode scan and a
+    * map-side-combinable sum per (query, candidate) pair within probed
+    * lists only; per-query top-k rows cross the rank window. */
+  def ivfPqTopK(vecs: DataFrame, queries: DataFrame, k: Int,
+      coarse: DataFrame, books: DataFrame, m: Int, dim: Int,
+      probes: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val dist = call_udf("graft_l2_int", col("q"), col("c_q"))
+    val q = vecs.select(col("vec_id"), quantize(col("embedding")).as("qfull"))
+    // corpus: assign → residual subvectors → per-subspace codes
+    val codes = residualSubvectors(assignCoarse(q, coarse), "vec_id", m, dim)
+      .join(broadcast(books), Seq("sub_id"))
+      .withColumn("dist", dist)
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(first(col("list_id")).as("list_id"),
+        max_by(col("c_id"),
+          struct((-col("dist")).as("nd"), (-col("c_id")).as("nc"))).as("code"))
+    // queries: probe top-`probes` coarse lists, residual per probe
+    val qq = queries.select(col("vec_id"), quantize(col("embedding")).as("qfull"))
+    val wp = Window.partitionBy(col("vec_id")).orderBy(col("pdist"), col("c_id"))
+    val probed = qq.join(broadcast(coarse))
+      .withColumn("pdist", call_udf("graft_l2_int", col("qfull"), col("c_q")))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= probes)
+      .select(col("vec_id"), col("qfull"),
+        col("c_id").as("list_id"), col("c_q").as("list_q"))
+    val table = residualSubvectors(probed, "q_id", m, dim)
+      .join(books, Seq("sub_id"))
+      .withColumn("d", dist)
+      .select(col("q_id"), col("list_id"), col("sub_id"),
+        col("c_id").as("code"), col("d"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    codes.join(broadcast(table), Seq("list_id", "sub_id", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adist"))
+  }
+
+  /** Oracle'd END-TO-END at iters = 0, probes = 1: coarse stride
+    * seeds, residual-seed codebooks, same-list ADC — quantize, coarse
+    * argmin, integer residuals, per-subspace encode, lookup-table
+    * sums, rank, all restated in DuckDB. With probes = 1 a query's
+    * probed list IS its assigned list, so its residual table rows come
+    * from the same scored frame as the corpus codes. The trained path
+    * (iters > 0, probes > 1) is ScalaTest-pinned against a sequential
+    * IVFADC reference. */
+  val qIvfPqAnn = QuerySpec(
+    "q_llm_ivfpq_ann",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val vs = Tables.load(s, d, "embeddings")
+      val (coarse, books) = ivfPqTrain(vs, coarseStride = 100, m = 4,
+        dim = 64, bookStride = 50, iters = 0)
+      ivfPqTopK(vs, vs.filter(col("vec_id") < 5), k = 5, coarse, books,
+        m = 4, dim = 64, probes = 1)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id,
+           |    CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+           |      THEN list_transform(embedding, x -> 0)
+           |      ELSE list_transform(embedding, x -> CAST(floor(
+           |        CAST(x AS DOUBLE) /
+           |        CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
+           |        * 127.0 + 0.5) AS INTEGER))
+           |    END AS qfull
+           |  FROM embeddings
+           |), coarse AS (
+           |  SELECT vec_id AS c_id, qfull AS c_q FROM q WHERE vec_id % 100 = 0
+           |), cscore AS (
+           |  SELECT q.vec_id, q.qfull, c.c_id, c.c_q,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(list_zip(q.qfull, c.c_q),
+           |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+           |      (a, x) -> a + x) AS dist
+           |  FROM q, coarse c
+           |), assigned AS (
+           |  SELECT vec_id, qfull, c_id AS list_id, c_q AS list_q FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dist, c_id) AS rn FROM cscore) WHERE rn = 1
+           |), rsub AS (
+           |  SELECT vec_id, list_id, j.sub_id,
+           |    (list_transform(list_zip(qfull, list_q), z -> z[1] - z[2]))
+           |      [j.sub_id * 16 + 1 : j.sub_id * 16 + 16] AS sq
+           |  FROM assigned, LATERAL (SELECT unnest(range(0, 4)) AS sub_id) j
+           |), books AS (
+           |  SELECT sub_id, vec_id AS c_id, sq AS c_q FROM rsub
+           |  WHERE vec_id % 50 = 0
+           |), scored AS (
+           |  SELECT r.vec_id, r.list_id, r.sub_id, b.c_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(list_zip(r.sq, b.c_q),
+           |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+           |      (a, x) -> a + x) AS dist
+           |  FROM rsub r JOIN books b USING (sub_id)
+           |), codes AS (
+           |  SELECT vec_id, list_id, sub_id, c_id AS code FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+           |      ORDER BY dist, c_id) AS rn FROM scored) WHERE rn = 1
+           |), qt AS (
+           |  SELECT vec_id AS q_id, list_id, sub_id, c_id AS code, dist AS d
+           |  FROM scored WHERE vec_id < 5
+           |), adist AS (
+           |  SELECT qt.q_id, codes.vec_id, CAST(sum(qt.d) AS BIGINT) AS adist
+           |  FROM codes JOIN qt
+           |    ON codes.list_id = qt.list_id AND codes.sub_id = qt.sub_id
+           |    AND codes.code = qt.code
            |  WHERE codes.vec_id != qt.q_id
            |  GROUP BY qt.q_id, codes.vec_id
            |)
@@ -987,5 +1189,5 @@ object Similarity {
 
   val all: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qEmbOutlier, qQuantize, qKmeansStep,
-      qPqAnn, qPqRecall, qSemDedup, qAnnRecall)
+      qPqAnn, qPqRecall, qIvfPqAnn, qSemDedup, qAnnRecall)
 }

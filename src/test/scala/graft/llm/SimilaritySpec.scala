@@ -193,6 +193,70 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect, s"got=$got\nexpect=$expect")
   }
 
+  test("trained IVF-PQ (IVFADC) equals a sequential reference, probes > 1") {
+    val m = 4; val dim = 64; val subDim = dim / m
+    val iters = 2; val probes = 2
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    val (coarse, books) = Similarity.ivfPqTrain(vecs, coarseStride = 100,
+      m, dim, bookStride = 50, iters = iters)
+    val got = Similarity.ivfPqTopK(vecs, vecs.filter(col("vec_id") < 3), k = 5,
+      coarse, books, m, dim, probes = probes)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+    // ---- sequential IVFADC with identical semantics ----
+    val q = vecs.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    def l2(a: Vector[Int], b: Vector[Int]): Long =
+      a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
+    def kmeans(pts: Map[Long, Vector[Int]], stride: Int, rounds: Int,
+        dims: Int): Map[Long, Vector[Int]] = {
+      var cents = pts.filter(_._1 % stride == 0)
+      for (_ <- 1 to rounds) {
+        val assigned = pts.values.map { v =>
+          (cents.toSeq.map { case (c, cv) => (l2(v, cv), c) }.min._2, v)
+        }
+        val byC = assigned.groupBy(_._1)
+        cents = cents.map { case (cid, cv) =>
+          cid -> byC.get(cid).fold(cv) { vs =>
+            (0 until dims).map(d0 => math.floor(
+              vs.map(_._2(d0).toLong).sum.toDouble / vs.size + 0.5).toInt).toVector
+          }
+        }
+      }
+      cents
+    }
+    val coarseRef = kmeans(q, 100, iters, dim)
+    def nearest(v: Vector[Int], cents: Map[Long, Vector[Int]]): Long =
+      cents.toSeq.map { case (c, cv) => (l2(v, cv), c) }.min._2
+    val resid = q.map { case (id, v) =>
+      id -> v.zip(coarseRef(nearest(v, coarseRef))).map { case (a, b) => a - b }
+    }
+    def subv(v: Vector[Int], j: Int): Vector[Int] =
+      v.slice(j * subDim, (j + 1) * subDim)
+    val booksRef = (0 until m).map { j =>
+      j -> kmeans(resid.map { case (id, v) => id -> subv(v, j) }, 50, iters, subDim)
+    }.toMap
+    val codesRef = resid.map { case (id, v) =>
+      id -> (0 until m).map(j => nearest(subv(v, j), booksRef(j))).toVector
+    }
+    val listOf = q.map { case (id, v) => id -> nearest(v, coarseRef) }
+    val expect = (0L until 3L).flatMap { qid =>
+      val probedLists = coarseRef.toSeq
+        .map { case (c, cv) => (l2(q(qid), cv), c) }.sorted.take(probes)
+      val ranked = probedLists.flatMap { case (_, listC) =>
+        val rq = q(qid).zip(coarseRef(listC)).map { case (a, b) => a - b }
+        q.keys.filter(id => id != qid && listOf(id) == listC).map { id =>
+          val d = (0 until m).map(j =>
+            l2(subv(rq, j), booksRef(j)(codesRef(id)(j)))).sum
+          (d, id)
+        }
+      }.sorted.take(5)
+      ranked.zipWithIndex.map { case ((d, id), i) => (qid, i + 1L) -> (id, d) }
+    }.toMap
+    assert(got == expect, s"got=$got\nexpect=$expect")
+  }
+
   test("pqRecall: lossless codebooks (stride 1) give recall 1.0 everywhere") {
     // with every corpus subvector in the codebook, each vector encodes
     // to (a tie-broken copy of) itself and ADC degenerates to exact L2
