@@ -935,25 +935,47 @@ object Similarity {
     * the recall rollup is a k-row join. */
   def pqRecall(vecs: DataFrame, queries: DataFrame, k: Int,
       codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val approx = pqTopK(vecs, queries, k, codebooks, m, dim)
+      .select(col("q_id"), col("neighbor_id"))
+    recallOf(exactIntTopK(vecs, queries, k), approx, queries, k)
+  }
+
+  /** IVF-PQ quality harness: recall@k of [[ivfPqTopK]] against
+    * brute-force integer L2 — quantifies the combined inverted-list
+    * pruning loss (raise `probes`) and residual-codebook loss (raise
+    * K) in one number; a trivial composition of the oracle'd exact
+    * ranking and the oracle'd IVFADC chain through [[recallOf]].
+    * Pinned at the lossless limit: every list probed + stride-1
+    * residual codebooks degenerate ADC to exact L2 → recall 1.0. */
+  def ivfPqRecall(vecs: DataFrame, queries: DataFrame, k: Int,
+      coarse: DataFrame, books: DataFrame, m: Int, dim: Int,
+      probes: Int = 1): DataFrame = {
+    val approx = ivfPqTopK(vecs, queries, k, coarse, books, m, dim, probes)
+      .select(col("q_id"), col("neighbor_id"))
+    recallOf(exactIntTopK(vecs, queries, k), approx, queries, k)
+  }
+
+  /** Brute-force integer-L2 top-k membership — the ground truth both
+    * PQ harnesses rank against (broadcast queries, one corpus scan). */
+  private def exactIntTopK(vecs: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val qv = vecs.select(col("vec_id"), quantize(col("embedding")).as("q"))
     val qq = broadcast(queries
       .select(col("vec_id").as("q_id"), quantize(col("embedding")).as("qq")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("vec_id"))
-    val exact = qv.join(qq, col("vec_id") =!= col("q_id"))
+    qv.join(qq, col("vec_id") =!= col("q_id"))
       .withColumn("d", call_udf("graft_l2_int", col("q"), col("qq")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"))
-    val approx = pqTopK(vecs, queries, k, codebooks, m, dim)
-      .select(col("q_id"), col("neighbor_id"))
-    recallOf(exact, approx, queries, k)
   }
 
   /** recall@k rollup shared by the ANN harnesses ([[annRecall]],
-    * [[pqRecall]]): exact-side hits found in the approx top-k, counted
-    * per query, with zero-hit queries kept at recall 0. */
+    * [[pqRecall]], [[ivfPqRecall]]): exact-side hits found in the
+    * approx top-k, counted per query, with zero-hit queries kept at
+    * recall 0. */
   private def recallOf(exact: DataFrame, approx: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
     val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")

@@ -257,6 +257,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect, s"got=$got\nexpect=$expect")
   }
 
+  test("ivfPqRecall: all lists probed + lossless books give recall 1.0") {
+    // probes >= list count and stride-1 residual codebooks: every
+    // candidate is scored and each residual encodes to itself, so ADC
+    // degenerates to exact L2 — the IVFADC lossless limit
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+      .filter(col("vec_id") < 60)
+    val (coarse, books) = Similarity.ivfPqTrain(vecs, coarseStride = 20,
+      m = 4, dim = 64, bookStride = 1, iters = 0)
+    val out = Similarity.ivfPqRecall(vecs, vecs.filter(col("vec_id") < 3),
+      k = 5, coarse, books, m = 4, dim = 64, probes = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out.size == 3 && out.values.forall(_ == 1.0), out.toString)
+  }
+
   test("pqRecall: lossless codebooks (stride 1) give recall 1.0 everywhere") {
     // with every corpus subvector in the codebook, each vector encodes
     // to (a tie-broken copy of) itself and ADC degenerates to exact L2
