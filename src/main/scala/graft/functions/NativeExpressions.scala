@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, Literal, TernaryExpression, UnaryExpression}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -347,6 +348,59 @@ case class TopShingleRunExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** One greedy left-to-right BPE merge application over a token array:
+  * each adjacent (a, b) occurrence collapses into the single token
+  * "a b", and a token produced by a merge is never reused within the
+  * same pass — "b b b" under merge (b, b) yields ["b b", "b"], the
+  * standard single-pass semantics. Replaces an aggregate() HOF fold
+  * whose array accumulator was rebuilt via concat/slice per token —
+  * O(n²) copy work per document per induction round; this kernel is
+  * one O(n) scan. Result-identical to the fold (the fold's "last
+  * emitted token equals a" test can only fire on an original token:
+  * a just-merged token is "a b", which never equals a). Null tokens
+  * (not produced by the tokenizer, but legal in the array type) pass
+  * through unmerged. */
+case class BpeMergeExpr(tokens: Expression, a: Expression, b: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = tokens
+  override def second: Expression = a
+  override def third: Expression = b
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (tokens.dataType, a.dataType, b.dataType) match {
+      case (ArrayType(StringType, _), StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_merge needs (array<string>, string, string), got $t")
+    }
+  override def nullSafeEval(tv: Any, av: Any, bv: Any): Any = {
+    val arr = tv.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val aStr = av.asInstanceOf[UTF8String]
+    val bStr = bv.asInstanceOf[UTF8String]
+    lazy val merged = UTF8String.concat(aStr, UTF8String.fromString(" "), bStr)
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val t = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      val u = if (i + 1 < n && !arr.isNullAt(i + 1)) arr.getUTF8String(i + 1) else null
+      if (t != null && u != null && t == aStr && u == bStr) {
+        out.add(merged)
+        i += 2
+      } else {
+        out.add(t)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(tokens = newFirst, a = newSecond, b = newThird)
+}
+
 /** Dot product of two array<float> columns as double. Matches the SQL
   * aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) -> acc+x)
   * fold: per-element float multiply, left-to-right double accumulate —
@@ -671,6 +725,7 @@ object GraftFunctions {
     "graft_quantize" -> (es => QuantizeExpr(es.head)),
     "graft_l2_int" -> (es => IntL2Expr(es(0), es(1))),
     "graft_dot_int" -> (es => IntDotExpr(es(0), es(1))),
+    "graft_bpe_merge" -> (es => BpeMergeExpr(es(0), es(1), es(2))),
     "graft_top_shingle_run" -> {
       case Seq(c, Literal(n: Int, IntegerType)) => TopShingleRunExpr(c, n)
       case es => TopShingleRunExpr(es.head, 3)

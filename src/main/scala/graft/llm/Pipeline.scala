@@ -98,7 +98,12 @@ object Pipeline {
     * node sits on the spine, so the audit costs one pipeline execution
     * total, not one re-execution of the upstream lineage per stage
     * (the r5 shape: 4 `.count()` actions ≈ 4× the nightly bill).
-    * The returned frame is still lazy for the caller's own sink. */
+    * The returned frame is PERSISTED across the counting run — the
+    * caller's own sink reads the materialized blocks instead of
+    * re-executing the full upstream lineage (whose CollectMetrics
+    * nodes would not refresh on a second action anyway). The persist
+    * is registered in `temps`; callers release it after their sink
+    * materializes, per the TempCache contract. */
   def curateWithCounts(docs: DataFrame, benchmark: DataFrame,
       lmThresholdPpm: Long = 34000L,
       temps: TempCache = TempCache.noop): (DataFrame, Map[String, Long]) = {
@@ -108,8 +113,10 @@ object Pipeline {
     // collide (the bloomViewSeq stance)
     val runId = obsSeq.incrementAndGet()
     val obs = names.map(n => n -> new Observation(s"curate_${runId}_$n")).toMap
-    val clean = stages(docs, benchmark, lmThresholdPpm, temps,
-      (df, name) => df.observe(obs(name), count(lit(1)).as("n")))
+    val clean = temps.register(
+      stages(docs, benchmark, lmThresholdPpm, temps,
+        (df, name) => df.observe(obs(name), count(lit(1)).as("n")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     clean.write.format("noop").mode("overwrite").save()
     // metric delivery rides the (async) listener bus; poll the timed
     // getOrEmpty (via the package bridge) against a deadline — no

@@ -587,7 +587,13 @@ object Similarity {
       centroidStride: Int, iters: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val q = if (iters > 0)
+    // skip the internal persist when the caller already persisted the
+    // input (ivfPqTrain hands in its TempCache-registered resid frame):
+    // a second persist+unpersist here would drop the caller's cache out
+    // from under its registry
+    val ownPersist = iters > 0 &&
+      q0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val q = if (ownPersist)
       q0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else q0
     val books = (0 until m).map { j =>
@@ -598,7 +604,7 @@ object Similarity {
       for (_ <- 1 to iters) cb = kmeansStep(sub, cb).localCheckpoint(true)
       cb.select(lit(j).as("sub_id"), col("c_id"), col("c_q"))
     }.reduce(_ unionByName _)
-    if (iters > 0) q.unpersist() // every chain ends in a checkpoint
+    if (ownPersist) q.unpersist() // every chain ends in a checkpoint
     books
   }
 

@@ -731,14 +731,15 @@ object TextAnalysis {
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    // one-pass greedy merge: append each token, collapsing it into the
-    // previous one when they form the merged pair
+    // one-pass greedy merge, O(n) per document per round: the native
+    // kernel scans the token array once. (The previous aggregate() HOF
+    // fold rebuilt its array accumulator via concat/slice per token —
+    // O(n²) copy work per document, the per-row HOF blowup class this
+    // codebase flags elsewhere; BpeMergeExpr's scaladoc pins the
+    // result-identity argument.)
     def applyMerge(toks: Column, a: String, b: String): Column =
-      aggregate(toks, array().cast("array<string>"),
-        (acc, t) => when(size(acc) > 0 &&
-            element_at(acc, -1) === lit(a) && t === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + " " + b))))
-          .otherwise(concat(acc, array(t))))
+      call_udf("graft_bpe_merge", toks, lit(a), lit(b))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var cur = TextDedup.spreadSmallInput(docs)
       .select(tokens(col("text")).as("toks"))

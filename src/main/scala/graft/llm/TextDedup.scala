@@ -820,14 +820,32 @@ object TextDedup {
     * shingle+signature kernels over the full union every night is the
     * dominant cost this variant deletes. Result-identical to the
     * recompute path (the kernels are content-deterministic; pinned in
-    * TextDedupSpec). */
+    * TextDedupSpec).
+    *
+    * CONTRACT: `numPerm` and `shingleKernel` MUST match the run that
+    * built `historySigs` — record both with the warehouse table. A
+    * history signature whose length differs from `numPerm` RAISES at
+    * execution (same guard as the streaming twin,
+    * [[StreamingCuration.streamingHistNearDupBanded]]): out-of-range
+    * band slices would otherwise make degenerate shared buckets that
+    * saturate and silently DROP candidate pairs. Kernel identity is
+    * not detectable from the frame (same hash width either way), so
+    * that half stays a documented caller obligation. */
   def nearDupAgainstHistorySigs(docs: DataFrame, historySigs: DataFrame,
       numPerm: Int = 64, threshold: Double = 0.5, maxBucket: Int = 100,
       shingleKernel: String = "graft_shingle_hashes",
       temps: TempCache = TempCache.noop): DataFrame = {
+    // guard evaluates once: it rides the persisted union's one
+    // materialization, not a separate action
+    val guardedHist = historySigs.select(col("doc_id"), col("th"),
+      when(size(col("sig")) === numPerm, col("sig"))
+        .otherwise(raise_error(concat(
+          lit("history signature length "), size(col("sig")).cast("string"),
+          lit(s" != numPerm $numPerm: history sigs were built with a " +
+            "different permutation count")))).as("sig"))
     val unionSigs = temps.register(
       minhashSignatures(docs, numPerm, shingleKernel)
-        .unionByName(historySigs.select(col("doc_id"), col("th"), col("sig")))
+        .unionByName(guardedHist)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairs = minhashPairsFromSigs(unionSigs, numPerm,
       threshold = threshold, maxBucket = maxBucket)

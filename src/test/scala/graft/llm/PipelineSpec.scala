@@ -51,12 +51,17 @@ class PipelineSpec extends SparkSpec {
     // their 8-grams → decontamination must have removed something
     assert(counts("decontaminated") < counts("deduped"), counts.toString)
     assert(out.columns.contains("split"))
+    // the returned frame is persisted by contract: the caller's sink
+    // reads materialized blocks, not a re-execution of the lineage
+    assert(out.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "curateWithCounts must return a persisted frame")
     val a = out.select(col("doc_id"), col("split")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val b = Pipeline.curate(docs.repartition(11), benchmark)
       .select(col("doc_id"), col("split")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(a == b, "the pass must be content-deterministic")
+    out.unpersist() // don't leak the cached spine into later tests
   }
 
   test("curate survivor policy: keep-best swaps survivors, not cluster structure") {

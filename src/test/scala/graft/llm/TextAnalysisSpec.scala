@@ -250,6 +250,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)), out.toSeq)
   }
 
+  test("graft_bpe_merge: one-pass greedy semantics, O(n) kernel") {
+    graft.functions.GraftFunctions.register(spark)
+    def merge(toks: Seq[String], a: String, b: String): Seq[String] =
+      Seq(Tuple1(toks)).toDF("toks")
+        .select(call_udf("graft_bpe_merge", col("toks"), lit(a), lit(b)))
+        .collect()(0).getSeq[String](0)
+    // no reuse of a just-merged token within the pass
+    assert(merge(Seq("b", "b", "b"), "b", "b") == Seq("b b", "b"))
+    assert(merge(Seq("b", "b", "b", "b"), "b", "b") == Seq("b b", "b b"))
+    // merged symbols from earlier rounds (contain spaces) merge further
+    assert(merge(Seq("a b", "c", "x"), "a b", "c") == Seq("a b c", "x"))
+    // non-adjacent and absent pairs untouched; empty in, empty out
+    assert(merge(Seq("a", "x", "b"), "a", "b") == Seq("a", "x", "b"))
+    assert(merge(Seq.empty, "a", "b") == Seq.empty)
+  }
+
   test("bpeInduce == sequential reference BPE on a seeded random corpus") {
     import spark.implicits._
     // small alphabet forces repeated pairs, multi-round interactions,

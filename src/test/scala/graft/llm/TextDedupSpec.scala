@@ -357,6 +357,22 @@ class TextDedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS hist_sigs_spec")
   }
 
+  test("nearDupAgainstHistorySigs RAISES on a numPerm mismatch") {
+    // history signed with 32 perms, read back assuming 64: band slices
+    // would run off the array and silently corrupt bucket keys — the
+    // guard turns that into an execution-time error (ADVICE r6)
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val fresh = docsDf(10L -> base)
+    val histSigs = TextDedup.minhashSignatures(
+      docsDf(1L -> base), numPerm = 32)
+    val err = intercept[Exception] {
+      TextDedup.nearDupAgainstHistorySigs(fresh, histSigs, numPerm = 64)
+        .collect()
+    }
+    assert(err.getMessage.contains("different permutation count"),
+      s"expected the sig-length guard, got: ${err.getMessage}")
+  }
+
   test("history variants RAISE when the doc_id spaces overlap") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val docs = docsDf(1L -> base, 2L -> (50 to 90).map(i => s"y$i").mkString(" "))
