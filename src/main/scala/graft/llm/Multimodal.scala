@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, processed per-partition in
   * batches. The actual codec work (JPEG decode, audio resample, video
-  * frame extraction) is STUBBED — this container has no media
-  * libraries — behind [[decodeStub]], a deterministic fake keyed on the
-  * payload hash. Everything around the stub (schema, batched
-  * per-partition execution, metadata extraction, partitioning) is real
-  * and is what matters at 100 TB: payloads never pass through a
-  * shuffle; only extracted features do.
+  * frame extraction) sits behind the pluggable [[MediaCodec]] seam —
+  * this container has no media libraries, so the default
+  * [[StubMediaCodec]] is a documented deterministic fake keyed on the
+  * payload hash (drop-in recipe for a real javacv/ffmpeg codec:
+  * MediaCodec.scala). Everything around the codec (schema, batched
+  * per-partition execution with per-partition codec lifetime,
+  * metadata extraction, partitioning) is real and is what matters at
+  * 100 TB: payloads never pass through a shuffle; only extracted
+  * features do.
   */
 object Multimodal {
 
@@ -43,32 +46,39 @@ object Multimodal {
   case class DecodedMeta(media_id: Long, width: Int, height: Int,
       n_frames: Int, ok: Boolean)
 
-  /** STUB decoder — deterministic fake in place of a real codec.
-    *
-    * Real implementation would decode `payload` with an image/audio
-    * library inside this same per-partition batch loop (so one JVM-side
-    * codec context is reused across a partition's rows, the batch shape
-    * a Python `mapInPandas` pipeline would also use). The fake derives
-    * plausible dimensions from the payload bytes so tests can pin
-    * determinism end-to-end.
-    */
-  def decodeStub(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+  /** Decode through a pluggable [[MediaCodec]] (seam contract and the
+    * javacv drop-in recipe: MediaCodec.scala). The codec ships to
+    * executors; [[MediaCodec.open]] runs once per partition before its
+    * first row and [[MediaCodec.close]] on task completion — one codec
+    * context per partition, the batch shape a Python `mapInPandas`
+    * pipeline would also use. Empty/null payloads short-circuit to the
+    * not-ok row without touching the codec. */
+  def decodeWith(media: DataFrame, codec: MediaCodec)(
+      implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val decoded = media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition "codec context" init would go here (real impl)
-        rows.map { case (id, payload) =>
+        codecScope(codec, rows).map { case (id, payload) =>
           if (payload == null || payload.isEmpty) DecodedMeta(id, 0, 0, 0, ok = false)
-          else {
-            // ??? real codec goes here; deterministic fake below
-            val h = java.util.Arrays.hashCode(payload)
-            DecodedMeta(id, 16 + math.floorMod(h, 1024), 16 + math.floorMod(h >> 10, 1024),
-              1 + math.floorMod(h >> 20, 32), ok = true)
-          }
+          else codec.decode(id, payload)
         }
       }
     decoded.toDF()
+  }
+
+  /** [[decodeWith]] under the default deterministic stub. */
+  def decodeStub(media: DataFrame)(implicit spark: SparkSession): DataFrame =
+    decodeWith(media, StubMediaCodec)
+
+  /** Per-partition codec lifetime: open before the first row, close on
+    * task completion (covers both exhaustion and task failure — an
+    * iterator wrapper alone would leak the context on error). */
+  private def codecScope[T](codec: MediaCodec, rows: Iterator[T]): Iterator[T] = {
+    codec.open()
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
+    rows
   }
 
   /** Deterministic frame sampling plumbing: pick every k-th frame index
@@ -81,51 +91,53 @@ object Multimodal {
   case class ResizedMeta(media_id: Long, width: Int, height: Int,
       payload: Array[Byte], ok: Boolean)
 
-  /** STUB resize — real impl would decode, scale to (targetW, targetH)
-    * preserving the batch loop, and re-encode. The fake passes the
-    * payload through and rewrites dimensions, keeping the Spark shape
-    * (binary in → binary out, per-partition batches) real. */
-  def resizeStub(media: DataFrame, targetW: Int, targetH: Int)(
-      implicit spark: SparkSession): DataFrame = {
+  /** Resize through a pluggable [[MediaCodec]] — binary in → binary
+    * out, per-partition batches; the stub passes payloads through with
+    * rewritten dimensions, a real codec decodes + swscales +
+    * re-encodes in the same loop. */
+  def resizeWith(media: DataFrame, targetW: Int, targetH: Int,
+      codec: MediaCodec)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition codec/scaler context init would go here
-        rows.map { case (id, payload) =>
+        codecScope(codec, rows).map { case (id, payload) =>
           if (payload == null || payload.isEmpty)
             ResizedMeta(id, 0, 0, Array.emptyByteArray, ok = false)
-          else ResizedMeta(id, targetW, targetH, /* ??? re-encode */ payload, ok = true)
+          else codec.resize(id, payload, targetW, targetH)
         }
       }.toDF()
   }
 
-  /** STUB feature extraction — real impl would run an image/audio
-    * encoder over the decoded media in this same batch loop (one model
-    * context per partition, the shape a `mapInPandas` batch would
-    * take). The fake derives a deterministic unit-norm vector from the
-    * payload bytes so downstream similarity plumbing (cosine top-k,
-    * sign-LSH over these vectors) is testable end-to-end. */
-  def extractFeaturesStub(media: DataFrame, dim: Int = 16)(
+  /** [[resizeWith]] under the default deterministic stub. */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int)(
+      implicit spark: SparkSession): DataFrame =
+    resizeWith(media, targetW, targetH, StubMediaCodec)
+
+  /** Feature extraction through a pluggable [[MediaCodec]] — one model
+    * context per partition (the shape a `mapInPandas` batch would
+    * take), codec output unit-normed here so downstream similarity
+    * plumbing (cosine top-k, sign-LSH) sees consistent vectors
+    * whatever the encoder. */
+  def embedWith(media: DataFrame, codec: MediaCodec, dim: Int = 16)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition model load would go here (real impl)
-        rows.map { case (id, payload) =>
+        codecScope(codec, rows).map { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          val raw = Array.tabulate(dim) { d =>
-            // ??? real encoder goes here; deterministic fake below
-            var h = 1125899906842597L + d
-            bytes.foreach(b => h = h * 31 + b)
-            ((h % 1000).toFloat / 1000f) - 0.5f
-          }
+          val raw = codec.embed(id, bytes, dim)
           val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
           (id, if (n == 0f) raw.toSeq else raw.map(_ / n).toSeq)
         }
       }.toDF("media_id", "embedding")
   }
+
+  /** [[embedWith]] under the default deterministic stub. */
+  def extractFeaturesStub(media: DataFrame, dim: Int = 16)(
+      implicit spark: SparkSession): DataFrame =
+    embedWith(media, StubMediaCodec, dim)
 
   /** Oracle-checkable slice of the plumbing: metadata extraction over
     * binary payloads (documents.text cast to bytes stands in for a blob

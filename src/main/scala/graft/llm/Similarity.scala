@@ -928,6 +928,105 @@ object Similarity {
            |QUALIFY "rank" <= 5
            |ORDER BY q_id, "rank"""".stripMargin))
 
+  /** Multi-probe IVFADC, oracle'd END-TO-END at probes = 2 — the
+    * configuration shape a deployment actually runs (probing only the
+    * assigned list caps recall at whatever the coarse quantizer got
+    * right; real serving always probes several). Unlike the probes = 1
+    * replay, a query's probed lists are NOT just its assigned list, so
+    * the SQL builds the query-side residual table from the rn <= 2
+    * probed slice: one residual per (query, probed list), scored
+    * against the same corpus codes/books as q_llm_ivfpq_ann. Each
+    * candidate still matches exactly one probed list (a corpus vector
+    * has one assigned list), so the per-candidate ADC sum is
+    * unambiguous. Everything else — stride seeds, integer residuals,
+    * ties → lowest id — is the oracle'd q_llm_ivfpq_ann chain. */
+  val qIvfPqAnnP2 = QuerySpec(
+    "q_llm_ivfpq_ann_p2",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val vs = Tables.load(s, d, "embeddings")
+      val (coarse, books) = ivfPqTrain(vs, coarseStride = 100, m = 4,
+        dim = 64, bookStride = 50, iters = 0)
+      ivfPqTopK(vs, vs.filter(col("vec_id") < 5), k = 5, coarse, books,
+        m = 4, dim = 64, probes = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id,
+           |    CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+           |      THEN list_transform(embedding, x -> 0)
+           |      ELSE list_transform(embedding, x -> CAST(floor(
+           |        CAST(x AS DOUBLE) /
+           |        CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
+           |        * 127.0 + 0.5) AS INTEGER))
+           |    END AS qfull
+           |  FROM embeddings
+           |), coarse AS (
+           |  SELECT vec_id AS c_id, qfull AS c_q FROM q WHERE vec_id % 100 = 0
+           |), cscore AS (
+           |  SELECT q.vec_id, q.qfull, c.c_id, c.c_q,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(list_zip(q.qfull, c.c_q),
+           |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+           |      (a, x) -> a + x) AS dist
+           |  FROM q, coarse c
+           |), assigned AS (
+           |  SELECT vec_id, qfull, c_id AS list_id, c_q AS list_q FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dist, c_id) AS rn FROM cscore) WHERE rn = 1
+           |), rsub AS (
+           |  SELECT vec_id, list_id, j.sub_id,
+           |    (list_transform(list_zip(qfull, list_q), z -> z[1] - z[2]))
+           |      [j.sub_id * 16 + 1 : j.sub_id * 16 + 16] AS sq
+           |  FROM assigned, LATERAL (SELECT unnest(range(0, 4)) AS sub_id) j
+           |), books AS (
+           |  SELECT sub_id, vec_id AS c_id, sq AS c_q FROM rsub
+           |  WHERE vec_id % 50 = 0
+           |), scored AS (
+           |  SELECT r.vec_id, r.list_id, r.sub_id, b.c_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(list_zip(r.sq, b.c_q),
+           |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+           |      (a, x) -> a + x) AS dist
+           |  FROM rsub r JOIN books b USING (sub_id)
+           |), codes AS (
+           |  SELECT vec_id, list_id, sub_id, c_id AS code FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+           |      ORDER BY dist, c_id) AS rn FROM scored) WHERE rn = 1
+           |), probed AS (
+           |  SELECT vec_id AS q_id, qfull, c_id AS list_id, c_q AS list_q
+           |  FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dist, c_id) AS rn FROM cscore WHERE vec_id < 5)
+           |  WHERE rn <= 2
+           |), qrsub AS (
+           |  SELECT q_id, list_id, j.sub_id,
+           |    (list_transform(list_zip(qfull, list_q), z -> z[1] - z[2]))
+           |      [j.sub_id * 16 + 1 : j.sub_id * 16 + 16] AS sq
+           |  FROM probed, LATERAL (SELECT unnest(range(0, 4)) AS sub_id) j
+           |), qt AS (
+           |  SELECT r.q_id, r.list_id, r.sub_id, b.c_id AS code,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(list_zip(r.sq, b.c_q),
+           |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+           |      (a, x) -> a + x) AS d
+           |  FROM qrsub r JOIN books b USING (sub_id)
+           |), adist AS (
+           |  SELECT qt.q_id, codes.vec_id, CAST(sum(qt.d) AS BIGINT) AS adist
+           |  FROM codes JOIN qt
+           |    ON codes.list_id = qt.list_id AND codes.sub_id = qt.sub_id
+           |    AND codes.code = qt.code
+           |  WHERE codes.vec_id != qt.q_id
+           |  GROUP BY qt.q_id, codes.vec_id
+           |)
+           |SELECT q_id,
+           |  CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY adist, vec_id) AS BIGINT) AS "rank",
+           |  vec_id AS neighbor_id, adist
+           |FROM adist
+           |QUALIFY "rank" <= 5
+           |ORDER BY q_id, "rank"""".stripMargin))
+
   /** PQ quality harness: exact recall@k of [[pqTopK]] against the
     * brute-force integer-L2 top-k over the same quantized vectors —
     * the metric PQ approximates, so the recall number isolates the
@@ -1217,5 +1316,5 @@ object Similarity {
 
   val all: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qEmbOutlier, qQuantize, qKmeansStep,
-      qPqAnn, qPqRecall, qIvfPqAnn, qSemDedup, qAnnRecall)
+      qPqAnn, qPqRecall, qIvfPqAnn, qIvfPqAnnP2, qSemDedup, qAnnRecall)
 }

@@ -54,11 +54,19 @@ object Inventory {
           col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
           concat(col("l_returnflag"), col("l_linestatus")).as("flag_status"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        // total order over every output column: (l_orderkey,
+        // l_linenumber) is NOT unique in the testdata, and tie order
+        // is engine-dependent once the scan parallelizes (caught by
+        // the sf1 rehearsal); rows still tied under the full sort are
+        // identical, so any order is value-identical
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("net_price"), col("flag_status")),
     Some("""SELECT l_orderkey, l_linenumber, l_quantity,
            |  l_extendedprice * (1 - l_discount) AS net_price,
            |  l_returnflag || l_linestatus AS flag_status
-           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
+           |FROM lineitem
+           |ORDER BY l_orderkey, l_linenumber, l_quantity, net_price,
+           |  flag_status""".stripMargin))
 
   /** A3/A10 point lookup by key (ct-getcert.go:32-56): partition-pruned
     * single-key read, no shuffle. */
@@ -429,11 +437,15 @@ object Inventory {
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .filter(col("o_orderstatus") === "F")
         .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        // total order: (l_orderkey, l_linenumber) is non-unique in the
+        // testdata (see qScanProject) — tie rows must be identical for
+        // the row-wise oracle compare to be order-independent
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+          col("l_quantity")),
     Some("""SELECT l_orderkey, l_linenumber, o_custkey, l_quantity
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |WHERE o_orderstatus = 'F'
-           |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+           |ORDER BY l_orderkey, l_linenumber, o_custkey, l_quantity""".stripMargin))
 
   /** H2 broadcast join against tiny dimensions (issuer-metadata
     * enrichment, filesystemdatabase.go:40-57): nation+region are

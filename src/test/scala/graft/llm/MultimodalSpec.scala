@@ -58,6 +58,42 @@ class MultimodalSpec extends SparkSpec {
     assert(top.count() == 2L)
   }
 
+  test("MediaCodec seam: a second codec swaps in without touching the plumbing") {
+    implicit val s = spark
+    // trivial alternate codec: fixed geometry, constant-direction
+    // embedding, payload reversed on resize — enough to prove every
+    // surface dispatches through the seam (and that open/close run
+    // per partition, counted via an accumulator)
+    val opens = spark.sparkContext.longAccumulator("codec_opens")
+    val closes = spark.sparkContext.longAccumulator("codec_closes")
+    object FixedCodec extends MediaCodec {
+      override def open(): Unit = opens.add(1)
+      override def close(): Unit = closes.add(1)
+      def decode(id: Long, p: Array[Byte]): Multimodal.DecodedMeta =
+        Multimodal.DecodedMeta(id, 640, 480, 24, ok = true)
+      def resize(id: Long, p: Array[Byte], w: Int, h: Int): Multimodal.ResizedMeta =
+        Multimodal.ResizedMeta(id, w, h, p.reverse, ok = true)
+      def embed(id: Long, p: Array[Byte], dim: Int): Array[Float] =
+        Array.tabulate(dim)(d => if (d == 0) 1f else 0f)
+    }
+    val d = Multimodal.decodeWith(media, FixedCodec).orderBy("media_id").collect()
+    val ok = d.find(_.getLong(0) == 1L).get
+    assert(ok.getInt(1) == 640 && ok.getInt(2) == 480 && ok.getInt(3) == 24)
+    // empty payload still short-circuits in the PLUMBING, not the codec
+    val empty = d.find(_.getLong(0) == 2L).get
+    assert(!empty.getBoolean(4) && empty.getInt(1) == 0)
+    val r = Multimodal.resizeWith(media, 32, 32, FixedCodec)
+      .orderBy("media_id").collect()
+    assert(r.find(_.getLong(0) == 1L).get.getAs[Array[Byte]](3)
+      .sameElements("hello".getBytes.reverse))
+    val e = Multimodal.embedWith(media, FixedCodec).orderBy("media_id").collect()
+    assert(e.head.getSeq[Float](1) == (1f +: Seq.fill(15)(0f)))
+    assert(opens.value > 0 && closes.value > 0, "per-partition lifecycle ran")
+    // and the default-stub entry points are unchanged by the refactor
+    val stub = Multimodal.decodeStub(media).orderBy("media_id").collect()
+    assert(stub.find(_.getLong(0) == 1L).get.getInt(1) >= 16)
+  }
+
   test("sampleFrameIdx picks every k-th frame") {
     val out = Seq(Tuple1(10)).toDF("n")
       .select(Multimodal.sampleFrameIdx(col("n"), 3).as("idx"))
