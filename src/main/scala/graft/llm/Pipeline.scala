@@ -40,14 +40,15 @@ object Pipeline {
       lmThresholdPpm: Long, temps: TempCache,
       tap: (DataFrame, String) => DataFrame,
       shingleKernel: String = "graft_shingle_hashes",
-      survivorScore: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      survivorScore: Option[org.apache.spark.sql.Column] = None,
+      sharedPairs: Option[DataFrame] = None): DataFrame = {
     val cleaned = docs.withColumn("text", Curation.normalize(col("text")))
     // the gate VERDICT (id-only, 8 B/row — narrow even at 100 TB) is
     // persisted: both its consumers (the pair-generation branch and
     // the spine's semi join) would otherwise re-execute the whole
     // rules + repetition + LM gate lineage
     val gateIds = temps.register(
-      TextAnalysis.qualityGate(cleaned, lmThresholdPpm, temps)
+      TextAnalysis.qualityGate(cleaned, lmThresholdPpm, temps, sharedPairs)
         .filter(col("keep")).select(col("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val gated = cleaned.join(gateIds, Seq("doc_id"), "left_semi")
@@ -91,6 +92,32 @@ object Pipeline {
       survivorScore: Option[org.apache.spark.sql.Column] = None): DataFrame =
     stages(docs, benchmark, lmThresholdPpm, temps, (df, _) => df,
       shingleKernel, survivorScore)
+
+  /** Curate + DSIR importance over ONE shared corpus pair frame.
+    *
+    * Composed separately, [[curate]]'s quality gate (lmScore) and
+    * [[TextAnalysis.importanceScore]] each explode, shuffle, and cache
+    * their own corpus (doc_id, w1, w2) pair frame — the dominant
+    * intermediate of both (corpus-token-count rows). This entry builds
+    * [[TextAnalysis.corpusPairs]] once over the normalized corpus and
+    * threads it through both consumers; `targetExpr` carves the DSIR
+    * target domain from the same normalized corpus (the
+    * q_llm_importance shape, e.g. `col("source") === "src18"`).
+    * Returns (curated-with-split, per-doc importance). PipelineSpec
+    * pins the sharing: exactly one fewer registered persist than the
+    * two passes run independently, identical results. */
+  def curateWithImportance(docs: DataFrame, benchmark: DataFrame,
+      targetExpr: org.apache.spark.sql.Column,
+      lmThresholdPpm: Long = 34000L,
+      temps: TempCache = TempCache.noop): (DataFrame, DataFrame) = {
+    val cleaned = docs.withColumn("text", Curation.normalize(col("text")))
+    val pairs = Some(TextAnalysis.corpusPairs(cleaned, temps))
+    val curated = stages(docs, benchmark, lmThresholdPpm, temps,
+      (df, _) => df, sharedPairs = pairs)
+    val importance = TextAnalysis.importanceScore(cleaned,
+      cleaned.filter(targetExpr), temps, pairs)
+    (curated, importance)
+  }
 
   /** The same pass with per-stage survivor counts — the audit numbers
     * a data card publishes. The counts ride `observe()` metrics on ONE

@@ -952,6 +952,22 @@ object TextAnalysis {
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
   }
 
+  /** The corpus (doc_id, w1, w2) adjacent-pair frame, persisted and
+    * TempCache-registered — the dominant intermediate of the LM-score
+    * family (corpus-token-count rows). Build ONCE per (session,
+    * corpus) and hand it to [[lmScore]] / [[importanceScore]] /
+    * [[qualityGate]] via their `sharedPairs` parameter: a composed
+    * pipeline (curate's gate + a DSIR importance pass over the same
+    * corpus) then explodes and caches the pair frame once instead of
+    * once per consumer. Callers own the release via `temps`. */
+  def corpusPairs(docs: DataFrame,
+      temps: TempCache = TempCache.noop): DataFrame = {
+    val toksDf = TextDedup.spreadSmallInput(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    temps.register(adjacentPairsOf(toksDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Bigram language-model quality score — the KenLM-style corpus-
     * fluency signal without a trained model: each document's adjacent
     * token pairs are scored by the corpus-wide conditional frequency
@@ -966,16 +982,17 @@ object TextAnalysis {
     * joined back on their own grouping keys — NOT windows — so AQE
     * can split a skewed stopword key; the scan is reused for both
     * counts via one persisted pair frame. */
-  def lmScore(docs: DataFrame, temps: TempCache = TempCache.noop): DataFrame = {
+  def lmScore(docs: DataFrame, temps: TempCache = TempCache.noop,
+      sharedPairs: Option[DataFrame] = None): DataFrame = {
     val toksDf = TextDedup.spreadSmallInput(docs)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val toks = col("toks")
     // Persisted: both count tables and the scoring join read it. The
     // blocks outlive this (lazy) call — long-running drivers pass a
     // TempCache and release() after materializing (see TempCache).
-    val pairs = temps.register(adjacentPairsOf(toksDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val uni = toksDf.select(explode(toks).as("w1"))
+    // `sharedPairs` (a [[corpusPairs]] frame over the SAME corpus —
+    // caller's contract) skips the rebuild in composed pipelines.
+    val pairs = sharedPairs.getOrElse(corpusPairs(docs, temps))
+    val uni = toksDf.select(explode(col("toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     pairs
@@ -1034,11 +1051,11 @@ object TextAnalysis {
     * keys stay absent (left join) rather than materializing the cross
     * vocabulary. */
   def importanceScore(docs: DataFrame, target: DataFrame,
-      temps: TempCache = TempCache.noop): DataFrame = {
+      temps: TempCache = TempCache.noop,
+      sharedPairs: Option[DataFrame] = None): DataFrame = {
     val toksDf = TextDedup.spreadSmallInput(docs)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val pairs = temps.register(adjacentPairsOf(toksDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pairs = sharedPairs.getOrElse(corpusPairs(docs, temps))
     val uni = toksDf.select(explode(col("toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
@@ -1129,7 +1146,8 @@ object TextAnalysis {
     * rep kernel rides the same projection); only the LM aggregate
     * side shuffles, and its verdict joins back on doc_id. */
   def qualityGate(docs: DataFrame, lmThresholdPpm: Long = 34000L,
-      temps: TempCache = TempCache.noop): DataFrame = {
+      temps: TempCache = TempCache.noop,
+      sharedPairs: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val perRow = TextDedup.spreadSmallInput(docs)
       .select(col("doc_id") +: col("text") +: ruleSet: _*)
@@ -1138,7 +1156,8 @@ object TextAnalysis {
         (col("rule_min_tokens") && col("rule_word_len") &&
           col("rule_punct") && col("rule_stopwords")).as("keep_rules"),
         (col("r.top_count") * 5 <= col("r.n_tri")).as("keep_rep"))
-    val lm = lmScore(docs, temps).select(col("doc_id"), col("mean_score"))
+    val lm = lmScore(docs, temps, sharedPairs)
+      .select(col("doc_id"), col("mean_score"))
     perRow.join(lm, Seq("doc_id"), "left")
       .select(col("doc_id"), col("keep_rules"), col("keep_rep"),
         (coalesce(col("mean_score"), lit(0L)) >= lmThresholdPpm).as("keep_lm"))

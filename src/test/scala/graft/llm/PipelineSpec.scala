@@ -64,6 +64,45 @@ class PipelineSpec extends SparkSpec {
     out.unpersist() // don't leak the cached spine into later tests
   }
 
+  test("curateWithImportance shares ONE corpus pair frame across gate + importance") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val benchmark = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("text"))
+    val tgt = col("source") === "src1"
+    // independent runs: each pass persists (and registers) its own
+    // pair frame — registration happens at plan-construction time, so
+    // TempCache size IS the persist count for the pass
+    val tCur = new TempCache
+    val curAlone = Pipeline.curate(docs, benchmark, temps = tCur)
+    val aCur = curAlone.select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nCur = tCur.size
+    val tImp = new TempCache
+    val cleaned = docs.withColumn("text", Curation.normalize(col("text")))
+    val impAlone = TextAnalysis.importanceScore(cleaned,
+      cleaned.filter(tgt), temps = tImp)
+    val aImp = impAlone.select(col("doc_id"), col("importance")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nImp = tImp.size
+    tCur.release(); tImp.release()
+    // composed: exactly ONE fewer registered persist — the shared
+    // corpus pair frame
+    val tBoth = new TempCache
+    val (cur, imp) = Pipeline.curateWithImportance(docs, benchmark, tgt,
+      temps = tBoth)
+    val curRows = cur.select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val impRows = imp.select(col("doc_id"), col("importance")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tBoth.size == nCur + nImp - 1,
+      s"composed run must persist exactly one fewer frame " +
+        s"(shared pairs): ${tBoth.size} != $nCur + $nImp - 1")
+    // and sharing must not change either result
+    assert(curRows == aCur, "curation result must be share-invariant")
+    assert(impRows == aImp, "importance result must be share-invariant")
+    tBoth.release()
+  }
+
   test("curate survivor policy: keep-best swaps survivors, not cluster structure") {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val benchmark = docs.filter(col("doc_id") < 0) // empty: isolate dedup
