@@ -415,6 +415,58 @@ object IngestJob {
     compactIssuerBatches(spark, certRoot)
   }
 
+  /** [[compact]] for S3-semantics object stores: same dedup'd
+    * single-file-per-partition rewrite, but promoted through
+    * [[ManifestStore]]'s generation + manifest protocol instead of
+    * directory renames (non-atomic O(data) copy+delete on S3). The
+    * rewrite fills a fresh immutable generation dir; ONE atomic
+    * single-object manifest write commits it; GC of retired and
+    * orphaned generations is idempotent and runs here on every call —
+    * that IS the crash recovery (roll-forward needs no special case:
+    * an un-promoted generation is simply never visible, and the next
+    * compact starts past its number and deletes it). First call seeds
+    * from the streaming sink's plain `certs/` directory; after that
+    * the newest manifest is the source of truth ([[readCertsManifested]]).
+    * Single-writer maintenance op, like [[compact]]. */
+  def compactManifested(spark: SparkSession, certRoot: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(certRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // number first, THEN reclaim: nextGen must see crashed-writer
+    // orphan dirs so their numbers are never reused — a re-created
+    // path with the same name would be ambiguous to any observer
+    // holding the old listing
+    val gen = ManifestStore.nextGen(fs, root)
+    ManifestStore.gc(fs, root) // reclaim crashed-writer orphans
+    val src = ManifestStore.currentDataPath(fs, root)
+      .getOrElse(new Path(s"$certRoot/certs"))
+    val staged = ManifestStore.stagingPath(root, gen)
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("exp_date"), col("issuer_id"), col("serial_id"))
+      .orderBy(col("log_url"), col("entry_id"), col("ts_ms"))
+    spark.read.parquet(src.toString)
+      .repartition(col("exp_date"), col("issuer_id"))
+      .withColumn("_rn", row_number().over(wDup))
+      .filter(col("_rn") === 1).drop("_rn")
+      .write.mode("overwrite")
+      .partitionBy("exp_date", "issuer_id")
+      .parquet(staged.toString)
+    ManifestStore.promote(fs, root, gen) // the atomic commit point
+    ManifestStore.gc(fs, root)
+  }
+
+  /** The live manifested cert snapshot ([[compactManifested]]), falling
+    * back to the streaming sink's plain `certs/` before the first
+    * manifested compaction. */
+  def readCertsManifested(spark: SparkSession, certRoot: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(certRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = ManifestStore.currentDataPath(fs, root)
+      .getOrElse(new Path(s"$certRoot/certs"))
+    spark.read.parquet(p.toString)
+  }
+
   /** Fold the append-only per-batch issuer upserts into one row per
     * issuer. A long-running daemon appends one row per (batch, issuer),
     * so reads of the dimension re-aggregate an ever-growing table;

@@ -162,6 +162,55 @@ class ObservabilitySpec extends SparkSpec {
     assert(snap1 == snap2, "compact must be idempotent")
   }
 
+  test("manifested compaction: atomic manifest promotion, orphan roll-forward, GC") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("manifestcompact").toString
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(serial: String, entryId: Long) = Seq(
+      ("2030-01-01-00", "issuerA", serial, s"pem-$serial", entryId, entryId, "log"))
+      .toDF("exp_date", "issuer_id", "serial_id", "pem", "entry_id", "ts_ms", "log_url")
+      .write.partitionBy("exp_date", "issuer_id").mode("append").parquet(s"$root/certs")
+    put("s1", 1L); put("s2", 2L)
+    put("s1", 7L) // re-admitted duplicate, as in the rename-protocol test
+    // 1) first compaction seeds from plain certs/, promotes gen 1
+    IngestJob.compactManifested(spark, root)
+    assert(ManifestStore.currentGen(fs, rootP).contains(1L))
+    val snap1 = IngestJob.readCertsManifested(spark, root)
+    assert(snap1.count() == 2L, "dedup applies on the manifested path too")
+    assert(snap1.filter(col("serial_id") === "s1").collect()(0)
+      .getAs[Long]("entry_id") == 1L, "deterministic survivor")
+    // 2) crashed writer: a half-written generation dir with NO manifest
+    //    is invisible to readers and reclaimed by the next compaction,
+    //    whose own generation number moves PAST it
+    val orphan = ManifestStore.stagingPath(rootP, ManifestStore.nextGen(fs, rootP))
+    fs.mkdirs(orphan)
+    val junk = fs.create(new Path(orphan, "part-junk.parquet"), true)
+    junk.write("not parquet".getBytes); junk.close()
+    assert(IngestJob.readCertsManifested(spark, root).count() == 2L,
+      "un-promoted generation must be invisible")
+    IngestJob.compactManifested(spark, root)
+    assert(!fs.exists(orphan), "orphan generation must be GC'd")
+    assert(ManifestStore.currentGen(fs, rootP).exists(_ > 2L),
+      "new generation must not reuse the orphan's number")
+    val snap2 = IngestJob.readCertsManifested(spark, root)
+      .orderBy(col("serial_id")).collect().toSeq
+    assert(snap2 == snap1.orderBy(col("serial_id")).collect().toSeq,
+      "re-compaction is idempotent on the data")
+    // 3) GC keeps exactly one retired generation (in-flight readers of
+    //    the previous snapshot finish against intact files)
+    val gens = fs.listStatus(new Path(rootP, "gens")).map(_.getPath.getName).sorted
+    assert(gens.length == 2, s"current + one retired generation: ${gens.toSeq}")
+    // 4) promotion is the commit point: deleting the newest manifest
+    //    "uncommits" back to the retained generation (crash just
+    //    before promote ≡ this state — readers still see gen N)
+    val curGen = ManifestStore.currentGen(fs, rootP).get
+    fs.delete(new Path(rootP, f"manifests/m-$curGen%08d"), false)
+    assert(ManifestStore.currentGen(fs, rootP).contains(1L))
+    assert(IngestJob.readCertsManifested(spark, root).count() == 2L)
+  }
+
   test("compactIssuerBatches folds per-batch upserts into one row per issuer") {
     import spark.implicits._
     val root = Files.createTempDirectory("issuercompact").toString
