@@ -24,6 +24,7 @@ object RecallCurve {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
     val nq = sys.env.getOrElse("SPARK_GRAFT_NQ", "50").toInt
+    val m = sys.env.getOrElse("SPARK_GRAFT_M", "4").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,7 +38,7 @@ object RecallCurve {
     val queries = vecs.filter(col("vec_id") < nq)
     val temps = new TempCache
     val (coarse0, books0) = Similarity.ivfPqTrain(vecs, coarseStride = 100,
-      m = 4, dim = 64, bookStride = 50, iters = iters, temps = temps)
+      m = m, dim = 64, bookStride = 50, iters = iters, temps = temps)
     // the sweep re-reads the trained index per probe setting: pin both
     // frames so training runs once
     val coarse = coarse0.localCheckpoint(true)
@@ -45,11 +46,11 @@ object RecallCurve {
     temps.release()
     val nLists = coarse.count()
     println(s"# sf=$sfDir iters=$iters k=10 nq=$nq lists=$nLists " +
-      s"(m=4 dim=64 coarseStride=100 bookStride=50)")
+      s"(m=$m dim=64 coarseStride=100 bookStride=50)")
     println(f"${"probes"}%6s ${"mean_recall@10"}%14s")
     Seq(1, 2, 4, 8, 16).filter(_ <= nLists).foreach { probes =>
       val r = Similarity.ivfPqRecall(vecs, queries, k = 10, coarse, books,
-        m = 4, dim = 64, probes = probes)
+        m = m, dim = 64, probes = probes)
         .agg(avg(col("recall"))).collect()(0).getDouble(0)
       println(f"$probes%6d $r%14.4f")
     }
