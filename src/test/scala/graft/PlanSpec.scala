@@ -303,4 +303,54 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"a global window would serialize the corpus on one task:\n$p")
   }
+
+  test("heavy-query BNLJ / single-partition-exchange budgets (annotated invariants)") {
+    // The cartesian rule, generalized (VERDICT r6): a
+    // BroadcastNestedLoopJoin or an Exchange SinglePartition is
+    // legitimate ONLY as a deliberate small-broadcast scoring or a
+    // one-row scalar total — so every occurrence in the heavy queries
+    // is budgeted here, with its justification. Unannotated growth
+    // (a new BNLJ from a join that lost its equi-keys, a new global
+    // exchange from a window that lost its partitioning) fails the
+    // build instead of shipping a 100 TB serialization.
+    // Counts are FormattedMode (pre-AQE) counts under the TEST session
+    // conf; graft.tools.PlanAudit reports the runtime executedPlan
+    // under bench-like conf (AQE on), where e.g. q_llm_hist_dedup's
+    // 6 one-row scalar-subquery exchanges show up — both views were
+    // read and justified in round 7, this pin freezes the former.
+    val budgets = Map(
+      // (bnlj, singlePartitionExchanges)
+      "q_llm_curate" -> (0, 0), // gate/dedup/decontam: all id-keyed hash joins
+      "q_llm_semdedup" -> (0, 0), // capped-bucket LSH + CC: keyed shuffles only
+      "q_llm_importance" -> (0, 0), // vocab-sized hash joins
+      "q_llm_lm_score" -> (0, 0),
+      "q_llm_dedup_impact" -> (0, 0),
+      "q_llm_dedup_clusters" -> (0, 0),
+      "q_llm_dup_run" -> (0, 0),
+      "q_llm_keep_best" -> (0, 0),
+      // the bloom/total scalars plan as Subquery sections here; their
+      // 6 one-row exchanges appear only in the runtime plan (audit)
+      "q_llm_hist_dedup" -> (0, 0),
+      // deliberate small-broadcast centroid/codebook scorings,
+      // collapsed by map-side argmin before any shuffle: coarse
+      // assign (corpus + query + training sides), residual books per
+      // stage — every BNLJ side is centroid/codebook-sized
+      "q_llm_ivfpq_ann" -> (13, 0),
+      "q_llm_ivfpq_ann_p2" -> (13, 0),
+      "q_llm_pq_ann" -> (0, 0),
+      // exact-side ground truth: brute-force queries×corpus broadcast
+      // (the queries block is the broadcast side), + the approx chain
+      "q_llm_pq_recall" -> (2, 0),
+      "q_llm_ann_recall" -> (6, 0))
+    val got = budgets.keys.toSeq.sorted.map { q =>
+      val p = plan(q)
+      def n(tok: String) = tok.r.findAllIn(p).length
+      q -> (n("BroadcastNestedLoopJoin"), n("Exchange SinglePartition"))
+    }
+    val off = got.filter { case (q, actual) => actual != budgets(q) }
+    assert(off.isEmpty,
+      off.map { case (q, (b, s)) =>
+        s"$q: (bnlj=$b, 1part=$s) != annotated ${budgets(q)}"
+      }.mkString("plan-budget drift — re-justify or fix:\n", "\n", ""))
+  }
 }
