@@ -1027,6 +1027,72 @@ object Similarity {
            |QUALIFY "rank" <= 5
            |ORDER BY q_id, "rank"""".stripMargin))
 
+  /** IVF index health: the per-list occupancy table an index data
+    * card publishes. Serving cost per probe is proportional to list
+    * size, so a skewed coarse quantizer (dead centroids, one list
+    * holding half the corpus) silently turns "probes=2" into a
+    * near-exhaustive scan — the list-size histogram is the
+    * centroid-rebalance alarm (retrain with more iters, or raise the
+    * centroid count, when max_ppm dwarfs 1e6/k). Output: one row per
+    * OCCUPIED list — (list_id, n_vecs, ppm share of corpus).
+    *
+    * Scale shape: the coarse assignment is [[assignCoarse]]'s
+    * broadcast + map-side argmin; the stats are a k-row aggregate of
+    * it; the corpus total rides one scalar-subquery broadcast
+    * (single-row exchange, the hist_dedup pattern). */
+  def ivfListStats(vecs: DataFrame, coarse: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val q = vecs.select(col("vec_id"), quantize(col("embedding")).as("qfull"))
+    val total = q.select(count(lit(1)).as("n_total"))
+    assignCoarse(q, coarse)
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n_vecs"))
+      .join(broadcast(total))
+      .select(col("list_id"), col("n_vecs"),
+        expr("(1000000 * n_vecs) div n_total").as("ppm"))
+  }
+
+  /** Oracle'd end-to-end at stride seeds over the q_llm_ivfpq_ann
+    * coarse assignment — same quantize/argmin chain, aggregated to
+    * list occupancy. */
+  val qIvfStats = QuerySpec(
+    "q_llm_ivf_stats",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val vs = Tables.load(s, d, "embeddings")
+      val coarse = vs.select(col("vec_id"), quantize(col("embedding")).as("qfull"))
+        .filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("c_id"), col("qfull").as("c_q"))
+      ivfListStats(vs, coarse).orderBy(col("list_id"))
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id,
+           |    CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+           |      THEN list_transform(embedding, x -> 0)
+           |      ELSE list_transform(embedding, x -> CAST(floor(
+           |        CAST(x AS DOUBLE) /
+           |        CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
+           |        * 127.0 + 0.5) AS INTEGER))
+           |    END AS qfull
+           |  FROM embeddings
+           |), coarse AS (
+           |  SELECT vec_id AS c_id, qfull AS c_q FROM q WHERE vec_id % 100 = 0
+           |), cscore AS (
+           |  SELECT q.vec_id, c.c_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(list_zip(q.qfull, c.c_q),
+           |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+           |      (a, x) -> a + x) AS dist
+           |  FROM q, coarse c
+           |), assigned AS (
+           |  SELECT vec_id, c_id AS list_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dist, c_id) AS rn FROM cscore) WHERE rn = 1
+           |)
+           |SELECT list_id, CAST(count(*) AS BIGINT) AS n_vecs,
+           |  CAST((1000000 * count(*)) //
+           |    (SELECT count(*) FROM q) AS BIGINT) AS ppm
+           |FROM assigned GROUP BY list_id ORDER BY list_id""".stripMargin))
+
   /** PQ quality harness: exact recall@k of [[pqTopK]] against the
     * brute-force integer-L2 top-k over the same quantized vectors —
     * the metric PQ approximates, so the recall number isolates the
@@ -1316,5 +1382,6 @@ object Similarity {
 
   val all: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qEmbOutlier, qQuantize, qKmeansStep,
-      qPqAnn, qPqRecall, qIvfPqAnn, qIvfPqAnnP2, qSemDedup, qAnnRecall)
+      qPqAnn, qPqRecall, qIvfPqAnn, qIvfPqAnnP2, qIvfStats, qSemDedup,
+      qAnnRecall)
 }

@@ -513,4 +513,44 @@ object StreamingCuration {
         col("n_tokens"), col("n_novel"),
         (col("n_novel") / col("n_tokens")).as("novel_rate"),
         expr("ref_mass div n_tokens").as("mean_ref_ppm"))
+
+  /** Auto-trigger for the drift alarm (closes the manual handoff the
+    * round-6 review noted): a `foreachBatch` handler for
+    * [[streamingVocabDrift]]'s output stream that, for every closed
+    * window whose novel-token rate exceeds `novelRateAlarm`, runs the
+    * EXACT batch [[TextAnalysis.corpusDrift]] of that window's
+    * archived documents against the reference corpus and hands the
+    * per-term shift table to `onDrift`. Usage:
+    *
+    * {{{
+    * streamingVocabDrift(stream, refPpm)
+    *   .writeStream.outputMode("append")
+    *   .foreachBatch(vocabDriftAutoDiff(ws => archived.filter(...),
+    *     refDocs, 0.10, (w, shifts) => shifts.write...))
+    * }}}
+    *
+    * The per-batch `collect()` is one row per CLOSED window (the
+    * append-mode alarm stream) — a bounded driver-side decision loop,
+    * not a data path; the heavy work (two unigramPpm scans + the
+    * vocab-sized full-outer join) stays distributed inside
+    * corpusDrift. `archive` maps a window start to the landed
+    * documents of that window (the raw stream's own sink — the alarm
+    * cannot re-read the stream, which has moved on by the time the
+    * watermark closes the window). `onDrift` must MATERIALIZE the
+    * shift frame inside the callback (write/collect): its persisted
+    * unigram intermediates are released when the callback returns. */
+  def vocabDriftAutoDiff(
+      archive: java.sql.Timestamp => DataFrame,
+      refDocs: DataFrame,
+      novelRateAlarm: Double,
+      onDrift: (java.sql.Timestamp, DataFrame) => Unit)
+      : (DataFrame, Long) => Unit = (alarms, _) =>
+    alarms.filter(col("novel_rate") > novelRateAlarm)
+      .select(col("window_start")).collect()
+      .foreach { r =>
+        val ws = r.getTimestamp(0)
+        val temps = new TempCache
+        try onDrift(ws, TextAnalysis.corpusDrift(refDocs, archive(ws), temps))
+        finally temps.release()
+      }
 }

@@ -343,6 +343,14 @@ class PlanSpec extends SparkSpec {
       "q_llm_pq_recall" -> (2, 0),
       "q_llm_ann_recall" -> (6, 0))
     val got = budgets.keys.toSeq.sorted.map { q =>
+      // the pin is the FRESH-SESSION plan shape: leftover cached frames
+      // (this suite's own earlier builds, or — in a full `sbt test` run
+      // with the shared session — other suites') get substituted as
+      // InMemoryRelations, which defeats exchange/subtree reuse and
+      // inflates the BNLJ count nondeterministically (observed 13 → 22
+      // on q_llm_ivfpq_ann). Verify/Bench clear the cache between
+      // queries the same way.
+      spark.catalog.clearCache()
       val p = plan(q)
       def n(tok: String) = tok.r.findAllIn(p).length
       q -> (n("BroadcastNestedLoopJoin"), n("Exchange SinglePartition"))
@@ -351,6 +359,8 @@ class PlanSpec extends SparkSpec {
     assert(off.isEmpty,
       off.map { case (q, (b, s)) =>
         s"$q: (bnlj=$b, 1part=$s) != annotated ${budgets(q)}"
-      }.mkString("plan-budget drift — re-justify or fix:\n", "\n", ""))
+      }.mkString("plan-budget drift — re-justify or fix:\n", "\n",
+        off.headOption.map(o => s"\nfirst offending plan:\n${plan(o._1)}")
+          .getOrElse("")))
   }
 }

@@ -167,6 +167,49 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("vocabDriftAutoDiff: alarm windows trigger the exact batch drift, quiet ones don't") {
+    implicit val sqlCtx = spark.sqlContext
+    val refDocs = Seq((0L, "a a b c")).toDF("doc_id", "text")
+    val ref = TextAnalysis.unigramPpm(refDocs)
+    // the landed-document archive the trigger reads the window back from
+    val w0docs = Seq((1L, "a b"), (2L, "a x")).toDF("doc_id", "text")
+    val w1docs = Seq((3L, "a b")).toDF("doc_id", "text")
+    def archive(ws: java.sql.Timestamp): org.apache.spark.sql.DataFrame =
+      if (ws.getTime == 0L) w0docs else w1docs
+    val fired = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[String, Long])]
+    val in = MemoryStream[Doc]
+    val q = StreamingCuration.streamingVocabDrift(in.toDF(), ref,
+      windowLen = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("append")
+      .foreachBatch(StreamingCuration.vocabDriftAutoDiff(
+        archive, refDocs, novelRateAlarm = 0.2,
+        (ws, shifts) => fired.synchronized {
+          fired += ws.getTime -> shifts.select(col("term"), col("shift"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        }))
+      .start()
+    try {
+      in.addData(
+        doc(1, 0, "s", "a b"),      // window [0,10): novel_rate 0.25 -> alarm
+        doc(2, 4, "s", "a x"))
+      in.addData(doc(3, 12, "s", "a b")) // window [10,20): rate 0 -> quiet
+      q.processAllAvailable()
+      in.addData(doc(9, 40, "s", "later z")) // watermark closes both
+      q.processAllAvailable()
+      val got = fired.synchronized(fired.toList)
+      assert(got.map(_._1) == List(0L),
+        s"exactly the alarmed window must trigger: $got")
+      // the triggered table IS the exact batch corpusDrift of the
+      // archived window slice vs the reference corpus
+      val want = TextAnalysis.corpusDrift(refDocs, archive(new java.sql.Timestamp(0L)))
+        .select(col("term"), col("shift"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.head._2 == want, s"${got.head._2} != $want")
+      assert(want.contains("x"), "the novel term must appear in the shift table")
+    } finally q.stop()
+  }
+
   test("streamingLmScore: stream-static join against a pinned count snapshot") {
     implicit val sqlCtx = spark.sqlContext
     // the nightly snapshot: corpus "a b", "a b", "a c" → c(a)=3, c(b)=2,
