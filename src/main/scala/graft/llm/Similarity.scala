@@ -811,7 +811,6 @@ object Similarity {
   def ivfPqTopK(vecs: DataFrame, queries: DataFrame, k: Int,
       coarse: DataFrame, books: DataFrame, m: Int, dim: Int,
       probes: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val dist = call_udf("graft_l2_int", col("q"), col("c_q"))
     val q = vecs.select(col("vec_id"), quantize(col("embedding")).as("qfull"))
@@ -823,7 +822,17 @@ object Similarity {
       .agg(first(col("list_id")).as("list_id"),
         max_by(col("c_id"),
           struct((-col("dist")).as("nd"), (-col("c_id")).as("nc"))).as("code"))
-    // queries: probe top-`probes` coarse lists, residual per probe
+    adcServe(codes, adcQueryTable(queries, coarse, books, m, dim, probes), k)
+  }
+
+  /** (q_id, list_id, sub_id, code, d): the per-(query, probed-list)
+    * ADC lookup table — each query probes its `probes` nearest coarse
+    * lists and scores its residual (per probed list) against every
+    * codebook entry. nq × probes × m × K rows, the broadcast side of
+    * serving. */
+  private def adcQueryTable(queries: DataFrame, coarse: DataFrame,
+      books: DataFrame, m: Int, dim: Int, probes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qq = queries.select(col("vec_id"), quantize(col("embedding")).as("qfull"))
     val wp = Window.partitionBy(col("vec_id")).orderBy(col("pdist"), col("c_id"))
     val probed = qq.join(broadcast(coarse))
@@ -832,11 +841,20 @@ object Similarity {
       .filter(col("prank") <= probes)
       .select(col("vec_id"), col("qfull"),
         col("c_id").as("list_id"), col("c_q").as("list_q"))
-    val table = residualSubvectors(probed, "q_id", m, dim)
+    residualSubvectors(probed, "q_id", m, dim)
       .join(books, Seq("sub_id"))
-      .withColumn("d", dist)
+      .withColumn("d", call_udf("graft_l2_int", col("q"), col("c_q")))
       .select(col("q_id"), col("list_id"), col("sub_id"),
         col("c_id").as("code"), col("d"))
+  }
+
+  /** ADC scoring tail shared by the encode-inline and stored-code
+    * serving paths: same-list lookup-table sum per candidate, top-k
+    * ascending, ties → lowest vector id. `codes` is the per-
+    * (vec_id, sub_id) row form (vec_id, list_id, sub_id, code). */
+  private def adcServe(codes: DataFrame, table: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
     codes.join(broadcast(table), Seq("list_id", "sub_id", "code"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -846,6 +864,60 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("adist"))
+  }
+
+  /** IVF-PQ index BUILD: the stored form of the index — one row per
+    * vector with its coarse list id and m-entry residual PQ code. A
+    * deployment encodes the corpus ONCE (nightly or incrementally),
+    * persists this table, and serves every query batch from it via
+    * [[ivfPqTopKFromCodes]] — the precomputed-signature pattern the
+    * historical near-dup path uses ([[TextDedup.nearDupAgainstHistorySigs]]),
+    * applied to ANN. At fixed codebook sizes (K coarse lists, Kb
+    * entries per subspace book) encode cost is n · (K + m·Kb) integer
+    * L2s — LINEAR in corpus size (tools/EncodeBench measures it).
+    *
+    * Scale shape: centroids and codebooks broadcast against one corpus
+    * scan; the per-subspace argmin reduces map-side; the code array
+    * reassembles in a per-vector aggregate — the corpus never joins
+    * itself, and the stored row is a list id + m small ints. */
+  def ivfPqEncode(vecs: DataFrame, coarse: DataFrame, books: DataFrame,
+      m: Int, dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val q = vecs.select(col("vec_id"), quantize(col("embedding")).as("qfull"))
+    residualSubvectors(assignCoarse(q, coarse), "vec_id", m, dim)
+      .join(broadcast(books), Seq("sub_id"))
+      .withColumn("dist", call_udf("graft_l2_int", col("q"), col("c_q")))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(first(col("list_id")).as("list_id"),
+        max_by(col("c_id"),
+          struct((-col("dist")).as("nd"), (-col("c_id")).as("nc"))).as("code"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("list_id")).as("list_id"),
+        transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
+          s => s.getField("code")).as("codes"))
+  }
+
+  /** IVFADC serving against a PRECOMPUTED code table (the output of
+    * [[ivfPqEncode]], typically read back from storage): identical
+    * semantics and results to [[ivfPqTopK]], but the corpus side is a
+    * scan of the m-byte codes instead of a re-encode — the serving
+    * cost a real deployment pays per query batch. The encode/serve
+    * split also means the stored table must match the index config:
+    * `size(codes) === m` is enforced at execution time (the sig-length
+    * guard pattern), since codes built with a different m would
+    * silently mis-join the lookup table. */
+  def ivfPqTopKFromCodes(codeTable: DataFrame, queries: DataFrame, k: Int,
+      coarse: DataFrame, books: DataFrame, m: Int, dim: Int,
+      probes: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val codes = codeTable
+      .withColumn("codes", when(size(col("codes")) === m, col("codes"))
+        .otherwise(raise_error(concat(lit("code length "),
+          size(col("codes")).cast("string"),
+          lit(s" != m $m: codes were built with a different PQ config")))))
+      .select(col("vec_id"), col("list_id"),
+        posexplode(col("codes")).as(Seq("sub_id", "code")))
+    adcServe(codes, adcQueryTable(queries, coarse, books, m, dim, probes), k)
   }
 
   /** Oracle'd END-TO-END at iters = 0, probes = 1: coarse stride
@@ -1026,6 +1098,89 @@ object Similarity {
            |FROM adist
            |QUALIFY "rank" <= 5
            |ORDER BY q_id, "rank"""".stripMargin))
+
+  /** The index-build deliverable, oracle'd END-TO-END at stride
+    * seeds: the same chain as q_llm_ivfpq_ann through the per-subspace
+    * argmin, reassembled to the stored (vec_id, list_id, codes) row —
+    * DuckDB replays it with `list(code ORDER BY sub_id)`. */
+  val qIvfPqCodes = QuerySpec(
+    "q_llm_ivfpq_codes",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val vs = Tables.load(s, d, "embeddings")
+      val (coarse, books) = ivfPqTrain(vs, coarseStride = 100, m = 4,
+        dim = 64, bookStride = 50, iters = 0)
+      ivfPqEncode(vs, coarse, books, m = 4, dim = 64)
+        // oracle-facing string form (driver hash-compares scalars; the
+        // production table keeps the real array)
+        .select(col("vec_id"), col("list_id"), joined(col("codes")).as("codes"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id,
+           |    CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+           |      THEN list_transform(embedding, x -> 0)
+           |      ELSE list_transform(embedding, x -> CAST(floor(
+           |        CAST(x AS DOUBLE) /
+           |        CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
+           |        * 127.0 + 0.5) AS INTEGER))
+           |    END AS qfull
+           |  FROM embeddings
+           |), coarse AS (
+           |  SELECT vec_id AS c_id, qfull AS c_q FROM q WHERE vec_id % 100 = 0
+           |), cscore AS (
+           |  SELECT q.vec_id, q.qfull, c.c_id, c.c_q,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(list_zip(q.qfull, c.c_q),
+           |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+           |      (a, x) -> a + x) AS dist
+           |  FROM q, coarse c
+           |), assigned AS (
+           |  SELECT vec_id, qfull, c_id AS list_id, c_q AS list_q FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dist, c_id) AS rn FROM cscore) WHERE rn = 1
+           |), rsub AS (
+           |  SELECT vec_id, list_id, j.sub_id,
+           |    (list_transform(list_zip(qfull, list_q), z -> z[1] - z[2]))
+           |      [j.sub_id * 16 + 1 : j.sub_id * 16 + 16] AS sq
+           |  FROM assigned, LATERAL (SELECT unnest(range(0, 4)) AS sub_id) j
+           |), books AS (
+           |  SELECT sub_id, vec_id AS c_id, sq AS c_q FROM rsub
+           |  WHERE vec_id % 50 = 0
+           |), scored AS (
+           |  SELECT r.vec_id, r.list_id, r.sub_id, b.c_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(list_zip(r.sq, b.c_q),
+           |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+           |      (a, x) -> a + x) AS dist
+           |  FROM rsub r JOIN books b USING (sub_id)
+           |), pcodes AS (
+           |  SELECT vec_id, list_id, sub_id, c_id AS code FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+           |      ORDER BY dist, c_id) AS rn FROM scored) WHERE rn = 1
+           |)
+           |SELECT vec_id, list_id,
+           |  array_to_string(list(code ORDER BY sub_id), ',') AS codes
+           |FROM pcodes GROUP BY vec_id, list_id ORDER BY vec_id""".stripMargin))
+
+  /** Serving from the STORED code table, oracle'd at probes = 2 with
+    * the q_llm_ivfpq_ann_p2 SQL verbatim: the encode → store → serve
+    * split must be result-identical to the inline end-to-end chain, so
+    * the same DuckDB replay checks both. The trained config
+    * (iters > 0) is pinned equal to [[ivfPqTopK]] in SimilaritySpec. */
+  val qIvfPqServe = QuerySpec(
+    "q_llm_ivfpq_serve",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val vs = Tables.load(s, d, "embeddings")
+      val (coarse, books) = ivfPqTrain(vs, coarseStride = 100, m = 4,
+        dim = 64, bookStride = 50, iters = 0)
+      val stored = ivfPqEncode(vs, coarse, books, m = 4, dim = 64)
+      ivfPqTopKFromCodes(stored, vs.filter(col("vec_id") < 5), k = 5,
+        coarse, books, m = 4, dim = 64, probes = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    qIvfPqAnnP2.oracle)
 
   /** IVF index health: the per-list occupancy table an index data
     * card publishes. Serving cost per probe is proportional to list
@@ -1382,6 +1537,6 @@ object Similarity {
 
   val all: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qEmbOutlier, qQuantize, qKmeansStep,
-      qPqAnn, qPqRecall, qIvfPqAnn, qIvfPqAnnP2, qIvfStats, qSemDedup,
-      qAnnRecall)
+      qPqAnn, qPqRecall, qIvfPqAnn, qIvfPqAnnP2, qIvfPqCodes, qIvfPqServe,
+      qIvfStats, qSemDedup, qAnnRecall)
 }

@@ -337,6 +337,12 @@ class PlanSpec extends SparkSpec {
       // stage — every BNLJ side is centroid/codebook-sized
       "q_llm_ivfpq_ann" -> (13, 0),
       "q_llm_ivfpq_ann_p2" -> (13, 0),
+      // encode half of the chain only: coarse assign + per-subspace
+      // codebook scorings (training sides included at stride seeds)
+      "q_llm_ivfpq_codes" -> (7, 0),
+      // encode + the query-side probe/table scorings — same deliberate
+      // broadcast set as the inline end-to-end chain
+      "q_llm_ivfpq_serve" -> (13, 0),
       "q_llm_pq_ann" -> (0, 0),
       // exact-side ground truth: brute-force queries×corpus broadcast
       // (the queries block is the broadcast side), + the approx chain

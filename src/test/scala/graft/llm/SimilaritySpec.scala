@@ -257,6 +257,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect, s"got=$got\nexpect=$expect")
   }
 
+  test("stored-code serving equals the inline IVFADC chain (trained, probes > 1)") {
+    // the production split: encode ONCE into the stored code table,
+    // serve from it — must be bit-identical to ivfPqTopK's re-encode
+    val m = 4; val dim = 64
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    val (coarse, books) = Similarity.ivfPqTrain(vecs, coarseStride = 100,
+      m, dim, bookStride = 50, iters = 2)
+    val queries = vecs.filter(col("vec_id") < 3)
+    val inline = Similarity.ivfPqTopK(vecs, queries, k = 5, coarse, books,
+      m, dim, probes = 2).collect().map(_.toSeq).toSet
+    // round-trip through storage: the served path reads the table a
+    // nightly encode job would have written
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_codes").toString
+    Similarity.ivfPqEncode(vecs, coarse, books, m, dim)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val served = Similarity.ivfPqTopKFromCodes(stored, queries, k = 5,
+      coarse, books, m, dim, probes = 2).collect().map(_.toSeq).toSet
+    assert(served == inline, s"served=$served\ninline=$inline")
+  }
+
+  test("stored-code serving raises on a code table built with a different m") {
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    val (coarse, books) = Similarity.ivfPqTrain(vecs, coarseStride = 100,
+      m = 4, dim = 64, bookStride = 50, iters = 0)
+    val wrongM = Similarity.ivfPqEncode(vecs, coarse, books, m = 2, dim = 64)
+    val ex = intercept[Exception] {
+      Similarity.ivfPqTopKFromCodes(wrongM, vecs.filter(col("vec_id") < 2),
+        k = 5, coarse, books, m = 4, dim = 64, probes = 1).collect()
+    }
+    assert(ex.getMessage.contains("different PQ config"),
+      s"unexpected error: ${ex.getMessage}")
+  }
+
   test("ivfPqRecall: all lists probed + lossless books give recall 1.0") {
     // probes >= list count and stride-1 residual codebooks: every
     // candidate is scored and each residual encodes to itself, so ADC
