@@ -703,6 +703,10 @@ object GraftFunctions {
       case Seq(c, Literal(n: Int, IntegerType)) => BoundedCollectAggExpr(c, n)
       case es => BoundedCollectAggExpr(es.head, 100)
     },
+    "graft_topk_min" -> {
+      case Seq(c, Literal(n: Int, IntegerType)) => TopKMinAggExpr(c, n)
+      case es => TopKMinAggExpr(es.head, 10)
+    },
     "graft_shingle_hashes_md5" -> {
       case Seq(c, Literal(n: Int, IntegerType), Literal(m: Boolean, BooleanType)) =>
         Md5ShingleHashesExpr(c, n, m)

@@ -41,15 +41,24 @@ object Similarity {
     * once, rank per query. Exact; the baseline the ANN paths are
     * measured against. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
     val scored = corpus.join(q, col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+    // bounded top-k agg: k rows per query leave each task instead of
+    // the whole scored corpus crossing a rank-window shuffle. The
+    // descending double key negates exactly (IEEE sign flip); a NaN
+    // cosine (zero-norm vector) ranks LAST here where the window put
+    // it first — top-k of a similarity search should never be NaN.
+    scored
+      .groupBy(col("q_id"))
+      .agg(call_udf("graft_topk_min",
+        struct((-col("cos")).as("ncos"), col("vec_id"), col("cos")),
+        lit(k)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.vec_id").as("neighbor_id"), col("t.cos").as("cos"))
   }
 
   /** Oracle'd BIT-EXACTLY despite the float math: the kernel multiplies
@@ -244,13 +253,18 @@ object Similarity {
       .filter(col("c_rank") <= probes)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("c_id"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
     corpusAssigned.join(broadcast(queriesAssigned), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"), col("c_id"))
+      .groupBy(col("q_id"))
+      .agg(call_udf("graft_topk_min",
+        struct((-col("cos")).as("ncos"), col("vec_id"), col("cos"),
+          col("c_id")), lit(k)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.vec_id").as("neighbor_id"), col("t.cos").as("cos"),
+        col("t.c_id").as("c_id"))
   }
 
   /** Oracle'd bit-exactly: centroid assignment's max_by tiebreak
@@ -495,14 +509,18 @@ object Similarity {
       .filter(col("c_rank") <= probes)
       .select(col("vec_id").as("q_id"), col("q").as("q_q"), col("c_id"))
     val idot = call_udf("graft_dot_int", col("q"), col("q_q"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("idot").desc, col("vec_id"))
+    // descending long key → negate into the struct (exact on integers)
     assign(vecs).join(broadcast(queriesAssigned), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("idot", idot)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        col("idot"), col("c_id"))
+      .groupBy(col("q_id"))
+      .agg(call_udf("graft_topk_min",
+        struct((-col("idot")).as("nidot"), col("vec_id"), col("idot"),
+          col("c_id")), lit(k)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.vec_id").as("neighbor_id"), col("t.idot").as("idot"),
+        col("t.c_id").as("c_id"))
   }
 
   /** One step oracle'd exactly in DuckDB (assignment argmin, tiebreak,
@@ -663,15 +681,16 @@ object Similarity {
       .select(col("q_id"), col("sub_id"), col("c_id").as("code"), col("d"))
     val codes = pqEncode(vecs, codebooks, m, dim)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub_id", "code")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
     codes.join(broadcast(table), Seq("sub_id", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("d")).as("adist"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        col("adist"))
+      .groupBy(col("q_id"))
+      .agg(call_udf("graft_topk_min",
+        struct(col("adist"), col("vec_id")), lit(k)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.vec_id").as("neighbor_id"), col("t.adist").as("adist"))
   }
 
   /** Oracle'd END-TO-END at iters = 0 (stride-seed codebooks): slice,
@@ -851,20 +870,25 @@ object Similarity {
   /** ADC scoring tail shared by the encode-inline and stored-code
     * serving paths: same-list lookup-table sum per candidate, top-k
     * ascending, ties → lowest vector id. `codes` is the per-
-    * (vec_id, sub_id) row form (vec_id, list_id, sub_id, code). */
+    * (vec_id, sub_id) row form (vec_id, list_id, sub_id, code).
+    *
+    * Top-k is the bounded [[graft.functions.TopKMinAggExpr]] rather
+    * than a rank window: the window ships every probed-list candidate
+    * (n·probes/K rows per query) to the query's partition to sort and
+    * discard; the aggregate reduces to k rows per query map-side, so
+    * only k·tasks rows per query cross the final shuffle. */
   private def adcServe(codes: DataFrame, table: DataFrame,
-      k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+      k: Int): DataFrame =
     codes.join(broadcast(table), Seq("list_id", "sub_id", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("d")).as("adist"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        col("adist"))
-  }
+      .groupBy(col("q_id"))
+      .agg(call_udf("graft_topk_min",
+        struct(col("adist"), col("vec_id")), lit(k)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.vec_id").as("neighbor_id"), col("t.adist").as("adist"))
 
   /** IVF-PQ index BUILD: the stored form of the index — one row per
     * vector with its coarse list id and m-entry residual PQ code. A
@@ -910,14 +934,41 @@ object Similarity {
       coarse: DataFrame, books: DataFrame, m: Int, dim: Int,
       probes: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
-    val codes = codeTable
+    val codes = guardCodes(codeTable, m)
+      .select(col("vec_id"), col("list_id"),
+        posexplode(col("codes")).as(Seq("sub_id", "code")))
+    adcServe(codes, adcQueryTable(queries, coarse, books, m, dim, probes), k)
+  }
+
+  /** Execution-time config guard on a stored code table: codes built
+    * with a different m silently mis-join the ADC lookup table, so the
+    * mismatch raises instead (the sig-length-guard pattern). */
+  private def guardCodes(codeTable: DataFrame, m: Int): DataFrame =
+    codeTable
       .withColumn("codes", when(size(col("codes")) === m, col("codes"))
         .otherwise(raise_error(concat(lit("code length "),
           size(col("codes")).cast("string"),
           lit(s" != m $m: codes were built with a different PQ config")))))
-      .select(col("vec_id"), col("list_id"),
-        posexplode(col("codes")).as(Seq("sub_id", "code")))
-    adcServe(codes, adcQueryTable(queries, coarse, books, m, dim, probes), k)
+
+  /** Incremental index build: keep every stored row, encode ONLY the
+    * vectors not yet in the code table, and append — the nightly
+    * delta job. The stored side pays one id anti join (no vector
+    * arithmetic, no re-encode); only the delta pays the
+    * [[ivfPqEncode]] scan, so a 1%-new day costs 1% of a rebuild.
+    * Same precomputed-signature shape as
+    * [[TextDedup.nearDupAgainstHistorySigs]]. The centroids and
+    * codebooks must be the ones the stored table was encoded with
+    * (a frozen quantizer — re-training them is a rebuild, not an
+    * increment); a wrong-m stored table raises via [[guardCodes]].
+    * Result-identical to a from-scratch [[ivfPqEncode]] of the whole
+    * corpus by construction — q_llm_ivfpq_inc replays exactly that
+    * equality through the full-encode oracle SQL. */
+  def ivfPqEncodeIncremental(codeTable: DataFrame, vecs: DataFrame,
+      coarse: DataFrame, books: DataFrame, m: Int, dim: Int): DataFrame = {
+    val fresh = vecs.join(codeTable.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    guardCodes(codeTable, m)
+      .select(col("vec_id"), col("list_id"), col("codes"))
+      .unionByName(ivfPqEncode(fresh, coarse, books, m, dim))
   }
 
   /** Oracle'd END-TO-END at iters = 0, probes = 1: coarse stride
@@ -1182,6 +1233,26 @@ object Similarity {
     },
     qIvfPqAnnP2.oracle)
 
+  /** The nightly delta job, oracle'd through the FULL-encode SQL: a
+    * stored table holding the even-id half of the corpus plus an
+    * incremental pass over the whole corpus must equal a from-scratch
+    * encode of everything — the stored half rides through untouched
+    * (one anti join), only the odd-id delta is encoded. */
+  val qIvfPqInc = QuerySpec(
+    "q_llm_ivfpq_inc",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val vs = Tables.load(s, d, "embeddings")
+      val (coarse, books) = ivfPqTrain(vs, coarseStride = 100, m = 4,
+        dim = 64, bookStride = 50, iters = 0)
+      val stored = ivfPqEncode(vs.filter(pmod(col("vec_id"), lit(2)) === 0),
+        coarse, books, m = 4, dim = 64)
+      ivfPqEncodeIncremental(stored, vs, coarse, books, m = 4, dim = 64)
+        .select(col("vec_id"), col("list_id"), joined(col("codes")).as("codes"))
+        .orderBy(col("vec_id"))
+    },
+    qIvfPqCodes.oracle)
+
   /** IVF index health: the per-list occupancy table an index data
     * card publishes. Serving cost per probe is proportional to list
     * size, so a skewed coarse quantizer (dead centroids, one list
@@ -1285,17 +1356,17 @@ object Similarity {
     * PQ harnesses rank against (broadcast queries, one corpus scan). */
   private def exactIntTopK(vecs: DataFrame, queries: DataFrame,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val qv = vecs.select(col("vec_id"), quantize(col("embedding")).as("q"))
     val qq = broadcast(queries
       .select(col("vec_id").as("q_id"), quantize(col("embedding")).as("qq")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("vec_id"))
     qv.join(qq, col("vec_id") =!= col("q_id"))
       .withColumn("d", call_udf("graft_l2_int", col("q"), col("qq")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      .groupBy(col("q_id"))
+      .agg(call_udf("graft_topk_min",
+        struct(col("d"), col("vec_id")), lit(k)).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.vec_id").as("neighbor_id"))
   }
 
   /** recall@k rollup shared by the ANN harnesses ([[annRecall]],
@@ -1538,5 +1609,5 @@ object Similarity {
   val all: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qEmbOutlier, qQuantize, qKmeansStep,
       qPqAnn, qPqRecall, qIvfPqAnn, qIvfPqAnnP2, qIvfPqCodes, qIvfPqServe,
-      qIvfStats, qSemDedup, qAnnRecall)
+      qIvfPqInc, qIvfStats, qSemDedup, qAnnRecall)
 }

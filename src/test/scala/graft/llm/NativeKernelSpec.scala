@@ -278,4 +278,44 @@ class NativeKernelSpec extends SparkSpec {
       .select(size(col("xs"))).collect()(0).getInt(0)
     assert(structGot == 40)
   }
+
+  test("graft_topk_min == the rank-window tail, partial merges included") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    // deterministic multi-group corpus with deliberate key ties (key
+    // = v % 7) so the struct tiebreak (key, then id) is exercised;
+    // repartition(9) forces map-side partials and sorted merges
+    val rows = for (g <- 0 until 6; i <- 0 until (g * 37 + 5)) yield {
+      val id = g * 1000 + i
+      (s"g$g", (id * 2654435761L) % 7, id.toLong)
+    }
+    val df = rows.toDF("k", "key", "id").repartition(9)
+    val w = Window.partitionBy(col("k")).orderBy(col("key"), col("id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("k"), col("rn").cast("long").as("rank"), col("key"), col("id"))
+      .collect().map(_.toSeq).toSet
+    val viaAgg = df.groupBy(col("k"))
+      .agg(call_udf("graft_topk_min",
+        struct(col("key"), col("id")), lit(10)).as("top"))
+      .select(col("k"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("k"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.key"), col("t.id"))
+      .collect().map(_.toSeq).toSet
+    assert(viaAgg == viaWindow)
+    // under-full groups return all their rows, sorted
+    val small = Seq(("s", 3L), ("s", 1L), ("s", 2L)).toDF("k", "v")
+      .groupBy(col("k"))
+      .agg(call_udf("graft_topk_min", col("v"), lit(10)).as("top"))
+      .select(col("top")).collect()(0).getSeq[Long](0).toList
+    assert(small == List(1L, 2L, 3L))
+    // descending order = negate the key into the struct
+    val desc = Seq(("d", 5L), ("d", 9L), ("d", 1L), ("d", 7L)).toDF("k", "v")
+      .groupBy(col("k"))
+      .agg(call_udf("graft_topk_min",
+        struct((-col("v")).as("nv"), col("v")), lit(2)).as("top"))
+      .select(col("top.v")).collect()(0).getSeq[Long](0).toList
+    assert(desc == List(9L, 7L))
+  }
 }
