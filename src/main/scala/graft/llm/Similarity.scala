@@ -971,6 +971,88 @@ object Similarity {
       .unionByName(ivfPqEncode(fresh, coarse, books, m, dim))
   }
 
+  /** Streaming IVFADC serving: a continuous query feed (vec_id,
+    * embedding, event_ts) answered from the PRECOMPUTED code table —
+    * the online half of the encode → store → serve split
+    * ([[ivfPqEncode]] is the nightly half). Emits, per closed event-
+    * time window, each query's top-k neighbors with the same integer
+    * ADC semantics as [[ivfPqTopKFromCodes]] (spec-pinned equal).
+    *
+    * The batch chain's windows and its query-side aggregations are
+    * illegal on a stream, so the probe selection and the lookup table
+    * are computed ROW-LOCALLY instead: the coarse centroids and the
+    * codebooks — index-sized, the exact frames the batch path
+    * broadcasts — ride in as single-row collected arrays, and each
+    * query row derives its probed lists (sort by (dist, c_id), take
+    * `probes`) and its per-list ADC map with higher-order functions.
+    * One stream-static equi join on list_id against the stored codes
+    * scores only probed-list candidates, and the single stateful
+    * operator is the windowed [[graft.functions.TopKMinAggExpr]]
+    * aggregation — k rows of state per open (window, query), emitted
+    * on watermark close. Intermediate arrays (qfull, resid) are
+    * materialized as their own projections so HOF lambdas never
+    * re-evaluate an upstream expression per element. */
+  def streamingIvfPqServe(queries: DataFrame, codeTable: DataFrame,
+      coarse: DataFrame, books: DataFrame, m: Int, dim: Int, k: Int,
+      probes: Int = 1, windowDur: String = "1 minute",
+      watermark: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val subDim = dim / m
+    val keyBase = 1L << 32
+    // static single-row frames: the whole index metadata as arrays
+    val carr = coarse
+      .agg(collect_list(struct(col("c_id"), col("c_q"))).as("carr"))
+      .withColumn("one", lit(1))
+    val barr = books
+      .agg(collect_list(struct(col("sub_id"), col("c_id"), col("c_q"))).as("barr"))
+      .withColumn("one", lit(1))
+    val probed = queries
+      .withWatermark("event_ts", watermark)
+      .select(col("vec_id").as("q_id"), col("event_ts"),
+        quantize(col("embedding")).as("qfull"), lit(1).as("one"))
+      .join(broadcast(carr), Seq("one"))
+      .join(broadcast(barr), Seq("one"))
+      // row-local probe selection: (dist, c_id) sort = the batch
+      // window's ORDER BY pdist, c_id
+      .withColumn("probed", slice(array_sort(transform(col("carr"),
+        c => struct(
+          call_udf("graft_l2_int", col("qfull"), c.getField("c_q")).as("pd"),
+          c.getField("c_id").as("list_id"),
+          c.getField("c_q").as("list_q")))), 1, probes))
+      .select(col("q_id"), col("event_ts"), col("qfull"), col("barr"),
+        explode(col("probed")).as("p"))
+      .select(col("q_id"), col("event_ts"), col("barr"),
+        col("p.list_id").as("list_id"),
+        zip_with(col("qfull"), col("p.list_q"), (a, b) => a - b).as("resid"))
+    // per (query, probed list): the ADC lookup table as a map keyed
+    // sub_id·2³² + code — the batch path's broadcast table rows,
+    // folded into one row-local value
+    val lut = probed
+      .withColumn("lut", map_from_entries(transform(col("barr"),
+        b => struct(
+          (b.getField("sub_id").cast("long") * keyBase +
+            b.getField("c_id")).as("key"),
+          call_udf("graft_l2_int",
+            slice(col("resid"), b.getField("sub_id") * subDim + 1, lit(subDim)),
+            b.getField("c_q")).as("d")))))
+      .select(col("q_id"), col("event_ts"), col("list_id"), col("lut"))
+    lut
+      .join(guardCodes(codeTable, m), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+        (acc, sub) => acc + element_at(col("lut"),
+          sub.cast("long") * keyBase +
+            element_at(col("codes"), sub + 1).cast("long"))))
+      .groupBy(window(col("event_ts"), windowDur), col("q_id"))
+      .agg(call_udf("graft_topk_min",
+        struct(col("adist"), col("vec_id")), lit(k)).as("top"))
+      .select(col("window.start").as("win_start"), col("q_id"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("win_start"), col("q_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("t.vec_id").as("neighbor_id"), col("t.adist").as("adist"))
+  }
+
   /** Oracle'd END-TO-END at iters = 0, probes = 1: coarse stride
     * seeds, residual-seed codebooks, same-list ADC — quantize, coarse
     * argmin, integer residuals, per-subspace encode, lookup-table

@@ -503,4 +503,43 @@ class StreamingCurationSpec extends SparkSpec {
         !cleaned3.contains("bob@") && !cleaned3.contains("  "), cleaned3)
     } finally q.stop()
   }
+
+  test("streamingIvfPqServe: stream top-k == batch stored-code serving") {
+    implicit val sqlCtx = spark.sqlContext
+    val m = 4; val dim = 64
+    // trained index over the real corpus, frozen (localCheckpoint) so
+    // both engines read identical centroids/codebooks/codes
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    val (coarse0, books0) = Similarity.ivfPqTrain(vecs, coarseStride = 100,
+      m, dim, bookStride = 50, iters = 2)
+    val coarse = coarse0.localCheckpoint(true)
+    val books = books0.localCheckpoint(true)
+    val stored = Similarity.ivfPqEncode(vecs, coarse, books, m, dim)
+      .localCheckpoint(true)
+    val queries = vecs.filter(col("vec_id") < 3)
+    val batch = Similarity.ivfPqTopKFromCodes(stored, queries, k = 5,
+      coarse, books, m, dim, probes = 2)
+      .collect().map(_.toSeq).toSet
+    val qembs = queries.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val in = MemoryStream[VDoc]
+    val q = Similarity.streamingIvfPqServe(in.toDF(), stored, coarse, books,
+      m, dim, k = 5, probes = 2, windowDur = "1 minute",
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sivfpq")
+      .outputMode("append").start()
+    try {
+      in.addData(qembs.map { case (id, e) => vdoc(id, 60, e) }.toSeq: _*)
+      q.processAllAvailable()
+      // push the watermark past the window so append emits it
+      in.addData(vdoc(999, 200, qembs.head._2))
+      q.processAllAvailable()
+      val streamed = spark.table("sivfpq")
+        .filter(col("q_id") < 3)
+        .select(col("q_id"), col("rank"), col("neighbor_id"), col("adist"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream=$streamed\nbatch=$batch")
+    } finally q.stop()
+  }
 }
