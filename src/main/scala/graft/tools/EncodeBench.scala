@@ -21,7 +21,11 @@ import graft.llm.{Similarity, TempCache}
   * lists, default 64), SPARK_GRAFT_KB (book entries, default 256),
   * SPARK_GRAFT_M (subspaces, default 4), SPARK_GRAFT_ITERS (default 0 —
   * training cost is the same per-round shape; encode is what scales
-  * with the corpus). Prints one JSON line.
+  * with the corpus). SPARK_GRAFT_DELTA_PCT (default 0): when > 0,
+  * additionally times [[Similarity.ivfPqEncodeIncremental]] with that
+  * percentage of the corpus as the not-yet-encoded delta against a
+  * pre-built stored table — the nightly-job cost, which should track
+  * the delta fraction, not the corpus. Prints one JSON line.
   */
 object EncodeBench {
   def main(args: Array[String]): Unit = {
@@ -53,16 +57,30 @@ object EncodeBench {
     temps.release()
     val nLists = coarse.count()
     val nBook = books.count()
-    // timed region: the nightly job — encode the full corpus, write-
+    // timed region: the rebuild — encode the full corpus, write-
     // equivalent materialization (count touches every code row)
     val t0 = System.nanoTime()
     val nCodes = Similarity.ivfPqEncode(vecs, coarse, books, m, dim = 64)
       .count()
     val sec = (System.nanoTime() - t0) / 1e9
+    val deltaPct = sys.env.getOrElse("SPARK_GRAFT_DELTA_PCT", "0").toInt
+    val deltaJson = if (deltaPct > 0) {
+      // stored table = the corpus minus a deltaPct% slice, frozen the
+      // way a nightly table is (materialized, not lineage)
+      val stored = Similarity.ivfPqEncode(
+        vecs.filter(pmod(col("vec_id"), lit(100)) >= deltaPct),
+        coarse, books, m, dim = 64).localCheckpoint(true)
+      val t1 = System.nanoTime()
+      val nInc = Similarity.ivfPqEncodeIncremental(stored, vecs, coarse,
+        books, m, dim = 64).count()
+      val isec = (System.nanoTime() - t1) / 1e9
+      s""","delta_pct":$deltaPct,"inc_encoded":$nInc,""" +
+        s""""inc_value":${math.rint(isec * 1000) / 1000}"""
+    } else ""
     println(s"""{"metric":"ivfpq_encode","sf":"$sfDir","n":$n,""" +
       s""""lists":$nLists,"book_rows":$nBook,"m":$m,"iters":$iters,""" +
       s""""encoded":$nCodes,"value":${math.rint(sec * 1000) / 1000},""" +
-      s""""unit":"sec"}""")
+      s""""unit":"sec"$deltaJson}""")
     spark.stop()
   }
 }
