@@ -231,11 +231,12 @@ object Similarity {
     * `max_by` reduces them to n map-side before any shuffle — a
     * window rank would shuffle all n×k scored rows just to keep one
     * per vector. Tiebreak on equal cosine = smallest centroid id
-    * (the negated id in the max_by key). Queries are few, so their
-    * top-`probes` assignment is a tiny window. */
+    * (the negated id in the max_by key). The query side's top-`probes`
+    * selection is the bounded top-k aggregate for the same reason —
+    * a batch-scoring job carries millions of queries. */
   def ivfTopK(vecs: DataFrame, queries: DataFrame, k: Int, centroidStride: Int,
       probes: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
     val centroids = broadcast(
       vecs.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm")))
@@ -246,14 +247,15 @@ object Similarity {
         first(col("embedding")).as("embedding"),
         first(col("nrm")).as("nrm"),
         max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("neg"))).as("c_id"))
-    val wq = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
     val queriesAssigned = queries.join(centroids)
       .withColumn("c_cos", cosine(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
-      .withColumn("c_rank", row_number().over(wq))
-      .filter(col("c_rank") <= probes)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("c_id"))
-    graft.functions.GraftFunctions.register(vecs.sparkSession)
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("q_emb"), first(col("nrm")).as("q_nrm"),
+        call_udf("graft_topk_min",
+          struct((-col("c_cos")).as("ncos"), col("c_id")), lit(probes)).as("pl"))
+      .select(col("vec_id").as("q_id"), col("q_emb"), col("q_nrm"),
+        explode(col("pl")).as("p"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("p.c_id").as("c_id"))
     corpusAssigned.join(broadcast(queriesAssigned), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
@@ -488,11 +490,10 @@ object Similarity {
     * partitioning AND reproducible across engines/hardware — the
     * determinism story scalar-quantized ANN serving actually wants.
     * Same scale shape as [[ivfTopK]]: centroids broadcast, corpus
-    * scanned once, `max_by` map-side assignment, per-query window
-    * rank. */
+    * scanned once, `max_by` map-side assignment, bounded top-k
+    * aggregates for both the probe selection and the serving tail. */
   def ivfTopKQuantized(vecs: DataFrame, queries: DataFrame, k: Int,
       centroids: DataFrame, probes: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val dist = call_udf("graft_l2_int", col("q"), col("c_q"))
     val bCentroids = broadcast(centroids)
@@ -502,12 +503,14 @@ object Similarity {
       .agg(first(col("q")).as("q"),
         max_by(col("c_id"), struct((-col("dist")).as("nd"), (-col("c_id")).as("nc")))
           .as("c_id"))
-    val wq = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("c_id"))
     val queriesAssigned = queries.join(bCentroids)
       .withColumn("dist", dist)
-      .withColumn("c_rank", row_number().over(wq))
-      .filter(col("c_rank") <= probes)
-      .select(col("vec_id").as("q_id"), col("q").as("q_q"), col("c_id"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("q")).as("q_q"),
+        call_udf("graft_topk_min",
+          struct(col("dist"), col("c_id")), lit(probes)).as("pl"))
+      .select(col("vec_id").as("q_id"), col("q_q"), explode(col("pl")).as("p"))
+      .select(col("q_id"), col("q_q"), col("p.c_id").as("c_id"))
     val idot = call_udf("graft_dot_int", col("q"), col("q_q"))
     // descending long key → negate into the struct (exact on integers)
     assign(vecs).join(broadcast(queriesAssigned), Seq("c_id"))
@@ -670,10 +673,10 @@ object Similarity {
     *
     * Scale shape: the lookup table broadcasts; the corpus-side cost is
     * one scan of the m-byte codes joined against it with a map-side-
-    * combinable sum; only per-query top-k rows cross the rank window. */
+    * combinable sum; only k rows per query per task cross the final
+    * bounded-top-k shuffle. */
   def pqTopK(vecs: DataFrame, queries: DataFrame, k: Int,
       codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val table = pqSubvectors(queries, "q_id", m, dim)
       .join(codebooks, Seq("sub_id"))
@@ -851,15 +854,19 @@ object Similarity {
     * serving. */
   private def adcQueryTable(queries: DataFrame, coarse: DataFrame,
       books: DataFrame, m: Int, dim: Int, probes: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qq = queries.select(col("vec_id"), quantize(col("embedding")).as("qfull"))
-    val wp = Window.partitionBy(col("vec_id")).orderBy(col("pdist"), col("c_id"))
+    // probe selection as the bounded top-k agg: a batch-scoring job
+    // carries millions of queries, and a rank window would shuffle
+    // nq×K scored rows just to keep `probes` per query
     val probed = qq.join(broadcast(coarse))
       .withColumn("pdist", call_udf("graft_l2_int", col("qfull"), col("c_q")))
-      .withColumn("prank", row_number().over(wp))
-      .filter(col("prank") <= probes)
+      .groupBy(col("vec_id"))
+      .agg(first(col("qfull")).as("qfull"),
+        call_udf("graft_topk_min",
+          struct(col("pdist"), col("c_id"), col("c_q")), lit(probes)).as("pl"))
+      .select(col("vec_id"), col("qfull"), explode(col("pl")).as("p"))
       .select(col("vec_id"), col("qfull"),
-        col("c_id").as("list_id"), col("c_q").as("list_q"))
+        col("p.c_id").as("list_id"), col("p.c_q").as("list_q"))
     residualSubvectors(probed, "q_id", m, dim)
       .join(books, Seq("sub_id"))
       .withColumn("d", call_udf("graft_l2_int", col("q"), col("c_q")))
