@@ -318,4 +318,41 @@ class NativeKernelSpec extends SparkSpec {
       .select(col("top.v")).collect()(0).getSeq[Long](0).toList
     assert(desc == List(9L, 7L))
   }
+
+  test("graft_topk_min property: random corpora, ks, and partitionings match the window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.scalacheck.{Gen, rng}
+    graft.functions.GraftFunctions.register(spark)
+    // seeded generation (unreproducible failures otherwise): varied
+    // group counts/sizes, heavy key collisions (small key domain),
+    // duplicate (key, id)?  no — ids unique so results are total-
+    // ordered and set-comparable
+    val genRow = for {
+      g <- Gen.chooseNum(0, 5)
+      key <- Gen.chooseNum(0L, 3L) // dense ties
+    } yield (s"g$g", key)
+    for (trial <- 0 until 4) {
+      val rows = (0 until 400).map { i =>
+        val (g, key) = genRow.pureApply(Gen.Parameters.default,
+          rng.Seed(4242L + 1000 * trial + i))
+        (g, key, i.toLong)
+      }
+      val k = 1 + trial * 3 // 1, 4, 7, 10
+      val parts = 1 + (trial * 5) % 11
+      val df = rows.toDF("g", "key", "id").repartition(parts)
+      val w = Window.partitionBy(col("g")).orderBy(col("key"), col("id"))
+      val expect = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("g"), col("key"), col("id"))
+        .collect().map(_.toSeq).toSet
+      val got = df.groupBy(col("g"))
+        .agg(call_udf("graft_topk_min",
+          struct(col("key"), col("id")), lit(k)).as("top"))
+        .select(col("g"), explode(col("top")).as("t"))
+        .select(col("g"), col("t.key"), col("t.id"))
+        .collect().map(_.toSeq).toSet
+      assert(got == expect, s"trial=$trial k=$k parts=$parts")
+    }
+  }
 }

@@ -278,6 +278,47 @@ class SimilaritySpec extends SparkSpec {
     assert(served == inline, s"served=$served\ninline=$inline")
   }
 
+  test("IvfPqIndex: build/save/load round-trip, delta generation, crash-orphan invisibility") {
+    import org.apache.hadoop.fs.Path
+    val m = 4; val dim = 64
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+    // generation 1: index over the even-id half
+    val half = vecs.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val idx1 = IvfPqIndex.build(half, coarseStride = 100, m, dim,
+      bookStride = 50, iters = 2)
+    IvfPqIndex.save(idx1, root)
+    val loaded1 = IvfPqIndex.load(spark, root)
+    assert(loaded1.m == m && loaded1.dim == dim)
+    // loaded serving == the inline chain over the same trained frames
+    val inline = Similarity.ivfPqTopK(half, queries, k = 5, idx1.coarse,
+      idx1.books, m, dim, probes = 2).collect().map(_.toSeq).toSet
+    val served1 = loaded1.topK(queries, k = 5, probes = 2)
+      .collect().map(_.toSeq).toSet
+    assert(served1 == inline, s"loaded=$served1\ninline=$inline")
+    // generation 2: nightly delta — full corpus appended, quantizer
+    // frozen; published as an atomic new generation
+    IvfPqIndex.save(loaded1.withDelta(vecs), root)
+    val loaded2 = IvfPqIndex.load(spark, root)
+    assert(loaded2.codes.count() == vecs.count(),
+      "delta generation must cover the full corpus")
+    val fullInline = Similarity.ivfPqTopK(vecs, queries, k = 5, idx1.coarse,
+      idx1.books, m, dim, probes = 2).collect().map(_.toSeq).toSet
+    val served2 = loaded2.topK(queries, k = 5, probes = 2)
+      .collect().map(_.toSeq).toSet
+    assert(served2 == fullInline, "delta index must serve like a full encode")
+    // crashed writer: a staged-but-never-promoted generation is
+    // invisible to load
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphanGen = graft.streaming.ManifestStore.nextGen(fs, rootPath)
+    fs.mkdirs(graft.streaming.ManifestStore.stagingPath(rootPath, orphanGen))
+    val afterCrash = IvfPqIndex.load(spark, root)
+    assert(afterCrash.codes.count() == vecs.count(),
+      "an unpromoted generation must never be resolved")
+  }
+
   test("stored-code serving raises on a code table built with a different m") {
     val vecs = graft.Tables.load(spark, sf0001, "embeddings")
     val (coarse, books) = Similarity.ivfPqTrain(vecs, coarseStride = 100,
