@@ -102,6 +102,24 @@ object Skew {
     Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Per-key top-k as the bounded aggregate
+    * ([[graft.functions.TopKMinAggExpr]]): the third skew posture, and
+    * the strongest — no salt parameter to tune, one shuffle, and a hot
+    * key's rows reduce to k per task MAP-SIDE (the salted form still
+    * ships k·buckets survivors and re-sorts them). `ord` is a struct
+    * whose ASCENDING lexicographic order is the desired ranking
+    * (negate numeric keys for descending; include the tiebreak
+    * columns). Output: the grouping keys, `rank`, and the `ord` struct
+    * as `__t` for the caller to unpack. */
+  def aggTopK(df: DataFrame, keys: Seq[Column], ord: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.groupBy(keys: _*)
+      .agg(call_udf("graft_topk_min", ord, lit(k)).as("__top"))
+      .select(col("*"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .withColumn("rank", (col("__pos") + 1).cast("long"))
+      .drop("__top", "__pos")
+  }
+
   /** Salted two-phase top-k, same output + oracle as q_window_rank. */
   val qSkewTopK = QuerySpec(
     "q_skew_topk",
@@ -121,5 +139,25 @@ object Skew {
            |  FROM orders) WHERE rn <= 3
            |ORDER BY o_custkey, rn""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(qSkewCollectSet, qSkewDistinct, qSkewTopK)
+  /** Bounded-aggregate top-k, same output + oracle as [[qSkewTopK]] —
+    * the driver gate proves all three top-k postures (window, salted
+    * two-phase, bounded aggregate) answer identically. */
+  val qSkewTopKAgg = QuerySpec(
+    "q_skew_topk_agg",
+    (s, d) =>
+      aggTopK(
+        Tables.load(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_custkey")),
+        struct((-col("o_totalprice")).as("np"), col("o_orderkey"),
+          col("o_totalprice")),
+        k = 3)
+        .select(col("o_custkey"), col("rank").as("rn"),
+          col("__t.o_orderkey").as("o_orderkey"),
+          col("__t.o_totalprice").as("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn")),
+    qSkewTopK.oracle)
+
+  val all: Seq[QuerySpec] =
+    Seq(qSkewCollectSet, qSkewDistinct, qSkewTopK, qSkewTopKAgg)
 }

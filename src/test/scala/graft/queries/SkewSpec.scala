@@ -47,5 +47,12 @@ class SkewSpec extends SparkSpec {
     assert(salted.count() == direct.count())
     assert(salted.except(direct).count() == 0L)
     assert(direct.except(salted).count() == 0L)
+    // the third posture: bounded aggregate, same answer
+    val agg = Skew.aggTopK(skewed, Seq($"key"),
+        struct($"ord", $"value"), k = 5)
+      .select($"key", $"rank", $"__t.value".as("value"), $"__t.ord".as("ord"))
+    assert(agg.count() == direct.count())
+    assert(agg.except(direct).count() == 0L)
+    assert(direct.except(agg).count() == 0L)
   }
 }
