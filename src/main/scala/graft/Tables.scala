@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   *
   * All reads are plain parquet scans so Catalyst predicate pushdown /
   * column pruning apply naturally downstream. The only quirk is
-  * `events.ts`, written as parquet INT64 TIMESTAMP(NANOS) which Spark
-  * cannot map to its microsecond TimestampType; we read it as a raw
-  * nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`) and derive
-  * a microsecond `ts_us` column. Keeping the raw long around preserves
-  * full-precision ordering (used by first-seen dedup, SURVEY.md §2.E).
+  * `events.ts`: the driver has shipped it both as parquet INT64
+  * TIMESTAMP(NANOS) (which Spark cannot map to its microsecond
+  * TimestampType — read as a raw nanosecond long via
+  * `spark.sql.legacy.parquet.nanosAsLong`) and as TIMESTAMP(MICROS)
+  * (plain timestamp read). [[events]] normalizes BOTH shapes to the
+  * same downstream contract — `ts` = epoch-nanos long, `ts_us` =
+  * microsecond timestamp — so every query and its DuckDB oracle
+  * (`epoch_ns(ts)`) is unit-agnostic. Keeping the raw long around
+  * preserves full-precision ordering (first-seen dedup, SURVEY §2.E).
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -41,7 +45,20 @@ object Tables {
     // builder (driver-owned Verify/Bench, or a test) didn't.
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
-    load(spark, dir, "events")
-      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // TIMESTAMP(NANOS) tier: ts arrived as raw nanos.
+        raw.withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        // TIMESTAMP(MICROS) tier: ts arrived as a (possibly NTZ)
+        // timestamp. Session tz is UTC everywhere (Verify/Bench/tests),
+        // so the NTZ->TZ cast is instant-preserving; rebuild the
+        // nanos-long view exactly (micros * 1000 — the source has no
+        // sub-microsecond precision to lose).
+        raw
+          .withColumn("ts_us", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+    }
   }
 }

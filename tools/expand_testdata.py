@@ -122,7 +122,12 @@ def expand_embeddings(src_path, dst_path):
 
 def expand_events(src_path, dst_path):
     t = pq.read_table(src_path)
-    assert t.schema.field("ts").type == pa.timestamp("ns"), t.schema
+    # preserve the source ts unit EXACTLY (the driver has shipped both
+    # timestamp[ns] and timestamp[us] tiers across rounds; the oracle's
+    # epoch_ns(ts) and Spark's parquet reader are both unit-agnostic,
+    # so the only invariant that matters is expanded == source schema)
+    ts_type = t.schema.field("ts").type
+    assert ts_type in (pa.timestamp("ns"), pa.timestamp("us")), t.schema
     df = t.to_pandas()
     out = []
     for k in range(FACTOR):
@@ -133,7 +138,10 @@ def expand_events(src_path, dst_path):
         out.append(r)
     allr = pd.concat(out, ignore_index=True)
     tbl = pa.Table.from_pandas(allr, preserve_index=False)
-    assert tbl.schema.field("ts").type == pa.timestamp("ns"), tbl.schema
+    if tbl.schema.field("ts").type != ts_type:
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"), "ts",
+            tbl.column("ts").cast(ts_type))
     write(dst_path, tbl, row_group_size=100_000)
 
 
