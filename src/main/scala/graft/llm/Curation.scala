@@ -612,8 +612,246 @@ object Curation {
            |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
            |ORDER BY doc_id""".stripMargin))
 
+  /** Topic-balanced (cluster-temperature) sampling: [[temperatureMix]]
+    * with embedding-space CLUSTERS as the balancing key instead of the
+    * source label. Source tags under-segment real crawls (one "web"
+    * source hides a 100:1 topic imbalance); clustering the embedding
+    * column and rebalancing cluster admission ∝ n_c^0.5 equalizes
+    * topics the way XLM's n^α equalizes languages. Docs are assigned
+    * to their nearest coarse centroid (the exact integer-domain
+    * argmin chain shared with q_llm_ivf_stats — quantize + long-L2 +
+    * lowest-id tiebreak, bit-replayable in SQL), then admitted by the
+    * same floor(1e6·sqrt(min_n)/sqrt(n_c)) content-hash threshold as
+    * [[temperatureMix]] — deterministic, rerun/backfill-stable.
+    * Only documents WITH an embedding participate (inner join on id):
+    * un-embedded docs have no topic signal to balance on.
+    *
+    * Scale shape: centroids broadcast + map-side argmin (no pairwise
+    * shuffle); the doc↔embedding join is id-keyed (co-bucketable);
+    * cluster counts are a k-row aggregate; thresholds broadcast back
+    * onto that one joined scan. */
+  def clusterTemperatureMix(docs: DataFrame, vecs: DataFrame,
+      coarse: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val assigned = Similarity.assignCoarse(
+        vecs.select(col("vec_id"),
+          Similarity.quantize(col("embedding")).as("qfull")),
+        coarse)
+      .select(col("vec_id").as("doc_id"), col("list_id").as("cluster_id"))
+    val member = docs.join(assigned, Seq("doc_id"))
+    val counts = member.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_cl"))
+    val minC = counts.agg(min(col("n_cl")).as("min_n"))
+    val rated = counts.crossJoin(broadcast(minC))
+      .withColumn("rate_ppm",
+        floor(lit(1000000.0) *
+          (sqrt(col("min_n").cast("double")) / sqrt(col("n_cl").cast("double"))))
+          .cast("long"))
+      .select(col("cluster_id"), col("rate_ppm"))
+    member.join(broadcast(rated), Seq("cluster_id"))
+      .filter(ppmBucket(col("text")) < col("rate_ppm"))
+  }
+
+  /** The assignment replay shared by the two cluster queries: the
+    * q_llm_ivf_stats CTE chain (quantize → all-pairs centroid score →
+    * rn=1 argmin with (dist, c_id) tiebreak) at the stride-100 seeds. */
+  private val clusterAssignSql =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+      |      THEN list_transform(embedding, x -> 0)
+      |      ELSE list_transform(embedding, x -> CAST(floor(
+      |        CAST(x AS DOUBLE) /
+      |        CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
+      |        * 127.0 + 0.5) AS INTEGER))
+      |    END AS qfull
+      |  FROM embeddings
+      |), coarse AS (
+      |  SELECT vec_id AS c_id, qfull AS c_q FROM q WHERE vec_id % 100 = 0
+      |), cscore AS (
+      |  SELECT q.vec_id, c.c_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_zip(q.qfull, c.c_q),
+      |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+      |      (a, x) -> a + x) AS dist
+      |  FROM q, coarse c
+      |), assigned AS (
+      |  SELECT vec_id, c_id AS cluster_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist, c_id) AS rn FROM cscore) WHERE rn = 1
+      |), member AS (
+      |  SELECT d.doc_id, d.source, d.text, a.cluster_id
+      |  FROM documents d JOIN assigned a ON d.doc_id = a.vec_id
+      |)""".stripMargin
+
+  /** Oracle'd end-to-end: the ivf_stats assignment CTE feeding the
+    * temp_mix threshold arithmetic, every step bit-exact. */
+  val qClusterMix = QuerySpec(
+    "q_llm_cluster_mix",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val vs = Tables.load(s, d, "embeddings")
+      val coarse = vs
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qfull"))
+        .filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("c_id"), col("qfull").as("c_q"))
+      clusterTemperatureMix(Tables.load(s, d, "documents"), vs, coarse)
+        .select(col("doc_id"), col("cluster_id"), col("rate_ppm"))
+        .orderBy(col("doc_id"))
+    },
+    Some(clusterAssignSql +
+      """,
+        |counts AS (
+        |  SELECT cluster_id, count(*) AS n_cl FROM member GROUP BY cluster_id
+        |), m AS (
+        |  SELECT min(n_cl) AS min_n FROM counts
+        |), rated AS (
+        |  SELECT cluster_id,
+        |    CAST(floor(1000000.0 * (sqrt(CAST(min_n AS DOUBLE)) /
+        |      sqrt(CAST(n_cl AS DOUBLE)))) AS BIGINT) AS rate_ppm
+        |  FROM counts, m
+        |)
+        |SELECT mem.doc_id, mem.cluster_id, r.rate_ppm
+        |FROM member mem JOIN rated r USING (cluster_id)
+        |WHERE CAST(('0x' || substr(sha256(mem.text), 1, 8)) AS BIGINT)
+        |      % 1000000 < r.rate_ppm
+        |ORDER BY mem.doc_id""".stripMargin))
+
+  /** Cluster↔source composition data card: per embedding cluster, how
+    * many docs it holds and which source dominates it (count, ties →
+    * lexicographically smallest source) with its exact ppm share.
+    * The "are my clusters just my sources?" diagnostic: top_ppm ≈ 1e6
+    * everywhere means embedding topics mirror source labels (cluster
+    * balancing adds nothing over [[temperatureMix]]); low top_ppm
+    * means clusters cut across sources and cluster-level curation
+    * genuinely differs from source-level.
+    *
+    * Scale shape: one id-keyed join, then every aggregate runs over
+    * the k×S contingency (clusters × sources — tiny at any corpus
+    * size); max-by reduces map-side; no window touches the corpus. */
+  def clusterSourceCard(docs: DataFrame, vecs: DataFrame,
+      coarse: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val assigned = Similarity.assignCoarse(
+        vecs.select(col("vec_id"),
+          Similarity.quantize(col("embedding")).as("qfull")),
+        coarse)
+      .select(col("vec_id").as("doc_id"), col("list_id").as("cluster_id"))
+    val member = docs.join(assigned, Seq("doc_id"))
+    val contingency = member.groupBy(col("cluster_id"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    contingency.groupBy(col("cluster_id"))
+      .agg(sum(col("n")).as("n_docs"),
+        min_by(struct(col("source"), col("n")),
+          struct((-col("n")).as("neg_n"), col("source"))).as("w"))
+      .select(col("cluster_id"), col("n_docs"),
+        col("w.source").as("top_source"),
+        expr("(1000000 * w.n) div n_docs").as("top_ppm"))
+  }
+
+  val qClusterCard = QuerySpec(
+    "q_llm_cluster_card",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val vs = Tables.load(s, d, "embeddings")
+      val coarse = vs
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qfull"))
+        .filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("c_id"), col("qfull").as("c_q"))
+      clusterSourceCard(Tables.load(s, d, "documents"), vs, coarse)
+        .orderBy(col("cluster_id"))
+    },
+    Some(clusterAssignSql +
+      """,
+        |contingency AS (
+        |  SELECT cluster_id, source, count(*) AS n
+        |  FROM member GROUP BY cluster_id, source
+        |), top AS (
+        |  SELECT cluster_id, source, n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY n DESC, source) AS rn FROM contingency) WHERE rn = 1
+        |)
+        |SELECT c.cluster_id,
+        |  (SELECT CAST(sum(n) AS BIGINT) FROM contingency x
+        |    WHERE x.cluster_id = c.cluster_id) AS n_docs,
+        |  c.source AS top_source,
+        |  CAST((1000000 * c.n) // (SELECT sum(n) FROM contingency x
+        |    WHERE x.cluster_id = c.cluster_id) AS BIGINT) AS top_ppm
+        |FROM top c
+        |ORDER BY c.cluster_id""".stripMargin))
+
+  /** Per-source PII incidence data card — the release-audit view of
+    * [[redact]]: how much PII the redaction pass would touch, per
+    * source, BEFORE committing to it. Exact integer counts only (docs
+    * scanned, docs with ≥1 hit per category, total hits, overall
+    * ppm of PII-bearing docs) so the card hash-replays cross-engine.
+    * The corpus is word-salad with no organic PII, so the query seeds
+    * deterministic synthetic PII in-plan (the strip_markup stance:
+    * wrap rows so the operator does real work on every row): doc_id %
+    * 3 == 0 gains an email, doc_id % 5 == 0 a long account number.
+    *
+    * Scale shape: one corpus scan, per-row regex counts, one
+    * map-side-combinable groupBy(source) — nothing else shuffles. */
+  def piiReport(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("source"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+        .cast("long").as("n_em"),
+      size(regexp_extract_all(col("text"), lit(longNumRe), lit(0)))
+        .cast("long").as("n_num"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_em") > 0, 1L).otherwise(0L)).as("docs_with_email"),
+        sum(col("n_em")).as("n_emails"),
+        sum(when(col("n_num") > 0, 1L).otherwise(0L)).as("docs_with_long_num"),
+        sum(col("n_num")).as("n_long_nums"),
+        sum(when(col("n_em") > 0 || col("n_num") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"))
+      .select(col("source"), col("n_docs"), col("docs_with_email"),
+        col("n_emails"), col("docs_with_long_num"), col("n_long_nums"),
+        expr("(1000000 * docs_with_pii) div n_docs").as("pii_docs_ppm"))
+  }
+
+  val qPiiReport = QuerySpec(
+    "q_llm_pii_report",
+    (s, d) =>
+      piiReport(
+        Tables.load(s, d, "documents")
+          .select(col("source"),
+            concat(col("text"),
+              when(col("doc_id") % 3 === 0,
+                concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+                .otherwise(lit("")),
+              when(col("doc_id") % 5 === 0,
+                concat(lit(" account 00"), col("doc_id") + 1234567))
+                .otherwise(lit(""))).as("text")))
+        .orderBy(col("source")),
+    Some(s"""WITH seeded AS (
+            |  SELECT source, text ||
+            |    CASE WHEN doc_id % 3 = 0
+            |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            |      ELSE '' END ||
+            |    CASE WHEN doc_id % 5 = 0
+            |      THEN ' account 00' || CAST(doc_id + 1234567 AS VARCHAR)
+            |      ELSE '' END AS text
+            |  FROM documents
+            |), per_doc AS (
+            |  SELECT source,
+            |    CAST(len(regexp_extract_all(text, '$emailRe', 0)) AS BIGINT) AS n_em,
+            |    CAST(len(regexp_extract_all(text, '$longNumRe', 0)) AS BIGINT) AS n_num
+            |  FROM seeded
+            |)
+            |SELECT source, count(*) AS n_docs,
+            |  CAST(sum(CASE WHEN n_em > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS docs_with_email,
+            |  CAST(sum(n_em) AS BIGINT) AS n_emails,
+            |  CAST(sum(CASE WHEN n_num > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS docs_with_long_num,
+            |  CAST(sum(n_num) AS BIGINT) AS n_long_nums,
+            |  CAST((1000000 * sum(CASE WHEN n_em > 0 OR n_num > 0 THEN 1 ELSE 0 END))
+            |    // count(*) AS BIGINT) AS pii_docs_ppm
+            |FROM per_doc GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qSample, qSplit, qParaDedup, qRedact, qLineDedup, qPack, qMix,
       qTempMix, qShuffle, qStripMarkup, qNormalize, qQuotaSample, qChunk,
-      qBoilerplate, qCorpusDiff)
+      qBoilerplate, qCorpusDiff, qClusterMix, qClusterCard, qPiiReport)
 }

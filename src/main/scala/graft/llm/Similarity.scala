@@ -794,7 +794,7 @@ object Similarity {
 
   /** (vec_id, qfull, list_id, list_q): each quantized vector with its
     * nearest coarse centroid (exact long L2, ties → lowest c_id). */
-  private def assignCoarse(q: DataFrame, coarse: DataFrame): DataFrame =
+  private[llm] def assignCoarse(q: DataFrame, coarse: DataFrame): DataFrame =
     q.join(broadcast(coarse))
       .withColumn("dist", call_udf("graft_l2_int", col("qfull"), col("c_q")))
       .groupBy(col("vec_id"))

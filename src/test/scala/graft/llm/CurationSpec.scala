@@ -272,6 +272,64 @@ class CurationSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"), out.toString)
   }
 
+  test("clusterTemperatureMix: min cluster kept whole, larger sqrt-throttled, un-embedded docs out") {
+    graft.functions.GraftFunctions.register(spark)
+    // 9 vecs hug centroid 0, 3 hug centroid 1; doc 13 has no embedding.
+    val vecs = ((1L to 9L).map(i => (i, Array(1.0f, 0.1f * (i % 3)))) ++
+      (10L to 12L).map(i => (i, Array(0.1f * (i % 2), 1.0f))))
+      .toDF("vec_id", "embedding")
+    val coarse = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("c_id", "embedding")
+      .select(col("c_id"), Similarity.quantize(col("embedding")).as("c_q"))
+    val docs = (1L to 13L).map(i => (i, s"body of document $i"))
+      .toDF("doc_id", "text")
+    val out = Curation.clusterTemperatureMix(docs, vecs, coarse)
+      .select(col("doc_id"), col("cluster_id"), col("rate_ppm")).collect()
+    val byCluster = out.groupBy(_.getLong(1))
+    // rates: min cluster (3 docs) exactly 1e6; 9-doc cluster floor(1e6*sqrt(3)/sqrt(9))
+    assert(out.filter(_.getLong(1) == 1L).forall(_.getLong(2) == 1000000L))
+    assert(out.filter(_.getLong(1) == 0L).forall(_.getLong(2) == 577350L))
+    // the whole min cluster is admitted (every ppm bucket < 1e6)
+    assert(byCluster(1L).map(_.getLong(0)).toSet == Set(10L, 11L, 12L))
+    // no un-embedded doc leaks in
+    assert(out.forall(_.getLong(0) != 13L))
+  }
+
+  test("clusterSourceCard: dominant source per cluster with exact ppm, ties -> smallest source") {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = ((1L to 4L).map(i => (i, Array(1.0f, 0.0f))) ++
+      (5L to 6L).map(i => (i, Array(0.0f, 1.0f))))
+      .toDF("vec_id", "embedding")
+    val coarse = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("c_id", "embedding")
+      .select(col("c_id"), Similarity.quantize(col("embedding")).as("c_q"))
+    // cluster 0: 3 of "w", 1 of "f" -> top w at 750000 ppm
+    // cluster 1: 1 "b", 1 "a" tie  -> lexicographically smallest "a" wins
+    val docs = Seq((1L, "w"), (2L, "w"), (3L, "w"), (4L, "f"),
+      (5L, "b"), (6L, "a")).map { case (i, s) => (i, s, s"text $i") }
+      .toDF("doc_id", "source", "text")
+    val out = Curation.clusterSourceCard(docs, vecs, coarse)
+      .orderBy(col("cluster_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 4L, "w", 750000L), (1L, 2L, "a", 500000L)),
+      out.toSeq.toString)
+  }
+
+  test("piiReport: exact per-source counts over seeded hits") {
+    val docs = Seq(
+      ("s1", "contact me a@b.co now"),
+      ("s1", "account 123456 ok"),
+      ("s1", "clean text"),
+      ("s2", "x@y.io and 9876543 twice 1234567"))
+      .map { case (s, t) => (s, t) }.toDF("source", "text")
+    val out = Curation.piiReport(docs).orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      ("s1", 3L, 1L, 1L, 1L, 1L, 666666L),
+      ("s2", 1L, 1L, 1L, 1L, 2L, 1000000L)), out.toSeq.toString)
+  }
+
   test("boilerplate: lines repeated across >=3 docs of one source flag; cross-source repeats don't") {
     val docs = Seq(
       (1L, "web", "COOKIE BANNER. unique one"),
