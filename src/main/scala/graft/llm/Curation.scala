@@ -850,8 +850,49 @@ object Curation {
             |    // count(*) AS BIGINT) AS pii_docs_ppm
             |FROM per_doc GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Release manifest: the per-(split, source) integrity card a
+    * dataset release ships — doc count, exact char volume, and an
+    * ORDER-INDEPENDENT content checksum (bit-XOR of 60-bit content
+    * hashes). Two releases match iff their manifests match: any
+    * added/removed/edited doc flips its group's xor, and xor — unlike
+    * a sum — cannot overflow or depend on row order/partitioning, so
+    * the checksum is reproducible on any engine and any cluster
+    * layout. The consumer-side handshake for [[exportCorpus]], and
+    * the cheap first diff before a full [[corpusDiff]].
+    *
+    * Scale shape: one corpus scan; count/sum/bit_xor all reduce
+    * map-side into a splits×sources-row result; text never shuffles. */
+  def releaseManifest(docs: DataFrame): DataFrame =
+    docs.select(splitByHash(col("text")).as("split"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        bit_xor(col("h")).as("content_xor"))
+
+  val qManifest = QuerySpec(
+    "q_llm_manifest",
+    (s, d) =>
+      releaseManifest(Tables.load(s, d, "documents"))
+        .orderBy(col("split"), col("source")),
+    Some("""SELECT
+           |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+           |       ELSE 'test' END AS split,
+           |  source,
+           |  count(*) AS n_docs,
+           |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+           |  CAST(bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+           |    AS BIGINT) AS content_xor
+           |FROM (SELECT source, text,
+           |        CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT) % 100 AS b
+           |      FROM documents) t
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qSample, qSplit, qParaDedup, qRedact, qLineDedup, qPack, qMix,
       qTempMix, qShuffle, qStripMarkup, qNormalize, qQuotaSample, qChunk,
-      qBoilerplate, qCorpusDiff, qClusterMix, qClusterCard, qPiiReport)
+      qBoilerplate, qCorpusDiff, qClusterMix, qClusterCard, qPiiReport,
+      qManifest)
 }

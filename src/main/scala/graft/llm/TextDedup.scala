@@ -1422,9 +1422,72 @@ object TextDedup {
            |FROM documents
            |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Soft dedup: per-document downweight instead of a hard drop. Every
+    * doc gets weight_ppm = floor(1e6 / near-dup-cluster-size) — a
+    * cluster of 4 copies contributes ~1× total exposure instead of 4×,
+    * singletons stay at exactly 1e6. The alternative to
+    * [[dedupKeepList]] when survivorship is too blunt (the copies may
+    * carry distinct metadata, or the trainer wants sampling weights
+    * rather than a filtered corpus). Integer ppm floor keeps the
+    * weights hash-replayable cross-engine.
+    *
+    * Scale shape: identical to keep-list — only the graph-member slice
+    * (docs appearing in a pair) rides the CC rounds and the k-row
+    * size aggregate; the corpus sees ONE left join against that
+    * narrow (doc_id, cl_size) frame, text never shuffles. */
+  def dedupWeights(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cl_size"))
+    val member = cc.join(sizes, Seq("cluster_id"))
+      .select(col("id").as("doc_id"), col("cl_size"))
+    docs.join(member, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cl_size"), lit(1L)).as("cluster_size"),
+        expr("1000000 div coalesce(cl_size, 1)").as("weight_ppm"))
+  }
+
+  /** Oracle'd over the same bounded Jaccard block as the cluster
+    * queries (recursive-CTE closure), extended with per-cluster sizes
+    * and the corpus-wide left join. */
+  val qDedupWeights = QuerySpec(
+    "q_llm_dedup_weights",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      dedupWeights(docs, jaccardBlockPairs(docs))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE pairs AS (
+           |  SELECT a.doc_id AS ida, b.doc_id AS idb
+           |  FROM documents a JOIN documents b
+           |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |  WHERE a.doc_id < 200 AND b.doc_id < 200
+           |    AND len(list_intersect(list_distinct(string_split(a.text, ' ')),
+           |                           list_distinct(string_split(b.text, ' ')))) /
+           |        len(list_distinct(list_concat(string_split(a.text, ' '),
+           |                                      string_split(b.text, ' ')))) >= 0.5
+           |), edges AS (
+           |  SELECT ida AS a, idb AS b FROM pairs
+           |  UNION SELECT idb, ida FROM pairs
+           |), reach(a, b) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+           |), clusters AS (
+           |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+           |), sizes AS (
+           |  SELECT cluster_id, count(*) AS cl_size FROM clusters GROUP BY cluster_id
+           |), weights AS (
+           |  SELECT c.doc_id, s.cl_size FROM clusters c JOIN sizes s USING (cluster_id)
+           |)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(w.cl_size, 1) AS BIGINT) AS cluster_size,
+           |  CAST(1000000 // coalesce(w.cl_size, 1) AS BIGINT) AS weight_ppm
+           |FROM documents d LEFT JOIN weights w USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qMinhashMd5, qSimhash,
       qSimhashMd5, qSourceSim, qSourceSimMd5, qDedupClusters, qKeepList,
       qKeepBest, qContamination, qHistDedup, qHistNearDup, qSplitLeak,
-      qSpanOverlap, qDupRun, qDedupStats, qDedupImpact)
+      qSpanOverlap, qDupRun, qDedupStats, qDedupImpact, qDedupWeights)
 }

@@ -315,6 +315,22 @@ class CurationSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("releaseManifest: order/partition-independent checksum that flips on any edit") {
+    val docs = (1 to 60).map(i => (i.toLong, s"src${i % 3}", s"document body $i"))
+      .toDF("doc_id", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Curation.releaseManifest(df).orderBy(col("split"), col("source"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val base = rows(docs)
+    // identical content in reversed order and odd partitioning: same manifest
+    assert(rows(docs.orderBy(col("doc_id").desc).repartition(7)) == base)
+    // one edited doc flips exactly the affected group's checksum
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 30L, lit("tampered")).otherwise(col("text")))
+    assert(rows(edited) != base)
+  }
+
   test("piiReport: exact per-source counts over seeded hits") {
     val docs = Seq(
       ("s1", "contact me a@b.co now"),

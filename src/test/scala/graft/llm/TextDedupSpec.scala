@@ -420,4 +420,19 @@ class TextDedupSpec extends SparkSpec {
     assert((spark.sparkContext.getPersistentRDDs.keySet & added).isEmpty,
       "release must drop the cached blocks (the r5 ADVICE leak)")
   }
+
+  test("dedupWeights: 1e6/cluster_size for members, exactly 1e6 for singletons") {
+    val docs = docsDf(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 9L -> "solo")
+    // pairs: {1,2,3} one cluster; 4 and 9 appear in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("ida", "idb")
+    val out = TextDedup.dedupWeights(docs, pairs)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 333333L), (2L, 3L, 333333L), (3L, 3L, 333333L),
+      (4L, 1L, 1000000L), (9L, 1L, 1000000L)), out.toSeq.toString)
+    // cluster exposure: member weights sum to ~1e6 (floor slack < size)
+    val clusterSum = out.filter(_._2 == 3L).map(_._3).sum
+    assert(clusterSum <= 1000000L && clusterSum > 1000000L - 3, clusterSum.toString)
+  }
 }
