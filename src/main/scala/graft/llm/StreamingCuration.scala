@@ -553,4 +553,47 @@ object StreamingCuration {
         try onDrift(ws, TextAnalysis.corpusDrift(refDocs, archive(ws), temps))
         finally temps.release()
       }
+
+  /** Topic-balanced admission ON INGEST — the batch
+    * [[Curation.clusterTemperatureMix]] as a stream–static operator:
+    * each arriving (doc, embedding) row is assigned to its nearest
+    * coarse centroid ROW-LOCALLY (the [[Similarity.streamingIvfPqServe]]
+    * stance: centroids fold to one broadcast array row, the argmin is
+    * an array_sort over (dist, c_id) structs — the batch chain's exact
+    * integer distances and tiebreak with no stateful aggregate), then
+    * admitted iff its content-hash ppm bucket clears the cluster's
+    * threshold. `rated` is the nightly batch snapshot
+    * ((cluster_id, rate_ppm) from clusterTemperatureMix's counts): an
+    * unbounded stream has no corpus-wide cluster sizes of itself, the
+    * same static-snapshot stance as [[streamingLmScore]]'s LM tables.
+    * A doc admitted here is exactly a row the nightly batch pass
+    * would admit under the same snapshot (ScalaTest-pinned).
+    *
+    * Scale shape: both static sides broadcast (centroids are k rows,
+    * thresholds k more); assignment and admission are pure per-row
+    * expressions — the stream shuffles nothing and keeps NO state
+    * beyond the watermark bookkeeping. */
+  def streamingClusterMix(docs: DataFrame, coarse: DataFrame,
+      rated: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val carr = coarse
+      .agg(collect_list(struct(col("c_id"), col("c_q"))).as("carr"))
+      .withColumn("one", lit(1))
+    docs
+      .withWatermark("event_ts", watermark)
+      .select(col("doc_id"), col("event_ts"), col("text"),
+        Similarity.quantize(col("embedding")).as("qfull"), lit(1).as("one"))
+      .join(broadcast(carr), Seq("one"))
+      .withColumn("w", element_at(array_sort(transform(col("carr"),
+        c => struct(
+          call_udf("graft_l2_int", col("qfull"), c.getField("c_q")).as("pd"),
+          c.getField("c_id").as("cluster_id")))), 1))
+      .select(col("doc_id"), col("event_ts"), col("text"),
+        col("w.cluster_id").as("cluster_id"))
+      .join(broadcast(rated.select(col("cluster_id"), col("rate_ppm"))),
+        Seq("cluster_id"))
+      .filter(Curation.ppmBucket(col("text")) < col("rate_ppm"))
+      .select(col("doc_id"), col("cluster_id"), col("rate_ppm"),
+        col("event_ts"))
+  }
 }

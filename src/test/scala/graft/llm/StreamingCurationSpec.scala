@@ -542,4 +542,44 @@ class StreamingCurationSpec extends SparkSpec {
         s"stream=$streamed\nbatch=$batch")
     } finally q.stop()
   }
+
+  private case class EDoc(doc_id: Long, event_ts: java.sql.Timestamp,
+      text: String, embedding: Seq[Float])
+
+  test("streamingClusterMix admits exactly the batch pass's rows under the same snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // two well-separated clusters, enough docs that both admit and
+    // drop verdicts occur in the bigger one
+    val e0 = (0 until 8).map(i => (if (i == 0) 1.0f else 0.05f * i))
+    val e1 = (0 until 8).map(i => (if (i == 1) 1.0f else -0.04f * i))
+    val rows = (1L to 9L).map(i =>
+      (i, s"stream doc body $i", e0.map(_ + 0.001f * i))) ++
+      (10L to 12L).map(i => (i, s"stream doc body $i", e1.map(_ + 0.001f * i)))
+    val docs = rows.toDF("doc_id", "text", "embedding")
+    val vecs = rows.map(r => (r._1, r._3)).toDF("vec_id", "embedding")
+    val coarse = Seq((0L, e0), (1L, e1)).toDF("c_id", "embedding")
+      .select(col("c_id"), Similarity.quantize(col("embedding")).as("c_q"))
+    val batch = Curation.clusterTemperatureMix(docs, vecs, coarse)
+      .select(col("doc_id"), col("cluster_id"), col("rate_ppm")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty && batch.size < rows.size,
+      s"need both admits and drops for a meaningful pin: $batch")
+    // the nightly snapshot the stream reads: cluster thresholds
+    val rated = batch.map(t => (t._2, t._3)).toSeq.toDF("cluster_id", "rate_ppm")
+    val in = MemoryStream[EDoc]
+    val q = StreamingCuration.streamingClusterMix(in.toDF(), coarse, rated,
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sclustermix")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.map(r =>
+        EDoc(r._1, new java.sql.Timestamp((60 + r._1) * 60000L), r._2, r._3)))
+      q.processAllAvailable()
+      val streamed = spark.table("sclustermix")
+        .select(col("doc_id"), col("cluster_id"), col("rate_ppm")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
 }
