@@ -401,6 +401,100 @@ case class BpeMergeExpr(tokens: Expression, a: Expression, b: Expression)
     copy(tokens = newFirst, a = newSecond, b = newThird)
 }
 
+/** Greedy BPE ENCODE: fold a whole TRAINED merge table (array of
+  * (a, b) structs in rank order — [[graft.llm.TextAnalysis.bpeInduce]]'s
+  * output convention, merged token = `a + " " + b`) over a token
+  * sequence, one left-to-right single pass per merge — in ONE
+  * expression eval instead of a rank-deep applyMerge plan chain.
+  *
+  * Semantics are EXACTLY the induce loop's application order (each
+  * round is one [[BpeMergeExpr]] pass, never re-applying an earlier
+  * rank unless a later rank recreates its pair and the table lists it
+  * again): a document the trainer saw re-encodes to precisely the
+  * token state induction left it in — the training-consistency
+  * invariant the ScalaTest pin states. Complexity is O(n) per APPLIED
+  * merge plus one hash probe per table rank (the adjacent-pair set
+  * makes skipped ranks O(1)), so a 30k-rank vocabulary costs ~30k
+  * probes per doc, not 30k passes.
+  *
+  * CodegenFallback like [[BpeMergeExpr]]: the tokenizer family's cost
+  * is UTF8 comparison inside this loop, which generated code would
+  * call out to anyway. */
+case class BpeEncodeExpr(tokens: Expression, merges: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = tokens
+  override def right: Expression = merges
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (tokens.dataType, merges.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StructType(fs), _))
+          if fs.length == 2 && fs.forall(_.dataType == StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_encode needs (array<string>, array<struct<string,string>>), got $t")
+    }
+  override def nullSafeEval(tv: Any, mv: Any): Any = {
+    val arr = tv.asInstanceOf[ArrayData]
+    val table = mv.asInstanceOf[ArrayData]
+    val n0 = arr.numElements()
+    var toks = new java.util.ArrayList[UTF8String](n0)
+    var i = 0
+    while (i < n0) {
+      toks.add(if (arr.isNullAt(i)) null else arr.getUTF8String(i))
+      i += 1
+    }
+    // adjacent-pair presence set; rebuilt only after an APPLIED merge
+    def pairSet(ts: java.util.ArrayList[UTF8String])
+        : java.util.HashSet[(UTF8String, UTF8String)] = {
+      val s = new java.util.HashSet[(UTF8String, UTF8String)](ts.size() * 2)
+      var j = 0
+      while (j + 1 < ts.size()) {
+        val a = ts.get(j); val b = ts.get(j + 1)
+        if (a != null && b != null) s.add((a, b))
+        j += 1
+      }
+      s
+    }
+    var present = pairSet(toks)
+    val m = table.numElements()
+    var r = 0
+    while (r < m) {
+      val row = if (table.isNullAt(r)) null
+        else table.getStruct(r, 2)
+      if (row != null && !row.isNullAt(0) && !row.isNullAt(1)) {
+        val a = row.getUTF8String(0)
+        val b = row.getUTF8String(1)
+        if (present.contains((a, b))) {
+          // one BpeMergeExpr pass: merge every occurrence, skip 2
+          val merged = UTF8String.concat(a, UTF8String.fromString(" "), b)
+          val out = new java.util.ArrayList[UTF8String](toks.size())
+          var j = 0
+          while (j < toks.size()) {
+            val t = toks.get(j)
+            val u = if (j + 1 < toks.size()) toks.get(j + 1) else null
+            if (t != null && u != null && t == a && u == b) {
+              out.add(merged)
+              j += 2
+            } else {
+              out.add(t)
+              j += 1
+            }
+          }
+          toks = out
+          present = pairSet(toks)
+        }
+      }
+      r += 1
+    }
+    new GenericArrayData(toks.toArray(new Array[AnyRef](toks.size())))
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(tokens = newLeft, merges = newRight)
+}
+
 /** Dot product of two array<float> columns as double. Matches the SQL
   * aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) -> acc+x)
   * fold: per-element float multiply, left-to-right double accumulate —
@@ -707,6 +801,7 @@ object GraftFunctions {
       case Seq(c, Literal(n: Int, IntegerType)) => TopKMinAggExpr(c, n)
       case es => TopKMinAggExpr(es.head, 10)
     },
+    "graft_bpe_encode" -> (es => BpeEncodeExpr(es(0), es(1))),
     "graft_shingle_hashes_md5" -> {
       case Seq(c, Literal(n: Int, IntegerType), Literal(m: Boolean, BooleanType)) =>
         Md5ShingleHashesExpr(c, n, m)

@@ -1225,9 +1225,84 @@ object TextAnalysis {
            |LEFT JOIN lm ON r.doc_id = lm.doc_id
            |ORDER BY r.doc_id""".stripMargin))
 
+  /** Tokenizer ENCODE at scale: apply a trained merge table
+    * ([[bpeInduce]]'s output, rank order) to every document — the
+    * other half of the tokenizer loop, and the pass a pipeline runs
+    * over the FULL corpus (induction trains on a sample; encode
+    * touches every byte shipped to the trainer). One native kernel
+    * eval per row (`graft_bpe_encode`, NativeExpressions.BpeEncodeExpr)
+    * folds the whole table in rank order — one single-pass greedy
+    * merge per rank, the exact induce-loop application semantics, so a
+    * document the trainer saw re-encodes to precisely the state
+    * induction left it in (spec-pinned) — instead of a rank-deep
+    * applyMerge expression chain the planner couldn't hold at 30k
+    * ranks.
+    *
+    * Scale shape: zero shuffle — the merge table rides the plan as a
+    * literal (vocabulary-sized, the tfidf top-V stance) and every row
+    * encodes independently in its scan task. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = tokens(col("text"))
+    val pieces =
+      if (merges.isEmpty) toks
+      else call_udf("graft_bpe_encode", toks,
+        array(merges.map { case (a, b) =>
+          struct(lit(a).as("a"), lit(b).as("b")) }: _*))
+    docs.select(col("doc_id"), pieces.as("pieces"))
+  }
+
+  /** The q_llm_bpe_encode merge table: corpus-vocabulary pairs (each
+    * a ≠ b, so a single greedy pass has no self-overlapping
+    * occurrences and replays with per-position local rules in SQL),
+    * including one CASCADING rank whose operands are earlier merge
+    * OUTPUTS. */
+  private val bpeEncodeMerges = Seq(
+    "table" -> "hash", "a" -> "the", "table hash" -> "a the",
+    "value" -> "spark")
+
+  private def bpeEncodePassSql(prev: String, a: String, b: String): String =
+    s"""list_filter(list_transform(range(1, len($prev) + 1), i -> CASE
+       |  WHEN ($prev)[i] = '$a' AND ($prev)[i+1] = '$b' THEN '$a $b'
+       |  WHEN i > 1 AND ($prev)[i-1] = '$a' AND ($prev)[i] = '$b' THEN NULL
+       |  ELSE ($prev)[i] END), x -> x IS NOT NULL)""".stripMargin
+
+  /** Oracle'd END-TO-END: DuckDB replays each rank as one local-rule
+    * pass (merge starts where (t[i], t[i+1]) = (a, b); position i is
+    * consumed iff i−1 starts — with a ≠ b a start can never follow a
+    * start or a consumed slot, so the skip-2 greedy scan IS a
+    * per-position predicate), nested in rank order. Output compares
+    * the piece COUNT and an md5 over the '|'-joined pieces (boundary
+    * structure is the whole point — the flat text is unchanged by
+    * construction of the space-concat merge convention). */
+  val qBpeEncode = QuerySpec(
+    "q_llm_bpe_encode",
+    (s, d) => {
+      val enc = bpeEncode(Tables.load(s, d, "documents"), bpeEncodeMerges)
+      enc.select(col("doc_id"),
+          size(col("pieces")).cast("long").as("n_pieces"),
+          md5(concat_ws("|", col("pieces")).cast("binary")).as("pieces_md5"))
+        .orderBy(col("doc_id"))
+    }, {
+      // one CTE per rank (each pass references its input once per
+      // position rule, so the statement stays linear in table size)
+      val passes = bpeEncodeMerges.zipWithIndex.map { case ((a, b), i) =>
+        s"p${i + 1} AS (SELECT doc_id,\n${bpeEncodePassSql("t", a, b)}\n  AS t FROM p$i)"
+      }
+      Some(
+        (s"WITH p0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)" +:
+          passes).mkString(",\n") +
+          s"""
+             |SELECT doc_id,
+             |  CAST(len(t) AS BIGINT) AS n_pieces,
+             |  md5(array_to_string(t, '|')) AS pieces_md5
+             |FROM p${bpeEncodeMerges.size}
+             |ORDER BY doc_id""".stripMargin)
+    })
+
   val all: Seq[QuerySpec] =
     Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5, qDocFreq,
       qTfIdf, qRepetition, qQualityRules, qNovelty, qOov, qStopwordScrub,
       qSourceReport, qDrift, qBpeStep, qLenPercentiles, qWinnow, qLmScore,
-      qImportance, qQualityGate)
+      qImportance, qQualityGate, qBpeEncode)
 }

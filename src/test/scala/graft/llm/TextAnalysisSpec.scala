@@ -313,6 +313,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.size == 8 && got.map(m => (m._1, m._2)).distinct.size == 8)
   }
 
+  test("bpeEncode kernel == rank-order applyMerge chain on induced merges (training consistency)") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, sf0001, "documents").limit(120)
+    val merges = TextAnalysis.bpeInduce(docs, 5).map(m => (m._1, m._2))
+    assert(merges.size == 5)
+    // the chain the induce loop applied, one graft_bpe_merge per rank
+    val chained = merges.foldLeft(TextAnalysis.tokens(col("text"))) {
+      case (c, (a, b)) => call_udf("graft_bpe_merge", c, lit(a), lit(b))
+    }
+    val diff = TextAnalysis.bpeEncode(docs, merges)
+      .join(docs.select(col("doc_id"), chained.as("chain")), Seq("doc_id"))
+      .filter(col("pieces") =!= col("chain"))
+    assert(diff.count() == 0L,
+      "a trained doc must re-encode to exactly the state induction left")
+  }
+
+  test("bpeEncode == sequential fold of single-pass merges on random tables (cascades, dups, a==b)") {
+    import spark.implicits._
+    def refPass(ts: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < ts.length) {
+        if (i + 1 < ts.length && ts(i) == a && ts(i + 1) == b) {
+          out += s"$a $b"; i += 2
+        } else { out += ts(i); i += 1 }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c")
+    (1 to 25).foreach { trial =>
+      val corpus = (1 to 20).map(i =>
+        (i.toLong, Vector.fill(rnd.nextInt(16))(vocab(rnd.nextInt(vocab.size)))))
+      // random table: raw pairs, self-pairs, and cascading entries
+      // whose operands are earlier-rank OUTPUTS (space-joined)
+      var built = Vector.empty[(String, String)]
+      (1 to 1 + rnd.nextInt(6)).foreach { _ =>
+        val pool = vocab ++ built.map { case (a, b) => s"$a $b" }
+        built = built :+ (pool(rnd.nextInt(pool.size)), pool(rnd.nextInt(pool.size)))
+      }
+      val expected = corpus.map { case (id, ts) =>
+        id -> built.foldLeft(ts) { case (cur, (a, b)) => refPass(cur, a, b) }
+      }.toMap
+      val got = TextAnalysis.bpeEncode(
+        corpus.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text"),
+        built)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+      // tokens("") = [""], mirror that in the reference
+      val expectedAdj = expected.map { case (id, v) =>
+        id -> (if (corpus.find(_._1 == id).get._2.isEmpty) Vector("") else v)
+      }
+      assert(got == expectedAdj, s"trial $trial table=$built")
+    }
+  }
+
   test("lengthPercentiles: exact nearest-rank values that occur in the data") {
     // source s: lengths 1..10 → p50 = value at rank 5 = 5, p90 at rank
     // 9 = 9, p99 at rank ceil(9.9)=10 → 10
