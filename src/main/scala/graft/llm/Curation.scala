@@ -890,9 +890,93 @@ object Curation {
            |      FROM documents) t
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Manifest diff: [[corpusDiff]] lifted to the release-group level —
+    * compare two [[releaseManifest]]s and label every (split, source)
+    * group added / removed / changed / unchanged. The consumer-side
+    * handshake: manifests are k·s rows however big the corpora, so
+    * this is the FREE first diff; only groups it flags as `changed`
+    * need the per-doc [[corpusDiff]] pass. `changed` distinguishes
+    * count drift from content drift (same n_docs, different xor =
+    * in-place edits) via the n_delta column.
+    *
+    * Scale shape: two manifest scans (each map-side-reduced) into one
+    * full outer join over the tiny group keyspace — nothing
+    * corpus-sized moves. */
+  def diffManifests(oldM: DataFrame, newM: DataFrame): DataFrame = {
+    def keyed(df: DataFrame, p: String) =
+      df.select(col("split"), col("source"),
+        col("n_docs").as(s"${p}_n"), col("content_xor").as(s"${p}_x"))
+    keyed(oldM, "old").join(keyed(newM, "new"),
+        Seq("split", "source"), "full_outer")
+      .select(col("split"), col("source"),
+        when(col("old_n").isNull, "added")
+          .when(col("new_n").isNull, "removed")
+          .when(col("old_x") === col("new_x") && col("old_n") === col("new_n"),
+            "unchanged")
+          .otherwise("changed").as("status"),
+        (coalesce(col("new_n"), lit(0L)) - coalesce(col("old_n"), lit(0L)))
+          .as("n_delta"))
+  }
+
+  /** Oracle'd with the q_llm_corpus_diff snapshot carving: v1 =
+    * doc_id < 400 with odd texts perturbed, v2 = doc_id >= 100 — so
+    * every group pair exists in both but with edited content and
+    * membership drift (all-`changed` statuses with varied n_delta),
+    * plus the v1-only low-id slice exercising the outer sides. */
+  val qManifestDiff = QuerySpec(
+    "q_llm_manifest_diff",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val v1 = docs.filter(col("doc_id") < 400)
+        .select(col("source"),
+          when(col("doc_id") % 2 === 1, concat(col("text"), lit(" v1-edit")))
+            .otherwise(col("text")).as("text"))
+      val v2 = docs.filter(col("doc_id") >= 100)
+        .select(col("source"), col("text"))
+      diffManifests(releaseManifest(v1), releaseManifest(v2))
+        .orderBy(col("split"), col("source"))
+    },
+    Some("""WITH v1 AS (
+           |  SELECT source,
+           |    CASE WHEN doc_id % 2 = 1 THEN text || ' v1-edit'
+           |         ELSE text END AS text
+           |  FROM documents WHERE doc_id < 400
+           |), v2 AS (
+           |  SELECT source, text FROM documents WHERE doc_id >= 100
+           |), m1 AS (
+           |  SELECT CASE WHEN CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT)
+           |           % 100 < 90 THEN 'train'
+           |         WHEN CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT)
+           |           % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+           |    source, count(*) AS n_docs,
+           |    CAST(bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+           |      AS BIGINT) AS content_xor
+           |  FROM v1 GROUP BY 1, 2
+           |), m2 AS (
+           |  SELECT CASE WHEN CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT)
+           |           % 100 < 90 THEN 'train'
+           |         WHEN CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT)
+           |           % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+           |    source, count(*) AS n_docs,
+           |    CAST(bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+           |      AS BIGINT) AS content_xor
+           |  FROM v2 GROUP BY 1, 2
+           |)
+           |SELECT coalesce(m1.split, m2.split) AS split,
+           |  coalesce(m1.source, m2.source) AS source,
+           |  CASE WHEN m1.n_docs IS NULL THEN 'added'
+           |       WHEN m2.n_docs IS NULL THEN 'removed'
+           |       WHEN m1.content_xor = m2.content_xor
+           |         AND m1.n_docs = m2.n_docs THEN 'unchanged'
+           |       ELSE 'changed' END AS status,
+           |  coalesce(m2.n_docs, 0) - coalesce(m1.n_docs, 0) AS n_delta
+           |FROM m1 FULL OUTER JOIN m2
+           |  ON m1.split = m2.split AND m1.source = m2.source
+           |ORDER BY split, source""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qSample, qSplit, qParaDedup, qRedact, qLineDedup, qPack, qMix,
       qTempMix, qShuffle, qStripMarkup, qNormalize, qQuotaSample, qChunk,
       qBoilerplate, qCorpusDiff, qClusterMix, qClusterCard, qPiiReport,
-      qManifest)
+      qManifest, qManifestDiff)
 }

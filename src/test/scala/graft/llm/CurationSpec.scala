@@ -331,6 +331,47 @@ class CurationSpec extends SparkSpec {
     assert(rows(edited) != base)
   }
 
+  test("diffManifests: group statuses, count-vs-content drift split, outer sides") {
+    val mk = (rows: Seq[(Long, String, String)]) =>
+      Curation.releaseManifest(rows.toDF("doc_id", "source", "text"))
+    // build via fixed split bucketing by using single-split texts is
+    // fragile; assert on the group level instead: same docs -> all
+    // unchanged; one edit -> exactly the affected groups flip
+    val v1 = (1 to 40).map(i => (i.toLong, s"s${i % 2}", s"doc body $i"))
+    val same = Curation.diffManifests(mk(v1), mk(v1)).collect()
+    assert(same.nonEmpty && same.forall(_.getString(2) == "unchanged"))
+    assert(same.forall(_.getLong(3) == 0L))
+    // in-place edit: membership counts hold, checksum flips -> changed
+    val v2 = v1.map { case (id, s, t) =>
+      (id, s, if (id == 5L) "tampered body" else t) }
+    val d2 = Curation.diffManifests(mk(v1), mk(v2)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(d2.exists(_._3 == "changed"), d2.toSeq.toString)
+    // a doc REMOVED from v2 entirely: its group goes changed with n_delta < 0
+    val v3 = v1.filterNot(_._1 == 6L)
+    val d3 = Curation.diffManifests(mk(v1), mk(v3)).collect()
+      .map(r => (r.getString(2), r.getLong(3)))
+    assert(d3.exists { case (s, nd) => s == "changed" && nd == -1L } ||
+      d3.exists { case (s, nd) => s == "removed" && nd < 0L }, d3.toSeq.toString)
+  }
+
+  test("clusterTemperatureMix composes with the trained kmeansQuantized centroids") {
+    graft.functions.GraftFunctions.register(spark)
+    // the production wiring: train fixed-k centroids, then balance on them
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings").limit(300)
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val trained = Similarity.kmeansQuantized(vecs, centroidStride = 100, iters = 2)
+      .select(col("c_id"), col("c_q"))
+    val out = Curation.clusterTemperatureMix(docs, vecs, trained)
+      .select(col("doc_id"), col("cluster_id"), col("rate_ppm")).collect()
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    assert(byCluster.size >= 2, s"trained centroids must partition: $byCluster")
+    // every admitted doc clears its cluster threshold by construction;
+    // the min cluster's rate is exactly 1e6
+    assert(out.map(_.getLong(2)).max == 1000000L)
+  }
+
   test("piiReport: exact per-source counts over seeded hits") {
     val docs = Seq(
       ("s1", "contact me a@b.co now"),
