@@ -351,7 +351,22 @@ class PlanSpec extends SparkSpec {
       // exact-side ground truth: brute-force queries×corpus broadcast
       // (the queries block is the broadcast side), + the approx chain
       "q_llm_pq_recall" -> (2, 0),
-      "q_llm_ann_recall" -> (6, 0))
+      "q_llm_ann_recall" -> (6, 0),
+      // round-7 cluster family: every BNLJ is the coarse-assignment
+      // broadcast scoring (centroids vs embedded docs, collapsed by
+      // map-side argmin) or the single-row min-count broadcast; the
+      // counts are >1 because the shared member/counts subtrees print
+      // duplicated pre-AQE — the runtime plan (PlanAudit, AQE reuse)
+      // collapses cluster_mix to 4 bnlj + 1 one-row exchange
+      "q_llm_cluster_mix" -> (8, 0),
+      "q_llm_cluster_card" -> (2, 0),
+      // single-scan cards and the narrow-join dedup weight: all
+      // hash-keyed, nothing may broadcast-nest or globally exchange
+      "q_llm_pii_report" -> (0, 0),
+      "q_llm_manifest" -> (0, 0),
+      "q_llm_manifest_diff" -> (0, 0),
+      "q_llm_dedup_weights" -> (0, 0),
+      "q_llm_bpe_encode" -> (0, 0))
     val got = budgets.keys.toSeq.sorted.map { q =>
       // the pin is the FRESH-SESSION plan shape: leftover cached frames
       // (this suite's own earlier builds, or — in a full `sbt test` run
