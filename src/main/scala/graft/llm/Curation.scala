@@ -46,6 +46,137 @@ object Curation {
   def redact(text: Column): Column =
     regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), longNumRe, "<NUM>")
 
+  /** URL canonicalization — the identity pass a crawl-frontier /
+    * crawl-dedup pipeline runs before URL-keyed dedup (the same page
+    * fetched as `HTTP://WWW.Site.COM:80/p/1?utm_source=feed&id=2#top`
+    * and `http://site.com/p/1?id=2` must collapse to ONE key). Rules,
+    * in order: strip the `#fragment`; lowercase scheme+authority
+    * (path/query case is significant and kept); drop the scheme's
+    * default port (`:80` http, `:443` https); drop a leading `www.`;
+    * drop tracking query params (`utm_*`, `fbclid`, `gclid`) wherever
+    * they sit, tidying the `?`/`&` separators; collapse a bare root
+    * path `/` to the authority. Every rule is one regexp pass in the
+    * java.regex∩RE2 portable subset (no lookarounds — the
+    * follow-char alternation `(/|\?|#|$)` replays the lookahead), so
+    * the chain is engine-portable and zero-shuffle. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val headRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+    val head = regexp_extract(noFrag, headRe, 0)
+    val lowered =
+      concat(lower(head), noFrag.substr(length(head) + 1, length(noFrag)))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/?#:]+):80(/|\\?|#|$)", "$1$2"),
+      "^(https://[^/?#:]+):443(/|\\?|#|$)", "$1$2")
+    val noWww = regexp_replace(noPort, "^([a-z]+://)www\\.", "$1")
+    val noAmpTrack =
+      regexp_replace(noWww, "&(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*", "")
+    val noQTrackMid = regexp_replace(noAmpTrack,
+      "\\?(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&", "?")
+    val noQTrackEnd = regexp_replace(noQTrackMid,
+      "\\?(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*$", "")
+    regexp_replace(noQTrackEnd, "^([a-z][a-z0-9+.-]*://[^/?#]+)/$", "$1")
+  }
+
+  /** URL-keyed crawl dedup over a (doc_id, url) frame: canonicalize,
+    * then one group per canonical URL with the variant count and the
+    * kept (min-doc_id) fetch — the dedup a crawler runs BEFORE
+    * content-based dedup ever sees the bytes.
+    *
+    * Scale shape: the canonical chain is per-row in the scan; the only
+    * shuffle is one map-side-combinable groupBy on the canonical key
+    * (count + min both combine). The kept corpus is a broadcast-able
+    * semi join of `docs` on `keep_doc`. */
+  def urlDedup(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), canonicalizeUrl(col("url")).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc"))
+
+  /** The corpus is URL-less word salad, so the query seeds
+    * deterministic synthetic URLs in-plan (the pii_report stance) built
+    * to exercise EVERY canonical rule: mixed-case scheme/host, default
+    * and absent ports, `www.`, tracking params in first / middle / only
+    * position, fragments, and bare-root paths — constructed so distinct
+    * doc_ids genuinely collapse. */
+  val qUrlDedup = QuerySpec(
+    "q_llm_url_dedup",
+    (s, d) =>
+      urlDedup(
+        Tables.load(s, d, "documents").select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 2 === 0, "HTTP://").otherwise("https://"),
+            lit("WWW.Site"), col("doc_id") % 7, lit(".COM"),
+            when(col("doc_id") % 3 === 0,
+              when(col("doc_id") % 2 === 0, ":80").otherwise(":443"))
+              .otherwise(""),
+            when(col("doc_id") % 11 === 0, "/")
+              .otherwise(concat(lit("/p/"), col("doc_id") % 5)),
+            when(col("doc_id") % 4 === 1,
+              concat(lit("?utm_source=feed&id="), col("doc_id") % 3))
+              .when(col("doc_id") % 4 === 2,
+                concat(lit("?id="), col("doc_id") % 3,
+                  lit("&utm_campaign=x&gclid=abc")))
+              .when(col("doc_id") % 4 === 3, "?utm_medium=mail")
+              .otherwise(""),
+            when(col("doc_id") % 5 === 0,
+              concat(lit("#Sec"), col("doc_id") % 3)).otherwise(""))
+            .as("url")))
+        .orderBy(col("canonical_url")),
+    Some("""WITH seeded AS (
+           |  SELECT doc_id,
+           |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+           |    || 'WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+           |    || (CASE WHEN doc_id % 3 = 0 THEN
+           |          CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+           |        ELSE '' END)
+           |    || (CASE WHEN doc_id % 11 = 0 THEN '/'
+           |        ELSE '/p/' || CAST(doc_id % 5 AS VARCHAR) END)
+           |    || (CASE WHEN doc_id % 4 = 1
+           |          THEN '?utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR)
+           |        WHEN doc_id % 4 = 2
+           |          THEN '?id=' || CAST(doc_id % 3 AS VARCHAR)
+           |            || '&utm_campaign=x&gclid=abc'
+           |        WHEN doc_id % 4 = 3 THEN '?utm_medium=mail'
+           |        ELSE '' END)
+           |    || (CASE WHEN doc_id % 5 = 0
+           |          THEN '#Sec' || CAST(doc_id % 3 AS VARCHAR)
+           |        ELSE '' END) AS url
+           |  FROM documents
+           |), s1 AS (
+           |  SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM seeded
+           |), s2 AS (
+           |  SELECT doc_id,
+           |    lower(regexp_extract(u,
+           |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) ||
+           |    substr(u, length(regexp_extract(u,
+           |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) + 1) AS u
+           |  FROM s1
+           |), s3 AS (
+           |  SELECT doc_id, regexp_replace(regexp_replace(u,
+           |      '^(http://[^/?#:]+):80(/|\?|#|$)', '\1\2'),
+           |      '^(https://[^/?#:]+):443(/|\?|#|$)', '\1\2') AS u
+           |  FROM s2
+           |), s4 AS (
+           |  SELECT doc_id, regexp_replace(u, '^([a-z]+://)www\.', '\1') AS u
+           |  FROM s3
+           |), s5 AS (
+           |  SELECT doc_id, regexp_replace(u,
+           |    '&(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*', '', 'g') AS u
+           |  FROM s4
+           |), s6 AS (
+           |  SELECT doc_id, regexp_replace(regexp_replace(u,
+           |      '\?(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&', '?'),
+           |      '\?(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*$', '') AS u
+           |  FROM s5
+           |), s7 AS (
+           |  SELECT doc_id, regexp_replace(u,
+           |    '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\1') AS u
+           |  FROM s6
+           |)
+           |SELECT u AS canonical_url, count(*) AS n_dups,
+           |  min(doc_id) AS keep_doc
+           |FROM s7 GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qSample = QuerySpec(
     "q_llm_sample",
     (s, d) =>
@@ -975,8 +1106,8 @@ object Curation {
            |ORDER BY split, source""".stripMargin))
 
   val all: Seq[QuerySpec] =
-    Seq(qSample, qSplit, qParaDedup, qRedact, qLineDedup, qPack, qMix,
-      qTempMix, qShuffle, qStripMarkup, qNormalize, qQuotaSample, qChunk,
-      qBoilerplate, qCorpusDiff, qClusterMix, qClusterCard, qPiiReport,
-      qManifest, qManifestDiff)
+    Seq(qSample, qSplit, qParaDedup, qRedact, qUrlDedup, qLineDedup, qPack,
+      qMix, qTempMix, qShuffle, qStripMarkup, qNormalize, qQuotaSample,
+      qChunk, qBoilerplate, qCorpusDiff, qClusterMix, qClusterCard,
+      qPiiReport, qManifest, qManifestDiff)
 }

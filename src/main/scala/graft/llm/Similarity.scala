@@ -1547,6 +1547,219 @@ object Similarity {
            |LEFT JOIN hits h ON q.vec_id = h.q_id
            |ORDER BY q_id""".stripMargin))
 
+  // ---- scalar-quantization recall + signed random projection ------------
+
+  /** The int8-quantization replay CTE (`q` = (vec_id, qfull)) shared by
+    * the SQ/RP oracles — the same IEEE sequence as [[quantize]] and the
+    * PQ family's oracles. */
+  private val duckQuantCte: String =
+    """SELECT vec_id,
+      |    CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+      |      THEN list_transform(embedding, x -> 0)
+      |      ELSE list_transform(embedding, x -> CAST(floor(
+      |        CAST(x AS DOUBLE) /
+      |        CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
+      |        * 127.0 + 0.5) AS INTEGER))
+      |    END AS qfull
+      |  FROM embeddings""".stripMargin
+
+  /** Scalar-quantization quality harness: recall@k of the int8
+    * integer-L2 ranking against the BIT-EXACT float cosine ranking
+    * over the same vectors — isolates the loss the scalar quantizer
+    * itself introduces, the layer every integer-domain path in this
+    * engine (IVF / PQ / IVF-PQ / k-means) sits on. [[pqRecall]]
+    * measures codebook loss GIVEN quantized vectors; this measures
+    * the step before it, so the two compose into a loss budget.
+    *
+    * Scale shape: both sides broadcast the query set and scan the
+    * corpus once with bounded top-k aggregates; the intersection is a
+    * semi join over 2·|queries|·k rows. */
+  def sqRecall(vecs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val exact = cosineTopK(vecs, queries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    recallOf(exact, exactIntTopK(vecs, queries, k), queries, k)
+  }
+
+  /** Oracle'd exactly: the float-cosine side is q_llm_cosine_topk's
+    * IEEE sequence, the integer side is the PQ harnesses' exact-L2
+    * CTE, so both membership sets — and the intersection counts —
+    * replay in SQL verbatim. */
+  val qSqRecall = QuerySpec(
+    "q_llm_sq_recall",
+    (s, d) => {
+      val vs = vectors(s, d)
+      sqRecall(vs, vs.filter(col("vec_id") < 5), k = 5)
+        .orderBy(col("q_id"))
+    },
+    Some(s"""WITH v AS (
+            |  $duckNormCte
+            |), qs AS (SELECT * FROM v WHERE vec_id < 5),
+            |exact AS (
+            |  SELECT q_id, neighbor_id FROM (
+            |    SELECT qs.vec_id AS q_id, c.vec_id AS neighbor_id,
+            |      ${duckDot("c.embedding", "qs.embedding")} / (c.nrm * qs.nrm) AS cos
+            |    FROM v c, qs WHERE c.vec_id != qs.vec_id)
+            |  QUALIFY row_number() OVER (PARTITION BY q_id
+            |    ORDER BY cos DESC, neighbor_id) <= 5
+            |), q AS (
+            |  $duckQuantCte
+            |), approx AS (
+            |  SELECT q_id, neighbor_id FROM (
+            |    SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
+            |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+            |        list_transform(list_zip(c.qfull, qq.qfull),
+            |          z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+            |        (a, x) -> a + x) AS d
+            |    FROM q c, (SELECT * FROM q WHERE vec_id < 5) qq
+            |    WHERE c.vec_id != qq.vec_id)
+            |  QUALIFY row_number() OVER (PARTITION BY q_id
+            |    ORDER BY d, neighbor_id) <= 5
+            |), hits AS (
+            |  SELECT e.q_id, count(*) AS n_hit
+            |  FROM exact e JOIN approx a
+            |    ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+            |  GROUP BY e.q_id
+            |)
+            |SELECT q2.vec_id AS q_id,
+            |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+            |  CAST(5 AS BIGINT) AS k,
+            |  coalesce(h.n_hit, 0) / 5 AS recall
+            |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q2
+            |LEFT JOIN hits h ON q2.vec_id = h.q_id
+            |ORDER BY q_id""".stripMargin))
+
+  /** Deterministic ±1 sign matrix for the signed random projection —
+    * the signs of the [[hyperplanes]] doubles, so the projection
+    * shares the LSH family's audited pseudo-random source. */
+  def signMatrix(rDim: Int, dim: Int, seed: Long = 42L): Seq[Seq[Int]] =
+    hyperplanes(rDim, dim, seed).map(_.map(x => if (x >= 0) 1 else -1))
+
+  /** Johnson–Lindenstrauss-style dimensionality reduction in the
+    * INTEGER domain: project each int8-quantized vector onto `rDim`
+    * ±1 hyperplanes — rp_j = Σ_i sign(j,i)·q_i in exact 64-bit sums,
+    * so the reduced vectors are engine- and partitioning-exact (the
+    * float JL transform is neither). A 64→16 reduction cuts
+    * brute-force scan cost 4× at a measurable recall cost
+    * ([[rpRecall]] quantifies it) — the cheap pre-filter tier under
+    * the IVF/PQ serving stack.
+    *
+    * Scale shape: zero shuffle — the sign matrix rides the plan as a
+    * literal and every row projects independently inside its scan
+    * task. */
+  def rpReduce(vecs: DataFrame, rDim: Int, dim: Int,
+      seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val signs = typedLit(signMatrix(rDim, dim, seed))
+    vecs.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .select(col("vec_id"),
+        transform(signs, row =>
+          aggregate(zip_with(row, col("q"), (s0, x) => (s0 * x).cast("long")),
+            lit(0L), (acc, x) => acc + x)).as("rp"))
+  }
+
+  /** The rp CTE (`vec_id, rp`) over the quantize CTE, sign literals
+    * included — shared by the RP oracles. */
+  private def duckRpCte(rDim: Int, dim: Int): String = {
+    val signsSql = signMatrix(rDim, dim)
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""q AS (
+       |  $duckQuantCte
+       |), sg AS (SELECT $signsSql::BIGINT[][] AS signs),
+       |rp AS (
+       |  SELECT vec_id, list_transform(range(1, ${rDim + 1}), j ->
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(signs[j], qfull),
+       |        z -> CAST(z[1] * z[2] AS BIGINT))),
+       |      (a, x) -> a + x)) AS rp
+       |  FROM q, sg
+       |)""".stripMargin
+  }
+
+  /** Oracle'd exactly (component-exploded so the compare is scalar):
+    * quantization, sign literals, and the integer sums all replay. */
+  val qRpReduce = QuerySpec(
+    "q_llm_rp_reduce",
+    (s, d) =>
+      rpReduce(Tables.load(s, d, "embeddings"), rDim = 16, dim = 64)
+        .select(col("vec_id"), posexplode(col("rp")).as(Seq("j", "rp")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("rp"))
+        .orderBy(col("vec_id"), col("j")),
+    Some(s"""WITH ${duckRpCte(16, 64)}
+            |SELECT vec_id, CAST(jj.j - 1 AS BIGINT) AS j, rp[jj.j] AS rp
+            |FROM rp, LATERAL (SELECT unnest(range(1, 17)) AS j) jj
+            |ORDER BY vec_id, j""".stripMargin))
+
+  /** RP quality harness: recall@k of brute-force integer L2 in the
+    * REDUCED space against exact integer L2 in the full space — the
+    * number that sets how wide a reduced-space candidate pass must be
+    * before exact re-ranking. Both sides exact integers, so the
+    * harness replays cross-engine like its SQ/PQ siblings.
+    *
+    * Scale shape: the reduced scan moves rDim/dim of the bytes; both
+    * sides broadcast queries and reduce with bounded top-k
+    * aggregates. */
+  def rpRecall(vecs: DataFrame, queries: DataFrame, k: Int, rDim: Int,
+      dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val r = rpReduce(vecs, rDim, dim)
+    val rq = broadcast(rpReduce(queries, rDim, dim)
+      .select(col("vec_id").as("q_id"), col("rp").as("qrp")))
+    val approx = r.join(rq, col("vec_id") =!= col("q_id"))
+      .withColumn("d", aggregate(
+        zip_with(col("rp"), col("qrp"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy(col("q_id"))
+      .agg(call_udf("graft_topk_min",
+        struct(col("d"), col("vec_id")), lit(k)).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.vec_id").as("neighbor_id"))
+    recallOf(exactIntTopK(vecs, queries, k), approx, queries, k)
+  }
+
+  val qRpRecall = QuerySpec(
+    "q_llm_rp_recall",
+    (s, d) => {
+      val vs = Tables.load(s, d, "embeddings")
+      rpRecall(vs, vs.filter(col("vec_id") < 5), k = 5, rDim = 16, dim = 64)
+        .orderBy(col("q_id"))
+    },
+    Some(s"""WITH ${duckRpCte(16, 64)},
+            |exact AS (
+            |  SELECT q_id, neighbor_id FROM (
+            |    SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
+            |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+            |        list_transform(list_zip(c.qfull, qq.qfull),
+            |          z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+            |        (a, x) -> a + x) AS d
+            |    FROM q c, (SELECT * FROM q WHERE vec_id < 5) qq
+            |    WHERE c.vec_id != qq.vec_id)
+            |  QUALIFY row_number() OVER (PARTITION BY q_id
+            |    ORDER BY d, neighbor_id) <= 5
+            |), approx AS (
+            |  SELECT q_id, neighbor_id FROM (
+            |    SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
+            |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+            |        list_transform(list_zip(c.rp, qq.rp),
+            |          z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+            |        (a, x) -> a + x) AS d
+            |    FROM rp c, (SELECT * FROM rp WHERE vec_id < 5) qq
+            |    WHERE c.vec_id != qq.vec_id)
+            |  QUALIFY row_number() OVER (PARTITION BY q_id
+            |    ORDER BY d, neighbor_id) <= 5
+            |), hits AS (
+            |  SELECT e.q_id, count(*) AS n_hit
+            |  FROM exact e JOIN approx a
+            |    ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+            |  GROUP BY e.q_id
+            |)
+            |SELECT q2.vec_id AS q_id,
+            |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+            |  CAST(5 AS BIGINT) AS k,
+            |  coalesce(h.n_hit, 0) / 5 AS recall
+            |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q2
+            |LEFT JOIN hits h ON q2.vec_id = h.q_id
+            |ORDER BY q_id""".stripMargin))
+
   /** SemDeDup (Abbas et al.): semantic deduplication over the
     * embedding space — sign-LSH candidate pairs above a cosine
     * threshold become edges, connected components group semantic
@@ -1698,5 +1911,6 @@ object Similarity {
   val all: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qEmbOutlier, qQuantize, qKmeansStep,
       qPqAnn, qPqRecall, qIvfPqAnn, qIvfPqAnnP2, qIvfPqCodes, qIvfPqServe,
-      qIvfPqInc, qIvfStats, qSemDedup, qAnnRecall)
+      qIvfPqInc, qIvfStats, qSqRecall, qRpReduce, qRpRecall, qSemDedup,
+      qAnnRecall)
 }

@@ -219,6 +219,39 @@ object TextAnalysis {
            |FROM df JOIN tf USING (term)
            |ORDER BY df DESC, term LIMIT 100""".stripMargin))
 
+  /** Incremental vocabulary update: merge a STORED df/tf table with the
+    * delta batch's own [[docFrequency]] table. df and tf_total are
+    * per-term sums over disjoint document sets, so the merge is
+    * result-identical to a full recompute by construction — the
+    * nightly vocab-refresh path where only the new crawl slice pays a
+    * text scan and the 100 TB history is never re-read (the
+    * ivfPqEncodeIncremental stance applied to the vocabulary table).
+    *
+    * Scale shape: two VOCAB-sized frames (not corpora) union into one
+    * map-side-combinable term rollup; the only text scan is the
+    * delta's own explode inside its docFrequency. */
+  def docFrequencyMerge(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.select(col("term"), col("df"), col("tf_total"))
+      .unionByName(delta.select(col("term"), col("df"), col("tf_total")))
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("tf_total")).as("tf_total"))
+
+  /** Oracle'd through the FULL-recompute SQL (q_llm_docfreq's oracle,
+    * verbatim): the incremental path must hash-match a from-scratch
+    * rebuild over the whole corpus — the same result-identity contract
+    * the incremental ANN encode carries. */
+  val qDocFreqInc = QuerySpec(
+    "q_llm_docfreq_inc",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val stored = docFrequency(docs.filter(col("doc_id") < 400))
+      val delta = docFrequency(docs.filter(col("doc_id") >= 400))
+      docFrequencyMerge(stored, delta)
+        .orderBy(col("df").desc, col("term"))
+        .limit(100)
+    },
+    qDocFreq.oracle)
+
   /** Repetition dominance (the Gopher-family boilerplate signal): the
     * most frequent word trigram's share of all trigram slots. A page of
     * navigation chrome or a template-stamped doc scores near 1; prose
@@ -1165,12 +1198,9 @@ object TextAnalysis {
         col("keep_rules") && col("keep_rep") && col("keep_lm"))
   }
 
-  val qQualityGate = QuerySpec(
-    "q_llm_quality_gate",
-    (s, d) =>
-      qualityGate(Tables.load(s, d, "documents"))
-        .orderBy(col("doc_id")),
-    Some("""WITH t AS (
+  /** The gate's DuckDB CTE stack (pairs/uni/bg → lm, tris → rep,
+    * rules), shared by q_llm_quality_gate and q_llm_quality_card. */
+  private val gateSqlCtes = """WITH t AS (
            |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
            |), pairs AS (
            |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
@@ -1214,16 +1244,79 @@ object TextAnalysis {
            |            tk -> tk IN ('the', 'a'))) >= 1
            |      AS keep_rules
            |  FROM documents
-           |)
-           |SELECT r.doc_id, r.keep_rules,
-           |  rep.top_count * 5 <= rep.n_tri AS keep_rep,
-           |  coalesce(lm.mean_score, 0) >= 34000 AS keep_lm,
-           |  r.keep_rules AND rep.top_count * 5 <= rep.n_tri
-           |    AND coalesce(lm.mean_score, 0) >= 34000 AS keep
-           |FROM rules r
-           |JOIN rep ON r.doc_id = rep.doc_id
-           |LEFT JOIN lm ON r.doc_id = lm.doc_id
-           |ORDER BY r.doc_id""".stripMargin))
+           |)""".stripMargin
+
+  val qQualityGate = QuerySpec(
+    "q_llm_quality_gate",
+    (s, d) =>
+      qualityGate(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some(gateSqlCtes +
+      """
+        |SELECT r.doc_id, r.keep_rules,
+        |  rep.top_count * 5 <= rep.n_tri AS keep_rep,
+        |  coalesce(lm.mean_score, 0) >= 34000 AS keep_lm,
+        |  r.keep_rules AND rep.top_count * 5 <= rep.n_tri
+        |    AND coalesce(lm.mean_score, 0) >= 34000 AS keep
+        |FROM rules r
+        |JOIN rep ON r.doc_id = rep.doc_id
+        |LEFT JOIN lm ON r.doc_id = lm.doc_id
+        |ORDER BY r.doc_id""".stripMargin))
+
+  /** Per-source quality data card: for each source, the exact ppm of
+    * documents passing each gate signal (rules / repetition / LM) and
+    * the composite keep verdict — the release-audit view of
+    * [[qualityGate]] ("which crawl sources are dragging quality down"),
+    * integer-exact like every card in this engine.
+    *
+    * Scale shape: the gate's own shape (one per-row scan + the LM
+    * aggregate join) followed by a doc_id-keyed join against the
+    * narrow (doc_id, source) projection and ONE map-side-combinable
+    * groupBy(source) — nothing wider than the gate itself shuffles. */
+  def qualityCard(docs: DataFrame, lmThresholdPpm: Long = 34000L,
+      temps: TempCache = TempCache.noop): DataFrame = {
+    val gate = qualityGate(docs, lmThresholdPpm, temps)
+    docs.select(col("doc_id"), col("source"))
+      .join(gate, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep_rules"), 1L).otherwise(0L)).as("n_rules"),
+        sum(when(col("keep_rep"), 1L).otherwise(0L)).as("n_rep"),
+        sum(when(col("keep_lm"), 1L).otherwise(0L)).as("n_lm"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .select(col("source"), col("n_docs"),
+        expr("(1000000 * n_rules) div n_docs").as("rules_ppm"),
+        expr("(1000000 * n_rep) div n_docs").as("rep_ppm"),
+        expr("(1000000 * n_lm) div n_docs").as("lm_ppm"),
+        expr("(1000000 * n_keep) div n_docs").as("keep_ppm"))
+  }
+
+  val qQualityCard = QuerySpec(
+    "q_llm_quality_card",
+    (s, d) =>
+      qualityCard(Tables.load(s, d, "documents"))
+        .orderBy(col("source")),
+    Some(gateSqlCtes +
+      """, gate AS (
+        |  SELECT r.doc_id, r.keep_rules,
+        |    rep.top_count * 5 <= rep.n_tri AS keep_rep,
+        |    coalesce(lm.mean_score, 0) >= 34000 AS keep_lm
+        |  FROM rules r
+        |  JOIN rep ON r.doc_id = rep.doc_id
+        |  LEFT JOIN lm ON r.doc_id = lm.doc_id
+        |)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST((1000000 * sum(CASE WHEN g.keep_rules THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS rules_ppm,
+        |  CAST((1000000 * sum(CASE WHEN g.keep_rep THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS rep_ppm,
+        |  CAST((1000000 * sum(CASE WHEN g.keep_lm THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS lm_ppm,
+        |  CAST((1000000 * sum(CASE WHEN g.keep_rules AND g.keep_rep
+        |    AND g.keep_lm THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+        |    AS keep_ppm
+        |FROM gate g JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin))
 
   /** Tokenizer ENCODE at scale: apply a trained merge table
     * ([[bpeInduce]]'s output, rank order) to every document — the
@@ -1283,26 +1376,77 @@ object TextAnalysis {
           size(col("pieces")).cast("long").as("n_pieces"),
           md5(concat_ws("|", col("pieces")).cast("binary")).as("pieces_md5"))
         .orderBy(col("doc_id"))
-    }, {
-      // one CTE per rank (each pass references its input once per
-      // position rule, so the statement stays linear in table size)
-      val passes = bpeEncodeMerges.zipWithIndex.map { case ((a, b), i) =>
-        s"p${i + 1} AS (SELECT doc_id,\n${bpeEncodePassSql("t", a, b)}\n  AS t FROM p$i)"
-      }
-      Some(
-        (s"WITH p0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)" +:
-          passes).mkString(",\n") +
-          s"""
-             |SELECT doc_id,
-             |  CAST(len(t) AS BIGINT) AS n_pieces,
-             |  md5(array_to_string(t, '|')) AS pieces_md5
-             |FROM p${bpeEncodeMerges.size}
-             |ORDER BY doc_id""".stripMargin)
-    })
+    },
+    Some(bpeEncodeSqlCtes +
+      s"""
+         |SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_pieces,
+         |  md5(array_to_string(t, '|')) AS pieces_md5
+         |FROM p${bpeEncodeMerges.size}
+         |ORDER BY doc_id""".stripMargin))
+
+  /** The rank-ordered encode replay as a DuckDB CTE chain — one CTE per
+    * rank (each pass references its input once per position rule, so
+    * the statement stays linear in table size); `p<n>` is the final
+    * (doc_id, pieces) frame. Shared by q_llm_bpe_encode and
+    * q_llm_fertility. */
+  private def bpeEncodeSqlCtes: String = {
+    val passes = bpeEncodeMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"p${i + 1} AS (SELECT doc_id,\n${bpeEncodePassSql("t", a, b)}\n  AS t FROM p$i)"
+    }
+    (s"WITH p0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)" +:
+      passes).mkString(",\n")
+  }
+
+  /** Tokenizer-fit data card: per-source piece counts under a TRAINED
+    * merge table — pieces per million characters ("fertility") is the
+    * number that tells you whether a tokenizer built on one corpus
+    * slice wastes context window on another (unmerged sources encode
+    * to more, shorter pieces). Exact integers only.
+    *
+    * Scale shape: ONE corpus scan — the encode kernel, the char count,
+    * and the source key ride the same projection (no join against a
+    * separate encode output), then a map-side-combinable
+    * groupBy(source) over k rows. */
+  def tokenizerFertility(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = tokens(col("text"))
+    val pieces =
+      if (merges.isEmpty) toks
+      else call_udf("graft_bpe_encode", toks,
+        array(merges.map { case (a, b) =>
+          struct(lit(a).as("a"), lit(b).as("b")) }: _*))
+    docs.select(col("source"),
+        size(pieces).cast("long").as("np"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("np")).as("n_pieces"),
+        sum(col("nc")).as("n_chars"))
+      .withColumn("pieces_per_mchar",
+        expr("(1000000 * n_pieces) div n_chars"))
+  }
+
+  val qFertility = QuerySpec(
+    "q_llm_fertility",
+    (s, d) =>
+      tokenizerFertility(Tables.load(s, d, "documents"), bpeEncodeMerges)
+        .orderBy(col("source")),
+    Some(bpeEncodeSqlCtes +
+      s"""
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(len(p.t)) AS BIGINT) AS n_pieces,
+         |  CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+         |  CAST((1000000 * sum(len(p.t))) // sum(length(d.text)) AS BIGINT)
+         |    AS pieces_per_mchar
+         |FROM p${bpeEncodeMerges.size} p JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin))
 
   val all: Seq[QuerySpec] =
     Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5, qDocFreq,
-      qTfIdf, qRepetition, qQualityRules, qNovelty, qOov, qStopwordScrub,
-      qSourceReport, qDrift, qBpeStep, qLenPercentiles, qWinnow, qLmScore,
-      qImportance, qQualityGate, qBpeEncode)
+      qDocFreqInc, qTfIdf, qRepetition, qQualityRules, qNovelty, qOov,
+      qStopwordScrub, qSourceReport, qDrift, qBpeStep, qLenPercentiles,
+      qWinnow, qLmScore, qImportance, qQualityGate, qQualityCard, qBpeEncode,
+      qFertility)
 }

@@ -401,4 +401,50 @@ class CurationSpec extends SparkSpec {
       (1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L),
       (4L, 2L, 0L), (5L, 1L, 0L)), out.toSeq)
   }
+
+  test("canonicalizeUrl applies every rule; non-defaults survive") {
+    val cases = Seq(
+      // scheme+host lowercased, default port and www dropped, tracker
+      // first-then-real tidied, fragment stripped
+      "HTTP://WWW.Example.COM:80/p/1?utm_source=a&id=2#frag" ->
+        "http://example.com/p/1?id=2",
+      // https default port; bare root slash collapses
+      "https://Example.com:443/" -> "https://example.com",
+      // NON-default port survives; path/query case is significant
+      "https://example.com:8080/Path?Q=Upper" ->
+        "https://example.com:8080/Path?Q=Upper",
+      // trackers mid/end of the query, multiple in a row
+      "http://example.com/p?id=2&utm_campaign=x&gclid=z" ->
+        "http://example.com/p?id=2",
+      // tracker-only query disappears entirely
+      "http://example.com/p?utm_medium=mail" -> "http://example.com/p",
+      // mismatched scheme/port pair is NOT stripped
+      "http://example.com:443/p" -> "http://example.com:443/p",
+      // already canonical stays fixed (idempotence anchor)
+      "http://example.com/p/1?id=2" -> "http://example.com/p/1?id=2")
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "url")
+      .select(col("i"), Curation.canonicalizeUrl(col("url")).as("c"))
+      .collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    assert(got == cases.map(_._2), got.mkString("\n"))
+    // idempotence: canonicalizing a canonical URL is the identity
+    val twice = cases.map(_._2).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "url")
+      .select(col("i"), Curation.canonicalizeUrl(col("url")).as("c"))
+      .collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    assert(twice == cases.map(_._2), "canonical form must be a fixed point")
+  }
+
+  test("urlDedup collapses variants of one page to one keeper") {
+    val docs = Seq(
+      (10L, "HTTP://WWW.Site.COM:80/a?utm_source=x&id=1#top"),
+      (11L, "http://site.com/a?id=1"),
+      (12L, "http://site.com/a?id=1&utm_campaign=y"),
+      (13L, "https://other.org/b")).toDF("doc_id", "url")
+    val got = Curation.urlDedup(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("http://site.com/a?id=1", 3L, 10L),
+      ("https://other.org/b", 1L, 13L)), got.toSeq)
+  }
 }

@@ -406,4 +406,71 @@ class SimilaritySpec extends SparkSpec {
     val full = Similarity.centroidOutliers(vs, 100, 4).collect()
     full.foreach(r => assert(r.getDouble(3) == 1.0 - r.getDouble(2)))
   }
+
+  test("signMatrix is deterministic ±1 and tracks the hyperplane signs") {
+    val m = Similarity.signMatrix(4, 8)
+    assert(m == Similarity.signMatrix(4, 8))
+    assert(m.size == 4 && m.forall(_.size == 8))
+    assert(m.flatten.forall(s => s == 1 || s == -1))
+    val planes = Similarity.hyperplanes(4, 8)
+    assert(m.flatten == planes.flatten.map(x => if (x >= 0) 1 else -1))
+  }
+
+  test("rpReduce equals a sequential signed projection of the quantized vectors") {
+    val rows = Seq(
+      0L -> Seq(0.5f, -1f, 0.25f, 0f, 1f, -0.5f, 0.125f, 2f),
+      1L -> Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), // zero vector → rp all 0
+      2L -> Seq(-3f, 1f, 4f, -1f, 5f, -9f, 2f, 6f))
+    val got = Similarity.rpReduce(rows.toDF("vec_id", "embedding"), 4, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def quant(v: Seq[Float]): Seq[Int] = {
+      val s = v.map(math.abs).max
+      if (s == 0f) v.map(_ => 0)
+      else v.map(x => math.floor(x.toDouble / s.toDouble * 127.0 + 0.5).toInt)
+    }
+    val signs = Similarity.signMatrix(4, 8)
+    val want = rows.map { case (id, v) =>
+      val q = quant(v)
+      id -> signs.map(row => row.zip(q).map { case (s, x) => (s * x).toLong }.sum)
+    }.toMap
+    assert(got == want)
+    // partitioning-independent (exact integers end to end)
+    val re = Similarity.rpReduce(
+      rows.toDF("vec_id", "embedding").repartition(3), 4, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(re == got)
+  }
+
+  test("sqRecall and rpRecall hit 1.0 when k covers the whole corpus") {
+    // k >= n-1 ⇒ both rankings contain every other vector ⇒ recall 1
+    val vs = vecsDf(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0.9f, 0.1f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(0.2f, -0.4f, 0.8f, 0f))
+    val sq = Similarity.sqRecall(vs, vs.filter(col("vec_id") < 2), k = 3)
+      .collect().map(r => r.getAs[Double]("recall"))
+    assert(sq.length == 2 && sq.forall(_ == 1.0), sq.toSeq)
+    val rp = Similarity.rpRecall(vs, vs.filter(col("vec_id") < 2), k = 3,
+      rDim = 4, dim = 4)
+      .collect().map(r => r.getAs[Double]("recall"))
+    assert(rp.length == 2 && rp.forall(_ == 1.0), rp.toSeq)
+  }
+
+  test("rpRecall is bounded by the exact side and keeps zero-hit queries") {
+    // rDim=1 collapses geometry: recalls stay in [0,1] and every query
+    // appears exactly once even when the reduced ranking finds nothing
+    val vs = vecsDf(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f),
+      2L -> Seq(0f, 0f, 1f, 0f), 3L -> Seq(0f, 0f, 0f, 1f),
+      4L -> Seq(1f, 1f, 0f, 0f))
+    val rows = Similarity.rpRecall(vs, vs.filter(col("vec_id") < 3), k = 2,
+      rDim = 1, dim = 4).collect()
+    assert(rows.map(_.getAs[Long]("q_id")).toSet == Set(0L, 1L, 2L))
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("k"))
+    }
+  }
 }

@@ -490,6 +490,45 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 1L, 333333L, 333333L)), out.toString)
     // the single-token doc has no bigrams and drops out, like the oracle
   }
+
+  test("docFrequencyMerge over disjoint slices equals a full recompute") {
+    val docs = Seq(
+      (1L, "a b a"), (2L, "b c"), (3L, "a d d"), (4L, "c c c"), (5L, "e"))
+      .toDF("doc_id", "text")
+    def tbl(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val full = tbl(TextAnalysis.docFrequency(docs))
+    val merged = tbl(TextAnalysis.docFrequencyMerge(
+      TextAnalysis.docFrequency(docs.filter(col("doc_id") <= 3)),
+      TextAnalysis.docFrequency(docs.filter(col("doc_id") > 3))))
+    assert(merged == full, s"merged=$merged full=$full")
+    // sanity anchors: df counts docs, tf_total counts occurrences
+    assert(full.contains(("a", 2L, 3L)) && full.contains(("c", 2L, 4L)))
+  }
+
+  test("tokenizerFertility matches bpeEncode piece counts per source") {
+    val merges = Seq("a" -> "b", "a b" -> "c")
+    val docs = Seq(
+      (1L, "s0", "a b c a b"), // → ["a b c", "a b"] = 2 pieces
+      (2L, "s0", "x y"),       // untouched → 2 pieces
+      (3L, "s1", "a b c"))     // → 1 piece
+      .toDF("doc_id", "source", "text")
+    val card = TextAnalysis.tokenizerFertility(docs, merges)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // s0: 2 docs, 4 pieces, 9 + 3 = 12 chars → (4e6)/12 = 333333
+    // s1: 1 doc, 1 piece, 5 chars → 200000
+    assert(card.toSeq == Seq(
+      ("s0", 2L, 4L, 12L, 333333L), ("s1", 1L, 1L, 5L, 200000L)),
+      card.toSeq)
+    // cross-check against bpeEncode's own sizes
+    val enc = TextAnalysis.bpeEncode(docs, merges)
+      .select(col("doc_id"), size(col("pieces")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(enc == Map(1L -> 2L, 2L -> 2L, 3L -> 1L), enc.toString)
+  }
 }
 
 /** Shared collect helper (kept outside the anonymous test closures so
