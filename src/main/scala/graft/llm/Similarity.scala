@@ -1908,9 +1908,148 @@ object Similarity {
             |LEFT JOIN hits h ON q.vec_id = h.q_id
             |ORDER BY q_id""".stripMargin))
 
+  // ---- D4-style prototype pruning (diversification) ----------------------
+
+  /** D4-style diversification keep-list (Tirumala et al. 2023: after
+    * dedup, PRUNE the most prototypical documents — the ones closest
+    * to their cluster centroid — so the kept corpus over-samples the
+    * diverse tail instead of the dense cluster cores). Assigns each
+    * vector to its nearest stride-seeded centroid (the exact
+    * [[centroidOutliers]] argmax chain), ranks each cluster by cosine
+    * DESC (rank 1 = most prototypical), and drops the top
+    * `dropPpm`/1e6 fraction per cluster (floor, exact integer math).
+    *
+    * Scale shape: centroids broadcast, assignment reduces map-side via
+    * max_by (never an n×k window); only the narrow (vec_id, c_id, cos)
+    * frame crosses the one per-cluster window shuffle, and cluster
+    * sizes are ~n/k with k growing with the corpus (the IVF stance) —
+    * a skewed quantizer shows up in q_llm_ivf_stats before it shows
+    * up here. */
+  def diversifyKeepList(vecs: DataFrame, centroidStride: Int,
+      dropPpm: Long = 250000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = broadcast(
+      vecs.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm")))
+    val assigned = vecs.join(centroids)
+      .withColumn("c_cos",
+        cosine(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("neg"))).as("c_id"),
+        max(col("c_cos")).as("cos"))
+    val byCluster = Window.partitionBy(col("c_id"))
+    assigned
+      .withColumn("rn", row_number()
+        .over(byCluster.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .withColumn("n_cluster", count(lit(1)).over(byCluster))
+      .filter(col("rn") > expr(s"(n_cluster * ${dropPpm}L) div 1000000"))
+  }
+
+  /** Oracle'd bit-exactly: the assignment replay is [[qEmbOutlier]]'s
+    * row_number form, the per-cluster rank/count windows replay
+    * verbatim, and the drop threshold is exact integer floor division
+    * in both engines. */
+  val qDiversify = QuerySpec(
+    "q_llm_diversify",
+    (s, d) =>
+      diversifyKeepList(vectors(s, d), centroidStride = 100, dropPpm = 250000L)
+        .orderBy(col("vec_id")),
+    Some(s"""WITH v AS (
+            |  $duckNormCte
+            |), c AS (
+            |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+            |  FROM v WHERE vec_id % 100 = 0
+            |), scored AS (
+            |  SELECT v.vec_id, c.c_id,
+            |    ${duckDot("v.embedding", "c.c_emb")} / (v.nrm * c.c_nrm) AS c_cos
+            |  FROM v, c
+            |), assigned AS (
+            |  SELECT vec_id, c_id, c_cos AS cos FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY vec_id
+            |      ORDER BY c_cos DESC, c_id) AS crn
+            |    FROM scored) WHERE crn = 1
+            |), ranked AS (
+            |  SELECT *, CAST(row_number() OVER (PARTITION BY c_id
+            |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rn,
+            |    CAST(count(*) OVER (PARTITION BY c_id) AS BIGINT) AS n_cluster
+            |  FROM assigned
+            |)
+            |SELECT vec_id, c_id, cos, rn, n_cluster FROM ranked
+            |WHERE rn > (n_cluster * 250000) // 1000000
+            |ORDER BY vec_id""".stripMargin))
+
+  // ---- embedding-space decontamination ------------------------------------
+
+  /** Embedding-space benchmark contamination scan: per corpus vector,
+    * the nearest benchmark-set vector by cosine and a contaminated
+    * flag at `tau` — the decontamination pass that catches PARAPHRASED
+    * eval material the n-gram check ([[TextDedup.qContamination]])
+    * admits. The synthetic corpus has no real benchmark near-dups, so
+    * the query PLANTS one exact copy of each benchmark vector in-plan
+    * (id-offset by 1e9 — the q_llm_pii_report seeding stance), making
+    * the flag path do real work on every run.
+    *
+    * Scale shape: the benchmark set is tiny and broadcast; the corpus
+    * is scanned once and the per-vector best match reduces map-side
+    * via max_by — no window over n×|bench|, no corpus shuffle at all
+    * beyond the final per-vec_id aggregation. */
+  def embContamination(vecs: DataFrame, benchStride: Int = 97,
+      tau: Double = 0.95, plantOffset: Long = 1000000000L): DataFrame = {
+    val bench = broadcast(
+      vecs.filter(pmod(col("vec_id"), lit(benchStride)) === 0)
+        .select(col("vec_id").as("bench_id"), col("embedding").as("b_emb"),
+          col("nrm").as("b_nrm")))
+    val planted = vecs.filter(pmod(col("vec_id"), lit(benchStride)) === 0)
+      .select((col("vec_id") + lit(plantOffset)).as("vec_id"),
+        col("embedding"), col("nrm"))
+    vecs.unionByName(planted)
+      .join(bench, col("vec_id") =!= col("bench_id"))
+      .withColumn("cos",
+        cosine(col("embedding"), col("b_emb"), col("nrm"), col("b_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("bench_id"),
+          struct(col("cos"), (-col("bench_id")).as("neg"))).as("bench_id"),
+        max(col("cos")).as("cos"))
+      .withColumn("contaminated", (col("cos") >= lit(tau)).cast("int"))
+  }
+
+  /** Oracle'd bit-exactly: cosines are the [[qCosineTopK]] IEEE
+    * sequence (a planted copy's self-cosine is the same
+    * sqrt-then-square rounding in both engines), the best-match
+    * replay is the row_number form, and the flag is one exact double
+    * comparison. */
+  val qEmbContam = QuerySpec(
+    "q_llm_emb_contam",
+    (s, d) =>
+      embContamination(vectors(s, d))
+        .orderBy(col("vec_id")),
+    Some(s"""WITH v AS (
+            |  $duckNormCte
+            |), b AS (
+            |  SELECT vec_id AS bench_id, embedding AS b_emb, nrm AS b_nrm
+            |  FROM v WHERE vec_id % 97 = 0
+            |), corpus AS (
+            |  SELECT vec_id, embedding, nrm FROM v
+            |  UNION ALL
+            |  SELECT bench_id + 1000000000, b_emb, b_nrm FROM b
+            |), scored AS (
+            |  SELECT c.vec_id, b.bench_id,
+            |    ${duckDot("c.embedding", "b.b_emb")} / (c.nrm * b.b_nrm) AS cos
+            |  FROM corpus c JOIN b ON c.vec_id != b.bench_id
+            |)
+            |SELECT vec_id, bench_id, cos,
+            |  CAST(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END AS INT) AS contaminated
+            |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+            |    ORDER BY cos DESC, bench_id) AS rn FROM scored)
+            |WHERE rn = 1
+            |ORDER BY vec_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qEmbOutlier, qQuantize, qKmeansStep,
       qPqAnn, qPqRecall, qIvfPqAnn, qIvfPqAnnP2, qIvfPqCodes, qIvfPqServe,
       qIvfPqInc, qIvfStats, qSqRecall, qRpReduce, qRpRecall, qSemDedup,
-      qAnnRecall)
+      qAnnRecall, qDiversify, qEmbContam)
 }

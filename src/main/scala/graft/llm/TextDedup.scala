@@ -1485,9 +1485,112 @@ object TextDedup {
            |FROM documents d LEFT JOIN weights w USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin))
 
+  // ---- cross-document span REMOVAL (Lee et al. scrub) ---------------------
+
+  /** Cross-document duplicated-span REMOVAL — the other half of
+    * [[spanOverlapPairs]]'s detection (Lee et al. 2022: don't drop the
+    * whole document, cut the copied substring out of every copy).
+    * Tokens covered by any `n`-gram whose hash appears in MORE THAN
+    * ONE document are removed; the survivors re-join into
+    * `text_scrubbed`. Documents shorter than `n` tokens are treated as
+    * one whole-document span (an exact short dup scrubs to empty).
+    *
+    * Scale shape: the duplicated-hash set builds from the per-doc
+    * DISTINCT kernel shingles (count per hash is map-side combinable;
+    * nothing text-sized crosses that shuffle), the POSITIONED shingle
+    * frame semi-joins against it, and each doc's hit positions come
+    * back as one tiny sorted int array (bounded by doc length, keyed
+    * by doc_id — no hot key). The mask itself is a per-row array
+    * filter: O(len·|hits|) with no further shuffle. */
+  def spanScrub(docs: DataFrame, n: Int = 10,
+      temps: TempCache = TempCache.noop): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = split(col("text"), " ")
+    val base = temps.register(spreadSmallInput(docs)
+      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // per-doc DISTINCT hashes (the spanOverlapPairs kernel) -> corpus
+    // duplicated-hash set; count(*) per hash IS the doc count
+    val dup = base
+      .select(col("doc_id"),
+        explode(call_udf("graft_shingle_hashes_md5",
+          col("text"), lit(n), lit(true))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(1)).select(col("h"))
+    // positioned (doc_id, i, h) frame: 1-based start positions; a doc
+    // shorter than n tokens hashes its whole text at position 1. The
+    // hash formula is the kernel's md5 fold, restated in expressions,
+    // so positioned and distinct frames agree by construction (the
+    // q_llm_span_overlap oracle pins the same identity in SQL).
+    val positioned = base.select(col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(1, if(size(toks) >= $n, size(toks) - ${n - 1}, 1)),
+           |  i -> struct(i AS i,
+           |    pmod(cast(conv(substr(md5(cast(
+           |      if(size(toks) >= $n, concat_ws(' ', slice(toks, i, $n)),
+           |         concat_ws(' ', toks)) AS BINARY)), 1, 8), 16, 10) AS BIGINT),
+           |      2147483647) AS h))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
+    val hits = positioned.join(dup, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("i"))).as("his"))
+    base.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("his"), expr("array()").cast("array<int>")).as("his"),
+        when(size(col("toks")) >= n, lit(n)).otherwise(size(col("toks"))).as("sl"))
+      .select(col("doc_id"),
+        expr("filter(toks, (x, j0) -> NOT exists(his, i -> i <= j0 + 1 AND j0 + 1 < i + sl))").as("keep"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), concat_ws(" ", col("keep")).as("text_scrubbed"),
+        col("n_tokens"),
+        (col("n_tokens") - size(col("keep")).cast("long")).as("n_removed"))
+  }
+
+  /** Fully replayed in DuckDB: positioned 10-gram md5 hashes, the
+    * per-doc-distinct duplicated set, and the index mask (DuckDB
+    * lambda indices are 1-based where Spark's are 0-based — the
+    * replay aligns them explicitly). */
+  val qSpanScrub = QuerySpec(
+    "q_llm_span_scrub",
+    (s, d) =>
+      spanScrub(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some("""WITH tk AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           |), ph AS (
+           |  SELECT doc_id, i,
+           |    CAST(('0x' || substr(md5(
+           |      CASE WHEN len(toks) >= 10
+           |           THEN array_to_string(toks[i:i+9], ' ')
+           |           ELSE array_to_string(toks, ' ') END), 1, 8)) AS BIGINT)
+           |      % 2147483647 AS h
+           |  FROM tk, unnest(range(1, greatest(len(toks) - 8, 2))) AS u(i)
+           |), dup AS (
+           |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM ph)
+           |  GROUP BY h HAVING count(*) > 1
+           |), hits AS (
+           |  SELECT doc_id, list_sort(list(i)) AS his
+           |  FROM ph SEMI JOIN dup USING (h) GROUP BY doc_id
+           |), scrub AS (
+           |  SELECT t.doc_id, t.toks, coalesce(h.his, []) AS his,
+           |    CASE WHEN len(t.toks) >= 10 THEN 10 ELSE len(t.toks) END AS sl
+           |  FROM tk t LEFT JOIN hits h USING (doc_id)
+           |), kept AS (
+           |  SELECT doc_id, len(toks) AS n_tokens,
+           |    list_filter(toks, (x, j) ->
+           |      len(list_filter(his, i -> i <= j AND j < i + sl)) = 0) AS keep
+           |  FROM scrub
+           |)
+           |SELECT doc_id,
+           |  coalesce(array_to_string(keep, ' '), '') AS text_scrubbed,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(n_tokens - len(keep) AS BIGINT) AS n_removed
+           |FROM kept ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qMinhashMd5, qSimhash,
       qSimhashMd5, qSourceSim, qSourceSimMd5, qDedupClusters, qKeepList,
       qKeepBest, qContamination, qHistDedup, qHistNearDup, qSplitLeak,
-      qSpanOverlap, qDupRun, qDedupStats, qDedupImpact, qDedupWeights)
+      qSpanOverlap, qSpanScrub, qDupRun, qDedupStats, qDedupImpact,
+      qDedupWeights)
 }

@@ -366,7 +366,16 @@ class PlanSpec extends SparkSpec {
       "q_llm_manifest" -> (0, 0),
       "q_llm_manifest_diff" -> (0, 0),
       "q_llm_dedup_weights" -> (0, 0),
-      "q_llm_bpe_encode" -> (0, 0))
+      "q_llm_bpe_encode" -> (0, 0),
+      // round-7 additions: one deliberate broadcast scoring each —
+      // corpus × centroids (diversify) / corpus × benchmark set
+      // (emb_contam), both collapsed by map-side max_by before the
+      // only shuffle (FormattedMode prints the single operator twice:
+      // tree node + details section; PlanAudit's runtime count is 1);
+      // span_scrub is hash-keyed end to end
+      "q_llm_diversify" -> (2, 0),
+      "q_llm_emb_contam" -> (2, 0),
+      "q_llm_span_scrub" -> (0, 0))
     val got = budgets.keys.toSeq.sorted.map { q =>
       // the pin is the FRESH-SESSION plan shape: leftover cached frames
       // (this suite's own earlier builds, or — in a full `sbt test` run

@@ -473,4 +473,47 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("k"))
     }
   }
+
+  test("diversifyKeepList drops the most-prototypical quarter per cluster") {
+    // two clean clusters of 10 around orthogonal centroids (ids 0, 10);
+    // within each, cos to centroid decreases with id
+    def at(angle: Double, base: Double) =
+      Seq(math.cos(base + angle).toFloat, math.sin(base + angle).toFloat)
+    val vs = vecsDf(
+      ((0L until 10L).map(i => i -> at(i * 0.05, 0.0)) ++
+        (10L until 20L).map(i => i -> at((i - 10) * 0.05, math.Pi / 2))): _*)
+    val kept = Similarity.diversifyKeepList(vs, centroidStride = 10,
+        dropPpm = 250000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("rn"),
+        r.getAs[Long]("n_cluster")))
+    // floor(10 * 0.25) = 2 dropped per cluster: the centroid itself and
+    // its nearest member (ranks 1-2 = ids 0,1 and 10,11)
+    assert(kept.length == 16, kept.length.toString)
+    assert(kept.map(_._1).toSet ==
+      ((2L until 10L) ++ (12L until 20L)).toSet, kept.mkString(","))
+    assert(kept.forall(_._3 > 2L))
+    assert(kept.forall(_._4 == 10L))
+    assert(kept.filter(_._1 < 10L).forall(_._2 == 0L))
+    assert(kept.filter(_._1 >= 10L).forall(_._2 == 10L))
+  }
+
+  test("embContamination flags the planted copies, not the distant corpus") {
+    // bench stride 3 over ids 0..3 -> bench = {0, 3}; both get an exact
+    // planted copy at id + offset; 1 and 2 sit far from both bench vecs
+    val vs = vecsDf(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0.1f, 0f),
+      2L -> Seq(0f, 0.1f, 1f, 0f),
+      3L -> Seq(0f, 0f, 0f, 1f))
+    val out = Similarity.embContamination(vs, benchStride = 3, tau = 0.95,
+        plantOffset = 100L)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("contaminated")))
+    // bench members score only against the OTHER bench vec (self excluded)
+    assert(out.map(x => (x._1, x._3)).toSeq ==
+      Seq((0L, 0), (1L, 0), (2L, 0), (3L, 0), (100L, 1), (103L, 1)),
+      out.mkString(","))
+    assert(out.filter(_._1 >= 100L).map(x => x._1 - 100L -> x._2).toMap ==
+      Map(0L -> 0L, 3L -> 3L), "planted copies must match their source")
+  }
 }

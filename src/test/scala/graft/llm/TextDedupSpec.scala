@@ -435,4 +435,34 @@ class TextDedupSpec extends SparkSpec {
     val clusterSum = out.filter(_._2 == 3L).map(_._3).sum
     assert(clusterSum <= 1000000L && clusterSum > 1000000L - 3, clusterSum.toString)
   }
+
+  test("spanScrub removes cross-doc copied spans, keeps unique text") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // one shared 10-gram
+    val docs = docsDf(
+      1L -> s"$shared k l",       // 10-grams at pos 1..3; pos 1 is shared
+      2L -> s"x y $shared z",     // shared 10-gram at pos 3
+      3L -> "m n o",              // short, unique -> untouched
+      4L -> "p q r",              // short exact dup pair -> whole-doc span
+      5L -> "p q r")
+    val out = TextDedup.spanScrub(docs).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == (1L, "k l", 12L, 10L), out(0).toString)
+    assert(out(1) == (2L, "x y z", 13L, 10L), out(1).toString)
+    assert(out(2) == (3L, "m n o", 3L, 0L), out(2).toString)
+    assert(out(3) == (4L, "", 3L, 3L), out(3).toString)
+    assert(out(4) == (5L, "", 3L, 3L), out(4).toString)
+  }
+
+  test("spanScrub overlapping spans mask the union of their positions") {
+    // docs share 10-grams at positions 1 AND 2 of doc 1 (an 11-token
+    // copied run): covered = [1,11], survivor = the 12th token only
+    val run = (1 to 11).map(i => s"r$i").mkString(" ")
+    val docs = docsDf(
+      1L -> s"$run tail1",
+      2L -> s"$run tail2")
+    val out = TextDedup.spanScrub(docs).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(out(0) == (1L, "tail1", 11L), out(0).toString)
+    assert(out(1) == (2L, "tail2", 11L), out(1).toString)
+  }
 }
