@@ -50,6 +50,119 @@ trait MediaCodec extends Serializable {
   def embed(mediaId: Long, payload: Array[Byte], dim: Int): Array[Float]
 }
 
+/** A REAL codec for the uncompressed netpbm formats — binary PPM (P6,
+  * RGB) and PGM (P5, grayscale) — in pure JVM code (no media
+  * libraries needed, so it runs in this container):
+  *
+  *  - [[decode]] parses the netpbm header for real: magic, arbitrary
+  *    whitespace, `#` comments, width/height/maxval tokens, the single
+  *    whitespace byte before the raster, and validates the raster
+  *    length against the declared geometry;
+  *  - [[resize]] is a real nearest-neighbor resample
+  *    (`src = floor(dst · srcDim / dstDim)`, the classic integer
+  *    mapping) re-encoded byte-exactly as `P6\nW H\nMV\n` + raster;
+  *  - [[embed]] is a `dim`-bucket luminance histogram (Rec.709
+  *    integer weights 2126/7152/722 over 10000) — a real, if crude,
+  *    visual feature.
+  *
+  * Everything is integer arithmetic, so q_llm_mm_ppm can replay
+  * decode + resample + re-encode in DuckDB and hash-match the resized
+  * bytes — the multimodal path's first REAL codec with a cross-engine
+  * oracle. Compressed formats (JPEG/PNG/video) still need an external
+  * codec via the same seam. */
+object PpmCodec extends MediaCodec {
+
+  /** (isColor, width, height, maxval, rasterOffset), or None when the
+    * bytes are not a valid binary netpbm image. */
+  private[llm] def parseHeader(b: Array[Byte]): Option[(Boolean, Int, Int, Int, Int)] = {
+    var i = 0
+    def isWs(c: Byte) = c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+      c == 0x0b || c == 0x0c
+    def skipWs(): Unit = {
+      var going = true
+      while (going && i < b.length) {
+        if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (isWs(b(i))) i += 1
+        else going = false
+      }
+    }
+    def token(): String = {
+      skipWs(); val s = i
+      while (i < b.length && !isWs(b(i)) && b(i) != '#') i += 1
+      new String(b, s, i - s, "US-ASCII")
+    }
+    val magic = token()
+    if (magic != "P6" && magic != "P5") return None
+    try {
+      val w = token().toInt; val h = token().toInt; val mv = token().toInt
+      // exactly one whitespace byte separates maxval from the raster
+      if (i >= b.length || !isWs(b(i))) return None
+      i += 1
+      if (w <= 0 || h <= 0 || mv <= 0 || mv > 255) None
+      else Some((magic == "P6", w, h, mv, i))
+    } catch { case _: NumberFormatException => None }
+  }
+
+  private def rasterLen(color: Boolean, w: Int, h: Int): Long =
+    w.toLong * h * (if (color) 3 else 1)
+
+  def decode(mediaId: Long, payload: Array[Byte]): Multimodal.DecodedMeta =
+    parseHeader(payload) match {
+      case Some((color, w, h, _, off))
+          if payload.length - off == rasterLen(color, w, h) =>
+        Multimodal.DecodedMeta(mediaId, w, h, 1, ok = true)
+      case _ => Multimodal.DecodedMeta(mediaId, 0, 0, 0, ok = false)
+    }
+
+  def resize(mediaId: Long, payload: Array[Byte], targetW: Int,
+      targetH: Int): Multimodal.ResizedMeta =
+    parseHeader(payload) match {
+      case Some((color, w, h, mv, off))
+          if targetW > 0 && targetH > 0 &&
+            payload.length - off == rasterLen(color, w, h) =>
+        val ch = if (color) 3 else 1
+        val out = new Array[Byte](targetW * targetH * ch)
+        var k = 0; var y = 0
+        while (y < targetH) {
+          val sy = y * h / targetH
+          var x = 0
+          while (x < targetW) {
+            val sx = x * w / targetW
+            val src = off + (sy * w + sx) * ch
+            var c = 0
+            while (c < ch) { out(k) = payload(src + c); k += 1; c += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        val header = s"${if (color) "P6" else "P5"}\n$targetW $targetH\n$mv\n"
+          .getBytes("US-ASCII")
+        Multimodal.ResizedMeta(mediaId, targetW, targetH, header ++ out, ok = true)
+      case _ =>
+        Multimodal.ResizedMeta(mediaId, 0, 0, Array.emptyByteArray, ok = false)
+    }
+
+  def embed(mediaId: Long, payload: Array[Byte], dim: Int): Array[Float] =
+    parseHeader(payload) match {
+      case Some((color, w, h, _, off))
+          if payload.length - off == rasterLen(color, w, h) =>
+        val hist = new Array[Float](dim)
+        var p = off
+        while (p < payload.length) {
+          val lum =
+            if (color) {
+              val r = payload(p) & 0xff; val g = payload(p + 1) & 0xff
+              val b = payload(p + 2) & 0xff
+              p += 3
+              (2126 * r + 7152 * g + 722 * b) / 10000
+            } else { val v = payload(p) & 0xff; p += 1; v }
+          hist(lum * dim / 256) += 1f
+        }
+        hist
+      case _ => new Array[Float](dim)
+    }
+}
+
 /** The deterministic fake standing in for a real codec: dimensions
   * derive from `java.util.Arrays.hashCode(payload)` (the 31-fold over
   * signed bytes in wrapping 32-bit arithmetic — SQL-expressible, which

@@ -211,5 +211,61 @@ object Multimodal {
            |      AS INT), 4), ',') END AS sampled_frames
            |FROM h ORDER BY media_id""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(qMultimodalMeta, qMultimodalDecode)
+  /** REAL-codec pipeline, oracle'd BYTE-EXACTLY: builds a valid binary
+    * PPM (P6) per document in-plan (geometry from doc_id, raster =
+    * the text's bytes cycled — the strip_markup seeding stance), then
+    * [[PpmCodec]] REALLY parses the header, REALLY nearest-neighbor
+    * resamples to 4×3, and re-encodes; the SQL replays the integer
+    * resample over the constructed raster and sha256-matches the
+    * re-encoded bytes. The corpus is ASCII, so chars ARE bytes in
+    * both engines. This is the multimodal path's proof that the seam
+    * carries a real codec, not just the stub — compressed formats
+    * still enter through the same trait with an external library. */
+  val qMmPpm = QuerySpec(
+    "q_llm_mm_ppm",
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      val built = Tables.load(s, d, "documents").select(
+        col("doc_id"),
+        (lit(1) + pmod(col("doc_id"), lit(8))).as("w"),
+        (lit(1) + pmod(col("doc_id"), lit(5))).as("h"),
+        col("text"))
+        .withColumn("npix", col("w") * col("h") * lit(3))
+        .withColumn("payload", concat(
+          lit("P6\n"), col("w").cast("string"), lit(" "),
+          col("h").cast("string"), lit("\n255\n"),
+          expr("""substring(repeat(text,
+                 |  cast((npix + length(text) - 1) div length(text) as int)),
+                 |  1, cast(npix as int))""".stripMargin)).cast("binary"))
+      val media = toMedia(built, "doc_id", "payload", "image/x-portable-pixmap")
+      val dec = decodeWith(media, PpmCodec)
+      val rs = resizeWith(media, 4, 3, PpmCodec)
+        .select(col("media_id"), col("width").as("r_width"),
+          col("height").as("r_height"),
+          sha2(col("payload"), 256).as("resized_sha256"))
+      dec.join(rs, "media_id").orderBy(col("media_id"))
+    },
+    Some("""WITH src AS (
+           |  SELECT doc_id AS media_id,
+           |    CAST(1 + doc_id % 8 AS INT) AS w,
+           |    CAST(1 + doc_id % 5 AS INT) AS h,
+           |    text, length(text) AS n
+           |  FROM documents
+           |), res AS (
+           |  SELECT media_id, w, h,
+           |    'P6' || chr(10) || '4 3' || chr(10) || '255' || chr(10) ||
+           |    array_to_string(list_transform(range(0, 36), k ->
+           |      substr(text,
+           |        CAST(((((k // 12) * h // 3 * w
+           |          + ((k % 12) // 3) * w // 4) * 3 + k % 3) % n) + 1 AS INT),
+           |        1)), '') AS resized_str
+           |  FROM src
+           |)
+           |SELECT media_id, w AS width, h AS height,
+           |  CAST(1 AS INT) AS n_frames, TRUE AS ok,
+           |  CAST(4 AS INT) AS r_width, CAST(3 AS INT) AS r_height,
+           |  sha256(resized_str) AS resized_sha256
+           |FROM res ORDER BY media_id""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(qMultimodalMeta, qMultimodalDecode, qMmPpm)
 }

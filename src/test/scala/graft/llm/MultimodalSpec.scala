@@ -100,4 +100,74 @@ class MultimodalSpec extends SparkSpec {
       .collect()(0).getSeq[Int](0)
     assert(out == Seq(0, 3, 6, 9))
   }
+
+  private def ppm(w: Int, h: Int, raster: Array[Byte],
+      header: String = null): Array[Byte] = {
+    val hdr = Option(header).getOrElse(s"P6\n$w $h\n255\n")
+    hdr.getBytes("US-ASCII") ++ raster
+  }
+
+  test("PpmCodec.decode parses real netpbm headers, rejects garbage") {
+    val px = Array.tabulate[Byte](12)(_.toByte) // 2x2 RGB
+    val d = PpmCodec.decode(1L, ppm(2, 2, px))
+    assert(d == Multimodal.DecodedMeta(1L, 2, 2, 1, ok = true))
+    // comments + arbitrary whitespace are legal netpbm
+    val commented = "P6 # a comment\n# another\n 2\t2 \n255\n"
+    assert(PpmCodec.decode(2L, ppm(2, 2, px, commented))
+      == Multimodal.DecodedMeta(2L, 2, 2, 1, ok = true))
+    // P5 grayscale: 4 raster bytes for 2x2
+    assert(PpmCodec.decode(3L, ppm(2, 2, px.take(4), "P5\n2 2\n255\n"))
+      == Multimodal.DecodedMeta(3L, 2, 2, 1, ok = true))
+    // bad magic / truncated raster / oversize maxval all flag not-ok
+    assert(!PpmCodec.decode(4L, ppm(2, 2, px, "P7\n2 2\n255\n")).ok)
+    assert(!PpmCodec.decode(5L, ppm(2, 2, px.take(11))).ok)
+    assert(!PpmCodec.decode(6L, ppm(2, 2, px, "P6\n2 2\n65535\n")).ok)
+    assert(!PpmCodec.decode(7L, "not an image at all".getBytes).ok)
+  }
+
+  test("PpmCodec.resize is a real nearest-neighbor resample, re-encoded byte-exactly") {
+    // 2x2 image with distinct solid pixels A B / C D
+    val px = Array[Byte](
+      10, 11, 12,  20, 21, 22,
+      30, 31, 32,  40, 41, 42)
+    val r = PpmCodec.resize(1L, ppm(2, 2, px), 4, 4)
+    assert(r.ok && r.width == 4 && r.height == 4)
+    val hdr = "P6\n4 4\n255\n".getBytes("US-ASCII")
+    assert(r.payload.take(hdr.length).sameElements(hdr), "re-encode header")
+    // sx = x*2/4 -> 0,0,1,1: each source pixel becomes a 2x2 block
+    val out = r.payload.drop(hdr.length)
+    val expect = Array(
+      Seq(10, 11, 12, 10, 11, 12, 20, 21, 22, 20, 21, 22),
+      Seq(10, 11, 12, 10, 11, 12, 20, 21, 22, 20, 21, 22),
+      Seq(30, 31, 32, 30, 31, 32, 40, 41, 42, 40, 41, 42),
+      Seq(30, 31, 32, 30, 31, 32, 40, 41, 42, 40, 41, 42)).flatten
+    assert(out.map(_.toInt).toSeq == expect.toSeq, "quadrant replication")
+    // downscale picks the top-left representative
+    val down = PpmCodec.resize(1L, ppm(2, 2, px), 1, 1)
+    assert(down.payload.drop("P6\n1 1\n255\n".length).map(_.toInt).toSeq
+      == Seq(10, 11, 12))
+    assert(!PpmCodec.resize(1L, "junk".getBytes, 4, 4).ok)
+  }
+
+  test("PpmCodec.embed is a luminance histogram over really-decoded pixels") {
+    // P5 grayscale: values 0 and 255 split into first/last of 4 buckets
+    val g = Array[Byte](0, 0, 0, -1) // -1 = 0xff unsigned
+    val e = PpmCodec.embed(1L, ppm(2, 2, g, "P5\n2 2\n255\n"), 4)
+    assert(e.toSeq == Seq(3f, 0f, 0f, 1f), e.toSeq.toString)
+    // invalid payload embeds to zeros (caller's unit-norm guards 0-div)
+    assert(PpmCodec.embed(2L, "junk".getBytes, 4).toSeq == Seq.fill(4)(0f))
+  }
+
+  test("PpmCodec rides the seam plumbing: valid rows decode, junk flags not-ok") {
+    implicit val s = spark
+    val px = Array.tabulate[Byte](12)(_.toByte)
+    val frames = Seq(
+      (1L, ppm(2, 2, px)),
+      (2L, "definitely not netpbm".getBytes),
+      (3L, Array.emptyByteArray)).toDF("id", "payload")
+    val media = Multimodal.toMedia(frames, "id", "payload", "image/x-portable-pixmap")
+    val got = Multimodal.decodeWith(media, PpmCodec).orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(4)))
+    assert(got.toSeq == Seq((1L, 2, true), (2L, 0, false), (3L, 0, false)))
+  }
 }
