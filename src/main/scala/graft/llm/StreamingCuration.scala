@@ -384,6 +384,45 @@ object StreamingCuration {
       .select(col("doc_id"), col("n_overlap"))
   }
 
+  /** Embedding-space decontamination ON INGEST — the streaming half of
+    * [[Similarity.embContamination]], stream–static like
+    * [[streamingContamination]]: each arriving vector scores against
+    * the broadcast static benchmark-embedding set and emits its best
+    * match when the cosine clears `tau` — catching PARAPHRASED eval
+    * material at the door, before it ever lands in the corpus. The
+    * τ-filter runs BEFORE the aggregate, so only contaminated
+    * (vector, benchmark) rows reach state; the best-match tie-break
+    * (highest cos, then lowest bench_id) is the batch operator's
+    * max_by exactly, and filtering to ≥ τ cannot change the argmax
+    * (the winning pair's cos IS the max, hence ≥ τ) — a streamed flag
+    * is exactly a `contaminated = 1` row of the nightly
+    * q_llm_emb_contam.
+    *
+    * Scale shape: benchmark suites are KBs–MBs of vectors and
+    * broadcast into every micro-batch; the stream holds only the
+    * per-(vec, ts) best-match aggregate, which drains at the
+    * watermark horizon. */
+  def streamingEmbDecontam(vecs: DataFrame, benchmark: DataFrame,
+      tau: Double = 0.95, watermark: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val bench = broadcast(benchmark.select(
+      col("vec_id").as("bench_id"), col("embedding").as("b_emb"),
+      Similarity.norm(col("embedding")).as("b_nrm")))
+    vecs
+      .withWatermark("event_ts", watermark)
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+      .join(bench, col("vec_id") =!= col("bench_id"))
+      .withColumn("cos", Similarity.cosine(
+        col("embedding"), col("b_emb"), col("nrm"), col("b_nrm")))
+      .filter(col("cos") >= lit(tau))
+      .groupBy(col("vec_id"), col("event_ts"))
+      .agg(
+        max_by(col("bench_id"),
+          struct(col("cos"), (-col("bench_id")).as("neg"))).as("bench_id"),
+        max(col("cos")).as("cos"))
+      .select(col("vec_id"), col("bench_id"), col("cos"))
+  }
+
   /** Fuzzy historical dedup ON INGEST — the streaming half of
     * [[TextDedup.nearDupAgainstHistorySigs]], done stream–static like
     * [[streamingLmScore]]/[[streamingContamination]]: the reference

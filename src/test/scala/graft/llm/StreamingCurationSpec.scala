@@ -582,4 +582,41 @@ class StreamingCurationSpec extends SparkSpec {
       assert(streamed == batch, s"stream $streamed != batch $batch")
     } finally q.stop()
   }
+
+  test("streaming embedding decontamination flags only τ-clearing arrivals, matching batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val b0 = (0 until 64).map(i => (math.sin(i) * 0.3).toFloat)
+    val b1 = (0 until 64).map(i => (math.cos(i * 3 + 1) * 0.3).toFloat)
+    val far = (0 until 64).map(i => (math.cos(i * 7 + 2) * 0.3).toFloat)
+    val benchmark = Seq((100L, b0), (200L, b1)).toDF("vec_id", "embedding")
+    val in = MemoryStream[VDoc]
+    val q = StreamingCuration.streamingEmbDecontam(in.toDF(), benchmark,
+      tau = 0.95, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sembdecon")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        vdoc(1, 60, b0.map(_ * 2f)), // same direction as bench 100 -> cos 1
+        vdoc(2, 60, far),            // unrelated -> below τ, never emitted
+        vdoc(3, 61, b1))             // exact copy of bench 200
+      q.processAllAvailable()
+      in.addData(vdoc(9, 120, far)) // push the watermark past the window
+      q.processAllAvailable()
+      val rows = spark.table("sembdecon")
+        .select(col("vec_id"), col("bench_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows == Map(1L -> 100L, 3L -> 200L), rows.toString)
+      // a streamed flag is exactly a contaminated=1 row of the batch op:
+      // same vectors through embContamination (no planting; bench ids
+      // are disjoint from arrival ids so the != guard never bites)
+      val batchAll = Similarity.embContamination(
+        Seq((1L, b0.map(_ * 2f)), (2L, far), (3L, b1), (9L, far),
+          (100L, b0), (200L, b1)).toDF("vec_id", "embedding")
+          .withColumn("nrm", Similarity.norm(col("embedding"))),
+        benchStride = 100, tau = 0.95, plantOffset = 1000000L)
+        .filter(col("contaminated") === 1 && col("vec_id") < 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batchAll == rows, s"stream $rows != batch $batchAll")
+    } finally q.stop()
+  }
 }
