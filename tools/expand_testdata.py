@@ -53,7 +53,12 @@ FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 ID_STRIDE = 1_000_000        # > any sf0.1 id; replica k ids live in [k*S, k*S+n)
 ORDER_STRIDE = 10_000_000    # > max o_orderkey (149999)
-HOT_ID0 = 50_000_000         # hot-dup doc_ids start here (disjoint from replicas)
+# hot-dup doc_ids start ABOVE every replica band (replica k ids live in
+# [k*ID_STRIDE, k*ID_STRIDE + n)), whatever the factor — at factor 100
+# the old fixed 50M start collided with replicas 50..99 and produced
+# 5000 duplicate doc_ids in the sf10 tier (caught by the q_llm_mm_ppm
+# join-explosion row-count mismatch)
+HOT_ID0 = max(50_000_000, (FACTOR + 1) * ID_STRIDE)
 HOT_BASES = 20               # distinct duplicated contents
 HOT_COPIES = 250             # copies per content: 2.5x past maxBucket=100
 SUB_RATE = 76                # substitute words whose md5 % 256 < 76 (~30%)
