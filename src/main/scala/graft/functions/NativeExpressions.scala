@@ -290,6 +290,66 @@ case class Md5ShingleHashesExpr(child: Expression, n: Int, modP: Boolean)
     copy(child = newChild)
 }
 
+/** POSITIONED md5 shingle hashes: array<struct<i:int, h:long>> with i
+  * the 1-based start token of each n-gram and h the
+  * [[Md5ShingleHashesExpr]] modP hash of that n-gram (NON-distinct —
+  * position identity is the point; span removal needs to know WHERE a
+  * duplicated n-gram sits, not just that it exists). Texts shorter
+  * than n tokens emit the single whole-text shingle at position 1
+  * (the same fallback as the distinct kernel, so the duplicated-hash
+  * set built from per-doc-distinct kernel hashes joins this frame
+  * consistently). Replaces TextDedup.spanScrub's expression chain
+  * (md5 + substr + conv + pmod per position, each allocating) with
+  * one digest per position in a single eval. DuckDB replay:
+  * q_llm_span_scrub's `ph` CTE. */
+case class Md5ShinglePosExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  private val P = 2147483647L
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("h", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingle_pos_md5 needs string, got $t")
+  }
+  @transient private lazy val mdTL: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.toString
+    val toks = text.split(" ", -1)
+    val md = mdTL.get()
+    def hashOf(s: String): Long = {
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)) % P
+    }
+    val rows: Array[Any] =
+      if (toks.length >= n) {
+        val out = new Array[Any](toks.length - n + 1)
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i + n <= toks.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out(i) = new GenericInternalRow(Array[Any](i + 1, hashOf(sb.toString)))
+          i += 1
+        }
+        out
+      } else Array[Any](new GenericInternalRow(Array[Any](1, hashOf(text))))
+    new GenericArrayData(rows)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Repetition-dominance kernel: word n-gram shingles of a text column
   * (same tokenizer and shingling as [[ShingleHashesExpr]], but
   * NON-distinct — occurrence counts are the signal), returned as
@@ -806,6 +866,10 @@ object GraftFunctions {
       case Seq(c, Literal(n: Int, IntegerType), Literal(m: Boolean, BooleanType)) =>
         Md5ShingleHashesExpr(c, n, m)
       case es => Md5ShingleHashesExpr(es.head, 3, modP = true)
+    },
+    "graft_shingle_pos_md5" -> {
+      case Seq(c, Literal(n: Int, IntegerType)) => Md5ShinglePosExpr(c, n)
+      case es => Md5ShinglePosExpr(es.head, 10)
     },
     // Spark's internal bloom-filter pair (the runtime-filter machinery,
     // not exposed in the public function registry): a distributed

@@ -1518,18 +1518,13 @@ object TextDedup {
       .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > lit(1)).select(col("h"))
     // positioned (doc_id, i, h) frame: 1-based start positions; a doc
-    // shorter than n tokens hashes its whole text at position 1. The
-    // hash formula is the kernel's md5 fold, restated in expressions,
-    // so positioned and distinct frames agree by construction (the
-    // q_llm_span_overlap oracle pins the same identity in SQL).
+    // shorter than n tokens hashes its whole text at position 1. One
+    // kernel eval per row (Md5ShinglePosExpr) — same md5 fold as the
+    // distinct kernel, so positioned and distinct frames agree by
+    // construction (NativeKernelSpec pins the identity against the
+    // expression chain; the q_llm_span_scrub oracle replays it in SQL).
     val positioned = base.select(col("doc_id"),
-      explode(expr(
-        s"""transform(sequence(1, if(size(toks) >= $n, size(toks) - ${n - 1}, 1)),
-           |  i -> struct(i AS i,
-           |    pmod(cast(conv(substr(md5(cast(
-           |      if(size(toks) >= $n, concat_ws(' ', slice(toks, i, $n)),
-           |         concat_ws(' ', toks)) AS BINARY)), 1, 8), 16, 10) AS BIGINT),
-           |      2147483647) AS h))""".stripMargin)).as("p"))
+      explode(call_udf("graft_shingle_pos_md5", col("text"), lit(n))).as("p"))
       .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
     val hits = positioned.join(dup, Seq("h"), "left_semi")
       .groupBy(col("doc_id"))

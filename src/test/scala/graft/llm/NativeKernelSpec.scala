@@ -91,6 +91,38 @@ class NativeKernelSpec extends SparkSpec {
     assert(df.filter(col("native_raw") =!= col("sql_raw")).count() == 0L)
   }
 
+  test("graft_shingle_pos_md5 matches the positioned SQL expression chain") {
+    // the exact expression chain spanScrub used before the kernel:
+    // 1-based positions, 10-gram joins, first-4-md5-bytes mod 2^31-1,
+    // whole-text fallback at position 1 for short docs
+    val sqlPos = expr(
+      """transform(sequence(1, if(size(toks) >= 10, size(toks) - 9, 1)),
+        |  i -> struct(i AS i,
+        |    pmod(cast(conv(substr(md5(cast(
+        |      if(size(toks) >= 10, concat_ws(' ', slice(toks, i, 10)),
+        |         concat_ws(' ', toks)) AS BINARY)), 1, 8), 16, 10) AS BIGINT),
+        |      2147483647) AS h))""".stripMargin)
+    val edges = spark.createDataFrame(Seq(
+      (-1L, ""), (-2L, "just two"), (-3L, "a  b c d"),
+      (-4L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (-5L, (1 to 11).map(i => s"w$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val df = docs.select(col("doc_id"), col("text")).union(edges)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"),
+        call_udf("graft_shingle_pos_md5", col("text"), lit(10)).as("native"))
+      .withColumn("sql", sqlPos)
+    assert(df.filter(col("native") =!= col("sql")).count() == 0L)
+    // and position identity vs the DISTINCT kernel: every positioned
+    // hash value appears in the distinct set and vice versa
+    val both = docs
+      .select(
+        array_sort(array_distinct(expr(
+          "transform(graft_shingle_pos_md5(text, 10), p -> p.h)"))).as("pos_h"),
+        array_sort(call_udf("graft_shingle_hashes_md5",
+          col("text"), lit(10), lit(true))).as("dist_h"))
+    assert(both.filter(col("pos_h") =!= col("dist_h")).count() == 0L)
+  }
+
   test("md5 LSH variants find the same high-sim structure as the xxhash production path") {
     // different hash families ⇒ possibly different *candidate* sets,
     // but verified pairs at jaccard ≥ 0.5 are hash-independent except
