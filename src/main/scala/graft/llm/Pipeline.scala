@@ -193,17 +193,53 @@ object Pipeline {
     * assignment. The oracle replays every stage in DuckDB, including
     * the recursive-CTE transitive closure standing in for the CC
     * loop. */
-  val qCurate = graft.queries.QuerySpec(
-    "q_llm_curate",
-    (s, d) => {
-      val docs = graft.Tables.load(s, d, "documents")
-      val benchmark = docs.filter(col("doc_id") < 10)
-        .select(col("doc_id"), col("text"))
-      curate(docs, benchmark, shingleKernel = "graft_shingle_hashes_md5")
+  /** The EMBEDDING-AWARE end-to-end pass: [[curate]]'s text pipeline
+    * (normalize → quality gate → MinHash/LSH dedup → decontaminate →
+    * split), then the surviving documents' embeddings flow through
+    * SemDeDup ([[Similarity.semDedupKeepList]] — semantic near-dups
+    * the shingle LSH can't see) and D4 prototype pruning
+    * ([[Similarity.diversifyKeepList]] — over-sample the diverse
+    * tail). One plan, five pipeline families: the full modern
+    * LLM-training-data recipe as a single oracle'd query.
+    *
+    * Documents without an embedding row (vec_id = doc_id contract)
+    * exit at the embedding semi join — the semantic stages only see
+    * embedded docs, in both engines. The curated id frame (id +
+    * source + split, narrow) is persisted once for its two consumers
+    * (the embedding semi join and the final attribute join-back).
+    *
+    * Scale shape: each stage keeps its own documented shape (gate
+    * verdict persisted id-only; capped LSH buckets; log-round CC ×2;
+    * broadcast centroids with map-side argmin); the stages couple
+    * ONLY through narrow id/verdict frames — no text and no embedding
+    * ever crosses between families. */
+  def curateEmb(docs: DataFrame, embeddings: DataFrame,
+      benchmark: DataFrame, lmThresholdPpm: Long = 34000L,
+      temps: TempCache = TempCache.noop,
+      shingleKernel: String = "graft_shingle_hashes",
+      bits: Int = 8, tau: Double = 0.3,
+      centroidStride: Int = 100, dropPpm: Long = 250000L): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val keptIds = temps.register(
+      curate(docs, benchmark, lmThresholdPpm, temps, shingleKernel)
         .select(col("doc_id"), col("source"), col("split"))
-        .orderBy(col("doc_id"))
-    },
-    Some("""WITH RECURSIVE nd AS (
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val vecs = embeddings
+      .join(keptIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val surv = Similarity.semDedupKeepList(vecs, bits, tau)
+    Similarity.diversifyKeepList(surv, centroidStride, dropPpm)
+      .join(keptIds.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"))
+      .select(col("vec_id").as("doc_id"), col("source"), col("split"),
+        col("c_id"), col("cos"))
+  }
+
+  /** The shared DuckDB CTE stack of the curate oracle, through the
+    * `deduped` and `contam` frames — reused verbatim by the
+    * embedding-aware composition oracle below. */
+  private val curateCtePrefix: String =
+    """WITH RECURSIVE nd AS (
            |  SELECT doc_id, source,
            |    lower(trim(regexp_replace(regexp_replace(
            |      text, '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS text
@@ -335,6 +371,19 @@ object Pipeline {
            |), contam AS (
            |  SELECT DISTINCT d.doc_id FROM dth d JOIN bth b ON d.h = b.h
            |)
+           |""".stripMargin
+
+  val qCurate = graft.queries.QuerySpec(
+    "q_llm_curate",
+    (s, d) => {
+      val docs = graft.Tables.load(s, d, "documents")
+      val benchmark = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text"))
+      curate(docs, benchmark, shingleKernel = "graft_shingle_hashes_md5")
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(curateCtePrefix + """
            |SELECT doc_id, source,
            |  CASE WHEN b2 < 90 THEN 'train' WHEN b2 < 95 THEN 'val'
            |       ELSE 'test' END AS split
@@ -344,5 +393,100 @@ object Pipeline {
            |      WHERE doc_id NOT IN (SELECT doc_id FROM contam)) f
            |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[graft.queries.QuerySpec] = Seq(qCurate)
+  /** The whole embedding-aware recipe as ONE correctness row: the
+    * curate stack's CTEs verbatim, then the restricted SemDeDup
+    * replay (sign-LSH signatures with the same hyperplane literals,
+    * capped buckets, cosine threshold, recursive closure) and the
+    * diversify replay (assignment + per-cluster rank + integer floor
+    * threshold), all over only the curated-and-embedded survivors —
+    * five families hash-matched through one composition. */
+  val qCurateEmb = graft.queries.QuerySpec(
+    "q_llm_curate_emb",
+    (s, d) => {
+      val docs = graft.Tables.load(s, d, "documents")
+      val benchmark = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text"))
+      curateEmb(docs, graft.Tables.load(s, d, "embeddings"), benchmark,
+        shingleKernel = "graft_shingle_hashes_md5")
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val planesSql = Similarity.hyperplanes(8, 64, 42L)
+        .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      val dot = (a: String, b: String) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip($a, $b), z -> CAST(z[1]*z[2] AS DOUBLE))),
+           |      (acc, p) -> acc + p)""".stripMargin
+      curateCtePrefix + s"""
+           |, curated AS MATERIALIZED (
+           |  SELECT doc_id, source,
+           |    CASE WHEN b2 < 90 THEN 'train' WHEN b2 < 95 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM (SELECT doc_id, source,
+           |          CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT) % 100 AS b2
+           |        FROM deduped
+           |        WHERE doc_id NOT IN (SELECT doc_id FROM contam)) f
+           |), v AS MATERIALIZED (
+           |  SELECT e.vec_id, e.embedding,
+           |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(e.embedding, x -> CAST(x*x AS DOUBLE))),
+           |      (acc, p) -> acc + p)) AS nrm
+           |  FROM embeddings e JOIN curated c ON e.vec_id = c.doc_id
+           |), pl AS (SELECT $planesSql::DOUBLE[][] AS planes),
+           |esigs AS MATERIALIZED (
+           |  SELECT vec_id, embedding, nrm,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(8), b ->
+           |        CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |            list_transform(list_zip(embedding, planes[b+1]),
+           |              z -> CAST(z[1] AS DOUBLE) * z[2])),
+           |            (acc, p) -> acc + p) >= 0
+           |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+           |      (a, x) -> a + x) AS sig
+           |  FROM v, pl
+           |), esized AS MATERIALIZED (
+           |  SELECT *, count(*) OVER (PARTITION BY sig) AS n FROM esigs
+           |), epairs AS (
+           |  SELECT a.vec_id AS ida, b.vec_id AS idb
+           |  FROM esized a JOIN esized b
+           |    ON a.sig = b.sig AND a.vec_id < b.vec_id
+           |  WHERE a.n > 1 AND a.n <= 1000
+           |    AND ${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+           |        >= 0.3
+           |), eedges AS (
+           |  SELECT ida AS a, idb AS b FROM epairs
+           |  UNION SELECT idb, ida FROM epairs
+           |), ereach(a, b) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM eedges) t0
+           |  UNION
+           |  SELECT r.a, e.b FROM ereach r JOIN eedges e ON r.b = e.a
+           |), edrop AS (
+           |  SELECT a FROM ereach GROUP BY a HAVING a <> min(b)
+           |), surv AS MATERIALIZED (
+           |  SELECT * FROM v WHERE vec_id NOT IN (SELECT a FROM edrop)
+           |), dc AS (
+           |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+           |  FROM surv WHERE vec_id % 100 = 0
+           |), dscored AS MATERIALIZED (
+           |  SELECT s2.vec_id, dc.c_id,
+           |    ${dot("s2.embedding", "dc.c_emb")} / (s2.nrm * dc.c_nrm) AS c_cos
+           |  FROM surv s2, dc
+           |), dassigned AS (
+           |  SELECT vec_id, c_id, c_cos AS cos FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY c_cos DESC, c_id) AS crn
+           |    FROM dscored) WHERE crn = 1
+           |), dranked AS (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY c_id
+           |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rn,
+           |    CAST(count(*) OVER (PARTITION BY c_id) AS BIGINT) AS n_cluster
+           |  FROM dassigned
+           |)
+           |SELECT d.vec_id AS doc_id, c.source, c.split, d.c_id, d.cos
+           |FROM dranked d JOIN curated c ON d.vec_id = c.doc_id
+           |WHERE d.rn > (d.n_cluster * 250000) // 1000000
+           |ORDER BY doc_id""".stripMargin
+    })
+
+  val all: Seq[graft.queries.QuerySpec] = Seq(qCurate, qCurateEmb)
 }

@@ -375,7 +375,11 @@ class PlanSpec extends SparkSpec {
       // span_scrub is hash-keyed end to end
       "q_llm_diversify" -> (2, 0),
       "q_llm_emb_contam" -> (2, 0),
-      "q_llm_span_scrub" -> (0, 0))
+      "q_llm_span_scrub" -> (0, 0),
+      // the five-family composition: its only BNLJ is diversify's
+      // broadcast centroid scoring (1 operator, printed twice); the
+      // curate/semdedup stages stay hash-keyed end to end
+      "q_llm_curate_emb" -> (2, 0))
     val got = budgets.keys.toSeq.sorted.map { q =>
       // the pin is the FRESH-SESSION plan shape: leftover cached frames
       // (this suite's own earlier builds, or — in a full `sbt test` run

@@ -164,4 +164,35 @@ class PipelineSpec extends SparkSpec {
     assert(kept.intersect(Set(1L, 2L)).size == 1,
       s"dedup keeps exactly one of the near-dup pair: $kept")
   }
+
+  test("curateEmb: each embedding stage narrows the curated survivors, attrs join back") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val embeddings = graft.Tables.load(spark, sf0001, "embeddings")
+    val benchmark = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("text"))
+    val temps = new TempCache
+    val curated = Pipeline.curate(docs, benchmark,
+        shingleKernel = "graft_shingle_hashes_md5")
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Pipeline.curateEmb(docs, embeddings, benchmark,
+        temps = temps, shingleKernel = "graft_shingle_hashes_md5")
+      .collect()
+    temps.release(blocking = true)
+    val outIds = out.map(_.getLong(0)).toSet
+    // embedding stages only ever NARROW the text-curated set
+    assert(outIds.subsetOf(curated.keySet), "semantic stages must not resurrect docs")
+    assert(out.nonEmpty && outIds.size < curated.size,
+      s"semdedup+diversify must drop something: ${outIds.size} of ${curated.size}")
+    // split/source attributes survive the join-back unchanged
+    out.foreach { r =>
+      assert(r.getString(2) == curated(r.getLong(0)), s"split drift on ${r.getLong(0)}")
+      assert(r.getString(1) != null && r.getString(1).nonEmpty, "source join-back")
+    }
+    // assignments point at stride-rule centroids (the centroid itself
+    // may legitimately be pruned as its own cluster's most-prototypical)
+    val cids = out.map(_.getLong(3)).toSet
+    assert(cids.forall(_ % 100 == 0), s"centroids follow the stride rule: $cids")
+  }
 }
