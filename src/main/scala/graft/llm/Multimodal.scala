@@ -225,31 +225,49 @@ object Multimodal {
     "q_llm_mm_ppm",
     (s, d) => {
       implicit val sp: SparkSession = s
+      import sp.implicits._
+      // raster source: the text's bytes, with a deterministic 1-byte
+      // fallback so a null/empty text still builds a valid image (the
+      // oracle's % n guard) rather than tripping div-by-zero
       val built = Tables.load(s, d, "documents").select(
         col("doc_id"),
         (lit(1) + pmod(col("doc_id"), lit(8))).as("w"),
         (lit(1) + pmod(col("doc_id"), lit(5))).as("h"),
-        col("text"))
+        expr("CASE WHEN text IS NULL OR text = '' THEN 'x' ELSE text END").as("t"))
         .withColumn("npix", col("w") * col("h") * lit(3))
         .withColumn("payload", concat(
           lit("P6\n"), col("w").cast("string"), lit(" "),
           col("h").cast("string"), lit("\n255\n"),
-          expr("""substring(repeat(text,
-                 |  cast((npix + length(text) - 1) div length(text) as int)),
+          expr("""substring(repeat(t,
+                 |  cast((npix + length(t) - 1) div length(t) as int)),
                  |  1, cast(npix as int))""".stripMargin)).cast("binary"))
+      // ONE codec pass per payload: decode meta AND the 4x3 resample in
+      // the same partition iterator — the payload-build scan runs once
+      // (two independent decodeWith/resizeWith branches would re-build
+      // every payload per branch)
       val media = toMedia(built, "doc_id", "payload", "image/x-portable-pixmap")
-      val dec = decodeWith(media, PpmCodec)
-      val rs = resizeWith(media, 4, 3, PpmCodec)
-        .select(col("media_id"), col("width").as("r_width"),
-          col("height").as("r_height"),
-          sha2(col("payload"), 256).as("resized_sha256"))
-      dec.join(rs, "media_id").orderBy(col("media_id"))
+      media.select(col("media_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          codecScope(PpmCodec, rows).map { case (id, p) =>
+            val dec = PpmCodec.decode(id, p)
+            val rs = PpmCodec.resize(id, p, 4, 3)
+            (id, dec.width, dec.height, dec.n_frames, dec.ok,
+              rs.width, rs.height, rs.payload)
+          }
+        }
+        .toDF("media_id", "width", "height", "n_frames", "ok",
+          "r_width", "r_height", "resized_payload")
+        .withColumn("resized_sha256", sha2(col("resized_payload"), 256))
+        .drop("resized_payload")
+        .orderBy(col("media_id"))
     },
     Some("""WITH src AS (
            |  SELECT doc_id AS media_id,
            |    CAST(1 + doc_id % 8 AS INT) AS w,
            |    CAST(1 + doc_id % 5 AS INT) AS h,
-           |    text, length(text) AS n
+           |    CASE WHEN text IS NULL OR text = '' THEN 'x' ELSE text END AS text,
+           |    length(CASE WHEN text IS NULL OR text = '' THEN 'x' ELSE text END) AS n
            |  FROM documents
            |), res AS (
            |  SELECT media_id, w, h,

@@ -410,13 +410,7 @@ object Pipeline {
         shingleKernel = "graft_shingle_hashes_md5")
         .orderBy(col("doc_id"))
     },
-    Some {
-      val planesSql = Similarity.hyperplanes(8, 64, 42L)
-        .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-      val dot = (a: String, b: String) =>
-        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |      list_transform(list_zip($a, $b), z -> CAST(z[1]*z[2] AS DOUBLE))),
-           |      (acc, p) -> acc + p)""".stripMargin
+    Some(
       curateCtePrefix + s"""
            |, curated AS MATERIALIZED (
            |  SELECT doc_id, source,
@@ -432,61 +426,14 @@ object Pipeline {
            |      list_transform(e.embedding, x -> CAST(x*x AS DOUBLE))),
            |      (acc, p) -> acc + p)) AS nrm
            |  FROM embeddings e JOIN curated c ON e.vec_id = c.doc_id
-           |), pl AS (SELECT $planesSql::DOUBLE[][] AS planes),
-           |esigs AS MATERIALIZED (
-           |  SELECT vec_id, embedding, nrm,
-           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |      list_transform(range(8), b ->
-           |        CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |            list_transform(list_zip(embedding, planes[b+1]),
-           |              z -> CAST(z[1] AS DOUBLE) * z[2])),
-           |            (acc, p) -> acc + p) >= 0
-           |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
-           |      (a, x) -> a + x) AS sig
-           |  FROM v, pl
-           |), esized AS MATERIALIZED (
-           |  SELECT *, count(*) OVER (PARTITION BY sig) AS n FROM esigs
-           |), epairs AS (
-           |  SELECT a.vec_id AS ida, b.vec_id AS idb
-           |  FROM esized a JOIN esized b
-           |    ON a.sig = b.sig AND a.vec_id < b.vec_id
-           |  WHERE a.n > 1 AND a.n <= 1000
-           |    AND ${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
-           |        >= 0.3
-           |), eedges AS (
-           |  SELECT ida AS a, idb AS b FROM epairs
-           |  UNION SELECT idb, ida FROM epairs
-           |), ereach(a, b) AS (
-           |  SELECT a, a FROM (SELECT DISTINCT a FROM eedges) t0
-           |  UNION
-           |  SELECT r.a, e.b FROM ereach r JOIN eedges e ON r.b = e.a
-           |), edrop AS (
-           |  SELECT a FROM ereach GROUP BY a HAVING a <> min(b)
-           |), surv AS MATERIALIZED (
-           |  SELECT * FROM v WHERE vec_id NOT IN (SELECT a FROM edrop)
-           |), dc AS (
-           |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
-           |  FROM surv WHERE vec_id % 100 = 0
-           |), dscored AS MATERIALIZED (
-           |  SELECT s2.vec_id, dc.c_id,
-           |    ${dot("s2.embedding", "dc.c_emb")} / (s2.nrm * dc.c_nrm) AS c_cos
-           |  FROM surv s2, dc
-           |), dassigned AS (
-           |  SELECT vec_id, c_id, c_cos AS cos FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY vec_id
-           |      ORDER BY c_cos DESC, c_id) AS crn
-           |    FROM dscored) WHERE crn = 1
-           |), dranked AS (
-           |  SELECT *, CAST(row_number() OVER (PARTITION BY c_id
-           |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rn,
-           |    CAST(count(*) OVER (PARTITION BY c_id) AS BIGINT) AS n_cluster
-           |  FROM dassigned
-           |)
+           |), ${Similarity.semDedupReplayCtes("v", "e", materialized = true)}
+           |, surv AS MATERIALIZED (
+           |  SELECT * FROM v WHERE vec_id NOT IN (SELECT a FROM edropset)
+           |), ${Similarity.diversifyReplayCtes("surv", "d", materialized = true)}
            |SELECT d.vec_id AS doc_id, c.source, c.split, d.c_id, d.cos
            |FROM dranked d JOIN curated c ON d.vec_id = c.doc_id
-           |WHERE d.rn > (d.n_cluster * 250000) // 1000000
-           |ORDER BY doc_id""".stripMargin
-    })
+           |WHERE ${Similarity.diversifyKeepSql}
+           |ORDER BY doc_id""".stripMargin))
 
   val all: Seq[graft.queries.QuerySpec] = Seq(qCurate, qCurateEmb)
 }

@@ -167,12 +167,12 @@ object Similarity {
     * operation order (see [[qCosineTopK]]'s oracle): float products
     * (or float×double-plane products) accumulated left-to-right in
     * double. */
-  private def duckDot(a: String, b: String): String =
+  private[llm] def duckDot(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list_transform(list_zip($a, $b), z -> CAST(z[1]*z[2] AS DOUBLE))),
        |      (acc, p) -> acc + p)""".stripMargin
 
-  private val duckNormCte: String =
+  private[llm] val duckNormCte: String =
     """SELECT vec_id, embedding,
       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |      list_transform(embedding, x -> CAST(x*x AS DOUBLE))),
@@ -1788,52 +1788,101 @@ object Similarity {
     * threshold, and the transitive closure are all replayed in SQL
     * (the closure as a recursive CTE with min-reachable-id labeling,
     * as the text dedup clusters oracle does). */
+  /** The SemDeDup DuckDB replay CTE chain over a `(vec_id, embedding,
+    * nrm)` source CTE named `src`: sign-LSH signatures (the same
+    * hyperplane literals the kernel uses), capped buckets, cosine
+    * threshold, recursive closure. CTE names get prefix `p` (so a
+    * composition can avoid collisions); `materialized` pins the
+    * multiply-referenced frames against DuckDB's exponential CTE
+    * inlining (the q_llm_curate_emb lesson: the self-join doubles the
+    * whole upstream chain per level). SHARED by [[qSemDedup]] and the
+    * composition oracle (Pipeline.qCurateEmb) so thresholds and plane
+    * literals live in exactly one place. Emits `${p}dropset(a)` as the
+    * final drop-set CTE. */
+  private[llm] def semDedupReplayCtes(src: String, p: String = "",
+      materialized: Boolean = false): String = {
+    val m = if (materialized) " MATERIALIZED" else ""
+    val planesSql = hyperplanes(8, 64, 42L)
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""pl AS (SELECT $planesSql::DOUBLE[][] AS planes),
+       |${p}sigs AS$m (
+       |  SELECT vec_id, embedding, nrm,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(8), b ->
+       |        CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |            list_transform(list_zip(embedding, planes[b+1]),
+       |              z -> CAST(z[1] AS DOUBLE) * z[2])),
+       |            (acc, p) -> acc + p) >= 0
+       |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+       |      (a, x) -> a + x) AS sig
+       |  FROM $src, pl
+       |), ${p}sized AS$m (
+       |  SELECT *, count(*) OVER (PARTITION BY sig) AS n FROM ${p}sigs
+       |), ${p}pairs AS (
+       |  SELECT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM ${p}sized a JOIN ${p}sized b
+       |    ON a.sig = b.sig AND a.vec_id < b.vec_id
+       |  WHERE a.n > 1 AND a.n <= 1000
+       |    AND ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+       |        >= 0.3
+       |), ${p}edges AS (
+       |  SELECT ida AS a, idb AS b FROM ${p}pairs
+       |  UNION SELECT idb, ida FROM ${p}pairs
+       |), ${p}reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM ${p}edges) t0
+       |  UNION
+       |  SELECT r.a, e.b FROM ${p}reach r JOIN ${p}edges e ON r.b = e.a
+       |), ${p}dropset AS (
+       |  SELECT a FROM ${p}reach GROUP BY a HAVING a <> min(b)
+       |)""".stripMargin
+  }
+
+  /** The diversify DuckDB replay CTE chain over a `(vec_id, embedding,
+    * nrm)` source CTE named `src`: stride centroids, the qEmbOutlier
+    * assignment replay, per-cluster rank/count. Shared by
+    * [[qDiversify]] and the composition oracle. Emits `${p}ranked`;
+    * pair with [[diversifyKeepSql]] as the WHERE predicate. */
+  private[llm] def diversifyReplayCtes(src: String, p: String = "",
+      materialized: Boolean = false): String = {
+    val m = if (materialized) " MATERIALIZED" else ""
+    s"""${p}c AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM $src WHERE vec_id % 100 = 0
+       |), ${p}scored AS$m (
+       |  SELECT s0.vec_id, ${p}c.c_id,
+       |    ${duckDot("s0.embedding", s"${p}c.c_emb")} / (s0.nrm * ${p}c.c_nrm) AS c_cos
+       |  FROM $src s0, ${p}c
+       |), ${p}assigned AS (
+       |  SELECT vec_id, c_id, c_cos AS cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c_cos DESC, c_id) AS crn
+       |    FROM ${p}scored) WHERE crn = 1
+       |), ${p}ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY c_id
+       |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY c_id) AS BIGINT) AS n_cluster
+       |  FROM ${p}assigned
+       |)""".stripMargin
+  }
+
+  /** The diversify keep predicate (drop the floor(ppm) most
+    * prototypical per cluster) — the one place the 250000 threshold
+    * lives on the SQL side. */
+  private[llm] val diversifyKeepSql: String =
+    "rn > (n_cluster * 250000) // 1000000"
+
   val qSemDedup = QuerySpec(
     "q_llm_semdedup",
     (s, d) =>
       semDedupKeepList(vectors(s, d))
         .select(col("vec_id"))
         .orderBy(col("vec_id")),
-    Some {
-      val planesSql = hyperplanes(8, 64, 42L)
-        .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-      s"""WITH RECURSIVE v AS (
-         |  $duckNormCte
-         |), pl AS (SELECT $planesSql::DOUBLE[][] AS planes),
-         |sigs AS (
-         |  SELECT vec_id, embedding, nrm,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range(8), b ->
-         |        CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |            list_transform(list_zip(embedding, planes[b+1]),
-         |              z -> CAST(z[1] AS DOUBLE) * z[2])),
-         |            (acc, p) -> acc + p) >= 0
-         |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
-         |      (a, x) -> a + x) AS sig
-         |  FROM v, pl
-         |), sized AS (
-         |  SELECT *, count(*) OVER (PARTITION BY sig) AS n FROM sigs
-         |), pairs AS (
-         |  SELECT a.vec_id AS ida, b.vec_id AS idb
-         |  FROM sized a JOIN sized b
-         |    ON a.sig = b.sig AND a.vec_id < b.vec_id
-         |  WHERE a.n > 1 AND a.n <= 1000
-         |    AND ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
-         |        >= 0.3
-         |), edges AS (
-         |  SELECT ida AS a, idb AS b FROM pairs
-         |  UNION SELECT idb, ida FROM pairs
-         |), reach(a, b) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-         |), drop_ids AS (
-         |  SELECT a FROM reach GROUP BY a HAVING a <> min(b)
-         |)
-         |SELECT vec_id FROM embeddings
-         |WHERE vec_id NOT IN (SELECT a FROM drop_ids)
-         |ORDER BY vec_id""".stripMargin
-    })
+    Some(s"""WITH RECURSIVE v AS (
+            |  $duckNormCte
+            |), ${semDedupReplayCtes("v")}
+            |SELECT vec_id FROM embeddings
+            |WHERE vec_id NOT IN (SELECT a FROM dropset)
+            |ORDER BY vec_id""".stripMargin))
 
   /** ANN quality harness: recall@k of the IVF index against the exact
     * brute-force top-k, per query — the number every index deployment
@@ -1928,6 +1977,7 @@ object Similarity {
   def diversifyKeepList(vecs: DataFrame, centroidStride: Int,
       dropPpm: Long = 250000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
     val centroids = broadcast(
       vecs.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
@@ -1958,26 +2008,9 @@ object Similarity {
         .orderBy(col("vec_id")),
     Some(s"""WITH v AS (
             |  $duckNormCte
-            |), c AS (
-            |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
-            |  FROM v WHERE vec_id % 100 = 0
-            |), scored AS (
-            |  SELECT v.vec_id, c.c_id,
-            |    ${duckDot("v.embedding", "c.c_emb")} / (v.nrm * c.c_nrm) AS c_cos
-            |  FROM v, c
-            |), assigned AS (
-            |  SELECT vec_id, c_id, c_cos AS cos FROM (
-            |    SELECT *, row_number() OVER (PARTITION BY vec_id
-            |      ORDER BY c_cos DESC, c_id) AS crn
-            |    FROM scored) WHERE crn = 1
-            |), ranked AS (
-            |  SELECT *, CAST(row_number() OVER (PARTITION BY c_id
-            |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rn,
-            |    CAST(count(*) OVER (PARTITION BY c_id) AS BIGINT) AS n_cluster
-            |  FROM assigned
-            |)
+            |), ${diversifyReplayCtes("v")}
             |SELECT vec_id, c_id, cos, rn, n_cluster FROM ranked
-            |WHERE rn > (n_cluster * 250000) // 1000000
+            |WHERE $diversifyKeepSql
             |ORDER BY vec_id""".stripMargin))
 
   // ---- embedding-space decontamination ------------------------------------
@@ -1997,6 +2030,7 @@ object Similarity {
     * beyond the final per-vec_id aggregation. */
   def embContamination(vecs: DataFrame, benchStride: Int = 97,
       tau: Double = 0.95, plantOffset: Long = 1000000000L): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
     val bench = broadcast(
       vecs.filter(pmod(col("vec_id"), lit(benchStride)) === 0)
         .select(col("vec_id").as("bench_id"), col("embedding").as("b_emb"),

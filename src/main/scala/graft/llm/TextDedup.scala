@@ -1510,12 +1510,17 @@ object TextDedup {
       .select(col("doc_id"), col("text"), toks.as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // per-doc DISTINCT hashes (the spanOverlapPairs kernel) -> corpus
-    // duplicated-hash set; count(*) per hash IS the doc count
+    // duplicated-hash set. countDistinct(doc_id), NOT count(*): the
+    // kernel dedups by shingle STRING, so two different n-grams of one
+    // doc colliding into the same 31-bit hash would emit that hash
+    // twice for a single doc — count(*) would flip it into the dup set
+    // (and diverge from the oracle's SELECT DISTINCT doc_id, h form)
+    // even though no other document shares it
     val dup = base
       .select(col("doc_id"),
         explode(call_udf("graft_shingle_hashes_md5",
           col("text"), lit(n), lit(true))).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("cnt"))
       .filter(col("cnt") > lit(1)).select(col("h"))
     // positioned (doc_id, i, h) frame: 1-based start positions; a doc
     // shorter than n tokens hashes its whole text at position 1. One
