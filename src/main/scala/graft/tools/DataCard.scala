@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Consolidated release data card — the document a dataset release
+  * ships with, assembled from the individually oracle'd card queries:
+  *
+  *   runMain graft.tools.DataCard /root/testdata/sf0.01 [out.md]
+  *
+  * Each section IS a declared query (`SparkEntry.queries`), so every
+  * number on the card is a value the DuckDB oracle hash-checks at
+  * sf0.01 — the card can't drift from the verified operators. Output
+  * is GitHub markdown to stdout (and optionally a file).
+  *
+  * Sections are k-row aggregates (sources × splits × signals), so the
+  * collect here is the legitimate driver-side display of tiny frames
+  * (the Cli.scala stance) — the heavy lifting stays distributed inside
+  * each query's own documented plan shape.
+  */
+object DataCard {
+
+  /** (section title, qid, one-line caption) in report order. */
+  private val sections: Seq[(String, String, String)] = Seq(
+    ("Release manifest", "q_llm_manifest",
+      "doc count, char volume, and an order-independent content checksum per (split, source) — two releases match iff manifests match"),
+    ("Source composition", "q_llm_source_report",
+      "docs, exact token sums, distinct texts, exact-dup rate per source in one scan"),
+    ("Quality gate pass rates", "q_llm_quality_card",
+      "ppm pass rate of each gate signal (rules / repetition / LM fluency) per source"),
+    ("Length distribution", "q_llm_len_percentiles",
+      "exact nearest-rank p50/p90/p99 token counts per source"),
+    ("Near-dup cluster histogram", "q_llm_dedup_stats",
+      "cluster-size histogram of the near-dup graph — the mega-cluster early warning"),
+    ("Dedup impact", "q_llm_dedup_impact",
+      "docs AND tokens retained by the keep-list per source (token-weighted: long duplicates dominate)"),
+    ("PII incidence", "q_llm_pii_report",
+      "docs with email / long-number hits, total hits, ppm of PII-bearing docs per source"),
+    ("Tokenizer fertility", "q_llm_fertility",
+      "BPE pieces per million chars per source under the trained merge table"),
+    ("Topic clusters vs sources", "q_llm_cluster_card",
+      "per embedding cluster: doc count + dominant source with exact ppm share"),
+    ("ANN index health", "q_llm_ivf_stats",
+      "per-IVF-list occupancy — a skewed quantizer turns few-probe serving into a near-exhaustive scan"))
+
+  private def renderTable(df: DataFrame, maxRows: Int): String = {
+    val cols = df.columns.toSeq
+    val rows = df.limit(maxRows + 1).collect()
+    val shown = rows.take(maxRows)
+    val header = cols.mkString("| ", " | ", " |")
+    val rule = cols.map(_ => "---").mkString("| ", " | ", " |")
+    val body = shown.map(r =>
+      cols.indices.map(i => String.valueOf(r.get(i))).mkString("| ", " | ", " |"))
+    val more = if (rows.length > maxRows) s"\n_…truncated at $maxRows rows_" else ""
+    (header +: rule +: body).mkString("\n") + more
+  }
+
+  def render(spark: SparkSession, sfDir: String, maxRows: Int = 30): String = {
+    val parts = sections.map { case (title, qid, caption) =>
+      val body =
+        try renderTable(graft.SparkEntry.queries(qid)(spark, sfDir), maxRows)
+        catch { case e: Throwable => s"_section failed: ${e.getMessage}_" }
+      finally spark.catalog.clearCache()
+      s"## $title\n\n$caption (`$qid`).\n\n$body\n"
+    }
+    s"# Dataset release card\n\nCorpus: `$sfDir`\n\n" + parts.mkString("\n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val card = render(spark, sfDir)
+    println(card)
+    args.drop(1).headOption.foreach { out =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        card.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    spark.stop()
+  }
+}
