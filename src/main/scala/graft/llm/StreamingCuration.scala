@@ -423,6 +423,19 @@ object StreamingCuration {
       .select(col("vec_id"), col("bench_id"), col("cos"))
   }
 
+  /** Surgical decontamination ON INGEST — [[TextDedup.decontamScrub]]
+    * applied to the feed: the batch chain is deliberately STATELESS
+    * (benchmark hash set as one broadcast row, positioned kernel +
+    * index mask per row — no aggregate, no watermark, no stream
+    * state), so the same function IS the streaming operator; each
+    * arriving document leaves with its leaked benchmark spans cut out.
+    * StreamingCurationSpec pins stream output == batch output on the
+    * same documents. */
+  def streamingDecontamScrub(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame =
+    TextDedup.decontamScrub(docs.select(col("doc_id"), col("text")),
+      benchmark, n)
+
   /** Fuzzy historical dedup ON INGEST — the streaming half of
     * [[TextDedup.nearDupAgainstHistorySigs]], done stream–static like
     * [[streamingLmScore]]/[[streamingContamination]]: the reference

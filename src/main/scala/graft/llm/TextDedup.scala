@@ -1546,6 +1546,95 @@ object TextDedup {
         (col("n_tokens") - size(col("keep")).cast("long")).as("n_removed"))
   }
 
+  /** SURGICAL decontamination: cut every `n`-gram span that appears in
+    * the benchmark set out of each document, instead of dropping the
+    * whole document (the [[contamination]] policy) — keeps the 99% of
+    * a long document that ISN'T the leaked eval passage. Same mask
+    * semantics as [[spanScrub]] with the benchmark's shingle hashes as
+    * the bad set; documents shorter than `n` tokens are one whole-doc
+    * span (an exact short benchmark copy scrubs to empty). n = 8, the
+    * decontamination convention.
+    *
+    * Scale shape: the benchmark hash set is EVAL-SUITE-sized, so
+    * instead of spanScrub's positioned-explode + semi join + join-back
+    * (needed when the bad set is corpus-sized), the whole set rides as
+    * ONE broadcast row and the scrub is a zero-shuffle per-row chain:
+    * positioned kernel → array_contains filter → index mask. That
+    * also makes the chain STATELESS and stream-legal —
+    * [[StreamingCuration.streamingDecontamScrub]] is this exact
+    * function on the feed. */
+  def decontamScrub(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val bad = broadcast(benchmark
+      .select(explode(call_udf("graft_shingle_hashes_md5",
+        col("text"), lit(n), lit(true))).as("h"))
+      .agg(sort_array(collect_set(col("h"))).as("bad")))
+    docs.crossJoin(bad)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("his", expr(
+        s"""transform(filter(graft_shingle_pos_md5(text, $n),
+           |  p -> array_contains(bad, p.h)), p -> p.i)""".stripMargin))
+      .withColumn("sl",
+        when(size(col("toks")) >= n, lit(n)).otherwise(size(col("toks"))))
+      .withColumn("keep", expr(
+        "filter(toks, (x, j0) -> NOT exists(his, i -> i <= j0 + 1 AND j0 + 1 < i + sl))"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("keep")).as("text_scrubbed"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("keep"))).cast("long").as("n_removed"))
+  }
+
+  /** Replayed in DuckDB with the benchmark-hash set standing where
+    * span_scrub's duplicated set stands (8-gram positioned hashes,
+    * same 1-based/0-based index alignment). */
+  val qDecontamScrub = QuerySpec(
+    "q_llm_decontam_scrub",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      decontamScrub(docs, docs.filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tk AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           |), bh AS (
+           |  SELECT DISTINCT
+           |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483647 AS h
+           |  FROM (
+           |    SELECT unnest(
+           |      CASE WHEN len(toks) >= 8 THEN
+           |        list_distinct(list_transform(range(1, len(toks) - 6),
+           |          i -> array_to_string(toks[i:i+7], ' ')))
+           |      ELSE [array_to_string(toks, ' ')] END) AS t
+           |    FROM tk WHERE doc_id < 10)
+           |), ph AS (
+           |  SELECT doc_id, i,
+           |    CAST(('0x' || substr(md5(
+           |      CASE WHEN len(toks) >= 8
+           |           THEN array_to_string(toks[i:i+7], ' ')
+           |           ELSE array_to_string(toks, ' ') END), 1, 8)) AS BIGINT)
+           |      % 2147483647 AS h
+           |  FROM tk, unnest(range(1, greatest(len(toks) - 6, 2))) AS u(i)
+           |), hits AS (
+           |  SELECT doc_id, list_sort(list(i)) AS his
+           |  FROM ph SEMI JOIN bh USING (h) GROUP BY doc_id
+           |), scrub AS (
+           |  SELECT t.doc_id, t.toks, coalesce(h.his, []) AS his,
+           |    CASE WHEN len(t.toks) >= 8 THEN 8 ELSE len(t.toks) END AS sl
+           |  FROM tk t LEFT JOIN hits h USING (doc_id)
+           |), kept AS (
+           |  SELECT doc_id, len(toks) AS n_tokens,
+           |    list_filter(toks, (x, j) ->
+           |      len(list_filter(his, i -> i <= j AND j < i + sl)) = 0) AS keep
+           |  FROM scrub
+           |)
+           |SELECT doc_id,
+           |  coalesce(array_to_string(keep, ' '), '') AS text_scrubbed,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(n_tokens - len(keep) AS BIGINT) AS n_removed
+           |FROM kept ORDER BY doc_id""".stripMargin))
+
   /** Fully replayed in DuckDB: positioned 10-gram md5 hashes, the
     * per-doc-distinct duplicated set, and the index mask (DuckDB
     * lambda indices are 1-based where Spark's are 0-based — the
@@ -1591,6 +1680,6 @@ object TextDedup {
     Seq(qExactDedup, qNgramJaccard, qMinhash, qMinhashMd5, qSimhash,
       qSimhashMd5, qSourceSim, qSourceSimMd5, qDedupClusters, qKeepList,
       qKeepBest, qContamination, qHistDedup, qHistNearDup, qSplitLeak,
-      qSpanOverlap, qSpanScrub, qDupRun, qDedupStats, qDedupImpact,
-      qDedupWeights)
+      qSpanOverlap, qSpanScrub, qDecontamScrub, qDupRun, qDedupStats,
+      qDedupImpact, qDedupWeights)
 }

@@ -379,7 +379,10 @@ class PlanSpec extends SparkSpec {
       // the five-family composition: its only BNLJ is diversify's
       // broadcast centroid scoring (1 operator, printed twice); the
       // curate/semdedup stages stay hash-keyed end to end
-      "q_llm_curate_emb" -> (2, 0))
+      "q_llm_curate_emb" -> (2, 0),
+      // the benchmark hash set rides as ONE broadcast row (the tfidf
+      // scalar stance): 1 BNLJ (printed twice), zero corpus shuffle
+      "q_llm_decontam_scrub" -> (2, 0))
     val got = budgets.keys.toSeq.sorted.map { q =>
       // the pin is the FRESH-SESSION plan shape: leftover cached frames
       // (this suite's own earlier builds, or — in a full `sbt test` run

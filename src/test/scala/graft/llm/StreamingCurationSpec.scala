@@ -583,6 +583,30 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDecontamScrub cuts benchmark spans on ingest, byte-equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val passage = (1 to 8).map(i => s"e$i").mkString(" ")
+    val benchmark = Seq((99L, passage)).toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, s"clean head $passage clean tail words"),
+      (2L, "nothing leaked in this one at all"))
+    val in = MemoryStream[Doc]
+    val q = StreamingCuration.streamingDecontamScrub(in.toDF(), benchmark)
+      .writeStream.format("memory").queryName("sdscrub")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.map { case (id, t) => doc(id, 60, "s", t) })
+      q.processAllAvailable()
+      val streamed = spark.table("sdscrub")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+      val batch = TextDedup.decontamScrub(rows.toDF("doc_id", "text"), benchmark)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed.exists(t => t._1 == 1L && t._3 == 8L &&
+        t._2 == "clean head clean tail words"), streamed.toString)
+    } finally q.stop()
+  }
+
   test("streaming embedding decontamination flags only τ-clearing arrivals, matching batch") {
     implicit val sqlCtx = spark.sqlContext
     val b0 = (0 until 64).map(i => (math.sin(i) * 0.3).toFloat)

@@ -453,6 +453,27 @@ class TextDedupSpec extends SparkSpec {
     assert(out(4) == (5L, "", 3L, 3L), out(4).toString)
   }
 
+  test("decontamScrub cuts only the leaked benchmark span, keeps the rest") {
+    val passage = (1 to 8).map(i => s"b$i").mkString(" ") // one 8-gram
+    val docs = docsDf(
+      1L -> s"intro words here $passage and a long tail of clean text",
+      2L -> "entirely unrelated document content",
+      3L -> passage)                 // exact benchmark copy -> empty
+    val benchmark = Seq((99L, passage)).toDF("doc_id", "text")
+    val out = TextDedup.decontamScrub(docs, benchmark)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(out(0) == (1L,
+      "intro words here and a long tail of clean text", 8L), out(0).toString)
+    assert(out(1) == (2L, "entirely unrelated document content", 0L))
+    assert(out(2) == (3L, "", 8L), out(2).toString)
+    // empty benchmark is the identity scrub
+    val id = TextDedup.decontamScrub(docs,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      .orderBy(col("doc_id")).collect().map(_.getLong(3))
+    assert(id.toSeq == Seq(0L, 0L, 0L))
+  }
+
   test("spanScrub overlapping spans mask the union of their positions") {
     // docs share 10-grams at positions 1 AND 2 of doc 1 (an 11-token
     // copied run): covered = [1,11], survivor = the 12th token only
