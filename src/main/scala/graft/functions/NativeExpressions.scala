@@ -350,6 +350,45 @@ case class Md5ShinglePosExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Binary-search membership in a SORTED array<long> — the probe side
+  * of a broadcast hash-set scan without the O(|set|) linear walk
+  * `array_contains` does per call: decontamScrub probes every n-gram
+  * position of every document against the benchmark hash set, so a
+  * 10k-token doc × a 100k-hash multi-benchmark suite is 1e9 long
+  * compares under array_contains and ~1.7e5 under log2. The array
+  * MUST be ascending (callers build it with sort_array); unsorted
+  * input gives garbage, not an error — this is a kernel, not a
+  * validator. Null-safe via UnaryExpression-style null propagation. */
+case class SortedContainsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"sorted_contains needs (array<bigint>, bigint), got ($l, $r)")
+    }
+  override def nullSafeEval(arr: Any, x: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val v = x.asInstanceOf[Long]
+    var lo = 0
+    var hi = a.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val m = a.getLong(mid)
+      if (m == v) return true
+      else if (m < v) lo = mid + 1
+      else hi = mid - 1
+    }
+    false
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Repetition-dominance kernel: word n-gram shingles of a text column
   * (same tokenizer and shingling as [[ShingleHashesExpr]], but
   * NON-distinct — occurrence counts are the signal), returned as
@@ -871,6 +910,7 @@ object GraftFunctions {
       case Seq(c, Literal(n: Int, IntegerType)) => Md5ShinglePosExpr(c, n)
       case es => Md5ShinglePosExpr(es.head, 10)
     },
+    "graft_sorted_contains" -> (es => SortedContainsExpr(es(0), es(1))),
     // Spark's internal bloom-filter pair (the runtime-filter machinery,
     // not exposed in the public function registry): a distributed
     // build over long keys + the codegen'd membership probe. Registered

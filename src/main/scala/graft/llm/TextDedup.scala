@@ -1502,6 +1502,62 @@ object TextDedup {
     * back as one tiny sorted int array (bounded by doc length, keyed
     * by doc_id — no hot key). The mask itself is a per-row array
     * filter: O(len·|hits|) with no further shuffle. */
+  /** Shared scrub tail: a frame of (doc_id, toks, his, sl) — sorted
+    * 1-based hit start positions and the span length — masked to the
+    * scrubbed output columns. The 0-based Spark lambda index aligns to
+    * the kernel's 1-based positions as j0 + 1; single source for
+    * [[spanScrub]] and [[decontamScrub]] so a mask-semantics fix can't
+    * reach one and miss the other. */
+  private def maskSpans(withHits: DataFrame): DataFrame =
+    withHits
+      .withColumn("keep", expr(
+        "filter(toks, (x, j0) -> NOT exists(his, i -> i <= j0 + 1 AND j0 + 1 < i + sl))"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("keep")).as("text_scrubbed"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("keep"))).cast("long").as("n_removed"))
+
+  /** DuckDB replay of the positioned-hash frame: `tk` (tokens) + `ph`
+    * (1-based n-gram start positions + md5 hashes, whole-text fallback
+    * at position 1 for short docs). Shared prefix of the two scrub
+    * oracles; the caller appends its own bad-hash CTE (which may
+    * reference `ph`) and then [[duckScrubTailSql]]. */
+  private def duckScrubPrefixSql(n: Int): String =
+    s"""tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), ph AS (
+       |  SELECT doc_id, i,
+       |    CAST(('0x' || substr(md5(
+       |      CASE WHEN len(toks) >= $n
+       |           THEN array_to_string(toks[i:i+${n - 1}], ' ')
+       |           ELSE array_to_string(toks, ' ') END), 1, 8)) AS BIGINT)
+       |      % 2147483647 AS h
+       |  FROM tk, unnest(range(1, greatest(len(toks) - ${n - 2}, 2))) AS u(i)
+       |)""".stripMargin
+
+  /** DuckDB replay of the mask tail over `ph` and a bad-hash CTE named
+    * `badCte` (DuckDB lambda indices are 1-based where Spark's are
+    * 0-based — the replay aligns them explicitly). */
+  private def duckScrubTailSql(n: Int, badCte: String): String =
+    s"""hits AS (
+       |  SELECT doc_id, list_sort(list(i)) AS his
+       |  FROM ph SEMI JOIN $badCte USING (h) GROUP BY doc_id
+       |), scrub AS (
+       |  SELECT t.doc_id, t.toks, coalesce(h.his, []) AS his,
+       |    CASE WHEN len(t.toks) >= $n THEN $n ELSE len(t.toks) END AS sl
+       |  FROM tk t LEFT JOIN hits h USING (doc_id)
+       |), kept AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    list_filter(toks, (x, j) ->
+       |      len(list_filter(his, i -> i <= j AND j < i + sl)) = 0) AS keep
+       |  FROM scrub
+       |)
+       |SELECT doc_id,
+       |  coalesce(array_to_string(keep, ' '), '') AS text_scrubbed,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_tokens - len(keep) AS BIGINT) AS n_removed
+       |FROM kept ORDER BY doc_id""".stripMargin
+
   def spanScrub(docs: DataFrame, n: Int = 10,
       temps: TempCache = TempCache.noop): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -1534,16 +1590,10 @@ object TextDedup {
     val hits = positioned.join(dup, Seq("h"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("i"))).as("his"))
-    base.join(hits, Seq("doc_id"), "left")
+    maskSpans(base.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),
         coalesce(col("his"), expr("array()").cast("array<int>")).as("his"),
-        when(size(col("toks")) >= n, lit(n)).otherwise(size(col("toks"))).as("sl"))
-      .select(col("doc_id"),
-        expr("filter(toks, (x, j0) -> NOT exists(his, i -> i <= j0 + 1 AND j0 + 1 < i + sl))").as("keep"),
-        size(col("toks")).cast("long").as("n_tokens"))
-      .select(col("doc_id"), concat_ws(" ", col("keep")).as("text_scrubbed"),
-        col("n_tokens"),
-        (col("n_tokens") - size(col("keep")).cast("long")).as("n_removed"))
+        when(size(col("toks")) >= n, lit(n)).otherwise(size(col("toks"))).as("sl")))
   }
 
   /** SURGICAL decontamination: cut every `n`-gram span that appears in
@@ -1570,19 +1620,19 @@ object TextDedup {
       .select(explode(call_udf("graft_shingle_hashes_md5",
         col("text"), lit(n), lit(true))).as("h"))
       .agg(sort_array(collect_set(col("h"))).as("bad")))
-    docs.crossJoin(bad)
+    // the set is sort_array'd so membership is the binary-search kernel
+    // (graft_sorted_contains), not array_contains' linear walk: every
+    // n-gram position of every doc probes the set, so a 10k-token doc
+    // against a 100k-hash multi-benchmark suite is ~1e9 compares linear
+    // vs ~1.7e5 at log2
+    maskSpans(docs.crossJoin(bad)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("his", expr(
         s"""transform(filter(graft_shingle_pos_md5(text, $n),
-           |  p -> array_contains(bad, p.h)), p -> p.i)""".stripMargin))
+           |  p -> graft_sorted_contains(bad, p.h)), p -> p.i)""".stripMargin))
       .withColumn("sl",
         when(size(col("toks")) >= n, lit(n)).otherwise(size(col("toks"))))
-      .withColumn("keep", expr(
-        "filter(toks, (x, j0) -> NOT exists(his, i -> i <= j0 + 1 AND j0 + 1 < i + sl))"))
-      .select(col("doc_id"),
-        concat_ws(" ", col("keep")).as("text_scrubbed"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        (size(col("toks")) - size(col("keep"))).cast("long").as("n_removed"))
+      .select(col("doc_id"), col("toks"), col("his"), col("sl")))
   }
 
   /** Replayed in DuckDB with the benchmark-hash set standing where
@@ -1596,44 +1646,17 @@ object TextDedup {
         .select(col("doc_id"), col("text")))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH tk AS (
-           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-           |), bh AS (
-           |  SELECT DISTINCT
-           |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483647 AS h
-           |  FROM (
-           |    SELECT unnest(
-           |      CASE WHEN len(toks) >= 8 THEN
-           |        list_distinct(list_transform(range(1, len(toks) - 6),
-           |          i -> array_to_string(toks[i:i+7], ' ')))
-           |      ELSE [array_to_string(toks, ' ')] END) AS t
-           |    FROM tk WHERE doc_id < 10)
-           |), ph AS (
-           |  SELECT doc_id, i,
-           |    CAST(('0x' || substr(md5(
-           |      CASE WHEN len(toks) >= 8
-           |           THEN array_to_string(toks[i:i+7], ' ')
-           |           ELSE array_to_string(toks, ' ') END), 1, 8)) AS BIGINT)
-           |      % 2147483647 AS h
-           |  FROM tk, unnest(range(1, greatest(len(toks) - 6, 2))) AS u(i)
-           |), hits AS (
-           |  SELECT doc_id, list_sort(list(i)) AS his
-           |  FROM ph SEMI JOIN bh USING (h) GROUP BY doc_id
-           |), scrub AS (
-           |  SELECT t.doc_id, t.toks, coalesce(h.his, []) AS his,
-           |    CASE WHEN len(t.toks) >= 8 THEN 8 ELSE len(t.toks) END AS sl
-           |  FROM tk t LEFT JOIN hits h USING (doc_id)
-           |), kept AS (
-           |  SELECT doc_id, len(toks) AS n_tokens,
-           |    list_filter(toks, (x, j) ->
-           |      len(list_filter(his, i -> i <= j AND j < i + sl)) = 0) AS keep
-           |  FROM scrub
-           |)
-           |SELECT doc_id,
-           |  coalesce(array_to_string(keep, ' '), '') AS text_scrubbed,
-           |  CAST(n_tokens AS BIGINT) AS n_tokens,
-           |  CAST(n_tokens - len(keep) AS BIGINT) AS n_removed
-           |FROM kept ORDER BY doc_id""".stripMargin))
+    Some(s"""WITH ${duckScrubPrefixSql(8)}, bh AS (
+            |  SELECT DISTINCT
+            |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483647 AS h
+            |  FROM (
+            |    SELECT unnest(
+            |      CASE WHEN len(toks) >= 8 THEN
+            |        list_distinct(list_transform(range(1, len(toks) - 6),
+            |          i -> array_to_string(toks[i:i+7], ' ')))
+            |      ELSE [array_to_string(toks, ' ')] END) AS t
+            |    FROM tk WHERE doc_id < 10)
+            |), ${duckScrubTailSql(8, "bh")}""".stripMargin))
 
   /** Fully replayed in DuckDB: positioned 10-gram md5 hashes, the
     * per-doc-distinct duplicated set, and the index mask (DuckDB
@@ -1644,37 +1667,10 @@ object TextDedup {
     (s, d) =>
       spanScrub(Tables.load(s, d, "documents"))
         .orderBy(col("doc_id")),
-    Some("""WITH tk AS (
-           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-           |), ph AS (
-           |  SELECT doc_id, i,
-           |    CAST(('0x' || substr(md5(
-           |      CASE WHEN len(toks) >= 10
-           |           THEN array_to_string(toks[i:i+9], ' ')
-           |           ELSE array_to_string(toks, ' ') END), 1, 8)) AS BIGINT)
-           |      % 2147483647 AS h
-           |  FROM tk, unnest(range(1, greatest(len(toks) - 8, 2))) AS u(i)
-           |), dup AS (
-           |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM ph)
-           |  GROUP BY h HAVING count(*) > 1
-           |), hits AS (
-           |  SELECT doc_id, list_sort(list(i)) AS his
-           |  FROM ph SEMI JOIN dup USING (h) GROUP BY doc_id
-           |), scrub AS (
-           |  SELECT t.doc_id, t.toks, coalesce(h.his, []) AS his,
-           |    CASE WHEN len(t.toks) >= 10 THEN 10 ELSE len(t.toks) END AS sl
-           |  FROM tk t LEFT JOIN hits h USING (doc_id)
-           |), kept AS (
-           |  SELECT doc_id, len(toks) AS n_tokens,
-           |    list_filter(toks, (x, j) ->
-           |      len(list_filter(his, i -> i <= j AND j < i + sl)) = 0) AS keep
-           |  FROM scrub
-           |)
-           |SELECT doc_id,
-           |  coalesce(array_to_string(keep, ' '), '') AS text_scrubbed,
-           |  CAST(n_tokens AS BIGINT) AS n_tokens,
-           |  CAST(n_tokens - len(keep) AS BIGINT) AS n_removed
-           |FROM kept ORDER BY doc_id""".stripMargin))
+    Some(s"""WITH ${duckScrubPrefixSql(10)}, dup AS (
+            |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM ph)
+            |  GROUP BY h HAVING count(*) > 1
+            |), ${duckScrubTailSql(10, "dup")}""".stripMargin))
 
   val all: Seq[QuerySpec] =
     Seq(qExactDedup, qNgramJaccard, qMinhash, qMinhashMd5, qSimhash,

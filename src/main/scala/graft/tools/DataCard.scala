@@ -42,23 +42,33 @@ object DataCard {
     ("ANN index health", "q_llm_ivf_stats",
       "per-IVF-list occupancy — a skewed quantizer turns few-probe serving into a near-exhaustive scan"))
 
+  /** Pipes and newlines in cell values would split/break the markdown
+    * row — escape them so the table stays well-formed whatever the
+    * query emits. */
+  private def cell(v: Any): String =
+    String.valueOf(v).replace("|", "\\|").replace("\n", " ").replace("\r", " ")
+
   private def renderTable(df: DataFrame, maxRows: Int): String = {
     val cols = df.columns.toSeq
     val rows = df.limit(maxRows + 1).collect()
     val shown = rows.take(maxRows)
-    val header = cols.mkString("| ", " | ", " |")
+    val header = cols.map(cell).mkString("| ", " | ", " |")
     val rule = cols.map(_ => "---").mkString("| ", " | ", " |")
     val body = shown.map(r =>
-      cols.indices.map(i => String.valueOf(r.get(i))).mkString("| ", " | ", " |"))
+      cols.indices.map(i => cell(r.get(i))).mkString("| ", " | ", " |"))
     val more = if (rows.length > maxRows) s"\n_…truncated at $maxRows rows_" else ""
     (header +: rule +: body).mkString("\n") + more
   }
 
   def render(spark: SparkSession, sfDir: String, maxRows: Int = 30): String = {
+    val qs = graft.SparkEntry.queries // build the spec inventory ONCE
     val parts = sections.map { case (title, qid, caption) =>
       val body =
-        try renderTable(graft.SparkEntry.queries(qid)(spark, sfDir), maxRows)
-        catch { case e: Throwable => s"_section failed: ${e.getMessage}_" }
+        try renderTable(qs(qid)(spark, sfDir), maxRows)
+        // NonFatal only: a section degrades to a footnote, but an OOM
+        // or interrupt must not masquerade as one bad section; toString
+        // keeps the exception identity (getMessage is often null)
+        catch { case scala.util.control.NonFatal(e) => s"_section failed: $e _" }
       finally spark.catalog.clearCache()
       s"## $title\n\n$caption (`$qid`).\n\n$body\n"
     }

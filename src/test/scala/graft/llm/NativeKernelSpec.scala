@@ -123,6 +123,25 @@ class NativeKernelSpec extends SparkSpec {
     assert(both.filter(col("pos_h") =!= col("dist_h")).count() == 0L)
   }
 
+  test("graft_sorted_contains: binary search == array_contains on sorted arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      val arr = Seq.fill(rnd.nextInt(20))(rnd.nextInt(50).toLong).sorted
+      val probe = rnd.nextInt(50).toLong
+      (arr, probe)
+    }
+    val df = rows.toDF("arr", "x")
+      .withColumn("bs", call_udf("graft_sorted_contains", col("arr"), col("x")))
+      .withColumn("lin", array_contains(col("arr"), col("x")))
+    assert(df.filter(col("bs") =!= col("lin")).count() == 0L)
+    // empty array and null propagation
+    val edge = Seq((Seq.empty[Long], 1L)).toDF("arr", "x")
+      .select(call_udf("graft_sorted_contains", col("arr"), col("x")))
+      .collect()(0).getBoolean(0)
+    assert(!edge)
+  }
+
   test("md5 LSH variants find the same high-sim structure as the xxhash production path") {
     // different hash families ⇒ possibly different *candidate* sets,
     // but verified pairs at jaccard ≥ 0.5 are hash-independent except
