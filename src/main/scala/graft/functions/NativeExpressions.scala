@@ -365,8 +365,15 @@ case class SortedContainsExpr(left: Expression, right: Expression)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), LongType) =>
+      case (ArrayType(LongType, false), LongType) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, true), LongType) =>
+        // ArrayData.getLong reads a null slot as 0 — silently wrong
+        // membership, so nullable-element arrays are a type error, not
+        // a runtime hazard (callers build via sort_array(collect_set)).
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "sorted_contains needs array<bigint> with non-null elements " +
+            "(containsNull=true would binary-search over 0-read null slots)")
       case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
         .TypeCheckFailure(s"sorted_contains needs (array<bigint>, bigint), got ($l, $r)")
     }

@@ -119,15 +119,21 @@ object PpmCodec extends MediaCodec {
     parseHeader(payload) match {
       case Some((color, w, h, mv, off))
           if targetW > 0 && targetH > 0 &&
+            // Int-overflow guard: a 50000x50000 RGB target is ~7.5e9
+            // bytes — targetW*targetH*ch wraps negative (or to a small
+            // wrong size) in Int. Oversize targets are not-ok, not OOM.
+            targetW.toLong * targetH * (if (color) 3 else 1) <= Int.MaxValue &&
             payload.length - off == rasterLen(color, w, h) =>
         val ch = if (color) 3 else 1
         val out = new Array[Byte](targetW * targetH * ch)
         var k = 0; var y = 0
         while (y < targetH) {
-          val sy = y * h / targetH
+          // Long intermediates: y*h (and x*w) overflow Int when both
+          // the target and source dimensions are large.
+          val sy = (y.toLong * h / targetH).toInt
           var x = 0
           while (x < targetW) {
-            val sx = x * w / targetW
+            val sx = (x.toLong * w / targetW).toInt
             val src = off + (sy * w + sx) * ch
             var c = 0
             while (c < ch) { out(k) = payload(src + c); k += 1; c += 1 }

@@ -208,6 +208,13 @@ object Pipeline {
     * source + split, narrow) is persisted once for its two consumers
     * (the embedding semi join and the final attribute join-back).
     *
+    * CACHE LIFETIME CONTRACT: with the default `temps =
+    * TempCache.noop` the internal persist is never released — correct
+    * only for one-shot JVMs (Verify/Bench) or callers that
+    * `catalog.clearCache()` afterwards. A long-lived driver MUST pass
+    * a real [[TempCache]] and call `release()` after materializing the
+    * result, or the narrow id frame leaks one cached copy per call.
+    *
     * Scale shape: each stage keeps its own documented shape (gate
     * verdict persisted id-only; capped LSH buckets; log-round CC ×2;
     * broadcast centroids with map-side argmin); the stages couple
@@ -432,7 +439,7 @@ object Pipeline {
            |), ${Similarity.diversifyReplayCtes("surv", "d", materialized = true)}
            |SELECT d.vec_id AS doc_id, c.source, c.split, d.c_id, d.cos
            |FROM dranked d JOIN curated c ON d.vec_id = c.doc_id
-           |WHERE ${Similarity.diversifyKeepSql}
+           |WHERE ${Similarity.diversifyKeepSql()}
            |ORDER BY doc_id""".stripMargin))
 
   val all: Seq[graft.queries.QuerySpec] = Seq(qCurate, qCurateEmb)

@@ -1774,8 +1774,8 @@ object Similarity {
     * text path's logarithmic-round connected components; the final
     * keep-list is one anti join on vec_id. */
   def semDedupKeepList(vecs: DataFrame, bits: Int = 8,
-      tau: Double = 0.3): DataFrame = {
-    val pairs = embNearDupPairs(vecs, bits = bits)
+      tau: Double = 0.3, maxBucket: Int = 1000): DataFrame = {
+    val pairs = embNearDupPairs(vecs, bits = bits, maxBucket = maxBucket)
       .filter(col("cos") >= tau)
       .select(col("ida"), col("idb"))
     val drop = TextDedup.connectedComponents(pairs)
@@ -1798,17 +1798,20 @@ object Similarity {
     * whole upstream chain per level). SHARED by [[qSemDedup]] and the
     * composition oracle (Pipeline.qCurateEmb) so thresholds and plane
     * literals live in exactly one place. Emits `${p}dropset(a)` as the
-    * final drop-set CTE. */
+    * final drop-set CTE. The hyperparameters (bits/tau/maxBucket)
+    * mirror [[semDedupKeepList]]'s — interpolated, not hardcoded, so a
+    * QuerySpec exercising non-default params stays oracle-equal. */
   private[llm] def semDedupReplayCtes(src: String, p: String = "",
-      materialized: Boolean = false): String = {
+      materialized: Boolean = false, bits: Int = 8, tau: Double = 0.3,
+      maxBucket: Int = 1000): String = {
     val m = if (materialized) " MATERIALIZED" else ""
-    val planesSql = hyperplanes(8, 64, 42L)
+    val planesSql = hyperplanes(bits, 64, 42L)
       .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     s"""pl AS (SELECT $planesSql::DOUBLE[][] AS planes),
        |${p}sigs AS$m (
        |  SELECT vec_id, embedding, nrm,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(range(8), b ->
+       |      list_transform(range($bits), b ->
        |        CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |            list_transform(list_zip(embedding, planes[b+1]),
        |              z -> CAST(z[1] AS DOUBLE) * z[2])),
@@ -1822,9 +1825,9 @@ object Similarity {
        |  SELECT a.vec_id AS ida, b.vec_id AS idb
        |  FROM ${p}sized a JOIN ${p}sized b
        |    ON a.sig = b.sig AND a.vec_id < b.vec_id
-       |  WHERE a.n > 1 AND a.n <= 1000
+       |  WHERE a.n > 1 AND a.n <= $maxBucket
        |    AND ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
-       |        >= 0.3
+       |        >= $tau
        |), ${p}edges AS (
        |  SELECT ida AS a, idb AS b FROM ${p}pairs
        |  UNION SELECT idb, ida FROM ${p}pairs
@@ -1843,11 +1846,11 @@ object Similarity {
     * [[qDiversify]] and the composition oracle. Emits `${p}ranked`;
     * pair with [[diversifyKeepSql]] as the WHERE predicate. */
   private[llm] def diversifyReplayCtes(src: String, p: String = "",
-      materialized: Boolean = false): String = {
+      materialized: Boolean = false, centroidStride: Int = 100): String = {
     val m = if (materialized) " MATERIALIZED" else ""
     s"""${p}c AS (
        |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
-       |  FROM $src WHERE vec_id % 100 = 0
+       |  FROM $src WHERE vec_id % $centroidStride = 0
        |), ${p}scored AS$m (
        |  SELECT s0.vec_id, ${p}c.c_id,
        |    ${duckDot("s0.embedding", s"${p}c.c_emb")} / (s0.nrm * ${p}c.c_nrm) AS c_cos
@@ -1866,10 +1869,11 @@ object Similarity {
   }
 
   /** The diversify keep predicate (drop the floor(ppm) most
-    * prototypical per cluster) — the one place the 250000 threshold
-    * lives on the SQL side. */
-  private[llm] val diversifyKeepSql: String =
-    "rn > (n_cluster * 250000) // 1000000"
+    * prototypical per cluster) — the SQL twin of
+    * [[diversifyKeepList]]'s dropPpm filter, parameterized so
+    * non-default QuerySpecs can't silently diverge. */
+  private[llm] def diversifyKeepSql(dropPpm: Long = 250000L): String =
+    s"rn > (n_cluster * $dropPpm) // 1000000"
 
   val qSemDedup = QuerySpec(
     "q_llm_semdedup",
@@ -2010,7 +2014,7 @@ object Similarity {
             |  $duckNormCte
             |), ${diversifyReplayCtes("v")}
             |SELECT vec_id, c_id, cos, rn, n_cluster FROM ranked
-            |WHERE $diversifyKeepSql
+            |WHERE ${diversifyKeepSql()}
             |ORDER BY vec_id""".stripMargin))
 
   // ---- embedding-space decontamination ------------------------------------

@@ -757,7 +757,17 @@ object TextAnalysis {
     * reuses a token produced by a merge in the same round (the
     * standard single-pass semantics — a run "b b b" under merge
     * (b,b) yields ["b b", "b"]). */
-  def bpeInduce(docs: DataFrame, k: Int = 10): Seq[(String, String, Long)] = {
+  def bpeInduce(docs: DataFrame, k: Int = 10,
+      maxDocs: Long = 1000000L): Seq[(String, String, Long)] = {
+    // The "bounded sample" contract, enforced: each of the k rounds
+    // scans the full input k times through a driver-sequential loop,
+    // so an accidental full-corpus call is a 100 TB × k scan. The
+    // probe reads at most maxDocs+1 rows (limit early-exits the scan).
+    val probed = docs.limit((maxDocs + 1).min(Int.MaxValue).toInt).count()
+    require(probed <= maxDocs,
+      s"bpeInduce input exceeds maxDocs=$maxDocs documents; vocabulary " +
+        "induction runs over a bounded sample (Curation.sample / " +
+        "quotaSample feed it) — pass a sampled frame or raise maxDocs")
     def adjacentPairs(toks: Column): Column =
       when(size(toks) >= 2, zip_with(
         slice(toks, lit(1), size(toks) - 1),

@@ -149,6 +149,18 @@ class MultimodalSpec extends SparkSpec {
     assert(!PpmCodec.resize(1L, "junk".getBytes, 4, 4).ok)
   }
 
+  test("PpmCodec.resize rejects Int-overflow target buffers as not-ok") {
+    val px = Array.tabulate[Byte](12)(_.toByte)
+    // 50000*50000*3 overflows Int — must flag not-ok, not throw/OOM
+    val big = PpmCodec.resize(1L, ppm(2, 2, px), 50000, 50000)
+    assert(!big.ok && big.payload.isEmpty)
+    // a non-overflowing but large-dim pair with the OTHER axis tiny is
+    // fine (exercises the Long-side guard arithmetic, not a refusal of
+    // all large dims)
+    val tall = PpmCodec.resize(1L, ppm(2, 2, px), 1, 4096)
+    assert(tall.ok && tall.height == 4096)
+  }
+
   test("PpmCodec.embed is a luminance histogram over really-decoded pixels") {
     // P5 grayscale: values 0 and 255 split into first/last of 4 buckets
     val g = Array[Byte](0, 0, 0, -1) // -1 = 0xff unsigned

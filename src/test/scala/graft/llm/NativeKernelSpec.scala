@@ -142,6 +142,17 @@ class NativeKernelSpec extends SparkSpec {
     assert(!edge)
   }
 
+  test("graft_sorted_contains rejects nullable-element arrays at analysis") {
+    import spark.implicits._
+    // ArrayData.getLong reads a null slot as 0, so containsNull=true
+    // input must be a type error, not silent wrong membership
+    val df = Seq((Seq(Some(1L), None, Some(3L)), 2L)).toDF("arr", "x")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_udf("graft_sorted_contains", col("arr"), col("x"))).collect()
+    }
+    assert(e.getMessage.contains("non-null elements"), e.getMessage)
+  }
+
   test("md5 LSH variants find the same high-sim structure as the xxhash production path") {
     // different hash families ⇒ possibly different *candidate* sets,
     // but verified pairs at jaccard ≥ 0.5 are hash-independent except

@@ -313,6 +313,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.size == 8 && got.map(m => (m._1, m._2)).distinct.size == 8)
   }
 
+  test("bpeInduce enforces its bounded-sample contract (maxDocs)") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    // over the bound: refused up front, before any of the k round scans
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeInduce(docs, k = 2, maxDocs = 5L)
+    }
+    assert(e.getMessage.contains("maxDocs"), e.getMessage)
+    // at the bound: runs
+    assert(TextAnalysis.bpeInduce(docs, k = 1, maxDocs = 10L).size == 1)
+  }
+
   test("bpeEncode kernel == rank-order applyMerge chain on induced merges (training consistency)") {
     graft.functions.GraftFunctions.register(spark)
     val docs = graft.Tables.load(spark, sf0001, "documents").limit(120)
