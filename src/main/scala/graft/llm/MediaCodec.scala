@@ -169,6 +169,105 @@ object PpmCodec extends MediaCodec {
     }
 }
 
+/** A real COMPRESSED-format codec backed by the JDK's own
+  * `javax.imageio` (the PNG/BMP/GIF/JPEG readers ship with the
+  * `java.desktop` module — zero external dependencies): the proof
+  * that MediaCodec.scala's documented drop-in recipe holds for an
+  * actual compressed decode path, not just the uncompressed netpbm
+  * one. Same contract as [[PpmCodec]]:
+  *
+  *  - [[decode]] really parses the container (PNG signature, IHDR,
+  *    inflate — whatever `ImageIO.read` needs) and reports true frame
+  *    geometry; undecodable bytes are the not-ok row, never a throw;
+  *  - [[resize]] nearest-neighbor-resamples the decoded pixels with
+  *    the same `src = floor(dst·srcDim/dstDim)` mapping as PpmCodec
+  *    and re-encodes as PNG. The JDK PNG writer is
+  *    deterministic-per-pixels (no timestamps/ancillary chunks —
+  *    pinned by MultimodalSpec), which the dedup/fingerprint layers
+  *    above require;
+  *  - [[embed]] is the same Rec.709 integer luminance histogram as
+  *    PpmCodec, over really-decoded pixels — so the two codecs embed
+  *    IDENTICAL images identically whatever the container format
+  *    (pinned: a PPM raster and its PNG re-encode agree).
+  *
+  * `ImageIO` holds static reader registries — nothing per-image lives
+  * beyond the call, so the object is safely serializable and needs no
+  * open()/close() context. Availability is probed via
+  * [[ImageIoCodec.available]]; environments stripped of
+  * `java.desktop` skip-gate (the reference's own optional-dependency
+  * pattern, rediscache_test.go:16-28). */
+object ImageIoCodec extends MediaCodec {
+
+  /** True when a PNG reader is registered (i.e. java.desktop is
+    * present and imageio initialized) — the spec's skip gate. */
+  def available: Boolean =
+    try javax.imageio.ImageIO.getImageReadersByFormatName("png").hasNext
+    catch { case _: Throwable => false }
+
+  private def read(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  def decode(mediaId: Long, payload: Array[Byte]): Multimodal.DecodedMeta =
+    read(payload) match {
+      case Some(img) =>
+        Multimodal.DecodedMeta(mediaId, img.getWidth, img.getHeight, 1, ok = true)
+      case None => Multimodal.DecodedMeta(mediaId, 0, 0, 0, ok = false)
+    }
+
+  def resize(mediaId: Long, payload: Array[Byte], targetW: Int,
+      targetH: Int): Multimodal.ResizedMeta = {
+    val notOk = Multimodal.ResizedMeta(mediaId, 0, 0, Array.emptyByteArray,
+      ok = false)
+    // same Int-overflow stance as PpmCodec: absurd targets are not-ok
+    if (targetW <= 0 || targetH <= 0 ||
+      targetW.toLong * targetH > Int.MaxValue / 4) notOk
+    else read(payload) match {
+      case Some(img) =>
+        val out = new java.awt.image.BufferedImage(targetW, targetH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < targetH) {
+          val sy = (y.toLong * img.getHeight / targetH).toInt
+          var x = 0
+          while (x < targetW) {
+            val sx = (x.toLong * img.getWidth / targetW).toInt
+            out.setRGB(x, y, img.getRGB(sx, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        if (!javax.imageio.ImageIO.write(out, "png", bos)) notOk
+        else Multimodal.ResizedMeta(mediaId, targetW, targetH,
+          bos.toByteArray, ok = true)
+      case None => notOk
+    }
+  }
+
+  def embed(mediaId: Long, payload: Array[Byte], dim: Int): Array[Float] =
+    read(payload) match {
+      case Some(img) =>
+        val hist = new Array[Float](dim)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            val lum = (2126 * r + 7152 * g + 722 * b) / 10000
+            hist(lum * dim / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        hist
+      case None => new Array[Float](dim)
+    }
+}
+
 /** The deterministic fake standing in for a real codec: dimensions
   * derive from `java.util.Arrays.hashCode(payload)` (the 31-fold over
   * signed bytes in wrapping 32-bit arithmetic — SQL-expressible, which

@@ -182,4 +182,126 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(4)))
     assert(got.toSeq == Seq((1L, 2, true), (2L, 0, false), (3L, 0, false)))
   }
+
+  // ---- cross-codec contract suite ---------------------------------------
+  // One behavior contract, three codecs: the stub (plumbing-only), the
+  // pure-JVM netpbm codec, and the JDK-imageio PNG codec. Each REAL
+  // codec entry supplies an encoder and a pixel reader for the same
+  // deterministic test image, so the suite can assert true geometry,
+  // true pixels, and cross-codec agreement — not just "returns ok".
+  // ImageIO rows skip-gate when java.desktop is stripped (the
+  // reference's optional-dependency pattern, rediscache_test.go:16-28).
+
+  /** Deterministic RGB test pattern (same pixels whatever the container). */
+  private def pxAt(x: Int, y: Int): (Int, Int, Int) =
+    ((x * 37 + y * 11) % 256, (x * 91 + y * 7) % 256, (x * 3 + y * 53) % 256)
+
+  private def ppmOf(w: Int, h: Int): Array[Byte] = {
+    val raster = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pxAt(x, y); val o = (y * w + x) * 3
+      raster(o) = r.toByte; raster(o + 1) = g.toByte; raster(o + 2) = b.toByte
+    }
+    s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ raster
+  }
+
+  private def pngOf(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pxAt(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Read back pixel (x, y) of a codec's payload encoding. */
+  private def ppmPixel(p: Array[Byte], w: Int, x: Int, y: Int): (Int, Int, Int) = {
+    val off = p.indexOfSlice("255\n".getBytes("US-ASCII")) + 4
+    val o = off + (y * w + x) * 3
+    ((p(o) & 0xff, p(o + 1) & 0xff, p(o + 2) & 0xff))
+  }
+  private def pngPixel(p: Array[Byte], w: Int, x: Int, y: Int): (Int, Int, Int) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    val rgb = img.getRGB(x, y)
+    (((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff))
+  }
+
+  private case class RealCodecCase(name: String, codec: MediaCodec,
+      enc: (Int, Int) => Array[Byte],
+      pixel: (Array[Byte], Int, Int, Int) => (Int, Int, Int),
+      gate: () => Boolean)
+
+  private lazy val realCodecs = Seq(
+    RealCodecCase("ppm", PpmCodec, ppmOf, ppmPixel, () => true),
+    RealCodecCase("imageio", ImageIoCodec, pngOf, pngPixel,
+      () => ImageIoCodec.available))
+
+  for (c <- realCodecs) {
+    test(s"codec contract [${c.name}]: true geometry, garbage rejection, determinism") {
+      assume(c.gate(), s"${c.name} codec unavailable in this JVM")
+      val img = c.enc(5, 4)
+      assert(c.codec.decode(1L, img) ==
+        Multimodal.DecodedMeta(1L, 5, 4, 1, ok = true))
+      assert(!c.codec.decode(2L, "garbage bytes".getBytes).ok)
+      assert(!c.codec.resize(2L, "garbage bytes".getBytes, 2, 2).ok)
+      assert(c.codec.embed(2L, "garbage bytes".getBytes, 4).toSeq
+        == Seq.fill(4)(0f))
+      val r1 = c.codec.resize(1L, img, 3, 2)
+      val r2 = c.codec.resize(1L, img, 3, 2)
+      assert(r1.ok && r1.payload.sameElements(r2.payload),
+        "re-encode must be byte-deterministic (dedup layers above)")
+      assert(c.codec.embed(1L, img, 8).toSeq == c.codec.embed(1L, img, 8).toSeq)
+    }
+
+    test(s"codec contract [${c.name}]: resize really resamples (pixel-exact NN)") {
+      assume(c.gate(), s"${c.name} codec unavailable in this JVM")
+      val img = c.enc(4, 4)
+      val r = c.codec.resize(1L, img, 2, 2)
+      assert(r.ok && r.width == 2 && r.height == 2)
+      // src = floor(dst*4/2) -> pixels (0,0) (2,0) (0,2) (2,2)
+      for ((dx, dy) <- Seq((0, 0), (1, 0), (0, 1), (1, 1)))
+        assert(c.pixel(r.payload, 2, dx, dy) == pxAt(dx * 2, dy * 2),
+          s"resized pixel ($dx,$dy)")
+      // oversize target: not-ok, not an allocation attempt
+      assert(!c.codec.resize(1L, img, 50000, 50000).ok)
+    }
+
+    test(s"codec contract [${c.name}]: plumbing round-trip (short-circuit, unit norm)") {
+      assume(c.gate(), s"${c.name} codec unavailable in this JVM")
+      implicit val s = spark
+      val frames = Seq((1L, c.enc(4, 4)), (2L, Array.emptyByteArray),
+        (3L, "junk".getBytes)).toDF("id", "payload")
+      val m = Multimodal.toMedia(frames, "id", "payload", "image/test")
+      val d = Multimodal.decodeWith(m, c.codec).orderBy("media_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(4)))
+      assert(d.toSeq == Seq((1L, 4, true), (2L, 0, false), (3L, 0, false)))
+      val e = Multimodal.embedWith(m, c.codec, dim = 8).orderBy("media_id")
+        .collect()
+      val v = e.find(_.getLong(0) == 1L).get.getSeq[Float](1)
+      assert(v.length == 8 &&
+        math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-5, "unit norm")
+    }
+  }
+
+  test("cross-codec agreement: PPM raster and PNG re-encode of the SAME pixels " +
+    "decode, embed, and resample identically") {
+    assume(ImageIoCodec.available, "imageio codec unavailable in this JVM")
+    val (w, h) = (6, 5)
+    val asPpm = ppmOf(w, h); val asPng = pngOf(w, h)
+    // geometry agrees
+    assert(PpmCodec.decode(1L, asPpm).width == ImageIoCodec.decode(1L, asPng).width)
+    // the luminance-histogram embedding is container-independent
+    assert(PpmCodec.embed(1L, asPpm, 16).toSeq
+      == ImageIoCodec.embed(1L, asPng, 16).toSeq,
+      "identical pixels must embed identically whatever the container")
+    // nearest-neighbor resample picks identical source pixels
+    val rp = PpmCodec.resize(1L, asPpm, 3, 2)
+    val ri = ImageIoCodec.resize(1L, asPng, 3, 2)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(ppmPixel(rp.payload, 3, x, y) == pngPixel(ri.payload, 3, x, y),
+        s"resampled pixel ($x,$y) differs between codecs")
+  }
 }
