@@ -1596,6 +1596,143 @@ object TextDedup {
         when(size(col("toks")) >= n, lit(n)).otherwise(size(col("toks"))).as("sl")))
   }
 
+  /** EXACT substring duplication at byte offsets — the precise form of
+    * Lee et al.'s exact-substring dedup (their suffix-array pass finds
+    * verbatim duplicated substrings of ≥50 tokens; here the SAME spans
+    * come out of the positioned-hash frame the scrub family already
+    * builds): every maximal run of tokens covered by 50-gram windows
+    * whose verbatim text appears in MORE THAN ONE document is reported
+    * as one span with its BYTE offsets into the original text —
+    * `[start_byte, end_byte)` half-open, 0-based — plus the span's
+    * md5. A consumer can `substr` the original document at those
+    * offsets and get exactly the duplicated text (the oracle proves
+    * it: the DuckDB replay computes `span_md5` from
+    * `substr(text, start_byte+1, end_byte-start_byte)` while Spark
+    * computes it from the token slice — a hash match is a
+    * cross-representation proof the offsets address the verbatim
+    * substring; byte = char on this ASCII corpus, which the replay
+    * relies on for `substr`). Docs shorter than `n` tokens fall back
+    * to the whole-text hash (an exact short dup is one whole-doc
+    * span), the positioned-kernel convention.
+    *
+    * Scale shape: identical to [[spanScrub]]'s (dup set by map-side
+    * combinable per-hash doc counts, positioned frame semi-joined,
+    * per-doc sorted hit arrays) — the only addition is the span-merge,
+    * which is TWO O(k) array lambdas (start/end boundary detection by
+    * neighbor gap, `zip_with` pairing), NOT an array-accumulator fold
+    * (the O(k²) per-row HOF trap this codebase flags): a fully
+    * duplicated 10k-token doc merges its ~10k hits in one linear
+    * pass. Offsets are computed per SPAN (few per doc), each one
+    * `octet_length` over a token-slice join. */
+  def exactSpans(docs: DataFrame, n: Int = 50,
+      temps: TempCache = TempCache.noop): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = temps.register(spreadSmallInput(docs)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // verbatim-duplicated window set: countDistinct(doc_id) per hash
+    // (the spanScrub stance — a same-doc 31-bit collision must not
+    // mint a dup)
+    val dup = base
+      .select(col("doc_id"),
+        explode(call_udf("graft_shingle_hashes_md5",
+          col("text"), lit(n), lit(true))).as("h"))
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("cnt"))
+      .filter(col("cnt") > lit(1)).select(col("h"))
+    val positioned = base.select(col("doc_id"),
+      explode(call_udf("graft_shingle_pos_md5", col("text"), lit(n))).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
+    val hits = positioned.join(dup, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("i"))).as("his"))
+    // merge overlapping/adjacent [i, i+sl) windows into maximal spans:
+    // a hit STARTS a span iff its predecessor is more than sl behind;
+    // ENDS one iff its successor is more than sl ahead. Both are
+    // linear neighbor-gap scans; zip_with pairs them up (counts match
+    // by construction on a sorted array).
+    base.join(hits, Seq("doc_id"))
+      .withColumn("sl",
+        when(size(col("toks")) >= n, lit(n)).otherwise(size(col("toks"))))
+      .withColumn("spans", expr(
+        """zip_with(
+          |  filter(transform(his, (x, j) ->
+          |    IF(j = 0 OR x - element_at(his, j) > sl, x, -1)), v -> v >= 0),
+          |  filter(transform(his, (x, j) ->
+          |    IF(j = size(his) - 1 OR element_at(his, j + 2) - x > sl,
+          |       x + sl, -1)), v -> v >= 0),
+          |  (s, e) -> named_struct('s', s, 'e', e))""".stripMargin))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("spans")).as(Seq("span_id", "sp")))
+      .select(
+        col("doc_id"),
+        col("span_id").cast("long").as("span_id"),
+        when(col("sp.s") === 1, lit(0)).otherwise(
+          octet_length(concat_ws(" ",
+            slice(col("toks"), lit(1), col("sp.s") - 1))) + 1)
+          .cast("long").as("start_byte"),
+        octet_length(concat_ws(" ",
+          slice(col("toks"), lit(1), col("sp.e") - 1))).cast("long")
+          .as("end_byte"),
+        (col("sp.e") - col("sp.s")).cast("long").as("n_span_tokens"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("sp.s"), col("sp.e") - col("sp.s"))))
+          .as("span_md5"))
+  }
+
+  /** The oracle is the cross-representation substring replay: DuckDB
+    * recomputes the spans from the same positioned-hash frame, but
+    * derives `span_md5` from `substr(text, start_byte+1, ...)` — the
+    * BYTE offsets — where Spark derived it from the token slice; a
+    * hash match proves the offsets are exact. */
+  val qExactSpans = QuerySpec(
+    "q_llm_exact_spans",
+    (s, d) =>
+      exactSpans(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id"), col("span_id")),
+    Some(s"""WITH ${duckScrubPrefixSql(50)}, dup AS (
+            |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM ph)
+            |  GROUP BY h HAVING count(*) > 1
+            |), hits AS (
+            |  SELECT doc_id, list_sort(list(i)) AS his
+            |  FROM ph SEMI JOIN dup USING (h) GROUP BY doc_id
+            |), merged AS (
+            |  SELECT t.doc_id, t.toks, d0.text, h.his,
+            |    CASE WHEN len(t.toks) >= 50 THEN 50 ELSE len(t.toks) END AS sl
+            |  FROM tk t JOIN hits h USING (doc_id)
+            |  JOIN documents d0 USING (doc_id)
+            |), spans AS (
+            |  SELECT doc_id, toks, text,
+            |    list_transform(list_zip(
+            |      list_filter(list_transform(his, (x, j) ->
+            |        CASE WHEN j = 1 OR x - his[j - 1] > sl THEN x ELSE -1 END),
+            |        v -> v >= 0),
+            |      list_filter(list_transform(his, (x, j) ->
+            |        CASE WHEN j = len(his) OR his[j + 1] - x > sl
+            |             THEN x + sl ELSE -1 END),
+            |        v -> v >= 0)),
+            |      (p, i) -> {'span_id': i - 1, 's': p[1], 'e': p[2]}) AS sps
+            |  FROM merged
+            |), ex AS (
+            |  SELECT doc_id, toks, text,
+            |    CAST(u.sp.span_id AS BIGINT) AS span_id,
+            |    u.sp.s AS s, u.sp.e AS e
+            |  FROM spans, unnest(sps) AS u(sp)
+            |), offs AS (
+            |  SELECT doc_id, span_id, text,
+            |    CAST(CASE WHEN s = 1 THEN 0
+            |      ELSE strlen(array_to_string(toks[1:s-1], ' ')) + 1 END
+            |      AS BIGINT) AS start_byte,
+            |    CAST(strlen(array_to_string(toks[1:e-1], ' ')) AS BIGINT)
+            |      AS end_byte,
+            |    CAST(e - s AS BIGINT) AS n_span_tokens
+            |  FROM ex
+            |)
+            |SELECT doc_id, span_id, start_byte, end_byte, n_span_tokens,
+            |  md5(substr(text, CAST(start_byte + 1 AS BIGINT),
+            |      CAST(end_byte - start_byte AS BIGINT))) AS span_md5
+            |FROM offs
+            |ORDER BY doc_id, span_id""".stripMargin))
+
   /** SURGICAL decontamination: cut every `n`-gram span that appears in
     * the benchmark set out of each document, instead of dropping the
     * whole document (the [[contamination]] policy) — keeps the 99% of
@@ -1676,6 +1813,6 @@ object TextDedup {
     Seq(qExactDedup, qNgramJaccard, qMinhash, qMinhashMd5, qSimhash,
       qSimhashMd5, qSourceSim, qSourceSimMd5, qDedupClusters, qKeepList,
       qKeepBest, qContamination, qHistDedup, qHistNearDup, qSplitLeak,
-      qSpanOverlap, qSpanScrub, qDecontamScrub, qDupRun, qDedupStats,
-      qDedupImpact, qDedupWeights)
+      qSpanOverlap, qSpanScrub, qExactSpans, qDecontamScrub, qDupRun,
+      qDedupStats, qDedupImpact, qDedupWeights)
 }

@@ -453,6 +453,42 @@ class TextDedupSpec extends SparkSpec {
     assert(out(4) == (5L, "", 3L, 3L), out(4).toString)
   }
 
+  test("exactSpans reports maximal verbatim-dup spans at exact byte offsets") {
+    // n=5 keeps the hand-computation manageable; semantics are n-free
+    val docs = docsDf(
+      1L -> "a b c d e f g h u1 u2",            // 5-gram hits at 1..4 -> one span over tokens 1..8
+      2L -> "z1 z2 a b c d e f g h",            // same run shifted -> span over tokens 3..10
+      3L -> "p q r s t u v w",                  // unique long doc -> no spans
+      4L -> "x y z",                            // short exact dup pair ->
+      5L -> "x y z",                            //   whole-doc span each
+      6L -> "a b c d e M1 M2 M3 M4 M5 M6 a b c d e") // TWO disjoint spans
+    val out = TextDedup.exactSpans(docs, n = 5)
+      .orderBy(col("doc_id"), col("span_id")).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.keySet == Set(1L, 2L, 4L, 5L, 6L), "doc 3 has no dup span")
+    def spans(id: Long) = byDoc(id).map(r =>
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(spans(1L) == Seq((0L, 15L, 8L)), spans(1L).toString)
+    assert(spans(2L) == Seq((6L, 21L, 8L)), spans(2L).toString)
+    assert(spans(4L) == Seq((0L, 5L, 3L)) && spans(5L) == Seq((0L, 5L, 3L)))
+    // disjoint hits (gap > span length) must NOT merge
+    assert(spans(6L) == Seq((0L, 9L, 5L), (28L, 37L, 5L)), spans(6L).toString)
+    // the byte-offset proof: substring the ORIGINAL text at the reported
+    // offsets; its md5 must equal span_md5 and its token count the span's
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val (id, sb, eb) = (r.getLong(0), r.getLong(2).toInt, r.getLong(3).toInt)
+      val sub = texts(id).substring(sb, eb)
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(sub.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(md5hex == r.getString(5), s"span_md5 mismatch doc $id")
+      assert(sub.split(" ").length == r.getLong(4), s"token count doc $id")
+      assert(sb == 0 || texts(id).charAt(sb - 1) == ' ', "span starts at a token")
+      assert(eb == texts(id).length || texts(id).charAt(eb) == ' ',
+        "span ends at a token boundary")
+    }
+  }
+
   test("decontamScrub cuts only the leaked benchmark span, keeps the rest") {
     val passage = (1 to 8).map(i => s"b$i").mkString(" ") // one 8-gram
     val docs = docsDf(
