@@ -60,19 +60,53 @@ object DataCard {
     (header +: rule +: body).mkString("\n") + more
   }
 
-  def render(spark: SparkSession, sfDir: String, maxRows: Int = 30): String = {
+  /** The two tables every section reads. With `shareScans` (default),
+    * each is persisted ONCE up front; Spark's CacheManager then
+    * substitutes the cached relation into every section plan that
+    * contains the same analyzed scan — 10 sections cost ONE parquet
+    * read of each table instead of ~10 (cache matching happens on the
+    * analyzed plan, before column pruning, so every section hits
+    * whatever columns it projects). Sections stay byte-identical to
+    * their standalone oracle'd forms — caching substitutes storage,
+    * never semantics (DataCardSpec pins equality with shareScans off).
+    * The trade is deliberate and card-local: a cached full-width scan
+    * forfeits per-query parquet column pruning, the right exchange
+    * when 10 queries read the same corpus back-to-back. */
+  private val sharedTables = Seq("documents", "embeddings")
+
+  def render(spark: SparkSession, sfDir: String, maxRows: Int = 30,
+      shareScans: Boolean = true): String = {
     val qs = graft.SparkEntry.queries // build the spec inventory ONCE
-    val parts = sections.map { case (title, qid, caption) =>
-      val body =
-        try renderTable(qs(qid)(spark, sfDir), maxRows)
-        // NonFatal only: a section degrades to a footnote, but an OOM
-        // or interrupt must not masquerade as one bad section; toString
-        // keeps the exception identity (getMessage is often null)
-        catch { case scala.util.control.NonFatal(e) => s"_section failed: $e _" }
-      finally spark.catalog.clearCache()
-      s"## $title\n\n$caption (`$qid`).\n\n$body\n"
+    val temps = new graft.llm.TempCache
+    if (shareScans) sharedTables.foreach { t =>
+      temps.register(graft.Tables.load(spark, sfDir, t)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
-    s"# Dataset release card\n\nCorpus: `$sfDir`\n\n" + parts.mkString("\n")
+    try {
+      val parts = sections.map { case (title, qid, caption) =>
+        val body =
+          try renderTable(qs(qid)(spark, sfDir), maxRows)
+          // NonFatal only: a section degrades to a footnote, but an OOM
+          // or interrupt must not masquerade as one bad section; toString
+          // keeps the exception identity (getMessage is often null)
+          catch { case scala.util.control.NonFatal(e) => s"_section failed: $e _" }
+        s"## $title\n\n$caption (`$qid`).\n\n$body\n"
+      }
+      s"# Dataset release card\n\nCorpus: `$sfDir`\n\n" + parts.mkString("\n")
+    } finally {
+      // frees the shared scans AND every section's internal noop-cache
+      // persist (they accumulate across sections by design — released
+      // here in one sweep rather than per-section, which would also
+      // evict the shared scans between sections)
+      temps.release()
+      spark.catalog.clearCache()
+      // clearCache only empties the CacheManager; the CC sections'
+      // terminal localCheckpoint RDDs (TextDedup.connectedComponents
+      // returns a checkpointed frame) live outside it and would
+      // otherwise outlast the card — nothing re-reads them once the
+      // sections are rendered
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
   }
 
   def main(args: Array[String]): Unit = {

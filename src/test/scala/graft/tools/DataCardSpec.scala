@@ -28,4 +28,25 @@ class DataCardSpec extends SparkSpec {
     val tiny = DataCard.render(spark, sf0001, maxRows = 1)
     assert(tiny.contains("_…truncated at 1 rows_"))
   }
+
+  test("shared-scan card is byte-identical to the per-section form and leaks nothing") {
+    val shared = DataCard.render(spark, sf0001, maxRows = 5)
+    val isolated = DataCard.render(spark, sf0001, maxRows = 5, shareScans = false)
+    assert(shared == isolated,
+      "caching must substitute storage, never change a section's bytes")
+    // both paths release every persisted frame (shared scans AND the
+    // sections' internal noop-cache persists)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "cache leak")
+  }
+
+  test("section plans actually read the shared cached scan (CacheManager substitution)") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    docs.persist()
+    try {
+      val plan = graft.SparkEntry.queries("q_llm_manifest")(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"section did not substitute the cached documents scan:\n${plan.take(500)}")
+    } finally { docs.unpersist(); spark.catalog.clearCache() }
+  }
 }
