@@ -317,6 +317,38 @@ class SimilaritySpec extends SparkSpec {
     val afterCrash = IvfPqIndex.load(spark, root)
     assert(afterCrash.codes.count() == vecs.count(),
       "an unpromoted generation must never be resolved")
+
+    // TORN generation: the writer died MID-DATA-WRITE, leaving a
+    // staging dir with a half-written (garbage) parquet file and no
+    // manifest. Readers must keep resolving the promoted snapshot
+    // without ever opening the torn files; the next save must number
+    // PAST the torn dir (never append into it) and its GC must reclaim
+    // it. This is the object-store analog of the ingest spec's
+    // commit-window kill.
+    val tornGen = graft.streaming.ManifestStore.nextGen(fs, rootPath)
+    val tornDir = graft.streaming.ManifestStore.stagingPath(rootPath, tornGen)
+    fs.mkdirs(tornDir)
+    val tornFile = fs.create(new Path(tornDir, "part-00000.parquet"), true)
+    tornFile.write("PAR1 then the process died".getBytes("UTF-8"))
+    tornFile.close()
+    assert(tornGen > orphanGen, "numbers must advance past every orphan")
+    val afterTorn = IvfPqIndex.load(spark, root)
+    assert(afterTorn.codes.count() == vecs.count(),
+      "a torn generation must be invisible — load never lists gens/ directly")
+    assert(afterTorn.topK(queries, k = 5, probes = 2)
+      .collect().map(_.toSeq).toSet == served2,
+      "serving after the torn write is byte-identical to the promoted snapshot")
+    // recovery is structural: the NEXT successful save numbers past the
+    // torn dir and garbage-collects it
+    IvfPqIndex.save(afterTorn.withDelta(vecs), root)
+    assert(!fs.exists(tornDir),
+      "the next promote's GC must reclaim the torn generation")
+    val gens = fs.listStatus(new Path(rootPath, "gens"))
+      .map(_.getPath.getName).sorted
+    assert(graft.streaming.ManifestStore.currentGen(fs, rootPath)
+      .exists(_ > tornGen), s"new generation must number past the torn one: $gens")
+    assert(IvfPqIndex.load(spark, root).codes.count() == vecs.count(),
+      "post-recovery index serves the full corpus")
   }
 
   test("stored-code serving raises on a code table built with a different m") {

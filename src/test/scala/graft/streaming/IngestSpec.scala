@@ -97,6 +97,71 @@ class IngestSpec extends SparkSpec {
     assert(IngestJob.serials(spark, certRoot, expDates.head, issuers.head).count() >= 1L)
   }
 
+  test("crash between sink append and checkpoint commit: the replayed batch's " +
+    "duplicate appends are healed by compact (exactly-once per triple, none lost)") {
+    val root = Files.createTempDirectory("ingest_crash").toString
+    val logDir = s"$root/log"
+    val certRoot = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    val entries = Seq(leaf1, leafS, leafS2).zipWithIndex.map {
+      case (der, i) => entry(i.toLong, ts0 + i, "log.example.com/2025", der)
+    }
+    CtLog.writePages(logDir, entries, pageSize = 4)
+    IngestJob.start(spark, logDir, certRoot, ckpt,
+      maxEntriesPerTrigger = 10, logExpiredEntries = true).awaitTermination()
+    def triples() = spark.read.parquet(s"$certRoot/certs")
+      .select(col("exp_date"), col("issuer_id"), col("serial_id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    val before = triples()
+    assert(before.size == 3 && before.distinct.size == 3)
+
+    // INJECT THE CRASH: rewind the checkpoint to "offsets/0 planned,
+    // nothing committed" — byte-for-byte the on-disk state of a
+    // process killed after the DATA batch's foreachBatch parquet
+    // appends but before its commit-log write (the commit protocol
+    // guarantees at most the LAST planned epoch is uncommitted, so the
+    // injected state must also drop the later watermark-advance
+    // epoch's offsets, exactly as a crash at that instant leaves
+    // them). On restart Spark MUST re-run epoch 0 (same batchId, same
+    // admitted range) against the pre-epoch state-store version,
+    // re-appending every row the crashed run already wrote.
+    def rewind(dir: java.io.File, keepBelow: Int): Unit =
+      dir.listFiles.filter(_.getName.forall(_.isDigit))
+        .filter(_.getName.toInt >= keepBelow).foreach { f =>
+          assert(f.delete(), s"failed to delete $f")
+          // drop the local-fs checksum sidecar too, or the replay's
+          // atomic re-create fails on the stale CRC (an artifact of
+          // ChecksumFileSystem, not of the simulated crash)
+          new java.io.File(dir, s".${f.getName}.crc").delete()
+        }
+    assert(new java.io.File(s"$ckpt/commits").listFiles
+      .exists(_.getName.forall(_.isDigit)), "precondition: committed epochs")
+    rewind(new java.io.File(s"$ckpt/commits"), 0)
+    rewind(new java.io.File(s"$ckpt/offsets"), 1)
+
+    IngestJob.start(spark, logDir, certRoot, ckpt,
+      maxEntriesPerTrigger = 10, logExpiredEntries = true).awaitTermination()
+    val replayed = triples()
+    assert(replayed.size > before.size,
+      "injection must be real: the replayed epoch re-appends its rows")
+    assert(replayed.distinct.sorted == before.distinct.sorted,
+      "replay duplicates, it must not invent or lose keys")
+
+    // the maintenance pass restores the triple-key uniqueness invariant
+    IngestJob.compact(spark, certRoot)
+    val healed = triples()
+    assert(healed.sorted == before.sorted,
+      s"post-compact store must be exactly the pre-crash rows: $healed")
+    // the issuer dimension saw the same replay; its (issuer_id,
+    // batch_id) dedup must keep n_new counts exactly-once too
+    val nNew = spark.read.parquet(s"$certRoot/issuer_batches")
+      .agg(sum(col("n_new"))).collect()(0).getLong(0)
+    assert(nNew == 3L, s"issuer n_new must not double-count the replay: $nNew")
+    // and the recovery map still resumes past the stored max entry
+    val resume = IngestJob.recoveredStartEntries(spark, certRoot, Seq(logDir))
+    assert(resume(logDir) == 3L, resume.toString)
+  }
+
   test("expiry filter drops expired certs unless logExpiredEntries (C2)") {
     // kLeadingZeroes expired in 2020 → with the filter on and a 2026
     // reference instant it is dropped
