@@ -1,0 +1,156 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+
+import graft.Tables
+import graft.llm.{IvfPqIndex, StreamingCuration}
+
+/** Streaming soak harness: replay a testdata tier as a bounded
+  * multi-batch file feed through the streaming operators on the
+  * RocksDB state store, and report sustained throughput, state size,
+  * and watermark lag from the engine's own progress events.
+  *
+  *   SPARK_GRAFT_CPUS=32 tools/run_main.sh graft.tools.StreamSoak \
+  *     testdata-derived/sf1 curate,neardup,serve
+  *
+  * Feed shape: the tier's documents (or embeddings for `serve`) are
+  * split into `SPARK_GRAFT_SOAK_CHUNKS` (default 40) files with
+  * `event_ts = base + doc_id ms`, read back with maxFilesPerTrigger so
+  * `Trigger.AvailableNow` drains the feed as a sequence of bounded
+  * micro-batches — catch-up shape, like IngestBench. Per-mode output
+  * is one JSON line from the StreamingQueryListener's progress events:
+  * rows, wall, entries/s, peak state rows/bytes, final watermark.
+  *
+  * Modes:
+  *  - `curate`  — [[StreamingCuration.streamingCurateDedup]]: the gate
+  *    chain + watermarked exact dedup (state = one 16-byte hash per
+  *    distinct kept doc within horizon);
+  *  - `neardup` — [[StreamingCuration.streamingNearDup]]: banded LSH
+  *    state (bounded buckets, the heavy-state path);
+  *  - `serve`   — [[IvfPqIndex.serveStream]] over a FIXED-K index
+  *    built from the same tier (the production serving config, not
+  *    the stride-seeded oracle config): windowed top-k state.
+  */
+object StreamSoak {
+
+  private class Collector extends StreamingQueryListener {
+    case class P(batchId: Long, rows: Long, stateRows: Long,
+        stateBytes: Long, watermark: String)
+    val progresses = scala.collection.mutable.ArrayBuffer.empty[P]
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+      synchronized {
+        val p = e.progress
+        val st = p.stateOperators
+        progresses += P(p.batchId, p.numInputRows,
+          if (st.isEmpty) 0L else st.map(_.numRowsTotal).sum,
+          if (st.isEmpty) 0L else st.map(_.memoryUsedBytes).sum,
+          Option(p.eventTime.get("watermark")).getOrElse(""))
+      }
+  }
+
+  /** Write `df` as a `chunks`-file feed dir; returns (path, schema). */
+  private def buildFeed(df: DataFrame, chunks: Int, dir: String): Unit =
+    df.repartitionByRange(chunks, col("event_ts"))
+      .write.mode("overwrite").parquet(dir)
+
+  private def runDrain(spark: SparkSession, out: DataFrame,
+      mode: String, col0: Collector): Map[String, Any] = {
+    val t0 = System.nanoTime()
+    val q = out.writeStream
+      .format("noop")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"soak_ckpt_$mode").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val ps = col0.synchronized(col0.progresses.toVector)
+    Map(
+      "mode" -> mode,
+      "batches" -> ps.size,
+      "input_rows" -> ps.map(_.rows).sum,
+      "wall_sec" -> f"$wallSec%.2f",
+      "rows_per_sec" -> f"${ps.map(_.rows).sum / wallSec}%.0f",
+      "peak_state_rows" -> (if (ps.isEmpty) 0L else ps.map(_.stateRows).max),
+      "peak_state_mb" ->
+        f"${(if (ps.isEmpty) 0L else ps.map(_.stateBytes).max) / 1048576.0}%.1f",
+      "final_watermark" -> ps.lastOption.map(_.watermark).getOrElse(""))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val modes = args.lift(1).getOrElse("curate,neardup,serve").split(',').toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val chunks = sys.env.getOrElse("SPARK_GRAFT_SOAK_CHUNKS", "40").toInt
+    val perTrigger = sys.env.getOrElse("SPARK_GRAFT_SOAK_FILES_PER_TRIGGER", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false") // streaming plans
+      .config("spark.sql.streaming.stateStore.providerClass",
+        sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    val base = 1700000000000L
+    val feedRoot = java.nio.file.Files.createTempDirectory("soak_feed").toString
+
+    def docFeed(): DataFrame = {
+      val dir = s"$feedRoot/docs"
+      val docs = Tables.load(spark, sfDir, "documents")
+        .withColumn("event_ts", timestamp_millis(lit(base) + col("doc_id")))
+      buildFeed(docs, chunks, dir)
+      spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", perTrigger).parquet(dir)
+    }
+
+    def vecFeed(): DataFrame = {
+      val dir = s"$feedRoot/vecs"
+      val vecs = Tables.load(spark, sfDir, "embeddings")
+        .withColumn("event_ts", timestamp_millis(lit(base) + col("vec_id")))
+      buildFeed(vecs, chunks, dir)
+      spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", perTrigger).parquet(dir)
+    }
+
+    val results = modes.map { mode =>
+      val coll = new Collector
+      spark.streams.addListener(coll)
+      try mode match {
+        case "curate" =>
+          runDrain(spark, StreamingCuration.streamingCurateDedup(docFeed()),
+            mode, coll)
+        case "neardup" =>
+          runDrain(spark, StreamingCuration.streamingNearDup(docFeed()).toDF(),
+            mode, coll)
+        case "serve" =>
+          // FIXED-K production config: ~64 coarse lists / ~256-entry
+          // books regardless of corpus size (the EncodeBench stance)
+          val vecs = Tables.load(spark, sfDir, "embeddings")
+            .select(col("vec_id"), col("embedding"))
+          val n = vecs.count()
+          val idx = IvfPqIndex.build(vecs,
+            coarseStride = math.max(1, (n / 64).toInt), m = 4, dim = 64,
+            bookStride = math.max(1, (n / 256).toInt))
+          idx.codes.persist().count() // serve from a materialized table
+          try runDrain(spark,
+            idx.serveStream(vecFeed(), k = 10, probes = 2), mode, coll)
+          finally idx.codes.unpersist()
+        case other => Map[String, Any]("mode" -> other, "err" -> "unknown mode")
+      } finally spark.streams.removeListener(coll)
+    }
+    results.foreach { r =>
+      println(r.map { case (k, v) => s""""$k":"$v"""" }
+        .mkString("{", ",", "}"))
+    }
+    spark.stop()
+  }
+}
