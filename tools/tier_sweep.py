@@ -23,12 +23,15 @@ import numpy as np
 
 args = sys.argv[1:]
 timeout = 900.0
+mem = "24GB"
 excludes = {}
 pos = []
 i = 0
 while i < len(args):
     if args[i] == "--timeout":
         timeout = float(args[i + 1]); i += 2
+    elif args[i] == "--mem":
+        mem = args[i + 1]; i += 2
     elif args[i] == "--exclude":
         name, _, reason = args[i + 1].partition("="); excludes[name] = reason
         i += 2
@@ -37,6 +40,11 @@ while i < len(args):
 sfdir, outdir, outjson = pos
 
 con = duckdb.connect()
+# a runaway replay (e.g. a recursive-CTE closure at a big tier) must
+# fail ITS query with an out-of-memory error, not OOM-kill the sweep;
+# the temp dir lets spillable operators spill instead of failing
+con.sql(f"SET memory_limit='{mem}'")
+con.sql("SET temp_directory='/tmp/duckdb_sweep_spill'")
 for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     name = os.path.basename(p)[: -len(".parquet")]
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
@@ -88,6 +96,10 @@ for name in sorted(oracle):
             excluded[name] = (f"oracle replay exceeded {timeout:.0f}s budget "
                               f"at this tier (interrupted at {dt:.0f}s)")
             print(f"EXCLUDED(timeout {dt:.0f}s) {name}", flush=True)
+        elif "OutOfMemory" in type(ex).__name__ or "emory" in str(ex)[:200]:
+            excluded[name] = (f"oracle replay exceeded the {mem} DuckDB "
+                              f"memory budget at this tier ({dt:.0f}s in)")
+            print(f"EXCLUDED(mem {dt:.0f}s) {name}", flush=True)
         else:
             entry["err"] = f"oracle error: {ex}"
             record[name] = entry
