@@ -221,26 +221,32 @@ object Multimodal {
     * both engines. This is the multimodal path's proof that the seam
     * carries a real codec, not just the stub — compressed formats
     * still enter through the same trait with an external library. */
+  /** Deterministic PPM payloads from a (doc_id, text) frame: the
+    * text's bytes tile a `(1 + id%8) × (1 + id%5)` RGB raster, with a
+    * 1-byte fallback so a null/empty text still builds a valid image
+    * (the oracle's % n guard) rather than tripping div-by-zero.
+    * Shared by [[qMmPpm]] and [[mmNearDup]] so the SQL replays stay
+    * single-sourced. */
+  private def ppmPayloads(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      (lit(1) + pmod(col("doc_id"), lit(8))).as("w"),
+      (lit(1) + pmod(col("doc_id"), lit(5))).as("h"),
+      expr("CASE WHEN text IS NULL OR text = '' THEN 'x' ELSE text END").as("t"))
+      .withColumn("npix", col("w") * col("h") * lit(3))
+      .withColumn("payload", concat(
+        lit("P6\n"), col("w").cast("string"), lit(" "),
+        col("h").cast("string"), lit("\n255\n"),
+        expr("""substring(repeat(t,
+               |  cast((npix + length(t) - 1) div length(t) as int)),
+               |  1, cast(npix as int))""".stripMargin)).cast("binary"))
+
   val qMmPpm = QuerySpec(
     "q_llm_mm_ppm",
     (s, d) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      // raster source: the text's bytes, with a deterministic 1-byte
-      // fallback so a null/empty text still builds a valid image (the
-      // oracle's % n guard) rather than tripping div-by-zero
-      val built = Tables.load(s, d, "documents").select(
-        col("doc_id"),
-        (lit(1) + pmod(col("doc_id"), lit(8))).as("w"),
-        (lit(1) + pmod(col("doc_id"), lit(5))).as("h"),
-        expr("CASE WHEN text IS NULL OR text = '' THEN 'x' ELSE text END").as("t"))
-        .withColumn("npix", col("w") * col("h") * lit(3))
-        .withColumn("payload", concat(
-          lit("P6\n"), col("w").cast("string"), lit(" "),
-          col("h").cast("string"), lit("\n255\n"),
-          expr("""substring(repeat(t,
-                 |  cast((npix + length(t) - 1) div length(t) as int)),
-                 |  1, cast(npix as int))""".stripMargin)).cast("binary"))
+      val built = ppmPayloads(Tables.load(s, d, "documents"))
       // ONE codec pass per payload: decode meta AND the 4x3 resample in
       // the same partition iterator — the payload-build scan runs once
       // (two independent decodeWith/resizeWith branches would re-build
@@ -285,5 +291,112 @@ object Multimodal {
            |  sha256(resized_str) AS resized_sha256
            |FROM res ORDER BY media_id""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(qMultimodalMeta, qMultimodalDecode, qMmPpm)
+  /** Image near-duplicate detection over REALLY-DECODED pixels: the
+    * cross-family composition a multimodal curation pipeline runs —
+    * codec decode → luminance-histogram feature ([[PpmCodec.embed]],
+    * unit-normed by [[embedWith]]) → the embedding family's sign-LSH
+    * capped-bucket candidate pairs ([[Similarity.embNearDupPairs]]) at
+    * a cosine threshold. The synthetic rasters derive from doc_ids
+    * (different ids ⇒ different geometry), so the query PLANTS one
+    * exact copy of each of docs 0-9 at id+1e9 (the pii_report seeding
+    * stance; 1e9 ≡ 0 mod 40 preserves the id-derived geometry, making
+    * the copy pixel-identical) — the flag path does real work on every
+    * run.
+    *
+    * Scale shape: one codec pass per payload (the mm_ppm stance), then
+    * exactly [[Similarity.embNearDupPairs]]'s documented shape — one
+    * groupBy on the signature with the bucket cap enforced inside the
+    * aggregation buffer; nothing image-sized crosses a shuffle (16
+    * floats per image do). */
+  def mmNearDup(docs: DataFrame, bits: Int = 8, tau: Double = 0.9999,
+      dim: Int = 16)(implicit spark: SparkSession): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val planted = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text")))
+    val media = toMedia(ppmPayloads(planted), "doc_id", "payload",
+      "image/x-portable-pixmap")
+    val vecs = embedWith(media, PpmCodec, dim)
+      .select(col("media_id").as("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    Similarity.embNearDupPairs(vecs, bits = bits, dim = dim)
+      .filter(col("cos") >= tau)
+  }
+
+  /** Replayed in DuckDB end-to-end from the TEXT BYTES: the raster
+    * tiling, the integer Rec.709 luminance histogram, the float
+    * normalize (counts are small ints, so the double sums are exact
+    * and the final float casts single-round — bit-equal to the JVM),
+    * the sign-LSH hyperplane literals, the bucket cap, and the
+    * float-product/double-accumulate cosine. A hash match means the
+    * CODEC's decoded pixels, not just the plumbing, agree with SQL. */
+  val qMmNearDup = QuerySpec(
+    "q_llm_mm_neardup",
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      mmNearDup(Tables.load(s, d, "documents"))
+        .orderBy(col("ida"), col("idb"))
+    },
+    Some {
+      val planesSql = Similarity.hyperplanes(8, 16, 42L)
+        .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      val dotFF = (a: String, b: String) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip($a, $b), z -> CAST(z[1]*z[2] AS DOUBLE))),
+           |      (acc, p) -> acc + p)""".stripMargin
+      s"""WITH planted AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id < 10
+         |), src AS (
+         |  SELECT doc_id AS vec_id,
+         |    CAST(1 + doc_id % 8 AS INT) AS w,
+         |    CAST(1 + doc_id % 5 AS INT) AS h,
+         |    CASE WHEN text IS NULL OR text = '' THEN 'x' ELSE text END AS text,
+         |    length(CASE WHEN text IS NULL OR text = '' THEN 'x' ELSE text END) AS n
+         |  FROM planted
+         |), hist AS (
+         |  SELECT vec_id,
+         |    list_transform(range(16), b -> CAST(len(list_filter(range(w * h),
+         |      p -> ((2126 * ascii(substr(text, ((p * 3) % n) + 1, 1))
+         |           + 7152 * ascii(substr(text, ((p * 3 + 1) % n) + 1, 1))
+         |           +  722 * ascii(substr(text, ((p * 3 + 2) % n) + 1, 1)))
+         |            // 10000) * 16 // 256 = b)) AS DOUBLE)) AS hraw
+         |  FROM src
+         |), emb AS (
+         |  SELECT vec_id,
+         |    list_transform(hraw, x -> CAST(CAST(x AS FLOAT) /
+         |      CAST(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(hraw, y -> y * y)), (a, z) -> a + z)) AS FLOAT)
+         |      AS FLOAT)) AS embedding
+         |  FROM hist
+         |), v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotFF("embedding", "embedding")}) AS nrm
+         |  FROM emb
+         |), pl AS (SELECT $planesSql::DOUBLE[][] AS planes),
+         |sigs AS (
+         |  SELECT vec_id, embedding, nrm,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(8), b ->
+         |        CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |            list_transform(list_zip(embedding, planes[b+1]),
+         |              z -> CAST(z[1] AS DOUBLE) * z[2])),
+         |            (acc, p) -> acc + p) >= 0
+         |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+         |      (a, x) -> a + x) AS sig
+         |  FROM v, pl
+         |), sized AS (
+         |  SELECT *, count(*) OVER (PARTITION BY sig) AS cnt FROM sigs
+         |)
+         |SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |  ${dotFF("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |FROM sized a JOIN sized b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |WHERE a.cnt > 1 AND a.cnt <= 1000
+         |  AND ${dotFF("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.9999
+         |ORDER BY ida, idb""".stripMargin
+    })
+
+  val all: Seq[QuerySpec] =
+    Seq(qMultimodalMeta, qMultimodalDecode, qMmPpm, qMmNearDup)
 }

@@ -286,6 +286,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mmNearDup finds pixel-identical planted copies at exactly cos 1.0") {
+    implicit val s = spark
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val pairs = Multimodal.mmNearDup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every planted copy (id+1e9 preserves the id-derived geometry, so
+    // the raster is byte-identical) must pair with its original at a
+    // cosine of EXACTLY 1.0 — identical pixels, identical histograms
+    val plantedIds = docs.filter(col("doc_id") < 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for (id <- plantedIds) {
+      val hit = pairs.find(p => p._1 == id && p._2 == id + 1000000000L)
+      assert(hit.isDefined, s"planted copy of doc $id not flagged")
+      // dot/(nrm*nrm) of identical vectors lands within one ulp of 1.0
+      // (dot(a,a) and nrm² round independently)
+      assert(math.abs(hit.get._3 - 1.0) < 1e-12,
+        s"identical pixels must score 1.0 up to an ulp: $hit")
+    }
+    // and the threshold binds: nothing below tau leaks through
+    assert(pairs.forall(_._3 >= 0.9999))
+  }
+
   test("cross-codec agreement: PPM raster and PNG re-encode of the SAME pixels " +
     "decode, embed, and resample identically") {
     assume(ImageIoCodec.available, "imageio codec unavailable in this JVM")
