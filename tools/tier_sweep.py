@@ -24,6 +24,7 @@ import numpy as np
 args = sys.argv[1:]
 timeout = 900.0
 mem = "24GB"
+spill = "25GB"
 excludes = {}
 pos = []
 i = 0
@@ -32,6 +33,8 @@ while i < len(args):
         timeout = float(args[i + 1]); i += 2
     elif args[i] == "--mem":
         mem = args[i + 1]; i += 2
+    elif args[i] == "--spill":
+        spill = args[i + 1]; i += 2
     elif args[i] == "--exclude":
         name, _, reason = args[i + 1].partition("="); excludes[name] = reason
         i += 2
@@ -45,6 +48,7 @@ con = duckdb.connect()
 # the temp dir lets spillable operators spill instead of failing
 con.sql(f"SET memory_limit='{mem}'")
 con.sql("SET temp_directory='/tmp/duckdb_sweep_spill'")
+con.sql(f"SET max_temp_directory_size='{spill}'")
 for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     name = os.path.basename(p)[: -len(".parquet")]
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
@@ -96,9 +100,11 @@ for name in sorted(oracle):
             excluded[name] = (f"oracle replay exceeded {timeout:.0f}s budget "
                               f"at this tier (interrupted at {dt:.0f}s)")
             print(f"EXCLUDED(timeout {dt:.0f}s) {name}", flush=True)
-        elif "OutOfMemory" in type(ex).__name__ or "emory" in str(ex)[:200]:
+        elif ("OutOfMemory" in type(ex).__name__ or "emory" in str(ex)[:200]
+              or "temp_directory" in str(ex) or "No space left" in str(ex)):
             excluded[name] = (f"oracle replay exceeded the {mem} DuckDB "
-                              f"memory budget at this tier ({dt:.0f}s in)")
+                              f"memory / {spill} spill budget at this tier "
+                              f"({dt:.0f}s in)")
             print(f"EXCLUDED(mem {dt:.0f}s) {name}", flush=True)
         else:
             entry["err"] = f"oracle error: {ex}"
