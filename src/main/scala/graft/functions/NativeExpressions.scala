@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, Literal, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, Literal, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -394,6 +394,265 @@ case class SortedContainsExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Binary-search VALUE lookup over parallel sorted-key/value long
+  * arrays — the O(log B) form of `element_at(map, key)`, whose
+  * ArrayBasedMapData implementation is a LINEAR scan: the streaming
+  * IVFADC serve path evaluates m code-distance lookups per candidate
+  * row against a ~(m·Kb)-entry per-query LUT, so a 20k-query soak at
+  * Kb=256 is ~50e9 key compares under the map form and ~5e8 under
+  * log2 (measured 17× end-to-end, SCALE.md §7). Same contract family
+  * as [[SortedContainsExpr]]: `keys` MUST be ascending and parallel to
+  * `vals` (callers build both from one array_sort'd struct array);
+  * unsorted input gives garbage, not an error. Returns NULL when the
+  * key is absent — exactly `element_at(map, key)`'s semantics, so the
+  * swap is result-identical. */
+case class SortedLookupExpr(keys: Expression, vals: Expression,
+    key: Expression) extends TernaryExpression with CodegenFallback {
+  override def first: Expression = keys
+  override def second: Expression = vals
+  override def third: Expression = key
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (keys.dataType, vals.dataType, key.dataType) match {
+      // containsNull=true is admitted because the natural builders
+      // (transform over struct getFields) type their results nullable
+      // even when values never are; an ACTUAL null slot fails loudly
+      // at eval rather than silently binary-searching 0-reads (the
+      // SortedContainsExpr concern, enforced at runtime here)
+      case (ArrayType(LongType, _), ArrayType(LongType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"sorted_lookup needs (array<bigint>, array<bigint>, bigint), got ($a, $b, $c)")
+    }
+  override def nullSafeEval(ks: Any, vs: Any, x: Any): Any = {
+    val ka = ks.asInstanceOf[ArrayData]
+    val va = vs.asInstanceOf[ArrayData]
+    val v = x.asInstanceOf[Long]
+    var lo = 0
+    var hi = ka.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (ka.isNullAt(mid))
+        throw new IllegalArgumentException(
+          "graft_sorted_lookup: null key slot — the keys array must be " +
+            "null-free and ascending")
+      val m = ka.getLong(mid)
+      if (m == v) {
+        if (va.isNullAt(mid)) return null
+        return va.getLong(mid)
+      }
+      else if (m < v) lo = mid + 1
+      else hi = mid - 1
+    }
+    null
+  }
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(keys = newFirst, vals = newSecond, key = newThird)
+}
+
+/** Fused ADC distance: the whole per-candidate asymmetric-distance sum
+  * `Σ_sub lut[sub·keyBase + codes[sub]]` as ONE kernel eval — the
+  * [[SortedLookupExpr]] binary search per subspace, without the
+  * per-subspace `aggregate()` HOF lambda machinery (one kernel call
+  * per candidate row instead of m interpreted lambda frames + m calls;
+  * the sf1 serve soak measured the HOF form at 148 queries/s and this
+  * fusion above it — SCALE.md §7). NULL when any code's key is absent
+  * (the `acc + null` propagation of the HOF form) or any code slot is
+  * null — result-identical to the unfused chain, StreamingCurationSpec
+  * pins stream == batch across the swap. */
+case class AdcSumExpr(keys: Expression, vals: Expression,
+    codes: Expression, keyBase: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  override def first: Expression = keys
+  override def second: Expression = vals
+  override def third: Expression = codes
+  override def fourth: Expression = keyBase
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (keys.dataType, vals.dataType, codes.dataType, keyBase.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _),
+          ArrayType(LongType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c, d) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("adc_sum needs (array<bigint>, array<bigint>, " +
+          s"array<bigint>, bigint), got ($a, $b, $c, $d)")
+    }
+  override def nullSafeEval(ks: Any, vs: Any, cs: Any, kb: Any): Any = {
+    val ka = ks.asInstanceOf[ArrayData]
+    val va = vs.asInstanceOf[ArrayData]
+    val ca = cs.asInstanceOf[ArrayData]
+    val base = kb.asInstanceOf[Long]
+    var acc = 0L
+    var sub = 0
+    while (sub < ca.numElements()) {
+      if (ca.isNullAt(sub)) return null
+      val key = sub.toLong * base + ca.getLong(sub)
+      var lo = 0
+      var hi = ka.numElements() - 1
+      var found = false
+      while (lo <= hi && !found) {
+        val mid = (lo + hi) >>> 1
+        if (ka.isNullAt(mid))
+          throw new IllegalArgumentException(
+            "graft_adc_sum: null key slot — the keys array must be " +
+              "null-free and ascending")
+        val m = ka.getLong(mid)
+        if (m == key) {
+          if (va.isNullAt(mid)) return null
+          acc += va.getLong(mid)
+          found = true
+        }
+        else if (m < key) lo = mid + 1
+        else hi = mid - 1
+      }
+      if (!found) return null
+      sub += 1
+    }
+    acc
+  }
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(keys = newFirst, vals = newSecond, codes = newThird,
+      keyBase = newFourth)
+}
+
+/** Whole-list ADC top-k: the real IVFADC inner loop as one kernel
+  * eval per (query, probed list) — scan the list's PACKED member
+  * codes, compute each member's asymmetric distance via binary-search
+  * LUT lookups ([[AdcSumExpr]]'s arithmetic), and keep the k smallest
+  * by the (adist, vec_id) total order. This replaces materializing a
+  * row PER (query, candidate): the join-then-aggregate form copies the
+  * (m·Kb)-entry LUT arrays into every candidate row (~16 KB × |list|
+  * per query at Kb=256 — the sf1 soak measured that form at 148-156
+  * queries/s), where the packed form attaches each list's member
+  * array once and emits k structs. Members equal to `qId` are
+  * skipped (the chain's vec_id != q_id filter); a member whose code
+  * key is absent from the LUT is skipped (the unfused chain nulls its
+  * adist, which the downstream min-k aggregate likewise never
+  * selects). Output order is ascending (adist, vec_id); the
+  * cross-list merge is the same `graft_topk_min` aggregate, so
+  * serving results are identical (StreamingCurationSpec pins stream
+  * == batch across the swap).
+  *
+  * children: (lkeys, lvals, members, qId, keyBase, k) where members is
+  * array<struct<vec_id: long, codes: array<long>>> and k is a literal. */
+case class AdcTopKExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.size == 6, "adc_topk(lkeys, lvals, members, qId, keyBase, k)")
+  private val outStruct = StructType(Seq(
+    StructField("adist", LongType, nullable = false),
+    StructField("vec_id", LongType, nullable = false)))
+  override def dataType: DataType = ArrayType(outStruct, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (children(0).dataType, children(1).dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => true
+      case _ => false
+    }
+    val membersOk = children(2).dataType match {
+      case ArrayType(StructType(fs), _) if fs.length == 2 &&
+        fs(0).dataType == LongType &&
+        fs(1).dataType.isInstanceOf[ArrayType] => true
+      case _ => false
+    }
+    if (ok && membersOk && children(3).dataType == LongType &&
+      children(4).dataType == LongType && children(5).dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"adc_topk signature mismatch: ${children.map(_.dataType)}")
+  }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val ks = children(0).eval(input)
+    val vs = children(1).eval(input)
+    val ms = children(2).eval(input)
+    val qi = children(3).eval(input)
+    val kb = children(4).eval(input)
+    val kk = children(5).eval(input)
+    if (ks == null || vs == null || ms == null || qi == null ||
+      kb == null || kk == null) return null
+    val ka = ks.asInstanceOf[ArrayData]
+    val va = vs.asInstanceOf[ArrayData]
+    val members = ms.asInstanceOf[ArrayData]
+    val qId = qi.asInstanceOf[Long]
+    val base = kb.asInstanceOf[Long]
+    val k = kk.asInstanceOf[Int]
+    // bounded selection: k is small (serving top-k), so an insertion
+    // pass into parallel arrays beats heap overhead
+    val topD = new Array[Long](k)
+    val topV = new Array[Long](k)
+    var n = 0
+    def lookup(key: Long): Long = {
+      var lo = 0
+      var hi = ka.numElements() - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (ka.isNullAt(mid))
+          throw new IllegalArgumentException(
+            "graft_adc_topk: null key slot — keys must be null-free ascending")
+        val m = ka.getLong(mid)
+        if (m == key) {
+          if (va.isNullAt(mid)) return Long.MinValue
+          return va.getLong(mid)
+        }
+        else if (m < key) lo = mid + 1
+        else hi = mid - 1
+      }
+      Long.MinValue // absent: candidate skipped, like the nulled adist
+    }
+    var i = 0
+    while (i < members.numElements()) {
+      if (!members.isNullAt(i)) {
+        val mrow = members.getStruct(i, 2)
+        val vecId = mrow.getLong(0)
+        if (vecId != qId && !mrow.isNullAt(1)) {
+          val codes = mrow.getArray(1)
+          var acc = 0L
+          var ok = true
+          var sub = 0
+          while (ok && sub < codes.numElements()) {
+            if (codes.isNullAt(sub)) ok = false
+            else {
+              val d = lookup(sub.toLong * base + codes.getLong(sub))
+              if (d == Long.MinValue) ok = false else acc += d
+            }
+            sub += 1
+          }
+          if (ok && (n < k || acc < topD(n - 1) ||
+            (acc == topD(n - 1) && vecId < topV(n - 1)))) {
+            // insertion by the (adist, vec_id) total order
+            var pos = if (n < k) n else k - 1
+            while (pos > 0 && (topD(pos - 1) > acc ||
+              (topD(pos - 1) == acc && topV(pos - 1) > vecId))) {
+              topD(pos) = topD(pos - 1); topV(pos) = topV(pos - 1); pos -= 1
+            }
+            topD(pos) = acc; topV(pos) = vecId
+            if (n < k) n += 1
+          }
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      out(j) = new GenericInternalRow(Array[Any](topD(j), topV(j)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
 }
 
 /** Repetition-dominance kernel: word n-gram shingles of a text column
@@ -918,6 +1177,9 @@ object GraftFunctions {
       case es => Md5ShinglePosExpr(es.head, 10)
     },
     "graft_sorted_contains" -> (es => SortedContainsExpr(es(0), es(1))),
+    "graft_sorted_lookup" -> (es => SortedLookupExpr(es(0), es(1), es(2))),
+    "graft_adc_sum" -> (es => AdcSumExpr(es(0), es(1), es(2), es(3))),
+    "graft_adc_topk" -> (es => AdcTopKExpr(es)),
     // Spark's internal bloom-filter pair (the runtime-filter machinery,
     // not exposed in the public function registry): a distributed
     // build over long keys + the codegen'd membership probe. Registered

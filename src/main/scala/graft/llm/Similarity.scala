@@ -1034,22 +1034,43 @@ object Similarity {
     // per (query, probed list): the ADC lookup table as a map keyed
     // sub_id·2³² + code — the batch path's broadcast table rows,
     // folded into one row-local value
+    // The ADC tail is the PACKED-LIST form — the real IVFADC inner
+    // loop: one row per (query, probed list), the list's member codes
+    // attached ONCE as a packed array, and graft_adc_topk scanning the
+    // whole list in a single kernel eval (binary-search LUT lookups,
+    // k smallest by the (adist, vec_id) total order). The previous
+    // join-then-aggregate form materialized a row PER candidate, each
+    // carrying the (m·Kb)-entry LUT arrays (~16 KB × |list| per query
+    // at Kb=256) — the sf1 soak measured it at 34 q/s with a map LUT
+    // and 148-156 q/s with sorted-array lookups; packing removes the
+    // per-candidate row entirely. The per-list top-k under a total
+    // order preserves the global top-k exactly, and the cross-list /
+    // cross-trigger merge is the same bounded graft_topk_min
+    // aggregate — results are identical (spec-pinned vs batch).
     val lut = probed
-      .withColumn("lut", map_from_entries(transform(col("barr"),
+      .withColumn("lsorted", array_sort(transform(col("barr"),
         b => struct(
           (b.getField("sub_id").cast("long") * keyBase +
-            b.getField("c_id")).as("key"),
+            b.getField("c_id")).as("k"),
           call_udf("graft_l2_int",
             slice(col("resid"), b.getField("sub_id") * subDim + 1, lit(subDim)),
-            b.getField("c_q")).as("d")))))
-      .select(col("q_id"), col("event_ts"), col("list_id"), col("lut"))
+            b.getField("c_q")).as("v")))))
+      .select(col("q_id"), col("event_ts"), col("list_id"),
+        transform(col("lsorted"), s => s.getField("k")).as("lkeys"),
+        transform(col("lsorted"), s => s.getField("v")).as("lvals"))
+    // static: each list's members packed into one row (list count ×
+    // ~|list| structs — the same bytes the codes table holds, grouped)
+    val packed = guardCodes(codeTable, m)
+      .groupBy(col("list_id"))
+      .agg(collect_list(struct(col("vec_id"),
+        col("codes").cast("array<long>").as("codes"))).as("members"))
     lut
-      .join(guardCodes(codeTable, m), Seq("list_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adist", aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
-        (acc, sub) => acc + element_at(col("lut"),
-          sub.cast("long") * keyBase +
-            element_at(col("codes"), sub + 1).cast("long"))))
+      .join(packed, Seq("list_id"))
+      .select(col("q_id"), col("event_ts"),
+        explode(call_udf("graft_adc_topk", col("lkeys"), col("lvals"),
+          col("members"), col("q_id"), lit(keyBase), lit(k))).as("t"))
+      .select(col("q_id"), col("event_ts"),
+        col("t.adist").as("adist"), col("t.vec_id").as("vec_id"))
       .groupBy(window(col("event_ts"), windowDur), col("q_id"))
       .agg(call_udf("graft_topk_min",
         struct(col("adist"), col("vec_id")), lit(k)).as("top"))

@@ -142,6 +142,28 @@ class NativeKernelSpec extends SparkSpec {
     assert(!edge)
   }
 
+  test("graft_sorted_lookup: binary-search value fetch == element_at(map) semantics") {
+    import spark.implicits._
+    val df = Seq((Seq(2L, 5L, 9L, 40L), Seq(20L, 50L, 90L, 400L)))
+      .toDF("ks", "vs")
+    def look(key: Long) = df.select(
+      call_udf("graft_sorted_lookup", col("ks"), col("vs"), lit(key)))
+      .collect()(0)
+    assert(look(5L).getLong(0) == 50L)
+    assert(look(40L).getLong(0) == 400L)
+    assert(look(3L).isNullAt(0), "absent key must yield NULL, like element_at")
+    // parity with the map form over random data
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 100).map { _ =>
+      val ks = rnd.shuffle((0L to 60L).toList).take(12).sorted
+      (ks, ks.map(_ * 7L), rnd.nextInt(70).toLong)
+    }
+    val both = rows.toDF("ks", "vs", "x")
+      .withColumn("bs", call_udf("graft_sorted_lookup", col("ks"), col("vs"), col("x")))
+      .withColumn("mp", element_at(map_from_arrays(col("ks"), col("vs")), col("x")))
+    assert(both.filter(not(col("bs") <=> col("mp"))).count() == 0L)
+  }
+
   test("graft_sorted_contains rejects nullable-element arrays at analysis") {
     import spark.implicits._
     // ArrayData.getLong reads a null slot as 0, so containsNull=true
