@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All declared query specs (relational inventory + LLM-pipeline ops). */
   def specs: Seq[QuerySpec] =
-    Inventory.all ++ graft.queries.Skew.all ++ llm.TextAnalysis.all ++
+    Inventory.all ++ graft.queries.Skew.all ++
+      graft.queries.Temporal.all ++ llm.TextAnalysis.all ++
       llm.TextDedup.all ++ llm.Similarity.all ++ llm.Multimodal.all ++
       llm.Curation.all ++ llm.Pipeline.all
 
