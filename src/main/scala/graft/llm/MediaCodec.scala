@@ -268,6 +268,155 @@ object ImageIoCodec extends MediaCodec {
     }
 }
 
+/** A REAL codec for RIFF/WAVE 16-bit PCM audio, in pure JVM code —
+  * the audio leg of the multimodal surface, through the exact same
+  * seam as the image codecs. The [[MediaCodec]] geometry fields are
+  * image-named; for audio they carry the documented mapping
+  *
+  *   width = channels, height = sample rate (Hz), n_frames = sample
+  *   frames; resize(targetW, targetH) = (target channels, target
+  *   FRAME COUNT) — a nearest-neighbor resample on the time axis and
+  *   a nearest-neighbor channel re-map, the 1-D analog of the image
+  *   codecs' `src = floor(dst · srcDim / dstDim)`.
+  *
+  *  - [[decode]] walks the RIFF container for real: the RIFF/WAVE
+  *    magic, the chunk list with LE sizes and even-byte padding
+  *    (unknown chunks — LIST, fact, cue — are skipped, as a real
+  *    parser must), the fmt fields (PCM format tag, channel count,
+  *    rate, block align), and validates the data payload length
+  *    against block alignment;
+  *  - [[resize]] re-encodes byte-exactly as a canonical 44-byte
+  *    header + resampled frames, so the output is itself a valid
+  *    decodable WAV (pinned round-trip by MultimodalSpec);
+  *  - [[embed]] is a `dim`-bucket amplitude histogram over the signed
+  *    16-bit samples — the audio analog of the image codecs'
+  *    luminance histogram, integer-exact.
+  *
+  * Everything is integer arithmetic, so q_llm_mm_wav replays the
+  * parse + time-resample in DuckDB and sha256-matches the resampled
+  * data section cross-engine (the q_llm_mm_ppm stance). Compressed
+  * audio (MP3/AAC/FLAC) enters via the same trait with an external
+  * library. */
+object WavCodec extends MediaCodec {
+
+  /** (channels, sampleRate, blockAlign, dataOffset, dataLen), or None
+    * when the bytes are not valid 16-bit PCM RIFF/WAVE. */
+  private[llm] def parseHeader(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = (u16(i).toLong) | (u16(i + 2).toLong << 16)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, blockAlign)
+    var data: Option[(Int, Int)] = None     // (offset, len)
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(i); val len = u32(i + 4)
+      if (len < 0 || len > b.length - i - 8) return None
+      val body = i + 8
+      if (id == "fmt ") {
+        if (len < 16) return None
+        val audioFormat = u16(body)
+        val ch = u16(body + 2)
+        val rate = u32(body + 4)
+        val blockAlign = u16(body + 12)
+        val bits = u16(body + 14)
+        if (audioFormat != 1 || bits != 16 || ch < 1 || ch > 64 ||
+          rate <= 0 || rate > Int.MaxValue || blockAlign != ch * 2) return None
+        fmt = Some((ch, rate.toInt, blockAlign))
+      } else if (id == "data") data = Some((body, len.toInt))
+      i = body + len.toInt + (len.toInt & 1) // chunks pad to even length
+    }
+    for ((ch, rate, ba) <- fmt; (off, dl) <- data if dl % ba == 0)
+      yield (ch, rate, ba, off, dl)
+  }
+
+  def decode(mediaId: Long, payload: Array[Byte]): Multimodal.DecodedMeta =
+    parseHeader(payload) match {
+      case Some((ch, rate, ba, _, dl)) =>
+        Multimodal.DecodedMeta(mediaId, ch, rate, dl / ba, ok = true)
+      case None => Multimodal.DecodedMeta(mediaId, 0, 0, 0, ok = false)
+    }
+
+  /** Canonical 44-byte-header PCM encode (the form [[resize]] emits). */
+  private[llm] def encode(channels: Int, rate: Int,
+      data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](44 + data.length)
+    def put(i: Int, s: String): Unit = {
+      val sb = s.getBytes("US-ASCII"); System.arraycopy(sb, 0, out, i, 4)
+    }
+    def p16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(i: Int, v: Long): Unit = { p16(i, (v & 0xffff).toInt); p16(i + 2, ((v >> 16) & 0xffff).toInt) }
+    put(0, "RIFF"); p32(4, 36L + data.length); put(8, "WAVE")
+    put(12, "fmt "); p32(16, 16L); p16(20, 1); p16(22, channels)
+    p32(24, rate.toLong); p32(28, rate.toLong * channels * 2)
+    p16(32, channels * 2); p16(34, 16)
+    put(36, "data"); p32(40, data.length.toLong)
+    System.arraycopy(data, 0, out, 44, data.length)
+    out
+  }
+
+  /** Splice an odd-length unknown chunk (with its RIFF even-padding
+    * byte) between fmt and data, fixing the RIFF size — used by
+    * q_llm_mm_wav and MultimodalSpec so the parser's chunk-skip and
+    * padding paths do real work on every payload (a canonical-encode →
+    * decode round-trip alone would never exercise them). */
+  private[llm] def withJunkChunk(canonical: Array[Byte]): Array[Byte] = {
+    val junk = Array[Byte]('j', 'u', 'n', 'k', 5, 0, 0, 0, 9, 8, 7, 6, 5, 0)
+    val out = new Array[Byte](canonical.length + junk.length)
+    System.arraycopy(canonical, 0, out, 0, 36)
+    System.arraycopy(junk, 0, out, 36, junk.length)
+    System.arraycopy(canonical, 36, out, 36 + junk.length,
+      canonical.length - 36)
+    val sz = out.length - 8
+    out(4) = (sz & 0xff).toByte; out(5) = ((sz >> 8) & 0xff).toByte
+    out(6) = ((sz >> 16) & 0xff).toByte; out(7) = ((sz >> 24) & 0xff).toByte
+    out
+  }
+
+  def resize(mediaId: Long, payload: Array[Byte], targetW: Int,
+      targetH: Int): Multimodal.ResizedMeta =
+    parseHeader(payload) match {
+      case Some((ch, rate, ba, off, dl))
+          if targetW > 0 && targetH > 0 && dl > 0 &&
+            // same Int-overflow stance as the image codecs
+            targetW.toLong * targetH * 2 <= Int.MaxValue =>
+        val srcFrames = dl / ba
+        val out = new Array[Byte](targetW * targetH * 2)
+        var k = 0; var f = 0
+        while (f < targetH) {
+          val sf = (f.toLong * srcFrames / targetH).toInt
+          var c = 0
+          while (c < targetW) {
+            val sc = (c.toLong * ch / targetW).toInt
+            val src = off + sf * ba + sc * 2
+            out(k) = payload(src); out(k + 1) = payload(src + 1)
+            k += 2; c += 1
+          }
+          f += 1
+        }
+        Multimodal.ResizedMeta(mediaId, targetW, targetH,
+          encode(targetW, rate, out), ok = true)
+      case _ =>
+        Multimodal.ResizedMeta(mediaId, 0, 0, Array.emptyByteArray, ok = false)
+    }
+
+  def embed(mediaId: Long, payload: Array[Byte], dim: Int): Array[Float] =
+    parseHeader(payload) match {
+      case Some((_, _, _, off, dl)) =>
+        val hist = new Array[Float](dim)
+        var p = off
+        while (p < off + dl) {
+          val v = ((payload(p) & 0xff) | (payload(p + 1) << 8)) // sign-extends
+          hist((v + 32768) * dim / 65536) += 1f
+          p += 2
+        }
+        hist
+      case None => new Array[Float](dim)
+    }
+}
+
 /** The deterministic fake standing in for a real codec: dimensions
   * derive from `java.util.Arrays.hashCode(payload)` (the 31-fold over
   * signed bytes in wrapping 32-bit arithmetic — SQL-expressible, which

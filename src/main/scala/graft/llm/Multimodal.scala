@@ -397,6 +397,74 @@ object Multimodal {
          |ORDER BY ida, idb""".stripMargin
     })
 
+  /** REAL audio through the codec seam (the q_llm_mm_ppm stance, on
+    * the time axis): 16-bit PCM RIFF/WAVE payloads built in-plan from
+    * each document (frame count / channels / rate derive from doc_id,
+    * sample bytes cycle the text — and an odd-length junk chunk is
+    * spliced between fmt and data so the parser's chunk-skip and
+    * even-padding paths fire on EVERY payload), then [[WavCodec]]
+    * really parses the container and nearest-neighbor-resamples the
+    * stream to 6 frames. One codec pass per payload. The oracle
+    * replays the time-axis `src = floor(dst·srcFrames/dstFrames)`
+    * resample from the text bytes and sha256-matches the resampled
+    * DATA section — proof the parsed geometry AND the picked sample
+    * bytes agree cross-engine. (The 44-byte output header is
+    * deterministic-by-construction and its round-trip is
+    * MultimodalSpec-pinned; only the data section carries
+    * per-document content, so that is what the hash pins.) */
+  val qMmWav = QuerySpec(
+    "q_llm_mm_wav",
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val built = Tables.load(s, d, "documents").select(
+        col("doc_id"),
+        expr("CASE WHEN text IS NULL OR text = '' THEN 'x' ELSE text END").as("t"))
+      built.as[(Long, String)]
+        .mapPartitions { rows =>
+          codecScope(WavCodec, rows).map { case (id, t) =>
+            val frames = (4 + id % 12).toInt
+            val channels = (1 + id % 2).toInt
+            val rate = (8000 + (id % 3) * 4000).toInt
+            val tb = t.getBytes("UTF-8")
+            val data = Array.tabulate[Byte](frames * channels * 2)(
+              j => tb(j % tb.length))
+            val payload = WavCodec.withJunkChunk(
+              WavCodec.encode(channels, rate, data))
+            val dec = WavCodec.decode(id, payload)
+            val rs = WavCodec.resize(id, payload, channels, 6)
+            (id, dec.width, dec.height, dec.n_frames, dec.ok,
+              rs.height, rs.payload.drop(44))
+          }
+        }
+        .toDF("media_id", "channels", "sample_rate", "n_frames", "ok",
+          "r_frames", "data_part")
+        .withColumn("data_sha256", sha2(col("data_part"), 256))
+        .drop("data_part")
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH src AS (
+           |  SELECT doc_id AS media_id,
+           |    CAST(4 + doc_id % 12 AS INT) AS f,
+           |    CAST(1 + doc_id % 2 AS INT) AS c,
+           |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate,
+           |    CASE WHEN text IS NULL OR text = '' THEN 'x' ELSE text END AS text,
+           |    length(CASE WHEN text IS NULL OR text = '' THEN 'x'
+           |      ELSE text END) AS n
+           |  FROM documents
+           |), res AS (
+           |  SELECT media_id, f, c, rate,
+           |    array_to_string(list_transform(range(0, 6 * c * 2), k ->
+           |      substr(text,
+           |        CAST((((k // (c * 2)) * f // 6) * (c * 2)
+           |          + k % (c * 2)) % n + 1 AS INT), 1)), '') AS data_str
+           |  FROM src
+           |)
+           |SELECT media_id, c AS channels, rate AS sample_rate,
+           |  f AS n_frames, TRUE AS ok, CAST(6 AS INT) AS r_frames,
+           |  sha256(data_str) AS data_sha256
+           |FROM res ORDER BY media_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
-    Seq(qMultimodalMeta, qMultimodalDecode, qMmPpm, qMmNearDup)
+    Seq(qMultimodalMeta, qMultimodalDecode, qMmPpm, qMmNearDup, qMmWav)
 }

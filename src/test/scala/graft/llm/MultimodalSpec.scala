@@ -326,4 +326,73 @@ class MultimodalSpec extends SparkSpec {
       assert(ppmPixel(rp.payload, 3, x, y) == pngPixel(ri.payload, 3, x, y),
         s"resampled pixel ($x,$y) differs between codecs")
   }
+
+  // ---- WavCodec: the audio leg of the seam ------------------------------
+
+  /** Stereo 16-bit test signal: frame f carries samples (100·f, -100·f). */
+  private def wavOf(frames: Int, rate: Int = 8000): Array[Byte] = {
+    val data = new Array[Byte](frames * 4)
+    for (f <- 0 until frames; c <- 0 until 2) {
+      val v = (if (c == 0) 100 * f else -100 * f).toShort
+      data(f * 4 + c * 2) = (v & 0xff).toByte
+      data(f * 4 + c * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    WavCodec.encode(2, rate, data)
+  }
+
+  private def sampleAt(p: Array[Byte], frame: Int, ch: Int,
+      channels: Int): Int = {
+    val off = 44 + (frame * channels + ch) * 2
+    (p(off) & 0xff) | (p(off + 1) << 8)
+  }
+
+  test("WavCodec.decode really walks the RIFF container; garbage is not-ok") {
+    val wav = wavOf(10, rate = 44100)
+    val m = WavCodec.decode(1L, wav)
+    assert(m.ok && m.width == 2 && m.height == 44100 && m.n_frames == 10)
+    // an unknown odd-length chunk between fmt and data parses through
+    // (chunk-skip + even-padding paths)
+    val mj = WavCodec.decode(1L, WavCodec.withJunkChunk(wav))
+    assert(mj.ok && mj.width == 2 && mj.n_frames == 10)
+    // rejections: wrong magic, truncated raster, bad block align,
+    // non-PCM format tag
+    assert(!WavCodec.decode(1L, "not audio at all".getBytes).ok)
+    assert(!WavCodec.decode(1L, wav.dropRight(3)).ok)
+    val badAlign = wav.clone(); badAlign(32) = 5 // blockAlign != ch*2
+    assert(!WavCodec.decode(1L, badAlign).ok)
+    val badFmt = wav.clone(); badFmt(20) = 3     // IEEE-float format tag
+    assert(!WavCodec.decode(1L, badFmt).ok)
+  }
+
+  test("WavCodec.resize is a real time-axis NN resample, valid-WAV round-trip") {
+    val wav = wavOf(8)
+    val rs = WavCodec.resize(1L, wav, 2, 4) // 8 frames -> 4, keep stereo
+    assert(rs.ok && rs.width == 2 && rs.height == 4)
+    // src frame = floor(dst·8/4) = 2·dst, per channel
+    for (f <- 0 until 4; c <- 0 until 2)
+      assert(sampleAt(rs.payload, f, c, 2) ==
+        (if (c == 0) 100 * (2 * f) else -100 * (2 * f)),
+        s"frame $f ch $c")
+    // the re-encoded output is itself a decodable WAV (round-trip)
+    val back = WavCodec.decode(1L, rs.payload)
+    assert(back.ok && back.width == 2 && back.n_frames == 4)
+    // channel re-map: stereo -> mono keeps channel 0
+    val mono = WavCodec.resize(1L, wav, 1, 8)
+    assert(mono.ok && (0 until 8).forall(f =>
+      sampleAt(mono.payload, f, 0, 1) == 100 * f))
+    // Int-overflow targets are not-ok, never a wrong-size buffer
+    assert(!WavCodec.resize(1L, wav, 1 << 16, 1 << 16).ok)
+  }
+
+  test("WavCodec.embed is an exact amplitude histogram over decoded samples") {
+    val wav = wavOf(16)
+    val hist = WavCodec.embed(1L, wav, 8)
+    assert(hist.sum == 32f, "every sample lands in exactly one bucket")
+    // extreme samples land in the extreme buckets
+    val extremes = WavCodec.encode(1, 8000,
+      Array[Byte](0x00, 0x80.toByte, 0xff.toByte, 0x7f)) // -32768, 32767
+    val eh = WavCodec.embed(1L, extremes, 8)
+    assert(eh(0) == 1f && eh(7) == 1f)
+    assert(WavCodec.embed(1L, Array[Byte](1, 2, 3), 8).sum == 0f)
+  }
 }
