@@ -417,6 +417,195 @@ object WavCodec extends MediaCodec {
     }
 }
 
+/** A REAL codec for multi-frame VIDEO — AVI containers carrying
+  * uncompressed 24-bit DIB frames ('DIB ' fourcc, the format every
+  * capture tool can emit) — in pure JVM code: the video leg of the
+  * multimodal surface, through the same seam as the image and audio
+  * codecs. Geometry mapping: width/height are the frame geometry and
+  * n_frames is the REAL frame count from walking the movi list (the
+  * first codec here where n_frames > 1 is parsed, not stubbed).
+  *
+  *  - [[decode]] walks the RIFF/AVI tree for real: the 'AVI ' form
+  *    type, the 'hdrl' LIST with its 'avih' main header (geometry +
+  *    declared frame count), nested 'strl' LISTs and unknown chunks
+  *    skipped by size, the 'movi' LIST, and every '00db'/'00dc' frame
+  *    chunk — validating each frame's byte length against the DIB
+  *    row-stride formula `(3·w + 3) & ~3` (rows pad to 4 bytes) and
+  *    the declared total;
+  *  - [[resize]] nearest-neighbor-resamples EVERY frame spatially
+  *    (same `src = floor(dst·srcDim/dstDim)` mapping as the image
+  *    codecs, on the DIB's stored bottom-up rows) and re-encodes a
+  *    valid decodable AVI;
+  *  - [[embed]] is the Rec.709 luminance histogram over all frames'
+  *    pixels (BGR byte order — DIBs store blue first);
+  *  - [[sampledRaster]] is the codec half of frame sampling: the
+  *    concatenated rasters of every `stride`-th frame, the
+  *    `Multimodal.sampleFrameIdx` convention (`idx % stride == 0`)
+  *    applied to real pixel data.
+  *
+  * Everything is integer arithmetic, so q_llm_mm_avi replays the
+  * frame-chunk offsets, the stride picks, and the pixel layout in
+  * DuckDB and sha256-matches the sampled rasters. Compressed video
+  * (H.264 etc.) enters via the same trait with an external library. */
+object AviCodec extends MediaCodec {
+
+  private[llm] def rowStride(w: Int): Int = (3 * w + 3) & ~3
+
+  /** (width, height, usPerFrame, frame chunk (offset, len) list), or
+    * None when the bytes are not a valid DIB AVI. */
+  private[llm] def parse(b: Array[Byte]): Option[(Int, Int, Int, List[(Int, Int)])] = {
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (b.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var w = 0; var h = 0; var usPerFrame = 0; var declaredFrames = -1L
+    val frames = List.newBuilder[(Int, Int)]
+    var nFrames = 0
+    // walk one chunk run [from, to); recurse into hdrl/movi LISTs
+    def walk(from: Int, to: Int, inMovi: Boolean): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        val id = tag(i); val len = u32(i + 4)
+        if (len < 0 || len > to - i - 8) return false
+        val body = i + 8
+        if (id == "LIST") {
+          if (len < 4) return false
+          val form = tag(body)
+          if (form == "hdrl" || form == "movi")
+            if (!walk(body + 4, body + len.toInt, form == "movi")) return false
+          // other LISTs (strl, INFO, ...) skip by size
+        } else if (id == "avih") {
+          if (len < 56) return false
+          usPerFrame = u32(body).toInt
+          declaredFrames = u32(body + 16)
+          w = u32(body + 32).toInt; h = u32(body + 36).toInt
+        } else if (inMovi && (id == "00db" || id == "00dc")) {
+          frames += ((body, len.toInt)); nFrames += 1
+        }
+        i = body + len.toInt + (len.toInt & 1) // chunks pad to even
+      }
+      true
+    }
+    if (!walk(12, b.length, inMovi = false)) return None
+    val fs = frames.result()
+    if (w <= 0 || h <= 0 || w > (1 << 15) || h > (1 << 15) ||
+      declaredFrames != nFrames.toLong || nFrames == 0 ||
+      fs.exists(_._2 != rowStride(w) * h)) None
+    else Some((w, h, usPerFrame, fs))
+  }
+
+  def decode(mediaId: Long, payload: Array[Byte]): Multimodal.DecodedMeta =
+    parse(payload) match {
+      case Some((w, h, _, fs)) =>
+        Multimodal.DecodedMeta(mediaId, w, h, fs.length, ok = true)
+      case None => Multimodal.DecodedMeta(mediaId, 0, 0, 0, ok = false)
+    }
+
+  /** Canonical encode (the form [[resize]] emits): RIFF(AVI ) ←
+    * LIST(hdrl){avih, LIST(strl){strh,strf}} + LIST(movi){00db...}. */
+  private[llm] def encode(w: Int, h: Int, usPerFrame: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val frameLen = rowStride(w) * h
+    require(frames.forall(_.length == frameLen), "frame raster size")
+    val bos = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def p16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def p32(v: Long): Unit = { p16((v & 0xffff).toInt); p16(((v >> 16) & 0xffff).toInt) }
+    val hdrlLen = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val moviLen = 4 + frames.map(f => 8 + f.length).sum
+    put("RIFF"); p32(4L + (8 + hdrlLen) + (8 + moviLen)); put("AVI ")
+    put("LIST"); p32(hdrlLen.toLong); put("hdrl")
+    put("avih"); p32(56L)
+    p32(usPerFrame.toLong); p32(frameLen.toLong * 1000000L / math.max(usPerFrame, 1))
+    p32(0L); p32(0L); p32(frames.length.toLong); p32(0L); p32(1L)
+    p32(frameLen.toLong); p32(w.toLong); p32(h.toLong)
+    (0 until 4).foreach(_ => p32(0L))
+    put("LIST"); p32(4L + (8 + 56) + (8 + 40)); put("strl")
+    put("strh"); p32(56L)
+    put("vids"); put("DIB "); p32(0L); p16(0); p16(0); p32(0L)
+    p32(usPerFrame.toLong); p32(1000000L) // scale/rate: frames per rate/scale
+    p32(0L); p32(frames.length.toLong); p32(frameLen.toLong); p32(0L); p32(0L)
+    p16(0); p16(0); p16(w); p16(h)
+    put("strf"); p32(40L)
+    p32(40L); p32(w.toLong); p32(h.toLong); p16(1); p16(24)
+    p32(0L); p32(frameLen.toLong); p32(0L); p32(0L); p32(0L); p32(0L)
+    put("LIST"); p32(moviLen.toLong); put("movi")
+    frames.foreach { f => put("00db"); p32(f.length.toLong); bos.write(f) }
+    bos.toByteArray
+  }
+
+  def resize(mediaId: Long, payload: Array[Byte], targetW: Int,
+      targetH: Int): Multimodal.ResizedMeta =
+    parse(payload) match {
+      case Some((w, h, us, fs))
+          if targetW > 0 && targetH > 0 &&
+            // Int-overflow stance of the other codecs, times frames
+            rowStride(targetW).toLong * targetH * fs.length <= Int.MaxValue =>
+        val srcStride = rowStride(w); val dstStride = rowStride(targetW)
+        val out = fs.map { case (off, _) =>
+          val fr = new Array[Byte](dstStride * targetH)
+          var y = 0
+          while (y < targetH) {
+            val sy = (y.toLong * h / targetH).toInt
+            var x = 0
+            while (x < targetW) {
+              val sx = (x.toLong * w / targetW).toInt
+              val src = off + sy * srcStride + sx * 3
+              val dst = y * dstStride + x * 3
+              fr(dst) = payload(src); fr(dst + 1) = payload(src + 1)
+              fr(dst + 2) = payload(src + 2)
+              x += 1
+            }
+            y += 1
+          }
+          fr
+        }
+        Multimodal.ResizedMeta(mediaId, targetW, targetH,
+          encode(targetW, targetH, us, out), ok = true)
+      case _ =>
+        Multimodal.ResizedMeta(mediaId, 0, 0, Array.emptyByteArray, ok = false)
+    }
+
+  def embed(mediaId: Long, payload: Array[Byte], dim: Int): Array[Float] =
+    parse(payload) match {
+      case Some((w, h, _, fs)) =>
+        val hist = new Array[Float](dim)
+        val stride = rowStride(w)
+        for ((off, _) <- fs; y <- 0 until h) {
+          var x = 0
+          while (x < w) {
+            val p = off + y * stride + x * 3
+            val b = payload(p) & 0xff; val g = payload(p + 1) & 0xff
+            val r = payload(p + 2) & 0xff
+            hist(((2126 * r + 7152 * g + 722 * b) / 10000) * dim / 256) += 1f
+            x += 1
+          }
+        }
+        hist
+      case None => new Array[Float](dim)
+    }
+
+  /** Frame sampling over real pixels: the concatenated rasters of
+    * every `stride`-th frame (indices 0, stride, 2·stride, ... — the
+    * [[Multimodal.sampleFrameIdx]] convention), or empty when the
+    * payload is not a valid DIB AVI. */
+  def sampledRaster(payload: Array[Byte], stride: Int): Array[Byte] =
+    parse(payload) match {
+      case Some((_, _, _, fs)) =>
+        val picked = fs.zipWithIndex.collect {
+          case ((off, len), i) if i % stride == 0 =>
+            java.util.Arrays.copyOfRange(payload, off, off + len)
+        }
+        val out = new Array[Byte](picked.map(_.length).sum)
+        var k = 0
+        picked.foreach { f =>
+          System.arraycopy(f, 0, out, k, f.length); k += f.length
+        }
+        out
+      case None => Array.emptyByteArray
+    }
+}
+
 /** The deterministic fake standing in for a real codec: dimensions
   * derive from `java.util.Arrays.hashCode(payload)` (the 31-fold over
   * signed bytes in wrapping 32-bit arithmetic — SQL-expressible, which

@@ -465,6 +465,73 @@ object Multimodal {
            |  sha256(data_str) AS data_sha256
            |FROM res ORDER BY media_id""".stripMargin))
 
+  /** REAL multi-frame video through the codec seam: AVI containers of
+    * uncompressed 24-bit DIB frames built in-plan from each document
+    * (geometry and frame count derive from doc_id, frame rasters cycle
+    * the text bytes — each frame from a different text offset, so
+    * frame identity matters), then [[AviCodec]] really walks the RIFF
+    * tree (hdrl/avih geometry, nested strl skipped by size, movi frame
+    * chunks length-validated) and FRAME-SAMPLES every 2nd frame's raw
+    * raster ([[Multimodal.sampleFrameIdx]]'s convention over real
+    * pixels — the brief's video op). The oracle replays the stride
+    * picks and the per-frame byte layout from the text and
+    * sha256-matches the concatenated sampled rasters; n_frames is the
+    * first REAL parsed multi-frame count in the family. Widths are
+    * multiples of 4 so the DIB row stride is exactly 3·w (the general
+    * padded-stride path is MultimodalSpec-pinned). */
+  val qMmAvi = QuerySpec(
+    "q_llm_mm_avi",
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val built = Tables.load(s, d, "documents").select(
+        col("doc_id"),
+        expr("CASE WHEN text IS NULL OR text = '' THEN 'x' ELSE text END").as("t"))
+      built.as[(Long, String)]
+        .mapPartitions { rows =>
+          codecScope(AviCodec, rows).map { case (id, t) =>
+            val w = (4 * (1 + id % 2)).toInt
+            val h = (1 + id % 3).toInt
+            val nf = (2 + id % 5).toInt
+            val tb = t.getBytes("UTF-8")
+            val frameLen = 3 * w * h
+            val frames = (0 until nf).map(f =>
+              Array.tabulate[Byte](frameLen)(
+                j => tb((f * frameLen + j) % tb.length)))
+            val payload = AviCodec.encode(w, h, 40000, frames)
+            val dec = AviCodec.decode(id, payload)
+            (id, dec.width, dec.height, dec.n_frames, dec.ok,
+              AviCodec.sampledRaster(payload, stride = 2))
+          }
+        }
+        .toDF("media_id", "width", "height", "n_frames", "ok", "sampled")
+        .withColumn("sampled_sha256", sha2(col("sampled"), 256))
+        .drop("sampled")
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH src AS (
+           |  SELECT doc_id AS media_id,
+           |    CAST(4 * (1 + doc_id % 2) AS INT) AS w,
+           |    CAST(1 + doc_id % 3 AS INT) AS h,
+           |    CAST(2 + doc_id % 5 AS INT) AS nf,
+           |    CASE WHEN text IS NULL OR text = '' THEN 'x' ELSE text END AS text,
+           |    length(CASE WHEN text IS NULL OR text = '' THEN 'x'
+           |      ELSE text END) AS n
+           |  FROM documents
+           |), samp AS (
+           |  SELECT media_id, w, h, nf,
+           |    array_to_string(list_transform(
+           |      flatten(list_transform(range(0, nf, 2), f ->
+           |        list_transform(range(0, 3 * w * h),
+           |          j -> f * (3 * w * h) + j))),
+           |      idx -> substr(text, CAST(idx % n + 1 AS INT), 1)), '') AS s
+           |  FROM src
+           |)
+           |SELECT media_id, w AS width, h AS height, nf AS n_frames,
+           |  TRUE AS ok, sha256(s) AS sampled_sha256
+           |FROM samp ORDER BY media_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
-    Seq(qMultimodalMeta, qMultimodalDecode, qMmPpm, qMmNearDup, qMmWav)
+    Seq(qMultimodalMeta, qMultimodalDecode, qMmPpm, qMmNearDup, qMmWav,
+      qMmAvi)
 }

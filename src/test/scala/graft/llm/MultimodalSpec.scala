@@ -384,6 +384,71 @@ class MultimodalSpec extends SparkSpec {
     assert(!WavCodec.resize(1L, wav, 1 << 16, 1 << 16).ok)
   }
 
+  // ---- AviCodec: the video leg of the seam ------------------------------
+
+  /** 2-frame 3x2 DIB video (w=3 exercises the padded row stride 12=
+    * 3·3+3): pixel (x,y,frame f) carries BGR (x, y, f)·10+base. */
+  private def aviOf(frames: Int, w: Int = 3, h: Int = 2): Array[Byte] = {
+    val stride = AviCodec.rowStride(w)
+    val fs = (0 until frames).map { f =>
+      val r = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        r(y * stride + x * 3 + c) = (f * 100 + y * 30 + x * 10 + c).toByte
+      r
+    }
+    AviCodec.encode(w, h, 40000, fs)
+  }
+
+  test("AviCodec.decode really walks the RIFF tree; garbage/torn files are not-ok") {
+    val avi = aviOf(4)
+    val m = AviCodec.decode(1L, avi)
+    assert(m.ok && m.width == 3 && m.height == 2 && m.n_frames == 4,
+      "parsed geometry + REAL multi-frame count")
+    assert(!AviCodec.decode(1L, "RIFFxxxxWAVE".getBytes).ok, "wrong form type")
+    assert(!AviCodec.decode(1L, avi.dropRight(5)).ok, "torn frame chunk")
+    // frame chunk length inconsistent with the DIB stride formula
+    val bad = avi.clone()
+    val firstDb = {
+      var i = 0
+      while (!(bad(i) == '0' && bad(i + 1) == '0' && bad(i + 2) == 'd')) i += 1
+      i
+    }
+    bad(firstDb + 4) = (bad(firstDb + 4) - 1).toByte
+    assert(!AviCodec.decode(1L, bad).ok, "bad frame length must reject")
+  }
+
+  test("AviCodec.resize resamples every frame (pixel-exact NN), round-trips") {
+    val avi = aviOf(2, w = 4, h = 4)
+    val rs = AviCodec.resize(1L, avi, 2, 2)
+    assert(rs.ok && rs.width == 2 && rs.height == 2)
+    val back = AviCodec.decode(1L, rs.payload)
+    assert(back.ok && back.width == 2 && back.height == 2 && back.n_frames == 2,
+      "re-encoded output is itself a decodable AVI")
+    // NN mapping: dst (x,y) <- src (2x, 2y), per frame
+    val Some((_, _, _, fs)) = AviCodec.parse(rs.payload)
+    val stride = AviCodec.rowStride(2)
+    for (((off, _), f) <- fs.zipWithIndex; y <- 0 until 2; x <- 0 until 2)
+      assert((rs.payload(off + y * stride + x * 3) & 0xff) ==
+        ((f * 100 + (2 * y) * 30 + (2 * x) * 10) & 0xff),
+        s"frame $f pixel ($x,$y)")
+    assert(!AviCodec.resize(1L, avi, 1 << 15, 1 << 15).ok,
+      "overflow targets are not-ok")
+  }
+
+  test("AviCodec.embed and sampledRaster cover all/sampled frames exactly") {
+    val avi = aviOf(5)
+    assert(AviCodec.embed(1L, avi, 16).sum == 5f * 3 * 2,
+      "one histogram hit per pixel per frame")
+    val sampled = AviCodec.sampledRaster(avi, stride = 2)
+    val frameLen = AviCodec.rowStride(3) * 2
+    assert(sampled.length == 3 * frameLen, "frames 0, 2, 4 picked")
+    // sampled bytes are the picked frames' rasters verbatim
+    val Some((_, _, _, fs)) = AviCodec.parse(avi)
+    for ((k, fi) <- Seq(0, 2, 4).zipWithIndex; j <- 0 until frameLen)
+      assert(sampled(fi * frameLen + j) == avi(fs(k)._1 + j))
+    assert(AviCodec.sampledRaster("junk".getBytes, 2).isEmpty)
+  }
+
   test("WavCodec.embed is an exact amplitude histogram over decoded samples") {
     val wav = wavOf(16)
     val hist = WavCodec.embed(1L, wav, 8)
