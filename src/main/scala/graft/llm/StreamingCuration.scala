@@ -75,7 +75,7 @@ object StreamingCuration {
     * intervals have no fixed ms length, so the horizon would silently
     * read as 0 — reject them up front (Spark's own watermark-delay
     * restriction). */
-  private def horizonMsOf(watermark: String): Long = {
+  private[graft] def horizonMsOf(watermark: String): Long = {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
       org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
     require(iv.months == 0,
