@@ -1105,9 +1105,144 @@ object Curation {
            |  ON m1.split = m2.split AND m1.source = m2.source
            |ORDER BY split, source""".stripMargin))
 
+  // ---- leak-proof split (the FIX for what split_leak detects) -----------
+
+  /** Train/val/test split where every near-dup CLUSTER lands in one
+    * split: members inherit the split of their cluster representative
+    * (the min-id member, the CC label), so a document can never sit in
+    * train while its near-duplicate sits in the held-out set — the
+    * leakage [[TextDedup.splitLeakage]] (q_llm_split_leak) detects,
+    * prevented at assignment time instead of audited after. Unpaired
+    * documents keep the plain [[splitByHash]] assignment, so the two
+    * splits agree everywhere dedup found nothing.
+    *
+    * Still content-deterministic: the representative's split derives
+    * from ITS text bytes, members follow the cluster structure — a
+    * rerun or backfill assigns identically with no seed state.
+    *
+    * Scale shape: CC runs over graph MEMBERS only (the keep-list
+    * stance); the representative-split frame is cluster-count-sized
+    * and joins docs once on the id key to read the rep's text; the
+    * corpus sees ONE narrow left join of (doc_id, rep_split). */
+  def leakProofSplit(docs: DataFrame, pairs: DataFrame,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val cc = TextDedup.connectedComponents(pairs) // (id, cluster_id=min id)
+    val repSplit = cc.select(col("cluster_id")).distinct()
+      .join(docs.select(col("doc_id").as("cluster_id"), col("text")),
+        Seq("cluster_id"))
+      .select(col("cluster_id"),
+        splitByHash(col("text"), trainPct, valPct).as("rep_split"))
+    val memberSplit = cc.join(repSplit, Seq("cluster_id"))
+      .select(col("id").as("doc_id"), col("cluster_id"), col("rep_split"))
+    docs.join(memberSplit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"),
+        coalesce(col("rep_split"),
+          splitByHash(col("text"), trainPct, valPct)).as("split"))
+  }
+
+  /** Oracle'd over the same bounded Jaccard block as the cluster
+    * queries (recursive-CTE closure); the rep's split replays as the
+    * sha256 bucket of the representative's text. */
+  val qSplitSafe = QuerySpec(
+    "q_llm_split_safe",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      leakProofSplit(docs, TextDedup.jaccardBlockPairs(docs))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE pairs AS (
+           |  SELECT a.doc_id AS ida, b.doc_id AS idb
+           |  FROM documents a JOIN documents b
+           |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |  WHERE a.doc_id < 200 AND b.doc_id < 200
+           |    AND len(list_intersect(list_distinct(string_split(a.text, ' ')),
+           |                           list_distinct(string_split(b.text, ' ')))) /
+           |        len(list_distinct(list_concat(string_split(a.text, ' '),
+           |                                      string_split(b.text, ' ')))) >= 0.5
+           |), edges AS (
+           |  SELECT ida AS a, idb AS b FROM pairs
+           |  UNION SELECT idb, ida FROM pairs
+           |), reach(a, b) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+           |), clusters AS (
+           |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+           |), buckets AS (
+           |  SELECT doc_id,
+           |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+           |         ELSE 'test' END AS own_split
+           |  FROM (SELECT doc_id,
+           |          CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT) % 100 AS b
+           |        FROM documents) t
+           |), member AS (
+           |  SELECT cl.doc_id, cl.cluster_id, r.own_split AS rep_split
+           |  FROM clusters cl JOIN buckets r ON r.doc_id = cl.cluster_id
+           |)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(m.cluster_id, d.doc_id) AS BIGINT) AS group_id,
+           |  coalesce(m.rep_split, b.own_split) AS split
+           |FROM documents d
+           |LEFT JOIN member m USING (doc_id)
+           |JOIN buckets b USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin))
+
+  // ---- token-budget corpus selection --------------------------------------
+
+  /** Select the best documents per source under a TOKEN budget — the
+    * op every training run executes when the cleaned corpus still
+    * exceeds the compute budget: rank by an exact integer
+    * info-density score (distinct tokens per million tokens — repeats
+    * and boilerplate rank last), admit in rank order while the
+    * source's running token total stays within budget. Deterministic:
+    * the rank order is (score desc, doc_id), so reruns admit
+    * identically.
+    *
+    * Scale shape: one scan computes (n_tokens, score) per row; the
+    * only shuffle is the per-SOURCE window (the q_llm_pack stance —
+    * one hot source never serializes the rest, and a giant source
+    * thins by hash prefix before ranking if a single window is too
+    * long). */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val scored = docs.select(col("doc_id"), col("source"),
+      size(toks).cast("long").as("n_tokens"),
+      // CAST before the multiply: int·1e6 wraps at ~2.1k tokens
+      expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT) " +
+        "* 1000000 div size(split(text, ' '))").as("score_ppm"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budgetTokens)
+  }
+
+  val qBudgetSelect = QuerySpec(
+    "q_llm_budget_select",
+    (s, d) =>
+      budgetSelect(Tables.load(s, d, "documents"), 10000L)
+        .orderBy(col("source"), col("cum_tokens"), col("doc_id")),
+    Some("""SELECT doc_id, source, n_tokens, score_ppm, cum_tokens
+           |FROM (
+           |  SELECT doc_id, source, n_tokens, score_ppm,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY source
+           |      ORDER BY score_ppm DESC, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           |  FROM (
+           |    SELECT doc_id, source,
+           |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |      CAST(len(list_distinct(string_split(text, ' '))) * 1000000 //
+           |        len(string_split(text, ' ')) AS BIGINT) AS score_ppm
+           |    FROM documents) t) w
+           |WHERE cum_tokens <= 10000
+           |ORDER BY source, cum_tokens, doc_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qSample, qSplit, qParaDedup, qRedact, qUrlDedup, qLineDedup, qPack,
       qMix, qTempMix, qShuffle, qStripMarkup, qNormalize, qQuotaSample,
       qChunk, qBoilerplate, qCorpusDiff, qClusterMix, qClusterCard,
-      qPiiReport, qManifest, qManifestDiff)
+      qPiiReport, qManifest, qManifestDiff, qSplitSafe, qBudgetSelect)
 }

@@ -31,7 +31,11 @@ import graft.llm.{IvfPqIndex, StreamingCuration}
   *    state (bounded buckets, the heavy-state path);
   *  - `serve`   — [[IvfPqIndex.serveStream]] over a FIXED-K index
   *    built from the same tier (the production serving config, not
-  *    the stride-seeded oracle config): windowed top-k state.
+  *    the stride-seeded oracle config): windowed top-k state;
+  *  - `asof`    — [[graft.streaming.StreamingTemporal.streamingAsofJoin]]
+  *    over the tier's events replayed in event-time order (purchases
+  *    enriched against errors per user): pending-left + right-history
+  *    state, the exactness-buffering path.
   */
 object StreamSoak {
 
@@ -144,6 +148,21 @@ object StreamSoak {
           try runDrain(spark,
             idx.serveStream(vecFeed(), k = 10, probes = 2), mode, coll)
           finally idx.codes.unpersist()
+        case "asof" =>
+          val dir = s"$feedRoot/events"
+          val ev = Tables.events(spark, sfDir)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ts_us").as("event_ts"), col("value"))
+          buildFeed(ev, chunks, dir)
+          def feed(tpe: String): DataFrame =
+            spark.readStream.schema(spark.read.parquet(dir).schema)
+              .option("maxFilesPerTrigger", perTrigger).parquet(dir)
+              .filter(col("event_type") === tpe)
+              .select(col("user_id").as("key"), col("event_id").as("id"),
+                col("event_ts"), col("value").as("payload"))
+          runDrain(spark, graft.streaming.StreamingTemporal
+            .streamingAsofJoin(feed("purchase"), feed("error"), "1 hour")
+            .toDF(), mode, coll)
         case other => Map[String, Any]("mode" -> other, "err" -> "unknown mode")
       } finally spark.streams.removeListener(coll)
     }

@@ -447,4 +447,48 @@ class CurationSpec extends SparkSpec {
       ("http://site.com/a?id=1", 3L, 10L),
       ("https://other.org/b", 1L, 13L)), got.toSeq)
   }
+
+  test("leakProofSplit: one split per cluster; unpaired docs keep the plain split") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val out = Curation.leakProofSplit(docs, TextDedup.jaccardBlockPairs(docs))
+    // invariant: every group has exactly one split among its members
+    val perGroup = out.groupBy(col("group_id"))
+      .agg(countDistinct(col("split")).as("n"), count(lit(1)).as("sz"))
+    assert(perGroup.filter(col("n") =!= 1).count() == 0,
+      "a near-dup cluster must land in ONE split")
+    assert(perGroup.filter(col("sz") > 1).count() > 0,
+      "the block must produce at least one real multi-doc cluster")
+    // unpaired docs (group_id == own doc_id AND nothing else in the
+    // group) match the plain content split exactly
+    val plain = docs.select(col("doc_id"),
+      Curation.splitByHash(col("text")).as("plain_split"))
+    val solo = out.join(perGroup.filter(col("sz") === 1),
+        out("group_id") === perGroup("group_id"))
+      .join(plain, "doc_id")
+    assert(solo.filter(col("split") =!= col("plain_split")).count() == 0)
+    assert(out.count() == docs.count(), "left-outer: every doc assigned")
+  }
+
+  test("budgetSelect: per-source token budget respected, admitted in rank order") {
+    import spark.implicits._
+    val docs = Seq(
+      // (doc_id, source, text) — source a: scores 1e6 (all distinct),
+      // 500000 (half), 333333; budget 7 admits the best two (3+4=7)
+      (1L, "a", "x y z"),                  // 3 tokens, 1e6 ppm
+      (2L, "a", "p p q q"),                // 4 tokens, 5e5
+      (3L, "a", "r r r s s s"),            // 6 tokens, 333333 — over budget
+      (4L, "b", "lone doc")                // other source: own budget
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.budgetSelect(docs, 7L)
+      .select("doc_id", "n_tokens", "score_ppm", "cum_tokens")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 3L, 1000000L, 3L), (2L, 4L, 500000L, 7L),
+      (4L, 2L, 1000000L, 2L)), out.toSeq)
+    // determinism under repartition (window order is total)
+    val re = Curation.budgetSelect(docs.repartition(7), 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(re == Set(1L, 2L, 4L))
+  }
 }
