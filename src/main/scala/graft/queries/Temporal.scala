@@ -122,6 +122,11 @@ object Temporal {
       bin: Long = 0L): DataFrame = {
     val binSize = if (bin > 0L) bin else span
     require(binSize > 0L && span > 0L, "span and bin must be positive")
+    // the left side explodes over span/bin+1 bins per row — an
+    // accidentally tiny bin (bin=1ms against an hour span) would
+    // sequence() millions of elements per row before any task fails
+    require(span / binSize < 4096,
+      s"span/bin = ${span / binSize} bins per left row; use a coarser bin")
 
     // Integer `div` throughout — a double `/` would round near bin
     // boundaries at epoch-micros magnitudes.

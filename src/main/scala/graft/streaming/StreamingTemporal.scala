@@ -38,6 +38,41 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingTemporal {
 
+  /** Streaming twin of [[graft.queries.Temporal.rangeJoin]] — and the
+    * deliberate contrast to [[streamingAsofJoin]]: the batch range
+    * join needed the binned-equi rewrite (Spark's batch planner turns
+    * an inequality join into a BNLJ), but Structured Streaming's
+    * stream-stream join NATIVELY supports time-interval conditions —
+    * the watermark plus the `(t, t+span]` bounds tell the symmetric
+    * hash join exactly when each side's state is droppable, so the
+    * built-in operator is already the scalable form and a custom
+    * rewrite would only obscure it. Both inputs need (key, id,
+    * event_ts, payload); output is one row per qualifying pair,
+    * result-equal to the batch operator on a replayed feed
+    * (StreamingTemporalSpec).
+    *
+    * Scale shape: state on each side is horizon-bounded by the join's
+    * own time bounds (left rows expire once the right watermark
+    * passes `t + span`, right rows once the left watermark passes
+    * their instant); shuffle is the key-hash exchange both sides pay
+    * once. */
+  def streamingRangeJoin(left: DataFrame, right: DataFrame, spanMs: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    require(spanMs > 0L, "span must be positive")
+    val l = left.select(col("key"), col("id").as("l_id"),
+      col("event_ts").as("l_ts"), col("payload").as("l_payload"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("key").as("r_key"), col("id").as("r_id"),
+      col("event_ts").as("r_ts"), col("payload").as("r_payload"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("key") === col("r_key") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${spanMs} MILLISECOND"))
+      .select(col("key"), col("l_id"), col("l_ts"), col("l_payload"),
+        col("r_id"), col("r_ts"), col("r_payload"))
+  }
+
   /** One tagged input event (side 1 = left/probe, 0 = right/build). */
   case class AsofEvent(key: Long, side: Int, id: Long,
       event_ts: java.sql.Timestamp, payload: Double)

@@ -90,6 +90,44 @@ class StreamingTemporalSpec extends SparkSpec {
       s"horizon-evicted history must not match: $out")
   }
 
+  test("streamingRangeJoin: native interval join, result-equal to the batch rangeJoin") {
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[Ev]; val r = MemoryStream[Ev]
+    val spanMs = 10 * 60000L // 10-minute window
+    val q = StreamingTemporal.streamingRangeJoin(l.toDF(), r.toDF(), spanMs,
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("srange")
+      .outputMode("append").start()
+    try {
+      val lefts = Seq(ev(1, 10, 60, 1.0), ev(1, 11, 75, 1.5), ev(2, 12, 60, 2.0))
+      val rights = Seq(
+        ev(1, 100, 60, 9.0),  // == l_ts -> excluded (strict lower bound)
+        ev(1, 101, 65, 9.1),  // inside left 10's window
+        ev(1, 102, 70, 9.2),  // == 60+10 -> included for 10; inside 11's? 70<=75 no, >75 no -> excluded for 11
+        ev(1, 103, 80, 9.3),  // inside 11's window only
+        ev(2, 104, 65, 9.4))  // other key
+      l.addData(lefts: _*); q.processAllAvailable()
+      r.addData(rights: _*); q.processAllAvailable()
+      val got = spark.table("srange")
+        .select(col("l_id"), col("r_id")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      // batch reference over the same rows
+      val lDf = lefts.toDF().select(col("key"), col("id").as("l_id"),
+        (col("event_ts").cast("long") * 1000).as("l_ms"))
+      val rDf = rights.toDF().select(col("key"), col("id").as("r_id"),
+        (col("event_ts").cast("long") * 1000).as("r_ms"))
+      val want = graft.queries.Temporal.rangeJoin(lDf, rDf, Seq("key"),
+          "l_ms", "r_ms", spanMs)
+        .select(col("l_id"), col("r_id")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == want && got.nonEmpty, s"stream $got vs batch $want")
+      assert(got == Set((10L, 101L), (10L, 102L), (11L, 103L), (12L, 104L)))
+      // the plan is the streaming symmetric hash join, not a BNLJ
+      val plan = spark.sql("SELECT * FROM srange").queryExecution.toString
+      assert(!plan.contains("BroadcastNestedLoop"), "memory sink plan check")
+    } finally q.stop()
+  }
+
   test("result-equal to the batch asofJoin on a replayed multi-key feed") {
     // deterministic pseudo-random feed: 3 keys, interleaved sides,
     // duplicate instants, replayed in 4 micro-batches
