@@ -128,6 +128,46 @@ class StreamingTemporalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingAsofJoin state survives a checkpointed restart") {
+    import java.nio.file.Files
+    val lDir = Files.createTempDirectory("asof_l").toString
+    val rDir = Files.createTempDirectory("asof_r").toString
+    val ckpt = Files.createTempDirectory("asof_ckpt").toString
+    val outDir = Files.createTempDirectory("asof_out").toString
+    val schema = Seq(ev(0, 0, 0, 0.0)).toDF().schema
+
+    def feed(dir: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    def drain(): Unit = {
+      val q = StreamingTemporal.streamingAsofJoin(feed(lDir), feed(rDir),
+          watermark = "30 minutes")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // wave 1: a right row, and a left that stays watermark-pending
+    Seq(ev(1, 900, 60, 9.0)).toDF().write.mode("append").parquet(rDir)
+    Seq(ev(1, 1, 61, 1.0)).toDF().write.mode("append").parquet(lDir)
+    drain() // terminates with the left (and the right history) IN STATE
+
+    // wave 2 into a FRESH query from the same checkpoint: a later left
+    // plus watermark-advancing sentinels; both lefts can only match if
+    // wave 1's right history was recovered from the state store
+    Seq(ev(1, 2, 70, 2.0), ev(999L, 3, 10000, 0.0),
+      ev(999L, 4, 10001, 0.0)).toDF().write.mode("append").parquet(lDir)
+    drain()
+
+    val out = spark.read.parquet(outDir)
+      .filter(col("key") === 1L).orderBy(col("id"))
+      .collect().map(r => (r.getLong(1), Option(r.get(4))))
+    assert(out.toSeq == Seq((1L, Some(900L)), (2L, Some(900L))),
+      s"both lefts must match the pre-restart right: ${out.toSeq}")
+  }
+
   test("result-equal to the batch asofJoin on a replayed multi-key feed") {
     // deterministic pseudo-random feed: 3 keys, interleaved sides,
     // duplicate instants, replayed in 4 micro-batches
