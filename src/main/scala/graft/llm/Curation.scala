@@ -1240,9 +1240,89 @@ object Curation {
            |WHERE cum_tokens <= 10000
            |ORDER BY source, cum_tokens, doc_id""".stripMargin))
 
+  // ---- curriculum phase assignment ----------------------------------------
+
+  /** Length-curriculum phase assignment (Bengio-style easy→hard
+    * ordering, with token count as the difficulty proxy): documents
+    * bucket into `qs.size + 1` phases at exact GLOBAL nearest-rank
+    * quantile thresholds of n_tokens, so phase 1 is the shortest
+    * quartile and training can schedule phases in order. Every
+    * threshold is a length that actually occurs (nearest-rank, the
+    * lenPercentiles stance) and the arithmetic is all integers —
+    * bit-identical cross-engine and rerun-stable.
+    *
+    * Scale shape: a global sort would serialize the corpus, so the
+    * quantiles compute in two cheap steps instead — one groupBy on
+    * n_tokens (bounded-cardinality key: distinct document LENGTHS,
+    * thousands at most, whatever the corpus size), then a running sum
+    * over that tiny value frame (its SinglePartition window is k-row
+    * by construction — the documented one-row-exchange stance). The
+    * thresholds come back as ONE broadcast row and the phase label is
+    * a pure per-row CASE; the corpus is scanned once and never
+    * globally sorted. */
+  def curriculumPhases(docs: DataFrame,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs == qs.sorted && qs.forall(q => q > 0 && q < 1))
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val byLen = lens.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("n_tokens"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = byLen
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val thCols = qs.zipWithIndex.map { case (q, i) =>
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("n_tokens")))
+        .as(s"t$i")
+    }
+    val thresholds = cum.agg(thCols.head, thCols.tail: _*)
+    val labeled = lens.crossJoin(broadcast(thresholds))
+    val phase = qs.indices.foldRight(lit(qs.size + 1)) { (i, rest) =>
+      when(col("n_tokens") <= col(s"t$i"), lit(i + 1)).otherwise(rest)
+    }
+    labeled.select(col("doc_id"), col("n_tokens"),
+      phase.cast("long").as("phase"))
+  }
+
+  val qCurriculum = QuerySpec(
+    "q_llm_curriculum",
+    (s, d) =>
+      curriculumPhases(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some("""WITH lens AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents
+           |), bylen AS (
+           |  SELECT n_tokens, count(*) AS c FROM lens GROUP BY n_tokens
+           |), cum AS (
+           |  SELECT n_tokens,
+           |    CAST(sum(c) OVER (ORDER BY n_tokens
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |    CAST(sum(c) OVER () AS BIGINT) AS n
+           |  FROM bylen
+           |), th AS (
+           |  SELECT
+           |    min(CASE WHEN cum >= ceil(0.25 * n) THEN n_tokens END) AS t0,
+           |    min(CASE WHEN cum >= ceil(0.5 * n) THEN n_tokens END) AS t1,
+           |    min(CASE WHEN cum >= ceil(0.75 * n) THEN n_tokens END) AS t2
+           |  FROM cum
+           |)
+           |SELECT doc_id, n_tokens,
+           |  CAST(CASE WHEN n_tokens <= t0 THEN 1
+           |            WHEN n_tokens <= t1 THEN 2
+           |            WHEN n_tokens <= t2 THEN 3
+           |            ELSE 4 END AS BIGINT) AS phase
+           |FROM lens CROSS JOIN th
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qSample, qSplit, qParaDedup, qRedact, qUrlDedup, qLineDedup, qPack,
       qMix, qTempMix, qShuffle, qStripMarkup, qNormalize, qQuotaSample,
       qChunk, qBoilerplate, qCorpusDiff, qClusterMix, qClusterCard,
-      qPiiReport, qManifest, qManifestDiff, qSplitSafe, qBudgetSelect)
+      qPiiReport, qManifest, qManifestDiff, qSplitSafe, qBudgetSelect,
+      qCurriculum)
 }

@@ -491,4 +491,22 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(re == Set(1L, 2L, 4L))
   }
+
+  test("curriculumPhases: exact nearest-rank global thresholds, monotone phases") {
+    import spark.implicits._
+    // 8 docs with token counts 1..8: quartile thresholds at 2, 4, 6
+    val docs = (1 to 8).map(n =>
+      (n.toLong, (1 to n).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.curriculumPhases(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 2L), (4L, 4L, 2L),
+      (5L, 5L, 3L), (6L, 6L, 3L), (7L, 7L, 4L), (8L, 8L, 4L)), out.toSeq)
+    // phases are monotone in n_tokens and stable under repartition
+    val re = Curation.curriculumPhases(docs.repartition(5))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(re.toSeq == out.map(t => (t._1, t._3)).toSeq)
+  }
 }
