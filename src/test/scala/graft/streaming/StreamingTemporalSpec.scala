@@ -150,15 +150,23 @@ class StreamingTemporalSpec extends SparkSpec {
     }
 
     // wave 1: a right row, and a left that stays watermark-pending
-    Seq(ev(1, 900, 60, 9.0)).toDF().write.mode("append").parquet(rDir)
-    Seq(ev(1, 1, 61, 1.0)).toDF().write.mode("append").parquet(lDir)
+    Seq(ev(1, 900, 60, 9.0)).toDF().coalesce(1).write.mode("append").parquet(rDir)
+    Seq(ev(1, 1, 61, 1.0)).toDF().coalesce(1).write.mode("append").parquet(lDir)
     drain() // terminates with the left (and the right history) IN STATE
 
     // wave 2 into a FRESH query from the same checkpoint: a later left
-    // plus watermark-advancing sentinels; both lefts can only match if
-    // wave 1's right history was recovered from the state store
-    Seq(ev(1, 2, 70, 2.0), ev(999L, 3, 10000, 0.0),
-      ev(999L, 4, 10001, 0.0)).toDF().write.mode("append").parquet(lDir)
+    // that can only match if wave 1's right history was recovered from
+    // the state store. The watermark-advancing sentinels go in a THIRD
+    // drain: bundled into one write, parquet part-file order could put
+    // a sentinel batch first and (correctly) drop the min-70 left as
+    // late before it ever reached state.
+    Seq(ev(1, 2, 70, 2.0)).toDF().coalesce(1).write.mode("append").parquet(lDir)
+    drain()
+    // two separate writes -> two files -> two batches (maxFilesPerTrigger
+    // = 1): the first lifts max event time, the second's trigger sees
+    // the advanced watermark and releases the buffered lefts
+    Seq(ev(999L, 3, 10000, 0.0)).toDF().coalesce(1).write.mode("append").parquet(lDir)
+    Seq(ev(999L, 4, 10001, 0.0)).toDF().coalesce(1).write.mode("append").parquet(lDir)
     drain()
 
     val out = spark.read.parquet(outDir)
