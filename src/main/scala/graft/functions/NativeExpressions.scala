@@ -1208,6 +1208,11 @@ object GraftFunctions {
       case Seq(c, Literal(b: Int, IntegerType), Literal(d: Int, IntegerType)) =>
         SignLshExpr(c, b, d, 42L)
       case es => SignLshExpr(es.head, 16, 64, 42L)
+    },
+    "graft_heavy_hitters" -> {
+      case Seq(c, Literal(cap: Int, IntegerType), Literal(kk: Int, IntegerType)) =>
+        HeavyHittersAggExpr(c, cap, kk)
+      case es => HeavyHittersAggExpr(es.head, 65536, 20)
     })
 
   /** Session registration; idempotent, call before using the

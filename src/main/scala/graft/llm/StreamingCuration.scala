@@ -648,4 +648,33 @@ object StreamingCuration {
       .select(col("doc_id"), col("cluster_id"), col("rate_ppm"),
         col("event_ts"))
   }
+
+  /** Live corpus heavy hitters — the batch
+    * [[TextAnalysis.heavyHitterNgrams]] sketch running continuously: a
+    * complete-mode global aggregation whose ONLY state is the one
+    * Misra-Gries summary (≤ `capacity` counters), updated map-side per
+    * micro-batch and emitting the current top-k each trigger. This is
+    * the operations dashboard "what boilerplate is flooding the crawl
+    * RIGHT NOW" feed; because the summary is a mergeable sketch the
+    * state never grows with the stream, only with `capacity` — a
+    * GROUP BY n-gram in complete mode would hold the full n-gram
+    * universe in the state store forever.
+    *
+    * Same exactness regime as batch (distinct ≤ capacity ⇒ exact,
+    * max_err 0): on a replayed frozen feed the final trigger's output
+    * equals the batch query row-for-row (spec-pinned). */
+  def streamingHeavyHitters(docs: DataFrame, n: Int = 3,
+      capacity: Int = 65536, k: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', slice(t, i, $n)))"))
+        .as("gram"))
+      .agg(expr(s"graft_heavy_hitters(gram, $capacity, $k)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("gram"), col("e.cnt").as("cnt"),
+        col("e.max_err").as("max_err"))
+  }
 }

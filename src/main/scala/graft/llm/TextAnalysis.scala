@@ -1453,10 +1453,71 @@ object TextAnalysis {
          |FROM p${bpeEncodeMerges.size} p JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin))
 
+  /** Corpus heavy hitters: the k most frequent whitespace word
+    * `n`-grams with their occurrence counts, mined through the
+    * bounded-state Misra-Gries aggregate
+    * ([[graft.functions.HeavyHittersAggExpr]], `graft_heavy_hitters`)
+    * instead of a full `GROUP BY` over the n-gram universe.
+    *
+    * Plan shape: one corpus scan → narrow n-gram explode → map-side
+    * partial summaries of ≤ `capacity` counters each → a single-group
+    * exchange of one summary PER TASK (not per n-gram) → pointwise
+    * final merge. At 100 TB the exact groupBy shuffles ~one row per
+    * distinct n-gram (≈ token count); this shuffles
+    * `capacity × tasks` counter entries, the classic sketch topology
+    * (same as HLL / approx quantiles), and state never exceeds
+    * `capacity` entries per buffer.
+    *
+    * With `capacity` above the corpus' distinct-n-gram count the
+    * summary is exact and `max_err` = 0 — the verification regime the
+    * oracle hash-matches; in production `capacity` trades memory for
+    * the N/(capacity+1) frequency guarantee (every n-gram above that
+    * threshold is guaranteed reported; `cnt` is a lower bound,
+    * `cnt + max_err` an upper bound). */
+  def heavyHitterNgrams(docs: DataFrame, n: Int = 3,
+      capacity: Int = 262144, k: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs
+      .select(tokens(col("text")).as("t"))
+      .where(size(col("t")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', slice(t, i, $n)))"))
+        .as("gram"))
+    grams
+      .agg(expr(s"graft_heavy_hitters(gram, $capacity, $k)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("gram"), col("e.cnt").as("cnt"),
+        col("e.max_err").as("max_err"))
+      .orderBy(col("cnt").desc, col("gram"))
+  }
+
+  /** Heavy hitters declared query: top-20 trigrams corpus-wide. The
+    * oracle is the exact count — the sketch matches it hash-exactly
+    * because capacity exceeds the tier's distinct-trigram count (27k
+    * at sf0.1, 172k at the expanded sf1 tier, vs 262144), per the
+    * Misra-Gries exactness regime. Beyond that (sf10's replica-mutated
+    * corpus, real web scale) the sketch is APPROXIMATE by design —
+    * counts become lower bounds with the N/(capacity+1) survivor
+    * guarantee — so the tier record excludes it from hash equality
+    * the way the stride-seeded ANN configs are excluded, and the
+    * ScalaTest overflow spec pins the bound semantics instead. */
+  val qHeavyHitters = QuerySpec(
+    "q_llm_heavy_hitters",
+    (s, d) => heavyHitterNgrams(Tables.load(s, d, "documents")),
+    Some("""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+           |g AS (
+           |  SELECT array_to_string(t[i:i+2], ' ') AS gram
+           |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+           |  WHERE len(t) >= 3)
+           |SELECT gram, CAST(count(*) AS BIGINT) AS cnt,
+           |  CAST(0 AS BIGINT) AS max_err
+           |FROM g GROUP BY gram
+           |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5, qDocFreq,
       qDocFreqInc, qTfIdf, qRepetition, qQualityRules, qNovelty, qOov,
       qStopwordScrub, qSourceReport, qDrift, qBpeStep, qLenPercentiles,
       qWinnow, qLmScore, qImportance, qQualityGate, qQualityCard, qBpeEncode,
-      qFertility)
+      qFertility, qHeavyHitters)
 }

@@ -46,6 +46,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"))
   }
 
+  test("heavy hitters aggregates map-side: one summary per task crosses the " +
+    "wire, never a row per n-gram") {
+    val p = plan("q_llm_heavy_hitters")
+    assert(p.contains("partial_heavyhittersaggexpr"),
+      s"Misra-Gries sketch lost partial aggregation:\n$p")
+    assert(p.contains("ObjectHashAggregate"))
+    // the n-gram universe must never be a shuffle key: the only hash
+    // exchange is the single-group summary hand-off
+    assert(!p.contains("hashpartitioning(gram"),
+      s"n-grams must not be shuffled as keys:\n$p")
+  }
+
   test("minhash signature stage is cached, not recomputed per branch") {
     val p = plan("q_llm_minhash")
     assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),

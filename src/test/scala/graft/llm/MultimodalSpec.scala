@@ -286,6 +286,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageIoCodec decodes COMPRESSED JPEG through the same seam: true " +
+    "geometry, near-true pixels, deterministic PNG re-encode") {
+    assume(ImageIoCodec.available &&
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").hasNext,
+      "imageio jpeg support unavailable in this JVM")
+    // lossy container: geometry must be exact, pixels within JPEG
+    // quantization error (a FLAT color is DC-only, so the error bound
+    // is tight — the pseudo-random pattern's high frequencies land at
+    // ±165 under 4:2:0 subsampling on an 8×6 tile), resize output
+    // (always PNG, so downstream dedup stays byte-deterministic)
+    // stable across calls
+    val (w, h) = (8, 6)
+    val (fr, fg, fb) = (90, 140, 190)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (fr << 16) | (fg << 8) | fb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val jpeg = bos.toByteArray
+    assert(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+      "fixture must really be JPEG (SOI marker)")
+    assert(ImageIoCodec.decode(7L, jpeg) ==
+      Multimodal.DecodedMeta(7L, w, h, 1, ok = true))
+    // decoded pixels approximate the source within JPEG error
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    var worst = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = back.getRGB(x, y)
+      worst = math.max(worst, math.abs(((rgb >> 16) & 0xff) - fr)
+        .max(math.abs(((rgb >> 8) & 0xff) - fg)).max(math.abs((rgb & 0xff) - fb)))
+    }
+    assert(worst <= 8, s"JPEG decode of a flat color must be near-exact (worst=$worst)")
+    val r1 = ImageIoCodec.resize(7L, jpeg, 4, 3)
+    val r2 = ImageIoCodec.resize(7L, jpeg, 4, 3)
+    assert(r1.ok && r1.width == 4 && r1.height == 3 &&
+      r1.payload.sameElements(r2.payload))
+    // the resized payload is PNG (lossless re-encode), not JPEG
+    assert((r1.payload(1) & 0xff) == 'P'.toInt, "resize must re-encode as PNG")
+    val e = ImageIoCodec.embed(7L, jpeg, 8)
+    assert(e.toSeq == ImageIoCodec.embed(7L, jpeg, 8).toSeq && e.sum > 0f)
+  }
+
   test("mmNearDup finds pixel-identical planted copies at exactly cos 1.0") {
     implicit val s = spark
     val docs = graft.Tables.load(spark, sf0001, "documents")

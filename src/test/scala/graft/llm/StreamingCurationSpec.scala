@@ -643,4 +643,35 @@ class StreamingCurationSpec extends SparkSpec {
       assert(batchAll == rows, s"stream $rows != batch $batchAll")
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: bounded-state sketch converges to the batch " +
+    "top-k over a replayed feed") {
+    implicit val sqlCtx = spark.sqlContext
+    // a feed where "the quick fox" dominates and tail grams vary
+    def txt(i: Int) = s"the quick fox jumps over lazy dog $i end"
+    val rows = (1 to 30).map(i => doc(i.toLong, 60 + i, "a", txt(i)))
+    val in = MemoryStream[Doc]
+    val q = StreamingCuration.streamingHeavyHitters(in.toDF(), n = 3,
+      capacity = 1024, k = 5)
+      .writeStream.format("memory").queryName("shh")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches: the sketch state must carry across triggers
+      in.addData(rows.take(15): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(15): _*)
+      q.processAllAvailable()
+      val got = spark.table("shh")
+        .select(col("gram"), col("cnt"), col("max_err"))
+        .as[(String, Long, Long)].collect().toSeq
+        .sortBy { case (g, c, _) => (-c, g) }
+      val batch = TextAnalysis.heavyHitterNgrams(
+        rows.map(_.text).toDF("text"), n = 3, capacity = 1024, k = 5)
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got.forall(_._3 == 0L), "exact regime on the frozen feed")
+      // all five stable grams appear in every row -> count 30 each
+      assert(got.map(t => (t._1, t._2)).contains(("the quick fox", 30L)))
+    } finally q.stop()
+  }
 }
