@@ -674,4 +674,42 @@ class StreamingCurationSpec extends SparkSpec {
       assert(got.map(t => (t._1, t._2)).contains(("the quick fox", 30L)))
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: the sketch summary survives a checkpointed " +
+    "restart (serialize/deserialize through the state store)") {
+    import java.nio.file.Files
+    val feedDir = Files.createTempDirectory("shh_feed").toString
+    val ckpt = Files.createTempDirectory("shh_ckpt").toString
+    def txt(i: Int) = s"alpha beta gamma delta run $i tail"
+    val schema = Seq("x").toDF("text").schema
+    def drain(name: String): Unit = {
+      val q = StreamingCuration.streamingHeavyHitters(
+        spark.readStream.schema(schema).parquet(feedDir),
+        n = 3, capacity = 1024, k = 4)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // wave 1, then a FRESH query from the same checkpoint for wave 2:
+    // the final counts cover BOTH waves only if the Misra-Gries buffer
+    // round-tripped the state store across the restart
+    (1 to 10).map(txt).toDF("text").coalesce(1)
+      .write.mode("append").parquet(feedDir)
+    drain("shh_r1")
+    (11 to 25).map(txt).toDF("text").coalesce(1)
+      .write.mode("append").parquet(feedDir)
+    drain("shh_r2")
+    val got = spark.table("shh_r2")
+      .select(col("gram"), col("cnt"), col("max_err"))
+      .as[(String, Long, Long)].collect().toSeq
+      .sortBy { case (g, c, _) => (-c, g) }
+    val batch = TextAnalysis.heavyHitterNgrams(
+      (1 to 25).map(txt).toDF("text"), n = 3, capacity = 1024, k = 4)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == batch, s"post-restart $got != batch $batch")
+    assert(got.map(t => (t._1, t._2)).contains(("alpha beta gamma", 25L)))
+  }
 }
