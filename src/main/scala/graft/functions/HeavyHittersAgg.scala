@@ -26,8 +26,12 @@ import scala.collection.mutable
   *  - each reported `cnt` is a LOWER bound on the item's true count,
   *    and `cnt + max_err` an UPPER bound (`max_err` is the summary's
   *    total decrement, shared by all rows of one group);
-  *  - any item with true count > N/(capacity+1) of a group's N rows
-  *    survives in the summary (the classic frequent-items guarantee);
+  *  - any item with true count > N/capacity of a group's N rows
+  *    survives in the summary (the frequent-items guarantee; the
+  *    batch-decrement update below pays for each decrement `m` with
+  *    `m x capacity` stored mass, so total decrement <= N/capacity —
+  *    one notch looser than decrement-by-1's N/(capacity+1), in
+  *    exchange for O(1) amortized updates);
   *  - with fewer than `capacity` distinct items in the group the
   *    summary is EXACT (`max_err` = 0) and deterministic under any
   *    partitioning/merge order — the regime the DuckDB oracle

@@ -1471,7 +1471,7 @@ object TextAnalysis {
     * With `capacity` above the corpus' distinct-n-gram count the
     * summary is exact and `max_err` = 0 — the verification regime the
     * oracle hash-matches; in production `capacity` trades memory for
-    * the N/(capacity+1) frequency guarantee (every n-gram above that
+    * the N/capacity frequency guarantee (every n-gram above that
     * threshold is guaranteed reported; `cnt` is a lower bound,
     * `cnt + max_err` an upper bound). */
   def heavyHitterNgrams(docs: DataFrame, n: Int = 3,
@@ -1497,7 +1497,7 @@ object TextAnalysis {
     * at sf0.1, 172k at the expanded sf1 tier, vs 262144), per the
     * Misra-Gries exactness regime. Beyond that (sf10's replica-mutated
     * corpus, real web scale) the sketch is APPROXIMATE by design —
-    * counts become lower bounds with the N/(capacity+1) survivor
+    * counts become lower bounds with the N/capacity survivor
     * guarantee — so the tier record excludes it from hash equality
     * the way the stride-seeded ANN configs are excluded, and the
     * ScalaTest overflow spec pins the bound semantics instead. */
