@@ -62,10 +62,12 @@ object StreamSoak {
       .write.mode("overwrite").parquet(dir)
 
   private def runDrain(spark: SparkSession, out: DataFrame,
-      mode: String, col0: Collector): Map[String, Any] = {
+      mode: String, col0: Collector,
+      outputMode: String = "append"): Map[String, Any] = {
     val t0 = System.nanoTime()
     val q = out.writeStream
       .format("noop")
+      .outputMode(outputMode)
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory(s"soak_ckpt_$mode").toString)
       .trigger(Trigger.AvailableNow())
@@ -163,6 +165,10 @@ object StreamSoak {
           runDrain(spark, graft.streaming.StreamingTemporal
             .streamingAsofJoin(feed("purchase"), feed("error"), "1 hour")
             .toDF(), mode, coll)
+        case "hh" =>
+          // complete-mode sketch aggregation: state is the ONE summary
+          runDrain(spark, StreamingCuration.streamingHeavyHitters(docFeed()),
+            mode, coll, outputMode = "complete")
         case other => Map[String, Any]("mode" -> other, "err" -> "unknown mode")
       } finally spark.streams.removeListener(coll)
     }
