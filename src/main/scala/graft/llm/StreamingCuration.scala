@@ -677,4 +677,32 @@ object StreamingCuration {
       .select(col("e.item").as("gram"), col("e.cnt").as("cnt"),
         col("e.max_err").as("max_err"))
   }
+
+  /** Windowed heavy hitters — the append-mode ops feed: one
+    * Misra-Gries summary per tumbling event-time window, emitted when
+    * the watermark closes the window ("what flooded the crawl between
+    * 14:00 and 15:00"). State is one bounded summary per OPEN window
+    * (a handful at any moment under a sane lateness horizon), dropped
+    * by the engine at close — against [[streamingHeavyHitters]]'s
+    * single forever-summary this trades all-time totals for
+    * closed-window finality and append semantics (downstream sinks
+    * need no complete-mode rewrite). Per-window output equals the
+    * batch sketch over that window's rows (spec-pinned). */
+  def streamingHeavyHittersWindowed(docs: DataFrame,
+      windowLen: String = "1 hour", watermark: String = "30 minutes",
+      n: Int = 3, capacity: Int = 65536, k: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withWatermark("event_ts", watermark)
+      .select(col("event_ts"), TextAnalysis.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("event_ts"), explode(expr(
+        s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', slice(t, i, $n)))"))
+        .as("gram"))
+      .groupBy(window(col("event_ts"), windowLen))
+      .agg(expr(s"graft_heavy_hitters(gram, $capacity, $k)").as("hh"))
+      .select(col("window.start").as("window_start"), explode(col("hh")).as("e"))
+      .select(col("window_start"), col("e.item").as("gram"),
+        col("e.cnt").as("cnt"), col("e.max_err").as("max_err"))
+  }
 }

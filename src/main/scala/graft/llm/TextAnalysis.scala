@@ -1514,10 +1514,56 @@ object TextAnalysis {
            |FROM g GROUP BY gram
            |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin))
 
+  /** Per-group heavy hitters: one Misra-Gries summary PER SOURCE. Same
+    * bounded-state shape as [[heavyHitterNgrams]] with the groupBy key
+    * riding the same single exchange — each task still ships one
+    * ≤ capacity summary per (task, source) partial, and a skewed
+    * source cannot blow any buffer past capacity. The grouped path
+    * exercises multi-group partial/merge/eval, which the global query
+    * cannot — this query puts it under the DuckDB oracle too. */
+  def heavyHitterNgramsBySource(docs: DataFrame, n: Int = 3,
+      capacity: Int = 262144, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("source"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', slice(t, i, $n)))"))
+        .as("gram"))
+      .groupBy(col("source"))
+      .agg(expr(s"graft_heavy_hitters(gram, $capacity, $k)").as("hh"))
+      .select(col("source"), explode(col("hh")).as("e"))
+      .select(col("source"), col("e.item").as("gram"), col("e.cnt").as("cnt"),
+        col("e.max_err").as("max_err"))
+      .orderBy(col("source"), col("cnt").desc, col("gram"))
+  }
+
+  /** Grouped heavy hitters declared query: top-5 trigrams per source,
+    * oracle'd against the exact per-source rank window. */
+  val qHeavyHittersBySource = QuerySpec(
+    "q_llm_hh_by_source",
+    (s, d) => heavyHitterNgramsBySource(Tables.load(s, d, "documents")),
+    Some("""WITH toks AS (
+           |  SELECT source, string_split(text, ' ') AS t FROM documents),
+           |g AS (
+           |  SELECT source, array_to_string(t[i:i+2], ' ') AS gram
+           |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+           |  WHERE len(t) >= 3),
+           |c AS (
+           |  SELECT source, gram, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM g GROUP BY source, gram),
+           |r AS (
+           |  SELECT source, gram, cnt, row_number() OVER (
+           |    PARTITION BY source ORDER BY cnt DESC, gram) AS rn
+           |  FROM c)
+           |SELECT source, gram, cnt, CAST(0 AS BIGINT) AS max_err
+           |FROM r WHERE rn <= 5
+           |ORDER BY source, cnt DESC, gram""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5, qDocFreq,
       qDocFreqInc, qTfIdf, qRepetition, qQualityRules, qNovelty, qOov,
       qStopwordScrub, qSourceReport, qDrift, qBpeStep, qLenPercentiles,
       qWinnow, qLmScore, qImportance, qQualityGate, qQualityCard, qBpeEncode,
-      qFertility, qHeavyHitters)
+      qFertility, qHeavyHitters, qHeavyHittersBySource)
 }

@@ -712,4 +712,37 @@ class StreamingCurationSpec extends SparkSpec {
     assert(got == batch, s"post-restart $got != batch $batch")
     assert(got.map(t => (t._1, t._2)).contains(("alpha beta gamma", 25L)))
   }
+
+  test("windowed heavy hitters emit per closed window and equal the batch " +
+    "sketch over that window's rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = StreamingCuration.streamingHeavyHittersWindowed(in.toDF(),
+      windowLen = "10 minutes", watermark = "10 minutes",
+      n = 2, capacity = 1024, k = 3)
+      .writeStream.format("memory").queryName("shhw")
+      .outputMode("append").start()
+    try {
+      // window [60,70): "red fox" dominates; window [70,80): "blue owl"
+      in.addData((1 to 6).map(i => doc(i.toLong, 60 + i % 4, "a", "red fox runs")): _*)
+      in.addData((10 to 13).map(i => doc(i.toLong, 71 + i % 5, "a", "blue owl sits")): _*)
+      q.processAllAvailable()
+      assert(spark.table("shhw").count() == 0L, "no window closed yet")
+      // advance the watermark far past both windows
+      in.addData(doc(99, 200, "a", "z z z"))
+      q.processAllAvailable()
+      val rows = spark.table("shhw")
+        .select(col("window_start").cast("long"), col("gram"), col("cnt"))
+        .as[(Long, String, Long)].collect().toSeq.sorted
+      val w0 = rows.filter(_._1 == 3600L).map(t => (t._2, t._3))
+      val w1 = rows.filter(_._1 == 4200L).map(t => (t._2, t._3))
+      assert(w0.contains(("red fox", 6L)) && !w0.exists(_._1 == "blue owl"), w0)
+      assert(w1.contains(("blue owl", 4L)) && !w1.exists(_._1 == "red fox"), w1)
+      // each closed window equals the batch sketch over its own rows
+      val batch0 = TextAnalysis.heavyHitterNgrams(
+        Seq.fill(6)("red fox runs").toDF("text"), n = 2, capacity = 1024, k = 3)
+        .as[(String, Long, Long)].collect().map(t => (t._1, t._2)).toSeq
+      assert(w0.sortBy(t => (-t._2, t._1)) == batch0, s"$w0 vs $batch0")
+    } finally q.stop()
+  }
 }
