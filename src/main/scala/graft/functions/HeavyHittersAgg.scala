@@ -121,12 +121,26 @@ case class HeavyHittersAggExpr(
   }
 
   override def eval(buf: Summary): Any = {
-    val top = buf.counts.toArray
-      .sortWith { case ((ia, ca), (ib, cb)) =>
-        if (ca != cb) ca > cb else itemOrd.lt(ia, ib)
+    // bounded top-k selection over the counter map: one O(C) pass with
+    // a k-sized sorted buffer (TopKMinAgg's insert shape) instead of
+    // sorting all C=capacity entries — eval runs per group per trigger
+    // in the streaming variants, so the full sort is the wrong cost
+    val top = new scala.collection.mutable.ArrayBuffer[(Any, Long)](k)
+    def beats(a: (Any, Long), b: (Any, Long)): Boolean =
+      if (a._2 != b._2) a._2 > b._2 else itemOrd.lt(a._1, b._1)
+    buf.counts.foreach { e =>
+      if (top.length < k || beats(e, top.last)) {
+        if (top.length >= k) top.remove(top.length - 1)
+        var lo = 0
+        var hi = top.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (beats(top(mid), e)) lo = mid + 1 else hi = mid
+        }
+        top.insert(lo, e)
       }
-      .take(k)
-    new GenericArrayData(top.map { case (item, c) =>
+    }
+    new GenericArrayData(top.toArray.map { case (item, c) =>
       new GenericInternalRow(Array[Any](item, c, buf.decr))
     })
   }

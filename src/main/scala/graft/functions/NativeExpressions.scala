@@ -1212,7 +1212,14 @@ object GraftFunctions {
     "graft_heavy_hitters" -> {
       case Seq(c, Literal(cap: Int, IntegerType), Literal(kk: Int, IntegerType)) =>
         HeavyHittersAggExpr(c, cap, kk)
-      case es => HeavyHittersAggExpr(es.head, 65536, 20)
+      case Seq(c) => HeavyHittersAggExpr(c, 65536, 20)
+      case es =>
+        // capacity/k ARE the sketch's precision contract — silently
+        // substituting defaults on a bad call shape would change
+        // results, not fail the query
+        throw new IllegalArgumentException(
+          "graft_heavy_hitters expects (item) or (item, capacity, k) " +
+            s"with INT literal capacity/k, got ${es.size} argument(s)")
     })
 
   /** Session registration; idempotent, call before using the

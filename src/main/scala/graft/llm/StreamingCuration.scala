@@ -666,12 +666,7 @@ object StreamingCuration {
   def streamingHeavyHitters(docs: DataFrame, n: Int = 3,
       capacity: Int = 65536, k: Int = 20): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs
-      .select(TextAnalysis.tokens(col("text")).as("t"))
-      .where(size(col("t")) >= n)
-      .select(explode(expr(
-        s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', slice(t, i, $n)))"))
-        .as("gram"))
+    TextAnalysis.explodeNgrams(docs, n)
       .agg(expr(s"graft_heavy_hitters(gram, $capacity, $k)").as("hh"))
       .select(explode(col("hh")).as("e"))
       .select(col("e.item").as("gram"), col("e.cnt").as("cnt"),
@@ -692,13 +687,8 @@ object StreamingCuration {
       windowLen: String = "1 hour", watermark: String = "30 minutes",
       n: Int = 3, capacity: Int = 65536, k: Int = 20): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs
-      .withWatermark("event_ts", watermark)
-      .select(col("event_ts"), TextAnalysis.tokens(col("text")).as("t"))
-      .where(size(col("t")) >= n)
-      .select(col("event_ts"), explode(expr(
-        s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', slice(t, i, $n)))"))
-        .as("gram"))
+    TextAnalysis.explodeNgrams(docs.withWatermark("event_ts", watermark),
+        n, keep = Seq("event_ts"))
       .groupBy(window(col("event_ts"), windowLen))
       .agg(expr(s"graft_heavy_hitters(gram, $capacity, $k)").as("hh"))
       .select(col("window.start").as("window_start"), explode(col("hh")).as("e"))

@@ -1474,16 +1474,28 @@ object TextAnalysis {
     * the N/capacity frequency guarantee (every n-gram above that
     * threshold is guaranteed reported; `cnt` is a lower bound,
     * `cnt + max_err` an upper bound). */
+  /** Shared n-gram explode for the heavy-hitter family: whitespace
+    * tokens, docs shorter than `n` dropped, one `gram` row per n-gram
+    * OCCURRENCE (not distinct), `keep` columns carried through. The
+    * four heavy-hitter surfaces (global/per-source batch,
+    * all-time/windowed streaming) all tokenize through here so the
+    * spec-pinned stream-vs-batch parity cannot drift on a
+    * tokenization change. */
+  private[llm] def explodeNgrams(docs: DataFrame, n: Int,
+      keep: Seq[String] = Nil): DataFrame = {
+    val keepCols = keep.map(col)
+    docs
+      .select(keepCols :+ tokens(col("text")).as("t"): _*)
+      .where(size(col("t")) >= n)
+      .select(keepCols :+ explode(expr(
+        s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', slice(t, i, $n)))"))
+        .as("gram"): _*)
+  }
+
   def heavyHitterNgrams(docs: DataFrame, n: Int = 3,
       capacity: Int = 262144, k: Int = 20): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val grams = docs
-      .select(tokens(col("text")).as("t"))
-      .where(size(col("t")) >= n)
-      .select(explode(expr(
-        s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', slice(t, i, $n)))"))
-        .as("gram"))
-    grams
+    explodeNgrams(docs, n)
       .agg(expr(s"graft_heavy_hitters(gram, $capacity, $k)").as("hh"))
       .select(explode(col("hh")).as("e"))
       .select(col("e.item").as("gram"), col("e.cnt").as("cnt"),
@@ -1524,12 +1536,7 @@ object TextAnalysis {
   def heavyHitterNgramsBySource(docs: DataFrame, n: Int = 3,
       capacity: Int = 262144, k: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs
-      .select(col("source"), tokens(col("text")).as("t"))
-      .where(size(col("t")) >= n)
-      .select(col("source"), explode(expr(
-        s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', slice(t, i, $n)))"))
-        .as("gram"))
+    explodeNgrams(docs, n, keep = Seq("source"))
       .groupBy(col("source"))
       .agg(expr(s"graft_heavy_hitters(gram, $capacity, $k)").as("hh"))
       .select(col("source"), explode(col("hh")).as("e"))

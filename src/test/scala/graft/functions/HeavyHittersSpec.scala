@@ -29,7 +29,8 @@ class HeavyHittersSpec extends SparkSpec {
 
   test("overflow regime: bounds hold and a dominant item survives") {
     registered
-    // 1000 rows, capacity 8: "dom" holds 40% >> N/(cap+1) = 111 rows
+    // 1000 rows, capacity 8: "dom" holds 40% >> the N/cap = 125-row
+    // survivor threshold (the batch-decrement variant's bound)
     val words = Seq.tabulate(1000)(i =>
       if (i % 5 < 2) "dom" else s"tail${i % 97}")
     val truth = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
