@@ -1188,22 +1188,73 @@ object TextAnalysis {
     * expressions evaluated in one scan (no join between them — the
     * rep kernel rides the same projection); only the LM aggregate
     * side shuffles, and its verdict joins back on doc_id. */
-  def qualityGate(docs: DataFrame, lmThresholdPpm: Long = 34000L,
-      temps: TempCache = TempCache.noop,
-      sharedPairs: Option[DataFrame] = None): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val perRow = TextDedup.spreadSmallInput(docs)
+  /** The gate's per-row half (rules verdict + repetition ceiling),
+    * one scan, no join — shared by the fixed- and relative-threshold
+    * gates so the signal definitions cannot drift apart. */
+  private def gatePerRowSignals(docs: DataFrame): DataFrame =
+    TextDedup.spreadSmallInput(docs)
       .select(col("doc_id") +: col("text") +: ruleSet: _*)
       .withColumn("r", call_udf("graft_top_shingle_run", col("text"), lit(3)))
       .select(col("doc_id"),
         (col("rule_min_tokens") && col("rule_word_len") &&
           col("rule_punct") && col("rule_stopwords")).as("keep_rules"),
         (col("r.top_count") * 5 <= col("r.n_tri")).as("keep_rep"))
+
+  def qualityGate(docs: DataFrame, lmThresholdPpm: Long = 34000L,
+      temps: TempCache = TempCache.noop,
+      sharedPairs: Option[DataFrame] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val perRow = gatePerRowSignals(docs)
     val lm = lmScore(docs, temps, sharedPairs)
       .select(col("doc_id"), col("mean_score"))
     perRow.join(lm, Seq("doc_id"), "left")
       .select(col("doc_id"), col("keep_rules"), col("keep_rep"),
         (coalesce(col("mean_score"), lit(0L)) >= lmThresholdPpm).as("keep_lm"))
+      .withColumn("keep",
+        col("keep_rules") && col("keep_rep") && col("keep_lm"))
+  }
+
+  /** [[qualityGate]] with a CORPUS-RELATIVE fluency floor: keep the
+    * top (1-q) of scored documents by bigram-LM mean instead of a
+    * fixed ppm threshold. The threshold is the exact global
+    * nearest-rank q-quantile of `mean_score`, computed without any
+    * global sort (the [[Curation.curriculumPhases]] shape: value
+    * counts, a running sum over that tiny value frame, the threshold
+    * back as ONE broadcast row).
+    *
+    * Why this exists: the fixed threshold is a corpus-scale artifact —
+    * c(w1,w2)/c(w1) ppm means shift as a corpus grows or is resampled
+    * (measured: the driver tier's 34000 floor keeps 44% of sf0.01 but
+    * 0% of the 10× expanded tier, whose whole distribution sits below
+    * it — SCALE.md §7). A rank threshold keeps a stable fraction at
+    * every scale, which is how production pipelines actually set
+    * fluency floors; it is also the tier-robust form the oracle can
+    * verify NON-vacuously at every sf. Docs with no bigrams (no
+    * mean_score) are dropped, as in the fixed gate. */
+  def qualityGateRelative(docs: DataFrame, q: Double = 0.5,
+      temps: TempCache = TempCache.noop,
+      sharedPairs: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(q > 0 && q < 1, s"quantile q must be in (0,1), got $q")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val perRow = gatePerRowSignals(docs)
+    val lm = lmScore(docs, temps, sharedPairs)
+      .select(col("doc_id"), col("mean_score"))
+    val byV = lm.groupBy(col("mean_score")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("mean_score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val thr = byV
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .agg(min(when(col("cum") >= ceil(lit(q) * col("n")),
+        col("mean_score"))).as("lm_thr"))
+    perRow.join(lm, Seq("doc_id"), "left").crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("keep_rules"), col("keep_rep"),
+        (col("mean_score").isNotNull &&
+          col("mean_score") >= col("lm_thr")).as("keep_lm"),
+        col("lm_thr"))
       .withColumn("keep",
         col("keep_rules") && col("keep_rep") && col("keep_lm"))
   }
@@ -1271,6 +1322,43 @@ object TextAnalysis {
         |FROM rules r
         |JOIN rep ON r.doc_id = rep.doc_id
         |LEFT JOIN lm ON r.doc_id = lm.doc_id
+        |ORDER BY r.doc_id""".stripMargin))
+
+  /** Relative-gate declared query: the median-floor gate. Oracle'd
+    * NON-vacuously at every tier by construction (~half the scored
+    * docs clear the floor whatever the corpus scale), unlike the
+    * fixed-threshold gate whose keep_lm is all-false at the expanded
+    * tiers (see [[qualityGateRelative]]). */
+  val qGateRel = QuerySpec(
+    "q_llm_gate_rel",
+    (s, d) =>
+      qualityGateRelative(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some(gateSqlCtes +
+      """
+        |, byv AS (
+        |  SELECT mean_score, count(*) AS c FROM lm GROUP BY mean_score
+        |), cum AS (
+        |  SELECT mean_score,
+        |    CAST(sum(c) OVER (ORDER BY mean_score
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER () AS BIGINT) AS n
+        |  FROM byv
+        |), thr AS (
+        |  SELECT min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+        |    THEN mean_score END) AS lm_thr FROM cum
+        |)
+        |SELECT r.doc_id, r.keep_rules,
+        |  rep.top_count * 5 <= rep.n_tri AS keep_rep,
+        |  lm.mean_score IS NOT NULL AND lm.mean_score >= t.lm_thr AS keep_lm,
+        |  t.lm_thr,
+        |  r.keep_rules AND rep.top_count * 5 <= rep.n_tri
+        |    AND lm.mean_score IS NOT NULL AND lm.mean_score >= t.lm_thr
+        |    AS keep
+        |FROM rules r
+        |JOIN rep ON r.doc_id = rep.doc_id
+        |LEFT JOIN lm ON r.doc_id = lm.doc_id
+        |CROSS JOIN thr t
         |ORDER BY r.doc_id""".stripMargin))
 
   /** Per-source quality data card: for each source, the exact ppm of
@@ -1571,6 +1659,6 @@ object TextAnalysis {
     Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5, qDocFreq,
       qDocFreqInc, qTfIdf, qRepetition, qQualityRules, qNovelty, qOov,
       qStopwordScrub, qSourceReport, qDrift, qBpeStep, qLenPercentiles,
-      qWinnow, qLmScore, qImportance, qQualityGate, qQualityCard, qBpeEncode,
-      qFertility, qHeavyHitters, qHeavyHittersBySource)
+      qWinnow, qLmScore, qImportance, qQualityGate, qGateRel, qQualityCard,
+      qBpeEncode, qFertility, qHeavyHitters, qHeavyHittersBySource)
 }

@@ -169,6 +169,13 @@ object StreamSoak {
           // complete-mode sketch aggregation: state is the ONE summary
           runDrain(spark, StreamingCuration.streamingHeavyHitters(docFeed()),
             mode, coll, outputMode = "complete")
+        case "hhw" =>
+          // append-mode windowed sketch: the feed's event time spans
+          // ~55 s (doc_id ms), so 10 s windows give a handful of open
+          // summaries at any moment, closed as the watermark advances
+          runDrain(spark, StreamingCuration.streamingHeavyHittersWindowed(
+            docFeed(), windowLen = "10 seconds", watermark = "5 seconds"),
+            mode, coll)
         case other => Map[String, Any]("mode" -> other, "err" -> "unknown mode")
       } finally spark.streams.removeListener(coll)
     }

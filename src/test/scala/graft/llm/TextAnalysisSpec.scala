@@ -491,6 +491,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(strict == 0L)
   }
 
+  test("qualityGateRelative: threshold is the exact nearest-rank median and " +
+    "the verdict equals the fixed gate AT that threshold") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val rel = TextAnalysis.qualityGateRelative(docs)
+      .orderBy(col("doc_id")).collect()
+    // exact nearest-rank median of the scored docs, computed the naive
+    // sorted way here
+    val scores = TextAnalysis.lmScore(docs)
+      .select(col("mean_score")).collect().map(_.getLong(0)).sorted
+    val median = scores((math.ceil(0.5 * scores.length) - 1).toInt)
+    assert(rel.forall(_.getLong(4) == median),
+      s"lm_thr ${rel.head.getLong(4)} != nearest-rank median $median")
+    // relative gate == fixed gate with the computed threshold
+    val fixed = TextAnalysis.qualityGate(docs, lmThresholdPpm = median)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    val relKeyed = rel.map(r => (r.getLong(0), r.getBoolean(1),
+      r.getBoolean(2), r.getBoolean(3), r.getBoolean(5)))
+    assert(relKeyed.toSeq == fixed.toSeq)
+    // non-vacuous by construction: at least ~half the scored docs clear
+    // the floor, whatever the corpus
+    val nKeepLm = rel.count(_.getBoolean(3))
+    assert(nKeepLm >= scores.length / 2 - 1 && nKeepLm > 0,
+      s"median floor must keep ~half: $nKeepLm of ${scores.length}")
+  }
+
   test("lmScore: exact integer ppm conditional frequencies") {
     // corpus: "a b", "a b", "a c" → c(a)=3, bigram (a,b)=2, (a,c)=1
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
