@@ -41,15 +41,24 @@ object Pipeline {
       tap: (DataFrame, String) => DataFrame,
       shingleKernel: String = "graft_shingle_hashes",
       survivorScore: Option[org.apache.spark.sql.Column] = None,
-      sharedPairs: Option[DataFrame] = None): DataFrame = {
+      sharedPairs: Option[DataFrame] = None,
+      lmQuantile: Option[Double] = None): DataFrame = {
     val cleaned = docs.withColumn("text", Curation.normalize(col("text")))
     // the gate VERDICT (id-only, 8 B/row — narrow even at 100 TB) is
     // persisted: both its consumers (the pair-generation branch and
     // the spine's semi join) would otherwise re-execute the whole
-    // rules + repetition + LM gate lineage
+    // rules + repetition + LM gate lineage. lmQuantile switches the
+    // fluency floor from the fixed ppm to the corpus-relative
+    // nearest-rank quantile (TextAnalysis.qualityGateRelative) — the
+    // tier-robust form; everything downstream is identical.
+    val gate = lmQuantile match {
+      case Some(q) =>
+        TextAnalysis.qualityGateRelative(cleaned, q, temps, sharedPairs)
+      case None =>
+        TextAnalysis.qualityGate(cleaned, lmThresholdPpm, temps, sharedPairs)
+    }
     val gateIds = temps.register(
-      TextAnalysis.qualityGate(cleaned, lmThresholdPpm, temps, sharedPairs)
-        .filter(col("keep")).select(col("doc_id"))
+      gate.filter(col("keep")).select(col("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val gated = cleaned.join(gateIds, Seq("doc_id"), "left_semi")
     // one CC run regardless of survivor policy: min-id reads the
@@ -92,6 +101,22 @@ object Pipeline {
       survivorScore: Option[org.apache.spark.sql.Column] = None): DataFrame =
     stages(docs, benchmark, lmThresholdPpm, temps, (df, _) => df,
       shingleKernel, survivorScore)
+
+  /** [[curate]] with the CORPUS-RELATIVE fluency floor
+    * ([[TextAnalysis.qualityGateRelative]], nearest-rank quantile `q`
+    * of the bigram-LM mean over the normalized corpus) instead of the
+    * fixed ppm threshold. Same downstream stages, same oracle CTEs
+    * with only the gate predicate swapped. This is the tier-robust
+    * end-to-end pass: the fixed floor keeps 0 documents at the 10×
+    * expanded tier (SCALE.md §7), the median floor keeps ~half the
+    * scored docs at ANY corpus scale. */
+  def curateRel(docs: DataFrame, benchmark: DataFrame,
+      q: Double = 0.5,
+      temps: TempCache = TempCache.noop,
+      shingleKernel: String = "graft_shingle_hashes",
+      survivorScore: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    stages(docs, benchmark, 0L, temps, (df, _) => df,
+      shingleKernel, survivorScore, lmQuantile = Some(q))
 
   /** Curate + DSIR importance over ONE shared corpus pair frame.
     *
@@ -244,9 +269,13 @@ object Pipeline {
 
   /** The shared DuckDB CTE stack of the curate oracle, through the
     * `deduped` and `contam` frames — reused verbatim by the
-    * embedding-aware composition oracle below. */
-  private val curateCtePrefix: String =
-    """WITH RECURSIVE nd AS (
+    * embedding-aware composition oracle below. Parameterized on the
+    * gate's LM clause so the fixed-floor and corpus-relative curates
+    * share every other CTE byte-for-byte: `gateCtes` splices extra
+    * CTEs after `rules` (the relative form's threshold chain),
+    * `gatePred` is the LM predicate inside `gated`. */
+  private def curateCtes(gateCtes: String, gatePred: String): String =
+    raw"""WITH RECURSIVE nd AS (
            |  SELECT doc_id, source,
            |    lower(trim(regexp_replace(regexp_replace(
            |      text, '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS text
@@ -295,14 +324,14 @@ object Pipeline {
            |            tk2 -> tk2 IN ('the', 'a'))) >= 1
            |      AS keep_rules
            |  FROM nd
-           |), gated AS (
+           |)$gateCtes, gated AS (
            |  SELECT nd.doc_id, nd.source, nd.text
            |  FROM nd
            |  JOIN rules r ON nd.doc_id = r.doc_id
            |  JOIN rep ON nd.doc_id = rep.doc_id
            |  LEFT JOIN lm ON nd.doc_id = lm.doc_id
            |  WHERE r.keep_rules AND rep.top_count * 5 <= rep.n_tri
-           |    AND coalesce(lm.mean_score, 0) >= 34000
+           |    AND $gatePred
            |), tk AS (
            |  SELECT doc_id, string_split(text, ' ') AS tk, text FROM gated
            |), sh AS (
@@ -380,6 +409,28 @@ object Pipeline {
            |)
            |""".stripMargin
 
+  private val curateCtePrefix: String =
+    curateCtes("", "coalesce(lm.mean_score, 0) >= 34000")
+
+  /** The relative-gate curate CTEs: the median-threshold chain over
+    * the SAME lm frame (TextAnalysis.qGateRel's replay), predicate
+    * swapped — everything else identical to the fixed-floor oracle. */
+  private val curateRelCtePrefix: String =
+    curateCtes(
+      """, byv AS (
+        |  SELECT mean_score, count(*) AS c FROM lm GROUP BY mean_score
+        |), cum AS (
+        |  SELECT mean_score,
+        |    CAST(sum(c) OVER (ORDER BY mean_score
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER () AS BIGINT) AS n
+        |  FROM byv
+        |), thr AS (
+        |  SELECT min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+        |    THEN mean_score END) AS lm_thr FROM cum
+        |)""".stripMargin,
+      "lm.mean_score IS NOT NULL AND lm.mean_score >= (SELECT lm_thr FROM thr)")
+
   val qCurate = graft.queries.QuerySpec(
     "q_llm_curate",
     (s, d) => {
@@ -442,5 +493,30 @@ object Pipeline {
            |WHERE ${Similarity.diversifyKeepSql()}
            |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[graft.queries.QuerySpec] = Seq(qCurate, qCurateEmb)
+  /** The end-to-end pass under the corpus-relative gate — the
+    * tier-robust flagship: non-vacuously oracle-verified at every sf
+    * (the fixed-floor q_llm_curate keeps 0 docs at the expanded
+    * tiers; this keeps ~half the scored corpus through the gate at
+    * any scale, then dedups/decontaminates/splits it identically). */
+  val qCurateRel = graft.queries.QuerySpec(
+    "q_llm_curate_rel",
+    (s, d) => {
+      val docs = graft.Tables.load(s, d, "documents")
+      val benchmark = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text"))
+      curateRel(docs, benchmark, shingleKernel = "graft_shingle_hashes_md5")
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(curateRelCtePrefix + """
+           |SELECT doc_id, source,
+           |  CASE WHEN b2 < 90 THEN 'train' WHEN b2 < 95 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM (SELECT doc_id, source,
+           |        CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT) % 100 AS b2
+           |      FROM deduped
+           |      WHERE doc_id NOT IN (SELECT doc_id FROM contam)) f
+           |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[graft.queries.QuerySpec] = Seq(qCurate, qCurateRel, qCurateEmb)
 }

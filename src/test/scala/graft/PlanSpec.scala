@@ -333,6 +333,14 @@ class PlanSpec extends SparkSpec {
     val budgets = Map(
       // (bnlj, singlePartitionExchanges)
       "q_llm_curate" -> (0, 0), // gate/dedup/decontam: all id-keyed hash joins
+      // the relative gate's ONE-ROW median-threshold frame joins the
+      // scored docs as a broadcast (a 1-row BNLJ by construction);
+      // the persisted gate-verdict subtree is referenced three times
+      // pre-materialization (pair branch, spine semi join, and the
+      // cached-plan print), so FormattedMode prints that single
+      // operator 6x — runtime (PlanAudit, cache materialized) is 1.
+      // Everything downstream is q_llm_curate's (0,0) shape.
+      "q_llm_curate_rel" -> (6, 0),
       "q_llm_semdedup" -> (0, 0), // capped-bucket LSH + CC: keyed shuffles only
       "q_llm_importance" -> (0, 0), // vocab-sized hash joins
       "q_llm_lm_score" -> (0, 0),

@@ -195,4 +195,28 @@ class PipelineSpec extends SparkSpec {
     val cids = out.map(_.getLong(3)).toSet
     assert(cids.forall(_ % 100 == 0), s"centroids follow the stride rule: $cids")
   }
+
+  test("curateRel == curate AT the corpus-median threshold; non-vacuous " +
+    "where the fixed floor would be") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val benchmark = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("text"))
+    // the relative gate's threshold over the NORMALIZED corpus (the
+    // composition normalizes before gating)
+    val cleaned = docs.withColumn("text",
+      Curation.normalize(col("text")))
+    val scores = TextAnalysis.lmScore(cleaned)
+      .select(col("mean_score")).collect().map(_.getLong(0)).sorted
+    val median = scores((math.ceil(0.5 * scores.length) - 1).toInt)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val rel = rows(Pipeline.curateRel(docs, benchmark))
+    assert(rel.nonEmpty, "median-floor curate must keep documents")
+    val fixedAtMedian = rows(Pipeline.curate(docs, benchmark,
+      lmThresholdPpm = median))
+    assert(rel == fixedAtMedian,
+      "curateRel must equal curate at the computed median threshold")
+  }
 }
