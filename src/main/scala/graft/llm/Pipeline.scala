@@ -250,10 +250,15 @@ object Pipeline {
       temps: TempCache = TempCache.noop,
       shingleKernel: String = "graft_shingle_hashes",
       bits: Int = 8, tau: Double = 0.3,
-      centroidStride: Int = 100, dropPpm: Long = 250000L): DataFrame = {
+      centroidStride: Int = 100, dropPpm: Long = 250000L,
+      lmQuantile: Option[Double] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    val curated = lmQuantile match {
+      case Some(q) => curateRel(docs, benchmark, q, temps, shingleKernel)
+      case None => curate(docs, benchmark, lmThresholdPpm, temps, shingleKernel)
+    }
     val keptIds = temps.register(
-      curate(docs, benchmark, lmThresholdPpm, temps, shingleKernel)
+      curated
         .select(col("doc_id"), col("source"), col("split"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val vecs = embeddings
@@ -469,7 +474,13 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
     Some(
-      curateCtePrefix + s"""
+      curateCtePrefix + curateEmbSqlSuffix))
+
+  /** The embedding-stage CTE suffix of the curate_emb oracles
+    * (curated/split frame → norm'd vectors → SemDeDup replay →
+    * diversify replay), shared by the fixed- and relative-gate
+    * compositions. */
+  private def curateEmbSqlSuffix: String = s"""
            |, curated AS MATERIALIZED (
            |  SELECT doc_id, source,
            |    CASE WHEN b2 < 90 THEN 'train' WHEN b2 < 95 THEN 'val'
@@ -491,7 +502,25 @@ object Pipeline {
            |SELECT d.vec_id AS doc_id, c.source, c.split, d.c_id, d.cos
            |FROM dranked d JOIN curated c ON d.vec_id = c.doc_id
            |WHERE ${Similarity.diversifyKeepSql()}
-           |ORDER BY doc_id""".stripMargin))
+           |ORDER BY doc_id""".stripMargin
+
+  /** Five families under the tier-robust gate: [[curateEmb]] with the
+    * relative fluency floor — the one configuration of the flagship
+    * embedding composition whose oracle is non-vacuous at the
+    * expanded tiers. Same SemDeDup/diversify replay, same curate CTEs
+    * with only the gate predicate swapped. */
+  val qCurateEmbRel = graft.queries.QuerySpec(
+    "q_llm_curate_emb_rel",
+    (s, d) => {
+      val docs = graft.Tables.load(s, d, "documents")
+      val benchmark = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text"))
+      curateEmb(docs, graft.Tables.load(s, d, "embeddings"), benchmark,
+        shingleKernel = "graft_shingle_hashes_md5",
+        lmQuantile = Some(0.5))
+        .orderBy(col("doc_id"))
+    },
+    Some(curateRelCtePrefix + curateEmbSqlSuffix))
 
   /** The end-to-end pass under the corpus-relative gate — the
     * tier-robust flagship: non-vacuously oracle-verified at every sf
@@ -518,5 +547,6 @@ object Pipeline {
            |      WHERE doc_id NOT IN (SELECT doc_id FROM contam)) f
            |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[graft.queries.QuerySpec] = Seq(qCurate, qCurateRel, qCurateEmb)
+  val all: Seq[graft.queries.QuerySpec] =
+    Seq(qCurate, qCurateRel, qCurateEmb, qCurateEmbRel)
 }

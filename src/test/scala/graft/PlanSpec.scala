@@ -400,6 +400,16 @@ class PlanSpec extends SparkSpec {
       // broadcast centroid scoring (1 operator, printed twice); the
       // curate/semdedup stages stay hash-keyed end to end
       "q_llm_curate_emb" -> (2, 0),
+      // same two DELIBERATE operators as curate_emb (diversify's
+      // broadcast centroid scoring) plus curate_rel's one-row
+      // threshold broadcast — but the persisted curated-id subtree
+      // (containing the threshold BNLJ) is referenced by both the
+      // embedding semi join and the attribute join-back, and
+      // FormattedMode prints every cached-subtree reference in full
+      // pre-materialization, so the two physical operators appear 28x
+      // in the text; the runtime plan (PlanAudit, caches materialized)
+      // collapses to the expected handful
+      "q_llm_curate_emb_rel" -> (28, 0),
       // the benchmark hash set rides as ONE broadcast row (the tfidf
       // scalar stance): 1 BNLJ (printed twice), zero corpus shuffle
       "q_llm_decontam_scrub" -> (2, 0))
