@@ -1396,6 +1396,29 @@ object TextAnalysis {
         expr("(1000000 * n_keep) div n_docs").as("keep_ppm"))
   }
 
+  /** [[qualityCard]] under the corpus-relative fluency floor
+    * ([[qualityGateRelative]]) — the per-source pass-rate view whose
+    * lm/keep columns stay meaningful at any corpus scale (the fixed
+    * floor's lm_ppm column reads 0 across the board at the expanded
+    * tiers). Same aggregate shape, gate swapped. */
+  def qualityCardRelative(docs: DataFrame, q: Double = 0.5,
+      temps: TempCache = TempCache.noop): DataFrame = {
+    val gate = qualityGateRelative(docs, q, temps)
+    docs.select(col("doc_id"), col("source"))
+      .join(gate, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep_rules"), 1L).otherwise(0L)).as("n_rules"),
+        sum(when(col("keep_rep"), 1L).otherwise(0L)).as("n_rep"),
+        sum(when(col("keep_lm"), 1L).otherwise(0L)).as("n_lm"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .select(col("source"), col("n_docs"),
+        expr("(1000000 * n_rules) div n_docs").as("rules_ppm"),
+        expr("(1000000 * n_rep) div n_docs").as("rep_ppm"),
+        expr("(1000000 * n_lm) div n_docs").as("lm_ppm"),
+        expr("(1000000 * n_keep) div n_docs").as("keep_ppm"))
+  }
+
   val qQualityCard = QuerySpec(
     "q_llm_quality_card",
     (s, d) =>
@@ -1409,6 +1432,46 @@ object TextAnalysis {
         |  FROM rules r
         |  JOIN rep ON r.doc_id = rep.doc_id
         |  LEFT JOIN lm ON r.doc_id = lm.doc_id
+        |)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST((1000000 * sum(CASE WHEN g.keep_rules THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS rules_ppm,
+        |  CAST((1000000 * sum(CASE WHEN g.keep_rep THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS rep_ppm,
+        |  CAST((1000000 * sum(CASE WHEN g.keep_lm THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS lm_ppm,
+        |  CAST((1000000 * sum(CASE WHEN g.keep_rules AND g.keep_rep
+        |    AND g.keep_lm THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+        |    AS keep_ppm
+        |FROM gate g JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin))
+
+  /** Relative-gate quality card: the DataCard section form. */
+  val qQualityCardRel = QuerySpec(
+    "q_llm_quality_card_rel",
+    (s, d) =>
+      qualityCardRelative(Tables.load(s, d, "documents"))
+        .orderBy(col("source")),
+    Some(gateSqlCtes +
+      """, byv AS (
+        |  SELECT mean_score, count(*) AS c FROM lm GROUP BY mean_score
+        |), cum AS (
+        |  SELECT mean_score,
+        |    CAST(sum(c) OVER (ORDER BY mean_score
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER () AS BIGINT) AS n
+        |  FROM byv
+        |), thr AS (
+        |  SELECT min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+        |    THEN mean_score END) AS lm_thr FROM cum
+        |), gate AS (
+        |  SELECT r.doc_id, r.keep_rules,
+        |    rep.top_count * 5 <= rep.n_tri AS keep_rep,
+        |    lm.mean_score IS NOT NULL AND lm.mean_score >= t.lm_thr AS keep_lm
+        |  FROM rules r
+        |  JOIN rep ON r.doc_id = rep.doc_id
+        |  LEFT JOIN lm ON r.doc_id = lm.doc_id
+        |  CROSS JOIN thr t
         |)
         |SELECT d.source, count(*) AS n_docs,
         |  CAST((1000000 * sum(CASE WHEN g.keep_rules THEN 1 ELSE 0 END))
@@ -1667,5 +1730,6 @@ object TextAnalysis {
       qDocFreqInc, qTfIdf, qRepetition, qQualityRules, qNovelty, qOov,
       qStopwordScrub, qSourceReport, qDrift, qBpeStep, qLenPercentiles,
       qWinnow, qLmScore, qImportance, qQualityGate, qGateRel, qQualityCard,
-      qBpeEncode, qFertility, qHeavyHitters, qHeavyHittersBySource)
+      qQualityCardRel, qBpeEncode, qFertility, qHeavyHitters,
+      qHeavyHittersBySource)
 }

@@ -40,7 +40,11 @@ object DataCard {
     ("Topic clusters vs sources", "q_llm_cluster_card",
       "per embedding cluster: doc count + dominant source with exact ppm share"),
     ("ANN index health", "q_llm_ivf_stats",
-      "per-IVF-list occupancy — a skewed quantizer turns few-probe serving into a near-exhaustive scan"))
+      "per-IVF-list occupancy — a skewed quantizer turns few-probe serving into a near-exhaustive scan"),
+    ("Dominant n-grams (boilerplate watch)", "q_llm_heavy_hitters",
+      "top-20 corpus trigrams with exact-in-regime counts from the bounded Misra-Gries sketch — the 'what template is flooding the corpus' feed"),
+    ("Relative quality gate pass rates", "q_llm_quality_card_rel",
+      "per-source pass rates under the corpus-median fluency floor — the tier-robust view (the fixed floor's lm column reads 0 across the board at expanded tiers)"))
 
   /** Pipes and newlines in cell values would split/break the markdown
     * row — escape them so the table stays well-formed whatever the
