@@ -1,0 +1,396 @@
+package graft.llm
+
+import graft.Tables
+import graft.queries.QuerySpec
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over the `documents` table: BM25 scoring
+  * from an inverted-index-shaped postings frame, the build → store →
+  * serve split (the text twin of the IVF-PQ `codes`/`serve` pair), and
+  * reciprocal-rank fusion of the lexical and embedding rankings — the
+  * hybrid-search stack a training-data pipeline uses for eval-set
+  * mining, targeted corpus slicing, and retrieval-based decontamination
+  * triage.
+  *
+  * Determinism stance (driver hash-compares against DuckDB): BM25's
+  * usual `ln`-based idf differs in ULPs across libm implementations, so
+  * scores use the exact rational idf `(N - df + 0.5) / (df + 0.5)` —
+  * same monotone ranking family — and every per-(term, doc)
+  * contribution is floored to integer PARTS-PER-MILLION before the
+  * cross-term sum: long additions are order-free, so the aggregated
+  * score is bit-identical regardless of execution order in either
+  * engine. The per-row double arithmetic inside one contribution is a
+  * fixed parenthesized sequence of correctly-rounded IEEE ops, written
+  * identically in the Spark plan and the oracle SQL.
+  *
+  * Scale shape: postings build is ONE corpus scan exploded and
+  * map-side-combined per (doc, term); document frequency is a
+  * term-keyed aggregate joined back on the same key (the join form,
+  * not `count OVER (PARTITION BY term)` — a stopword's postings would
+  * land on one window task, while AQE can split a skewed join key).
+  * Serving broadcasts the QUERY term set against the postings scan —
+  * the inverted-index probe: only postings of query terms survive the
+  * scan — and the top-k tail is the bounded `graft_topk_min` aggregate
+  * (k rows per query per task cross the shuffle, never the full
+  * candidate set). At warehouse scale, store the postings bucketed on
+  * `term` ([[graft.sources.Warehouse.writeBucketed]]) so repeated
+  * serving never re-shuffles the index.
+  */
+object Retrieval {
+
+  import TextAnalysis.tokens
+
+  /** (doc_id, dl, term, tf): one row per distinct term of each
+    * document, with the document's whitespace-token length. One scan,
+    * map-side-combined. */
+  def perDocTerms(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The stored inverted-index deliverable: (term, doc_id, tf, dl, df)
+    * — postings denormalized with the document length and the term's
+    * document frequency, the impact-style layout a serving tier reads
+    * without any join at query time. df is a term-keyed aggregate of
+    * the SAME persisted exploded frame joined back (novelty's
+    * skew-safe stance). */
+  def postings(docs: DataFrame,
+      temps: TempCache = TempCache.noop): DataFrame = {
+    val perDoc = temps.register(perDocTerms(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfT = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    perDoc.join(dfT, Seq("term"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+  }
+
+  /** One-row corpus statistics: (n_docs, avgdl). avgdl is ONE exact
+    * long/long IEEE division — identical in DuckDB. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("total_tokens"))
+      .select(col("n_docs"),
+        (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+
+  /** Deterministic short queries from a document frame: the DISTINCT
+    * first-`qLen` whitespace tokens, keyed by the source doc_id. */
+  def queryTerms(queries: DataFrame, qLen: Int = 5): DataFrame =
+    queries
+      .select(col("doc_id").as("query_id"),
+        explode(slice(tokens(col("text")), 1, qLen)).as("term"))
+      .distinct()
+
+  /** The per-(term, doc) BM25 contribution in integer ppm, k1 = 1.2 /
+    * b = 0.75 (literals written identically in the oracle SQL — the
+    * constants are NOT parameters precisely so the Spark plan and the
+    * SQL can never drift, the round-7-advice lesson). Every
+    * intermediate is a correctly-rounded IEEE double op on exactly
+    * convertible longs, so the floored ppm is bit-identical across
+    * engines; the cross-term SUM is then order-free long addition. */
+  def bm25Ppm(tf: Column, df: Column, dl: Column,
+      nDocs: Column, avgdl: Column): Column = {
+    val idf = ((nDocs - df).cast("double") + lit(0.5)) /
+      (df.cast("double") + lit(0.5))
+    val tfn = (tf.cast("double") * lit(2.2)) /
+      (tf.cast("double") +
+        (lit(1.2) * (lit(0.25) + (lit(0.75) * (dl.cast("double") / avgdl)))))
+    floor((idf * tfn) * lit(1000000.0)).cast("long")
+  }
+
+  /** Serve BM25 top-k from a STORED postings frame (term, doc_id, tf,
+    * dl, df) + one-row stats. `qTerms` (query_id, term) is the small
+    * side and broadcasts — the postings scan hash-probes it, so only
+    * query-term postings survive (the inverted-index probe); the
+    * scored candidates map-side-combine to (query, doc) sums and the
+    * tail is the bounded top-k aggregate, k rows per query per task. */
+  def bm25TopKFromPostings(post: DataFrame, stats: DataFrame,
+      qTerms: DataFrame, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(post.sparkSession)
+    post.join(broadcast(qTerms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("ppm",
+        bm25Ppm(col("tf"), col("df"), col("dl"), col("n_docs"), col("avgdl")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ppm")).as("score_ppm"))
+      .groupBy(col("query_id"))
+      .agg(call_udf("graft_topk_min",
+        struct((-col("score_ppm")).as("nscore"), col("doc_id"),
+          col("score_ppm")), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.doc_id").as("doc_id"), col("t.score_ppm").as("score_ppm"))
+  }
+
+  /** End-to-end BM25 top-k: corpus scan → postings SLICE pruned to the
+    * query-term set → df over the slice (exact: the slice holds every
+    * posting of each query term, so the per-term doc count is the
+    * corpus-global df) → score → bounded top-k. The pruned slice is
+    * persisted for its two consumers (the df aggregate and the
+    * candidate join) — without it the corpus explode runs twice. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      qLen: Int = 5, temps: TempCache = TempCache.noop): DataFrame = {
+    val qt = queryTerms(queries, qLen)
+    val termSet = qt.select(col("term")).distinct()
+    val slice = temps.register(
+      perDocTerms(docs).join(broadcast(termSet), Seq("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfT = slice.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val post = slice.join(dfT, Seq("term"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+    bm25TopKFromPostings(post, corpusStats(docs), qt, k)
+  }
+
+  /** Reciprocal-rank fusion of two (query_id, rank, doc_id) rankings:
+    * score = Σ 1000000 div (60 + rank) over the lists containing the
+    * doc — the standard RRF with k0 = 60, in pure integer arithmetic
+    * (no floats anywhere, so cross-engine exact by construction).
+    * Docs in either list qualify (full outer pair join); ties break on
+    * doc_id. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(a.sparkSession)
+    val left = a.select(col("query_id"), col("doc_id"),
+      col("rank").as("rank_a"))
+    val right = b.select(col("query_id"), col("doc_id"),
+      col("rank").as("rank_b"))
+    left.join(right, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr("1000000 div (60 + rank_a)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_b)"), lit(0L)))
+      .groupBy(col("query_id"))
+      .agg(call_udf("graft_topk_min",
+        struct((-col("rrf_ppm")).as("nscore"), col("doc_id"),
+          col("rrf_ppm"), col("rank_a"), col("rank_b")), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.doc_id").as("doc_id"), col("t.rrf_ppm").as("rrf_ppm"),
+        col("t.rank_a").as("rank_text"), col("t.rank_b").as("rank_vec"))
+  }
+
+  /** Streaming BM25 serving: a continuous query feed (query_id, text,
+    * event_ts) answered from the PRECOMPUTED postings table — the
+    * online half of the build → store → serve split, the text twin of
+    * [[Similarity.streamingIvfPqServe]]. Emits, per closed event-time
+    * window, each query's top-k documents with the same integer ppm
+    * semantics as [[bm25TopKFromPostings]] (spec-pinned equal).
+    *
+    * Unlike ADC — where a candidate lives in exactly ONE probed list,
+    * so a per-list kernel top-k preserves the global top-k — a BM25
+    * candidate accumulates score across ALL the query's term lists, so
+    * the per-(query, doc) sum is irreducibly an aggregation. This is
+    * Spark's chained-streaming-aggregation shape (multiple stateful
+    * operators, append mode): the windowed sum keys per-(window,
+    * query, doc) partials in the state store, and the second
+    * aggregation — windowed via `window_time` on the first's closed
+    * window — is the bounded [[graft.functions.TopKMinAggExpr]], k
+    * rows of state per (window, query). Query terms are derived
+    * ROW-LOCALLY (array_distinct over the first-qLen slice — no
+    * dedup aggregation), the postings join is stream-static on term,
+    * and the one-row stats frame rides a broadcast key-1 join. */
+  def streamingBm25Serve(queries: DataFrame, post: DataFrame,
+      stats: DataFrame, k: Int = 10, qLen: Int = 5,
+      windowDur: String = "1 minute",
+      watermark: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val statsOne = broadcast(stats.withColumn("one", lit(1)))
+    val scored = queries
+      .withWatermark("event_ts", watermark)
+      .select(col("query_id"), col("event_ts"),
+        explode(array_distinct(slice(tokens(col("text")), 1, qLen)))
+          .as("term"),
+        lit(1).as("one"))
+      .join(post, Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(statsOne, Seq("one"))
+      .withColumn("ppm",
+        bm25Ppm(col("tf"), col("df"), col("dl"), col("n_docs"), col("avgdl")))
+    scored
+      .groupBy(window(col("event_ts"), windowDur), col("query_id"),
+        col("doc_id"))
+      .agg(sum(col("ppm")).as("score_ppm"))
+      .groupBy(window(window_time(col("window")), windowDur),
+        col("query_id"))
+      .agg(call_udf("graft_topk_min",
+        struct((-col("score_ppm")).as("nscore"), col("doc_id"),
+          col("score_ppm")), lit(k)).as("top"))
+      .select(col("window.start").as("win_start"), col("query_id"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("win_start"), col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("t.doc_id").as("doc_id"), col("t.score_ppm").as("score_ppm"))
+  }
+
+  // ---- declared queries --------------------------------------------------
+
+  private def docsOf(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  private val bm25Cte =
+    """WITH qt AS (
+      |  SELECT DISTINCT query_id, term FROM (
+      |    SELECT doc_id AS query_id,
+      |      unnest((string_split(text, ' '))[1:5]) AS term
+      |    FROM documents WHERE doc_id % 50 = 0)
+      |), per_doc AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY doc_id, term
+      |), dls AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents
+      |), slice AS (
+      |  SELECT * FROM per_doc WHERE term IN (SELECT term FROM qt)
+      |), dft AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM slice GROUP BY term
+      |), stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM documents
+      |), cand AS (
+      |  SELECT qt.query_id, s.doc_id,
+      |    CAST(floor(
+      |      ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * ((CAST(tf AS DOUBLE) * 2.2) /
+      |         (CAST(tf AS DOUBLE) +
+      |          (1.2 * (0.25 + (0.75 * (CAST(dl AS DOUBLE) / avgdl))))))
+      |      * 1000000.0) AS BIGINT) AS ppm
+      |  FROM slice s
+      |    JOIN qt ON s.term = qt.term
+      |    JOIN dft ON s.term = dft.term
+      |    JOIN dls ON s.doc_id = dls.doc_id, stats
+      |  WHERE s.doc_id != qt.query_id
+      |), scoresum AS (
+      |  SELECT query_id, doc_id, CAST(sum(ppm) AS BIGINT) AS score_ppm
+      |  FROM cand GROUP BY query_id, doc_id
+      |)""".stripMargin
+
+  private val bm25TailSql =
+    """SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS "rank",
+      |  doc_id, score_ppm
+      |FROM scoresum
+      |QUALIFY "rank" <= 10
+      |ORDER BY query_id, "rank"""".stripMargin
+
+  /** BM25 end-to-end: deterministic short queries (first-5-token
+    * distinct term sets of every 50th document) against the whole
+    * corpus, top-10 per query. */
+  val qBm25 = QuerySpec(
+    "q_llm_bm25",
+    (s, d) => {
+      val docs = docsOf(s, d)
+      bm25TopK(docs, docs.filter(pmod(col("doc_id"), lit(50)) === 0))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(bm25Cte + "\n" + bm25TailSql))
+
+  /** The stored-index deliverable, oracle'd end-to-end: the full
+    * denormalized postings table. */
+  val qBm25Index = QuerySpec(
+    "q_llm_bm25_index",
+    (s, d) =>
+      postings(docsOf(s, d)).orderBy(col("term"), col("doc_id")),
+    Some("""WITH per_doc AS (
+           |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |        FROM documents)
+           |  GROUP BY doc_id, term
+           |), dls AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           |  FROM documents
+           |), dft AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS df
+           |  FROM per_doc GROUP BY term
+           |)
+           |SELECT p.term, p.doc_id, p.tf, dls.dl, dft.df
+           |FROM per_doc p
+           |  JOIN dls ON p.doc_id = dls.doc_id
+           |  JOIN dft ON p.term = dft.term
+           |ORDER BY p.term, p.doc_id""".stripMargin))
+
+  /** Serving from the STORED postings (build → store → serve split):
+    * must be result-identical to the inline end-to-end chain, so the
+    * q_llm_bm25 SQL verbatim checks both — the IVF-PQ codes/serve
+    * pattern applied to text. */
+  val qBm25Serve = QuerySpec(
+    "q_llm_bm25_serve",
+    (s, d) => {
+      val docs = docsOf(s, d)
+      val post = postings(docs)
+      bm25TopKFromPostings(post, corpusStats(docs),
+        queryTerms(docs.filter(pmod(col("doc_id"), lit(50)) === 0)))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    qBm25.oracle)
+
+  /** Hybrid search: RRF-fuse the BM25 top-10 with the embedding cosine
+    * top-10 for the same query ids (vec_id = doc_id contract), pure
+    * integer scores. The cosine side reuses q_llm_cosine_topk's
+    * bit-exact IEEE replay. */
+  val qRrfFusion = QuerySpec(
+    "q_llm_rrf_fusion",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = docsOf(s, d)
+      val text = bm25TopK(docs, docs.filter(pmod(col("doc_id"), lit(50)) === 0))
+      val vs = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm"))
+      val vec = Similarity.cosineTopK(vs,
+          vs.filter(pmod(col("vec_id"), lit(50)) === 0), k = 10)
+        .select(col("q_id").as("query_id"), col("rank"),
+          col("neighbor_id").as("doc_id"))
+      rrfFuse(text, vec).orderBy(col("query_id"), col("rank"))
+    },
+    Some(bm25Cte.replace("WITH qt AS (", """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(embedding, x -> CAST(x*x AS DOUBLE))),
+      |      (acc, p) -> acc + p)) AS nrm
+      |  FROM embeddings
+      |), vq AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+      |vscored AS (
+      |  SELECT vq.vec_id AS query_id, c.vec_id AS doc_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(list_zip(c.embedding, vq.embedding),
+      |        z -> CAST(z[1]*z[2] AS DOUBLE))),
+      |      (acc, p) -> acc + p) / (c.nrm * vq.nrm) AS cos
+      |  FROM v c, vq WHERE c.vec_id != vq.vec_id
+      |), vrank AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_vec
+      |  FROM vscored QUALIFY rank_vec <= 10
+      |), qt AS (""".stripMargin) + """,
+      |trank AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank_text
+      |  FROM scoresum QUALIFY rank_text <= 10
+      |), fused AS (
+      |  SELECT coalesce(t.query_id, v.query_id) AS query_id,
+      |    coalesce(t.doc_id, v.doc_id) AS doc_id,
+      |    coalesce(1000000 // (60 + t.rank_text), 0)
+      |      + coalesce(1000000 // (60 + v.rank_vec), 0) AS rrf_ppm,
+      |    t.rank_text, v.rank_vec
+      |  FROM trank t FULL OUTER JOIN vrank v
+      |    ON t.query_id = v.query_id AND t.doc_id = v.doc_id
+      |)
+      |SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS "rank",
+      |  doc_id, rrf_ppm, rank_text, rank_vec
+      |FROM fused
+      |QUALIFY "rank" <= 10
+      |ORDER BY query_id, "rank"""".stripMargin))
+
+  def all: Seq[QuerySpec] = Seq(qBm25, qBm25Index, qBm25Serve, qRrfFusion)
+}

@@ -412,7 +412,21 @@ class PlanSpec extends SparkSpec {
       "q_llm_curate_emb_rel" -> (28, 0),
       // the benchmark hash set rides as ONE broadcast row (the tfidf
       // scalar stance): 1 BNLJ (printed twice), zero corpus shuffle
-      "q_llm_decontam_scrub" -> (2, 0))
+      "q_llm_decontam_scrub" -> (2, 0),
+      // round-8 BM25 family: the only BNLJ is the ONE-ROW corpus-stats
+      // broadcast (n_docs, avgdl — the tfidf scalar stance), whose
+      // aggregate is the lone single-partition exchange; postings/df/
+      // score stages are hash-keyed, query terms ride broadcast hash
+      // joins, the tail is the bounded top-k aggregate (the stats
+      // aggregate's one-row exchange appears only in the runtime plan,
+      // the hist_dedup subquery stance)
+      "q_llm_bm25" -> (2, 0),
+      "q_llm_bm25_index" -> (0, 0),
+      "q_llm_bm25_serve" -> (2, 0),
+      // bm25's stats BNLJ + the cosine side's deliberate
+      // queries×corpus broadcast scoring; the RRF pair join itself is
+      // an equi join of two k-row-per-query frames
+      "q_llm_rrf_fusion" -> (4, 0))
     val got = budgets.keys.toSeq.sorted.map { q =>
       // the pin is the FRESH-SESSION plan shape: leftover cached frames
       // (this suite's own earlier builds, or — in a full `sbt test` run

@@ -1,0 +1,141 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("postings: tf, dl and df are exact") {
+    val docs = docsDf(
+      0L -> "a b a c",
+      1L -> "a b",
+      2L -> "c c c")
+    val got = Retrieval.postings(docs)
+      .orderBy("term", "doc_id")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 0L, 2L, 4L, 2L), // tf=2 in doc0, dl=4, df=2 (docs 0,1)
+      ("a", 1L, 1L, 2L, 2L),
+      ("b", 0L, 1L, 4L, 2L),
+      ("b", 1L, 1L, 2L, 2L),
+      ("c", 0L, 1L, 4L, 2L),
+      ("c", 2L, 3L, 3L, 2L)))
+  }
+
+  test("corpusStats: avgdl is the exact long/long division") {
+    val docs = docsDf(0L -> "a b a c", 1L -> "a b", 2L -> "c c c")
+    val r = Retrieval.corpusStats(docs).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 9.0 / 3.0)
+  }
+
+  test("bm25 ranks a doc dense in the query term above a diluted one") {
+    // query: "zebra". doc 10 is pure zebra; doc 11 mentions it once in
+    // a long doc; doc 12 never does.
+    val docs = docsDf(
+      0L -> "zebra query stub",
+      10L -> "zebra zebra zebra",
+      11L -> ("zebra " + Seq.fill(60)("filler").mkString(" ")),
+      12L -> "filler filler filler")
+    val got = Retrieval.bm25TopK(docs, docs.filter(col("doc_id") === 0),
+        k = 10, qLen = 1)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(10L, 11L), s"got $got")
+  }
+
+  test("bm25 idf favors rare terms over common ones at equal tf") {
+    // both candidate docs same length; doc 20 matches the rare term,
+    // doc 21 the ubiquitous one.
+    val docs = docsDf(
+      0L -> "rare common",
+      20L -> "rare pad pad",
+      21L -> "common pad pad",
+      22L -> "common x y",
+      23L -> "common u v")
+    val got = Retrieval.bm25TopK(docs, docs.filter(col("doc_id") === 0),
+        k = 10, qLen = 2)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(got.head == 20L, s"rare-term doc must outrank: $got")
+  }
+
+  test("serve-from-stored-postings equals the end-to-end chain") {
+    val docs = docsDf((0L until 30L).map(i =>
+      i -> s"t${i % 7} t${i % 5} t${i % 3} common pad${i % 2}"): _*)
+    val queries = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val e2e = Retrieval.bm25TopK(docs, queries, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val post = Retrieval.postings(docs)
+    val served = Retrieval.bm25TopKFromPostings(post,
+        Retrieval.corpusStats(docs), Retrieval.queryTerms(queries), k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(e2e == served)
+  }
+
+  test("bounded top-k tail is result-identical to the rank window") {
+    val docs = docsDf((0L until 40L).map(i =>
+      i -> s"t${i % 7} t${i % 5} t${i % 3} common pad${i % 2}"): _*)
+    val queries = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val qt = Retrieval.queryTerms(queries)
+    val post = Retrieval.postings(docs)
+    val stats = Retrieval.corpusStats(docs)
+    val viaAgg = Retrieval.bm25TopKFromPostings(post, stats, qt, k = 5)
+      .select("query_id", "rank", "doc_id", "score_ppm")
+      .orderBy("query_id", "rank").collect().toSeq
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    val viaWindow = post.join(broadcast(qt), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("ppm", Retrieval.bm25Ppm(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ppm")).as("score_ppm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "doc_id", "score_ppm")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(viaAgg == viaWindow)
+  }
+
+  test("rrfFuse: integer scores, full-outer semantics, tie on doc_id") {
+    val a = Seq((1L, 1L, 100L), (1L, 2L, 200L))
+      .toDF("query_id", "rank", "doc_id")
+    val b = Seq((1L, 1L, 200L), (1L, 2L, 300L))
+      .toDF("query_id", "rank", "doc_id")
+    val got = Retrieval.rrfFuse(a, b, k = 10)
+      .orderBy("rank")
+      .select("doc_id", "rrf_ppm").as[(Long, Long)].collect().toSeq
+    // doc 200: 1000000/62 + 1000000/61 = 16129 + 16393 = 32522
+    // doc 100: 1000000/61 = 16393; doc 300: 1000000/62 = 16129
+    assert(got == Seq((200L, 32522L), (100L, 16393L), (300L, 16129L)))
+  }
+
+  test("rrf fusion surfaces a doc ranked mid-tier by both lists") {
+    // doc 5 is rank 2 in both lists; each list's rank-1 doc is unique
+    // to it. RRF puts the consensus doc first.
+    val a = Seq((1L, 1L, 10L), (1L, 2L, 5L)).toDF("query_id", "rank", "doc_id")
+    val b = Seq((1L, 1L, 20L), (1L, 2L, 5L)).toDF("query_id", "rank", "doc_id")
+    val top = Retrieval.rrfFuse(a, b).orderBy("rank")
+      .select("doc_id").as[Long].collect().head
+    assert(top == 5L)
+  }
+
+  test("query-term broadcast probe: only query-term postings are scored") {
+    val docs = docsDf(
+      0L -> "needle alpha",
+      1L -> "needle beta",
+      2L -> "haystack gamma",
+      3L -> "haystack delta")
+    val qt = Seq((0L, "needle")).toDF("query_id", "term")
+    val got = Retrieval.bm25TopKFromPostings(Retrieval.postings(docs),
+        Retrieval.corpusStats(docs), qt, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L), s"only the other needle doc qualifies: $got")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming BM25 serving: the chained-streaming-aggregation path
+  * (windowed per-(query, doc) sum → windowed bounded top-k) pinned
+  * result-equal to batch serving from the same frozen postings. */
+class RetrievalStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Query(query_id: Long, event_ts: java.sql.Timestamp,
+      text: String)
+  private def q(id: Long, minute: Int, text: String) =
+    Query(id, new java.sql.Timestamp(minute * 60000L), text)
+
+  test("streamingBm25Serve: stream top-k == batch stored-postings serving") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    // frozen snapshot: both engines read identical postings/stats
+    val post = Retrieval.postings(docs).localCheckpoint(true)
+    val stats = Retrieval.corpusStats(docs).localCheckpoint(true)
+    val queryDocs = docs.filter(col("doc_id") < 3)
+    val batch = Retrieval.bm25TopKFromPostings(post, stats,
+        Retrieval.queryTerms(queryDocs), k = 5)
+      .collect().map(_.toSeq).toSet
+    val qtexts = queryDocs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[Query]
+    val stream = Retrieval.streamingBm25Serve(in.toDF(), post, stats,
+      k = 5, windowDur = "1 minute", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sbm25")
+      .outputMode("append").start()
+    try {
+      in.addData(qtexts.map { case (id, t) => q(id, 60, t) }.toSeq: _*)
+      stream.processAllAvailable()
+      // push the watermark past the window so append emits it
+      in.addData(q(999, 200, "late watermark pusher"))
+      stream.processAllAvailable()
+      val streamed = spark.table("sbm25")
+        .filter(col("query_id") < 3)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("score_ppm"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    } finally stream.stop()
+  }
+
+  test("streamingBm25Serve: cross-micro-batch queries of one window merge; " +
+    "separate windows emit separately") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (100L, "alpha beta gamma"),
+      (101L, "alpha alpha delta"),
+      (102L, "epsilon zeta eta")).toDF("doc_id", "text")
+    val post = Retrieval.postings(docs).localCheckpoint(true)
+    val stats = Retrieval.corpusStats(docs).localCheckpoint(true)
+    val in = MemoryStream[Query]
+    val stream = Retrieval.streamingBm25Serve(in.toDF(), post, stats,
+      k = 5, windowDur = "1 minute", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sbm25w")
+      .outputMode("append").start()
+    try {
+      // same query id, same window, two micro-batches: the per-doc
+      // sums must merge in state, not emit twice
+      in.addData(q(1, 60, "alpha"))
+      stream.processAllAvailable()
+      in.addData(q(2, 75, "epsilon"))   // later window, same stream
+      stream.processAllAvailable()
+      in.addData(q(999, 200, "pusher"))
+      stream.processAllAvailable()
+      val rows = spark.table("sbm25w")
+        .filter(col("query_id") < 999)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // query 1 "alpha": doc 101 (tf=2) outranks doc 100 (tf=1)
+      // query 2 "epsilon": only doc 102 matches
+      assert(rows == Set((1L, 1L, 101L), (1L, 2L, 100L), (2L, 1L, 102L)),
+        rows.toString)
+    } finally stream.stop()
+  }
+}
