@@ -16,7 +16,7 @@ object SparkEntry {
     Inventory.all ++ graft.queries.Skew.all ++
       graft.queries.Temporal.all ++ llm.TextAnalysis.all ++
       llm.TextDedup.all ++ llm.Similarity.all ++ llm.Retrieval.all ++
-      llm.Multimodal.all ++
+      llm.Classifier.all ++ llm.Multimodal.all ++
       llm.Curation.all ++ llm.Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

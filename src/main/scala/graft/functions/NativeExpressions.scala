@@ -1166,6 +1166,10 @@ object GraftFunctions {
       case Seq(c, Literal(n: Int, IntegerType)) => TopKMinAggExpr(c, n)
       case es => TopKMinAggExpr(es.head, 10)
     },
+    "graft_sum_topk" -> {
+      case Seq(c, Literal(n: Int, IntegerType)) => SumTopKAggExpr(c, n)
+      case es => SumTopKAggExpr(es.head, 10)
+    },
     "graft_bpe_encode" -> (es => BpeEncodeExpr(es(0), es(1))),
     "graft_shingle_hashes_md5" -> {
       case Seq(c, Literal(n: Int, IntegerType), Literal(m: Boolean, BooleanType)) =>

@@ -1,0 +1,149 @@
+package graft.llm
+
+import graft.Tables
+import graft.queries.QuerySpec
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Supervised document classification for curation: the
+  * fastText/CCNet-style linear classifier over hashed bag-of-token
+  * features, trained IN-PLAN as a batch perceptron — the quality- and
+  * language-filtering stage of a training-data pipeline expressed as
+  * pure relational algebra.
+  *
+  * Determinism stance: gradient methods need a learning rate and a
+  * sigmoid — transcendental, ULP-divergent across libm builds. The
+  * batch perceptron needs neither: weights live in ℤ (updates are
+  * ±1 feature-count sums over the misclassified set, applied once per
+  * full pass), margins are integer dot products, and the prediction is
+  * a sign test — every number in training AND inference is an exact
+  * long, so the whole trained model hash-matches across engines.
+  * Features are 32-bit md5 prefixes of distinct tokens mod `dims`
+  * (binary presence — collisions fold, identically in both engines).
+  *
+  * Scale shape: the feature frame is ONE corpus scan exploded to
+  * distinct (doc, feature) pairs — the only corpus-sized shuffle. Each
+  * training pass is: weight vector (`dims` rows, BROADCAST) joined
+  * back, margins map-side-summed per doc, misclassified docs'
+  * per-feature ±1 sums reduced map-side to another `dims`-row frame.
+  * Passes chain in one plan — no driver-side collect, no mutable
+  * state; at a fixed pass count the whole job is a linear number of
+  * scans over the persisted feature frame. */
+object Classifier {
+
+  import TextAnalysis.tokens
+
+  /** 32-bit md5-prefix feature id of a term, mod `dims` — replayed in
+    * DuckDB as `CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % dims`. */
+  def featureId(term: Column, dims: Int): Column =
+    pmod(conv(substring(md5(term), 1, 8), 16, 10).cast("long"), lit(dims))
+
+  /** Distinct (doc_id, y, f) presence pairs: the sparse binary feature
+    * matrix. `label` must be ±1. */
+  def featureFrame(docs: DataFrame, label: Column,
+      dims: Int = 1024): DataFrame =
+    docs
+      .select(col("doc_id"), label.as("y"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      .select(col("doc_id"), col("y"), featureId(col("term"), dims).as("f"))
+      .distinct()
+
+  /** One batch-perceptron pass: margins under `w`, then
+    * w' = w + Σ_{misclassified} y·x (margin 0 counts as misclassified
+    * — the standard convention, and what makes pass 1 from w = 0 learn
+    * the class-count-weighted feature frequencies). `w` has (f, w)
+    * rows and BROADCASTS — it is at most `dims` rows. */
+  private def pass(feat: DataFrame, w: DataFrame): DataFrame = {
+    val margins = feat.join(broadcast(w), Seq("f"), "left")
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(coalesce(col("w"), lit(0L))).as("m"))
+    val dw = feat
+      .join(margins.filter(col("y") * col("m") <= 0).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .groupBy(col("f")).agg(sum(col("y")).as("dw"))
+    w.join(dw, Seq("f"), "full_outer")
+      .select(col("f"),
+        (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("w"))
+  }
+
+  /** Train `passes` batch-perceptron passes from w = 0 and return the
+    * `dims`-row integer weight vector. The feature frame is persisted
+    * once for its 2·passes+1 consumers. */
+  def train(docs: DataFrame, label: Column, dims: Int = 1024,
+      passes: Int = 2, temps: TempCache = TempCache.noop): DataFrame = {
+    val feat = temps.register(featureFrame(docs, label, dims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val w0 = feat.sparkSession.range(0).select(col("id").as("f"),
+      col("id").as("w")) // empty (f, w): w = 0 everywhere
+    (1 to passes).foldLeft(w0)((w, _) => pass(feat, w))
+  }
+
+  /** Score every document under a trained weight vector: integer
+    * margin, sign prediction (margin ≤ 0 → −1), correctness flag. */
+  def score(feat: DataFrame, w: DataFrame): DataFrame =
+    feat.join(broadcast(w), Seq("f"), "left")
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(coalesce(col("w"), lit(0L))).as("margin"))
+      .select(col("doc_id"), col("y").as("label"), col("margin"),
+        when(col("margin") > 0, 1L).otherwise(-1L).as("pred"))
+      .withColumn("correct", (col("label") === col("pred")).cast("boolean"))
+
+  /** Train-and-score in one plan on the `documents` table with
+    * lang = 'en' as the positive class — the fastText language-filter
+    * shape. Two passes, 1024 hashed dims. */
+  def langClassifier(docs: DataFrame,
+      temps: TempCache = TempCache.noop): DataFrame = {
+    val label = when(col("lang") === "en", 1L).otherwise(-1L)
+    val feat = temps.register(featureFrame(docs, label)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val w0 = docs.sparkSession.range(0).select(col("id").as("f"),
+      col("id").as("w"))
+    val w = (1 to 2).foldLeft(w0)((wi, _) => pass(feat, wi))
+    score(feat, w)
+  }
+
+  val qDocClf = QuerySpec(
+    "q_llm_doc_clf",
+    (s, d) =>
+      langClassifier(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some("""WITH feat AS (
+           |  SELECT DISTINCT doc_id, y,
+           |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 1024 AS f
+           |  FROM (
+           |    SELECT doc_id,
+           |      CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+           |      unnest(list_distinct(string_split(text, ' '))) AS term
+           |    FROM documents)
+           |), w1 AS (
+           |  -- pass 1 from w = 0: every margin is 0, every doc
+           |  -- misclassified, so w1 = per-feature label sums
+           |  SELECT f, CAST(sum(y) AS BIGINT) AS w FROM feat GROUP BY f
+           |), m1 AS (
+           |  SELECT feat.doc_id, feat.y,
+           |    CAST(sum(coalesce(w1.w, 0)) AS BIGINT) AS m
+           |  FROM feat LEFT JOIN w1 ON feat.f = w1.f
+           |  GROUP BY feat.doc_id, feat.y
+           |), dw2 AS (
+           |  SELECT f, CAST(sum(y) AS BIGINT) AS dw FROM feat
+           |  WHERE doc_id IN (SELECT doc_id FROM m1 WHERE y * m <= 0)
+           |  GROUP BY f
+           |), w2 AS (
+           |  SELECT coalesce(w1.f, dw2.f) AS f,
+           |    coalesce(w1.w, 0) + coalesce(dw2.dw, 0) AS w
+           |  FROM w1 FULL OUTER JOIN dw2 ON w1.f = dw2.f
+           |), scored AS (
+           |  SELECT feat.doc_id, feat.y AS label,
+           |    CAST(sum(coalesce(w2.w, 0)) AS BIGINT) AS margin
+           |  FROM feat LEFT JOIN w2 ON feat.f = w2.f
+           |  GROUP BY feat.doc_id, feat.y
+           |)
+           |SELECT doc_id, label, margin,
+           |  CASE WHEN margin > 0 THEN CAST(1 AS BIGINT)
+           |       ELSE CAST(-1 AS BIGINT) END AS pred,
+           |  (label = CASE WHEN margin > 0 THEN 1 ELSE -1 END) AS correct
+           |FROM scored
+           |ORDER BY doc_id""".stripMargin))
+
+  def all: Seq[QuerySpec] = Seq(qDocClf)
+}

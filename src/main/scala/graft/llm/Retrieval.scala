@@ -102,6 +102,39 @@ object Retrieval {
     floor((idf * tfn) * lit(1000000.0)).cast("long")
   }
 
+  /** Incremental index maintenance: merge a STORED postings table with
+    * a delta corpus — the nightly Lucene-style segment merge, the
+    * [[Similarity.ivfPqEncodeIncremental]] /
+    * [[TextAnalysis.docFrequencyMerge]] stance applied to the inverted
+    * index. The stored corpus's TEXT is never re-scanned: stored
+    * per-doc rows ride through on their narrow (term, doc_id, tf, dl)
+    * columns, only the delta pays the explode, and already-stored
+    * doc_ids in the delta are dropped by one id anti join (idempotent
+    * under overlapping crawls — re-running equals a full rebuild).
+    * df is the one column that must refresh corpus-wide (it is
+    * denormalized per posting), so the merged vocab-sized df frame —
+    * stored per-term df (any row; all copies agree) full-outer-summed
+    * with the delta's own — joins back onto the unioned rows.
+    * Result-identical to [[postings]] over the whole corpus by
+    * construction; q_llm_bm25_inc replays exactly that equality
+    * through the full-build oracle SQL. */
+  def postingsIncremental(stored: DataFrame, deltaDocs: DataFrame): DataFrame = {
+    val storedIds = stored.select(col("doc_id")).distinct()
+    val fresh = perDocTerms(deltaDocs)
+      .join(storedIds, Seq("doc_id"), "left_anti")
+    val dfStored = stored.groupBy(col("term")).agg(max(col("df")).as("df_a"))
+    val dfDelta = fresh.groupBy(col("term")).agg(count(lit(1)).as("df_b"))
+    val dfNew = dfStored.join(dfDelta, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
+          .as("df"))
+    stored.select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .unionByName(fresh.select(col("term"), col("doc_id"), col("tf"),
+        col("dl")))
+      .join(dfNew, Seq("term"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+  }
+
   /** Serve BM25 top-k from a STORED postings frame (term, doc_id, tf,
     * dl, df) + one-row stats. `qTerms` (query_id, term) is the small
     * side and broadcasts — the postings scan hash-probes it, so only
@@ -225,6 +258,61 @@ object Retrieval {
         col("t.doc_id").as("doc_id"), col("t.score_ppm").as("score_ppm"))
   }
 
+  /** Postings PACKED per term — (term, df, members array<struct<doc_id,
+    * tf, dl>>) — the serving-tier layout [[streamingBm25ServePacked]]
+    * reads: one storage row per vocabulary term, the member array
+    * holding the same bytes as the flat rows. */
+  def packPostings(post: DataFrame): DataFrame =
+    post.groupBy(col("term"), col("df"))
+      .agg(collect_list(struct(col("doc_id"), col("tf"), col("dl")))
+        .as("members"))
+
+  /** Streaming BM25 serving over PACKED postings — the state-shape fix
+    * the sf1 soak demanded (the [[Similarity.streamingIvfPqServe]]
+    * packed-ADC lesson applied to text). [[streamingBm25Serve]]'s
+    * chained aggregations keep one state-store row per (window, query,
+    * candidate DOC) partial sum: correct, but a stopword-heavy query
+    * holds tens of thousands of RocksDB entries until window close and
+    * state round trips dominate the drain. Here each stream-static
+    * term match carries the term's WHOLE scored posting list as one
+    * row-local array (member filter + ppm transform — no per-candidate
+    * row ever materializes), and the single stateful operator is
+    * [[graft.functions.SumTopKAggExpr]]: the per-doc sums and the
+    * top-k tail collapsed into ONE aggregation whose state is one row
+    * per (window, query) — state round trips scale with QUERIES, not
+    * candidates. Result-identical to the chained form and to batch
+    * serving (spec-pinned): integer sums are order-free and the eval
+    * ordering is the same (score desc, doc_id). */
+  def streamingBm25ServePacked(queries: DataFrame, packed: DataFrame,
+      stats: DataFrame, k: Int = 10, qLen: Int = 5,
+      windowDur: String = "1 minute",
+      watermark: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val statsOne = broadcast(stats.withColumn("one", lit(1)))
+    queries
+      .withWatermark("event_ts", watermark)
+      .select(col("query_id"), col("event_ts"),
+        explode(array_distinct(slice(tokens(col("text")), 1, qLen)))
+          .as("term"),
+        lit(1).as("one"))
+      .join(packed, Seq("term"))
+      .join(statsOne, Seq("one"))
+      .select(col("query_id"), col("event_ts"),
+        transform(
+          filter(col("members"), m => m.getField("doc_id") =!= col("query_id")),
+          m => struct(
+            m.getField("doc_id").as("id"),
+            bm25Ppm(m.getField("tf"), col("df"), m.getField("dl"),
+              col("n_docs"), col("avgdl")).as("add"))).as("contribs"))
+      .groupBy(window(col("event_ts"), windowDur), col("query_id"))
+      .agg(call_udf("graft_sum_topk", col("contribs"), lit(k)).as("top"))
+      .select(col("window.start").as("win_start"), col("query_id"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("win_start"), col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"), col("t.sum").as("score_ppm"))
+  }
+
   // ---- declared queries --------------------------------------------------
 
   private def docsOf(s: SparkSession, d: String): DataFrame =
@@ -331,6 +419,21 @@ object Retrieval {
     },
     qBm25.oracle)
 
+  /** The nightly index-merge job, oracle'd through the FULL-build SQL:
+    * a stored table holding the first 80% of the corpus plus an
+    * incremental pass over the whole corpus must equal a from-scratch
+    * build of everything — stored rows ride through on the narrow
+    * anti join, only the delta pays the text explode. */
+  val qBm25Inc = QuerySpec(
+    "q_llm_bm25_inc",
+    (s, d) => {
+      val docs = docsOf(s, d)
+      val stored = postings(docs.filter(col("doc_id") < 400))
+      postingsIncremental(stored, docs)
+        .orderBy(col("term"), col("doc_id"))
+    },
+    qBm25Index.oracle)
+
   /** Hybrid search: RRF-fuse the BM25 top-10 with the embedding cosine
     * top-10 for the same query ids (vec_id = doc_id contract), pure
     * integer scores. The cosine side reuses q_llm_cosine_topk's
@@ -392,5 +495,6 @@ object Retrieval {
       |QUALIFY "rank" <= 10
       |ORDER BY query_id, "rank"""".stripMargin))
 
-  def all: Seq[QuerySpec] = Seq(qBm25, qBm25Index, qBm25Serve, qRrfFusion)
+  def all: Seq[QuerySpec] =
+    Seq(qBm25, qBm25Index, qBm25Serve, qBm25Inc, qRrfFusion)
 }

@@ -35,7 +35,13 @@ import graft.llm.{IvfPqIndex, StreamingCuration}
   *  - `asof`    — [[graft.streaming.StreamingTemporal.streamingAsofJoin]]
   *    over the tier's events replayed in event-time order (purchases
   *    enriched against errors per user): pending-left + right-history
-  *    state, the exactness-buffering path.
+  *    state, the exactness-buffering path;
+  *  - `bm25`    — [[graft.llm.Retrieval.streamingBm25Serve]] over a
+  *    materialized postings index of the tier (every 100th doc replayed
+  *    as a query): the chained-streaming-aggregation path — per-(query,
+  *    doc) windowed sums then the bounded top-k — under the synthetic
+  *    corpus's worst case, where every query term is a corpus-wide
+  *    stopword and each query scores tens of thousands of candidates.
   */
 object StreamSoak {
 
@@ -165,6 +171,44 @@ object StreamSoak {
           runDrain(spark, graft.streaming.StreamingTemporal
             .streamingAsofJoin(feed("purchase"), feed("error"), "1 hour")
             .toDF(), mode, coll)
+        case "bm25" =>
+          val docs = Tables.load(spark, sfDir, "documents")
+          val post = graft.llm.Retrieval.postings(docs)
+          post.persist().count() // serve from a materialized index
+          val stats = graft.llm.Retrieval.corpusStats(docs).persist()
+          stats.count()
+          val dir = s"$feedRoot/queries"
+          val qs = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+            .select(col("doc_id").as("query_id"), col("text"))
+            .withColumn("event_ts",
+              timestamp_millis(lit(base) + col("query_id")))
+          buildFeed(qs, chunks, dir)
+          val feed = spark.readStream
+            .schema(spark.read.parquet(dir).schema)
+            .option("maxFilesPerTrigger", perTrigger).parquet(dir)
+          try runDrain(spark, graft.llm.Retrieval.streamingBm25Serve(
+            feed, post, stats, k = 10), mode, coll)
+          finally { post.unpersist(); stats.unpersist() }
+        case "bm25p" =>
+          // the packed one-state-row-per-query form (SumTopKAgg)
+          val docs = Tables.load(spark, sfDir, "documents")
+          val post = graft.llm.Retrieval.postings(docs)
+          val packed = graft.llm.Retrieval.packPostings(post)
+          packed.persist().count()
+          val stats = graft.llm.Retrieval.corpusStats(docs).persist()
+          stats.count()
+          val dir = s"$feedRoot/queries_p"
+          val qs = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+            .select(col("doc_id").as("query_id"), col("text"))
+            .withColumn("event_ts",
+              timestamp_millis(lit(base) + col("query_id")))
+          buildFeed(qs, chunks, dir)
+          val feed = spark.readStream
+            .schema(spark.read.parquet(dir).schema)
+            .option("maxFilesPerTrigger", perTrigger).parquet(dir)
+          try runDrain(spark, graft.llm.Retrieval.streamingBm25ServePacked(
+            feed, packed, stats, k = 10), mode, coll)
+          finally { packed.unpersist(); stats.unpersist() }
         case "hh" =>
           // complete-mode sketch aggregation: state is the ONE summary
           runDrain(spark, StreamingCuration.streamingHeavyHitters(docFeed()),

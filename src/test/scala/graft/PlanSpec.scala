@@ -423,6 +423,12 @@ class PlanSpec extends SparkSpec {
       "q_llm_bm25" -> (2, 0),
       "q_llm_bm25_index" -> (0, 0),
       "q_llm_bm25_serve" -> (2, 0),
+      // index merge: the vocab-sized df full-outer is an equi join;
+      // nothing broadcasts-nests
+      "q_llm_bm25_inc" -> (0, 0),
+      // perceptron passes: dims-row weight frames broadcast-hash-join
+      // back; the misclassified-doc semi join is doc-keyed
+      "q_llm_doc_clf" -> (0, 0),
       // bm25's stats BNLJ + the cosine side's deliberate
       // queries×corpus broadcast scoring; the RRF pair join itself is
       // an equi join of two k-row-per-query frames

@@ -1,0 +1,61 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perceptron separates a linearly separable planted corpus") {
+    // positives always contain 'goodword', negatives 'badword'; filler
+    // tokens are shared noise
+    val docs = ((0L until 20L).map(i =>
+      (i, "en", s"goodword filler$i shared noise")) ++
+      (20L until 40L).map(i =>
+        (i, "de", s"badword filler$i shared noise")))
+      .toDF("doc_id", "lang", "text")
+    val out = Classifier.langClassifier(docs).collect()
+    assert(out.length == 40)
+    assert(out.forall(_.getAs[Boolean]("correct")),
+      "separable data must classify perfectly after 2 batch passes: " +
+        out.filterNot(_.getAs[Boolean]("correct")).mkString(","))
+  }
+
+  test("training is exact: weights match a sequential batch-perceptron reference") {
+    val dims = 64
+    val docs = ((0L until 6L).map(i => (i, "en", s"alpha beta t$i")) ++
+      (6L until 12L).map(i => (i, "de", s"gamma delta t$i")))
+      .toDF("doc_id", "lang", "text")
+    val label = when(col("lang") === "en", 1L).otherwise(-1L)
+    val feat = Classifier.featureFrame(docs, label, dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = feat.groupBy(_._1).map { case (d, rs) =>
+      (d, rs.head._2, rs.map(_._3).toSet) }.toSeq.sortBy(_._1)
+    // sequential reference: identical batch semantics
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    for (_ <- 1 to 2) {
+      val errs = byDoc.filter { case (_, y, fs) => y * fs.toSeq.map(w).sum <= 0 }
+      val dw = errs.flatMap { case (_, y, fs) => fs.map(_ -> y) }
+        .groupBy(_._1).map { case (f, ys) => f -> ys.map(_._2).sum }
+      w = w ++ dw.map { case (f, d) => f -> (w(f) + d) }
+    }
+    val got = Classifier.train(docs, label, dims, passes = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.filter(_._2 != 0L) == w.filter(_._2 != 0L).toMap,
+      s"got=$got\nwant=$w")
+  }
+
+  test("feature hashing folds collisions identically in scoring and training") {
+    // dims = 1 forces every token into feature 0: the model can only
+    // learn the majority class
+    val docs = ((0L until 3L).map(i => (i, "en", s"a$i")) ++
+      (3L until 10L).map(i => (i, "de", s"b$i")))
+      .toDF("doc_id", "lang", "text")
+    val label = when(col("lang") === "en", 1L).otherwise(-1L)
+    val w = Classifier.train(docs, label, dims = 1, passes = 2)
+    val scored = Classifier.score(
+      Classifier.featureFrame(docs, label, dims = 1), w).collect()
+    val preds = scored.map(_.getAs[Long]("pred")).toSet
+    assert(preds == Set(-1L), s"majority class is -1: ${preds}")
+  }
+}

@@ -103,6 +103,38 @@ class RetrievalSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("postingsIncremental == full rebuild; overlapping deltas are idempotent") {
+    val docs = docsDf((0L until 20L).map(i =>
+      i -> s"t${i % 7} t${i % 5} t${i % 3} common"): _*)
+    val full = Retrieval.postings(docs)
+      .orderBy("term", "doc_id").collect().toSeq
+    val stored = Retrieval.postings(docs.filter(col("doc_id") < 15))
+    // delta passes the WHOLE corpus: stored ids must ride through the
+    // anti join, not double-count
+    val merged = Retrieval.postingsIncremental(stored, docs)
+      .orderBy("term", "doc_id").collect().toSeq
+    assert(merged == full)
+    // and merging an already-complete index with itself changes nothing
+    val again = Retrieval.postingsIncremental(
+        Retrieval.postings(docs), docs)
+      .orderBy("term", "doc_id").collect().toSeq
+    assert(again == full)
+  }
+
+  test("serving from an incrementally merged index equals end-to-end") {
+    val docs = docsDf((0L until 30L).map(i =>
+      i -> s"t${i % 7} t${i % 5} t${i % 3} common pad${i % 2}"): _*)
+    val queries = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val e2e = Retrieval.bm25TopK(docs, queries, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val merged = Retrieval.postingsIncremental(
+      Retrieval.postings(docs.filter(col("doc_id") < 20)), docs)
+    val served = Retrieval.bm25TopKFromPostings(merged,
+        Retrieval.corpusStats(docs), Retrieval.queryTerms(queries), k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(e2e == served)
+  }
+
   test("rrfFuse: integer scores, full-outer semantics, tie on doc_id") {
     val a = Seq((1L, 1L, 100L), (1L, 2L, 200L))
       .toDF("query_id", "rank", "doc_id")

@@ -47,6 +47,63 @@ class RetrievalStreamSpec extends SparkSpec {
     } finally stream.stop()
   }
 
+  test("streamingBm25ServePacked: one-state-row-per-query form equals batch " +
+    "and the chained-aggregation form") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val post = Retrieval.postings(docs).localCheckpoint(true)
+    val packed = Retrieval.packPostings(post).localCheckpoint(true)
+    val stats = Retrieval.corpusStats(docs).localCheckpoint(true)
+    val queryDocs = docs.filter(col("doc_id") < 3)
+    val batch = Retrieval.bm25TopKFromPostings(post, stats,
+        Retrieval.queryTerms(queryDocs), k = 5)
+      .collect().map(_.toSeq).toSet
+    val qtexts = queryDocs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[Query]
+    val stream = Retrieval.streamingBm25ServePacked(in.toDF(), packed, stats,
+      k = 5, windowDur = "1 minute", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sbm25p")
+      .outputMode("append").start()
+    try {
+      // split the same window across two micro-batches: partial maps
+      // must merge in the single state row, not emit twice
+      in.addData(qtexts.take(2).map { case (id, t) => q(id, 60, t) }: _*)
+      stream.processAllAvailable()
+      in.addData(qtexts.drop(2).map { case (id, t) => q(id, 60, t) }: _*)
+      stream.processAllAvailable()
+      in.addData(q(999, 200, "late watermark pusher"))
+      stream.processAllAvailable()
+      val streamed = spark.table("sbm25p")
+        .filter(col("query_id") < 3)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("score_ppm"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    } finally stream.stop()
+  }
+
+  test("graft_sum_topk equals the two-level sum-then-rank tail in batch") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, Seq((10L, 5L), (11L, 3L))),
+      (1L, Seq((10L, 2L), (12L, 9L))),
+      (2L, Seq((10L, 1L))))
+      .toDF("g", "contribs")
+      .select(col("g"), expr(
+        "transform(contribs, c -> named_struct('id', c._1, 'add', c._2))")
+        .as("contribs"))
+    val got = rows.groupBy(col("g"))
+      .agg(call_udf("graft_sum_topk", col("contribs"), lit(2)).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("g"), (col("pos") + 1).as("rank"),
+        col("t.id"), col("t.sum"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // g=1: doc 12 sums 9, doc 10 sums 7, doc 11 sums 3 -> top-2
+    assert(got == Set((1L, 1, 12L, 9L), (1L, 2, 10L, 7L), (2L, 1, 10L, 1L)),
+      got.toString)
+  }
+
   test("streamingBm25Serve: cross-micro-batch queries of one window merge; " +
     "separate windows emit separately") {
     implicit val sqlCtx = spark.sqlContext
