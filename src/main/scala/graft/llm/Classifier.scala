@@ -102,6 +102,135 @@ object Classifier {
     score(feat, w)
   }
 
+  /** Multiclass one-vs-all perceptron as ONE relational plan: the
+    * class dimension is DATA, not code — the feature frame cross-joins
+    * the (tiny, broadcast) class list, y = ±1 per (doc, class), and
+    * the same batch-pass algebra runs grouped by (class, feature).
+    * Returns the (c, f, w) weight table: n_classes · dims rows.
+    *
+    * Scale shape: the corpus-sized feature frame is replicated
+    * n_classes× (a small constant — 5 langs, ~20 domains); weights
+    * stay broadcastable; each pass is one broadcast join + two keyed
+    * aggregates, exactly the binary shape with a wider key. */
+  def multiclassTrain(docs: DataFrame, classCol: Column,
+      dims: Int = 1024, passes: Int = 2,
+      temps: TempCache = TempCache.noop): DataFrame = {
+    val classes = broadcast(docs.select(classCol.as("c")).distinct())
+    val featC = temps.register(
+      featureFrameMulti(docs, classCol, dims, classes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val w0 = docs.sparkSession.range(0).select(
+      col("id").cast("string").as("c"), col("id").as("f"), col("id").as("w"))
+    (1 to passes).foldLeft(w0)((w, _) => passMulti(featC, w))
+  }
+
+  private def featureFrameMulti(docs: DataFrame, classCol: Column,
+      dims: Int, classes: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), classCol.as("lab"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      .select(col("doc_id"), col("lab"),
+        featureId(col("term"), dims).as("f"))
+      .distinct()
+      .crossJoin(classes)
+      .withColumn("y", when(col("lab") === col("c"), 1L).otherwise(-1L))
+
+  private def passMulti(featC: DataFrame, w: DataFrame): DataFrame = {
+    val margins = featC.join(broadcast(w), Seq("c", "f"), "left")
+      .groupBy(col("doc_id"), col("c"), col("y"))
+      .agg(sum(coalesce(col("w"), lit(0L))).as("m"))
+    val dw = featC
+      .join(margins.filter(col("y") * col("m") <= 0)
+          .select(col("doc_id"), col("c")),
+        Seq("doc_id", "c"), "left_semi")
+      .groupBy(col("c"), col("f")).agg(sum(col("y")).as("dw"))
+    w.join(dw, Seq("c", "f"), "full_outer")
+      .select(col("c"), col("f"),
+        (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("w"))
+  }
+
+  /** Learned language ID: train one-vs-all on `lang`, predict each
+    * doc's argmax-margin class (ties → lexicographically smallest
+    * class), compare with the true label — the trained sibling of the
+    * q_llm_lang_id marker heuristic. */
+  def langClassifierMulti(docs: DataFrame,
+      temps: TempCache = TempCache.noop): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val classes = broadcast(docs.select(col("lang").as("c")).distinct())
+    val featC = temps.register(
+      featureFrameMulti(docs, col("lang"), 1024, classes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val w0 = docs.sparkSession.range(0).select(
+      col("id").cast("string").as("c"), col("id").as("f"), col("id").as("w"))
+    val w = (1 to 2).foldLeft(w0)((wi, _) => passMulti(featC, wi))
+    val margins = featC.join(broadcast(w), Seq("c", "f"), "left")
+      .groupBy(col("doc_id"), col("lab"), col("c"))
+      .agg(sum(coalesce(col("w"), lit(0L))).as("m"))
+    // argmax over the n_classes-row per-doc group (margin desc, class
+    // asc) — a bounded window, one row per (doc, class)
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("m").desc, col("c"))
+    margins
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lab").as("lang"), col("c").as("pred"),
+        col("m").as("margin"),
+        (col("lab") === col("c")).cast("boolean").as("correct"))
+  }
+
+  val qLangClf = QuerySpec(
+    "q_llm_lang_clf",
+    (s, d) =>
+      langClassifierMulti(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some("""WITH classes AS (SELECT DISTINCT lang AS c FROM documents),
+           |featd AS (
+           |  SELECT DISTINCT doc_id, lab,
+           |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 1024 AS f
+           |  FROM (
+           |    SELECT doc_id, lang AS lab,
+           |      unnest(list_distinct(string_split(text, ' '))) AS term
+           |    FROM documents)
+           |), featc AS (
+           |  SELECT doc_id, lab, f, c,
+           |    CASE WHEN lab = c THEN 1 ELSE -1 END AS y
+           |  FROM featd CROSS JOIN classes
+           |), w1 AS (
+           |  SELECT c, f, CAST(sum(y) AS BIGINT) AS w
+           |  FROM featc GROUP BY c, f
+           |), m1 AS (
+           |  SELECT featc.doc_id, featc.c, featc.y,
+           |    CAST(sum(coalesce(w1.w, 0)) AS BIGINT) AS m
+           |  FROM featc LEFT JOIN w1 ON featc.c = w1.c AND featc.f = w1.f
+           |  GROUP BY featc.doc_id, featc.c, featc.y
+           |), dw2 AS (
+           |  SELECT featc.c, featc.f, CAST(sum(featc.y) AS BIGINT) AS dw
+           |  FROM featc
+           |  JOIN (SELECT doc_id, c FROM m1 WHERE y * m <= 0) e
+           |    ON featc.doc_id = e.doc_id AND featc.c = e.c
+           |  GROUP BY featc.c, featc.f
+           |), w2 AS (
+           |  SELECT coalesce(w1.c, dw2.c) AS c,
+           |    coalesce(w1.f, dw2.f) AS f,
+           |    coalesce(w1.w, 0) + coalesce(dw2.dw, 0) AS w
+           |  FROM w1 FULL OUTER JOIN dw2
+           |    ON w1.c = dw2.c AND w1.f = dw2.f
+           |), m2 AS (
+           |  SELECT featc.doc_id, featc.lab, featc.c,
+           |    CAST(sum(coalesce(w2.w, 0)) AS BIGINT) AS m
+           |  FROM featc LEFT JOIN w2 ON featc.c = w2.c AND featc.f = w2.f
+           |  GROUP BY featc.doc_id, featc.lab, featc.c
+           |), ranked AS (
+           |  SELECT doc_id, lab, c, m,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY m DESC, c) AS rn
+           |  FROM m2
+           |)
+           |SELECT doc_id, lab AS lang, c AS pred, m AS margin,
+           |  (lab = c) AS correct
+           |FROM ranked WHERE rn = 1
+           |ORDER BY doc_id""".stripMargin))
+
   val qDocClf = QuerySpec(
     "q_llm_doc_clf",
     (s, d) =>
@@ -145,5 +274,5 @@ object Classifier {
            |FROM scored
            |ORDER BY doc_id""".stripMargin))
 
-  def all: Seq[QuerySpec] = Seq(qDocClf)
+  def all: Seq[QuerySpec] = Seq(qDocClf, qLangClf)
 }

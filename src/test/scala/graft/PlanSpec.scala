@@ -429,6 +429,13 @@ class PlanSpec extends SparkSpec {
       // perceptron passes: dims-row weight frames broadcast-hash-join
       // back; the misclassified-doc semi join is doc-keyed
       "q_llm_doc_clf" -> (0, 0),
+      // multiclass: the only BNLJ is the deliberate 5-row class-list
+      // cross broadcast; the persisted featC subtree is referenced by
+      // every pass stage, so FormattedMode prints that one operator
+      // per reference pre-materialization (the curate_rel stance) —
+      // runtime (PlanAudit, cache materialized) shows the broadcasts
+      // collapsed
+      "q_llm_lang_clf" -> (8, 0),
       // bm25's stats BNLJ + the cosine side's deliberate
       // queries×corpus broadcast scoring; the RRF pair join itself is
       // an equi join of two k-row-per-query frames

@@ -45,6 +45,33 @@ class ClassifierSpec extends SparkSpec {
       s"got=$got\nwant=$w")
   }
 
+  test("multiclass one-vs-all separates three planted classes") {
+    val docs = ((0L until 10L).map(i => (i, "en", s"redword fill$i shared")) ++
+      (10L until 20L).map(i => (i, "de", s"blueword fill$i shared")) ++
+      (20L until 30L).map(i => (i, "fr", s"greenword fill$i shared")))
+      .toDF("doc_id", "lang", "text")
+    val out = Classifier.langClassifierMulti(docs).collect()
+    assert(out.length == 30)
+    assert(out.forall(_.getAs[Boolean]("correct")),
+      out.filterNot(_.getAs[Boolean]("correct")).mkString(","))
+  }
+
+  test("multiclass argmax tie breaks to the lexicographically smallest class") {
+    // a fully class-symmetric corpus: docs 2 and 3 carry only the
+    // shared token, whose per-class weight cancels to 0 by symmetry,
+    // so BOTH their class margins are exactly 0 — a provable tie that
+    // must resolve to 'aa' (< 'ab') for both
+    val docs = Seq(
+      (0L, "aa", "shared x0"),
+      (1L, "ab", "shared x1"),
+      (2L, "aa", "shared"),
+      (3L, "ab", "shared")).toDF("doc_id", "lang", "text")
+    val out = Classifier.langClassifierMulti(docs)
+      .filter(col("doc_id") >= 2L).collect()
+    assert(out.forall(r => r.getAs[String]("pred") == "aa" &&
+      r.getAs[Long]("margin") == 0L), out.mkString(","))
+  }
+
   test("feature hashing folds collisions identically in scoring and training") {
     // dims = 1 forces every token into feature 0: the model can only
     // learn the majority class
