@@ -231,6 +231,34 @@ object Classifier {
            |FROM ranked WHERE rn = 1
            |ORDER BY doc_id""".stripMargin))
 
+  /** Streaming inference under a FROZEN weight vector: score a
+    * document feed row-locally — the nightly-trained / online-served
+    * split (train with [[train]], snapshot w, serve the crawl stream).
+    * The weight vector rides as ONE collected map literal-row
+    * broadcast (dims entries — KBs), the margin is a row-local fold
+    * over the doc's distinct hashed features, and there is NO stateful
+    * operator at all: the gate is stream-legal anywhere in a curation
+    * feed, the [[TextDedup.decontamScrub]] stance. Result-equal to
+    * [[score]] under the same w (spec-pinned). */
+  def streamingScore(docs: DataFrame, w: DataFrame,
+      dims: Int = 1024): DataFrame = {
+    val wOne = broadcast(w
+      .agg(map_from_entries(collect_list(struct(col("f"), col("w"))))
+        .as("wmap"))
+      .withColumn("one", lit(1)))
+    docs
+      .withColumn("one", lit(1))
+      .join(wOne, Seq("one"))
+      .withColumn("feats",
+        array_distinct(transform(array_distinct(tokens(col("text"))),
+          t => featureId(t, dims))))
+      .withColumn("margin",
+        aggregate(col("feats"), lit(0L),
+          (acc, f) => acc + coalesce(element_at(col("wmap"), f), lit(0L))))
+      .select(col("doc_id"), col("margin"),
+        when(col("margin") > 0, 1L).otherwise(-1L).as("pred"))
+  }
+
   val qDocClf = QuerySpec(
     "q_llm_doc_clf",
     (s, d) =>

@@ -318,12 +318,15 @@ object Retrieval {
   private def docsOf(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
-  private val bm25Cte =
-    """WITH qt AS (
+  /** The whole BM25 oracle chain with the query-set predicate
+    * parameterized (the curate_rel gate-predicate stance: every other
+    * CTE byte is shared, so variants cannot drift). */
+  private def bm25CteFor(queryPred: String) =
+    s"""WITH qt AS (
       |  SELECT DISTINCT query_id, term FROM (
       |    SELECT doc_id AS query_id,
       |      unnest((string_split(text, ' '))[1:5]) AS term
-      |    FROM documents WHERE doc_id % 50 = 0)
+      |    FROM documents WHERE $queryPred)
       |), per_doc AS (
       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -358,6 +361,18 @@ object Retrieval {
       |  SELECT query_id, doc_id, CAST(sum(ppm) AS BIGINT) AS score_ppm
       |  FROM cand GROUP BY query_id, doc_id
       |)""".stripMargin
+
+  private val bm25Cte = bm25CteFor("doc_id % 50 = 0")
+
+  /** Tier-FIXED query set: the workload a production serving tier has
+    * — bounded queries against a growing corpus. `doc_id % 50 = 0`
+    * alone makes the oracle query COUNT scale with the tier (at the
+    * 100x tier that is ~10k queries x the whole corpus of candidates,
+    * a quadratic verification artifact); capping at the base-tier id
+    * range keeps exactly the sf0.001-tier 10 queries at every tier,
+    * so serving cost grows linearly in postings and the 100x replay
+    * stays feasible. */
+  private val bm25CteFixed = bm25CteFor("doc_id % 50 = 0 AND doc_id < 500")
 
   private val bm25TailSql =
     """SELECT query_id,
@@ -418,6 +433,23 @@ object Retrieval {
         .orderBy(col("query_id"), col("rank"))
     },
     qBm25.oracle)
+
+  /** The tier-FIXED serving workload: the SAME end-to-end chain with
+    * the query set capped to the base-tier id range (10 queries at
+    * every tier), so serving cost grows linearly in postings as the
+    * corpus expands — the configuration whose oracle stays feasible
+    * (and is verified) at the 100× tier, where the %50 set's query
+    * count growing with the corpus makes q_llm_bm25's replay a
+    * quadratic verification artifact. */
+  val qBm25Fixed = QuerySpec(
+    "q_llm_bm25_fixed",
+    (s, d) => {
+      val docs = docsOf(s, d)
+      bm25TopK(docs, docs.filter(pmod(col("doc_id"), lit(50)) === 0 &&
+        col("doc_id") < 500))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(bm25CteFixed + "\n" + bm25TailSql))
 
   /** The nightly index-merge job, oracle'd through the FULL-build SQL:
     * a stored table holding the first 80% of the corpus plus an
@@ -496,5 +528,5 @@ object Retrieval {
       |ORDER BY query_id, "rank"""".stripMargin))
 
   def all: Seq[QuerySpec] =
-    Seq(qBm25, qBm25Index, qBm25Serve, qBm25Inc, qRrfFusion)
+    Seq(qBm25, qBm25Index, qBm25Serve, qBm25Fixed, qBm25Inc, qRrfFusion)
 }

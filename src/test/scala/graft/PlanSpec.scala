@@ -426,6 +426,8 @@ class PlanSpec extends SparkSpec {
       // index merge: the vocab-sized df full-outer is an equi join;
       // nothing broadcasts-nests
       "q_llm_bm25_inc" -> (0, 0),
+      // tier-fixed serving: same shape as q_llm_bm25
+      "q_llm_bm25_fixed" -> (2, 0),
       // perceptron passes: dims-row weight frames broadcast-hash-join
       // back; the misclassified-doc semi join is doc-keyed
       "q_llm_doc_clf" -> (0, 0),

@@ -72,6 +72,32 @@ class ClassifierSpec extends SparkSpec {
       r.getAs[Long]("margin") == 0L), out.mkString(","))
   }
 
+  test("streamingScore under a frozen w equals batch score (stateless, stream-legal)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = ((0L until 10L).map(i => (i, "en", s"goodword fill$i shared")) ++
+      (10L until 20L).map(i => (i, "de", s"badword fill$i shared")))
+      .toDF("doc_id", "lang", "text")
+    val label = when(col("lang") === "en", 1L).otherwise(-1L)
+    val w = Classifier.train(docs, label).localCheckpoint(true)
+    val batch = Classifier.score(Classifier.featureFrame(docs, label), w)
+      .select("doc_id", "margin", "pred")
+      .collect().map(_.toSeq).toSet
+    val rows = docs.select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Classifier.streamingScore(
+        in.toDF().toDF("doc_id", "text"), w)
+      .writeStream.format("memory").queryName("sclf")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sclf").collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    } finally q.stop()
+  }
+
   test("feature hashing folds collisions identically in scoring and training") {
     // dims = 1 forces every token into feature 0: the model can only
     // learn the majority class
