@@ -41,7 +41,12 @@ import graft.llm.{IvfPqIndex, StreamingCuration}
   *    as a query): the chained-streaming-aggregation path — per-(query,
   *    doc) windowed sums then the bounded top-k — under the synthetic
   *    corpus's worst case, where every query term is a corpus-wide
-  *    stopword and each query scores tens of thousands of candidates.
+  *    stopword and each query scores tens of thousands of candidates;
+  *  - `bm25p`   — [[graft.llm.Retrieval.streamingBm25ServePacked]]:
+  *    the same feed and index PACKED per term, scored row-locally and
+  *    merged by the one-state-row-per-query `graft_sum_topk`
+  *    aggregate (measured 6.9× the chained form at sf1, state 246
+  *    rows vs 12.6M).
   */
 object StreamSoak {
 
