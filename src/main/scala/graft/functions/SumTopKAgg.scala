@@ -69,9 +69,13 @@ case class SumTopKAggExpr(
       var i = 0
       val n = a.numElements()
       while (i < n) {
-        val e = a.getStruct(i, 2)
-        val id = e.getLong(0)
-        buf.update(id, buf.getOrElse(id, 0L) + e.getLong(1))
+        // SQL-first callers can hand arrays with null slots; skip them
+        // (the TopKMinAgg null stance) instead of NPEing mid-aggregate
+        if (!a.isNullAt(i)) {
+          val e = a.getStruct(i, 2)
+          val id = e.getLong(0)
+          buf.update(id, buf.getOrElse(id, 0L) + e.getLong(1))
+        }
         i += 1
       }
     }

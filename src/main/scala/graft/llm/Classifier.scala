@@ -70,9 +70,16 @@ object Classifier {
     * `dims`-row integer weight vector. The feature frame is persisted
     * once for its 2·passes+1 consumers. */
   def train(docs: DataFrame, label: Column, dims: Int = 1024,
-      passes: Int = 2, temps: TempCache = TempCache.noop): DataFrame = {
-    val feat = temps.register(featureFrame(docs, label, dims)
+      passes: Int = 2, temps: TempCache = TempCache.noop): DataFrame =
+    trainOnFeat(persistFeat(featureFrame(docs, label, dims), temps), passes)
+
+  private def persistFeat(feat: DataFrame, temps: TempCache): DataFrame =
+    temps.register(feat
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Run `passes` binary batch passes from w = 0 (an empty (f, w)
+    * frame) over a prebuilt feature frame. */
+  private def trainOnFeat(feat: DataFrame, passes: Int): DataFrame = {
     val w0 = feat.sparkSession.range(0).select(col("id").as("f"),
       col("id").as("w")) // empty (f, w): w = 0 everywhere
     (1 to passes).foldLeft(w0)((w, _) => pass(feat, w))
@@ -94,12 +101,8 @@ object Classifier {
   def langClassifier(docs: DataFrame,
       temps: TempCache = TempCache.noop): DataFrame = {
     val label = when(col("lang") === "en", 1L).otherwise(-1L)
-    val feat = temps.register(featureFrame(docs, label)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val w0 = docs.sparkSession.range(0).select(col("id").as("f"),
-      col("id").as("w"))
-    val w = (1 to 2).foldLeft(w0)((wi, _) => pass(feat, wi))
-    score(feat, w)
+    val feat = persistFeat(featureFrame(docs, label), temps)
+    score(feat, trainOnFeat(feat, passes = 2))
   }
 
   /** Multiclass one-vs-all perceptron as ONE relational plan: the
@@ -116,10 +119,14 @@ object Classifier {
       dims: Int = 1024, passes: Int = 2,
       temps: TempCache = TempCache.noop): DataFrame = {
     val classes = broadcast(docs.select(classCol.as("c")).distinct())
-    val featC = temps.register(
-      featureFrameMulti(docs, classCol, dims, classes)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val w0 = docs.sparkSession.range(0).select(
+    multiTrainOnFeat(
+      persistFeat(featureFrameMulti(docs, classCol, dims, classes), temps),
+      passes)
+  }
+
+  /** The multiclass twin of [[trainOnFeat]]: empty (c, f, w) start. */
+  private def multiTrainOnFeat(featC: DataFrame, passes: Int): DataFrame = {
+    val w0 = featC.sparkSession.range(0).select(
       col("id").cast("string").as("c"), col("id").as("f"), col("id").as("w"))
     (1 to passes).foldLeft(w0)((w, _) => passMulti(featC, w))
   }
@@ -157,12 +164,9 @@ object Classifier {
       temps: TempCache = TempCache.noop): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val classes = broadcast(docs.select(col("lang").as("c")).distinct())
-    val featC = temps.register(
-      featureFrameMulti(docs, col("lang"), 1024, classes)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val w0 = docs.sparkSession.range(0).select(
-      col("id").cast("string").as("c"), col("id").as("f"), col("id").as("w"))
-    val w = (1 to 2).foldLeft(w0)((wi, _) => passMulti(featC, wi))
+    val featC = persistFeat(
+      featureFrameMulti(docs, col("lang"), 1024, classes), temps)
+    val w = multiTrainOnFeat(featC, passes = 2)
     val margins = featC.join(broadcast(w), Seq("c", "f"), "left")
       .groupBy(col("doc_id"), col("lab"), col("c"))
       .agg(sum(coalesce(col("w"), lit(0L))).as("m"))

@@ -120,8 +120,11 @@ object Retrieval {
     * through the full-build oracle SQL. */
   def postingsIncremental(stored: DataFrame, deltaDocs: DataFrame): DataFrame = {
     val storedIds = stored.select(col("doc_id")).distinct()
-    val fresh = perDocTerms(deltaDocs)
-      .join(storedIds, Seq("doc_id"), "left_anti")
+    // anti-join BEFORE the explode: already-stored delta docs must not
+    // pay the tokenize+combine only to be discarded (perDocTerms is
+    // per-doc-local, so filtering docs first is result-identical)
+    val fresh = perDocTerms(
+      deltaDocs.join(storedIds, Seq("doc_id"), "left_anti"))
     val dfStored = stored.groupBy(col("term")).agg(max(col("df")).as("df_a"))
     val dfDelta = fresh.groupBy(col("term")).agg(count(lit(1)).as("df_b"))
     val dfNew = dfStored.join(dfDelta, Seq("term"), "full_outer")
@@ -205,6 +208,24 @@ object Retrieval {
         col("t.rank_a").as("rank_text"), col("t.rank_b").as("rank_vec"))
   }
 
+  /** Shared stream-side query-term derivation for both serving forms:
+    * watermark → row-local first-`qLen` distinct terms → streaming
+    * dedup on (window, query, term). The dedup is what makes serving
+    * idempotent under at-least-once delivery: batch's global DISTINCT
+    * on (query_id, term) restated per window, with state (≤ qLen rows
+    * per query) evicted when the watermark passes the window. Emits
+    * (win, query_id, term, one). */
+  private def streamQueryTerms(queries: DataFrame, qLen: Int,
+      windowDur: String, watermark: String): DataFrame =
+    queries
+      .withWatermark("event_ts", watermark)
+      .select(col("query_id"), col("event_ts"),
+        explode(array_distinct(slice(tokens(col("text")), 1, qLen)))
+          .as("term"),
+        lit(1).as("one"))
+      .withColumn("win", window(col("event_ts"), windowDur))
+      .dropDuplicates("win", "query_id", "term")
+
   /** Streaming BM25 serving: a continuous query feed (query_id, text,
     * event_ts) answered from the PRECOMPUTED postings table — the
     * online half of the build → store → serve split, the text twin of
@@ -222,29 +243,28 @@ object Retrieval {
     * aggregation — windowed via `window_time` on the first's closed
     * window — is the bounded [[graft.functions.TopKMinAggExpr]], k
     * rows of state per (window, query). Query terms are derived
-    * ROW-LOCALLY (array_distinct over the first-qLen slice — no
-    * dedup aggregation), the postings join is stream-static on term,
-    * and the one-row stats frame rides a broadcast key-1 join. */
+    * ROW-LOCALLY (array_distinct over the first-qLen slice), then
+    * deduplicated per (window, query, term) with a watermark-evicted
+    * streaming dedup — batch serving's global DISTINCT on (query_id,
+    * term), restated per window, so AT-LEAST-ONCE delivery (a replayed
+    * query event landing twice in one window) cannot double-count the
+    * per-doc sums; dedup state is ≤ qLen rows per query. The postings
+    * join is stream-static on term, and the one-row stats frame rides
+    * a broadcast key-1 join. */
   def streamingBm25Serve(queries: DataFrame, post: DataFrame,
       stats: DataFrame, k: Int = 10, qLen: Int = 5,
       windowDur: String = "1 minute",
       watermark: String = "1 hour"): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val statsOne = broadcast(stats.withColumn("one", lit(1)))
-    val scored = queries
-      .withWatermark("event_ts", watermark)
-      .select(col("query_id"), col("event_ts"),
-        explode(array_distinct(slice(tokens(col("text")), 1, qLen)))
-          .as("term"),
-        lit(1).as("one"))
+    val scored = streamQueryTerms(queries, qLen, windowDur, watermark)
       .join(post, Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
       .join(statsOne, Seq("one"))
       .withColumn("ppm",
         bm25Ppm(col("tf"), col("df"), col("dl"), col("n_docs"), col("avgdl")))
     scored
-      .groupBy(window(col("event_ts"), windowDur), col("query_id"),
-        col("doc_id"))
+      .groupBy(col("win").as("window"), col("query_id"), col("doc_id"))
       .agg(sum(col("ppm")).as("score_ppm"))
       .groupBy(window(window_time(col("window")), windowDur),
         col("query_id"))
@@ -289,22 +309,17 @@ object Retrieval {
       watermark: String = "1 hour"): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val statsOne = broadcast(stats.withColumn("one", lit(1)))
-    queries
-      .withWatermark("event_ts", watermark)
-      .select(col("query_id"), col("event_ts"),
-        explode(array_distinct(slice(tokens(col("text")), 1, qLen)))
-          .as("term"),
-        lit(1).as("one"))
+    streamQueryTerms(queries, qLen, windowDur, watermark)
       .join(packed, Seq("term"))
       .join(statsOne, Seq("one"))
-      .select(col("query_id"), col("event_ts"),
+      .select(col("query_id"), col("win"),
         transform(
           filter(col("members"), m => m.getField("doc_id") =!= col("query_id")),
           m => struct(
             m.getField("doc_id").as("id"),
             bm25Ppm(m.getField("tf"), col("df"), m.getField("dl"),
               col("n_docs"), col("avgdl")).as("add"))).as("contribs"))
-      .groupBy(window(col("event_ts"), windowDur), col("query_id"))
+      .groupBy(col("win").as("window"), col("query_id"))
       .agg(call_udf("graft_sum_topk", col("contribs"), lit(k)).as("top"))
       .select(col("window.start").as("win_start"), col("query_id"),
         posexplode(col("top")).as(Seq("pos", "t")))

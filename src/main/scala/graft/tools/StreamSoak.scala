@@ -129,6 +129,16 @@ object StreamSoak {
         .option("maxFilesPerTrigger", perTrigger).parquet(dir)
     }
 
+    def queryFeed(docs: DataFrame, dir: String): DataFrame = {
+      val qs = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"), col("text"))
+        .withColumn("event_ts",
+          timestamp_millis(lit(base) + col("query_id")))
+      buildFeed(qs, chunks, dir)
+      spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", perTrigger).parquet(dir)
+    }
+
     def vecFeed(): DataFrame = {
       val dir = s"$feedRoot/vecs"
       val vecs = Tables.load(spark, sfDir, "embeddings")
@@ -177,43 +187,32 @@ object StreamSoak {
             .streamingAsofJoin(feed("purchase"), feed("error"), "1 hour")
             .toDF(), mode, coll)
         case "bm25" =>
+          // temps releases postings' INTERNAL perDocTerms persist too —
+          // the noop cache would leak a corpus-sized exploded frame
+          // into subsequent modes' memory measurements
+          val temps = new graft.llm.TempCache
           val docs = Tables.load(spark, sfDir, "documents")
-          val post = graft.llm.Retrieval.postings(docs)
+          val post = graft.llm.Retrieval.postings(docs, temps)
           post.persist().count() // serve from a materialized index
           val stats = graft.llm.Retrieval.corpusStats(docs).persist()
           stats.count()
-          val dir = s"$feedRoot/queries"
-          val qs = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
-            .select(col("doc_id").as("query_id"), col("text"))
-            .withColumn("event_ts",
-              timestamp_millis(lit(base) + col("query_id")))
-          buildFeed(qs, chunks, dir)
-          val feed = spark.readStream
-            .schema(spark.read.parquet(dir).schema)
-            .option("maxFilesPerTrigger", perTrigger).parquet(dir)
           try runDrain(spark, graft.llm.Retrieval.streamingBm25Serve(
-            feed, post, stats, k = 10), mode, coll)
-          finally { post.unpersist(); stats.unpersist() }
+            queryFeed(docs, s"$feedRoot/queries"), post, stats, k = 10),
+            mode, coll)
+          finally { post.unpersist(); stats.unpersist(); temps.release() }
         case "bm25p" =>
           // the packed one-state-row-per-query form (SumTopKAgg)
+          val temps = new graft.llm.TempCache
           val docs = Tables.load(spark, sfDir, "documents")
-          val post = graft.llm.Retrieval.postings(docs)
-          val packed = graft.llm.Retrieval.packPostings(post)
+          val packed = graft.llm.Retrieval.packPostings(
+            graft.llm.Retrieval.postings(docs, temps))
           packed.persist().count()
           val stats = graft.llm.Retrieval.corpusStats(docs).persist()
           stats.count()
-          val dir = s"$feedRoot/queries_p"
-          val qs = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
-            .select(col("doc_id").as("query_id"), col("text"))
-            .withColumn("event_ts",
-              timestamp_millis(lit(base) + col("query_id")))
-          buildFeed(qs, chunks, dir)
-          val feed = spark.readStream
-            .schema(spark.read.parquet(dir).schema)
-            .option("maxFilesPerTrigger", perTrigger).parquet(dir)
           try runDrain(spark, graft.llm.Retrieval.streamingBm25ServePacked(
-            feed, packed, stats, k = 10), mode, coll)
-          finally { packed.unpersist(); stats.unpersist() }
+            queryFeed(docs, s"$feedRoot/queries_p"), packed, stats, k = 10),
+            mode, coll)
+          finally { packed.unpersist(); stats.unpersist(); temps.release() }
         case "hh" =>
           // complete-mode sketch aggregation: state is the ONE summary
           runDrain(spark, StreamingCuration.streamingHeavyHitters(docFeed()),

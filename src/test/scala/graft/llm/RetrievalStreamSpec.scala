@@ -83,6 +83,60 @@ class RetrievalStreamSpec extends SparkSpec {
     } finally stream.stop()
   }
 
+  test("at-least-once delivery: a replayed query event in one window " +
+    "does not double-count (both serving forms)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (100L, "alpha beta gamma"),
+      (101L, "alpha alpha delta"),
+      (102L, "epsilon zeta eta")).toDF("doc_id", "text")
+    val post = Retrieval.postings(docs).localCheckpoint(true)
+    val packed = Retrieval.packPostings(post).localCheckpoint(true)
+    val stats = Retrieval.corpusStats(docs).localCheckpoint(true)
+    val qt = Seq((1L, "alpha")).toDF("query_id", "term")
+    val batch = Retrieval.bm25TopKFromPostings(post, stats, qt, k = 5)
+      .select("query_id", "rank", "doc_id", "score_ppm")
+      .collect().map(_.toSeq).toSet
+    for ((name, serve) <- Seq[(String,
+        (org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)](
+      "sdup" -> (f => Retrieval.streamingBm25Serve(f, post, stats, k = 5,
+        windowDur = "1 minute", watermark = "10 minutes")),
+      "sdupp" -> (f => Retrieval.streamingBm25ServePacked(f, packed, stats,
+        k = 5, windowDur = "1 minute", watermark = "10 minutes")))) {
+      val in = MemoryStream[Query]
+      val stream = serve(in.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // the SAME query event delivered twice: once per micro-batch
+        in.addData(q(1, 60, "alpha"))
+        stream.processAllAvailable()
+        in.addData(q(1, 60, "alpha"))
+        stream.processAllAvailable()
+        in.addData(q(999, 200, "pusher"))
+        stream.processAllAvailable()
+        val streamed = spark.table(name)
+          .filter(col("query_id") === 1L)
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            col("score_ppm"))
+          .collect().map(_.toSeq).toSet
+        assert(streamed == batch,
+          s"$name double-counted under replay: stream=$streamed batch=$batch")
+      } finally stream.stop()
+    }
+  }
+
+  test("graft_sum_topk skips null array slots instead of NPEing") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT graft_sum_topk(
+        |  array(named_struct('id', CAST(1 AS BIGINT), 'add', CAST(2 AS BIGINT)),
+        |        CAST(NULL AS STRUCT<id: BIGINT, add: BIGINT>)), 2) AS top""".stripMargin)
+      .selectExpr("explode(top) AS t").select("t.id", "t.sum")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)), got.toString)
+  }
+
   test("graft_sum_topk equals the two-level sum-then-rank tail in batch") {
     graft.functions.GraftFunctions.register(spark)
     val rows = Seq(
