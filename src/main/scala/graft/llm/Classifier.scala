@@ -306,5 +306,109 @@ object Classifier {
            |FROM scored
            |ORDER BY doc_id""".stripMargin))
 
-  def all: Seq[QuerySpec] = Seq(qDocClf, qLangClf)
+  /** LANGUAGE-FILTERED curation: normalize → in-plan-trained
+    * multiclass lang filter (keep docs predicted `keepLang`) → exact
+    * dedup (min-id survivor per content hash) → content split — the
+    * "English-only release" pass with the LEARNED filter as a
+    * first-class pipeline stage, trained on the same normalized text
+    * it filters. Every stage is an existing oracle'd operator
+    * ([[Curation.normalize]], [[langClassifierMulti]],
+    * [[TextDedup.exactDedup]]'s survivor rule,
+    * [[Curation.splitByHash]]); this entry gives the COMPOSITION its
+    * own correctness row, the q_llm_curate stance.
+    *
+    * Scale shape: one normalize scan persisted for its two consumers
+    * (the classifier's feature frame and the survivor join-back); the
+    * classifier stages keep their documented shapes; dedup is one
+    * map-side-combined hash groupBy + a doc-keyed semi join; split is
+    * a per-row hash. */
+  def curateLang(docs: DataFrame, keepLang: String = "en",
+      temps: TempCache = TempCache.noop): DataFrame = {
+    val nd = temps.register(docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        Curation.normalize(col("text")).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val kept = nd.join(
+      langClassifierMulti(nd, temps)
+        .filter(col("pred") === lit(keepLang))
+        .select(col("doc_id"), col("margin")),
+      Seq("doc_id"))
+    val survivors = kept
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    kept.join(survivors, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("margin"),
+        Curation.splitByHash(col("text")).as("split"))
+  }
+
+  val qCurateLang = QuerySpec(
+    "q_llm_curate_lang",
+    (s, d) =>
+      curateLang(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some(raw"""WITH nd AS (
+           |  SELECT doc_id, lang, source,
+           |    lower(trim(regexp_replace(regexp_replace(
+           |      text, '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS text
+           |  FROM documents
+           |), classes AS (SELECT DISTINCT lang AS c FROM nd),
+           |featd AS (
+           |  SELECT DISTINCT doc_id, lab,
+           |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 1024 AS f
+           |  FROM (
+           |    SELECT doc_id, lang AS lab,
+           |      unnest(list_distinct(string_split(text, ' '))) AS term
+           |    FROM nd)
+           |), featc AS (
+           |  SELECT doc_id, lab, f, c,
+           |    CASE WHEN lab = c THEN 1 ELSE -1 END AS y
+           |  FROM featd CROSS JOIN classes
+           |), w1 AS (
+           |  SELECT c, f, CAST(sum(y) AS BIGINT) AS w
+           |  FROM featc GROUP BY c, f
+           |), m1 AS (
+           |  SELECT featc.doc_id, featc.c, featc.y,
+           |    CAST(sum(coalesce(w1.w, 0)) AS BIGINT) AS m
+           |  FROM featc LEFT JOIN w1 ON featc.c = w1.c AND featc.f = w1.f
+           |  GROUP BY featc.doc_id, featc.c, featc.y
+           |), dw2 AS (
+           |  SELECT featc.c, featc.f, CAST(sum(featc.y) AS BIGINT) AS dw
+           |  FROM featc
+           |  JOIN (SELECT doc_id, c FROM m1 WHERE y * m <= 0) e
+           |    ON featc.doc_id = e.doc_id AND featc.c = e.c
+           |  GROUP BY featc.c, featc.f
+           |), w2 AS (
+           |  SELECT coalesce(w1.c, dw2.c) AS c,
+           |    coalesce(w1.f, dw2.f) AS f,
+           |    coalesce(w1.w, 0) + coalesce(dw2.dw, 0) AS w
+           |  FROM w1 FULL OUTER JOIN dw2
+           |    ON w1.c = dw2.c AND w1.f = dw2.f
+           |), m2 AS (
+           |  SELECT featc.doc_id, featc.c,
+           |    CAST(sum(coalesce(w2.w, 0)) AS BIGINT) AS m
+           |  FROM featc LEFT JOIN w2 ON featc.c = w2.c AND featc.f = w2.f
+           |  GROUP BY featc.doc_id, featc.c
+           |), ranked AS (
+           |  SELECT doc_id, c, m,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY m DESC, c) AS rn
+           |  FROM m2
+           |), kept AS (
+           |  SELECT nd.doc_id, nd.source, nd.text, r.m AS margin
+           |  FROM nd JOIN ranked r ON nd.doc_id = r.doc_id
+           |  WHERE r.rn = 1 AND r.c = 'en'
+           |), dd AS (
+           |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)
+           |)
+           |SELECT k.doc_id, k.source, k.margin,
+           |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM (SELECT kept.*,
+           |        CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT) % 100
+           |          AS b
+           |      FROM kept JOIN dd ON kept.doc_id = dd.doc_id) k
+           |ORDER BY k.doc_id""".stripMargin))
+
+  def all: Seq[QuerySpec] = Seq(qDocClf, qLangClf, qCurateLang)
 }

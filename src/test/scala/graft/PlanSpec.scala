@@ -438,6 +438,10 @@ class PlanSpec extends SparkSpec {
       // runtime (PlanAudit, cache materialized) shows the broadcasts
       // collapsed
       "q_llm_lang_clf" -> (8, 0),
+      // same single deliberate operator (class-list cross broadcast),
+      // printed once more per cached-subtree reference (normalize
+      // frame + featC each feed two consumers)
+      "q_llm_curate_lang" -> (15, 0),
       // bm25's stats BNLJ + the cosine side's deliberate
       // queries×corpus broadcast scoring; the RRF pair join itself is
       // an equi join of two k-row-per-query frames

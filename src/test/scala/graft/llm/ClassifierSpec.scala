@@ -98,6 +98,27 @@ class ClassifierSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateLang composition: predicted-language filter, min-id dedup " +
+    "survivor, deterministic split") {
+    // 'en' docs carry redword, 'de' docs blueword; docs 2 and 3 are
+    // exact duplicates after normalization (case/whitespace damage)
+    val docs = Seq(
+      (1L, "en", "src0", "redword alpha beta"),
+      (2L, "en", "src0", "redword GAMMA  delta"),
+      (3L, "en", "src1", "redword gamma\tdelta"),
+      (4L, "de", "src0", "blueword alpha beta"),
+      (5L, "de", "src1", "blueword epsilon zeta"))
+      .toDF("doc_id", "lang", "source", "text")
+    val out = Classifier.curateLang(docs).orderBy("doc_id").collect()
+    val ids = out.map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 2L), s"en docs minus the duplicate: $ids")
+    val splits = out.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    // rerun-stable: content-hash split and margin are deterministic
+    val again = Classifier.curateLang(docs).orderBy("doc_id").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("feature hashing folds collisions identically in scoring and training") {
     // dims = 1 forces every token into feature 0: the model can only
     // learn the majority class
