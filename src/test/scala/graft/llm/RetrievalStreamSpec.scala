@@ -83,6 +83,58 @@ class RetrievalStreamSpec extends SparkSpec {
     } finally stream.stop()
   }
 
+  test("packed serving state (dedup + top-k map) survives a checkpointed restart") {
+    import java.nio.file.Files
+    val feedDir = Files.createTempDirectory("bm25_feed").toString
+    val ckpt = Files.createTempDirectory("bm25_ckpt").toString
+    val outDir = Files.createTempDirectory("bm25_out").toString
+    val docs = Seq(
+      (100L, "alpha beta gamma"),
+      (101L, "alpha alpha delta"),
+      (102L, "epsilon zeta eta")).toDF("doc_id", "text")
+    val post = Retrieval.postings(docs).localCheckpoint(true)
+    val packed = Retrieval.packPostings(post).localCheckpoint(true)
+    val stats = Retrieval.corpusStats(docs).localCheckpoint(true)
+    val batch = Retrieval.bm25TopKFromPostings(post, stats,
+        Seq((1L, "alpha")).toDF("query_id", "term"), k = 5)
+      .select("query_id", "rank", "doc_id", "score_ppm")
+      .collect().map(_.toSeq).toSet
+    def qrow(id: Long, minute: Int, text: String) =
+      (id, new java.sql.Timestamp(minute * 60000L), text)
+    def qdf(rows: (Long, java.sql.Timestamp, String)*) =
+      rows.toDF("query_id", "event_ts", "text")
+    val schema = qdf().schema
+    def drain(): Unit = {
+      val feed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+      val query = Retrieval.streamingBm25ServePacked(feed, packed, stats,
+          k = 5, windowDur = "1 minute", watermark = "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    // wave 1: the query arrives; its window stays OPEN (state holds the
+    // dedup row and the per-query sum map)
+    qdf(qrow(1, 60, "alpha")).coalesce(1).write.mode("append").parquet(feedDir)
+    drain()
+    // wave 2, FRESH query from the same checkpoint: the same event
+    // redelivered (recovered dedup state must drop it) plus the
+    // watermark pusher that closes the window (recovered top-k map
+    // must emit wave 1's scores, exactly once)
+    qdf(qrow(1, 60, "alpha")).coalesce(1).write.mode("append").parquet(feedDir)
+    qdf(qrow(999, 200, "pusher")).coalesce(1).write.mode("append").parquet(feedDir)
+    drain()
+    val got = spark.read.parquet(outDir)
+      .filter(col("query_id") === 1L)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_ppm"))
+      .collect().map(_.toSeq).toSet
+    assert(got == batch,
+      s"post-restart emission must equal batch exactly once: $got vs $batch")
+  }
+
   test("at-least-once delivery: a replayed query event in one window " +
     "does not double-count (both serving forms)") {
     implicit val sqlCtx = spark.sqlContext
