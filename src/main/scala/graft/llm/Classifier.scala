@@ -182,12 +182,11 @@ object Classifier {
         (col("lab") === col("c")).cast("boolean").as("correct"))
   }
 
-  val qLangClf = QuerySpec(
-    "q_llm_lang_clf",
-    (s, d) =>
-      langClassifierMulti(Tables.load(s, d, "documents"))
-        .orderBy(col("doc_id")),
-    Some("""WITH classes AS (SELECT DISTINCT lang AS c FROM documents),
+  /** The multiclass training-and-ranking CTE chain (through `ranked`)
+    * shared by the lang-clf, confusion-card, and — with `documents`
+    * swapped for a normalized CTE — curate-lang oracles, so variants
+    * cannot drift (the bm25CteFor stance). */
+  private val langClfCtes = """WITH classes AS (SELECT DISTINCT lang AS c FROM documents),
            |featd AS (
            |  SELECT DISTINCT doc_id, lab,
            |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 1024 AS f
@@ -229,11 +228,36 @@ object Classifier {
            |    row_number() OVER (PARTITION BY doc_id
            |      ORDER BY m DESC, c) AS rn
            |  FROM m2
-           |)
+           |)""".stripMargin
+
+  val qLangClf = QuerySpec(
+    "q_llm_lang_clf",
+    (s, d) =>
+      langClassifierMulti(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some(langClfCtes + """
            |SELECT doc_id, lab AS lang, c AS pred, m AS margin,
            |  (lab = c) AS correct
            |FROM ranked WHERE rn = 1
            |ORDER BY doc_id""".stripMargin))
+
+  /** The confusion matrix of the learned language ID — the eval
+    * artifact every shipped classifier carries: exact doc counts per
+    * (true label, predicted class). Shares the training CTE chain with
+    * q_llm_lang_clf verbatim; the Spark side is one k×k map-side
+    * aggregate over [[langClassifierMulti]]'s output. */
+  val qClfConfusion = QuerySpec(
+    "q_llm_clf_confusion",
+    (s, d) =>
+      langClassifierMulti(Tables.load(s, d, "documents"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred")),
+    Some(langClfCtes + """
+           |SELECT lab AS lang, c AS pred, count(*) AS n
+           |FROM ranked WHERE rn = 1
+           |GROUP BY lab, c
+           |ORDER BY lang, pred""".stripMargin))
 
   /** Streaming inference under a FROZEN weight vector: score a
     * document feed row-locally — the nightly-trained / online-served
@@ -410,5 +434,6 @@ object Classifier {
            |      FROM kept JOIN dd ON kept.doc_id = dd.doc_id) k
            |ORDER BY k.doc_id""".stripMargin))
 
-  def all: Seq[QuerySpec] = Seq(qDocClf, qLangClf, qCurateLang)
+  def all: Seq[QuerySpec] =
+    Seq(qDocClf, qLangClf, qClfConfusion, qCurateLang)
 }

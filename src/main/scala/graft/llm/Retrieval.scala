@@ -182,6 +182,115 @@ object Retrieval {
     bm25TopKFromPostings(post, corpusStats(docs), qt, k)
   }
 
+  /** POSITIONAL postings: (term, doc_id, positions) with 1-based
+    * token positions, sorted — the index layout that upgrades term
+    * search to exact PHRASE search (and proximity scoring) without
+    * touching the text again. One scan posexploded and
+    * map-side-combined per (doc, term); the positions array is bounded
+    * by the document's own length (documents are the bounded unit of
+    * this engine, the chunking stance). */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("p0", "term")))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sort_array(collect_list(col("p0") + 1)).as("positions"))
+
+  /** Exact two-term phrase search from the positional index: documents
+    * where `t1` is immediately followed by `t2`, with the exact
+    * occurrence count — `|pos(t1) ∩ (pos(t2) − 1)|`, a pure per-row
+    * array intersection once the two posting rows meet.
+    *
+    * Scale shape: the phrase set broadcasts against the positional
+    * postings scan twice (the inverted-index probe per phrase slot);
+    * the (query, doc) pair join touches only matched posting rows —
+    * no text, no corpus shuffle beyond the index build. */
+  def phraseSearch(pp: DataFrame, phrases: DataFrame): DataFrame = {
+    val m1 = pp.join(broadcast(phrases
+        .select(col("query_id"), col("t1").as("term"))), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("positions").as("pos1"))
+    val m2 = pp.join(broadcast(phrases
+        .select(col("query_id"), col("t2").as("term"))), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("positions").as("pos2"))
+    m1.join(m2, Seq("query_id", "doc_id"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("n_occ",
+        size(array_intersect(col("pos1"),
+          transform(col("pos2"), x => x - 1))).cast("long"))
+      .filter(col("n_occ") > 0)
+      .select(col("query_id"), col("doc_id"), col("n_occ"))
+  }
+
+  /** Deterministic tier-fixed phrase set: the first two tokens of the
+    * base-tier every-50th documents. */
+  def phrasesOf(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(50)) === 0 && col("doc_id") < 500)
+      .select(col("doc_id").as("query_id"),
+        element_at(tokens(col("text")), 1).as("t1"),
+        element_at(tokens(col("text")), 2).as("t2"))
+
+  /** The positional-index BUILD deliverable (positions as a joined
+    * string — the driver hash-compares scalars, the ivfpq_codes
+    * stance; the production table keeps the real array). */
+  val qPosIndex = QuerySpec(
+    "q_llm_pos_index",
+    (s, d) =>
+      positionalPostings(docsOf(s, d))
+        .select(col("term"), col("doc_id"),
+          array_join(col("positions"), ",").as("positions"))
+        .orderBy(col("term"), col("doc_id")),
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           |), pos AS (
+           |  SELECT doc_id, toks[i] AS term, i
+           |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) x
+           |), pp AS (
+           |  SELECT doc_id, term, list_sort(list(i)) AS positions
+           |  FROM pos GROUP BY doc_id, term
+           |)
+           |SELECT term, doc_id,
+           |  array_to_string(positions, ',') AS positions
+           |FROM pp ORDER BY term, doc_id""".stripMargin))
+
+  /** Exact phrase search, oracle'd end-to-end with the tier-fixed
+    * phrase set (feasible at every tier). */
+  val qPhraseSearch = QuerySpec(
+    "q_llm_phrase_search",
+    (s, d) => {
+      val docs = docsOf(s, d)
+      phraseSearch(positionalPostings(docs), phrasesOf(docs))
+        .orderBy(col("query_id"), col("doc_id"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           |), pos AS (
+           |  SELECT doc_id, toks[i] AS term, i
+           |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) x
+           |), pp AS (
+           |  SELECT doc_id, term, list_sort(list(i)) AS positions
+           |  FROM pos GROUP BY doc_id, term
+           |), phr AS (
+           |  SELECT doc_id AS query_id,
+           |    (string_split(text, ' '))[1] AS t1,
+           |    (string_split(text, ' '))[2] AS t2
+           |  FROM documents WHERE doc_id % 50 = 0 AND doc_id < 500
+           |), m1 AS (
+           |  SELECT phr.query_id, pp.doc_id, pp.positions AS pos1
+           |  FROM phr JOIN pp ON pp.term = phr.t1
+           |), m2 AS (
+           |  SELECT phr.query_id, pp.doc_id, pp.positions AS pos2
+           |  FROM phr JOIN pp ON pp.term = phr.t2
+           |)
+           |SELECT m1.query_id, m1.doc_id,
+           |  CAST(len(list_intersect(pos1,
+           |    list_transform(pos2, x -> x - 1))) AS BIGINT) AS n_occ
+           |FROM m1 JOIN m2
+           |  ON m1.query_id = m2.query_id AND m1.doc_id = m2.doc_id
+           |WHERE m1.doc_id != m1.query_id
+           |  AND len(list_intersect(pos1,
+           |    list_transform(pos2, x -> x - 1))) > 0
+           |ORDER BY m1.query_id, m1.doc_id""".stripMargin))
+
   /** Reciprocal-rank fusion of two (query_id, rank, doc_id) rankings:
     * score = Σ 1000000 div (60 + rank) over the lists containing the
     * doc — the standard RRF with k0 = 60, in pure integer arithmetic
@@ -543,5 +652,6 @@ object Retrieval {
       |ORDER BY query_id, "rank"""".stripMargin))
 
   def all: Seq[QuerySpec] =
-    Seq(qBm25, qBm25Index, qBm25Serve, qBm25Fixed, qBm25Inc, qRrfFusion)
+    Seq(qBm25, qBm25Index, qBm25Serve, qBm25Fixed, qBm25Inc, qRrfFusion,
+      qPosIndex, qPhraseSearch)
 }

@@ -442,6 +442,12 @@ class PlanSpec extends SparkSpec {
       // printed once more per cached-subtree reference (normalize
       // frame + featC each feed two consumers)
       "q_llm_curate_lang" -> (15, 0),
+      // confusion card: lang_clf's chain + one k×k aggregate
+      "q_llm_clf_confusion" -> (8, 0),
+      // positional index/phrase: hash-keyed build, broadcast phrase
+      // probes, equi pair join — nothing broadcast-nests
+      "q_llm_pos_index" -> (0, 0),
+      "q_llm_phrase_search" -> (0, 0),
       // bm25's stats BNLJ + the cosine side's deliberate
       // queries×corpus broadcast scoring; the RRF pair join itself is
       // an equi join of two k-row-per-query frames

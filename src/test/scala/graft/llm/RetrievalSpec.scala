@@ -135,6 +135,39 @@ class RetrievalSpec extends SparkSpec {
     assert(e2e == served)
   }
 
+  test("phraseSearch: adjacency only, exact occurrence counts, overlaps") {
+    val docs = docsDf(
+      0L -> "x y query stub",              // query doc: phrase "x y"
+      10L -> "x y z",                      // one occurrence
+      11L -> "x z y",                      // terms present, NOT adjacent
+      12L -> "x y x y",                    // two occurrences
+      13L -> "y x",                        // reversed
+      14L -> "a x y b x y c x y")          // three occurrences
+    val phrases = Seq((0L, "x", "y")).toDF("query_id", "t1", "t2")
+    val got = Retrieval.phraseSearch(
+        Retrieval.positionalPostings(docs), phrases)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 10L, 1L), (0L, 12L, 2L), (0L, 14L, 3L)), got.toString)
+  }
+
+  test("phraseSearch: self-overlapping repeated-term phrase counts correctly") {
+    // "a a" in "a a a" occurs at positions 1 and 2
+    val docs = docsDf(0L -> "a a q", 20L -> "a a a")
+    val phrases = Seq((0L, "a", "a")).toDF("query_id", "t1", "t2")
+    val got = Retrieval.phraseSearch(
+        Retrieval.positionalPostings(docs), phrases)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 20L, 2L)), got.toString)
+  }
+
+  test("positionalPostings: 1-based sorted positions per (doc, term)") {
+    val got = Retrieval.positionalPostings(docsDf(0L -> "b a b"))
+      .orderBy("term")
+      .as[(Long, String, Seq[Int])].collect().toSeq
+    assert(got == Seq((0L, "a", Seq(2)), (0L, "b", Seq(1, 3))), got.toString)
+  }
+
   test("rrfFuse: integer scores, full-outer semantics, tie on doc_id") {
     val a = Seq((1L, 1L, 100L), (1L, 2L, 200L))
       .toDF("query_id", "rank", "doc_id")
