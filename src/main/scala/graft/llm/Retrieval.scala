@@ -229,6 +229,36 @@ object Retrieval {
         element_at(tokens(col("text")), 1).as("t1"),
         element_at(tokens(col("text")), 2).as("t2"))
 
+  /** Streaming phrase search over the STORED positional index —
+    * completely STATELESS: a query event derives its (t1, t2) slots
+    * row-locally, the first stream-static equi join fans out to the
+    * t1 posting rows, the second lands on (t2, doc_id) — an equi key,
+    * so only the co-occurring docs' rows survive — and the adjacency
+    * count is the same per-row position intersection as batch. No
+    * watermark, no state store, no window: the decontamScrub stance
+    * for retrieval, legal at any point in a streaming pipeline.
+    * Result-equal per event to [[phraseSearch]] (spec-pinned);
+    * duplicate query events pass through as duplicate answers — dedup
+    * upstream if delivery is at-least-once. */
+  def streamingPhraseSearch(queries: DataFrame, pp: DataFrame): DataFrame = {
+    val p1 = pp.select(col("term").as("t1"), col("doc_id"),
+      col("positions").as("pos1"))
+    val p2 = pp.select(col("term").as("t2"), col("doc_id"),
+      col("positions").as("pos2"))
+    queries
+      .select(col("query_id"), col("event_ts"),
+        element_at(tokens(col("text")), 1).as("t1"),
+        element_at(tokens(col("text")), 2).as("t2"))
+      .join(p1, Seq("t1"))
+      .join(p2, Seq("t2", "doc_id"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("n_occ",
+        size(array_intersect(col("pos1"),
+          transform(col("pos2"), x => x - 1))).cast("long"))
+      .filter(col("n_occ") > 0)
+      .select(col("query_id"), col("event_ts"), col("doc_id"), col("n_occ"))
+  }
+
   /** The positional-index BUILD deliverable (positions as a joined
     * string — the driver hash-compares scalars, the ivfpq_codes
     * stance; the production table keeps the real array). */

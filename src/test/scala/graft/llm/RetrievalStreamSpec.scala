@@ -178,6 +178,34 @@ class RetrievalStreamSpec extends SparkSpec {
     }
   }
 
+  test("streamingPhraseSearch: stateless, per-event equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (0L, "x y query stub"),
+      (10L, "x y z"),
+      (11L, "x z y"),
+      (12L, "x y x y")).toDF("doc_id", "text")
+    val pp = Retrieval.positionalPostings(docs).localCheckpoint(true)
+    val phrases = Seq((0L, "x", "y")).toDF("query_id", "t1", "t2")
+    val batch = Retrieval.phraseSearch(pp, phrases)
+      .collect().map(_.toSeq).toSet
+    val in = MemoryStream[Query]
+    val stream = Retrieval.streamingPhraseSearch(in.toDF(), pp)
+      .writeStream.format("memory").queryName("sphrase")
+      .outputMode("append").start()
+    try {
+      in.addData(q(0, 60, "x y query stub"))
+      stream.processAllAvailable()
+      val streamed = spark.table("sphrase")
+        .select(col("query_id"), col("doc_id"), col("n_occ"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      // stateless: the progress events report no state operators
+      val plan = spark.sql("SELECT * FROM sphrase").queryExecution.toString
+      assert(!plan.contains("StateStore"), "must carry no state store")
+    } finally stream.stop()
+  }
+
   test("graft_sum_topk skips null array slots instead of NPEing") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(
