@@ -182,19 +182,25 @@ object Classifier {
         (col("lab") === col("c")).cast("boolean").as("correct"))
   }
 
-  /** The multiclass training-and-ranking CTE chain (through `ranked`)
-    * shared by the lang-clf, confusion-card, and — with `documents`
-    * swapped for a normalized CTE — curate-lang oracles, so variants
-    * cannot drift (the bm25CteFor stance). */
-  private val langClfCtes = """WITH classes AS (SELECT DISTINCT lang AS c FROM documents),
+  /** The multiclass training-and-ranking CTE chain (through `ranked`),
+    * parameterized on the source relation (and an optional prelude CTE
+    * defining it), shared by the lang-clf, confusion-card, and —
+    * with `documents` swapped for a normalized `nd` CTE — curate-lang
+    * oracles, so variants cannot drift (the bm25CteFor stance). */
+  private def langClfCtesFor(src: String, prelude: String = ""): String =
+    s"""WITH ${prelude}classes AS (SELECT DISTINCT lang AS c FROM $src),
            |featd AS (
            |  SELECT DISTINCT doc_id, lab,
            |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 1024 AS f
            |  FROM (
            |    SELECT doc_id, lang AS lab,
            |      unnest(list_distinct(string_split(text, ' '))) AS term
-           |    FROM documents)
-           |), featc AS (
+           |    FROM $src)
+           |)""".stripMargin + langClfTrainCtes
+
+  /** The source-independent tail of the chain: featc → two perceptron
+    * passes → per-doc ranking. */
+  private val langClfTrainCtes = """, featc AS (
            |  SELECT doc_id, lab, f, c,
            |    CASE WHEN lab = c THEN 1 ELSE -1 END AS y
            |  FROM featd CROSS JOIN classes
@@ -229,6 +235,8 @@ object Classifier {
            |      ORDER BY m DESC, c) AS rn
            |  FROM m2
            |)""".stripMargin
+
+  private val langClfCtes = langClfCtesFor("documents")
 
   val qLangClf = QuerySpec(
     "q_llm_lang_clf",
@@ -352,11 +360,14 @@ object Classifier {
       .select(col("doc_id"), col("lang"), col("source"),
         Curation.normalize(col("text")).as("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val kept = nd.join(
+    // two consumers (the survivor aggregate and the final semi join):
+    // persisted so the classifier scoring chain above executes once
+    val kept = temps.register(nd.join(
       langClassifierMulti(nd, temps)
         .filter(col("pred") === lit(keepLang))
         .select(col("doc_id"), col("margin")),
       Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val survivors = kept
       .groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -371,54 +382,12 @@ object Classifier {
     (s, d) =>
       curateLang(Tables.load(s, d, "documents"))
         .orderBy(col("doc_id")),
-    Some(raw"""WITH nd AS (
+    Some(langClfCtesFor("nd", raw"""nd AS (
            |  SELECT doc_id, lang, source,
            |    lower(trim(regexp_replace(regexp_replace(
            |      text, '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS text
            |  FROM documents
-           |), classes AS (SELECT DISTINCT lang AS c FROM nd),
-           |featd AS (
-           |  SELECT DISTINCT doc_id, lab,
-           |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 1024 AS f
-           |  FROM (
-           |    SELECT doc_id, lang AS lab,
-           |      unnest(list_distinct(string_split(text, ' '))) AS term
-           |    FROM nd)
-           |), featc AS (
-           |  SELECT doc_id, lab, f, c,
-           |    CASE WHEN lab = c THEN 1 ELSE -1 END AS y
-           |  FROM featd CROSS JOIN classes
-           |), w1 AS (
-           |  SELECT c, f, CAST(sum(y) AS BIGINT) AS w
-           |  FROM featc GROUP BY c, f
-           |), m1 AS (
-           |  SELECT featc.doc_id, featc.c, featc.y,
-           |    CAST(sum(coalesce(w1.w, 0)) AS BIGINT) AS m
-           |  FROM featc LEFT JOIN w1 ON featc.c = w1.c AND featc.f = w1.f
-           |  GROUP BY featc.doc_id, featc.c, featc.y
-           |), dw2 AS (
-           |  SELECT featc.c, featc.f, CAST(sum(featc.y) AS BIGINT) AS dw
-           |  FROM featc
-           |  JOIN (SELECT doc_id, c FROM m1 WHERE y * m <= 0) e
-           |    ON featc.doc_id = e.doc_id AND featc.c = e.c
-           |  GROUP BY featc.c, featc.f
-           |), w2 AS (
-           |  SELECT coalesce(w1.c, dw2.c) AS c,
-           |    coalesce(w1.f, dw2.f) AS f,
-           |    coalesce(w1.w, 0) + coalesce(dw2.dw, 0) AS w
-           |  FROM w1 FULL OUTER JOIN dw2
-           |    ON w1.c = dw2.c AND w1.f = dw2.f
-           |), m2 AS (
-           |  SELECT featc.doc_id, featc.c,
-           |    CAST(sum(coalesce(w2.w, 0)) AS BIGINT) AS m
-           |  FROM featc LEFT JOIN w2 ON featc.c = w2.c AND featc.f = w2.f
-           |  GROUP BY featc.doc_id, featc.c
-           |), ranked AS (
-           |  SELECT doc_id, c, m,
-           |    row_number() OVER (PARTITION BY doc_id
-           |      ORDER BY m DESC, c) AS rn
-           |  FROM m2
-           |), kept AS (
+           |), """.stripMargin) + """, kept AS (
            |  SELECT nd.doc_id, nd.source, nd.text, r.m AS margin
            |  FROM nd JOIN ranked r ON nd.doc_id = r.doc_id
            |  WHERE r.rn = 1 AND r.c = 'en'

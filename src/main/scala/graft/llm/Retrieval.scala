@@ -212,13 +212,113 @@ object Retrieval {
     val m2 = pp.join(broadcast(phrases
         .select(col("query_id"), col("t2").as("term"))), Seq("term"))
       .select(col("query_id"), col("doc_id"), col("positions").as("pos2"))
-    m1.join(m2, Seq("query_id", "doc_id"))
+    adjacentOcc(m1.join(m2, Seq("query_id", "doc_id")))
+      .select(col("query_id"), col("doc_id"), col("n_occ"))
+  }
+
+  /** The adjacency semantics shared by [[phraseSearch]] and
+    * [[streamingPhraseSearch]] — one definition so batch and stream
+    * cannot drift: self-hits excluded, `n_occ = |pos1 ∩ (pos2 − 1)|`,
+    * zero-occurrence pairs dropped. Input must carry `query_id`,
+    * `doc_id`, `pos1`, `pos2`. */
+  private def adjacentOcc(joined: DataFrame): DataFrame =
+    joined
       .filter(col("doc_id") =!= col("query_id"))
       .withColumn("n_occ",
         size(array_intersect(col("pos1"),
           transform(col("pos2"), x => x - 1))).cast("long"))
       .filter(col("n_occ") > 0)
+
+  /** ARBITRARY-LENGTH phrase search from the positional index:
+    * phrases arrive as (query_id, terms array<string>); a document
+    * matches at start p iff terms(i) occurs at p + i for every slot i.
+    * `n_occ` = |∩_i (pos_i − i)|, the k-way generalization of
+    * [[phraseSearch]]'s two-way intersection.
+    *
+    * Scale shape — ONE index join regardless of phrase length (not k
+    * self-joins): the phrase set explodes to (slot, term) rows and
+    * broadcasts against a single postings scan; the per-(query, doc)
+    * group collects at most k position arrays (each bounded by the
+    * document's own length) and the all-slots-present guard plus the
+    * intersection fold are row-local array lambdas. Only matched
+    * posting rows shuffle, keyed on (query, doc). */
+  def phraseSearchK(pp: DataFrame, phrases: DataFrame): DataFrame = {
+    val slots = phrases.select(col("query_id"),
+      size(col("terms")).cast("long").as("k"),
+      posexplode(col("terms")).as(Seq("slot", "term")))
+    pp.join(broadcast(slots), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("shifted",
+        transform(col("positions"), x => x - col("slot")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("slot")).as("ns"), max(col("k")).as("k"),
+        collect_list(col("shifted")).as("sp"))
+      .filter(col("ns") === col("k"))
+      .withColumn("n_occ",
+        size(aggregate(col("sp"), lit(null).cast("array<int>"),
+          (acc, a) => when(acc.isNull, a)
+            .otherwise(array_intersect(acc, a)))).cast("long"))
+      .filter(col("n_occ") > 0)
       .select(col("query_id"), col("doc_id"), col("n_occ"))
+  }
+
+  /** Deterministic tier-fixed k-term phrase set: the first `n` tokens
+    * of the base-tier every-50th documents (shorter documents yield
+    * shorter phrases — `phraseSearchK` keys off the actual slot
+    * count). */
+  def phrasesKOf(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(50)) === 0 && col("doc_id") < 500)
+      .select(col("doc_id").as("query_id"),
+        slice(tokens(col("text")), 1, n).as("terms"))
+
+  /** PROXIMITY (slop) search: ordered co-occurrence within a window —
+    * `n_pairs` = |{(p1, p2) : p1 ∈ pos(t1), p2 ∈ pos(t2),
+    * 1 ≤ p2 − p1 ≤ slop}| per (query, doc). The relevance signal
+    * between exact-phrase and bag-of-words: same two broadcast index
+    * probes as [[phraseSearch]], with the adjacency intersection
+    * widened to a row-local pair count over the two position arrays
+    * (O(|pos1|·|pos2|) per row, both bounded by the document's own
+    * length — documents are the bounded unit of this engine). */
+  def proximitySearch(pp: DataFrame, pairs: DataFrame,
+      slop: Int = 3): DataFrame = {
+    val m1 = pp.join(broadcast(pairs
+        .select(col("query_id"), col("t1").as("term"))), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("positions").as("pos1"))
+    val m2 = pp.join(broadcast(pairs
+        .select(col("query_id"), col("t2").as("term"))), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("positions").as("pos2"))
+    m1.join(m2, Seq("query_id", "doc_id"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("n_pairs",
+        aggregate(col("pos2"), lit(0L), (acc, y) =>
+          acc + size(filter(col("pos1"),
+            x => (y - x >= 1) && (y - x <= lit(slop)))).cast("long")))
+      .filter(col("n_pairs") > 0)
+      .select(col("query_id"), col("doc_id"), col("n_pairs"))
+  }
+
+  /** Deterministic tier-fixed proximity pairs: first and third tokens
+    * of the base-tier every-50th documents (documents shorter than
+    * three tokens yield a null t2 and drop out of the equi join —
+    * same in the oracle). */
+  def proximityPairsOf(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(50)) === 0 && col("doc_id") < 500)
+      .select(col("doc_id").as("query_id"),
+        element_at(tokens(col("text")), 1).as("t1"),
+        element_at(tokens(col("text")), 3).as("t2"))
+
+  /** The nightly positional-index merge: stored (term, doc_id,
+    * positions) rows ride through on a narrow doc-keyed anti join;
+    * only never-seen delta documents pay the tokenize + posexplode.
+    * Unlike [[postingsIncremental]] there is no cross-document column
+    * to reconcile (positions are per-document facts), so the merge is
+    * exactly union-of-disjoint-doc-sets — result-identical to a
+    * from-scratch build (oracle'd through the full-build SQL). */
+  def positionalPostingsInc(stored: DataFrame,
+      deltaDocs: DataFrame): DataFrame = {
+    val storedIds = stored.select(col("doc_id")).distinct()
+    stored.unionByName(positionalPostings(
+      deltaDocs.join(storedIds, Seq("doc_id"), "left_anti")))
   }
 
   /** Deterministic tier-fixed phrase set: the first two tokens of the
@@ -251,13 +351,30 @@ object Retrieval {
         element_at(tokens(col("text")), 2).as("t2"))
       .join(p1, Seq("t1"))
       .join(p2, Seq("t2", "doc_id"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .withColumn("n_occ",
-        size(array_intersect(col("pos1"),
-          transform(col("pos2"), x => x - 1))).cast("long"))
-      .filter(col("n_occ") > 0)
+      .transform(adjacentOcc)
       .select(col("query_id"), col("event_ts"), col("doc_id"), col("n_occ"))
   }
+
+  /** The positional-index CTE chain (tokens → 1-based positions →
+    * sorted per-(doc, term) position lists), shared by every
+    * positional-index oracle so variants cannot drift (the
+    * bm25CteFor stance). */
+  private val posCtes =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), pos AS (
+      |  SELECT doc_id, toks[i] AS term, i
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) x
+      |), pp AS (
+      |  SELECT doc_id, term, list_sort(list(i)) AS positions
+      |  FROM pos GROUP BY doc_id, term
+      |)""".stripMargin
+
+  private val posIndexTailSql =
+    """
+      |SELECT term, doc_id,
+      |  array_to_string(positions, ',') AS positions
+      |FROM pp ORDER BY term, doc_id""".stripMargin
 
   /** The positional-index BUILD deliverable (positions as a joined
     * string — the driver hash-compares scalars, the ivfpq_codes
@@ -269,18 +386,7 @@ object Retrieval {
         .select(col("term"), col("doc_id"),
           array_join(col("positions"), ",").as("positions"))
         .orderBy(col("term"), col("doc_id")),
-    Some("""WITH t AS (
-           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-           |), pos AS (
-           |  SELECT doc_id, toks[i] AS term, i
-           |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) x
-           |), pp AS (
-           |  SELECT doc_id, term, list_sort(list(i)) AS positions
-           |  FROM pos GROUP BY doc_id, term
-           |)
-           |SELECT term, doc_id,
-           |  array_to_string(positions, ',') AS positions
-           |FROM pp ORDER BY term, doc_id""".stripMargin))
+    Some(posCtes + posIndexTailSql))
 
   /** Exact phrase search, oracle'd end-to-end with the tier-fixed
     * phrase set (feasible at every tier). */
@@ -291,15 +397,7 @@ object Retrieval {
       phraseSearch(positionalPostings(docs), phrasesOf(docs))
         .orderBy(col("query_id"), col("doc_id"))
     },
-    Some("""WITH t AS (
-           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-           |), pos AS (
-           |  SELECT doc_id, toks[i] AS term, i
-           |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) x
-           |), pp AS (
-           |  SELECT doc_id, term, list_sort(list(i)) AS positions
-           |  FROM pos GROUP BY doc_id, term
-           |), phr AS (
+    Some(posCtes + """, phr AS (
            |  SELECT doc_id AS query_id,
            |    (string_split(text, ' '))[1] AS t1,
            |    (string_split(text, ' '))[2] AS t2
@@ -320,6 +418,76 @@ object Retrieval {
            |  AND len(list_intersect(pos1,
            |    list_transform(pos2, x -> x - 1))) > 0
            |ORDER BY m1.query_id, m1.doc_id""".stripMargin))
+
+  /** k-term phrase search, oracle'd end-to-end with the tier-fixed
+    * 3-token phrase set. The oracle states the definition directly:
+    * candidate starts are `position − slot` per matched slot, a start
+    * survives iff all k slots matched there, `n_occ` counts surviving
+    * starts — provably the same set the intersection fold computes. */
+  val qPhraseK = QuerySpec(
+    "q_llm_phrase_k",
+    (s, d) => {
+      val docs = docsOf(s, d)
+      phraseSearchK(positionalPostings(docs), phrasesKOf(docs))
+        .orderBy(col("query_id"), col("doc_id"))
+    },
+    Some(posCtes + """, phr AS (
+           |  SELECT doc_id AS query_id, toks3[s] AS term,
+           |    s - 1 AS slot, len(toks3) AS k
+           |  FROM (SELECT doc_id, (string_split(text, ' '))[1:3] AS toks3
+           |        FROM documents WHERE doc_id % 50 = 0 AND doc_id < 500) p,
+           |  LATERAL (SELECT unnest(range(1, len(toks3) + 1)) AS s) x
+           |), hits AS (
+           |  SELECT phr.query_id, pos.doc_id, pos.i - phr.slot AS strt,
+           |    count(DISTINCT phr.slot) AS ns, max(phr.k) AS k
+           |  FROM phr JOIN pos ON pos.term = phr.term
+           |  WHERE pos.doc_id != phr.query_id
+           |  GROUP BY phr.query_id, pos.doc_id, pos.i - phr.slot
+           |)
+           |SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occ
+           |FROM hits WHERE ns = k
+           |GROUP BY query_id, doc_id
+           |ORDER BY query_id, doc_id""".stripMargin))
+
+  /** Proximity search at slop 3, oracle'd end-to-end: the oracle
+    * counts qualifying (p1, p2) position pairs by a positions-level
+    * self-join — the definition the row-local array fold computes. */
+  val qProxSearch = QuerySpec(
+    "q_llm_prox_search",
+    (s, d) => {
+      val docs = docsOf(s, d)
+      proximitySearch(positionalPostings(docs), proximityPairsOf(docs))
+        .orderBy(col("query_id"), col("doc_id"))
+    },
+    Some(posCtes + """, phr AS (
+           |  SELECT doc_id AS query_id,
+           |    (string_split(text, ' '))[1] AS t1,
+           |    (string_split(text, ' '))[3] AS t2
+           |  FROM documents WHERE doc_id % 50 = 0 AND doc_id < 500
+           |)
+           |SELECT q.query_id, a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM phr q
+           |  JOIN pos a ON a.term = q.t1
+           |  JOIN pos b ON b.term = q.t2 AND b.doc_id = a.doc_id
+           |WHERE a.doc_id != q.query_id AND b.i - a.i BETWEEN 1 AND 3
+           |GROUP BY q.query_id, a.doc_id
+           |ORDER BY q.query_id, a.doc_id""".stripMargin))
+
+  /** The positional-index nightly merge, oracle'd through the
+    * full-build SQL (the q_llm_bm25_inc stance): stored first-80%
+    * rows plus an incremental pass over the whole corpus must equal a
+    * from-scratch build. */
+  val qPosInc = QuerySpec(
+    "q_llm_pos_inc",
+    (s, d) => {
+      val docs = docsOf(s, d)
+      val stored = positionalPostings(docs.filter(col("doc_id") < 400))
+      positionalPostingsInc(stored, docs)
+        .select(col("term"), col("doc_id"),
+          array_join(col("positions"), ",").as("positions"))
+        .orderBy(col("term"), col("doc_id"))
+    },
+    qPosIndex.oracle)
 
   /** Reciprocal-rank fusion of two (query_id, rank, doc_id) rankings:
     * score = Σ 1000000 div (60 + rank) over the lists containing the
@@ -683,5 +851,5 @@ object Retrieval {
 
   def all: Seq[QuerySpec] =
     Seq(qBm25, qBm25Index, qBm25Serve, qBm25Fixed, qBm25Inc, qRrfFusion,
-      qPosIndex, qPhraseSearch)
+      qPosIndex, qPhraseSearch, qPhraseK, qProxSearch, qPosInc)
 }

@@ -161,6 +161,88 @@ class RetrievalSpec extends SparkSpec {
     assert(got == Seq((0L, 20L, 2L)), got.toString)
   }
 
+  test("phraseSearchK: all slots must match at one start; repeated-term " +
+    "phrases and partial matches handled") {
+    val docs = docsDf(
+      0L -> "x y z query stub",            // query doc: phrase "x y z"
+      10L -> "x y z",                      // one occurrence
+      11L -> "x y w z",                    // slots present, broken run
+      12L -> "a x y z b x y z",            // two occurrences
+      13L -> "x y",                        // slot 3 term absent entirely
+      14L -> "z y x")                      // all terms, wrong order
+    val phrases = Seq((0L, Seq("x", "y", "z"))).toDF("query_id", "terms")
+    val got = Retrieval.phraseSearchK(
+        Retrieval.positionalPostings(docs), phrases)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 10L, 1L), (0L, 12L, 2L)), got.toString)
+  }
+
+  test("phraseSearchK: duplicate term at two slots intersects both shifts") {
+    // "a b a" occurs in "a b a b a" at starts 1 and 3
+    val docs = docsDf(0L -> "a b a q", 20L -> "a b a b a", 21L -> "a b b")
+    val phrases = Seq((0L, Seq("a", "b", "a"))).toDF("query_id", "terms")
+    val got = Retrieval.phraseSearchK(
+        Retrieval.positionalPostings(docs), phrases)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 20L, 2L)), got.toString)
+  }
+
+  test("phraseSearchK with a 2-term phrase equals phraseSearch") {
+    val docs = docsDf(0L -> "x y q", 10L -> "x y z", 11L -> "x z y",
+      12L -> "x y x y", 14L -> "a x y b x y c x y")
+    val pp = Retrieval.positionalPostings(docs)
+    val two = Retrieval.phraseSearch(pp,
+        Seq((0L, "x", "y")).toDF("query_id", "t1", "t2"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val k = Retrieval.phraseSearchK(pp,
+        Seq((0L, Seq("x", "y"))).toDF("query_id", "terms"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(two == k, s"two=$two k=$k")
+  }
+
+  test("proximitySearch: ordered pairs within slop, boundaries exact") {
+    // pair (x, y), slop 3: count p2 - p1 in [1, 3]
+    val docs = docsDf(
+      0L -> "x y q",                       // query doc
+      10L -> "x a a y",                    // distance 3: counts
+      11L -> "x a a a y",                  // distance 4: out of slop
+      12L -> "y x",                        // reversed: not ordered
+      13L -> "x y x a y")                  // pairs: (1,2) (1,5)x (3,5) -> 2
+    val pairs = Seq((0L, "x", "y")).toDF("query_id", "t1", "t2")
+    val got = Retrieval.proximitySearch(
+        Retrieval.positionalPostings(docs), pairs, slop = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 10L, 1L), (0L, 13L, 2L)), got.toString)
+  }
+
+  test("proximitySearch: same term both slots counts ordered pairs only") {
+    // (a, a) in "a a a": pairs (1,2) (1,3) (2,3) at slop 2 -> 3
+    val docs = docsDf(0L -> "a a q", 20L -> "a a a")
+    val pairs = Seq((0L, "a", "a")).toDF("query_id", "t1", "t2")
+    val got = Retrieval.proximitySearch(
+        Retrieval.positionalPostings(docs), pairs, slop = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 20L, 3L)), got.toString)
+  }
+
+  test("positionalPostingsInc == full rebuild; overlapping deltas idempotent") {
+    val docs = docsDf(
+      0L -> "a b a", 1L -> "b c", 2L -> "c a c", 3L -> "d b d")
+    val full = Retrieval.positionalPostings(docs)
+      .select(col("term"), col("doc_id"), array_join(col("positions"), ","))
+      .orderBy("term", "doc_id")
+      .as[(String, Long, String)].collect().toSeq
+    val stored = Retrieval.positionalPostings(docs.filter(col("doc_id") < 2))
+    // delta overlaps stored (docs 0-1 already indexed): must not dup
+    val merged = Retrieval.positionalPostingsInc(stored, docs)
+      .select(col("term"), col("doc_id"), array_join(col("positions"), ","))
+      .orderBy("term", "doc_id")
+      .as[(String, Long, String)].collect().toSeq
+    assert(merged == full, s"merged=$merged full=$full")
+  }
+
   test("positionalPostings: 1-based sorted positions per (doc, term)") {
     val got = Retrieval.positionalPostings(docsDf(0L -> "b a b"))
       .orderBy("term")

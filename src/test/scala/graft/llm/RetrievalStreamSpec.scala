@@ -200,9 +200,13 @@ class RetrievalStreamSpec extends SparkSpec {
         .select(col("query_id"), col("doc_id"), col("n_occ"))
         .collect().map(_.toSeq).toSet
       assert(streamed == batch, s"stream=$streamed batch=$batch")
-      // stateless: the progress events report no state operators
-      val plan = spark.sql("SELECT * FROM sphrase").queryExecution.toString
-      assert(!plan.contains("StateStore"), "must carry no state store")
+      // stateless: the STREAMING query's own progress reports zero
+      // state operators (the memory sink's batch plan would pass
+      // vacuously — inspect the stream, not the sink)
+      val progress = stream.lastProgress
+      assert(progress != null && progress.stateOperators.isEmpty,
+        s"must carry no state operators: ${Option(progress)
+          .map(_.stateOperators.mkString(","))}")
     } finally stream.stop()
   }
 
