@@ -242,7 +242,16 @@ object Retrieval {
     * document's own length) and the all-slots-present guard plus the
     * intersection fold are row-local array lambdas. Only matched
     * posting rows shuffle, keyed on (query, doc). */
-  def phraseSearchK(pp: DataFrame, phrases: DataFrame): DataFrame = {
+  def phraseSearchK(pp: DataFrame, phrases: DataFrame): DataFrame =
+    phraseMatchesK(pp, phrases)
+      .select(col("query_id"), col("doc_id"), col("n_occ"))
+
+  /** The k-way matcher behind [[phraseSearchK]] and [[snippets]]:
+    * (query_id, doc_id, k, n_occ, first_pos) with `first_pos` the
+    * smallest matching start — one definition of the match set for
+    * both consumers. */
+  private def phraseMatchesK(pp: DataFrame,
+      phrases: DataFrame): DataFrame = {
     val slots = phrases.select(col("query_id"),
       size(col("terms")).cast("long").as("k"),
       posexplode(col("terms")).as(Seq("slot", "term")))
@@ -254,12 +263,38 @@ object Retrieval {
       .agg(countDistinct(col("slot")).as("ns"), max(col("k")).as("k"),
         collect_list(col("shifted")).as("sp"))
       .filter(col("ns") === col("k"))
-      .withColumn("n_occ",
-        size(aggregate(col("sp"), lit(null).cast("array<int>"),
+      .withColumn("starts",
+        aggregate(col("sp"), lit(null).cast("array<int>"),
           (acc, a) => when(acc.isNull, a)
-            .otherwise(array_intersect(acc, a)))).cast("long"))
+            .otherwise(array_intersect(acc, a))))
+      .withColumn("n_occ", size(col("starts")).cast("long"))
       .filter(col("n_occ") > 0)
-      .select(col("query_id"), col("doc_id"), col("n_occ"))
+      .select(col("query_id"), col("doc_id"), col("k"), col("n_occ"),
+        array_min(col("starts")).cast("long").as("first_pos"))
+  }
+
+  /** KWIC (keyword-in-context) snippet extraction: for every phrase
+    * match, the token window of `width` tokens around the FIRST
+    * occurrence — the human-review artifact every retrieval triage
+    * ships (eval-set mining, decontamination review queues).
+    *
+    * Scale shape: the match frame (k rows per query, not corpus-sized)
+    * joins the corpus ONCE on doc_id — only matched documents'
+    * text is ever re-tokenized, and the slice is a row-local lambda.
+    * Window clamps at the document start (greatest(first−width, 1)),
+    * identically in the oracle. */
+  def snippets(docs: DataFrame, pp: DataFrame, phrases: DataFrame,
+      width: Int = 2): DataFrame = {
+    val m = phraseMatchesK(pp, phrases)
+    m.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("s", greatest(col("first_pos") - width, lit(1L)))
+      .withColumn("len",
+        (col("first_pos") + col("k") - 1 + width - col("s") + 1)
+          .cast("int"))
+      .select(col("query_id"), col("doc_id"), col("n_occ"),
+        col("first_pos"),
+        array_join(slice(tokens(col("text")), col("s").cast("int"),
+          col("len")), " ").as("snippet"))
   }
 
   /** Deterministic tier-fixed k-term phrase set: the first `n` tokens
@@ -424,14 +459,10 @@ object Retrieval {
     * candidate starts are `position − slot` per matched slot, a start
     * survives iff all k slots matched there, `n_occ` counts surviving
     * starts — provably the same set the intersection fold computes. */
-  val qPhraseK = QuerySpec(
-    "q_llm_phrase_k",
-    (s, d) => {
-      val docs = docsOf(s, d)
-      phraseSearchK(positionalPostings(docs), phrasesKOf(docs))
-        .orderBy(col("query_id"), col("doc_id"))
-    },
-    Some(posCtes + """, phr AS (
+  /** The k-way hit CTE chain (slot-exploded tier-fixed phrase set →
+    * per-start matched-slot counts), shared by the phrase-k and
+    * snippet oracles. */
+  private val phraseHitsCtes = posCtes + """, phr AS (
            |  SELECT doc_id AS query_id, toks3[s] AS term,
            |    s - 1 AS slot, len(toks3) AS k
            |  FROM (SELECT doc_id, (string_split(text, ' '))[1:3] AS toks3
@@ -443,11 +474,42 @@ object Retrieval {
            |  FROM phr JOIN pos ON pos.term = phr.term
            |  WHERE pos.doc_id != phr.query_id
            |  GROUP BY phr.query_id, pos.doc_id, pos.i - phr.slot
-           |)
+           |)""".stripMargin
+
+  val qPhraseK = QuerySpec(
+    "q_llm_phrase_k",
+    (s, d) => {
+      val docs = docsOf(s, d)
+      phraseSearchK(positionalPostings(docs), phrasesKOf(docs))
+        .orderBy(col("query_id"), col("doc_id"))
+    },
+    Some(phraseHitsCtes + """
            |SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occ
            |FROM hits WHERE ns = k
            |GROUP BY query_id, doc_id
            |ORDER BY query_id, doc_id""".stripMargin))
+
+  /** KWIC snippets for the tier-fixed phrase set, oracle'd
+    * end-to-end: first-occurrence token windows, clamped at the
+    * document start identically in both engines. */
+  val qPhraseSnippet = QuerySpec(
+    "q_llm_phrase_snippet",
+    (s, d) => {
+      val docs = docsOf(s, d)
+      snippets(docs, positionalPostings(docs), phrasesKOf(docs))
+        .orderBy(col("query_id"), col("doc_id"))
+    },
+    Some(phraseHitsCtes + """, m AS (
+           |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+           |    CAST(min(strt) AS BIGINT) AS first_pos, max(k) AS k
+           |  FROM hits WHERE ns = k
+           |  GROUP BY query_id, doc_id
+           |)
+           |SELECT m.query_id, m.doc_id, m.n_occ, m.first_pos,
+           |  array_to_string(t.toks[greatest(m.first_pos - 2, 1):
+           |    (m.first_pos + m.k - 1 + 2)], ' ') AS snippet
+           |FROM m JOIN t ON m.doc_id = t.doc_id
+           |ORDER BY m.query_id, m.doc_id""".stripMargin))
 
   /** Proximity search at slop 3, oracle'd end-to-end: the oracle
     * counts qualifying (p1, p2) position pairs by a positions-level
@@ -851,5 +913,6 @@ object Retrieval {
 
   def all: Seq[QuerySpec] =
     Seq(qBm25, qBm25Index, qBm25Serve, qBm25Fixed, qBm25Inc, qRrfFusion,
-      qPosIndex, qPhraseSearch, qPhraseK, qProxSearch, qPosInc)
+      qPosIndex, qPhraseSearch, qPhraseK, qProxSearch, qPosInc,
+      qPhraseSnippet)
 }

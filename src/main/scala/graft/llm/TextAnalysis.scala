@@ -1725,11 +1725,93 @@ object TextAnalysis {
            |FROM r WHERE rn <= 5
            |ORDER BY source, cnt DESC, gram""".stripMargin))
 
+  /** Windowed collocation mining — the association table behind
+    * phrase-vocabulary induction and compound detection (Church &
+    * Hanks' association-ratio surface): for every ordered token pair
+    * co-occurring within `window` positions, its pair count, both
+    * unigram counts, and the PMI-monotone association ratio
+    * `floor(1e6 · n_pair·N / (n_w1·n_w2))` — the exponential of PMI
+    * in integer ppm, so no `ln` (ULP-divergent across libm) enters
+    * the cross-engine surface; the double arithmetic is ONE fixed
+    * parenthesized sequence of correctly-rounded IEEE ops, written
+    * identically in the oracle.
+    *
+    * Scale shape: the (doc, pos, term) frame persists for its three
+    * consumers (pair join, unigram counts, corpus total); pairs come
+    * from a `window`-fold explode of 8-byte (doc, pos) keys equi-joined
+    * back on (doc_id, pos) — never a per-doc window function, so a
+    * long document costs `window`·len rows, not a single-task sort;
+    * pair and unigram counts map-side combine; the corpus total rides
+    * a broadcast one-row join (the tf-idf scalar stance); the two
+    * vocabulary-keyed count joins are deliberately shuffled, not
+    * broadcast (a 100 TB corpus's vocabulary is join-scale, the tf-idf
+    * df stance; AQE splits a skewed stopword key). */
+  def collocations(docs: DataFrame, window: Int = 3, minPair: Long = 5L,
+      temps: TempCache = TempCache.noop): DataFrame = {
+    val tp = temps.register(docs
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("p0", "term")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pairs = tp
+      .withColumn("d", explode(sequence(lit(1), lit(window))))
+      .select(col("doc_id"), (col("p") + col("d")).as("p"),
+        col("term").as("w1"))
+      .join(tp.select(col("doc_id"), col("p"), col("term").as("w2")),
+        Seq("doc_id", "p"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPair)
+    val nw = tp.groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val tot = broadcast(tp.agg(count(lit(1)).as("nn"))
+      .withColumn("one", lit(1)))
+    pairs
+      .join(nw.select(col("term").as("w1"), col("n").as("n_w1")), Seq("w1"))
+      .join(nw.select(col("term").as("w2"), col("n").as("n_w2")), Seq("w2"))
+      .withColumn("one", lit(1))
+      .join(tot, Seq("one"))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        col("n_w2"),
+        floor(((col("n_pair").cast("double") * col("nn").cast("double")) /
+          (col("n_w1").cast("double") * col("n_w2").cast("double"))) *
+          lit(1000000.0)).cast("long").as("assoc_ppm"))
+  }
+
+  val qCollocations = QuerySpec(
+    "q_llm_collocations",
+    (s, d) =>
+      collocations(Tables.load(s, d, "documents"))
+        .orderBy(col("w1"), col("w2")),
+    Some("""WITH tp AS (
+           |  SELECT doc_id, toks[i] AS term, i AS p
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+           |        FROM documents) t,
+           |  LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) x
+           |), pairs AS (
+           |  SELECT a.term AS w1, b.term AS w2,
+           |    CAST(count(*) AS BIGINT) AS n_pair
+           |  FROM tp a
+           |  CROSS JOIN (SELECT unnest(range(1, 4)) AS d) ds
+           |  JOIN tp b ON b.doc_id = a.doc_id AND b.p = a.p + ds.d
+           |  GROUP BY a.term, b.term
+           |  HAVING count(*) >= 5
+           |), nw AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS n FROM tp GROUP BY term
+           |), tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tp)
+           |SELECT p.w1, p.w2, p.n_pair, a.n AS n_w1, b.n AS n_w2,
+           |  CAST(floor(((CAST(p.n_pair AS DOUBLE) * CAST(tot.nn AS DOUBLE))
+           |    / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)))
+           |    * 1000000.0) AS BIGINT) AS assoc_ppm
+           |FROM pairs p
+           |  JOIN nw a ON p.w1 = a.term
+           |  JOIN nw b ON p.w2 = b.term, tot
+           |ORDER BY w1, w2""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(qTokens, qQuality, qLangId, qFingerprint, qFingerprintMd5, qDocFreq,
       qDocFreqInc, qTfIdf, qRepetition, qQualityRules, qNovelty, qOov,
       qStopwordScrub, qSourceReport, qDrift, qBpeStep, qLenPercentiles,
       qWinnow, qLmScore, qImportance, qQualityGate, qGateRel, qQualityCard,
       qQualityCardRel, qBpeEncode, qFertility, qHeavyHitters,
-      qHeavyHittersBySource)
+      qHeavyHittersBySource, qCollocations)
 }

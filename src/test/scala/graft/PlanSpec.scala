@@ -448,6 +448,17 @@ class PlanSpec extends SparkSpec {
       // probes, equi pair join — nothing broadcast-nests
       "q_llm_pos_index" -> (0, 0),
       "q_llm_phrase_search" -> (0, 0),
+      // k-term phrase / proximity / index merge: broadcast probes +
+      // hash-keyed aggs and equi joins only — nothing broadcast-nests
+      "q_llm_phrase_k" -> (0, 0),
+      "q_llm_prox_search" -> (0, 0),
+      "q_llm_pos_inc" -> (0, 0),
+      "q_llm_phrase_snippet" -> (0, 0),
+      // collocations' only BNLJ is the ONE-ROW corpus-total broadcast
+      // (the tf-idf scalar stance; the key-1 literal constant-folds
+      // away, so Catalyst plans the scalar join as a broadcast nest),
+      // printed twice in the adaptive plan
+      "q_llm_collocations" -> (2, 0),
       // bm25's stats BNLJ + the cosine side's deliberate
       // queries×corpus broadcast scoring; the RRF pair join itself is
       // an equi join of two k-row-per-query frames

@@ -227,6 +227,23 @@ class RetrievalSpec extends SparkSpec {
     assert(got == Seq((0L, 20L, 3L)), got.toString)
   }
 
+  test("snippets: first-occurrence window, clamped at document start") {
+    val docs = docsDf(
+      0L -> "x y q",                       // query doc: phrase "x y"
+      10L -> "a b c x y d e",              // mid-doc: full ±2 window
+      11L -> "x y t u v",                  // match at pos 1: clamps left
+      12L -> "x y p x y")                  // two occurrences: FIRST wins
+    val phrases = Seq((0L, Seq("x", "y"))).toDF("query_id", "terms")
+    val got = Retrieval.snippets(docs,
+        Retrieval.positionalPostings(docs), phrases, width = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 10L, 1L, 4L, "b c x y d e"),
+      (0L, 11L, 1L, 1L, "x y t u"),
+      (0L, 12L, 2L, 1L, "x y p x")), got.toString)
+  }
+
   test("positionalPostingsInc == full rebuild; overlapping deltas idempotent") {
     val docs = docsDf(
       0L -> "a b a", 1L -> "b c", 2L -> "c a c", 3L -> "d b d")

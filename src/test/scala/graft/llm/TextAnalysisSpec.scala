@@ -568,6 +568,34 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(enc == Map(1L -> 2L, 2L -> 2L, 3L -> 1L), enc.toString)
   }
+
+  test("collocations: windowed ordered pair counts and exact assoc ppm") {
+    // doc0 "a b a", doc1 "b a"; window 2; N=5, n(a)=3, n(b)=2
+    // pairs: (a,b)x1, (a,a)x1 (distance 2), (b,a)x2
+    val df = TextAnalysis.collocations(
+        docs(0L -> "a b a", 1L -> "b a"), window = 2, minPair = 1L)
+      .orderBy("w1", "w2")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(df == Seq(
+      ("a", "a", 1L, 3L, 3L, 555555L),   // 1*5/(3*3) = 0.5555…
+      ("a", "b", 1L, 3L, 2L, 833333L),   // 1*5/(3*2) = 0.8333…
+      ("b", "a", 2L, 2L, 3L, 1666666L)), // 2*5/(2*3) = 1.6666…
+      df.toString)
+  }
+
+  test("collocations: window bound is exact; minPair filters") {
+    // "a x x b": (a,b) at distance 3 — inside window 3, outside 2
+    val d = docs(0L -> "a x x b")
+    def pairAB(w: Int) = TextAnalysis.collocations(d, window = w,
+        minPair = 1L)
+      .filter(col("w1") === "a" && col("w2") === "b").count()
+    assert(pairAB(3) == 1L && pairAB(2) == 0L)
+    // minPair drops the (a,b) singleton but keeps (a,x) (count 2)
+    val surv = TextAnalysis.collocations(d, window = 3, minPair = 2L)
+      .filter(col("w1") === "a")
+      .select("w2").as[String].collect().toSeq
+    assert(surv == Seq("x"), surv.toString)
+  }
 }
 
 /** Shared collect helper (kept outside the anonymous test closures so
