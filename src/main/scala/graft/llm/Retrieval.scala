@@ -322,15 +322,24 @@ object Retrieval {
     val m2 = pp.join(broadcast(pairs
         .select(col("query_id"), col("t2").as("term"))), Seq("term"))
       .select(col("query_id"), col("doc_id"), col("positions").as("pos2"))
-    m1.join(m2, Seq("query_id", "doc_id"))
+    proximityOcc(m1.join(m2, Seq("query_id", "doc_id")), slop)
+      .select(col("query_id"), col("doc_id"), col("n_pairs"))
+  }
+
+  /** The slop-count semantics shared by [[proximitySearch]] and
+    * [[streamingProximitySearch]] — one definition so batch and
+    * stream cannot drift (the adjacentOcc stance): self-hits
+    * excluded, n_pairs = |{(p1, p2) : 1 ≤ p2 − p1 ≤ slop}|, zero-pair
+    * rows dropped. Input must carry `query_id`, `doc_id`, `pos1`,
+    * `pos2`. */
+  private def proximityOcc(joined: DataFrame, slop: Int): DataFrame =
+    joined
       .filter(col("doc_id") =!= col("query_id"))
       .withColumn("n_pairs",
         aggregate(col("pos2"), lit(0L), (acc, y) =>
           acc + size(filter(col("pos1"),
             x => (y - x >= 1) && (y - x <= lit(slop)))).cast("long")))
       .filter(col("n_pairs") > 0)
-      .select(col("query_id"), col("doc_id"), col("n_pairs"))
-  }
 
   /** Deterministic tier-fixed proximity pairs: first and third tokens
     * of the base-tier every-50th documents (documents shorter than
@@ -388,6 +397,31 @@ object Retrieval {
       .join(p2, Seq("t2", "doc_id"))
       .transform(adjacentOcc)
       .select(col("query_id"), col("event_ts"), col("doc_id"), col("n_occ"))
+  }
+
+  /** Streaming proximity search over the stored positional index —
+    * the slop-widened twin of [[streamingPhraseSearch]], equally
+    * STATELESS: (t1, t2) derive row-locally as the event text's first
+    * and third tokens (the [[proximityPairsOf]] contract), the two
+    * stream-static equi joins land on (t1) then (t2, doc_id), and the
+    * pair count is [[proximityOcc]]'s row-local fold. No watermark, no
+    * state store; result-equal per event to [[proximitySearch]]
+    * (spec-pinned). */
+  def streamingProximitySearch(queries: DataFrame, pp: DataFrame,
+      slop: Int = 3): DataFrame = {
+    val p1 = pp.select(col("term").as("t1"), col("doc_id"),
+      col("positions").as("pos1"))
+    val p2 = pp.select(col("term").as("t2"), col("doc_id"),
+      col("positions").as("pos2"))
+    queries
+      .select(col("query_id"), col("event_ts"),
+        element_at(tokens(col("text")), 1).as("t1"),
+        element_at(tokens(col("text")), 3).as("t2"))
+      .join(p1, Seq("t1"))
+      .join(p2, Seq("t2", "doc_id"))
+      .transform(j => proximityOcc(j, slop))
+      .select(col("query_id"), col("event_ts"), col("doc_id"),
+        col("n_pairs"))
   }
 
   /** The positional-index CTE chain (tokens → 1-based positions →

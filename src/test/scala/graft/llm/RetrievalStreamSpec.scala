@@ -210,6 +210,35 @@ class RetrievalStreamSpec extends SparkSpec {
     } finally stream.stop()
   }
 
+  test("streamingProximitySearch: stateless, per-event equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (0L, "x q y query stub"),            // pair (x, y) at slop 3
+      (10L, "x a a y"),                    // distance 3: counts
+      (11L, "x a a a y"),                  // distance 4: out
+      (12L, "x y x a y")).toDF("doc_id", "text")
+    val pp = Retrieval.positionalPostings(docs).localCheckpoint(true)
+    val pairs = Seq((0L, "x", "y")).toDF("query_id", "t1", "t2")
+    val batch = Retrieval.proximitySearch(pp, pairs, slop = 3)
+      .collect().map(_.toSeq).toSet
+    val in = MemoryStream[Query]
+    val stream = Retrieval.streamingProximitySearch(in.toDF(), pp, slop = 3)
+      .writeStream.format("memory").queryName("sprox")
+      .outputMode("append").start()
+    try {
+      // event text's first/third tokens are the pair: "x q y ..."
+      in.addData(q(0, 60, "x q y query stub"))
+      stream.processAllAvailable()
+      val streamed = spark.table("sprox")
+        .select(col("query_id"), col("doc_id"), col("n_pairs"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      val progress = stream.lastProgress
+      assert(progress != null && progress.stateOperators.isEmpty,
+        "must carry no state operators")
+    } finally stream.stop()
+  }
+
   test("graft_sum_topk skips null array slots instead of NPEing") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(
