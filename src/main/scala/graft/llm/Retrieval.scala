@@ -351,6 +351,38 @@ object Retrieval {
         element_at(tokens(col("text")), 1).as("t1"),
         element_at(tokens(col("text")), 3).as("t2"))
 
+  /** Retrieval-quality evaluation — the lexical twin of the ANN
+    * recall harness: score a (query_id, rank, doc_id) ranking against
+    * a (query_id, doc_id) relevance set. Per query: the relevant-doc
+    * count, hits inside the top `k`, the first relevant rank, and the
+    * reciprocal rank in integer ppm (`1000000 div first_rank` — MRR's
+    * per-query term with no float anywhere, the rrfFuse stance).
+    * Queries with an empty relevance set stay in the card with zeros
+    * (an eval that silently drops no-answer queries overstates
+    * quality).
+    *
+    * Scale shape: both inputs are k-rows-per-query frames (the
+    * ranking by construction, the relevance set by its own join
+    * selectivity) — every join here is query-keyed and dwarfed by the
+    * ranking job that produced the inputs. */
+  def retrievalEval(ranking: DataFrame, rel: DataFrame,
+      k: Int = 10): DataFrame = {
+    val relN = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    val hit = ranking.filter(col("rank") <= k)
+      .join(rel.select(col("query_id"), col("doc_id"), lit(1L).as("r")),
+        Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("r"), lit(0L))).as("hits_at_k"),
+        min(when(col("r") === 1L, col("rank"))).as("first_rank"))
+    hit.join(relN, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits_at_k"),
+        coalesce(col("first_rank"), lit(0L)).as("first_rank"),
+        coalesce(expr("1000000 div first_rank"), lit(0L)).as("rr_ppm"))
+  }
+
   /** The nightly positional-index merge: stored (term, doc_id,
     * positions) rows ride through on a narrow doc-keyed anti join;
     * only never-seen delta documents pay the tokenize + posexplode.
@@ -884,6 +916,67 @@ object Retrieval {
     },
     qBm25Index.oracle)
 
+  /** Retrieval eval card: the tier-fixed BM25 top-10 scored against
+    * exact-phrase relevance (documents containing the query's leading
+    * 2-token phrase — a deterministic, engine-independent relevance
+    * definition). Oracle'd end-to-end by composing the BM25 and
+    * positional-index CTE chains (no name collisions: the two chains
+    * were built disjoint). */
+  val qRetrievalEval = QuerySpec(
+    "q_llm_retrieval_eval",
+    (s, d) => {
+      val docs = docsOf(s, d)
+      val fixed = docs.filter(pmod(col("doc_id"), lit(50)) === 0 &&
+        col("doc_id") < 500)
+      val rel = phraseSearch(positionalPostings(docs), phrasesOf(docs))
+        .select(col("query_id"), col("doc_id"))
+      retrievalEval(bm25TopK(docs, fixed), rel)
+        .orderBy(col("query_id"))
+    },
+    Some(bm25CteFixed + ", " + posCtes.stripPrefix("WITH ") + """, phr AS (
+           |  SELECT doc_id AS query_id,
+           |    (string_split(text, ' '))[1] AS t1,
+           |    (string_split(text, ' '))[2] AS t2
+           |  FROM documents WHERE doc_id % 50 = 0 AND doc_id < 500
+           |), r1 AS (
+           |  SELECT phr.query_id, pp.doc_id, pp.positions AS pos1
+           |  FROM phr JOIN pp ON pp.term = phr.t1
+           |), r2 AS (
+           |  SELECT phr.query_id, pp.doc_id, pp.positions AS pos2
+           |  FROM phr JOIN pp ON pp.term = phr.t2
+           |), rel AS (
+           |  SELECT r1.query_id, r1.doc_id
+           |  FROM r1 JOIN r2
+           |    ON r1.query_id = r2.query_id AND r1.doc_id = r2.doc_id
+           |  WHERE r1.doc_id != r1.query_id
+           |    AND len(list_intersect(pos1,
+           |      list_transform(pos2, x -> x - 1))) > 0
+           |), trank AS (
+           |  SELECT query_id, doc_id,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rnk
+           |  FROM scoresum QUALIFY rnk <= 10
+           |), relns AS (
+           |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+           |  FROM rel GROUP BY query_id
+           |), hit AS (
+           |  SELECT t.query_id,
+           |    CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS hits_at_k,
+           |    min(CASE WHEN r.doc_id IS NOT NULL THEN t.rnk END)
+           |      AS first_rank
+           |  FROM trank t LEFT JOIN rel r
+           |    ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+           |  GROUP BY t.query_id
+           |)
+           |SELECT h.query_id,
+           |  CAST(coalesce(relns.n_rel, 0) AS BIGINT) AS n_rel,
+           |  h.hits_at_k,
+           |  CAST(coalesce(h.first_rank, 0) AS BIGINT) AS first_rank,
+           |  CAST(coalesce(1000000 // h.first_rank, 0) AS BIGINT) AS rr_ppm
+           |FROM hit h LEFT JOIN relns ON h.query_id = relns.query_id
+           |ORDER BY h.query_id""".stripMargin))
+
   /** Hybrid search: RRF-fuse the BM25 top-10 with the embedding cosine
     * top-10 for the same query ids (vec_id = doc_id contract), pure
     * integer scores. The cosine side reuses q_llm_cosine_topk's
@@ -948,5 +1041,5 @@ object Retrieval {
   def all: Seq[QuerySpec] =
     Seq(qBm25, qBm25Index, qBm25Serve, qBm25Fixed, qBm25Inc, qRrfFusion,
       qPosIndex, qPhraseSearch, qPhraseK, qProxSearch, qPosInc,
-      qPhraseSnippet)
+      qPhraseSnippet, qRetrievalEval)
 }

@@ -459,6 +459,10 @@ class PlanSpec extends SparkSpec {
       // away, so Catalyst plans the scalar join as a broadcast nest),
       // printed twice in the adaptive plan
       "q_llm_collocations" -> (2, 0),
+      // retrieval eval composes bm25TopK, inheriting its ONE-ROW
+      // corpus-stats broadcast (printed twice); the eval joins
+      // themselves are all query-keyed equi joins
+      "q_llm_retrieval_eval" -> (2, 0),
       // bm25's stats BNLJ + the cosine side's deliberate
       // queries×corpus broadcast scoring; the RRF pair join itself is
       // an equi join of two k-row-per-query frames

@@ -260,6 +260,24 @@ class RetrievalSpec extends SparkSpec {
     assert(merged == full, s"merged=$merged full=$full")
   }
 
+  test("retrievalEval: hits@k, first rank, rr ppm; empty-rel query kept") {
+    val ranking = Seq(
+      // q1: relevant docs at ranks 2 and 5
+      (1L, 1L, 100L), (1L, 2L, 101L), (1L, 3L, 102L),
+      (1L, 4L, 103L), (1L, 5L, 104L),
+      // q2: nothing relevant ever
+      (2L, 1L, 200L), (2L, 2L, 201L)).toDF("query_id", "rank", "doc_id")
+    val rel = Seq(
+      (1L, 101L), (1L, 104L), (1L, 999L) // 999 never retrieved
+    ).toDF("query_id", "doc_id")
+    val got = Retrieval.retrievalEval(ranking, rel, k = 10)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 2L, 500000L),  // 3 relevant, 2 hit, first at rank 2
+      (2L, 0L, 0L, 0L, 0L)), got.toString)
+  }
+
   test("positionalPostings: 1-based sorted positions per (doc, term)") {
     val got = Retrieval.positionalPostings(docsDf(0L -> "b a b"))
       .orderBy("term")
