@@ -67,6 +67,31 @@ object Retrieval {
       .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
   }
 
+  /** UNIFIED index build: the BM25 postings row (tf, dl, df) AND the
+    * positional row (sorted positions) from ONE corpus scan — what a
+    * nightly index job ships instead of running [[postings]] and
+    * [[positionalPostings]] as two passes over the same text. One
+    * posexploded scan aggregates per (doc, term) — tf is the
+    * positions-array length, dl rides the scan projection — and the
+    * term-keyed df joins back on the SAME persisted frame (the
+    * novelty skew-safe stance). Row-identical to the two separate
+    * builds by construction (spec-pinned and oracle'd). */
+  def buildIndexes(docs: DataFrame,
+      temps: TempCache = TempCache.noop): DataFrame = {
+    val perDoc = temps.register(docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"),
+        posexplode(tokens(col("text"))).as(Seq("p0", "term")))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(sort_array(collect_list(col("p0") + 1)).as("positions"))
+      .withColumn("tf", size(col("positions")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfT = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    perDoc.join(dfT, Seq("term"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("df"), col("positions"))
+  }
+
   /** One-row corpus statistics: (n_docs, avgdl). avgdl is ONE exact
     * long/long IEEE division — identical in DuckDB. */
   def corpusStats(docs: DataFrame): DataFrame =
@@ -916,6 +941,35 @@ object Retrieval {
     },
     qBm25Index.oracle)
 
+  /** The unified one-scan index build, oracle'd end-to-end: BM25
+    * postings columns and positional lists from a single corpus
+    * pass. */
+  val qIndexUnified = QuerySpec(
+    "q_llm_index_unified",
+    (s, d) =>
+      buildIndexes(docsOf(s, d))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+          col("df"), array_join(col("positions"), ",").as("positions"))
+        .orderBy(col("term"), col("doc_id")),
+    Some("""WITH pos AS (
+           |  SELECT doc_id, toks[i] AS term, i, len(toks) AS dl
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+           |        FROM documents) t,
+           |  LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) x
+           |), pd AS (
+           |  SELECT doc_id, term, CAST(max(dl) AS BIGINT) AS dl,
+           |    CAST(count(*) AS BIGINT) AS tf,
+           |    list_sort(list(i)) AS positions
+           |  FROM pos GROUP BY doc_id, term
+           |), dft AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS df
+           |  FROM pd GROUP BY term
+           |)
+           |SELECT pd.term, pd.doc_id, pd.tf, pd.dl, dft.df,
+           |  array_to_string(pd.positions, ',') AS positions
+           |FROM pd JOIN dft ON pd.term = dft.term
+           |ORDER BY pd.term, pd.doc_id""".stripMargin))
+
   /** Retrieval eval card: the tier-fixed BM25 top-10 scored against
     * exact-phrase relevance (documents containing the query's leading
     * 2-token phrase — a deterministic, engine-independent relevance
@@ -1041,5 +1095,5 @@ object Retrieval {
   def all: Seq[QuerySpec] =
     Seq(qBm25, qBm25Index, qBm25Serve, qBm25Fixed, qBm25Inc, qRrfFusion,
       qPosIndex, qPhraseSearch, qPhraseK, qProxSearch, qPosInc,
-      qPhraseSnippet, qRetrievalEval)
+      qPhraseSnippet, qRetrievalEval, qIndexUnified)
 }

@@ -463,6 +463,9 @@ class PlanSpec extends SparkSpec {
       // corpus-stats broadcast (printed twice); the eval joins
       // themselves are all query-keyed equi joins
       "q_llm_retrieval_eval" -> (2, 0),
+      // unified build: one scan, per-(doc,term) agg, term-keyed df
+      // self join — nothing broadcast-nests
+      "q_llm_index_unified" -> (0, 0),
       // bm25's stats BNLJ + the cosine side's deliberate
       // queries×corpus broadcast scoring; the RRF pair join itself is
       // an equi join of two k-row-per-query frames

@@ -260,6 +260,25 @@ class RetrievalSpec extends SparkSpec {
     assert(merged == full, s"merged=$merged full=$full")
   }
 
+  test("buildIndexes == postings columns + positionalPostings positions") {
+    val docs = docsDf(0L -> "a b a c", 1L -> "a b", 2L -> "c c c")
+    val uni = Retrieval.buildIndexes(docs)
+    val post = Retrieval.postings(docs)
+      .orderBy("term", "doc_id")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val uniPost = uni.select("term", "doc_id", "tf", "dl", "df")
+      .orderBy("term", "doc_id")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(uniPost == post, s"uni=$uniPost post=$post")
+    val pp = Retrieval.positionalPostings(docs)
+      .orderBy("term", "doc_id")
+      .as[(Long, String, Seq[Int])].collect().toSeq
+    val uniPp = uni.select("doc_id", "term", "positions")
+      .orderBy("term", "doc_id")
+      .as[(Long, String, Seq[Int])].collect().toSeq
+    assert(uniPp == pp, s"uni=$uniPp pp=$pp")
+  }
+
   test("retrievalEval: hits@k, first rank, rr ppm; empty-rel query kept") {
     val ranking = Seq(
       // q1: relevant docs at ranks 2 and 5
