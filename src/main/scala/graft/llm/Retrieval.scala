@@ -163,6 +163,38 @@ object Retrieval {
       .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
   }
 
+  /** The unified index's nightly merge: [[postingsIncremental]]'s df
+    * reconciliation with the positional column riding the same narrow
+    * stored rows — stored documents never re-tokenize, only never-seen
+    * delta docs pay the one-scan build, and the denormalized df
+    * refreshes from the vocab-sized full-outer-summed frame.
+    * Result-identical to a from-scratch [[buildIndexes]] (oracle'd
+    * through the full-build SQL). */
+  def buildIndexesIncremental(stored: DataFrame,
+      deltaDocs: DataFrame): DataFrame = {
+    val storedIds = stored.select(col("doc_id")).distinct()
+    val fresh = deltaDocs.join(storedIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"),
+        posexplode(tokens(col("text"))).as(Seq("p0", "term")))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(sort_array(collect_list(col("p0") + 1)).as("positions"))
+      .withColumn("tf", size(col("positions")).cast("long"))
+    val dfStored = stored.groupBy(col("term")).agg(max(col("df")).as("df_a"))
+    val dfDelta = fresh.groupBy(col("term")).agg(count(lit(1)).as("df_b"))
+    val dfNew = dfStored.join(dfDelta, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
+          .as("df"))
+    stored.select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("positions"))
+      .unionByName(fresh.select(col("term"), col("doc_id"), col("tf"),
+        col("dl"), col("positions")))
+      .join(dfNew, Seq("term"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("df"), col("positions"))
+  }
+
   /** Serve BM25 top-k from a STORED postings frame (term, doc_id, tf,
     * dl, df) + one-row stats. `qTerms` (query_id, term) is the small
     * side and broadcasts — the postings scan hash-probes it, so only
@@ -970,6 +1002,20 @@ object Retrieval {
            |FROM pd JOIN dft ON pd.term = dft.term
            |ORDER BY pd.term, pd.doc_id""".stripMargin))
 
+  /** The unified index's nightly merge, oracle'd through the
+    * full-build SQL (the q_llm_bm25_inc / q_llm_pos_inc stance). */
+  val qIndexUnifiedInc = QuerySpec(
+    "q_llm_index_unified_inc",
+    (s, d) => {
+      val docs = docsOf(s, d)
+      val stored = buildIndexes(docs.filter(col("doc_id") < 400))
+      buildIndexesIncremental(stored, docs)
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+          col("df"), array_join(col("positions"), ",").as("positions"))
+        .orderBy(col("term"), col("doc_id"))
+    },
+    qIndexUnified.oracle)
+
   /** Retrieval eval card: the tier-fixed BM25 top-10 scored against
     * exact-phrase relevance (documents containing the query's leading
     * 2-token phrase — a deterministic, engine-independent relevance
@@ -1095,5 +1141,5 @@ object Retrieval {
   def all: Seq[QuerySpec] =
     Seq(qBm25, qBm25Index, qBm25Serve, qBm25Fixed, qBm25Inc, qRrfFusion,
       qPosIndex, qPhraseSearch, qPhraseK, qProxSearch, qPosInc,
-      qPhraseSnippet, qRetrievalEval, qIndexUnified)
+      qPhraseSnippet, qRetrievalEval, qIndexUnified, qIndexUnifiedInc)
 }

@@ -466,6 +466,7 @@ class PlanSpec extends SparkSpec {
       // unified build: one scan, per-(doc,term) agg, term-keyed df
       // self join — nothing broadcast-nests
       "q_llm_index_unified" -> (0, 0),
+      "q_llm_index_unified_inc" -> (0, 0),
       // bm25's stats BNLJ + the cosine side's deliberate
       // queries×corpus broadcast scoring; the RRF pair join itself is
       // an equi join of two k-row-per-query frames

@@ -279,6 +279,21 @@ class RetrievalSpec extends SparkSpec {
     assert(uniPp == pp, s"uni=$uniPp pp=$pp")
   }
 
+  test("buildIndexesIncremental == full rebuild; overlapping deltas " +
+    "idempotent") {
+    val docs = docsDf(
+      0L -> "a b a", 1L -> "b c", 2L -> "c a c", 3L -> "d b d")
+    def flat(df: DataFrame) = df
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"),
+        array_join(col("positions"), ","))
+      .orderBy("term", "doc_id")
+      .as[(String, Long, Long, Long, Long, String)].collect().toSeq
+    val full = flat(Retrieval.buildIndexes(docs))
+    val stored = Retrieval.buildIndexes(docs.filter(col("doc_id") < 2))
+    val merged = flat(Retrieval.buildIndexesIncremental(stored, docs))
+    assert(merged == full, s"merged=$merged full=$full")
+  }
+
   test("retrievalEval: hits@k, first rank, rr ppm; empty-rel query kept") {
     val ranking = Seq(
       // q1: relevant docs at ranks 2 and 5
