@@ -78,19 +78,26 @@ object Retrieval {
     * builds by construction (spec-pinned and oracle'd). */
   def buildIndexes(docs: DataFrame,
       temps: TempCache = TempCache.noop): DataFrame = {
-    val perDoc = temps.register(docs
-      .select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("dl"),
-        posexplode(tokens(col("text"))).as(Seq("p0", "term")))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(sort_array(collect_list(col("p0") + 1)).as("positions"))
-      .withColumn("tf", size(col("positions")).cast("long"))
+    val perDoc = temps.register(perDocPositions(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfT = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     perDoc.join(dfT, Seq("term"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
         col("df"), col("positions"))
   }
+
+  /** (doc_id, dl, term, positions, tf): the one-scan per-document
+    * positional frame shared by [[buildIndexes]] and
+    * [[buildIndexesIncremental]] — one definition so the full build
+    * and the nightly merge cannot drift (the perDocTerms stance). */
+  private def perDocPositions(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"),
+        posexplode(tokens(col("text"))).as(Seq("p0", "term")))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(sort_array(collect_list(col("p0") + 1)).as("positions"))
+      .withColumn("tf", size(col("positions")).cast("long"))
 
   /** One-row corpus statistics: (n_docs, avgdl). avgdl is ONE exact
     * long/long IEEE division — identical in DuckDB. */
@@ -170,16 +177,14 @@ object Retrieval {
     * refreshes from the vocab-sized full-outer-summed frame.
     * Result-identical to a from-scratch [[buildIndexes]] (oracle'd
     * through the full-build SQL). */
-  def buildIndexesIncremental(stored: DataFrame,
-      deltaDocs: DataFrame): DataFrame = {
+  def buildIndexesIncremental(stored: DataFrame, deltaDocs: DataFrame,
+      temps: TempCache = TempCache.noop): DataFrame = {
     val storedIds = stored.select(col("doc_id")).distinct()
-    val fresh = deltaDocs.join(storedIds, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("dl"),
-        posexplode(tokens(col("text"))).as(Seq("p0", "term")))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(sort_array(collect_list(col("p0") + 1)).as("positions"))
-      .withColumn("tf", size(col("positions")).cast("long"))
+    // two consumers (the delta df count and the union branch):
+    // persisted so the delta pays the tokenize+posexplode ONCE
+    val fresh = temps.register(perDocPositions(
+      deltaDocs.join(storedIds, Seq("doc_id"), "left_anti"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfStored = stored.groupBy(col("term")).agg(max(col("df")).as("df_a"))
     val dfDelta = fresh.groupBy(col("term")).agg(count(lit(1)).as("df_b"))
     val dfNew = dfStored.join(dfDelta, Seq("term"), "full_outer")
@@ -414,9 +419,11 @@ object Retrieval {
     * count, hits inside the top `k`, the first relevant rank, and the
     * reciprocal rank in integer ppm (`1000000 div first_rank` — MRR's
     * per-query term with no float anywhere, the rrfFuse stance).
-    * Queries with an empty relevance set stay in the card with zeros
-    * (an eval that silently drops no-answer queries overstates
-    * quality).
+    * Queries with an empty relevance set stay in the card with zeros,
+    * and so do queries with relevant docs but NO retrieved rows (an
+    * eval that silently drops no-answer queries in either direction
+    * overstates quality); duplicate judgment rows are deduplicated
+    * before counting.
     *
     * Scale shape: both inputs are k-rows-per-query frames (the
     * ranking by construction, the relevance set by its own join
@@ -424,18 +431,24 @@ object Retrieval {
     * ranking job that produced the inputs. */
   def retrievalEval(ranking: DataFrame, rel: DataFrame,
       k: Int = 10): DataFrame = {
-    val relN = rel.groupBy(col("query_id"))
+    // judgment files may carry duplicate rows; dedup so join fan-out
+    // cannot inflate hits_at_k or n_rel
+    val relD = rel.select(col("query_id"), col("doc_id")).distinct()
+    val relN = relD.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_rel"))
     val hit = ranking.filter(col("rank") <= k)
-      .join(rel.select(col("query_id"), col("doc_id"), lit(1L).as("r")),
+      .join(relD.withColumn("r", lit(1L)),
         Seq("query_id", "doc_id"), "left")
       .groupBy(col("query_id"))
       .agg(sum(coalesce(col("r"), lit(0L))).as("hits_at_k"),
         min(when(col("r") === 1L, col("rank"))).as("first_rank"))
-    hit.join(relN, Seq("query_id"), "left")
+    // FULL outer: a query with relevant docs but zero retrieved rows
+    // must appear with zeros, symmetrically with the empty-relevance
+    // case — dropping either side overstates aggregate quality
+    hit.join(relN, Seq("query_id"), "full_outer")
       .select(col("query_id"),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
-        col("hits_at_k"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
         coalesce(col("first_rank"), lit(0L)).as("first_rank"),
         coalesce(expr("1000000 div first_rank"), lit(0L)).as("rr_ppm"))
   }
@@ -577,11 +590,6 @@ object Retrieval {
            |    list_transform(pos2, x -> x - 1))) > 0
            |ORDER BY m1.query_id, m1.doc_id""".stripMargin))
 
-  /** k-term phrase search, oracle'd end-to-end with the tier-fixed
-    * 3-token phrase set. The oracle states the definition directly:
-    * candidate starts are `position − slot` per matched slot, a start
-    * survives iff all k slots matched there, `n_occ` counts surviving
-    * starts — provably the same set the intersection fold computes. */
   /** The k-way hit CTE chain (slot-exploded tier-fixed phrase set →
     * per-start matched-slot counts), shared by the phrase-k and
     * snippet oracles. */
@@ -599,6 +607,11 @@ object Retrieval {
            |  GROUP BY phr.query_id, pos.doc_id, pos.i - phr.slot
            |)""".stripMargin
 
+  /** k-term phrase search, oracle'd end-to-end with the tier-fixed
+    * 3-token phrase set. The oracle states the definition directly:
+    * candidate starts are `position − slot` per matched slot, a start
+    * survives iff all k slots matched there, `n_occ` counts surviving
+    * starts — provably the same set the intersection fold computes. */
   val qPhraseK = QuerySpec(
     "q_llm_phrase_k",
     (s, d) => {
@@ -1069,13 +1082,13 @@ object Retrieval {
            |    ON t.query_id = r.query_id AND t.doc_id = r.doc_id
            |  GROUP BY t.query_id
            |)
-           |SELECT h.query_id,
+           |SELECT coalesce(h.query_id, relns.query_id) AS query_id,
            |  CAST(coalesce(relns.n_rel, 0) AS BIGINT) AS n_rel,
-           |  h.hits_at_k,
+           |  CAST(coalesce(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,
            |  CAST(coalesce(h.first_rank, 0) AS BIGINT) AS first_rank,
            |  CAST(coalesce(1000000 // h.first_rank, 0) AS BIGINT) AS rr_ppm
-           |FROM hit h LEFT JOIN relns ON h.query_id = relns.query_id
-           |ORDER BY h.query_id""".stripMargin))
+           |FROM hit h FULL OUTER JOIN relns ON h.query_id = relns.query_id
+           |ORDER BY query_id""".stripMargin))
 
   /** Hybrid search: RRF-fuse the BM25 top-10 with the embedding cosine
     * top-10 for the same query ids (vec_id = doc_id contract), pure

@@ -1748,6 +1748,9 @@ object TextAnalysis {
     * df stance; AQE splits a skewed stopword key). */
   def collocations(docs: DataFrame, window: Int = 3, minPair: Long = 5L,
       temps: TempCache = TempCache.noop): DataFrame = {
+    // sequence(1, 0) is DESCENDING [1, 0] in Spark, which would emit
+    // distance-0 self-pairs — reject instead of returning garbage
+    require(window >= 1, s"window must be >= 1, got $window")
     val tp = temps.register(docs
       .select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("p0", "term")))

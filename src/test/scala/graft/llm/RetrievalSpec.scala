@@ -312,6 +312,22 @@ class RetrievalSpec extends SparkSpec {
       (2L, 0L, 0L, 0L, 0L)), got.toString)
   }
 
+  test("retrievalEval: zero-retrieval queries kept; duplicate judgments " +
+    "deduplicated") {
+    val ranking = Seq((1L, 1L, 100L), (1L, 2L, 101L))
+      .toDF("query_id", "rank", "doc_id")
+    val rel = Seq(
+      (1L, 101L), (1L, 101L),  // duplicate judgment row: counts once
+      (7L, 500L))              // q7 has relevance but NO ranking rows
+      .toDF("query_id", "doc_id")
+    val got = Retrieval.retrievalEval(ranking, rel, k = 10)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 2L, 500000L),  // not n_rel=2/hits=2
+      (7L, 1L, 0L, 0L, 0L)), got.toString)
+  }
+
   test("positionalPostings: 1-based sorted positions per (doc, term)") {
     val got = Retrieval.positionalPostings(docsDf(0L -> "b a b"))
       .orderBy("term")

@@ -595,6 +595,11 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(col("w1") === "a")
       .select("w2").as[String].collect().toSeq
     assert(surv == Seq("x"), surv.toString)
+    // window < 1 would emit distance-0 self-pairs (Spark's
+    // sequence(1, 0) is descending) — rejected up front
+    intercept[IllegalArgumentException] {
+      TextAnalysis.collocations(d, window = 0)
+    }
   }
 }
 
