@@ -1142,6 +1142,22 @@ case class SignLshExpr(child: Expression, bits: Int, dim: Int, seed: Long)
 object GraftFunctions {
   type Builder = Seq[Expression] => Expression
 
+  /** A bound/size argument that is anything but an INT literal must
+    * fail ANALYSIS, loudly: the historical fallback silently built the
+    * aggregate with its default k, so a SQL-first caller passing a
+    * BIGINT literal (DuckDB-style `10` parses as BIGINT in some
+    * frontends) or a non-literal expression got a wrong-SIZED result
+    * with no error (round-8 ADVICE). */
+  private def badK(fn: String, es: Seq[Expression]): Throwable =
+    new org.apache.spark.sql.AnalysisException(
+      errorClass = "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
+      messageParameters = Map(
+        "sqlExpr" -> es.mkString(s"$fn(", ", ", ")"),
+        "paramIndex" -> "second",
+        "requiredType" -> "INT literal k",
+        "inputSql" -> es.drop(1).mkString(", "),
+        "inputType" -> es.drop(1).map(_.dataType.sql).mkString(", ")))
+
   val builders: Seq[(String, Builder)] = Seq(
     "graft_simhash64" -> (es => SimHash64Expr(es.head)),
     "graft_minhash_sig" -> {
@@ -1160,15 +1176,18 @@ object GraftFunctions {
     },
     "graft_collect_capped" -> {
       case Seq(c, Literal(n: Int, IntegerType)) => BoundedCollectAggExpr(c, n)
-      case es => BoundedCollectAggExpr(es.head, 100)
+      case Seq(c) => BoundedCollectAggExpr(c, 100)
+      case es => throw badK("graft_collect_capped", es)
     },
     "graft_topk_min" -> {
       case Seq(c, Literal(n: Int, IntegerType)) => TopKMinAggExpr(c, n)
-      case es => TopKMinAggExpr(es.head, 10)
+      case Seq(c) => TopKMinAggExpr(c, 10)
+      case es => throw badK("graft_topk_min", es)
     },
     "graft_sum_topk" -> {
       case Seq(c, Literal(n: Int, IntegerType)) => SumTopKAggExpr(c, n)
-      case es => SumTopKAggExpr(es.head, 10)
+      case Seq(c) => SumTopKAggExpr(c, 10)
+      case es => throw badK("graft_sum_topk", es)
     },
     "graft_bpe_encode" -> (es => BpeEncodeExpr(es(0), es(1))),
     "graft_shingle_hashes_md5" -> {

@@ -70,11 +70,17 @@ case class SumTopKAggExpr(
       val n = a.numElements()
       while (i < n) {
         // SQL-first callers can hand arrays with null slots; skip them
-        // (the TopKMinAgg null stance) instead of NPEing mid-aggregate
+        // (the TopKMinAgg null stance) instead of NPEing mid-aggregate.
+        // Null STRUCT FIELDS are skipped too: checkInputDataTypes can't
+        // see field nullability, and getLong on a null slot silently
+        // reads 0 — a null score (e.g. bm25 under degenerate corpus
+        // stats) must not score as 0 (round-8 ADVICE)
         if (!a.isNullAt(i)) {
           val e = a.getStruct(i, 2)
-          val id = e.getLong(0)
-          buf.update(id, buf.getOrElse(id, 0L) + e.getLong(1))
+          if (!e.isNullAt(0) && !e.isNullAt(1)) {
+            val id = e.getLong(0)
+            buf.update(id, buf.getOrElse(id, 0L) + e.getLong(1))
+          }
         }
         i += 1
       }

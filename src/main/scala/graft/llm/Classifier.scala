@@ -28,7 +28,14 @@ import org.apache.spark.sql.functions._
   * per-feature ±1 sums reduced map-side to another `dims`-row frame.
   * Passes chain in one plan — no driver-side collect, no mutable
   * state; at a fixed pass count the whole job is a linear number of
-  * scans over the persisted feature frame. */
+  * scans over the persisted feature frame.
+  *
+  * CACHE LIFETIME CONTRACT: every `temps`-taking method here persists
+  * the feature frame at MEMORY_AND_DISK; under the default
+  * `TempCache.noop` it is never released — one-shot JVMs only. A
+  * long-running driver MUST pass a real [[TempCache]] and `release()`
+  * after materializing (the [[Retrieval]] / [[Pipeline.curateEmb]]
+  * contract). */
 object Classifier {
 
   import TextAnalysis.tokens

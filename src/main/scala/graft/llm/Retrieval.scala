@@ -36,6 +36,18 @@ import org.apache.spark.sql.functions._
   * candidate set). At warehouse scale, store the postings bucketed on
   * `term` ([[graft.sources.Warehouse.writeBucketed]]) so repeated
   * serving never re-shuffles the index.
+  *
+  * CACHE LIFETIME CONTRACT (applies to every method here taking a
+  * `temps` parameter — [[postings]], [[buildIndexes]], [[bm25TopK]],
+  * [[buildIndexesIncremental]]): with the default `temps =
+  * TempCache.noop` the internal MEMORY_AND_DISK persist is never
+  * released — correct only for one-shot JVMs (Verify/Bench) or
+  * callers that `catalog.clearCache()` afterwards. A long-running
+  * driver composing these (a serving tier, a nightly index chain)
+  * MUST pass a real [[TempCache]] and `release()` after
+  * materializing the result, or each call leaks one corpus-sized
+  * cached frame (the [[Pipeline.curateEmb]] contract; StreamSoak's
+  * bm25 modes exist because of exactly this).
   */
 object Retrieval {
 

@@ -250,6 +250,34 @@ class RetrievalStreamSpec extends SparkSpec {
     assert(got == Seq((1L, 2L)), got.toString)
   }
 
+  test("graft_sum_topk / graft_topk_min reject a non-INT-literal k at analysis") {
+    graft.functions.GraftFunctions.register(spark)
+    // the historical fallback silently built k=10 for a BIGINT literal
+    // or expression k — wrong-SIZED results with no error (r8 ADVICE)
+    for (bad <- Seq(
+        "graft_sum_topk(array(named_struct('id', CAST(1 AS BIGINT), " +
+          "'add', CAST(2 AS BIGINT))), CAST(2 AS BIGINT))",
+        "graft_topk_min(named_struct('a', CAST(1 AS BIGINT)), 1 + 1)")) {
+      val e = intercept[Exception](spark.sql(s"SELECT $bad").collect())
+      assert(e.getMessage.contains("INT literal k"),
+        s"expected a loud analysis failure for $bad, got: ${e.getMessage}")
+    }
+  }
+
+  test("graft_sum_topk skips entries whose id or add FIELD is null") {
+    graft.functions.GraftFunctions.register(spark)
+    // a null add (bm25Ppm under degenerate corpus stats) must not
+    // score as 0 silently (r8 ADVICE): the entry is dropped
+    val got = spark.sql(
+      """SELECT graft_sum_topk(
+        |  array(named_struct('id', CAST(1 AS BIGINT), 'add', CAST(2 AS BIGINT)),
+        |        named_struct('id', CAST(3 AS BIGINT), 'add', CAST(NULL AS BIGINT)),
+        |        named_struct('id', CAST(NULL AS BIGINT), 'add', CAST(7 AS BIGINT))), 3) AS top""".stripMargin)
+      .selectExpr("explode(top) AS t").select("t.id", "t.sum")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)), got.toString)
+  }
+
   test("graft_sum_topk equals the two-level sum-then-rank tail in batch") {
     graft.functions.GraftFunctions.register(spark)
     val rows = Seq(
