@@ -112,51 +112,117 @@ object Classifier {
     score(feat, trainOnFeat(feat, passes = 2))
   }
 
-  /** Multiclass one-vs-all perceptron as ONE relational plan: the
-    * class dimension is DATA, not code — the feature frame cross-joins
-    * the (tiny, broadcast) class list, y = ±1 per (doc, class), and
-    * the same batch-pass algebra runs grouped by (class, feature).
-    * Returns the (c, f, w) weight table: n_classes · dims rows.
+  /** Multiclass one-vs-all perceptron as ONE relational plan,
+    * returning the (c, f, w) weight table (n_classes · dims rows) —
+    * the same margin/update algebra as the binary [[train]], so the
+    * trained weights are exact longs that hash-match across engines.
     *
-    * Scale shape: the corpus-sized feature frame is replicated
-    * n_classes× (a small constant — 5 langs, ~20 domains); weights
-    * stay broadcastable; each pass is one broadcast join + two keyed
-    * aggregates, exactly the binary shape with a wider key. */
+    * Scale shape (reworked round 9 — the r8 ladder showed the
+    * class-replicated form's last 10× step at 5.5×): the corpus never
+    * replicates per class. The ONLY corpus-sized frame is the per-doc
+    * distinct-feature ARRAY frame (one row per document, the array
+    * bounded by the document's own token count — the bounded-unit
+    * stance), built with one shuffle and persisted across passes.
+    * Each pass pivots the (c, f, w) table into a ONE-ROW broadcast
+    * map keyed classIdx·dims + f (≤ n_classes·dims entries — KBs,
+    * the streamingScore layout), computes every class's margin
+    * ROW-LOCALLY per document, and aggregates the misclassified
+    * (class, feature, ±1) bag straight to (c, f) — n_classes·dims
+    * groups, so map-side partials collapse each task's contribution
+    * to ≤ one summary per group and the per-pass shuffle is
+    * vocabulary-sized, not corpus-sized. */
   def multiclassTrain(docs: DataFrame, classCol: Column,
       dims: Int = 1024, passes: Int = 2,
-      temps: TempCache = TempCache.noop): DataFrame = {
-    val classes = broadcast(docs.select(classCol.as("c")).distinct())
+      temps: TempCache = TempCache.noop): DataFrame =
     multiTrainOnFeat(
-      persistFeat(featureFrameMulti(docs, classCol, dims, classes), temps),
-      passes)
-  }
+      persistFeat(docFeatures(docs, classCol, dims), temps),
+      classesOne(docs, classCol), passes, dims)
 
   /** The multiclass twin of [[trainOnFeat]]: empty (c, f, w) start. */
-  private def multiTrainOnFeat(featC: DataFrame, passes: Int): DataFrame = {
-    val w0 = featC.sparkSession.range(0).select(
+  private def multiTrainOnFeat(docFeat: DataFrame, cls: DataFrame,
+      passes: Int, dims: Int): DataFrame = {
+    val w0 = docFeat.sparkSession.range(0).select(
       col("id").cast("string").as("c"), col("id").as("f"), col("id").as("w"))
-    (1 to passes).foldLeft(w0)((w, _) => passMulti(featC, w))
+    (1 to passes).foldLeft(w0)((w, _) => passMulti(docFeat, cls, w, dims))
   }
 
-  private def featureFrameMulti(docs: DataFrame, classCol: Column,
-      dims: Int, classes: DataFrame): DataFrame =
+  /** (doc_id, lab, fs): one row per document carrying its DISTINCT
+    * hashed feature ids as an array — bounded by the document's own
+    * token count. The single corpus-sized frame of multiclass
+    * training; every pass and the final scoring read it. */
+  private def docFeatures(docs: DataFrame, classCol: Column,
+      dims: Int): DataFrame =
     docs
       .select(col("doc_id"), classCol.as("lab"),
         explode(array_distinct(tokens(col("text")))).as("term"))
       .select(col("doc_id"), col("lab"),
         featureId(col("term"), dims).as("f"))
       .distinct()
-      .crossJoin(classes)
-      .withColumn("y", when(col("lab") === col("c"), 1L).otherwise(-1L))
+      .groupBy(col("doc_id"), col("lab"))
+      .agg(collect_list(col("f")).as("fs"))
 
-  private def passMulti(featC: DataFrame, w: DataFrame): DataFrame = {
-    val margins = featC.join(broadcast(w), Seq("c", "f"), "left")
-      .groupBy(col("doc_id"), col("c"), col("y"))
-      .agg(sum(coalesce(col("w"), lit(0L))).as("m"))
-    val dw = featC
-      .join(margins.filter(col("y") * col("m") <= 0)
-          .select(col("doc_id"), col("c")),
-        Seq("doc_id", "c"), "left_semi")
+  /** One-row (cs) frame: the sorted class list — sorted so the
+    * row-local argmax's keep-first tie rule IS "lexicographically
+    * smallest class". Classes come from the raw docs (not the feature
+    * frame), so a class whose docs all tokenize empty still trains. */
+  private def classesOne(docs: DataFrame, classCol: Column): DataFrame =
+    docs.agg(sort_array(collect_set(classCol)).as("cs"))
+
+  /** The (c, f, w) table pivoted to a ONE-ROW broadcastable DENSE
+    * array: slot `classIdx·dims + f` holds w (classIdx = position in
+    * the sorted class list), absent pairs hold 0. Dense deliberately —
+    * Spark's `element_at` on a MAP column is a linear scan over the
+    * entries, so a map pivot costs O(n_classes·dims) per lookup and
+    * turned the sf10 margin fold into ~10¹¹ comparisons (measured 185 s
+    * vs 9 s at 10×); the array slot read is O(1). n_classes·dims longs
+    * ≈ 40 KB at 5×1024 — trivially broadcastable. Empty w (pass 1)
+    * pivots to all zeros, the w = 0 start. */
+  private def weightsOne(w: DataFrame, cls: DataFrame, dims: Int): DataFrame = {
+    val cIdx = cls.select(posexplode(col("cs")).as(Seq("ci", "c")))
+    w.join(broadcast(cIdx), Seq("c"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("ci").cast("long") * dims + col("f")).as("k"),
+        col("w").as("v")))).as("wm"))
+      .crossJoin(cls.select(size(col("cs")).as("ncls")))
+      // one row, built once per pass: the per-slot map scan here is
+      // (n_classes·dims)² ≈ 26M comparisons total, not per document
+      .select(transform(
+        sequence(lit(0L), col("ncls").cast("long") * dims - 1),
+        k => coalesce(element_at(col("wm"), k), lit(0L))).as("wa"))
+  }
+
+  /** Every class's margin per document, computed ROW-LOCALLY from the
+    * per-doc feature array and the one-row dense weight array: adds
+    * `mm` — array<struct<c, m>> in sorted-class order — to the docFeat
+    * rows. No shuffle: the weight/class row rides a broadcast, and
+    * each lookup is an O(1) array slot read (1-based element_at,
+    * always in bounds: f < dims by construction, i < n_classes). */
+  private def marginsLocal(docFeat: DataFrame, cls: DataFrame,
+      wOne: DataFrame, dims: Int): DataFrame =
+    docFeat.crossJoin(broadcast(cls.crossJoin(wOne)))
+      .withColumn("mm", transform(col("cs"), (c, i) => struct(
+        c.as("c"),
+        aggregate(col("fs"), lit(0L), (acc, f) =>
+          acc + element_at(col("wa"),
+            (i.cast("long") * dims + f + 1L).cast("int")))
+          .as("m"))))
+
+  /** One batch pass: row-local margins under `w`, then the
+    * misclassified (margin·y ≤ 0) classes explode against the doc's
+    * feature array and sum ±1 per (class, feature) — the exact
+    * algebra of the class-replicated form, with the corpus-sized
+    * shuffle replaced by an n_classes·dims-group aggregate. */
+  private def passMulti(docFeat: DataFrame, cls: DataFrame, w: DataFrame,
+      dims: Int): DataFrame = {
+    val dw = marginsLocal(docFeat, cls, weightsOne(w, cls, dims), dims)
+      .select(col("lab"), col("fs"),
+        filter(col("mm"), e =>
+          (when(col("lab") === e.getField("c"), lit(1L)).otherwise(lit(-1L)) *
+            e.getField("m")) <= 0).as("miss"))
+      .select(explode(col("miss")).as("e"), col("lab"), col("fs"))
+      .select(col("e.c").as("c"),
+        when(col("lab") === col("e.c"), lit(1L)).otherwise(lit(-1L)).as("y"),
+        explode(col("fs")).as("f"))
       .groupBy(col("c"), col("f")).agg(sum(col("y")).as("dw"))
     w.join(dw, Seq("c", "f"), "full_outer")
       .select(col("c"), col("f"),
@@ -166,27 +232,24 @@ object Classifier {
   /** Learned language ID: train one-vs-all on `lang`, predict each
     * doc's argmax-margin class (ties → lexicographically smallest
     * class), compare with the true label — the trained sibling of the
-    * q_llm_lang_id marker heuristic. */
+    * q_llm_lang_id marker heuristic. The argmax is a row-local fold
+    * over the sorted-class margin array (keep-first on ties), so
+    * scoring adds no shuffle at all. */
   def langClassifierMulti(docs: DataFrame,
       temps: TempCache = TempCache.noop): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val classes = broadcast(docs.select(col("lang").as("c")).distinct())
-    val featC = persistFeat(
-      featureFrameMulti(docs, col("lang"), 1024, classes), temps)
-    val w = multiTrainOnFeat(featC, passes = 2)
-    val margins = featC.join(broadcast(w), Seq("c", "f"), "left")
-      .groupBy(col("doc_id"), col("lab"), col("c"))
-      .agg(sum(coalesce(col("w"), lit(0L))).as("m"))
-    // argmax over the n_classes-row per-doc group (margin desc, class
-    // asc) — a bounded window, one row per (doc, class)
-    val win = Window.partitionBy(col("doc_id"))
-      .orderBy(col("m").desc, col("c"))
-    margins
-      .withColumn("rn", row_number().over(win))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lab").as("lang"), col("c").as("pred"),
-        col("m").as("margin"),
-        (col("lab") === col("c")).cast("boolean").as("correct"))
+    val dims = 1024
+    val cls = classesOne(docs, col("lang"))
+    val docFeat = persistFeat(docFeatures(docs, col("lang"), dims), temps)
+    val w = multiTrainOnFeat(docFeat, cls, passes = 2, dims)
+    marginsLocal(docFeat, cls, weightsOne(w, cls, dims), dims)
+      .withColumn("best",
+        aggregate(col("mm"),
+          lit(null).cast("struct<c:string,m:bigint>"),
+          (acc, e) => when(acc.isNull || e.getField("m") > acc.getField("m"),
+            e).otherwise(acc)))
+      .select(col("doc_id"), col("lab").as("lang"),
+        col("best.c").as("pred"), col("best.m").as("margin"),
+        (col("lab") === col("best.c")).cast("boolean").as("correct"))
   }
 
   /** The multiclass training-and-ranking CTE chain (through `ranked`),

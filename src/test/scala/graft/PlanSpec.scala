@@ -431,19 +431,22 @@ class PlanSpec extends SparkSpec {
       // perceptron passes: dims-row weight frames broadcast-hash-join
       // back; the misclassified-doc semi join is doc-keyed
       "q_llm_doc_clf" -> (0, 0),
-      // multiclass: the only BNLJ is the deliberate 5-row class-list
-      // cross broadcast; the persisted featC subtree is referenced by
-      // every pass stage, so FormattedMode prints that one operator
-      // per reference pre-materialization (the curate_rel stance) —
-      // runtime (PlanAudit, cache materialized) shows the broadcasts
-      // collapsed
-      "q_llm_lang_clf" -> (8, 0),
-      // same single deliberate operator (class-list cross broadcast),
-      // printed once more per cached-subtree reference (normalize
-      // frame + featC each feed two consumers)
-      "q_llm_curate_lang" -> (15, 0),
+      // multiclass (round-9 map-typed form): every BNLJ is a ONE-ROW
+      // broadcast by construction — the sorted class list, the dense
+      // weight pivot, and their 1×1 composition (three such operators
+      // per stage × three stages: pass 1, pass 2, final scoring); the
+      // persisted docFeat subtree is referenced by every stage, so
+      // FormattedMode prints each operator per reference
+      // pre-materialization (the curate_rel stance) — runtime
+      // (PlanAudit, cache materialized) collapses them. The trade the
+      // rework makes: one-row broadcasts instead of corpus×classes
+      // shuffles (sf10 ladder 60.5 s → 18 s)
+      "q_llm_lang_clf" -> (24, 0),
+      // same operators, printed once more per cached-subtree
+      // reference (normalize frame + docFeat each feed two consumers)
+      "q_llm_curate_lang" -> (36, 0),
       // confusion card: lang_clf's chain + one k×k aggregate
-      "q_llm_clf_confusion" -> (8, 0),
+      "q_llm_clf_confusion" -> (24, 0),
       // positional index/phrase: hash-keyed build, broadcast phrase
       // probes, equi pair join — nothing broadcast-nests
       "q_llm_pos_index" -> (0, 0),
