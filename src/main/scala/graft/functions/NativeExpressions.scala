@@ -1156,7 +1156,12 @@ object GraftFunctions {
         "paramIndex" -> "second",
         "requiredType" -> "INT literal k",
         "inputSql" -> es.drop(1).mkString(", "),
-        "inputType" -> es.drop(1).map(_.dataType.sql).mkString(", ")))
+        // an unresolved argument (e.g. a column-reference k reaching
+        // this builder before reference resolution) has no dataType;
+        // formatting must not replace the clean AnalysisException with
+        // an UnresolvedException from the message builder itself
+        "inputType" -> es.drop(1).map(e =>
+          if (e.resolved) e.dataType.sql else "?").mkString(", ")))
 
   val builders: Seq[(String, Builder)] = Seq(
     "graft_simhash64" -> (es => SimHash64Expr(es.head)),

@@ -136,7 +136,7 @@ object Classifier {
       temps: TempCache = TempCache.noop): DataFrame =
     multiTrainOnFeat(
       persistFeat(docFeatures(docs, classCol, dims), temps),
-      classesOne(docs, classCol), passes, dims)
+      persistCls(classesOne(docs, classCol), temps), passes, dims)
 
   /** The multiclass twin of [[trainOnFeat]]: empty (c, f, w) start. */
   private def multiTrainOnFeat(docFeat: DataFrame, cls: DataFrame,
@@ -149,10 +149,13 @@ object Classifier {
   /** (doc_id, lab, fs): one row per document carrying its DISTINCT
     * hashed feature ids as an array — bounded by the document's own
     * token count. The single corpus-sized frame of multiclass
-    * training; every pass and the final scoring read it. */
+    * training; every pass and the final scoring read it. Null-labeled
+    * docs are filtered out — the [[classesOne]] exclusion contract
+    * (they could never be predicted, only distort real weights). */
   private def docFeatures(docs: DataFrame, classCol: Column,
       dims: Int): DataFrame =
     docs
+      .filter(classCol.isNotNull)
       .select(col("doc_id"), classCol.as("lab"),
         explode(array_distinct(tokens(col("text")))).as("term"))
       .select(col("doc_id"), col("lab"),
@@ -164,9 +167,22 @@ object Classifier {
   /** One-row (cs) frame: the sorted class list — sorted so the
     * row-local argmax's keep-first tie rule IS "lexicographically
     * smallest class". Classes come from the raw docs (not the feature
-    * frame), so a class whose docs all tokenize empty still trains. */
+    * frame), so a class whose docs all tokenize empty still trains.
+    *
+    * NULL labels are EXCLUDED from training by contract (collect_set
+    * drops them here, and [[docFeatures]] filters the same rows out of
+    * the feature frame): a null class can never be predicted, so
+    * letting its docs ride through as permanent −1 updates would
+    * silently distort every real class's weights. ClassifierSpec pins
+    * the exclusion. Referenced ~3× per pass plus scoring, so entry
+    * points persist it via [[persistCls]] — without that each
+    * reference re-scans the raw corpus for the collect_set. */
   private def classesOne(docs: DataFrame, classCol: Column): DataFrame =
     docs.agg(sort_array(collect_set(classCol)).as("cs"))
+
+  private def persistCls(cls: DataFrame, temps: TempCache): DataFrame =
+    temps.register(cls
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** The (c, f, w) table pivoted to a ONE-ROW broadcastable DENSE
     * array: slot `classIdx·dims + f` holds w (classIdx = position in
@@ -185,10 +201,14 @@ object Classifier {
         col("w").as("v")))).as("wm"))
       .crossJoin(cls.select(size(col("cs")).as("ncls")))
       // one row, built once per pass: the per-slot map scan here is
-      // (n_classes·dims)² ≈ 26M comparisons total, not per document
+      // (n_classes·dims)² ≈ 26M comparisons total, not per document.
+      // try_element_at, not element_at: on pass 1 the weight map is
+      // empty so every key misses, and under spark.sql.ansi.enabled
+      // element_at on a missing map key throws MAP_KEY_DOES_NOT_EXIST
+      // instead of feeding null to the coalesce
       .select(transform(
         sequence(lit(0L), col("ncls").cast("long") * dims - 1),
-        k => coalesce(element_at(col("wm"), k), lit(0L))).as("wa"))
+        k => coalesce(try_element_at(col("wm"), k), lit(0L))).as("wa"))
   }
 
   /** Every class's margin per document, computed ROW-LOCALLY from the
@@ -238,7 +258,7 @@ object Classifier {
   def langClassifierMulti(docs: DataFrame,
       temps: TempCache = TempCache.noop): DataFrame = {
     val dims = 1024
-    val cls = classesOne(docs, col("lang"))
+    val cls = persistCls(classesOne(docs, col("lang")), temps)
     val docFeat = persistFeat(docFeatures(docs, col("lang"), dims), temps)
     val w = multiTrainOnFeat(docFeat, cls, passes = 2, dims)
     marginsLocal(docFeat, cls, weightsOne(w, cls, dims), dims)

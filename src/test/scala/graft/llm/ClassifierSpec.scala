@@ -56,6 +56,42 @@ class ClassifierSpec extends SparkSpec {
       out.filterNot(_.getAs[Boolean]("correct")).mkString(","))
   }
 
+  test("multiclass training is ANSI-safe (pass-1 empty-map pivot)") {
+    // under ANSI, element_at on a missing map key throws instead of
+    // returning null; pass 1's weight map is empty so EVERY slot
+    // lookup misses — the try_element_at pivot must keep training whole
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val docs = ((0L until 5L).map(i => (i, "en", s"redword fill$i")) ++
+        (5L until 10L).map(i => (i, "de", s"blueword fill$i")))
+        .toDF("doc_id", "lang", "text")
+      val out = Classifier.langClassifierMulti(docs).collect()
+      assert(out.length == 10 && out.forall(_.getAs[Boolean]("correct")))
+    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
+  }
+
+  test("null class labels are excluded from multiclass training and output") {
+    val labeled = ((0L until 10L).map(i => (i, "en", s"redword fill$i shared")) ++
+      (10L until 20L).map(i => (i, "de", s"blueword fill$i shared")))
+      .toDF("doc_id", "lang", "text")
+    val withNull = labeled.unionByName(Seq(
+      (99L, null.asInstanceOf[String], "redword blueword shared"))
+      .toDF("doc_id", "lang", "text"))
+    val out = Classifier.langClassifierMulti(withNull).collect()
+    // the null-labeled doc neither appears in the scored output nor
+    // perturbs the labeled docs' training (classesOne/docFeatures
+    // exclusion contract)
+    assert(out.length == 20 && out.forall(_.getAs[String]("lang") != null))
+    assert(out.forall(_.getAs[Boolean]("correct")), out.mkString(","))
+    val clean = Classifier.langClassifierMulti(labeled).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("pred"), r.getAs[Long]("margin")))
+      .sortBy(_._1).toSeq
+    val dirty = out
+      .map(r => (r.getLong(0), r.getAs[String]("pred"), r.getAs[Long]("margin")))
+      .sortBy(_._1).toSeq
+    assert(clean == dirty, "a null-labeled doc must not shift any weight")
+  }
+
   test("multiclass argmax tie breaks to the lexicographically smallest class") {
     // a fully class-symmetric corpus: docs 2 and 3 carry only the
     // shared token, whose per-class weight cancels to 0 by symmetry,
