@@ -316,6 +316,79 @@ class PlanSpec extends SparkSpec {
       s"a global window would serialize the corpus on one task:\n$p")
   }
 
+  test("segment-merge write set never scans stored POSTINGS — delta + " +
+    "vocab + manifest only (the 100 TB nightly-merge invariant)") {
+    // the ANALYZED logical plan (pre cache-substitution) lists every
+    // relation the query references — persisted intermediates can't
+    // hide their sources the way InMemoryRelation does physically
+    def scanPaths(q: String): Seq[String] =
+      SparkEntry.queries(q)(spark, sf0001).queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.mkString(",")
+            case _ => ""
+          }
+      }
+    for ((q, seg) <- Seq("q_llm_bm25_inc_delta" -> "seg_bm25",
+        "q_llm_index_unified_inc_delta" -> "seg_unified")) {
+      val scans = scanPaths(q)
+      assert(!scans.exists(_.contains(s"$seg/postings")),
+        s"$q reads stored postings — the merge is O(index) again: $scans")
+      assert(scans.exists(_.contains(s"$seg/df")) &&
+        scans.exists(_.contains(s"$seg/doc_ids")),
+        s"$q must read the stored df table and manifest: $scans")
+    }
+    // the denormalized verification view DOES stream the stored
+    // postings scan — through a broadcast hash join, never a term
+    // shuffle. The only term-keyed exchanges allowed are the VOCAB
+    // df full-outer merge's two sides (full outer cannot broadcast;
+    // both inputs are vocab-sized); rangepartitioning for the
+    // verification orderBy is the one allowed exchange above the join
+    for ((q, seg) <- Seq("q_llm_bm25_inc" -> "seg_bm25",
+        "q_llm_index_unified_inc" -> "seg_unified")) {
+      val scans = scanPaths(q)
+      assert(scans.exists(_.contains(s"$seg/postings")), s"$q: $scans")
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q denormalize must broadcast the vocab df table:\n$p")
+      // FormattedMode's tree section prints keys in the detail block,
+      // so the pin is the exchange census: ≤2 term-keyed exchanges —
+      // the vocab full-outer merge's two sides — means the stored
+      // POSTINGS scan itself never shuffles on term
+      val termEx = "Exchange hashpartitioning\\(term".r.findAllIn(p).length
+      assert(termEx <= 2,
+        s"$q: $termEx term-keyed exchanges (allowed: the vocab " +
+          s"full-outer merge's two sides):\n$p")
+    }
+  }
+
+  test("stored-segment serving: the postings table is probed by " +
+    "broadcasts, never shuffled") {
+    // positional serving reads the term-bucketed warehouse table and
+    // has NO term-keyed exchange anywhere
+    for (q <- Seq("q_llm_phrase_search", "q_llm_phrase_k",
+        "q_llm_prox_search")) {
+      val p = plan(q)
+      assert(p.contains("graft_idx_srv_pos"),
+        s"$q must serve from the stored positional table:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(term"),
+        s"$q shuffles the positional index on term:\n$p")
+    }
+    for (q <- Seq("q_llm_bm25_serve", "q_llm_bm25_serve_fixed")) {
+      val p = plan(q)
+      assert(p.contains("graft_idx_srv_post") &&
+        p.contains("graft_idx_srv_df"),
+        s"$q must serve from the stored segment tables:\n$p")
+      // the only term-leading exchange allowed is the QUERY-side term
+      // dedup (query-set-sized); the postings/df scans feed broadcast
+      // hash joins
+      val termEx = "Exchange hashpartitioning\\(term".r.findAllIn(p).length
+      assert(termEx <= 1,
+        s"$q: $termEx term-keyed exchanges — the index side shuffled:\n$p")
+    }
+  }
+
   test("heavy-query BNLJ / single-partition-exchange budgets (annotated invariants)") {
     // The cartesian rule, generalized (VERDICT r6): a
     // BroadcastNestedLoopJoin or an Exchange SinglePartition is
@@ -423,9 +496,12 @@ class PlanSpec extends SparkSpec {
       "q_llm_bm25" -> (2, 0),
       "q_llm_bm25_index" -> (0, 0),
       "q_llm_bm25_serve" -> (2, 0),
-      // index merge: the vocab-sized df full-outer is an equi join;
-      // nothing broadcasts-nests
+      "q_llm_bm25_serve_fixed" -> (2, 0),
+      // segment merge: the vocab-sized df full-outer is an equi join,
+      // the manifest probe and the denormalize are broadcast HASH
+      // joins; nothing broadcast-nests
       "q_llm_bm25_inc" -> (0, 0),
+      "q_llm_bm25_inc_delta" -> (0, 0),
       // tier-fixed serving: same shape as q_llm_bm25
       "q_llm_bm25_fixed" -> (2, 0),
       // perceptron passes: dims-row weight frames broadcast-hash-join
@@ -470,10 +546,12 @@ class PlanSpec extends SparkSpec {
       // self join — nothing broadcast-nests
       "q_llm_index_unified" -> (0, 0),
       "q_llm_index_unified_inc" -> (0, 0),
+      "q_llm_index_unified_inc_delta" -> (0, 0),
       // bm25's stats BNLJ + the cosine side's deliberate
       // queries×corpus broadcast scoring; the RRF pair join itself is
       // an equi join of two k-row-per-query frames
-      "q_llm_rrf_fusion" -> (4, 0))
+      "q_llm_rrf_fusion" -> (4, 0),
+      "q_llm_rrf_fusion_fixed" -> (4, 0))
     val got = budgets.keys.toSeq.sorted.map { q =>
       // the pin is the FRESH-SESSION plan shape: leftover cached frames
       // (this suite's own earlier builds, or — in a full `sbt test` run

@@ -121,6 +121,90 @@ class RetrievalSpec extends SparkSpec {
     assert(again == full)
   }
 
+  test("segment merge: denormalized view == full rebuild; write set == " +
+    "full rebuild restricted to fresh ids; idempotent; delta-only plan") {
+    val docs = docsDf((0L until 20L).map(i =>
+      i -> s"t${i % 7} t${i % 5} t${i % 3} common"): _*)
+    val full = Retrieval.postings(docs)
+      .orderBy("term", "doc_id").collect().toSeq
+    val stored = Retrieval.segBuild(docs.filter(col("doc_id") >= 8))
+    val delta = docs.filter(col("doc_id") < 12) // overlap: ids 8-11
+    val merged = Retrieval.segMerge(stored, delta)
+    assert(Retrieval.segDenormalize(merged)
+      .orderBy("term", "doc_id").collect().toSeq == full)
+    // the write set is exactly the full build's fresh-id rows, with
+    // CORPUS-wide df values
+    val ws = Retrieval.segMergeWriteSet(stored, delta)
+      .orderBy("term", "doc_id").collect().toSeq
+    assert(ws == full.filter(_.getLong(1) < 8L), s"ws=$ws")
+    // idempotency: re-merging the same delta appends nothing
+    val again = Retrieval.segMerge(merged, delta)
+    assert(again.postings.count() == merged.postings.count())
+    assert(Retrieval.segDenormalize(again)
+      .orderBy("term", "doc_id").collect().toSeq == full)
+    // (that the write set never touches stored POSTINGS is pinned at
+    // the query level in PlanSpec: q_llm_bm25_inc_delta's scan set is
+    // manifest + df parquet, without the postings parquet)
+
+    // serving straight from segments == end-to-end inline
+    val queries = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val e2e = Retrieval.bm25TopK(docs, queries, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val seg = Retrieval.segBuild(docs)
+    val served = Retrieval.bm25TopKFromSegments(seg,
+        Retrieval.corpusStats(docs), Retrieval.queryTerms(queries), k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(e2e == served)
+  }
+
+  test("unified segment merge: denormalized view == full rebuild " +
+    "(positions ride the fresh rows)") {
+    val docs = docsDf(
+      0L -> "a b a", 1L -> "b c", 2L -> "c a c", 3L -> "d b d")
+    def flat(df: DataFrame) = df
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"),
+        array_join(col("positions"), ","))
+      .orderBy("term", "doc_id")
+      .as[(String, Long, Long, Long, Long, String)].collect().toSeq
+    val full = flat(Retrieval.buildIndexes(docs))
+    val stored = Retrieval.segBuildUnified(docs.filter(col("doc_id") >= 2))
+    val merged = Retrieval.segMergeUnified(stored, docs)
+    assert(flat(Retrieval.segDenormalize(merged)) == full)
+    val ws = flat(Retrieval.segMergeWriteSet(stored, docs,
+      positional = true))
+    assert(ws == full.filter(_._2 < 2L), s"ws=$ws")
+  }
+
+  test("co-bucketed (term) postings ⋈ df plans with ZERO exchange — the " +
+    "vocab-exceeds-broadcast denormalize fallback") {
+    val docs = docsDf((0L until 12L).map(i =>
+      i -> s"w${i % 5} w${i % 3} shared"): _*)
+    val seg = Retrieval.segBuild(docs)
+    spark.sql("DROP TABLE IF EXISTS seg_cobucket_post")
+    spark.sql("DROP TABLE IF EXISTS seg_cobucket_df")
+    seg.postings.write.mode("overwrite").bucketBy(4, "term").sortBy("term")
+      .option("path", "/root/repo/.segcache/test/seg_cobucket_post")
+      .saveAsTable("seg_cobucket_post")
+    seg.df.write.mode("overwrite").bucketBy(4, "term").sortBy("term")
+      .option("path", "/root/repo/.segcache/test/seg_cobucket_df")
+      .saveAsTable("seg_cobucket_df")
+    // force the non-broadcast path: this is the vocab-TOO-BIG case,
+    // where the co-bucketed sort-merge join must need no exchange
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("seg_cobucket_post")
+        .join(spark.table("seg_cobucket_df"), Seq("term"))
+      val p = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("SortMergeJoin"), s"expected the SMJ shape:\n$p")
+      assert(!p.contains("Exchange"),
+        s"co-bucketed term join must be exchange-free:\n$p")
+      assert(joined.count() == seg.postings.count())
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("serving from an incrementally merged index equals end-to-end") {
     val docs = docsDf((0L until 30L).map(i =>
       i -> s"t${i % 7} t${i % 5} t${i % 3} common pad${i % 2}"): _*)
