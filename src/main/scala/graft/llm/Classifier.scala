@@ -385,19 +385,19 @@ object Classifier {
         when(col("margin") > 0, 1L).otherwise(-1L).as("pred"))
   }
 
-  val qDocClf = QuerySpec(
-    "q_llm_doc_clf",
-    (s, d) =>
-      langClassifier(Tables.load(s, d, "documents"))
-        .orderBy(col("doc_id")),
-    Some("""WITH feat AS (
+  /** The binary-perceptron training-and-scoring CTE chain (through
+    * `scored`), parameterized on the source relation and an optional
+    * prelude CTE (the langClfCtesFor stance), shared by the doc-clf
+    * and curate-clf oracles so variants cannot drift. */
+  private def docClfCtesFor(src: String, prelude: String = ""): String =
+    s"""WITH ${prelude}feat AS (
            |  SELECT DISTINCT doc_id, y,
            |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 1024 AS f
            |  FROM (
            |    SELECT doc_id,
            |      CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
            |      unnest(list_distinct(string_split(text, ' '))) AS term
-           |    FROM documents)
+           |    FROM $src)
            |), w1 AS (
            |  -- pass 1 from w = 0: every margin is 0, every doc
            |  -- misclassified, so w1 = per-feature label sums
@@ -420,7 +420,14 @@ object Classifier {
            |    CAST(sum(coalesce(w2.w, 0)) AS BIGINT) AS margin
            |  FROM feat LEFT JOIN w2 ON feat.f = w2.f
            |  GROUP BY feat.doc_id, feat.y
-           |)
+           |)""".stripMargin
+
+  val qDocClf = QuerySpec(
+    "q_llm_doc_clf",
+    (s, d) =>
+      langClassifier(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some(docClfCtesFor("documents") + """
            |SELECT doc_id, label, margin,
            |  CASE WHEN margin > 0 THEN CAST(1 AS BIGINT)
            |       ELSE CAST(-1 AS BIGINT) END AS pred,
@@ -493,6 +500,63 @@ object Classifier {
            |      FROM kept JOIN dd ON kept.doc_id = dd.doc_id) k
            |ORDER BY k.doc_id""".stripMargin))
 
+  /** QUALITY-FILTERED curation with the LEARNED binary filter in the
+    * loop: normalize → in-plan-trained binary perceptron
+    * ([[langClassifier]], q_llm_doc_clf's model — keep positive-margin
+    * docs) → exact dedup (min-id survivor per content hash) → content
+    * split. The learned-quality sibling of [[curateLang]]: same
+    * composition, binary quality gate instead of the multiclass
+    * argmax. Same scale shape: one normalize scan persisted for its
+    * two consumers, perceptron passes broadcast dims-row weight
+    * frames, dedup is one map-side-combined hash groupBy + a
+    * doc-keyed semi join. */
+  def curateClf(docs: DataFrame,
+      temps: TempCache = TempCache.noop): DataFrame = {
+    val nd = temps.register(docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        Curation.normalize(col("text")).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val kept = temps.register(nd.join(
+      langClassifier(nd, temps)
+        .filter(col("margin") > 0)
+        .select(col("doc_id"), col("margin")),
+      Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val survivors = kept
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    kept.join(survivors, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("margin"),
+        Curation.splitByHash(col("text")).as("split"))
+  }
+
+  val qCurateClf = QuerySpec(
+    "q_llm_curate_clf",
+    (s, d) =>
+      curateClf(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some(docClfCtesFor("nd", raw"""nd AS (
+           |  SELECT doc_id, lang, source,
+           |    lower(trim(regexp_replace(regexp_replace(
+           |      text, '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS text
+           |  FROM documents
+           |), """.stripMargin) + """, kept AS (
+           |  SELECT nd.doc_id, nd.source, nd.text, s.margin
+           |  FROM nd JOIN scored s ON nd.doc_id = s.doc_id
+           |  WHERE s.margin > 0
+           |), dd AS (
+           |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)
+           |)
+           |SELECT k.doc_id, k.source, k.margin,
+           |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM (SELECT kept.*,
+           |        CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT) % 100
+           |          AS b
+           |      FROM kept JOIN dd ON kept.doc_id = dd.doc_id) k
+           |ORDER BY k.doc_id""".stripMargin))
+
   def all: Seq[QuerySpec] =
-    Seq(qDocClf, qLangClf, qClfConfusion, qCurateLang)
+    Seq(qDocClf, qLangClf, qClfConfusion, qCurateLang, qCurateClf)
 }

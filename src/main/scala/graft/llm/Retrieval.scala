@@ -272,6 +272,21 @@ object Retrieval {
       .select((cols.take(4) ++ Seq("df") ++ cols.drop(4)).map(col): _*)
   }
 
+  /** One nightly GENERATION of segment state (what
+    * [[graft.streaming.IndexMaintenance]] persists per micro-batch):
+    * the fresh postings delta, the merged FULL vocab df table, and the
+    * fresh manifest ids. Stored postings/manifest are never rewritten;
+    * the new df table supersedes the old one. */
+  private[graft] def segMergeGen(stored: IndexSegments, deltaDocs: DataFrame,
+      temps: TempCache, positional: Boolean): IndexSegments = {
+    val (perDoc, cols) =
+      if (positional) (perDocPositions _, unifiedCols)
+      else (perDocTerms _, bm25Cols)
+    val (fresh, dfNew, freshIds) =
+      segMergeParts(stored, deltaDocs, temps)(perDoc)
+    IndexSegments(fresh.select(cols.map(col): _*), dfNew, freshIds)
+  }
+
   /** Read-time denormalized view of a segment state: (term, doc_id,
     * tf, dl, df [, positions]). The vocab df table rides a broadcast,
     * so the postings side is a streamed scan with ZERO exchange — at

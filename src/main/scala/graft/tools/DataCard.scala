@@ -44,7 +44,11 @@ object DataCard {
     ("Dominant n-grams (boilerplate watch)", "q_llm_heavy_hitters",
       "top-20 corpus trigrams with exact-in-regime counts from the bounded Misra-Gries sketch — the 'what template is flooding the corpus' feed"),
     ("Relative quality gate pass rates", "q_llm_quality_card_rel",
-      "per-source pass rates under the corpus-median fluency floor — the tier-robust view (the fixed floor's lm column reads 0 across the board at expanded tiers)"))
+      "per-source pass rates under the corpus-median fluency floor — the tier-robust view (the fixed floor's lm column reads 0 across the board at expanded tiers)"),
+    ("Retrieval quality (BM25 eval card)", "q_llm_retrieval_eval",
+      "tier-fixed BM25 top-10 scored against exact-phrase relevance: hits@k, first relevant rank, reciprocal rank in integer ppm per query"),
+    ("Learned language-ID confusion matrix", "q_llm_clf_confusion",
+      "exact doc counts per (true label, predicted class) for the in-plan-trained multiclass perceptron — the shipped-classifier eval artifact"))
 
   /** Pipes and newlines in cell values would split/break the markdown
     * row — escape them so the table stays well-formed whatever the

@@ -15,6 +15,76 @@ class RetrievalStreamSpec extends SparkSpec {
   private def q(id: Long, minute: Int, text: String) =
     Query(id, new java.sql.Timestamp(minute * 60000L), text)
 
+  test("IndexMaintenance: streamed nightly merges == batch full build; " +
+    "crash before the commit marker replays identically; committed " +
+    "replay is a no-op") {
+    import graft.streaming.IndexMaintenance
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("idxmaint").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("idxmaint_ck").toString
+    val allDocs = ((0L until 8L).map(i => (i, s"w${i % 5} w${i % 3} shared")) ++
+      (8L until 12L).map(i => (i, s"fresh$i w${i % 5} shared")))
+    def dump(seg: IndexSegments) = Retrieval.segDenormalize(seg)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"),
+        array_join(col("positions"), ",").as("positions"))
+      .orderBy("term", "doc_id").collect().map(_.toSeq).toSeq
+    val batchBuild = dump(Retrieval.segBuildUnified(
+      allDocs.toDF("doc_id", "text")))
+
+    // two nightly runs over one checkpoint → two generations, the
+    // second including replayed ids 6-7 (at-least-once upstream) that
+    // the manifest anti join must drop
+    val in = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val s = IndexMaintenance.start(
+        in.toDF().toDF("doc_id", "text"), root, ckpt)
+      s.awaitTermination()
+    }
+    in.addData(allDocs.take(8): _*)
+    run()
+    in.addData(allDocs.drop(6): _*) // overlap: 6,7 already indexed
+    run()
+    assert(IndexMaintenance.committedGens(root).size == 2,
+      IndexMaintenance.committedGens(root).toString)
+    val streamed = IndexMaintenance.read(spark, root).get
+    assert(dump(streamed) == batchBuild, "stream-maintained != batch build")
+    // fresh postings of gen 1 are delta-only: ids 8-11, never 6-7
+    val gen1Ids = spark.read.parquet(
+        s"$root/gen=${"%020d".format(1)}/doc_ids")
+      .collect().map(_.getLong(0)).toSet
+    assert(gen1Ids == Set(8L, 9L, 10L, 11L), gen1Ids.toString)
+
+    // CRASH LEG A — killed between the data writes and the marker:
+    // byte-for-byte, gen 1 exists but uncommitted. foreachBatch then
+    // replays batchId 1 over the same pre-state (gen 0 only) and must
+    // rebuild gen 1 identically.
+    val delta2 = allDocs.drop(6).toDF("doc_id", "text")
+    assert(new java.io.File(
+      s"$root/gen=${"%020d".format(1)}/_COMMITTED").delete())
+    IndexMaintenance.mergeBatch(root)(delta2, 1L)
+    assert(dump(IndexMaintenance.read(spark, root).get) == batchBuild,
+      "replay after marker loss must restore the exact state")
+
+    // CRASH LEG B — killed after the marker, before the checkpoint
+    // commit: the replayed batchId is a committed generation and must
+    // be a complete no-op (no duplicate postings, df untouched)
+    val before = dump(IndexMaintenance.read(spark, root).get)
+    IndexMaintenance.mergeBatch(root)(delta2, 1L)
+    assert(dump(IndexMaintenance.read(spark, root).get) == before,
+      "committed replay must not change the index")
+
+    // and the maintained index actually serves (fresh read: the
+    // pre-crash `streamed` frames point at the replaced gen-1 files)
+    val served = Retrieval.bm25TopKFromSegments(
+      IndexMaintenance.read(spark, root).get,
+      allDocs.toDF("doc_id", "text")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(size(split(col("text"), " ")).cast("long")).cast("double") /
+            count(lit(1)).cast("double")).as("avgdl")),
+      Retrieval.queryTerms(allDocs.take(2).toDF("doc_id", "text")), k = 3)
+    assert(served.count() > 0)
+  }
+
   test("streamingBm25Serve: stream top-k == batch stored-postings serving") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.Tables.load(spark, sf0001, "documents")
