@@ -613,6 +613,19 @@ object Retrieval {
       deltaDocs.join(storedIds, Seq("doc_id"), "left_anti")))
   }
 
+  /** Manifest-probed variant (the [[segMergeParts]] stance): when the
+    * stored doc-id manifest is a maintained artifact, never-seen delta
+    * docs are found by one manifest scan broadcast-probed with the
+    * delta ids — the stored postings are appended to without being
+    * read at all, and no per-merge distinct over the index is paid. */
+  def positionalPostingsInc(stored: DataFrame, storedIds: DataFrame,
+      deltaDocs: DataFrame): DataFrame = {
+    val deltaIds = deltaDocs.select(col("doc_id"))
+    val overlap = storedIds.join(broadcast(deltaIds), Seq("doc_id"))
+    stored.unionByName(positionalPostings(
+      deltaDocs.join(broadcast(overlap), Seq("doc_id"), "left_anti")))
+  }
+
   /** Deterministic tier-fixed phrase set: the first two tokens of the
     * base-tier every-50th documents. */
   def phrasesOf(docs: DataFrame): DataFrame =
@@ -824,15 +837,22 @@ object Retrieval {
            |ORDER BY q.query_id, a.doc_id""".stripMargin))
 
   /** The positional-index nightly merge, oracle'd through the
-    * full-build SQL (the q_llm_bm25_inc stance): stored first-80%
-    * rows plus an incremental pass over the whole corpus must equal a
-    * from-scratch build. */
+    * full-build SQL (the q_llm_bm25_inc stance: tier-sized stored
+    * postings + manifest read from [[graft.sources.IndexStore]],
+    * fixed-size overlapping delta; the merge is a pure append — no
+    * cross-document column to reconcile). */
   val qPosInc = QuerySpec(
     "q_llm_pos_inc",
     (s, d) => {
       val docs = docsOf(s, d)
-      val stored = positionalPostings(docs.filter(col("doc_id") < 400))
-      positionalPostingsInc(stored, docs)
+      val stored = graft.sources.IndexStore.parquet(s, d,
+        "seg_pos/postings")(
+        positionalPostings(docs.filter(col("doc_id") >= 400)))
+      val manifest = graft.sources.IndexStore.parquet(s, d,
+        "seg_pos/doc_ids")(
+        docs.filter(col("doc_id") >= 400).select(col("doc_id")))
+      positionalPostingsInc(stored, manifest,
+        docs.filter(col("doc_id") < 500))
         .select(col("term"), col("doc_id"),
           array_join(col("positions"), ",").as("positions"))
         .orderBy(col("term"), col("doc_id"))
