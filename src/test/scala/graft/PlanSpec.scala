@@ -516,7 +516,8 @@ class PlanSpec extends SparkSpec {
       // pre-materialization (the curate_rel stance) — runtime
       // (PlanAudit, cache materialized) collapses them. The trade the
       // rework makes: one-row broadcasts instead of corpus×classes
-      // shuffles (sf10 ladder 60.5 s → 18 s)
+      // shuffles (measured sf10 ladder: 60.5 s → 13.6 s, SCALE.md §7
+      // round-10 row; tier oracles re-verified post-rework)
       "q_llm_lang_clf" -> (24, 0),
       // same operators, printed once more per cached-subtree
       // reference (normalize frame + docFeat each feed two consumers)
