@@ -34,43 +34,99 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * anti join ([[Retrieval.segMergeParts]]'s probe).
   * RetrievalStreamSpec pins both crash legs and stream == batch.
   *
-  * At warehouse scale, a generation is one bounded nightly delta;
-  * accumulated small `postings` generations can be folded by a
-  * background rewrite (the Lucene merge-policy move) without touching
-  * this protocol — readers always union committed generations.
+  * Accumulated small generations are folded by [[compact]] (the
+  * Lucene merge-policy move) into a `cgen=<throughId>` dir holding
+  * the full state through that batchId. The protocol stays monotone
+  * and crash-safe: readers base on the LATEST committed cgen and
+  * union only generations beyond it, so an uncommitted compaction is
+  * simply invisible and superseded generation dirs are garbage that
+  * can be deleted at leisure (compact deletes them after its marker
+  * lands, but correctness never depends on the delete).
   */
 object IndexMaintenance {
 
   private def genDir(root: String, id: Long) = f"$root/gen=$id%020d"
-  private def marker(root: String, id: Long) =
-    new java.io.File(genDir(root, id), "_COMMITTED")
+  private def cgenDir(root: String, id: Long) = f"$root/cgen=$id%020d"
+  private def marker(dir: String) = new java.io.File(dir, "_COMMITTED")
 
-  /** Committed generation ids, ascending. */
-  def committedGens(root: String): Seq[Long] = {
+  private def listIds(root: String, prefix: String): Seq[Long] = {
     val d = new java.io.File(root)
     if (!d.isDirectory) Seq.empty
-    else d.listFiles().toSeq.map(_.getName).filter(_.startsWith("gen="))
-      .map(_.stripPrefix("gen=").toLong).filter(marker(root, _).exists())
+    else d.listFiles().toSeq.map(_.getName).filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).toLong)
+      .filter(id => marker(s"$root/$prefix${"%020d".format(id)}").exists())
       .sorted
   }
 
+  /** Committed generation ids, ascending (compacted-away gens are
+    * deleted by [[compact]] and drop out naturally). */
+  def committedGens(root: String): Seq[Long] = listIds(root, "gen=")
+
+  /** Committed compaction ids (each holds the FULL state through that
+    * batchId), ascending. */
+  def committedCgens(root: String): Seq[Long] = listIds(root, "cgen=")
+
+  /** The current state's constituent dirs: (postings+manifest dirs to
+    * union, the dir holding the authoritative df). Base = the latest
+    * committed compaction, if any; plus every generation beyond it. */
+  private def stateDirs(root: String): Option[(Seq[String], String)] = {
+    val cg = committedCgens(root)
+    val base = cg.lastOption.map(cgenDir(root, _)).toSeq
+    val tail = committedGens(root).filter(g => cg.lastOption.forall(g > _))
+      .map(genDir(root, _))
+    val all = base ++ tail
+    if (all.isEmpty) None else Some((all, all.last))
+  }
+
   /** The serving view of the maintained index: postings and manifest
-    * are the union of all committed generations' deltas, df is the
-    * latest generation's full table. None before the first commit. */
-  def read(spark: SparkSession, root: String): Option[IndexSegments] = {
-    val gens = committedGens(root)
-    if (gens.isEmpty) None
-    else Some(IndexSegments(
-      spark.read.parquet(gens.map(g => s"${genDir(root, g)}/postings"): _*),
-      spark.read.parquet(s"${genDir(root, gens.max)}/df"),
-      spark.read.parquet(gens.map(g => s"${genDir(root, g)}/doc_ids"): _*)))
+    * are the union of the latest compaction (if any) and the
+    * generation deltas beyond it; df is the newest dir's full table.
+    * None before the first commit. */
+  def read(spark: SparkSession, root: String): Option[IndexSegments] =
+    stateDirs(root).map { case (dirs, latest) =>
+      IndexSegments(
+        spark.read.parquet(dirs.map(d => s"$d/postings"): _*),
+        spark.read.parquet(s"$latest/df"),
+        spark.read.parquet(dirs.map(d => s"$d/doc_ids"): _*))
+    }
+
+  /** Fold every committed dir into one `cgen=<latestId>` holding the
+    * full state — the Lucene segment merge. Crash-safe by the same
+    * marker monotonicity as [[mergeBatch]]: until the cgen marker
+    * lands the compaction is invisible; after it lands the superseded
+    * dirs are garbage (deleted here, but never load-bearing). No-op
+    * when the state is already a single dir. */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val cg = committedCgens(root)
+    val gens = committedGens(root).filter(g => cg.lastOption.forall(g > _))
+    if (cg.length + gens.length <= 1) return
+    val throughId = (cg ++ gens).max
+    val state = read(spark, root).get
+    val dir = cgenDir(root, throughId)
+    state.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    state.df.write.mode("overwrite").parquet(s"$dir/df")
+    state.docIds.write.mode("overwrite").parquet(s"$dir/doc_ids")
+    val m = marker(dir)
+    assert(m.createNewFile() || m.exists(), s"marker write failed: $m")
+    spark.catalog.refreshByPath(dir)
+    // superseded dirs are now garbage — GC them (correctness never
+    // depends on this delete landing)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    (cg.map(cgenDir(root, _)) ++ gens.map(genDir(root, _)))
+      .filter(_ != dir).foreach(d => rm(new java.io.File(d)))
   }
 
   /** One micro-batch = one generation. Public for direct replay in
     * specs — `foreachBatch` calls exactly this. */
   def mergeBatch(root: String, positional: Boolean = true)
       (batch: DataFrame, batchId: Long): Unit = {
-    if (marker(root, batchId).exists()) return // committed replay: no-op
+    // committed replay: no-op — either the generation's own marker
+    // stands, or a later compaction has folded (and GC'd) it
+    if (marker(genDir(root, batchId)).exists() ||
+      committedCgens(root).lastOption.exists(_ >= batchId)) return
     val spark = batch.sparkSession
     val docs = batch.select(col("doc_id"), col("text"))
       .dropDuplicates("doc_id")
@@ -87,7 +143,7 @@ object IndexMaintenance {
       gen.postings.write.mode("overwrite").parquet(s"$dir/postings")
       gen.df.write.mode("overwrite").parquet(s"$dir/df")
       gen.docIds.write.mode("overwrite").parquet(s"$dir/doc_ids")
-      val m = marker(root, batchId)
+      val m = marker(dir)
       assert(m.createNewFile() || m.exists(), s"marker write failed: $m")
       // a replay overwrites this generation's files in place; drop any
       // cached file listings so long-lived serving sessions (and the

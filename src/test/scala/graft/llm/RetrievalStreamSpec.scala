@@ -73,6 +73,30 @@ class RetrievalStreamSpec extends SparkSpec {
     assert(dump(IndexMaintenance.read(spark, root).get) == before,
       "committed replay must not change the index")
 
+    // COMPACTION — fold the two generations into one cgen: state
+    // byte-identical, superseded dirs GC'd, and the protocol stays
+    // monotone (an uncommitted compaction is invisible)
+    IndexMaintenance.compact(spark, root)
+    assert(IndexMaintenance.committedCgens(root) == Seq(1L))
+    assert(IndexMaintenance.committedGens(root).isEmpty,
+      "superseded generation dirs must be GC'd")
+    assert(dump(IndexMaintenance.read(spark, root).get) == batchBuild,
+      "compaction must not change the state")
+    // a checkpoint replay of a compacted-away batchId is a no-op
+    IndexMaintenance.mergeBatch(root)(delta2, 1L)
+    assert(IndexMaintenance.committedGens(root).isEmpty &&
+      dump(IndexMaintenance.read(spark, root).get) == batchBuild)
+    // merges continue on top of the compaction (batchIds are
+    // monotone past it), and a second compact folds again
+    in.addData((12L, "brandnew w0 shared"))
+    run()
+    val withNew = dump(Retrieval.segBuildUnified(
+      (allDocs :+ (12L, "brandnew w0 shared")).toDF("doc_id", "text")))
+    assert(dump(IndexMaintenance.read(spark, root).get) == withNew)
+    IndexMaintenance.compact(spark, root)
+    assert(IndexMaintenance.committedCgens(root) == Seq(2L) &&
+      dump(IndexMaintenance.read(spark, root).get) == withNew)
+
     // and the maintained index actually serves (fresh read: the
     // pre-crash `streamed` frames point at the replaced gen-1 files)
     val served = Retrieval.bm25TopKFromSegments(
