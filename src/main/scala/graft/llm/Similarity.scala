@@ -972,7 +972,15 @@ object Similarity {
     * equality through the full-encode oracle SQL. */
   def ivfPqEncodeIncremental(codeTable: DataFrame, vecs: DataFrame,
       coarse: DataFrame, books: DataFrame, m: Int, dim: Int): DataFrame = {
-    val fresh = vecs.join(codeTable.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    // the Retrieval.segMergeParts probe: never shuffle the stored id
+    // set — scan it once, broadcast-probed by the (small) delta ids;
+    // the overlap is at most delta-sized and broadcasts into the anti
+    // join, so the delta-vs-stored dedup costs zero stored-side
+    // exchange (a plain left_anti would shuffle or broadcast the FULL
+    // stored id set — O(index) either way at the 100-TB tier)
+    val overlap = codeTable.select(col("vec_id"))
+      .join(broadcast(vecs.select(col("vec_id"))), Seq("vec_id"))
+    val fresh = vecs.join(broadcast(overlap), Seq("vec_id"), "left_anti")
     guardCodes(codeTable, m)
       .select(col("vec_id"), col("list_id"), col("codes"))
       .unionByName(ivfPqEncode(fresh, coarse, books, m, dim))
