@@ -524,6 +524,10 @@ class PlanSpec extends SparkSpec {
       "q_llm_curate_lang" -> (36, 0),
       // confusion card: lang_clf's chain + one k×k aggregate
       "q_llm_clf_confusion" -> (24, 0),
+      // binary quality-gate curation: every classifier stage is a
+      // dims-row broadcast HASH join (equi on f) — nothing
+      // broadcast-nests
+      "q_llm_curate_clf" -> (0, 0),
       // positional index/phrase: hash-keyed build, broadcast phrase
       // probes, equi pair join — nothing broadcast-nests
       "q_llm_pos_index" -> (0, 0),
