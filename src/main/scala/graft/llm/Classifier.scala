@@ -278,14 +278,15 @@ object Classifier {
     * with `documents` swapped for a normalized `nd` CTE — curate-lang
     * oracles, so variants cannot drift (the bm25CteFor stance). */
   private def langClfCtesFor(src: String, prelude: String = ""): String =
-    s"""WITH ${prelude}classes AS (SELECT DISTINCT lang AS c FROM $src),
+    s"""WITH ${prelude}classes AS (SELECT DISTINCT lang AS c FROM $src
+           |  WHERE lang IS NOT NULL),
            |featd AS (
            |  SELECT DISTINCT doc_id, lab,
            |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 1024 AS f
            |  FROM (
            |    SELECT doc_id, lang AS lab,
            |      unnest(list_distinct(string_split(text, ' '))) AS term
-           |    FROM $src)
+           |    FROM $src WHERE lang IS NOT NULL)
            |)""".stripMargin + langClfTrainCtes
 
   /** The source-independent tail of the chain: featc → two perceptron
@@ -452,18 +453,28 @@ object Classifier {
     * map-side-combined hash groupBy + a doc-keyed semi join; split is
     * a per-row hash. */
   def curateLang(docs: DataFrame, keepLang: String = "en",
-      temps: TempCache = TempCache.noop): DataFrame = {
+      temps: TempCache = TempCache.noop): DataFrame =
+    curateWithGate(docs, temps)(nd =>
+      langClassifierMulti(nd, temps)
+        .filter(col("pred") === lit(keepLang))
+        .select(col("doc_id"), col("margin")))
+
+  /** The shared learned-filter curation composition behind
+    * [[curateLang]] and [[curateClf]]: normalize → the caller's
+    * classifier gate (any (doc_id, margin) keep set trained on the
+    * normalized frame) → exact dedup (min-id survivor per content
+    * hash) → content split. ONE definition so the language and
+    * quality variants cannot drift (the docClfCtesFor stance applied
+    * to the Scala side). */
+  private def curateWithGate(docs: DataFrame, temps: TempCache)
+      (gate: DataFrame => DataFrame): DataFrame = {
     val nd = temps.register(docs
       .select(col("doc_id"), col("lang"), col("source"),
         Curation.normalize(col("text")).as("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // two consumers (the survivor aggregate and the final semi join):
     // persisted so the classifier scoring chain above executes once
-    val kept = temps.register(nd.join(
-      langClassifierMulti(nd, temps)
-        .filter(col("pred") === lit(keepLang))
-        .select(col("doc_id"), col("margin")),
-      Seq("doc_id"))
+    val kept = temps.register(nd.join(gate(nd), Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val survivors = kept
       .groupBy(sha2(col("text"), 256).as("h"))
@@ -511,25 +522,11 @@ object Classifier {
     * frames, dedup is one map-side-combined hash groupBy + a
     * doc-keyed semi join. */
   def curateClf(docs: DataFrame,
-      temps: TempCache = TempCache.noop): DataFrame = {
-    val nd = temps.register(docs
-      .select(col("doc_id"), col("lang"), col("source"),
-        Curation.normalize(col("text")).as("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val kept = temps.register(nd.join(
+      temps: TempCache = TempCache.noop): DataFrame =
+    curateWithGate(docs, temps)(nd =>
       langClassifier(nd, temps)
         .filter(col("margin") > 0)
-        .select(col("doc_id"), col("margin")),
-      Seq("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val survivors = kept
-      .groupBy(sha2(col("text"), 256).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    kept.join(survivors, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("source"), col("margin"),
-        Curation.splitByHash(col("text")).as("split"))
-  }
+        .select(col("doc_id"), col("margin")))
 
   val qCurateClf = QuerySpec(
     "q_llm_curate_clf",

@@ -208,7 +208,13 @@ object Retrieval {
     * scan (broadcast-probed by the delta ids — never shuffled) and the
     * vocab-sized df table; stored POSTINGS are not touched at all.
     * Idempotent under overlapping crawls: already-stored delta ids are
-    * dropped before the explode, so re-merging a delta is a no-op. */
+    * dropped before the explode, so re-merging a delta is a no-op.
+    *
+    * CONTRACT: `deltaDocs` is the bounded nightly slice — its id set
+    * (and therefore the overlap) is force-broadcast. A caller with an
+    * unbounded "delta" wants a full [[segBuild]], not a merge (the
+    * [[Similarity.ivfPqEncodeIncremental]] hint-free variant exists
+    * because ITS oracle replays idempotency over the whole corpus). */
   private def segMergeParts(stored: IndexSegments, deltaDocs: DataFrame,
       temps: TempCache)(perDoc: DataFrame => DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -718,14 +724,15 @@ object Retrieval {
         .orderBy(col("term"), col("doc_id")),
     Some(posCtes + posIndexTailSql))
 
-  /** Exact phrase search, oracle'd end-to-end with the tier-fixed
-    * phrase set (feasible at every tier). */
   /** The stored POSITIONAL index for phrase/proximity serving, as a
     * term-bucketed warehouse table (the servingSegOf stance). */
   private[llm] def servingPosOf(s: SparkSession, d: String): DataFrame =
     graft.sources.IndexStore.bucketedTable(s, d, "srv_pos", "term")(
       positionalPostings(docsOf(s, d)))
 
+  /** Exact phrase search over the stored positional table, oracle'd
+    * end-to-end with the tier-fixed phrase set (feasible at every
+    * tier). */
   val qPhraseSearch = QuerySpec(
     "q_llm_phrase_search",
     (s, d) => {
@@ -1189,7 +1196,11 @@ object Retrieval {
   private def storedSegOf(s: SparkSession, d: String,
       unified: Boolean): IndexSegments = {
     val name = if (unified) "seg_unified" else "seg_bm25"
-    val seg = if (unified) segBuildUnified(docsOf(s, d).filter(col("doc_id") >= 400))
+    // lazy + by-name (the servingSegOf stance): the build — and its
+    // CacheManager persist registration — only happens when a parquet
+    // cache is actually missing, not on every plan construction
+    lazy val seg =
+      if (unified) segBuildUnified(docsOf(s, d).filter(col("doc_id") >= 400))
       else segBuild(docsOf(s, d).filter(col("doc_id") >= 400))
     IndexSegments(
       graft.sources.IndexStore.parquet(s, d, s"$name/postings")(seg.postings),

@@ -972,15 +972,18 @@ object Similarity {
     * equality through the full-encode oracle SQL. */
   def ivfPqEncodeIncremental(codeTable: DataFrame, vecs: DataFrame,
       coarse: DataFrame, books: DataFrame, m: Int, dim: Int): DataFrame = {
-    // the Retrieval.segMergeParts probe: never shuffle the stored id
-    // set — scan it once, broadcast-probed by the (small) delta ids;
-    // the overlap is at most delta-sized and broadcasts into the anti
-    // join, so the delta-vs-stored dedup costs zero stored-side
-    // exchange (a plain left_anti would shuffle or broadcast the FULL
-    // stored id set — O(index) either way at the 100-TB tier)
+    // the Retrieval.segMergeParts probe shape: the stored id set is
+    // scanned once and probed by the delta ids, and the anti join sees
+    // only the (at most delta-sized) overlap — never the FULL stored
+    // id set a plain left_anti would shuffle or broadcast. No forced
+    // broadcast hints: a nightly delta is small and AQE broadcasts it
+    // at runtime, but this entry point is also called with delta ≈
+    // corpus (q_llm_ivfpq_inc replays idempotency over the whole
+    // table), where a forced corpus-sized broadcast would fail
+    // outright instead of degrading to a shuffle.
     val overlap = codeTable.select(col("vec_id"))
-      .join(broadcast(vecs.select(col("vec_id"))), Seq("vec_id"))
-    val fresh = vecs.join(broadcast(overlap), Seq("vec_id"), "left_anti")
+      .join(vecs.select(col("vec_id")), Seq("vec_id"))
+    val fresh = vecs.join(overlap, Seq("vec_id"), "left_anti")
     guardCodes(codeTable, m)
       .select(col("vec_id"), col("list_id"), col("codes"))
       .unionByName(ivfPqEncode(fresh, coarse, books, m, dim))

@@ -31,14 +31,18 @@ object IndexStore {
     sys.env.getOrElse("SPARK_GRAFT_SEG_DIR", "/root/repo/.segcache")
 
   /** Corpus-content key: the sf dir sanitized plus the documents
-    * file's total byte size, so a driver-regenerated tier (same path,
-    * new content) never reuses a stale cache. */
+    * file's total byte size AND newest mtime, so a driver-regenerated
+    * tier (same path, new content — even at an identical byte length)
+    * never reuses a stale cache. */
   def corpusKey(sfDir: String): String = {
     def len(f: java.io.File): Long =
       if (f.isDirectory) f.listFiles().map(len).sum else f.length()
+    def mt(f: java.io.File): Long =
+      if (f.isDirectory) (0L +: f.listFiles().toSeq.map(mt)).max
+      else f.lastModified()
     val docs = new java.io.File(s"$sfDir/documents.parquet")
-    val size = if (docs.exists()) len(docs) else 0L
-    sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_" + size
+    val tag = if (docs.exists()) s"${len(docs)}_${mt(docs)}" else "0"
+    sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_" + tag
   }
 
   /** Write `build` to parquet once (skipped when the writer's own

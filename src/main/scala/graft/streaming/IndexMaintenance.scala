@@ -97,10 +97,19 @@ object IndexMaintenance {
     * dirs are garbage (deleted here, but never load-bearing). No-op
     * when the state is already a single dir. */
   def compact(spark: SparkSession, root: String): Unit = {
-    val cg = committedCgens(root)
-    val gens = committedGens(root).filter(g => cg.lastOption.forall(g > _))
-    if (cg.length + gens.length <= 1) return
-    val throughId = (cg ++ gens).max
+    val latestCg = committedCgens(root).lastOption
+    val tailGens = committedGens(root).filter(g => latestCg.forall(g > _))
+    if (tailGens.isEmpty) {
+      // nothing to fold — but an earlier compaction may have crashed
+      // between its marker and its GC, so finish the GC it promised
+      latestCg.foreach(gcThrough(root, _))
+      return
+    }
+    if (latestCg.isEmpty && tailGens.length == 1) return // already one dir
+    // fold into a cgen named after the newest TAIL generation: always
+    // strictly beyond any committed cgen, so a crashed-GC retry never
+    // overwrites the cgen it is reading from
+    val throughId = tailGens.max
     val state = read(spark, root).get
     val dir = cgenDir(root, throughId)
     state.postings.write.mode("overwrite").parquet(s"$dir/postings")
@@ -109,14 +118,23 @@ object IndexMaintenance {
     val m = marker(dir)
     assert(m.createNewFile() || m.exists(), s"marker write failed: $m")
     spark.catalog.refreshByPath(dir)
-    // superseded dirs are now garbage — GC them (correctness never
-    // depends on this delete landing)
+    gcThrough(root, throughId)
+  }
+
+  /** GC everything the committed `cgen=<throughId>` supersedes: older
+    * cgens and ALL generations ≤ throughId — including generations an
+    * earlier interrupted GC left behind. Correctness never depends on
+    * these deletes landing (readers base on the latest cgen), so a
+    * crash anywhere in here just leaves garbage for the next call. */
+  private def gcThrough(root: String, throughId: Long): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
     }
-    (cg.map(cgenDir(root, _)) ++ gens.map(genDir(root, _)))
-      .filter(_ != dir).foreach(d => rm(new java.io.File(d)))
+    val garbage =
+      committedCgens(root).filter(_ < throughId).map(cgenDir(root, _)) ++
+        committedGens(root).filter(_ <= throughId).map(genDir(root, _))
+    garbage.foreach(d => rm(new java.io.File(d)))
   }
 
   /** One micro-batch = one generation. Public for direct replay in

@@ -97,6 +97,25 @@ class RetrievalStreamSpec extends SparkSpec {
     assert(IndexMaintenance.committedCgens(root) == Seq(2L) &&
       dump(IndexMaintenance.read(spark, root).get) == withNew)
 
+    // CRASH LEG C — a compaction killed between its marker and its
+    // GC leaves committed-but-superseded dirs behind: readers must
+    // ignore them and the next compact() must finish the GC instead
+    // of wedging on a self-overwrite
+    val stale = s"$root/gen=${"%020d".format(1)}"
+    val junk = Seq((99L, "junk")).toDF("doc_id", "text")
+    junk.write.parquet(s"$stale/postings")
+    junk.write.parquet(s"$stale/df")
+    junk.write.parquet(s"$stale/doc_ids")
+    assert(new java.io.File(stale, "_COMMITTED").createNewFile())
+    assert(IndexMaintenance.committedGens(root) == Seq(1L))
+    assert(dump(IndexMaintenance.read(spark, root).get) == withNew,
+      "a superseded committed gen must be invisible to readers")
+    IndexMaintenance.compact(spark, root)
+    assert(IndexMaintenance.committedGens(root).isEmpty &&
+      IndexMaintenance.committedCgens(root) == Seq(2L) &&
+      dump(IndexMaintenance.read(spark, root).get) == withNew,
+      "compact() must finish an interrupted GC without refolding")
+
     // and the maintained index actually serves (fresh read: the
     // pre-crash `streamed` frames point at the replaced gen-1 files)
     val served = Retrieval.bm25TopKFromSegments(
