@@ -1316,7 +1316,7 @@ object Retrieval {
       val docs = docsOf(s, d)
       val fixed = docs.filter(pmod(col("doc_id"), lit(50)) === 0 &&
         col("doc_id") < 500)
-      val rel = phraseSearch(positionalPostings(docs), phrasesOf(docs))
+      val rel = phraseSearch(servingPosOf(s, d), phrasesOf(docs))
         .select(col("query_id"), col("doc_id"))
       retrievalEval(bm25TopK(docs, fixed), rel)
         .orderBy(col("query_id"))
