@@ -972,18 +972,18 @@ object Similarity {
     * equality through the full-encode oracle SQL. */
   def ivfPqEncodeIncremental(codeTable: DataFrame, vecs: DataFrame,
       coarse: DataFrame, books: DataFrame, m: Int, dim: Int): DataFrame = {
-    // the Retrieval.segMergeParts probe shape: the stored id set is
-    // scanned once and probed by the delta ids, and the anti join sees
-    // only the (at most delta-sized) overlap — never the FULL stored
-    // id set a plain left_anti would shuffle or broadcast. No forced
-    // broadcast hints: a nightly delta is small and AQE broadcasts it
-    // at runtime, but this entry point is also called with delta ≈
-    // corpus (q_llm_ivfpq_inc replays idempotency over the whole
-    // table), where a forced corpus-sized broadcast would fail
-    // outright instead of degrading to a shuffle.
-    val overlap = codeTable.select(col("vec_id"))
-      .join(vecs.select(col("vec_id")), Seq("vec_id"))
-    val fresh = vecs.join(overlap, Seq("vec_id"), "left_anti")
+    // one hint-free anti join on the id columns: the planner broadcasts
+    // the stored id set while it is small and AQE degrades to a shuffle
+    // when it is not. Deliberately NOT Retrieval.segMergeParts's
+    // forced-broadcast manifest probe — that shape's contract is a
+    // BOUNDED delta, and this entry point's own oracle replays
+    // idempotency with delta ≈ the whole corpus, where a forced
+    // corpus-sized broadcast fails outright instead of degrading. A
+    // caller with a maintained manifest and a bounded nightly delta
+    // should anti-join against the manifest upstream (the
+    // segMergeParts stance) and pass only never-seen vectors here.
+    val fresh = vecs.join(codeTable.select(col("vec_id")),
+      Seq("vec_id"), "left_anti")
     guardCodes(codeTable, m)
       .select(col("vec_id"), col("list_id"), col("codes"))
       .unionByName(ivfPqEncode(fresh, coarse, books, m, dim))
