@@ -1366,8 +1366,14 @@ object Similarity {
       val vs = Tables.load(s, d, "embeddings")
       val (coarse, books) = ivfPqTrain(vs, coarseStride = 100, m = 4,
         dim = 64, bookStride = 50, iters = 0)
-      val stored = ivfPqEncode(vs.filter(pmod(col("vec_id"), lit(2)) === 0),
-        coarse, books, m = 4, dim = 64)
+      // the stored code table is a MATERIALIZED artifact (the bm25_inc
+      // stance): the measured cost is the delta encode + id anti join,
+      // not an in-plan rebuild of the stored side each rep. The name
+      // pins the quantizer config — a different config is a rebuild.
+      val stored = graft.sources.IndexStore.parquet(s, d,
+        "seg_ivfpq_c100_m4_b50/codes", table = "embeddings")(
+        ivfPqEncode(vs.filter(pmod(col("vec_id"), lit(2)) === 0),
+          coarse, books, m = 4, dim = 64))
       ivfPqEncodeIncremental(stored, vs, coarse, books, m = 4, dim = 64)
         .select(col("vec_id"), col("list_id"), joined(col("codes")).as("codes"))
         .orderBy(col("vec_id"))

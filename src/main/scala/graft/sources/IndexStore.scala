@@ -30,26 +30,28 @@ object IndexStore {
   private def root: String =
     sys.env.getOrElse("SPARK_GRAFT_SEG_DIR", "/root/repo/.segcache")
 
-  /** Corpus-content key: the sf dir sanitized plus the documents
+  /** Corpus-content key: the sf dir sanitized plus the source table
     * file's total byte size AND newest mtime, so a driver-regenerated
     * tier (same path, new content — even at an identical byte length)
-    * never reuses a stale cache. */
-  def corpusKey(sfDir: String): String = {
+    * never reuses a stale cache. `table` must be the table the stored
+    * artifact derives from (documents for text indexes, embeddings
+    * for vector ones). */
+  def corpusKey(sfDir: String, table: String = "documents"): String = {
     def len(f: java.io.File): Long =
       if (f.isDirectory) f.listFiles().map(len).sum else f.length()
     def mt(f: java.io.File): Long =
       if (f.isDirectory) (0L +: f.listFiles().toSeq.map(mt)).max
       else f.lastModified()
-    val docs = new java.io.File(s"$sfDir/documents.parquet")
-    val tag = if (docs.exists()) s"${len(docs)}_${mt(docs)}" else "0"
+    val src = new java.io.File(s"$sfDir/$table.parquet")
+    val tag = if (src.exists()) s"${len(src)}_${mt(src)}" else "0"
     sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_" + tag
   }
 
   /** Write `build` to parquet once (skipped when the writer's own
     * `_SUCCESS` marker already exists) and return a reader over it. */
-  def parquet(spark: SparkSession, sfDir: String, name: String)
-      (build: => DataFrame): DataFrame = {
-    val dir = s"$root/${corpusKey(sfDir)}/$name"
+  def parquet(spark: SparkSession, sfDir: String, name: String,
+      table: String = "documents")(build: => DataFrame): DataFrame = {
+    val dir = s"$root/${corpusKey(sfDir, table)}/$name"
     if (!new java.io.File(s"$dir/_SUCCESS").exists())
       build.write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
