@@ -42,9 +42,22 @@ final case class IndexSegments(postings: DataFrame, df: DataFrame,
   * the inverted-index probe: only postings of query terms survive the
   * scan — and the top-k tail is the bounded `graft_topk_min` aggregate
   * (k rows per query per task cross the shuffle, never the full
-  * candidate set). At warehouse scale, store the postings bucketed on
-  * `term` ([[graft.sources.Warehouse.writeBucketed]]) so repeated
-  * serving never re-shuffles the index.
+  * candidate set).
+  *
+  * STORED form (round 10): the long-lived index is the normalized
+  * [[IndexSegments]] — append-only postings withOUT the
+  * cross-document df column, a vocab-sized (term, df) side table, and
+  * a doc-id manifest — because df is the only column a delta
+  * invalidates corpus-wide; once it is off the postings rows, the
+  * nightly [[segMerge]] writes delta + vocab + manifest bytes only
+  * and never reads, joins, or rewrites stored postings (measured flat
+  * across 100×, SCALE.md §7). Serving ([[bm25TopKFromSegments]])
+  * reads df per query term and needs no denormalize; a denormalized
+  * view, when wanted, is the read-time broadcast join
+  * [[segDenormalize]]. At warehouse scale store postings AND df
+  * co-bucketed on `term` ([[graft.sources.IndexStore.bucketedTable]])
+  * so repeated serving — and the vocab-exceeds-broadcast denormalize
+  * fallback — never re-shuffles the index.
   *
   * CACHE LIFETIME CONTRACT (applies to every method here taking a
   * `temps` parameter — [[postings]], [[buildIndexes]], [[bm25TopK]],

@@ -436,10 +436,11 @@ class PlanSpec extends SparkSpec {
       // encode + the query-side probe/table scorings — same deliberate
       // broadcast set as the inline end-to-end chain
       "q_llm_ivfpq_serve" -> (13, 0),
-      // stored half rides through on one id anti join; training + TWO
-      // encode passes (stored half + delta) each pay the coarse/book
-      // scorings
-      "q_llm_ivfpq_inc" -> (19, 0),
+      // stored half is a MATERIALIZED IndexStore parquet scan (round
+      // 10): only training + the DELTA encode pay coarse/book one-row
+      // broadcasts — the stored half's 12 printed operators left the
+      // plan with its in-plan rebuild (was 19)
+      "q_llm_ivfpq_inc" -> (7, 0),
       "q_llm_pq_ann" -> (0, 0),
       // exact-side ground truth: brute-force queries×corpus broadcast
       // (the queries block is the broadcast side), + the approx chain
