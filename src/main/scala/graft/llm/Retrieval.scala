@@ -216,33 +216,58 @@ object Retrieval {
       docs.select(col("doc_id")))
   }
 
+  /** Never-seen delta ids via the manifest probe — ONE definition of
+    * the fresh-delta idiom shared by [[segMergeParts]] and the 3-arg
+    * [[positionalPostingsInc]], so the two merge families cannot
+    * drift. The delta id set is DEDUPED first (an at-least-once crawl
+    * may repeat a doc; without the distinct, the downstream inner
+    * join would square duplicates into the index). `boundedDelta` =
+    * true force-broadcasts the delta ids and the (at most delta-
+    * sized) overlap — zero stored-side shuffle, the nightly contract;
+    * false keeps the anti join hint-free so an unbounded "delta" (the
+    * compat shims' whole-corpus idempotency replays) degrades to a
+    * planner-chosen shuffle instead of failing on a forced
+    * corpus-sized broadcast. */
+  private def freshIdsOf(manifest: DataFrame, deltaDocs: DataFrame,
+      boundedDelta: Boolean): DataFrame = {
+    val deltaIds = deltaDocs.select(col("doc_id")).distinct()
+    if (boundedDelta) {
+      val overlap = manifest.join(broadcast(deltaIds), Seq("doc_id"))
+      deltaIds.join(broadcast(overlap), Seq("doc_id"), "left_anti")
+    } else deltaIds.join(manifest, Seq("doc_id"), "left_anti")
+  }
+
+  /** The fresh delta DOCUMENT rows: never-seen ids only, exactly one
+    * row per id (duplicate delta rows collapse AFTER the id probe, so
+    * only fresh rows pay the dedup shuffle). */
+  private def freshDocsOf(manifest: DataFrame, deltaDocs: DataFrame,
+      freshIds: DataFrame, boundedDelta: Boolean): DataFrame =
+    deltaDocs
+      .join(if (boundedDelta) broadcast(freshIds) else freshIds,
+        Seq("doc_id"))
+      .dropDuplicates("doc_id")
+
   /** The shared merge core: (fresh per-doc rows, merged vocab df,
     * fresh doc ids). The stored side contributes one streamed MANIFEST
     * scan (broadcast-probed by the delta ids — never shuffled) and the
     * vocab-sized df table; stored POSTINGS are not touched at all.
-    * Idempotent under overlapping crawls: already-stored delta ids are
-    * dropped before the explode, so re-merging a delta is a no-op.
-    *
-    * CONTRACT: `deltaDocs` is the bounded nightly slice — its id set
-    * (and therefore the overlap) is force-broadcast. A caller with an
-    * unbounded "delta" wants a full [[segBuild]], not a merge (the
-    * [[Similarity.ivfPqEncodeIncremental]] hint-free variant exists
-    * because ITS oracle replays idempotency over the whole corpus). */
+    * Idempotent under overlapping crawls AND duplicate delta rows:
+    * already-stored delta ids drop before the explode and repeated
+    * delta rows collapse to one, so re-merging is a no-op and tf is
+    * never inflated (spec-pinned). `boundedDelta` — see
+    * [[freshIdsOf]]: the public merges keep the nightly
+    * bounded-delta broadcasts, the compat shims pass false. */
   private def segMergeParts(stored: IndexSegments, deltaDocs: DataFrame,
-      temps: TempCache)(perDoc: DataFrame => DataFrame)
+      temps: TempCache, boundedDelta: Boolean = true)
+      (perDoc: DataFrame => DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val deltaIds = deltaDocs.select(col("doc_id"))
-    // which delta ids the index already holds: manifest scan +
-    // broadcast probe — zero shuffle on the stored side; the overlap
-    // is at most delta-sized, so it broadcasts into the anti join
-    val overlap = stored.docIds.join(broadcast(deltaIds), Seq("doc_id"))
-    val freshIds = temps.register(deltaIds
-      .join(broadcast(overlap), Seq("doc_id"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val freshIds = temps.register(
+      freshIdsOf(stored.docIds, deltaDocs, boundedDelta)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // two consumers (df count + postings append): persisted so the
     // delta pays the tokenize+explode ONCE
     val fresh = temps.register(
-      perDoc(deltaDocs.join(broadcast(freshIds), Seq("doc_id")))
+      perDoc(freshDocsOf(stored.docIds, deltaDocs, freshIds, boundedDelta))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfDelta = fresh.groupBy(col("term")).agg(count(lit(1)).as("df_b"))
     val dfNew = stored.df.join(dfDelta, Seq("term"), "full_outer")
@@ -264,10 +289,10 @@ object Retrieval {
     segMergeOn(stored, deltaDocs, temps)(perDocPositions, unifiedCols)
 
   private def segMergeOn(stored: IndexSegments, deltaDocs: DataFrame,
-      temps: TempCache)(perDoc: DataFrame => DataFrame,
-      cols: Seq[String]): IndexSegments = {
+      temps: TempCache, boundedDelta: Boolean = true)
+      (perDoc: DataFrame => DataFrame, cols: Seq[String]): IndexSegments = {
     val (fresh, dfNew, freshIds) =
-      segMergeParts(stored, deltaDocs, temps)(perDoc)
+      segMergeParts(stored, deltaDocs, temps, boundedDelta)(perDoc)
     IndexSegments(
       stored.postings.select(cols.map(col): _*)
         .unionByName(fresh.select(cols.map(col): _*)),
@@ -279,7 +304,10 @@ object Retrieval {
     * the fresh postings rows carrying the merged CORPUS-WIDE df —
     * exactly the bytes a segment-style nightly job writes (plus the
     * vocab df table itself), delta + vocab sized at every tier. The
-    * full-build oracle restricted to the fresh ids replays it. */
+    * full-build oracle restricted to the fresh ids replays it. The df
+    * broadcast is pruned to the FRESH terms first (the
+    * [[bm25TopKFromSegments]] probe stance) — the full vocab table
+    * outgrows the broadcast budget long before the delta does. */
   def segMergeWriteSet(stored: IndexSegments, deltaDocs: DataFrame,
       temps: TempCache = TempCache.noop,
       positional: Boolean = false): DataFrame = {
@@ -287,7 +315,9 @@ object Retrieval {
       if (positional) (perDocPositions _, unifiedCols)
       else (perDocTerms _, bm25Cols)
     val (fresh, dfNew, _) = segMergeParts(stored, deltaDocs, temps)(perDoc)
-    fresh.join(broadcast(dfNew), Seq("term"))
+    val freshDf = dfNew.join(
+      broadcast(fresh.select(col("term")).distinct()), Seq("term"))
+    fresh.join(broadcast(freshDf), Seq("term"))
       .select((cols.take(4) ++ Seq("df") ++ cols.drop(4)).map(col): _*)
   }
 
@@ -343,16 +373,16 @@ object Retrieval {
     * oracle SQL. */
   def postingsIncremental(stored: DataFrame, deltaDocs: DataFrame,
       temps: TempCache = TempCache.noop): DataFrame =
-    segDenormalize(segMerge(segFromDenormalized(stored, bm25Cols),
-      deltaDocs, temps))
+    segDenormalize(segMergeOn(segFromDenormalized(stored, bm25Cols),
+      deltaDocs, temps, boundedDelta = false)(perDocTerms, bm25Cols))
 
   /** COMPAT SHIM over [[segMergeUnified]] — see
     * [[postingsIncremental]]. Result-identical to a from-scratch
     * [[buildIndexes]] (oracle'd through the full-build SQL). */
   def buildIndexesIncremental(stored: DataFrame, deltaDocs: DataFrame,
       temps: TempCache = TempCache.noop): DataFrame =
-    segDenormalize(segMergeUnified(
-      segFromDenormalized(stored, unifiedCols), deltaDocs, temps))
+    segDenormalize(segMergeOn(segFromDenormalized(stored, unifiedCols),
+      deltaDocs, temps, boundedDelta = false)(perDocPositions, unifiedCols))
 
   /** Segment state derived from a legacy denormalized postings frame:
     * per-term df (any row; all copies agree) and the doc manifest are
@@ -632,17 +662,18 @@ object Retrieval {
       deltaDocs.join(storedIds, Seq("doc_id"), "left_anti")))
   }
 
-  /** Manifest-probed variant (the [[segMergeParts]] stance): when the
-    * stored doc-id manifest is a maintained artifact, never-seen delta
-    * docs are found by one manifest scan broadcast-probed with the
-    * delta ids — the stored postings are appended to without being
-    * read at all, and no per-merge distinct over the index is paid. */
+  /** Manifest-probed variant (sharing [[freshIdsOf]]/[[freshDocsOf]]
+    * with the segment merges — one probe definition): when the stored
+    * doc-id manifest is a maintained artifact, never-seen delta docs
+    * are found by one manifest scan broadcast-probed with the delta
+    * ids — the stored postings are appended to without being read at
+    * all, no per-merge distinct over the index is paid, and duplicate
+    * delta rows collapse before the explode. */
   def positionalPostingsInc(stored: DataFrame, storedIds: DataFrame,
       deltaDocs: DataFrame): DataFrame = {
-    val deltaIds = deltaDocs.select(col("doc_id"))
-    val overlap = storedIds.join(broadcast(deltaIds), Seq("doc_id"))
+    val freshIds = freshIdsOf(storedIds, deltaDocs, boundedDelta = true)
     stored.unionByName(positionalPostings(
-      deltaDocs.join(broadcast(overlap), Seq("doc_id"), "left_anti")))
+      freshDocsOf(storedIds, deltaDocs, freshIds, boundedDelta = true)))
   }
 
   /** Deterministic tier-fixed phrase set: the first two tokens of the

@@ -90,19 +90,28 @@ object IndexMaintenance {
         spark.read.parquet(dirs.map(d => s"$d/doc_ids"): _*))
     }
 
-  /** Fold every committed dir into one `cgen=<latestId>` holding the
+  /** Fold every committed dir into one `cgen=<throughId>` holding the
     * full state — the Lucene segment merge. Crash-safe by the same
     * marker monotonicity as [[mergeBatch]]: until the cgen marker
     * lands the compaction is invisible; after it lands the superseded
-    * dirs are garbage (deleted here, but never load-bearing). No-op
-    * when the state is already a single dir. */
-  def compact(spark: SparkSession, root: String): Unit = {
+    * dirs are garbage (never load-bearing). No-op when the state is
+    * already a single dir.
+    *
+    * GC AND LIVE READERS: deleting superseded dirs invalidates
+    * [[graft.llm.IndexSegments]] handles a reader obtained from
+    * [[read]] BEFORE the compaction (lazy frames hold the old paths)
+    * — safe for the nightly batch cadence where readers re-[[read]]
+    * per job, but a serving tier holding long-lived handles should
+    * pass `gcSuperseded = false` and run [[gcSupersededDirs]] in its
+    * own maintenance window, after re-resolving readers. */
+  def compact(spark: SparkSession, root: String,
+      gcSuperseded: Boolean = true): Unit = {
     val latestCg = committedCgens(root).lastOption
     val tailGens = committedGens(root).filter(g => latestCg.forall(g > _))
     if (tailGens.isEmpty) {
       // nothing to fold — but an earlier compaction may have crashed
       // between its marker and its GC, so finish the GC it promised
-      latestCg.foreach(gcThrough(root, _))
+      if (gcSuperseded) latestCg.foreach(gcThrough(root, _))
       return
     }
     if (latestCg.isEmpty && tailGens.length == 1) return // already one dir
@@ -118,8 +127,13 @@ object IndexMaintenance {
     val m = marker(dir)
     assert(m.createNewFile() || m.exists(), s"marker write failed: $m")
     spark.catalog.refreshByPath(dir)
-    gcThrough(root, throughId)
+    if (gcSuperseded) gcThrough(root, throughId)
   }
+
+  /** Collect everything the LATEST committed compaction supersedes —
+    * the deferred-GC half of `compact(gcSuperseded = false)`. */
+  def gcSupersededDirs(root: String): Unit =
+    committedCgens(root).lastOption.foreach(gcThrough(root, _))
 
   /** GC everything the committed `cgen=<throughId>` supersedes: older
     * cgens and ALL generations ≤ throughId — including generations an

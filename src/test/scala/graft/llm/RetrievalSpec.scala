@@ -157,6 +157,35 @@ class RetrievalSpec extends SparkSpec {
     assert(e2e == served)
   }
 
+  test("segment merge is duplicate-delta-safe: repeated delta rows " +
+    "never inflate tf, df, or the manifest") {
+    val docs = docsDf((0L until 10L).map(i =>
+      i -> s"t${i % 4} t${i % 3} common"): _*)
+    val full = Retrieval.postings(docs)
+      .orderBy("term", "doc_id").collect().toSeq
+    val stored = Retrieval.segBuild(docs.filter(col("doc_id") >= 6))
+    // an at-least-once crawl: every delta doc delivered TWICE
+    val delta = docs.filter(col("doc_id") < 8)
+    val merged = Retrieval.segMerge(stored, delta.unionAll(delta))
+    assert(Retrieval.segDenormalize(merged)
+      .orderBy("term", "doc_id").collect().toSeq == full)
+    assert(merged.docIds.count() == merged.docIds.distinct().count())
+    val ws = Retrieval.segMergeWriteSet(stored, delta.unionAll(delta))
+      .orderBy("term", "doc_id").collect().toSeq
+    assert(ws == full.filter(_.getLong(1) < 6L), s"ws=$ws")
+    // same contract through the manifest-probed positional merge
+    val ppFull = Retrieval.positionalPostings(docs)
+      .select(col("term"), col("doc_id"), array_join(col("positions"), ","))
+      .orderBy("term", "doc_id").collect().toSeq
+    val ppMerged = Retrieval.positionalPostingsInc(
+        Retrieval.positionalPostings(docs.filter(col("doc_id") >= 6)),
+        docs.filter(col("doc_id") >= 6).select(col("doc_id")),
+        delta.unionAll(delta))
+      .select(col("term"), col("doc_id"), array_join(col("positions"), ","))
+      .orderBy("term", "doc_id").collect().toSeq
+    assert(ppMerged == ppFull)
+  }
+
   test("unified segment merge: denormalized view == full rebuild " +
     "(positions ride the fresh rows)") {
     val docs = docsDf(
