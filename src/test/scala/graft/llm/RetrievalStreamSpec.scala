@@ -128,6 +128,47 @@ class RetrievalStreamSpec extends SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("ingest → stateless curation gate → nightly index generations: " +
+    "the maintained index equals a batch build over the batch-curated " +
+    "corpus") {
+    import graft.streaming.IndexMaintenance
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("idxcur").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("idxcur_ck").toString
+    // docs 0-5 pass the rule gates; 6 is a shingle-loop page and 7 is
+    // too short — both must never reach the index
+    val good = (0L until 6L).map(i => (i, "src", ts(i),
+      s"the quick brown fox jumps over a lazy dog number$i and then " +
+        s"walks away to rest for a while before it returns again"))
+    val bad = Seq(
+      (6L, "src", ts(6), ("spam ham " * 40).trim),
+      (7L, "src", ts(7), "too short"))
+    val in = MemoryStream[(Long, String, java.sql.Timestamp, String)]
+    val curated = StreamingCuration.streamingCurate(
+        in.toDF().toDF("doc_id", "source", "event_ts", "text"))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("cleaned").as("text"))
+    in.addData(good ++ bad: _*) // before start: AvailableNow snapshots offsets
+    IndexMaintenance.start(curated, root, ckpt).awaitTermination()
+    // batch reference: the SAME gate applied in batch, then a full
+    // unified build over the survivors
+    val batchCurated = StreamingCuration.streamingCurate(
+        (good ++ bad).toDF("doc_id", "source", "event_ts", "text"))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("cleaned").as("text"))
+    def dump(seg: IndexSegments) = Retrieval.segDenormalize(seg)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"),
+        array_join(col("positions"), ",").as("positions"))
+      .orderBy("term", "doc_id").collect().map(_.toSeq).toSeq
+    val got = dump(IndexMaintenance.read(spark, root).get)
+    assert(got == dump(Retrieval.segBuildUnified(batchCurated)), "drift")
+    val ids = IndexMaintenance.read(spark, root).get.docIds
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 6L).toSet, s"gated docs leaked: $ids")
+  }
+
+  private def ts(minute: Long) = new java.sql.Timestamp(minute * 60000L)
+
   test("streamingBm25Serve: stream top-k == batch stored-postings serving") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.Tables.load(spark, sf0001, "documents")
