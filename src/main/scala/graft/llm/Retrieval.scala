@@ -1445,6 +1445,39 @@ object Retrieval {
     (s, d) => rrfFusionPlan(s, d, fixed = true),
     Some(rrfSqlFor(bm25CteFixed, "vec_id % 50 = 0 AND vec_id < 500")))
 
+  /** Hybrid search served ENTIRELY from the STORED indexes — the
+    * production nightly configuration: the text ranking reads the
+    * term-bucketed warehouse segment tables ([[servingSegOf]], zero
+    * postings-side exchange) and the semantic ranking probes the
+    * MATERIALIZED IVF-PQ code table ([[Similarity.storedCodesOf]],
+    * probes = 2 — candidates come from probed inverted lists only,
+    * never a corpus-wide cosine scan), fused by the same integer RRF.
+    * This is the configuration q_llm_rrf_fusion's exact-cosine side
+    * cannot scale to (its cost is linear in corpus per query set);
+    * here the semantic side is probed-list-sized, so the whole hybrid
+    * chain inherits the flat serving economics of its two stored
+    * halves. The exact-cosine fusion forms remain as the recall/eval
+    * harness they are. Tier-fixed query set (the bm25_fixed stance),
+    * so the oracle replays at the 100× tier. */
+  val qRrfFusionServe = QuerySpec(
+    "q_llm_rrf_fusion_serve",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = docsOf(s, d)
+      def pred(c: Column) = pmod(c, lit(50)) === 0 && c < 500
+      val text = bm25TopKFromSegments(servingSegOf(s, d),
+        corpusStats(docs), queryTerms(docs.filter(pred(col("doc_id")))))
+      val (codes, coarse, books) = Similarity.storedCodesOf(s, d)
+      val vs = Tables.load(s, d, "embeddings")
+      val vec = Similarity.ivfPqTopKFromCodes(codes,
+          vs.filter(pred(col("vec_id"))), k = 10, coarse, books,
+          m = 4, dim = 64, probes = 2)
+        .select(col("q_id").as("query_id"), col("rank"),
+          col("neighbor_id").as("doc_id"))
+      rrfFuse(text, vec).orderBy(col("query_id"), col("rank"))
+    },
+    Some(rrfServeSql))
+
   private def rrfSqlFor(bmCte: String, vqPred: String): String =
     bmCte.replace("WITH qt AS (", s"""WITH v AS (
       |  SELECT vec_id, embedding,
@@ -1488,9 +1521,113 @@ object Retrieval {
       |QUALIFY "rank" <= 10
       |ORDER BY query_id, "rank"""".stripMargin
 
+  /** The q_llm_ivfpq_ann_p2 oracle chain, iv-prefixed so its CTE names
+    * stay disjoint from the BM25 chain's, with the query-side probe
+    * slice on the tier-fixed predicate and k = 10 — composed with
+    * [[bm25CteFixed]] and the RRF tail into the stored-stored hybrid
+    * oracle. Every scoring byte matches the standalone IVF-PQ and BM25
+    * oracles (the shared-CTE-prefix discipline), so the fusion cannot
+    * drift from its two halves. */
+  private lazy val rrfServeSql =
+    bm25CteFixed + """, ivq AS (
+      |  SELECT vec_id,
+      |    CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+      |      THEN list_transform(embedding, x -> 0)
+      |      ELSE list_transform(embedding, x -> CAST(floor(
+      |        CAST(x AS DOUBLE) /
+      |        CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
+      |        * 127.0 + 0.5) AS INTEGER))
+      |    END AS qfull
+      |  FROM embeddings
+      |), ivcoarse AS (
+      |  SELECT vec_id AS c_id, qfull AS c_q FROM ivq WHERE vec_id % 100 = 0
+      |), ivcscore AS (
+      |  SELECT q.vec_id, q.qfull, c.c_id, c.c_q,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_zip(q.qfull, c.c_q),
+      |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+      |      (a, x) -> a + x) AS dist
+      |  FROM ivq q, ivcoarse c
+      |), ivassigned AS (
+      |  SELECT vec_id, qfull, c_id AS list_id, c_q AS list_q FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist, c_id) AS rn FROM ivcscore) WHERE rn = 1
+      |), ivrsub AS (
+      |  SELECT vec_id, list_id, j.sub_id,
+      |    (list_transform(list_zip(qfull, list_q), z -> z[1] - z[2]))
+      |      [j.sub_id * 16 + 1 : j.sub_id * 16 + 16] AS sq
+      |  FROM ivassigned, LATERAL (SELECT unnest(range(0, 4)) AS sub_id) j
+      |), ivbooks AS (
+      |  SELECT sub_id, vec_id AS c_id, sq AS c_q FROM ivrsub
+      |  WHERE vec_id % 50 = 0
+      |), ivscored AS (
+      |  SELECT r.vec_id, r.list_id, r.sub_id, b.c_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_zip(r.sq, b.c_q),
+      |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+      |      (a, x) -> a + x) AS dist
+      |  FROM ivrsub r JOIN ivbooks b USING (sub_id)
+      |), ivcodes AS (
+      |  SELECT vec_id, list_id, sub_id, c_id AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+      |      ORDER BY dist, c_id) AS rn FROM ivscored) WHERE rn = 1
+      |), ivprobed AS (
+      |  SELECT vec_id AS q_id, qfull, c_id AS list_id, c_q AS list_q
+      |  FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist, c_id) AS rn FROM ivcscore
+      |    WHERE vec_id % 50 = 0 AND vec_id < 500)
+      |  WHERE rn <= 2
+      |), ivqrsub AS (
+      |  SELECT q_id, list_id, j.sub_id,
+      |    (list_transform(list_zip(qfull, list_q), z -> z[1] - z[2]))
+      |      [j.sub_id * 16 + 1 : j.sub_id * 16 + 16] AS sq
+      |  FROM ivprobed, LATERAL (SELECT unnest(range(0, 4)) AS sub_id) j
+      |), ivqt AS (
+      |  SELECT r.q_id, r.list_id, r.sub_id, b.c_id AS code,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_zip(r.sq, b.c_q),
+      |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+      |      (a, x) -> a + x) AS d
+      |  FROM ivqrsub r JOIN ivbooks b USING (sub_id)
+      |), ivadist AS (
+      |  SELECT q.q_id, c.vec_id, CAST(sum(q.d) AS BIGINT) AS adist
+      |  FROM ivcodes c JOIN ivqt q
+      |    ON c.list_id = q.list_id AND c.sub_id = q.sub_id
+      |    AND c.code = q.code
+      |  WHERE c.vec_id != q.q_id
+      |  GROUP BY q.q_id, c.vec_id
+      |), vrank AS (
+      |  SELECT q_id AS query_id, vec_id AS doc_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY adist, vec_id) AS BIGINT) AS rank_vec
+      |  FROM ivadist QUALIFY rank_vec <= 10
+      |), trank AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank_text
+      |  FROM scoresum QUALIFY rank_text <= 10
+      |), fused AS (
+      |  SELECT coalesce(t.query_id, v.query_id) AS query_id,
+      |    coalesce(t.doc_id, v.doc_id) AS doc_id,
+      |    coalesce(1000000 // (60 + t.rank_text), 0)
+      |      + coalesce(1000000 // (60 + v.rank_vec), 0) AS rrf_ppm,
+      |    t.rank_text, v.rank_vec
+      |  FROM trank t FULL OUTER JOIN vrank v
+      |    ON t.query_id = v.query_id AND t.doc_id = v.doc_id
+      |)
+      |SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS "rank",
+      |  doc_id, rrf_ppm, rank_text, rank_vec
+      |FROM fused
+      |QUALIFY "rank" <= 10
+      |ORDER BY query_id, "rank"""".stripMargin
+
   def all: Seq[QuerySpec] =
     Seq(qBm25, qBm25Index, qBm25Serve, qBm25ServeFixed, qBm25Fixed,
       qBm25Inc, qBm25IncDelta, qRrfFusion, qRrfFusionFixed,
+      qRrfFusionServe,
       qPosIndex, qPhraseSearch, qPhraseK, qProxSearch, qPosInc,
       qPhraseSnippet, qRetrievalEval, qIndexUnified, qIndexUnifiedInc,
       qIndexUnifiedIncDelta)

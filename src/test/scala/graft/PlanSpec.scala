@@ -375,11 +375,17 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Exchange hashpartitioning(term"),
         s"$q shuffles the positional index on term:\n$p")
     }
-    for (q <- Seq("q_llm_bm25_serve", "q_llm_bm25_serve_fixed")) {
+    for (q <- Seq("q_llm_bm25_serve", "q_llm_bm25_serve_fixed",
+        "q_llm_rrf_fusion_serve")) {
       val p = plan(q)
       assert(p.contains("graft_idx_srv_post") &&
         p.contains("graft_idx_srv_df"),
         s"$q must serve from the stored segment tables:\n$p")
+      if (q == "q_llm_rrf_fusion_serve")
+        assert(p.contains("seg_ivfpq_full"),
+          s"$q's semantic side must read the MATERIALIZED code table — " +
+            s"an in-plan re-encode (or a cosine corpus scan) is the " +
+            s"r10 weak this query exists to clear:\n$p")
       // the only term-leading exchange allowed is the QUERY-side term
       // dedup (query-set-sized); the postings/df scans feed broadcast
       // hash joins
@@ -433,9 +439,15 @@ class PlanSpec extends SparkSpec {
       // encode half of the chain only: coarse assign + per-subspace
       // codebook scorings (training sides included at stride seeds)
       "q_llm_ivfpq_codes" -> (7, 0),
-      // encode + the query-side probe/table scorings — same deliberate
-      // broadcast set as the inline end-to-end chain
-      "q_llm_ivfpq_serve" -> (13, 0),
+      // round 11: the code table is the MATERIALIZED IndexStore
+      // artifact (storedCodesOf) — the encode side's broadcasts left
+      // the plan; what remains is training (stride seeds) + the
+      // query-side probe/table scorings, all centroid/codebook-sized.
+      // Pinned at the WARM-store shape (the cartesian sweep above
+      // builds every IndexStore artifact before this test runs; a
+      // cold first-build plan prints 12 — the build subtree's cached
+      // frames substitute differently)
+      "q_llm_ivfpq_serve" -> (7, 0),
       // stored half is a MATERIALIZED IndexStore parquet scan (round
       // 10): only training + the DELTA encode pay coarse/book one-row
       // broadcasts — the stored half's 12 printed operators left the
@@ -557,7 +569,16 @@ class PlanSpec extends SparkSpec {
       // queries×corpus broadcast scoring; the RRF pair join itself is
       // an equi join of two k-row-per-query frames
       "q_llm_rrf_fusion" -> (4, 0),
-      "q_llm_rrf_fusion_fixed" -> (4, 0))
+      "q_llm_rrf_fusion_fixed" -> (4, 0),
+      // stored-stored hybrid (round 11): the text side serves from the
+      // term-bucketed warehouse tables (zero postings exchange — the
+      // serving pin above covers it) with its one-row corpus-stats
+      // broadcast; the semantic side reads the MATERIALIZED code table
+      // and pays only the query-side probe/ADC-table scorings (coarse
+      // and codebook broadcasts at stride seeds). Every BNLJ side is
+      // one-row / centroid / codebook sized; the RRF pair join is an
+      // equi join of two k-row-per-query frames
+      "q_llm_rrf_fusion_serve" -> (9, 0))
     val got = budgets.keys.toSeq.sorted.map { q =>
       // the pin is the FRESH-SESSION plan shape: leftover cached frames
       // (this suite's own earlier builds, or — in a full `sbt test` run
