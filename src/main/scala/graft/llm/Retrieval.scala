@@ -325,14 +325,20 @@ object Retrieval {
     * [[graft.streaming.IndexMaintenance]] persists per micro-batch):
     * the fresh postings delta, the merged FULL vocab df table, and the
     * fresh manifest ids. Stored postings/manifest are never rewritten;
-    * the new df table supersedes the old one. */
+    * the new df table supersedes the old one. `boundedDelta` — see
+    * [[freshIdsOf]]: true force-broadcasts the delta id probe (the
+    * nightly contract), false lets a catch-up-sized delta degrade to
+    * a planner-chosen shuffled anti join instead of failing on the
+    * broadcast limit (IndexMaintenance auto-selects from the actual
+    * batch row count). */
   private[graft] def segMergeGen(stored: IndexSegments, deltaDocs: DataFrame,
-      temps: TempCache, positional: Boolean): IndexSegments = {
+      temps: TempCache, positional: Boolean,
+      boundedDelta: Boolean = true): IndexSegments = {
     val (perDoc, cols) =
       if (positional) (perDocPositions _, unifiedCols)
       else (perDocTerms _, bm25Cols)
     val (fresh, dfNew, freshIds) =
-      segMergeParts(stored, deltaDocs, temps)(perDoc)
+      segMergeParts(stored, deltaDocs, temps, boundedDelta)(perDoc)
     IndexSegments(fresh.select(cols.map(col): _*), dfNew, freshIds)
   }
 
@@ -1624,11 +1630,76 @@ object Retrieval {
       |QUALIFY "rank" <= 10
       |ORDER BY query_id, "rank"""".stripMargin
 
+  /** Text-index health: the per-source stats an index data card
+    * publishes — the operational twin of q_llm_ivf_stats for the
+    * inverted index. One row per source: document count, postings
+    * rows (Σ distinct terms per doc — the index's dominant stored
+    * volume), exact token total, vocabulary size, and the
+    * vocab-to-postings row ratio in ppm (how much of the index the
+    * per-term df side table costs relative to the postings — the
+    * number that decides whether the df table still broadcasts or
+    * must co-bucket). A source whose ratio spikes is boilerplate-
+    * degenerate (few distinct terms repeated everywhere — candidate
+    * for the heavy-hitters scrub); one whose postings dwarf its token
+    * count signals tokenizer breakage.
+    *
+    * Scale shape: ONE corpus scan exploded and map-side-combined per
+    * (source, doc, term); n_docs comes from the raw table (no
+    * distinct); the vocab count is a map-side-partial distinct on
+    * (source, term); all joins are source-cardinality-sized. No
+    * Expand (a two-countDistinct agg would double the postings
+    * shuffle), no windows. */
+  def indexStats(docs: DataFrame): DataFrame = {
+    val pd = docs
+      .select(col("source"), col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val base = pd.groupBy(col("source"))
+      .agg(count(lit(1)).as("postings_rows"),
+        sum(col("tf")).as("total_tokens"))
+    val nDocs = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val vocab = pd.select(col("source"), col("term")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("vocab"))
+    base.join(nDocs, Seq("source")).join(vocab, Seq("source"))
+      .select(col("source"), col("n_docs"), col("postings_rows"),
+        col("total_tokens"), col("vocab"),
+        expr("(1000000 * vocab) div postings_rows").as("df_ratio_ppm"))
+  }
+
+  val qIndexStats = QuerySpec(
+    "q_llm_index_stats",
+    (s, d) => indexStats(docsOf(s, d)).orderBy(col("source")),
+    Some("""WITH pd AS (
+           |  SELECT source, doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT source, doc_id,
+           |          unnest(string_split(text, ' ')) AS term
+           |        FROM documents)
+           |  GROUP BY source, doc_id, term
+           |), base AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS postings_rows,
+           |    CAST(sum(tf) AS BIGINT) AS total_tokens
+           |  FROM pd GROUP BY source
+           |), nd AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           |  FROM documents GROUP BY source
+           |), voc AS (
+           |  SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS vocab
+           |  FROM pd GROUP BY source
+           |)
+           |SELECT base.source, n_docs, postings_rows, total_tokens, vocab,
+           |  CAST((1000000 * vocab) // postings_rows AS BIGINT)
+           |    AS df_ratio_ppm
+           |FROM base JOIN nd ON base.source = nd.source
+           |  JOIN voc ON base.source = voc.source
+           |ORDER BY base.source""".stripMargin))
+
   def all: Seq[QuerySpec] =
     Seq(qBm25, qBm25Index, qBm25Serve, qBm25ServeFixed, qBm25Fixed,
       qBm25Inc, qBm25IncDelta, qRrfFusion, qRrfFusionFixed,
       qRrfFusionServe,
       qPosIndex, qPhraseSearch, qPhraseK, qProxSearch, qPosInc,
       qPhraseSnippet, qRetrievalEval, qIndexUnified, qIndexUnifiedInc,
-      qIndexUnifiedIncDelta)
+      qIndexUnifiedIncDelta, qIndexStats)
 }

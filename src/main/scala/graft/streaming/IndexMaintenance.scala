@@ -1,6 +1,10 @@
 package graft.streaming
 
+import java.io.IOException
+
 import graft.llm.{IndexSegments, Retrieval, TempCache}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -26,13 +30,26 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * written LAST, readers ([[read]]) see only marked generations, and
   * a replayed batchId is (a) a full no-op when its marker exists —
   * the crash landed after the marker, before the checkpoint commit —
-  * or (b) recomputed byte-identically over the same pre-state when it
-  * doesn't, because the uncommitted generation was invisible to
-  * [[read]] (the crash landed between data writes and the marker).
-  * Within a batch, upstream at-least-once duplicates collapse via
-  * `dropDuplicates(doc_id)` and already-indexed docs via the manifest
-  * anti join ([[Retrieval.segMergeParts]]'s probe).
+  * or (b) recomputed over the same pre-state when it doesn't, because
+  * the uncommitted generation was invisible to [[read]] (the crash
+  * landed between data writes and the marker). Within a batch,
+  * upstream at-least-once duplicates collapse via
+  * `dropDuplicates(doc_id)` — and the deduped frame is
+  * `localCheckpoint`ed before the three artifact writes fan out, so a
+  * lost-and-recomputed cache block can never re-elect a DIFFERENT
+  * survivor between the postings and doc_ids jobs (the one
+  * nondeterminism that could make a single generation internally
+  * inconsistent). Already-indexed docs drop via the manifest anti
+  * join ([[Retrieval.segMergeParts]]'s probe).
   * RetrievalStreamSpec pins both crash legs and stream == batch.
+  *
+  * All commit-protocol I/O (markers, generation listings, GC) goes
+  * through Hadoop's [[FileSystem]] resolved from the root path, so
+  * the exactly-once contract holds wherever Spark can write — local
+  * disk, HDFS, or an object store with atomic single-object PUTs and
+  * strongly consistent listings (S3 since 2020). Only the marker
+  * create is required to be atomic; generation data files never need
+  * renames (the [[ManifestStore]] stance).
   *
   * Accumulated small generations are folded by [[compact]] (the
   * Lucene merge-policy move) into a `cgen=<throughId>` dir holding
@@ -40,26 +57,51 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * and crash-safe: readers base on the LATEST committed cgen and
   * union only generations beyond it, so an uncommitted compaction is
   * simply invisible and superseded generation dirs are garbage that
-  * can be deleted at leisure (compact deletes them after its marker
-  * lands, but correctness never depends on the delete).
+  * can be deleted at leisure — by default they are NOT deleted
+  * (`gcSuperseded = false`), because a long-lived serving session's
+  * lazily-evaluated [[read]] handles still reference them; run
+  * [[gcSupersededDirs]] in a maintenance window after re-resolving
+  * readers, or opt into immediate GC when readers are known to be
+  * per-job (the nightly batch cadence).
   */
 object IndexMaintenance {
 
   private def genDir(root: String, id: Long) = f"$root/gen=$id%020d"
   private def cgenDir(root: String, id: Long) = f"$root/cgen=$id%020d"
-  private def marker(dir: String) = new java.io.File(dir, "_COMMITTED")
+
+  /** The protocol's filesystem, resolved from the root's scheme with
+    * the active session's Hadoop conf (credentials, endpoints) when
+    * one exists — never java.io.File, which silently sees nothing on
+    * HDFS/S3 roots and would degrade every merge to a from-scratch
+    * build of just its own batch. */
+  private def fsOf(root: String): FileSystem =
+    new Path(root).getFileSystem(
+      SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+        .getOrElse(new Configuration()))
+
+  private def marker(dir: String) = new Path(dir, "_COMMITTED")
+
+  /** Write the commit marker, or raise. An `assert` here would be
+    * elidable under -Xdisable-assertions — silently voiding the
+    * exactly-once contract — so the failure is an explicit
+    * IOException. */
+  private def commitMarker(fs: FileSystem, dir: String): Unit =
+    if (!fs.createNewFile(marker(dir)) && !fs.exists(marker(dir)))
+      throw new IOException(s"commit-marker write failed: ${marker(dir)}")
 
   private def listIds(root: String, prefix: String): Seq[Long] = {
-    val d = new java.io.File(root)
-    if (!d.isDirectory) Seq.empty
-    else d.listFiles().toSeq.map(_.getName).filter(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix).toLong)
-      .filter(id => marker(s"$root/$prefix${"%020d".format(id)}").exists())
+    val fs = fsOf(root)
+    val rp = new Path(root)
+    if (!fs.exists(rp)) Seq.empty
+    else fs.listStatus(rp).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(_.stripPrefix(prefix).toLongOption)
+      .filter(id => fs.exists(marker(s"$root/$prefix${"%020d".format(id)}")))
       .sorted
   }
 
   /** Committed generation ids, ascending (compacted-away gens are
-    * deleted by [[compact]] and drop out naturally). */
+    * deleted by GC and drop out naturally). */
   def committedGens(root: String): Seq[Long] = listIds(root, "gen=")
 
   /** Committed compaction ids (each holds the FULL state through that
@@ -90,6 +132,12 @@ object IndexMaintenance {
         spark.read.parquet(dirs.map(d => s"$d/doc_ids"): _*))
     }
 
+  /** Read amplification of the current state: how many committed dirs
+    * a serving [[read]] unions — the number [[compact]] resets to 1.
+    * The size-tiered trigger ([[start]]'s `compactEvery`) bounds it. */
+  def readAmplification(root: String): Int =
+    stateDirs(root).map(_._1.size).getOrElse(0)
+
   /** Fold every committed dir into one `cgen=<throughId>` holding the
     * full state — the Lucene segment merge. Crash-safe by the same
     * marker monotonicity as [[mergeBatch]]: until the cgen marker
@@ -99,13 +147,15 @@ object IndexMaintenance {
     *
     * GC AND LIVE READERS: deleting superseded dirs invalidates
     * [[graft.llm.IndexSegments]] handles a reader obtained from
-    * [[read]] BEFORE the compaction (lazy frames hold the old paths)
-    * — safe for the nightly batch cadence where readers re-[[read]]
-    * per job, but a serving tier holding long-lived handles should
-    * pass `gcSuperseded = false` and run [[gcSupersededDirs]] in its
-    * own maintenance window, after re-resolving readers. */
+    * [[read]] BEFORE the compaction (lazy frames hold the old paths),
+    * so the DEFAULT defers GC — a reader pinned to the pre-compaction
+    * generation set keeps serving against intact files while the
+    * compaction commits (spec-pinned), and [[gcSupersededDirs]] runs
+    * in a maintenance window after readers re-resolve. Pass
+    * `gcSuperseded = true` only where readers are known to be per-job
+    * (the nightly batch cadence). */
   def compact(spark: SparkSession, root: String,
-      gcSuperseded: Boolean = true): Unit = {
+      gcSuperseded: Boolean = false): Unit = {
     val latestCg = committedCgens(root).lastOption
     val tailGens = committedGens(root).filter(g => latestCg.forall(g > _))
     if (tailGens.isEmpty) {
@@ -124,14 +174,14 @@ object IndexMaintenance {
     state.postings.write.mode("overwrite").parquet(s"$dir/postings")
     state.df.write.mode("overwrite").parquet(s"$dir/df")
     state.docIds.write.mode("overwrite").parquet(s"$dir/doc_ids")
-    val m = marker(dir)
-    assert(m.createNewFile() || m.exists(), s"marker write failed: $m")
+    commitMarker(fsOf(root), dir)
     spark.catalog.refreshByPath(dir)
     if (gcSuperseded) gcThrough(root, throughId)
   }
 
   /** Collect everything the LATEST committed compaction supersedes —
-    * the deferred-GC half of `compact(gcSuperseded = false)`. */
+    * the deferred-GC half of the default `compact()`. Run it after
+    * serving readers have re-[[read]] past the compaction. */
   def gcSupersededDirs(root: String): Unit =
     committedCgens(root).lastOption.foreach(gcThrough(root, _))
 
@@ -141,32 +191,51 @@ object IndexMaintenance {
     * these deletes landing (readers base on the latest cgen), so a
     * crash anywhere in here just leaves garbage for the next call. */
   private def gcThrough(root: String, throughId: Long): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
+    val fs = fsOf(root)
     val garbage =
       committedCgens(root).filter(_ < throughId).map(cgenDir(root, _)) ++
         committedGens(root).filter(_ <= throughId).map(genDir(root, _))
-    garbage.foreach(d => rm(new java.io.File(d)))
+    garbage.foreach(d => fs.delete(new Path(d), true))
   }
 
   /** One micro-batch = one generation. Public for direct replay in
-    * specs — `foreachBatch` calls exactly this. */
-  def mergeBatch(root: String, positional: Boolean = true)
+    * specs — `foreachBatch` calls exactly this.
+    *
+    * The delta-id manifest probe auto-selects its join strategy from
+    * the ACTUAL batch size (the count is free: the deduped frame is
+    * already localCheckpointed): a bounded nightly delta (≤
+    * `maxBroadcastDelta` rows) force-broadcasts the id set — zero
+    * stored-side shuffle, the nightly contract — while a large
+    * catch-up batch (e.g. AvailableNow draining a long backlog after
+    * the first generation exists) degrades to a planner-chosen
+    * shuffled anti join instead of failing outright on the broadcast
+    * size limit. Callers who want bounded batches end-to-end should
+    * also bound the SOURCE (maxFilesPerTrigger / maxOffsetsPerTrigger
+    * -style source options), which keeps every generation
+    * delta-sized. */
+  def mergeBatch(root: String, positional: Boolean = true,
+      maxBroadcastDelta: Long = 4000000L)
       (batch: DataFrame, batchId: Long): Unit = {
     // committed replay: no-op — either the generation's own marker
     // stands, or a later compaction has folded (and GC'd) it
-    if (marker(genDir(root, batchId)).exists() ||
+    if (fsOf(root).exists(marker(genDir(root, batchId))) ||
       committedCgens(root).lastOption.exists(_ >= batchId)) return
     val spark = batch.sparkSession
+    // localCheckpoint pins the dropDuplicates survivor choice: the
+    // three artifact writes below are separate jobs, and recomputing a
+    // lost cache block could otherwise pick a different survivor for
+    // a duplicate id carrying different text — postings/df/doc_ids
+    // would disagree WITHIN one committed generation
     val docs = batch.select(col("doc_id"), col("text"))
       .dropDuplicates("doc_id")
+      .localCheckpoint()
+    val boundedDelta = docs.count() <= maxBroadcastDelta
     val temps = new TempCache
     try {
       val gen = read(spark, root) match {
         case Some(stored) =>
-          Retrieval.segMergeGen(stored, docs, temps, positional)
+          Retrieval.segMergeGen(stored, docs, temps, positional,
+            boundedDelta)
         case None =>
           if (positional) Retrieval.segBuildUnified(docs, temps)
           else Retrieval.segBuild(docs, temps)
@@ -175,8 +244,7 @@ object IndexMaintenance {
       gen.postings.write.mode("overwrite").parquet(s"$dir/postings")
       gen.df.write.mode("overwrite").parquet(s"$dir/df")
       gen.docIds.write.mode("overwrite").parquet(s"$dir/doc_ids")
-      val m = marker(dir)
-      assert(m.createNewFile() || m.exists(), s"marker write failed: $m")
+      commitMarker(fsOf(root), dir)
       // a replay overwrites this generation's files in place; drop any
       // cached file listings so long-lived serving sessions (and the
       // next merge) see the rewritten generation, not stale part files
@@ -186,13 +254,30 @@ object IndexMaintenance {
 
   /** Drive the maintenance from a streaming document feed. AvailableNow
     * by default — the nightly catch-up trigger (J3's stance): drain
-    * everything available, commit, stop. */
+    * everything available, commit, stop.
+    *
+    * `compactEvery = Some(n)` is the size-tiered merge policy: after a
+    * batch commits, if more than `n` generations have accumulated
+    * since the last compaction, fold them — so serving read
+    * amplification ([[readAmplification]]) stays ≤ n+1 regardless of
+    * how many micro-batches the stream has committed. Compaction here
+    * defers GC (the [[compact]] default): concurrent serving readers
+    * keep their pinned generation sets; schedule [[gcSupersededDirs]]
+    * separately. A compaction interrupted by a crash is invisible
+    * (no cgen marker) and simply retried after the next batch. */
   def start(docsStream: DataFrame, root: String, checkpoint: String,
       positional: Boolean = true,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Option[Int] = None,
+      maxBroadcastDelta: Long = 4000000L): StreamingQuery =
     docsStream.writeStream
-      .foreachBatch((b: Dataset[Row], id: Long) =>
-        mergeBatch(root, positional)(b.toDF(), id))
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        mergeBatch(root, positional, maxBroadcastDelta)(b.toDF(), id)
+        for (n <- compactEvery)
+          if (committedGens(root).count(g =>
+              committedCgens(root).lastOption.forall(g > _)) > n)
+            compact(b.sparkSession, root)
+      }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()

@@ -41,6 +41,8 @@ object DataCard {
       "per embedding cluster: doc count + dominant source with exact ppm share"),
     ("ANN index health", "q_llm_ivf_stats",
       "per-IVF-list occupancy — a skewed quantizer turns few-probe serving into a near-exhaustive scan"),
+    ("Text index health", "q_llm_index_stats",
+      "per-source postings rows, exact token totals, vocabulary size, and the vocab-to-postings ppm ratio — the broadcast-vs-co-bucket decision input and the boilerplate-degeneracy alarm"),
     ("Dominant n-grams (boilerplate watch)", "q_llm_heavy_hitters",
       "top-20 corpus trigrams with exact-in-regime counts from the bounded Misra-Gries sketch — the 'what template is flooding the corpus' feed"),
     ("Relative quality gate pass rates", "q_llm_quality_card_rel",

@@ -76,7 +76,7 @@ class RetrievalStreamSpec extends SparkSpec {
     // COMPACTION — fold the two generations into one cgen: state
     // byte-identical, superseded dirs GC'd, and the protocol stays
     // monotone (an uncommitted compaction is invisible)
-    IndexMaintenance.compact(spark, root)
+    IndexMaintenance.compact(spark, root, gcSuperseded = true)
     assert(IndexMaintenance.committedCgens(root) == Seq(1L))
     assert(IndexMaintenance.committedGens(root).isEmpty,
       "superseded generation dirs must be GC'd")
@@ -93,7 +93,7 @@ class RetrievalStreamSpec extends SparkSpec {
     val withNew = dump(Retrieval.segBuildUnified(
       (allDocs :+ (12L, "brandnew w0 shared")).toDF("doc_id", "text")))
     assert(dump(IndexMaintenance.read(spark, root).get) == withNew)
-    IndexMaintenance.compact(spark, root)
+    IndexMaintenance.compact(spark, root, gcSuperseded = true)
     assert(IndexMaintenance.committedCgens(root) == Seq(2L) &&
       dump(IndexMaintenance.read(spark, root).get) == withNew)
 
@@ -110,7 +110,7 @@ class RetrievalStreamSpec extends SparkSpec {
     assert(IndexMaintenance.committedGens(root) == Seq(1L))
     assert(dump(IndexMaintenance.read(spark, root).get) == withNew,
       "a superseded committed gen must be invisible to readers")
-    IndexMaintenance.compact(spark, root)
+    IndexMaintenance.compact(spark, root, gcSuperseded = true)
     assert(IndexMaintenance.committedGens(root).isEmpty &&
       IndexMaintenance.committedCgens(root) == Seq(2L) &&
       dump(IndexMaintenance.read(spark, root).get) == withNew,
@@ -165,6 +165,61 @@ class RetrievalStreamSpec extends SparkSpec {
     val ids = IndexMaintenance.read(spark, root).get.docIds
       .collect().map(_.getLong(0)).toSet
     assert(ids == (0L until 6L).toSet, s"gated docs leaked: $ids")
+  }
+
+  test("IndexMaintenance: size-tiered auto-compaction bounds read " +
+    "amplification; a pre-compaction reader keeps serving (deferred GC); " +
+    "gcSupersededDirs finishes the cleanup; an oversized batch degrades " +
+    "to the shuffled probe with identical results") {
+    import graft.streaming.IndexMaintenance
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("idxauto").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("idxauto_ck").toString
+    val batches = (0 until 4).map(b =>
+      (b * 3L until b * 3L + 3L).map(i => (i, s"w${i % 5} w${i % 3} shared")))
+    def dump(seg: IndexSegments) = Retrieval.segDenormalize(seg)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"),
+        array_join(col("positions"), ",").as("positions"))
+      .orderBy("term", "doc_id").collect().map(_.toSeq).toSeq
+    val in = MemoryStream[(Long, String)]
+    def run(): Unit = IndexMaintenance.start(
+        in.toDF().toDF("doc_id", "text"), root, ckpt,
+        compactEvery = Some(2)).awaitTermination()
+    // three nightly runs; after the third commit the tail exceeds 2
+    // generations and the policy folds — read amplification is bounded
+    in.addData(batches(0): _*); run()
+    in.addData(batches(1): _*); run()
+    // a long-lived serving reader resolved BEFORE the compaction
+    val pinned = IndexMaintenance.read(spark, root).get
+    val pinnedBefore = dump(pinned)
+    in.addData(batches(2): _*); run()
+    assert(IndexMaintenance.committedCgens(root) == Seq(2L),
+      s"policy must fold past 2 tail gens: cgens=" +
+        IndexMaintenance.committedCgens(root))
+    assert(IndexMaintenance.readAmplification(root) == 1)
+    // deferred GC (the compact default): the pinned reader's
+    // generation dirs are intact — it serves the SAME pre-compaction
+    // state while the compaction is already committed
+    assert(dump(pinned) == pinnedBefore,
+      "a pre-compaction reader must keep serving under deferred GC")
+    // fresh readers resolve through the cgen and see everything
+    val expect3 = dump(Retrieval.segBuildUnified(
+      batches.take(3).flatten.toDF("doc_id", "text")))
+    assert(dump(IndexMaintenance.read(spark, root).get) == expect3)
+    // the maintenance window: GC after readers re-resolve
+    IndexMaintenance.gcSupersededDirs(root)
+    assert(IndexMaintenance.committedGens(root).isEmpty,
+      "gcSupersededDirs must collect the folded generations")
+    assert(dump(IndexMaintenance.read(spark, root).get) == expect3)
+    // catch-up batch larger than maxBroadcastDelta: the manifest probe
+    // must degrade to the hint-free shuffled anti join (not fail on a
+    // forced broadcast) and produce the identical merged state
+    IndexMaintenance.mergeBatch(root, maxBroadcastDelta = 1L)(
+      batches.take(4).flatten.toDF("doc_id", "text"), 3L)
+    val expect4 = dump(Retrieval.segBuildUnified(
+      batches.flatten.toDF("doc_id", "text")))
+    assert(dump(IndexMaintenance.read(spark, root).get) == expect4,
+      "shuffled-probe merge must equal the broadcast-probe result")
   }
 
   private def ts(minute: Long) = new java.sql.Timestamp(minute * 60000L)

@@ -13,7 +13,8 @@ class DataCardSpec extends SparkSpec {
         "Quality gate pass rates", "Length distribution",
         "Near-dup cluster histogram", "Dedup impact", "PII incidence",
         "Tokenizer fertility", "Topic clusters vs sources",
-        "ANN index health", "Retrieval quality (BM25 eval card)",
+        "ANN index health", "Text index health",
+        "Retrieval quality (BM25 eval card)",
         "Learned language-ID confusion matrix")) {
       assert(card.contains(s"## $title"), s"missing section: $title")
     }
