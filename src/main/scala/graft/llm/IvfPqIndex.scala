@@ -50,6 +50,114 @@ case class IvfPqIndex(m: Int, dim: Int, coarse: DataFrame,
 object IvfPqIndex {
   private val ConfFile = "index.conf"
 
+  import graft.streaming.GenerationLog
+
+  /** Delta-generation maintenance for the CODE TABLE — the
+    * [[graft.streaming.IndexMaintenance]] economics applied to ANN:
+    * where [[save]] rewrites the full code table per publish
+    * (O(corpus) nightly bytes), the maintained layout appends one
+    * committed `gen=<batchId>/codes` delta per nightly run — encode
+    * cost and write set are DELTA-sized — and [[compactCodes]] folds
+    * accumulated generations Lucene-style. The frozen quantizer
+    * (coarse, books, config) is written ONCE at `root/quantizer`;
+    * re-training it is a rebuild, not an increment.
+    *
+    * Crash safety is [[GenerationLog]]'s: the `_COMMITTED` marker
+    * lands last, a replayed batchId is a no-op when covered and a
+    * byte-identical recompute when not (the uncommitted dir was
+    * invisible to the fresh-id probe), and compaction is monotone
+    * with deferred GC by default (live readers keep their pinned
+    * generation sets). */
+  def initMaintained(index: IvfPqIndex, root: String): Unit = {
+    val spark = index.codes.sparkSession
+    val fs = GenerationLog.fsOf(root)
+    val qdir = s"$root/quantizer"
+    index.coarse.write.mode("overwrite").parquet(s"$qdir/coarse")
+    index.books.write.mode("overwrite").parquet(s"$qdir/books")
+    val out = fs.create(new Path(qdir, ConfFile), true)
+    try out.write(s"m=${index.m}\ndim=${index.dim}\n".getBytes("UTF-8"))
+    finally out.close()
+    val dir = GenerationLog.genDir(root, 0L)
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    GenerationLog.commitMarker(fs, dir)
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** One nightly delta = one committed generation: encode ONLY the
+    * vectors absent from the maintained code table (the
+    * [[Similarity.ivfPqEncodeIncremental]] probe against the union of
+    * committed generations) and append the fresh codes. Idempotent
+    * under at-least-once replay and overlapping deltas. */
+  def mergeCodesBatch(root: String)(vecs: DataFrame,
+      batchId: Long): Unit = {
+    if (GenerationLog.covered(root, batchId)) return
+    val spark = vecs.sparkSession
+    val idx = loadMaintained(spark, root)
+    val fresh = vecs
+      .join(idx.codes.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .dropDuplicates("vec_id")
+    val freshCodes = Similarity.ivfPqEncode(fresh, idx.coarse, idx.books,
+      idx.m, idx.dim)
+    val dir = GenerationLog.genDir(root, batchId)
+    freshCodes.write.mode("overwrite").parquet(s"$dir/codes")
+    GenerationLog.commitMarker(GenerationLog.fsOf(root), dir)
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** The maintained index: frozen quantizer + the union of committed
+    * code generations (latest compaction base + deltas beyond it). */
+  def loadMaintained(spark: SparkSession, root: String): IvfPqIndex = {
+    val qdir = s"$root/quantizer"
+    val fs = GenerationLog.fsOf(root)
+    val conf = readConf(fs, new Path(qdir))
+    val dirs = GenerationLog.stateDirs(root).map(_._1).getOrElse(
+      throw new IllegalStateException(
+        s"no committed code generation under $root"))
+    IvfPqIndex(
+      m = conf("m").toInt,
+      dim = conf("dim").toInt,
+      coarse = spark.read.parquet(s"$qdir/coarse"),
+      books = spark.read.parquet(s"$qdir/books"),
+      codes = spark.read.parquet(dirs.map(d => s"$d/codes"): _*))
+  }
+
+  /** Fold the committed code generations into one `cgen` — the
+    * [[graft.streaming.IndexMaintenance.compact]] move on the code
+    * table. Deferred GC by default (live readers); run
+    * [[GenerationLog.gcSuperseded]] in a maintenance window. */
+  def compactCodes(spark: SparkSession, root: String,
+      gcSuperseded: Boolean = false): Unit =
+    GenerationLog.compactWith(root, gcSuperseded) { (dirs, out) =>
+      spark.read.parquet(dirs.map(d => s"$d/codes"): _*)
+        .write.mode("overwrite").parquet(s"$out/codes")
+      spark.catalog.refreshByPath(out)
+    }
+
+  /** Quantizer drift alarm: the retrain decision wired to
+    * q_llm_ivf_stats' skew signal. Serving cost per probe is
+    * proportional to probed-list size, so when the largest list's
+    * corpus share (ppm) exceeds `alarmFactor` × the balanced share
+    * (1e6 / n_lists), few-probe serving has silently degraded toward
+    * an exhaustive scan — retrain the coarse quantizer (more iters or
+    * more centroids) and REBUILD; an increment cannot fix a skewed
+    * quantizer because stored codes are residuals against the old
+    * centroids. Computed from the stored code table alone (list_id
+    * already assigned — one k-row aggregate, no vector arithmetic).
+    * Returns (n_lists, max_ppm, balanced_ppm, retrain). */
+  def driftAlarm(codes: DataFrame,
+      alarmFactor: Long = 4L): (Long, Long, Long, Boolean) = {
+    val row = codes.groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_lists"), max(col("n")).as("max_n"),
+        sum(col("n")).as("total"))
+      .select(col("n_lists"),
+        expr("(1000000 * max_n) div total").as("max_ppm"),
+        expr("1000000 div n_lists").as("balanced_ppm"))
+      .head()
+    val (nLists, maxPpm, balanced) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    (nLists, maxPpm, balanced, maxPpm > alarmFactor * balanced)
+  }
+
   /** Train + encode in one call: [[Similarity.ivfPqTrain]] then
     * [[Similarity.ivfPqEncode]] over the corpus. */
   def build(vecs: DataFrame, coarseStride: Int, m: Int, dim: Int,
@@ -84,6 +192,19 @@ object IvfPqIndex {
     ManifestStore.gc(fs, rootPath)
   }
 
+  private def readConf(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Map[String, String] = {
+    val in = fs.open(new Path(dir, ConfFile))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) => Some(k.trim -> v.trim)
+          case _ => None
+        }
+      }.toMap
+    finally in.close()
+  }
+
   /** Load the live generation: config from its manifest, tables from
     * its immutable directory. Raises if nothing was ever promoted. */
   def load(spark: SparkSession, root: String): IvfPqIndex = {
@@ -92,16 +213,7 @@ object IvfPqIndex {
     val dir = ManifestStore.currentDataPath(fs, rootPath).getOrElse(
       throw new IllegalStateException(
         s"no promoted index generation under $root"))
-    val in = fs.open(new Path(dir, ConfFile))
-    val conf =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .flatMap { l =>
-          l.split("=", 2) match {
-            case Array(k, v) => Some(k.trim -> v.trim)
-            case _ => None
-          }
-        }.toMap
-      finally in.close()
+    val conf = readConf(fs, dir)
     IvfPqIndex(
       m = conf("m").toInt,
       dim = conf("dim").toInt,

@@ -1,10 +1,6 @@
 package graft.streaming
 
-import java.io.IOException
-
 import graft.llm.{IndexSegments, Retrieval, TempCache}
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -66,59 +62,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IndexMaintenance {
 
-  private def genDir(root: String, id: Long) = f"$root/gen=$id%020d"
-  private def cgenDir(root: String, id: Long) = f"$root/cgen=$id%020d"
-
-  /** The protocol's filesystem, resolved from the root's scheme with
-    * the active session's Hadoop conf (credentials, endpoints) when
-    * one exists — never java.io.File, which silently sees nothing on
-    * HDFS/S3 roots and would degrade every merge to a from-scratch
-    * build of just its own batch. */
-  private def fsOf(root: String): FileSystem =
-    new Path(root).getFileSystem(
-      SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
-        .getOrElse(new Configuration()))
-
-  private def marker(dir: String) = new Path(dir, "_COMMITTED")
-
-  /** Write the commit marker, or raise. An `assert` here would be
-    * elidable under -Xdisable-assertions — silently voiding the
-    * exactly-once contract — so the failure is an explicit
-    * IOException. */
-  private def commitMarker(fs: FileSystem, dir: String): Unit =
-    if (!fs.createNewFile(marker(dir)) && !fs.exists(marker(dir)))
-      throw new IOException(s"commit-marker write failed: ${marker(dir)}")
-
-  private def listIds(root: String, prefix: String): Seq[Long] = {
-    val fs = fsOf(root)
-    val rp = new Path(root)
-    if (!fs.exists(rp)) Seq.empty
-    else fs.listStatus(rp).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(prefix))
-      .flatMap(_.stripPrefix(prefix).toLongOption)
-      .filter(id => fs.exists(marker(s"$root/$prefix${"%020d".format(id)}")))
-      .sorted
-  }
+  import GenerationLog.{genDir, cgenDir, fsOf, marker, commitMarker,
+    stateDirs, gcThrough}
 
   /** Committed generation ids, ascending (compacted-away gens are
     * deleted by GC and drop out naturally). */
-  def committedGens(root: String): Seq[Long] = listIds(root, "gen=")
+  def committedGens(root: String): Seq[Long] =
+    GenerationLog.committedGens(root)
 
   /** Committed compaction ids (each holds the FULL state through that
     * batchId), ascending. */
-  def committedCgens(root: String): Seq[Long] = listIds(root, "cgen=")
-
-  /** The current state's constituent dirs: (postings+manifest dirs to
-    * union, the dir holding the authoritative df). Base = the latest
-    * committed compaction, if any; plus every generation beyond it. */
-  private def stateDirs(root: String): Option[(Seq[String], String)] = {
-    val cg = committedCgens(root)
-    val base = cg.lastOption.map(cgenDir(root, _)).toSeq
-    val tail = committedGens(root).filter(g => cg.lastOption.forall(g > _))
-      .map(genDir(root, _))
-    val all = base ++ tail
-    if (all.isEmpty) None else Some((all, all.last))
-  }
+  def committedCgens(root: String): Seq[Long] =
+    GenerationLog.committedCgens(root)
 
   /** The serving view of the maintained index: postings and manifest
     * are the union of the latest compaction (if any) and the
@@ -184,19 +139,6 @@ object IndexMaintenance {
     * serving readers have re-[[read]] past the compaction. */
   def gcSupersededDirs(root: String): Unit =
     committedCgens(root).lastOption.foreach(gcThrough(root, _))
-
-  /** GC everything the committed `cgen=<throughId>` supersedes: older
-    * cgens and ALL generations ≤ throughId — including generations an
-    * earlier interrupted GC left behind. Correctness never depends on
-    * these deletes landing (readers base on the latest cgen), so a
-    * crash anywhere in here just leaves garbage for the next call. */
-  private def gcThrough(root: String, throughId: Long): Unit = {
-    val fs = fsOf(root)
-    val garbage =
-      committedCgens(root).filter(_ < throughId).map(cgenDir(root, _)) ++
-        committedGens(root).filter(_ <= throughId).map(genDir(root, _))
-    garbage.foreach(d => fs.delete(new Path(d), true))
-  }
 
   /** One micro-batch = one generation. Public for direct replay in
     * specs — `foreachBatch` calls exactly this.

@@ -213,6 +213,60 @@ object StreamSoak {
             queryFeed(docs, s"$feedRoot/queries_p"), packed, stats, k = 10),
             mode, coll)
           finally { packed.unpersist(); stats.unpersist(); temps.release() }
+        case "idxmaint" =>
+          // nightly index maintenance under the replayed feed: one
+          // committed generation per micro-batch on RocksDB-era
+          // bounded batches, auto-compaction past 4 tail generations.
+          // The soak claim is the MERGE ECONOMICS: per-batch merge
+          // wall time must stay flat as the stored index accumulates
+          // the whole tier (the write set is delta + vocab + manifest
+          // sized — never O(index)), and compaction bounds read
+          // amplification. Per-batch timings are measured around
+          // mergeBatch itself.
+          import graft.streaming.IndexMaintenance
+          val root = s"$feedRoot/idxmaint_root"
+          val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val t0 = System.nanoTime()
+          val q = docFeed().select(col("doc_id"), col("text"))
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  id: Long) =>
+                val bt = System.nanoTime()
+                IndexMaintenance.mergeBatch(root)(b.toDF(), id)
+                times += (System.nanoTime() - bt) / 1e9
+                if (IndexMaintenance.committedGens(root).count(g =>
+                    IndexMaintenance.committedCgens(root).lastOption
+                      .forall(g > _)) > 4)
+                  IndexMaintenance.compact(b.sparkSession, root)
+            }
+            .option("checkpointLocation", java.nio.file.Files
+              .createTempDirectory("soak_ckpt_idxmaint").toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val wallSec = (System.nanoTime() - t0) / 1e9
+          val seg = IndexMaintenance.read(spark, root).get
+          val docsIndexed = seg.docIds.count()
+          val postings = seg.postings.count()
+          val ts = times.toVector.sorted
+          Map(
+            "mode" -> mode,
+            "batches" -> times.size,
+            "docs_indexed" -> docsIndexed,
+            "postings_rows" -> postings,
+            "wall_sec" -> f"$wallSec%.2f",
+            "docs_per_sec" -> f"${docsIndexed / wallSec}%.0f",
+            "merge_sec_first" -> f"${times.headOption.getOrElse(0.0)}%.2f",
+            "merge_sec_median" ->
+              f"${if (ts.isEmpty) 0.0 else ts(ts.size / 2)}%.2f",
+            "merge_sec_last" -> f"${times.lastOption.getOrElse(0.0)}%.2f",
+            "read_amplification" ->
+              graft.streaming.GenerationLog.readAmplification(root),
+            "committed_gens" ->
+              IndexMaintenance.committedGens(root).size,
+            "committed_cgens" ->
+              IndexMaintenance.committedCgens(root).size)
         case "hh" =>
           // complete-mode sketch aggregation: state is the ONE summary
           runDrain(spark, StreamingCuration.streamingHeavyHitters(docFeed()),

@@ -351,6 +351,78 @@ class SimilaritySpec extends SparkSpec {
       "post-recovery index serves the full corpus")
   }
 
+  test("IvfPqIndex maintained code table: delta generations == full " +
+    "encode; replay/crash legs; compaction folds; drift alarm fires " +
+    "on quantizer skew") {
+    import org.apache.spark.sql.functions.pmod
+    val root = java.nio.file.Files.createTempDirectory("ivfmaint").toString
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    val (coarse, books) = Similarity.ivfPqTrain(vecs, coarseStride = 100,
+      m = 4, dim = 64, bookStride = 50, iters = 0)
+    def codesOf(idx: IvfPqIndex): Map[Long, (Long, Seq[Int])] =
+      idx.codes.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Int](2).toSeq)).toMap
+    val want = codesOf(IvfPqIndex(4, 64, coarse, books,
+      Similarity.ivfPqEncode(vecs, coarse, books, 4, 64)))
+
+    // base generation: every third vector; two overlapping deltas
+    IvfPqIndex.initMaintained(IvfPqIndex(4, 64, coarse, books,
+      Similarity.ivfPqEncode(vecs.filter(pmod(col("vec_id"), lit(3)) === 0),
+        coarse, books, 4, 64)), root)
+    IvfPqIndex.mergeCodesBatch(root)(
+      vecs.filter(pmod(col("vec_id"), lit(3)) <= 1), 1L)
+    IvfPqIndex.mergeCodesBatch(root)(vecs, 2L) // full-overlap catch-up
+    val maintained = IvfPqIndex.loadMaintained(spark, root)
+    assert(codesOf(maintained) == want,
+      "maintained generations must union to the full encode")
+    assert(maintained.m == 4 && maintained.dim == 64)
+
+    // committed replay: a covered batchId is a no-op
+    import graft.streaming.GenerationLog
+    IvfPqIndex.mergeCodesBatch(root)(vecs, 2L)
+    assert(GenerationLog.committedGens(root) == Seq(0L, 1L, 2L))
+    // crash leg: marker lost between data writes and commit — the
+    // replay recomputes the SAME generation over the same pre-state
+    val fs = GenerationLog.fsOf(root)
+    assert(fs.delete(GenerationLog.marker(
+      GenerationLog.genDir(root, 2L)), false))
+    IvfPqIndex.mergeCodesBatch(root)(vecs, 2L)
+    assert(codesOf(IvfPqIndex.loadMaintained(spark, root)) == want)
+
+    // compaction folds the generations; deferred GC leaves a pinned
+    // reader intact, gcSuperseded collects after re-resolution. The
+    // pinned handle is resolved AFTER the crash replay (the replay
+    // rewrote gen=2's files in place — like any in-place rewrite, it
+    // legitimately invalidates handles older than itself)
+    val rereader = IvfPqIndex.loadMaintained(spark, root)
+    val pinned = codesOf(rereader)
+    IvfPqIndex.compactCodes(spark, root)
+    assert(GenerationLog.committedCgens(root) == Seq(2L))
+    assert(codesOf(IvfPqIndex.loadMaintained(spark, root)) == want)
+    assert(codesOf(rereader) == pinned,
+      "pre-compaction reader must keep serving under deferred GC")
+    GenerationLog.gcSuperseded(root)
+    assert(GenerationLog.committedGens(root).isEmpty)
+    assert(codesOf(IvfPqIndex.loadMaintained(spark, root)) == want)
+    // merges continue past the compaction
+    IvfPqIndex.mergeCodesBatch(root)(vecs, 3L) // nothing fresh: empty gen
+    assert(codesOf(IvfPqIndex.loadMaintained(spark, root)) == want)
+
+    // drift alarm: balanced lists stay quiet, an 80%-in-one-list
+    // quantizer trips the retrain signal
+    import spark.implicits._
+    val balanced = (0L until 100L).map(i => (i, i % 20, Seq(1, 2)))
+      .toDF("vec_id", "list_id", "codes")
+    val (nl, maxP, balP, fire) = IvfPqIndex.driftAlarm(balanced)
+    assert(nl == 20 && maxP == 50000 && balP == 50000 && !fire)
+    val skewed = (0L until 100L).map(i =>
+        (i, if (i < 81) 0L else i % 19 + 1, Seq(1, 2)))
+      .toDF("vec_id", "list_id", "codes")
+    val (_, maxS, _, fireS) = IvfPqIndex.driftAlarm(skewed)
+    assert(maxS == 810000 && fireS,
+      "a skewed coarse quantizer must trip the retrain alarm")
+  }
+
   test("stored-code serving raises on a code table built with a different m") {
     val vecs = graft.Tables.load(spark, sf0001, "embeddings")
     val (coarse, books) = Similarity.ivfPqTrain(vecs, coarseStride = 100,
