@@ -1348,11 +1348,22 @@ object Similarity {
       : (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val vs = Tables.load(s, d, "embeddings")
-    val (coarse, books) = ivfPqTrain(vs, coarseStride = 100, m = 4,
+    // the WHOLE frozen index is stored — codes AND quantizer. The
+    // codebooks' derivation includes the corpus-wide coarse assignment
+    // (n × K integer L2s — 211 s/rep measured at sf10 when it was
+    // left in-plan), so serving must read them back like any other
+    // index artifact; per-batch serving cost is then the codes scan +
+    // query-side scoring only. lazy: trained once, only when some
+    // artifact is missing.
+    lazy val trained = ivfPqTrain(vs, coarseStride = 100, m = 4,
       dim = 64, bookStride = 50, iters = 0)
+    val coarse = graft.sources.IndexStore.parquet(s, d,
+      "seg_ivfpq_full_c100_m4_b50/coarse", table = "embeddings")(trained._1)
+    val books = graft.sources.IndexStore.parquet(s, d,
+      "seg_ivfpq_full_c100_m4_b50/books", table = "embeddings")(trained._2)
     val stored = graft.sources.IndexStore.parquet(s, d,
       "seg_ivfpq_full_c100_m4_b50/codes", table = "embeddings")(
-      ivfPqEncode(vs, coarse, books, m = 4, dim = 64))
+      ivfPqEncode(vs, trained._1, trained._2, m = 4, dim = 64))
     (stored, coarse, books)
   }
 
@@ -1384,12 +1395,16 @@ object Similarity {
     (s, d) => {
       graft.functions.GraftFunctions.register(s)
       val vs = Tables.load(s, d, "embeddings")
-      val (coarse, books) = ivfPqTrain(vs, coarseStride = 100, m = 4,
-        dim = 64, bookStride = 50, iters = 0)
-      // the stored code table is a MATERIALIZED artifact (the bm25_inc
-      // stance): the measured cost is the delta encode + id anti join,
-      // not an in-plan rebuild of the stored side each rep. The name
-      // pins the quantizer config — a different config is a rebuild.
+      // stored code table AND frozen quantizer are MATERIALIZED
+      // artifacts (the bm25_inc stance, extended round 11: the
+      // codebook derivation embeds a corpus-wide coarse assignment, so
+      // leaving it in-plan re-paid n×K integer L2s per rep): the
+      // measured cost is the delta encode + id anti join only. The
+      // names pin the quantizer config — a different config is a
+      // rebuild. The quantizer artifacts are shared with
+      // [[storedCodesOf]] (same frames: full-corpus stride-seed
+      // training).
+      val (_, coarse, books) = storedCodesOf(s, d)
       val stored = graft.sources.IndexStore.parquet(s, d,
         "seg_ivfpq_c100_m4_b50/codes", table = "embeddings")(
         ivfPqEncode(vs.filter(pmod(col("vec_id"), lit(2)) === 0),

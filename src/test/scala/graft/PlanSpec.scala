@@ -439,20 +439,21 @@ class PlanSpec extends SparkSpec {
       // encode half of the chain only: coarse assign + per-subspace
       // codebook scorings (training sides included at stride seeds)
       "q_llm_ivfpq_codes" -> (7, 0),
-      // round 11: the code table is the MATERIALIZED IndexStore
-      // artifact (storedCodesOf) — the encode side's broadcasts left
-      // the plan; what remains is training (stride seeds) + the
-      // query-side probe/table scorings, all centroid/codebook-sized.
+      // round 11: the WHOLE frozen index is MATERIALIZED (codes AND
+      // quantizer — storedCodesOf): the corpus-wide coarse assignment
+      // inside the codebook derivation left the plan (it was 211 s/rep
+      // at sf10 when in-plan); what remains is the query-side
+      // probe/ADC-table scorings, centroid/codebook-sized broadcasts.
       // Pinned at the WARM-store shape (the cartesian sweep above
       // builds every IndexStore artifact before this test runs; a
-      // cold first-build plan prints 12 — the build subtree's cached
-      // frames substitute differently)
-      "q_llm_ivfpq_serve" -> (7, 0),
-      // stored half is a MATERIALIZED IndexStore parquet scan (round
-      // 10): only training + the DELTA encode pay coarse/book one-row
-      // broadcasts — the stored half's 12 printed operators left the
-      // plan with its in-plan rebuild (was 19)
-      "q_llm_ivfpq_inc" -> (7, 0),
+      // cold first-build plan prints more — the build subtree's
+      // cached frames substitute differently)
+      "q_llm_ivfpq_serve" -> (2, 0),
+      // stored half AND quantizer are MATERIALIZED IndexStore scans
+      // (round 11 — the codebook derivation's corpus-wide assignment
+      // left the plan too): only the DELTA encode pays coarse/book
+      // broadcasts (was 19 in-plan, 7 with stored codes only)
+      "q_llm_ivfpq_inc" -> (2, 0),
       "q_llm_pq_ann" -> (0, 0),
       // exact-side ground truth: brute-force queries×corpus broadcast
       // (the queries block is the broadcast side), + the approx chain
@@ -573,12 +574,12 @@ class PlanSpec extends SparkSpec {
       // stored-stored hybrid (round 11): the text side serves from the
       // term-bucketed warehouse tables (zero postings exchange — the
       // serving pin above covers it) with its one-row corpus-stats
-      // broadcast; the semantic side reads the MATERIALIZED code table
-      // and pays only the query-side probe/ADC-table scorings (coarse
-      // and codebook broadcasts at stride seeds). Every BNLJ side is
+      // broadcast; the semantic side reads the MATERIALIZED code
+      // table, coarse centroids, and codebooks, paying only the
+      // query-side probe/ADC-table scorings. Every BNLJ side is
       // one-row / centroid / codebook sized; the RRF pair join is an
-      // equi join of two k-row-per-query frames
-      "q_llm_rrf_fusion_serve" -> (9, 0))
+      // equi join of two k-row-per-query frames. Warm-store shape
+      "q_llm_rrf_fusion_serve" -> (4, 0))
     val got = budgets.keys.toSeq.sorted.map { q =>
       // the pin is the FRESH-SESSION plan shape: leftover cached frames
       // (this suite's own earlier builds, or — in a full `sbt test` run
