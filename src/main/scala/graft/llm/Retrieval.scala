@@ -368,6 +368,35 @@ object Retrieval {
       seg.postings.join(broadcast(qdf), Seq("term")), stats, qTerms, k)
   }
 
+  /** [[bm25TopKFromSegments]] with the query-term set PUSHED into the
+    * stored-index scans as a literal `term IN (…)` — the inverted-
+    * index LOOKUP, not a table scan: against the term-bucketed
+    * serving tables the filter prunes whole buckets
+    * (SelectedBucketsCount — at production bucket counts a 50-term
+    * batch touches ~50/N of the index) and row groups via min/max +
+    * dictionary pages, so serving cost tracks the query batch, not
+    * the index. The term set is collected to the driver first — a
+    * BOUNDED serving-batch collect (≤ queries × qLen distinct terms,
+    * the k-row-handoff class, never corpus-shaped); a set larger than
+    * `maxPushTerms` (corpus-coupled verification workloads like the
+    * %50 set at big tiers) falls back to the pure broadcast-probe
+    * plan. Result-identical either way: the broadcast probes below
+    * re-apply the exact term semi-filter, the pushdown only removes
+    * never-matching storage early. */
+  def bm25TopKFromSegmentsPushed(seg: IndexSegments, stats: DataFrame,
+      qTerms: DataFrame, k: Int = 10,
+      maxPushTerms: Int = 10000): DataFrame = {
+    val terms = qTerms.select(col("term")).distinct()
+      .limit(maxPushTerms + 1).collect().map(_.getString(0)).toSeq
+    val pruned =
+      if (terms.length > maxPushTerms) seg
+      else IndexSegments(
+        seg.postings.filter(col("term").isin(terms: _*)),
+        seg.df.filter(col("term").isin(terms: _*)),
+        seg.docIds)
+    bm25TopKFromSegments(pruned, stats, qTerms, k)
+  }
+
   /** COMPAT SHIM over [[segMerge]] for a denormalized stored table:
     * derives the segment state from the input (the df/manifest
     * derivations are vocab- and manifest-sized shuffles thanks to
@@ -780,6 +809,29 @@ object Retrieval {
     graft.sources.IndexStore.bucketedTable(s, d, "srv_pos", "term")(
       positionalPostings(docsOf(s, d)))
 
+  /** Prune a stored postings table to the terms a BOUNDED probe set
+    * references, pushed as a literal `term IN (…)` into the scan —
+    * [[bm25TopKFromSegmentsPushed]]'s lookup stance shared by the
+    * phrase/proximity servers: the term-bucketed serving table prunes
+    * whole buckets + row groups, so lookup cost tracks the query
+    * batch, not the index. `termsOf` must be a one-column (`term`)
+    * frame; the bounded collect is the k-row-handoff class. Falls
+    * back to the plain scan past `maxPushTerms`; result-identical
+    * either way (downstream broadcast probes re-apply the exact term
+    * semantics). */
+  private def termPushed(pp: DataFrame, termsOf: DataFrame,
+      maxPushTerms: Int = 10000): DataFrame = {
+    val terms = termsOf.select(col("term")).distinct()
+      .limit(maxPushTerms + 1).collect().map(_.getString(0)).toSeq
+    if (terms.length > maxPushTerms) pp
+    else pp.filter(col("term").isin(terms: _*))
+  }
+
+  /** Both slots of a (t1, t2) probe frame as one `term` column — the
+    * [[termPushed]] input for the two-slot phrase/proximity sets. */
+  private def pairTerms(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(col("t1"), col("t2"))).as("term"))
+
   /** Exact phrase search over the stored positional table, oracle'd
     * end-to-end with the tier-fixed phrase set (feasible at every
     * tier). */
@@ -787,7 +839,8 @@ object Retrieval {
     "q_llm_phrase_search",
     (s, d) => {
       val docs = docsOf(s, d)
-      phraseSearch(servingPosOf(s, d), phrasesOf(docs))
+      val phr = phrasesOf(docs)
+      phraseSearch(termPushed(servingPosOf(s, d), pairTerms(phr)), phr)
         .orderBy(col("query_id"), col("doc_id"))
     },
     Some(posCtes + """, phr AS (
@@ -838,7 +891,9 @@ object Retrieval {
     "q_llm_phrase_k",
     (s, d) => {
       val docs = docsOf(s, d)
-      phraseSearchK(servingPosOf(s, d), phrasesKOf(docs))
+      val phr = phrasesKOf(docs)
+      phraseSearchK(termPushed(servingPosOf(s, d),
+          phr.select(explode(col("terms")).as("term"))), phr)
         .orderBy(col("query_id"), col("doc_id"))
     },
     Some(phraseHitsCtes + """
@@ -854,7 +909,9 @@ object Retrieval {
     "q_llm_phrase_snippet",
     (s, d) => {
       val docs = docsOf(s, d)
-      snippets(docs, servingPosOf(s, d), phrasesKOf(docs))
+      val phr = phrasesKOf(docs)
+      snippets(docs, termPushed(servingPosOf(s, d),
+          phr.select(explode(col("terms")).as("term"))), phr)
         .orderBy(col("query_id"), col("doc_id"))
     },
     Some(phraseHitsCtes + """, m AS (
@@ -876,7 +933,8 @@ object Retrieval {
     "q_llm_prox_search",
     (s, d) => {
       val docs = docsOf(s, d)
-      proximitySearch(servingPosOf(s, d), proximityPairsOf(docs))
+      val prx = proximityPairsOf(docs)
+      proximitySearch(termPushed(servingPosOf(s, d), pairTerms(prx)), prx)
         .orderBy(col("query_id"), col("doc_id"))
     },
     Some(posCtes + """, phr AS (
@@ -1199,7 +1257,7 @@ object Retrieval {
     "q_llm_bm25_serve",
     (s, d) => {
       val docs = docsOf(s, d)
-      bm25TopKFromSegments(servingSegOf(s, d), corpusStats(docs),
+      bm25TopKFromSegmentsPushed(servingSegOf(s, d), corpusStats(docs),
         queryTerms(docs.filter(pmod(col("doc_id"), lit(50)) === 0)))
         .orderBy(col("query_id"), col("rank"))
     },
@@ -1214,7 +1272,7 @@ object Retrieval {
     "q_llm_bm25_serve_fixed",
     (s, d) => {
       val docs = docsOf(s, d)
-      bm25TopKFromSegments(servingSegOf(s, d), corpusStats(docs),
+      bm25TopKFromSegmentsPushed(servingSegOf(s, d), corpusStats(docs),
         queryTerms(docs.filter(pmod(col("doc_id"), lit(50)) === 0 &&
           col("doc_id") < 500)))
         .orderBy(col("query_id"), col("rank"))
@@ -1366,7 +1424,9 @@ object Retrieval {
       val docs = docsOf(s, d)
       val fixed = docs.filter(pmod(col("doc_id"), lit(50)) === 0 &&
         col("doc_id") < 500)
-      val rel = phraseSearch(servingPosOf(s, d), phrasesOf(docs))
+      val phr = phrasesOf(docs)
+      val rel = phraseSearch(
+        termPushed(servingPosOf(s, d), pairTerms(phr)), phr)
         .select(col("query_id"), col("doc_id"))
       retrievalEval(bm25TopK(docs, fixed), rel)
         .orderBy(col("query_id"))
@@ -1471,7 +1531,7 @@ object Retrieval {
       graft.functions.GraftFunctions.register(s)
       val docs = docsOf(s, d)
       def pred(c: Column) = pmod(c, lit(50)) === 0 && c < 500
-      val text = bm25TopKFromSegments(servingSegOf(s, d),
+      val text = bm25TopKFromSegmentsPushed(servingSegOf(s, d),
         corpusStats(docs), queryTerms(docs.filter(pred(col("doc_id")))))
       val (codes, coarse, books) = Similarity.storedCodesOf(s, d)
       val vs = Tables.load(s, d, "embeddings")

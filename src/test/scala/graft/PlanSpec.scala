@@ -381,6 +381,15 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("graft_idx_srv_post") &&
         p.contains("graft_idx_srv_df"),
         s"$q must serve from the stored segment tables:\n$p")
+      // the inverted-index LOOKUP shape (round 11): the bounded query-
+      // term set is pushed into the scans, so the bucketed store
+      // prunes whole buckets — serving cost tracks the query batch,
+      // not the index size
+      assert(p.contains("In(term"),
+        s"$q lost the query-term scan pushdown:\n$p")
+      assert("SelectedBucketsCount: (\\d+) out of".r
+          .findFirstMatchIn(p).exists(_.group(1).toInt < 32),
+        s"$q must bucket-prune the stored index by query terms:\n$p")
       if (q == "q_llm_rrf_fusion_serve")
         assert(p.contains("seg_ivfpq_full"),
           s"$q's semantic side must read the MATERIALIZED code table — " +
