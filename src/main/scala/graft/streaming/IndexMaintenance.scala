@@ -215,10 +215,11 @@ object IndexMaintenance {
     docsStream.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
         mergeBatch(root, positional, maxBroadcastDelta)(b.toDF(), id)
-        for (n <- compactEvery)
-          if (committedGens(root).count(g =>
-              committedCgens(root).lastOption.forall(g > _)) > n)
+        for (n <- compactEvery) {
+          val lastCg = committedCgens(root).lastOption
+          if (committedGens(root).count(g => lastCg.forall(g > _)) > n)
             compact(b.sparkSession, root)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -235,9 +235,9 @@ object StreamSoak {
                 val bt = System.nanoTime()
                 IndexMaintenance.mergeBatch(root)(b.toDF(), id)
                 times += (System.nanoTime() - bt) / 1e9
-                if (IndexMaintenance.committedGens(root).count(g =>
-                    IndexMaintenance.committedCgens(root).lastOption
-                      .forall(g > _)) > 4)
+                val lastCg = IndexMaintenance.committedCgens(root).lastOption
+                if (IndexMaintenance.committedGens(root)
+                    .count(g => lastCg.forall(g > _)) > 4)
                   IndexMaintenance.compact(b.sparkSession, root)
             }
             .option("checkpointLocation", java.nio.file.Files
