@@ -1194,6 +1194,11 @@ object GraftFunctions {
       case Seq(c) => SumTopKAggExpr(c, 10)
       case es => throw badK("graft_sum_topk", es)
     },
+    "graft_rrf_fuse" -> {
+      case Seq(c, Literal(n: Int, IntegerType)) => RrfFuseAggExpr(c, n)
+      case Seq(c) => RrfFuseAggExpr(c, 10)
+      case es => throw badK("graft_rrf_fuse", es)
+    },
     "graft_bpe_encode" -> (es => BpeEncodeExpr(es(0), es(1))),
     "graft_shingle_hashes_md5" -> {
       case Seq(c, Literal(n: Int, IntegerType), Literal(m: Boolean, BooleanType)) =>

@@ -1120,6 +1120,70 @@ object Retrieval {
         col("t.id").as("doc_id"), col("t.sum").as("score_ppm"))
   }
 
+  /** STREAMING hybrid search served from the stored indexes — the
+    * online twin of q_llm_rrf_fusion_serve: a query stream carrying
+    * BOTH text and embedding
+    * (query_id, text, embedding, event_ts) is answered per closed
+    * event-time window with the RRF fusion of the packed-BM25 lexical
+    * ranking and the IVF-PQ semantic ranking, all index state static
+    * (packed postings + one-row stats; code table + frozen
+    * quantizer).
+    *
+    * Shape: both sides are STATELESS derivations — the lexical side
+    * is [[streamingBm25ServePacked]]'s per-term packed contribution
+    * rows, the semantic side [[Similarity.streamingAdcCandidates]]'
+    * probed-list candidates — unioned as (side, id, v) triples and
+    * folded by the ONE stateful operator, the windowed
+    * [[graft.functions.RrfFuseAggExpr]] aggregation: both rankings
+    * AND the fusion happen inside a single aggregation buffer (state
+    * per open (window, query) = the lexical candidate map + a
+    * probes×k-bounded semantic map), emitted on watermark close. The
+    * naive composition is three stateful operators (two windowed
+    * rankings + a stream-stream fusion join); this is one. Duplicate
+    * semantic rows collapse by min (idempotent); duplicate lexical
+    * term rows are deduped by streamQueryTerms' (win, query, term)
+    * state exactly as in the packed server. Spec-pinned result-equal
+    * to batch rrfFuse over the two stored-index servers. */
+  def streamingRrfFusionServe(queries: DataFrame, packed: DataFrame,
+      stats: DataFrame, codeTable: DataFrame, coarse: DataFrame,
+      books: DataFrame, m: Int, dim: Int, k: Int = 10, probes: Int = 2,
+      qLen: Int = 5, windowDur: String = "1 minute",
+      watermark: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val statsOne = broadcast(stats.withColumn("one", lit(1)))
+    val textItems = streamQueryTerms(
+        queries.select(col("query_id"), col("text"), col("event_ts")),
+        qLen, windowDur, watermark)
+      .join(packed, Seq("term"))
+      .join(statsOne, Seq("one"))
+      .select(col("win"), col("query_id"),
+        transform(
+          filter(col("members"), m => m.getField("doc_id") =!= col("query_id")),
+          m => struct(
+            lit(0L).as("side"),
+            m.getField("doc_id").as("id"),
+            bm25Ppm(m.getField("tf"), col("df"), m.getField("dl"),
+              col("n_docs"), col("avgdl")).as("v"))).as("items"))
+    val vecItems = Similarity.streamingAdcCandidates(
+        queries.select(col("query_id").as("vec_id"), col("embedding"),
+          col("event_ts")),
+        codeTable, coarse, books, m, dim, k, probes, watermark)
+      .select(window(col("event_ts"), windowDur).as("win"),
+        col("q_id").as("query_id"),
+        array(struct(lit(1L).as("side"), col("vec_id").as("id"),
+          col("adist").as("v"))).as("items"))
+    textItems.unionByName(vecItems)
+      .groupBy(col("win").as("window"), col("query_id"))
+      .agg(call_udf("graft_rrf_fuse", col("items"), lit(k)).as("top"))
+      .select(col("window.start").as("win_start"), col("query_id"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("win_start"), col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("t.doc_id").as("doc_id"), col("t.rrf_ppm").as("rrf_ppm"),
+        when(col("t.rank_text") > 0, col("t.rank_text")).as("rank_text"),
+        when(col("t.rank_vec") > 0, col("t.rank_vec")).as("rank_vec"))
+  }
+
   // ---- declared queries --------------------------------------------------
 
   private def docsOf(s: SparkSession, d: String): DataFrame =

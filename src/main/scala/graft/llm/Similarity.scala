@@ -1013,7 +1013,30 @@ object Similarity {
   def streamingIvfPqServe(queries: DataFrame, codeTable: DataFrame,
       coarse: DataFrame, books: DataFrame, m: Int, dim: Int, k: Int,
       probes: Int = 1, windowDur: String = "1 minute",
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour"): DataFrame =
+    streamingAdcCandidates(queries, codeTable, coarse, books, m, dim,
+      k, probes, watermark)
+      .groupBy(window(col("event_ts"), windowDur), col("q_id"))
+      .agg(call_udf("graft_topk_min",
+        struct(col("adist"), col("vec_id")), lit(k)).as("top"))
+      .select(col("window.start").as("win_start"), col("q_id"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("win_start"), col("q_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("t.vec_id").as("neighbor_id"), col("t.adist").as("adist"))
+
+  /** The pre-aggregation SEMANTIC candidate stream shared by
+    * [[streamingIvfPqServe]] and the hybrid fusion
+    * ([[Retrieval.streamingRrfFusionServe]]): per query event, the
+    * probed-list ADC candidates as (q_id, event_ts, adist, vec_id) —
+    * everything below is stateless (row-local probe selection and LUT
+    * derivation, one stream-static equi join on list_id, the per-list
+    * bounded top-k inside the kernel), so the caller chooses the one
+    * stateful windowed tail. */
+  private[llm] def streamingAdcCandidates(queries: DataFrame,
+      codeTable: DataFrame, coarse: DataFrame, books: DataFrame,
+      m: Int, dim: Int, k: Int, probes: Int,
+      watermark: String): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val subDim = dim / m
     val keyBase = 1L << 32
@@ -1082,14 +1105,6 @@ object Similarity {
           col("members"), col("q_id"), lit(keyBase), lit(k))).as("t"))
       .select(col("q_id"), col("event_ts"),
         col("t.adist").as("adist"), col("t.vec_id").as("vec_id"))
-      .groupBy(window(col("event_ts"), windowDur), col("q_id"))
-      .agg(call_udf("graft_topk_min",
-        struct(col("adist"), col("vec_id")), lit(k)).as("top"))
-      .select(col("window.start").as("win_start"), col("q_id"),
-        posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("win_start"), col("q_id"),
-        (col("pos") + 1).cast("long").as("rank"),
-        col("t.vec_id").as("neighbor_id"), col("t.adist").as("adist"))
   }
 
   /** Oracle'd END-TO-END at iters = 0, probes = 1: coarse stride

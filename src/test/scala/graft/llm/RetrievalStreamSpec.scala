@@ -292,6 +292,67 @@ class RetrievalStreamSpec extends SparkSpec {
     } finally stream.stop()
   }
 
+  test("streamingRrfFusionServe: the one-aggregate hybrid equals batch " +
+    "rrfFuse over the two stored-index servers; duplicate semantic " +
+    "rows collapse idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    // frozen stored state: packed postings + stats, codes + quantizer
+    val packed = Retrieval.packPostings(Retrieval.postings(docs))
+      .localCheckpoint(true)
+    val post = Retrieval.postings(docs).localCheckpoint(true)
+    val stats = Retrieval.corpusStats(docs).localCheckpoint(true)
+    val (coarse0, books0) = Similarity.ivfPqTrain(vecs, coarseStride = 100,
+      m = 4, dim = 64, bookStride = 50, iters = 0)
+    val coarse = coarse0.localCheckpoint(true)
+    val books = books0.localCheckpoint(true)
+    val codes = Similarity.ivfPqEncode(vecs, coarse, books, m = 4, dim = 64)
+      .localCheckpoint(true)
+    val queryDocs = docs.filter(col("doc_id") < 3)
+    // batch reference: RRF fusion of the two stored-index servers
+    val batch = Retrieval.rrfFuse(
+        Retrieval.bm25TopKFromPostings(post, stats,
+          Retrieval.queryTerms(queryDocs), k = 10),
+        Similarity.ivfPqTopKFromCodes(codes,
+            vecs.filter(col("vec_id") < 3), k = 10, coarse, books,
+            m = 4, dim = 64, probes = 2)
+          .select(col("q_id").as("query_id"), col("rank"),
+            col("neighbor_id").as("doc_id")))
+      .collect().map(_.toSeq).toSet
+    val qrows = queryDocs.join(
+        vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), new java.sql.Timestamp(60 * 60000L),
+        r.getString(1), r.getSeq[Float](2)))
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, Seq[Float])]
+    val stream = Retrieval.streamingRrfFusionServe(
+        in.toDF().toDF("query_id", "event_ts", "text", "embedding"),
+        packed, stats, codes, coarse, books, m = 4, dim = 64, k = 10,
+        probes = 2, windowDur = "1 minute", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("srrf")
+      .outputMode("append").start()
+    try {
+      // split the window across micro-batches AND replay one query
+      // event whole (at-least-once): the semantic min-dedup and the
+      // lexical (win, query, term) dedup must keep the result exact
+      in.addData(qrows.take(1): _*)
+      stream.processAllAvailable()
+      in.addData(qrows: _*) // replays query 0
+      stream.processAllAvailable()
+      in.addData((999L, new java.sql.Timestamp(200 * 60000L),
+        "late watermark pusher", qrows.head._4))
+      stream.processAllAvailable()
+      val streamed = spark.table("srrf")
+        .filter(col("query_id") < 3)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("rrf_ppm"), col("rank_text"), col("rank_vec"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    } finally stream.stop()
+  }
+
   test("packed serving state (dedup + top-k map) survives a checkpointed restart") {
     import java.nio.file.Files
     val feedDir = Files.createTempDirectory("bm25_feed").toString
