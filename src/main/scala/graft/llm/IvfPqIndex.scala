@@ -77,7 +77,15 @@ object IvfPqIndex {
     val out = fs.create(new Path(qdir, ConfFile), true)
     try out.write(s"m=${index.m}\ndim=${index.dim}\n".getBytes("UTF-8"))
     finally out.close()
-    val dir = GenerationLog.genDir(root, 0L)
+    // the base codes land as the GENESIS COMPACTION, cgen=-1 — "the
+    // full state through before-any-batch". A plain gen=0 would
+    // collide with Spark streaming's batchId numbering (which starts
+    // at 0): GenerationLog.covered(root, 0) would see the init
+    // marker and silently drop the first streamed delta. As a cgen
+    // strictly below every batchId it covers nothing, readers base on
+    // it, and the first real compaction (always folding through a
+    // gen id >= 0) supersedes and GCs it like any other cgen.
+    val dir = GenerationLog.cgenDir(root, -1L)
     index.codes.write.mode("overwrite").parquet(s"$dir/codes")
     GenerationLog.commitMarker(fs, dir)
     spark.catalog.refreshByPath(dir)

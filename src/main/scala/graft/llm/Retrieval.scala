@@ -386,15 +386,26 @@ object Retrieval {
   def bm25TopKFromSegmentsPushed(seg: IndexSegments, stats: DataFrame,
       qTerms: DataFrame, k: Int = 10,
       maxPushTerms: Int = 10000): DataFrame = {
-    val terms = qTerms.select(col("term")).distinct()
-      .limit(maxPushTerms + 1).collect().map(_.getString(0)).toSeq
-    val pruned =
-      if (terms.length > maxPushTerms) seg
-      else IndexSegments(
-        seg.postings.filter(col("term").isin(terms: _*)),
-        seg.df.filter(col("term").isin(terms: _*)),
+    val pruned = pushableTerms(qTerms, maxPushTerms) match {
+      case Some(ts) => IndexSegments(
+        seg.postings.filter(col("term").isin(ts: _*)),
+        seg.df.filter(col("term").isin(ts: _*)),
         seg.docIds)
+      case None => seg
+    }
     bm25TopKFromSegments(pruned, stats, qTerms, k)
+  }
+
+  /** The bounded probe-term collect shared by every pushed server:
+    * Some(distinct terms) when the set fits the push budget, None when
+    * a corpus-coupled workload exceeds it (fall back to the pure
+    * broadcast-probe plan). One definition so the cap and null
+    * semantics cannot drift between the BM25 and positional paths. */
+  private def pushableTerms(termsOf: DataFrame,
+      maxPushTerms: Int): Option[Seq[String]] = {
+    val terms = termsOf.select(col("term")).distinct()
+      .limit(maxPushTerms + 1).collect().map(_.getString(0)).toSeq
+    if (terms.length > maxPushTerms) None else Some(terms)
   }
 
   /** COMPAT SHIM over [[segMerge]] for a denormalized stored table:
@@ -820,12 +831,10 @@ object Retrieval {
     * either way (downstream broadcast probes re-apply the exact term
     * semantics). */
   private def termPushed(pp: DataFrame, termsOf: DataFrame,
-      maxPushTerms: Int = 10000): DataFrame = {
-    val terms = termsOf.select(col("term")).distinct()
-      .limit(maxPushTerms + 1).collect().map(_.getString(0)).toSeq
-    if (terms.length > maxPushTerms) pp
-    else pp.filter(col("term").isin(terms: _*))
-  }
+      maxPushTerms: Int = 10000): DataFrame =
+    pushableTerms(termsOf, maxPushTerms)
+      .map(ts => pp.filter(col("term").isin(ts: _*)))
+      .getOrElse(pp)
 
   /** Both slots of a (t1, t2) probe frame as one `term` column — the
     * [[termPushed]] input for the two-slot phrase/proximity sets. */
@@ -1768,17 +1777,22 @@ object Retrieval {
     * count signals tokenizer breakage.
     *
     * Scale shape: ONE corpus scan exploded and map-side-combined per
-    * (source, doc, term); n_docs comes from the raw table (no
-    * distinct); the vocab count is a map-side-partial distinct on
-    * (source, term); all joins are source-cardinality-sized. No
-    * Expand (a two-countDistinct agg would double the postings
-    * shuffle), no windows. */
-  def indexStats(docs: DataFrame): DataFrame = {
-    val pd = docs
+    * (source, doc, term), persisted for its two aggregate consumers;
+    * n_docs comes from the raw table (no distinct); the vocab count
+    * is a map-side-partial distinct on (source, term); all joins are
+    * source-cardinality-sized. No Expand (a two-countDistinct agg
+    * would double the postings shuffle), no windows. */
+  def indexStats(docs: DataFrame,
+      temps: TempCache = TempCache.noop): DataFrame = {
+    // pd feeds TWO aggregations (base totals + the vocab distinct):
+    // persisted so the corpus tokenize/explode runs once, not twice
+    // (the bm25TopK slice stance)
+    val pd = temps.register(docs
       .select(col("source"), col("doc_id"),
         explode(tokens(col("text"))).as("term"))
       .groupBy(col("source"), col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val base = pd.groupBy(col("source"))
       .agg(count(lit(1)).as("postings_rows"),
         sum(col("tf")).as("total_tokens"))

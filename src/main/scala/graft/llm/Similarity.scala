@@ -1361,25 +1361,36 @@ object Similarity {
     * sized, derived in-plan each session. */
   private[llm] def storedCodesOf(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
+    val (coarse, books) = storedQuantizerOf(s, d)
+    // encode against the STORED quantizer readers, not the in-memory
+    // trained frames: if the codes artifact is ever rebuilt separately
+    // (crash between artifact builds, selective GC), the new codes
+    // must be residuals against exactly the centroids serving reads
+    // back — and the rebuild must not re-pay the training scan
+    val stored = graft.sources.IndexStore.parquet(s, d,
+      "seg_ivfpq_full_c100_m4_b50/codes", table = "embeddings")(
+      ivfPqEncode(Tables.load(s, d, "embeddings"), coarse, books,
+        m = 4, dim = 64))
+    (stored, coarse, books)
+  }
+
+  /** The stored frozen QUANTIZER alone — for consumers (the delta
+    * encode job q_llm_ivfpq_inc) that must never force the full-corpus
+    * codes build as a side effect. The codebooks' derivation embeds a
+    * corpus-wide coarse assignment (n × K integer L2s — 211 s/rep
+    * measured at sf10 when left in-plan), so both frames are
+    * IndexStore artifacts; training runs only when one is missing. */
+  private[llm] def storedQuantizerOf(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val vs = Tables.load(s, d, "embeddings")
-    // the WHOLE frozen index is stored — codes AND quantizer. The
-    // codebooks' derivation includes the corpus-wide coarse assignment
-    // (n × K integer L2s — 211 s/rep measured at sf10 when it was
-    // left in-plan), so serving must read them back like any other
-    // index artifact; per-batch serving cost is then the codes scan +
-    // query-side scoring only. lazy: trained once, only when some
-    // artifact is missing.
     lazy val trained = ivfPqTrain(vs, coarseStride = 100, m = 4,
       dim = 64, bookStride = 50, iters = 0)
     val coarse = graft.sources.IndexStore.parquet(s, d,
       "seg_ivfpq_full_c100_m4_b50/coarse", table = "embeddings")(trained._1)
     val books = graft.sources.IndexStore.parquet(s, d,
       "seg_ivfpq_full_c100_m4_b50/books", table = "embeddings")(trained._2)
-    val stored = graft.sources.IndexStore.parquet(s, d,
-      "seg_ivfpq_full_c100_m4_b50/codes", table = "embeddings")(
-      ivfPqEncode(vs, trained._1, trained._2, m = 4, dim = 64))
-    (stored, coarse, books)
+    (coarse, books)
   }
 
   /** Serving from the STORED code table, oracle'd at probes = 2 with
@@ -1416,10 +1427,9 @@ object Similarity {
       // leaving it in-plan re-paid n×K integer L2s per rep): the
       // measured cost is the delta encode + id anti join only. The
       // names pin the quantizer config — a different config is a
-      // rebuild. The quantizer artifacts are shared with
-      // [[storedCodesOf]] (same frames: full-corpus stride-seed
-      // training).
-      val (_, coarse, books) = storedCodesOf(s, d)
+      // rebuild. The quantizer-only accessor never forces the
+      // full-corpus codes artifact this query doesn't read.
+      val (coarse, books) = storedQuantizerOf(s, d)
       val stored = graft.sources.IndexStore.parquet(s, d,
         "seg_ivfpq_c100_m4_b50/codes", table = "embeddings")(
         ivfPqEncode(vs.filter(pmod(col("vec_id"), lit(2)) === 0),

@@ -171,24 +171,47 @@ object IndexStore {
     if (!spark.catalog.tableExists(tbl)) {
       val artRoot = new Path(s"$rootDir/wh/$tbl")
       val fs = artRoot.getFileSystem(hconf(spark))
-      ManifestStore.currentDataPath(fs, artRoot) match {
+      // a promoted generation WITHOUT a _bucketspec predates the spec
+      // guard (or lost it): treat it as unpromoted and rebuild — one
+      // fresh generation supersedes it via the normal manifest swap
+      ManifestStore.currentDataPath(fs, artRoot)
+          .filter(d => fs.exists(new Path(d, "_bucketspec"))) match {
         case Some(data) =>
           // promoted by an earlier session: registration only. The
-          // bucket spec must match the writer's (same key, same count)
-          // — bucket ids ride in the part-file names, so a matching
-          // spec reads exchange-free exactly like the writing session
+          // bucket spec is read from the _bucketspec file the WRITER
+          // left in the generation — bucket ids ride in the part-file
+          // names, so registering a different spec over the same files
+          // would silently mis-route the exchange-free join (rows
+          // hashed mod N against files laid out mod M). A caller
+          // whose spec drifted from the stored one fails loudly here.
+          val in = fs.open(new Path(data, "_bucketspec"))
+          val spec = try scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().flatMap(_.split("=", 2) match {
+                case Array(k, v) => Some(k.trim -> v.trim)
+                case _ => None
+              }).toMap
+            finally in.close()
+          if (spec("key") != key || spec("buckets").toInt != buckets)
+            throw new java.io.IOException(
+              s"bucket-spec drift on $tbl: stored (key=${spec("key")}, " +
+                s"buckets=${spec("buckets")}) vs requested (key=$key, " +
+                s"buckets=$buckets) — a rebuild, not a registration")
           val schema = spark.read.parquet(data.toString).schema.toDDL
           spark.sql(s"CREATE TABLE $tbl ($schema) USING PARQUET " +
             s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
             s"LOCATION '$data'")
         case None =>
           val gen = ManifestStore.nextGen(fs, artRoot)
+          val staging = ManifestStore.stagingPath(artRoot, gen)
           build.write.mode("overwrite")
             .bucketBy(buckets, key)
             .sortBy(key)
-            .option("path", ManifestStore.stagingPath(artRoot, gen).toString)
+            .option("path", staging.toString)
             .format("parquet")
             .saveAsTable(tbl)
+          val out = fs.create(new Path(staging, "_bucketspec"), true)
+          try out.write(s"key=$key\nbuckets=$buckets\n".getBytes("UTF-8"))
+          finally out.close()
           ManifestStore.promote(fs, artRoot, gen)
           ManifestStore.gc(fs, artRoot)
           gcStale(fs, new Path(s"$rootDir/wh"),

@@ -44,13 +44,18 @@ private[graft] object GenerationLog {
       throw new IOException(s"commit-marker write failed: ${marker(dir)}")
 
   private def listIds(root: String, prefix: String): Seq[Long] = {
+    // ONE round trip: glob the markers directly instead of listing the
+    // root and probing exists(_COMMITTED) per candidate dir — the
+    // listing runs several times per micro-batch (covered check,
+    // compaction trigger, state resolution), and with deferred GC the
+    // superseded dirs accumulate between maintenance windows, so the
+    // per-dir probe is O(generations) sequential RPCs on an object
+    // store. globStatus returns null (not empty) for no matches.
     val fs = fsOf(root)
-    val rp = new Path(root)
-    if (!fs.exists(rp)) Seq.empty
-    else fs.listStatus(rp).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(prefix))
+    Option(fs.globStatus(new Path(root, s"$prefix*/_COMMITTED")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getPath.getParent.getName)
       .flatMap(_.stripPrefix(prefix).toLongOption)
-      .filter(id => fs.exists(marker(s"$root/$prefix${"%020d".format(id)}")))
       .sorted
   }
 

@@ -110,29 +110,16 @@ object IndexMaintenance {
     * `gcSuperseded = true` only where readers are known to be per-job
     * (the nightly batch cadence). */
   def compact(spark: SparkSession, root: String,
-      gcSuperseded: Boolean = false): Unit = {
-    val latestCg = committedCgens(root).lastOption
-    val tailGens = committedGens(root).filter(g => latestCg.forall(g > _))
-    if (tailGens.isEmpty) {
-      // nothing to fold — but an earlier compaction may have crashed
-      // between its marker and its GC, so finish the GC it promised
-      if (gcSuperseded) latestCg.foreach(gcThrough(root, _))
-      return
+      gcSuperseded: Boolean = false): Unit =
+    GenerationLog.compactWith(root, gcSuperseded) { (_, dir) =>
+      // fold through read() (not the dirs param) so the df side keeps
+      // its newest-dir-wins semantics
+      val state = read(spark, root).get
+      state.postings.write.mode("overwrite").parquet(s"$dir/postings")
+      state.df.write.mode("overwrite").parquet(s"$dir/df")
+      state.docIds.write.mode("overwrite").parquet(s"$dir/doc_ids")
+      spark.catalog.refreshByPath(dir)
     }
-    if (latestCg.isEmpty && tailGens.length == 1) return // already one dir
-    // fold into a cgen named after the newest TAIL generation: always
-    // strictly beyond any committed cgen, so a crashed-GC retry never
-    // overwrites the cgen it is reading from
-    val throughId = tailGens.max
-    val state = read(spark, root).get
-    val dir = cgenDir(root, throughId)
-    state.postings.write.mode("overwrite").parquet(s"$dir/postings")
-    state.df.write.mode("overwrite").parquet(s"$dir/df")
-    state.docIds.write.mode("overwrite").parquet(s"$dir/doc_ids")
-    commitMarker(fsOf(root), dir)
-    spark.catalog.refreshByPath(dir)
-    if (gcSuperseded) gcThrough(root, throughId)
-  }
 
   /** Collect everything the LATEST committed compaction supersedes —
     * the deferred-GC half of the default `compact()`. Run it after
@@ -194,6 +181,18 @@ object IndexMaintenance {
     } finally temps.release()
   }
 
+  /** The size-tiered merge-policy trigger: fold when more than
+    * `maxTailGens` generations have accumulated since the last
+    * compaction (deferred GC — the [[compact]] default). ONE
+    * definition shared by [[start]] and external drivers (the soak
+    * harness), so the policy cannot drift. */
+  def maybeCompact(spark: SparkSession, root: String,
+      maxTailGens: Int): Unit = {
+    val lastCg = committedCgens(root).lastOption
+    if (committedGens(root).count(g => lastCg.forall(g > _)) > maxTailGens)
+      compact(spark, root)
+  }
+
   /** Drive the maintenance from a streaming document feed. AvailableNow
     * by default — the nightly catch-up trigger (J3's stance): drain
     * everything available, commit, stop.
@@ -215,11 +214,7 @@ object IndexMaintenance {
     docsStream.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
         mergeBatch(root, positional, maxBroadcastDelta)(b.toDF(), id)
-        for (n <- compactEvery) {
-          val lastCg = committedCgens(root).lastOption
-          if (committedGens(root).count(g => lastCg.forall(g > _)) > n)
-            compact(b.sparkSession, root)
-        }
+        for (n <- compactEvery) maybeCompact(b.sparkSession, root, n)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -235,10 +235,7 @@ object StreamSoak {
                 val bt = System.nanoTime()
                 IndexMaintenance.mergeBatch(root)(b.toDF(), id)
                 times += (System.nanoTime() - bt) / 1e9
-                val lastCg = IndexMaintenance.committedCgens(root).lastOption
-                if (IndexMaintenance.committedGens(root)
-                    .count(g => lastCg.forall(g > _)) > 4)
-                  IndexMaintenance.compact(b.sparkSession, root)
+                IndexMaintenance.maybeCompact(b.sparkSession, root, 4)
             }
             .option("checkpointLocation", java.nio.file.Files
               .createTempDirectory("soak_ckpt_idxmaint").toString)

@@ -365,12 +365,19 @@ class SimilaritySpec extends SparkSpec {
     val want = codesOf(IvfPqIndex(4, 64, coarse, books,
       Similarity.ivfPqEncode(vecs, coarse, books, 4, 64)))
 
-    // base generation: every third vector; two overlapping deltas
+    // base codes land as the GENESIS cgen=-1: batchId numbering
+    // starts at 0 in Spark streaming, so the very first streamed
+    // delta must NOT read as already-committed (the silent-drop bug
+    // a gen=0 init would reintroduce)
+    import graft.streaming.GenerationLog
     IvfPqIndex.initMaintained(IvfPqIndex(4, 64, coarse, books,
       Similarity.ivfPqEncode(vecs.filter(pmod(col("vec_id"), lit(3)) === 0),
         coarse, books, 4, 64)), root)
+    assert(GenerationLog.committedCgens(root) == Seq(-1L))
+    assert(!GenerationLog.covered(root, 0L),
+      "batchId 0 must not be covered by the genesis state")
     IvfPqIndex.mergeCodesBatch(root)(
-      vecs.filter(pmod(col("vec_id"), lit(3)) <= 1), 1L)
+      vecs.filter(pmod(col("vec_id"), lit(3)) <= 1), 0L)
     IvfPqIndex.mergeCodesBatch(root)(vecs, 2L) // full-overlap catch-up
     val maintained = IvfPqIndex.loadMaintained(spark, root)
     assert(codesOf(maintained) == want,
@@ -378,9 +385,8 @@ class SimilaritySpec extends SparkSpec {
     assert(maintained.m == 4 && maintained.dim == 64)
 
     // committed replay: a covered batchId is a no-op
-    import graft.streaming.GenerationLog
     IvfPqIndex.mergeCodesBatch(root)(vecs, 2L)
-    assert(GenerationLog.committedGens(root) == Seq(0L, 1L, 2L))
+    assert(GenerationLog.committedGens(root) == Seq(0L, 2L))
     // crash leg: marker lost between data writes and commit — the
     // replay recomputes the SAME generation over the same pre-state
     val fs = GenerationLog.fsOf(root)
@@ -397,12 +403,15 @@ class SimilaritySpec extends SparkSpec {
     val rereader = IvfPqIndex.loadMaintained(spark, root)
     val pinned = codesOf(rereader)
     IvfPqIndex.compactCodes(spark, root)
-    assert(GenerationLog.committedCgens(root) == Seq(2L))
+    assert(GenerationLog.committedCgens(root) == Seq(-1L, 2L),
+      "deferred GC keeps the superseded genesis cgen on disk")
     assert(codesOf(IvfPqIndex.loadMaintained(spark, root)) == want)
     assert(codesOf(rereader) == pinned,
       "pre-compaction reader must keep serving under deferred GC")
     GenerationLog.gcSuperseded(root)
-    assert(GenerationLog.committedGens(root).isEmpty)
+    assert(GenerationLog.committedGens(root).isEmpty &&
+      GenerationLog.committedCgens(root) == Seq(2L),
+      "gcSuperseded must collect the folded gens AND the genesis cgen")
     assert(codesOf(IvfPqIndex.loadMaintained(spark, root)) == want)
     // merges continue past the compaction
     IvfPqIndex.mergeCodesBatch(root)(vecs, 3L) // nothing fresh: empty gen

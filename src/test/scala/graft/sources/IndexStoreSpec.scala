@@ -157,6 +157,15 @@ class IndexStoreSpec extends SparkSpec {
       assert(!p.contains("Exchange"),
         s"registered bucketed tables must co-locate the join:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+    // a drifted caller spec must FAIL the registration, not silently
+    // hash rows mod N over files laid out mod M
+    spark.sql(s"DROP TABLE ${names.head}")
+    val ex = intercept[Exception] {
+      IndexStore.bucketedTableAt(spark, root, sfDir,
+        "spec_post", "term", buckets = 8)(sys.error("must not rebuild"))
+    }
+    assert(ex.getMessage.contains("bucket-spec drift"), ex.getMessage)
   }
 
   test("IndexMaintenance generations commit on the rename-is-copy " +
