@@ -213,6 +213,48 @@ object StreamSoak {
             queryFeed(docs, s"$feedRoot/queries_p"), packed, stats, k = 10),
             mode, coll)
           finally { packed.unpersist(); stats.unpersist(); temps.release() }
+        case "hybrid" =>
+          // streaming hybrid search (one-aggregate RRF fusion) over
+          // frozen stored state: every 100th doc replayed as a query
+          // carrying BOTH its text and its embedding (vec_id = doc_id
+          // contract). The lexical side is the packed worst case
+          // (stopword-heavy queries scoring tens of thousands of
+          // candidates); the semantic side probes 2 IVF lists of the
+          // FIXED-K production index. State = one fusion buffer per
+          // (window, query) + the qLen-bounded term dedup.
+          val temps = new graft.llm.TempCache
+          val docs = Tables.load(spark, sfDir, "documents")
+          val vecs = Tables.load(spark, sfDir, "embeddings")
+            .select(col("vec_id"), col("embedding"))
+          val packedPost = graft.llm.Retrieval.packPostings(
+            graft.llm.Retrieval.postings(docs, temps))
+          packedPost.persist().count()
+          val stats = graft.llm.Retrieval.corpusStats(docs).persist()
+          stats.count()
+          val n = vecs.count()
+          val idx = IvfPqIndex.build(vecs,
+            coarseStride = math.max(1, (n / 64).toInt), m = 4, dim = 64,
+            bookStride = math.max(1, (n / 256).toInt))
+          val codes = idx.codes.persist()
+          codes.count()
+          val dir = s"$feedRoot/hybrid_queries"
+          val qs = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+            .join(vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+            .select(col("doc_id").as("query_id"), col("text"),
+              col("embedding"))
+            .withColumn("event_ts",
+              timestamp_millis(lit(base) + col("query_id")))
+          buildFeed(qs, chunks, dir)
+          val feed = spark.readStream
+            .schema(spark.read.parquet(dir).schema)
+            .option("maxFilesPerTrigger", perTrigger).parquet(dir)
+          try runDrain(spark, graft.llm.Retrieval.streamingRrfFusionServe(
+            feed, packedPost, stats, codes, idx.coarse, idx.books,
+            m = 4, dim = 64, k = 10, probes = 2), mode, coll)
+          finally {
+            packedPost.unpersist(); stats.unpersist(); codes.unpersist()
+            temps.release()
+          }
         case "idxmaint" =>
           // nightly index maintenance under the replayed feed: one
           // committed generation per micro-batch on RocksDB-era
