@@ -71,10 +71,22 @@ private[graft] object GenerationLog {
     * dir — whose superseding artifacts, e.g. the vocab df table, are
     * authoritative). Base = the latest committed compaction, if any;
     * plus every generation beyond it. */
-  def stateDirs(root: String): Option[(Seq[String], String)] = {
-    val cg = committedCgens(root)
+  def stateDirs(root: String): Option[(Seq[String], String)] =
+    stateDirsAt(root, Long.MaxValue)
+
+  /** [[stateDirs]] PINNED to coverage point `throughId`: base = the
+    * newest committed cgen ≤ throughId, plus committed generations in
+    * (cgen, throughId]. The as-of view — valid as long as retention
+    * keeps the pinned dirs (the deferred-GC default; a later
+    * gcSuperseded pass may collect dirs an even-later compaction
+    * superseded). */
+  def stateDirsAt(root: String,
+      throughId: Long): Option[(Seq[String], String)] = {
+    val cg = committedCgens(root).filter(_ <= throughId)
     val base = cg.lastOption.map(cgenDir(root, _)).toSeq
-    val tail = committedGens(root).filter(g => cg.lastOption.forall(g > _))
+    val tail = committedGens(root)
+      .filter(g => cg.lastOption.forall(g > _))
+      .filter(_ <= throughId)
       .map(genDir(root, _))
     val all = base ++ tail
     if (all.isEmpty) None else Some((all, all.last))

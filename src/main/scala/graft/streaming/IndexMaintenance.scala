@@ -87,6 +87,23 @@ object IndexMaintenance {
         spark.read.parquet(dirs.map(d => s"$d/doc_ids"): _*))
     }
 
+  /** The serving view PINNED to coverage point `throughId` — the
+    * index as-of that batch (a later merge only adds ids beyond it,
+    * so an evaluation run against a pinned point is reproducible
+    * under concurrent maintenance). Valid while retention keeps the
+    * pinned dirs: the deferred-GC default preserves superseded
+    * generations until a [[gcSupersededDirs]] maintenance window, so
+    * pin evaluation points within the retention cadence. None when
+    * nothing ≤ throughId is committed. */
+  def readAt(spark: SparkSession, root: String,
+      throughId: Long): Option[IndexSegments] =
+    GenerationLog.stateDirsAt(root, throughId).map { case (dirs, latest) =>
+      IndexSegments(
+        spark.read.parquet(dirs.map(d => s"$d/postings"): _*),
+        spark.read.parquet(s"$latest/df"),
+        spark.read.parquet(dirs.map(d => s"$d/doc_ids"): _*))
+    }
+
   /** Read amplification of the current state: how many committed dirs
     * a serving [[read]] unions — the number [[compact]] resets to 1.
     * The size-tiered trigger ([[start]]'s `compactEvery`) bounds it. */

@@ -206,6 +206,16 @@ class RetrievalStreamSpec extends SparkSpec {
     val expect3 = dump(Retrieval.segBuildUnified(
       batches.take(3).flatten.toDF("doc_id", "text")))
     assert(dump(IndexMaintenance.read(spark, root).get) == expect3)
+    // PINNED-POINT read (as-of batch 1): reproducible evaluation
+    // against the frozen two-batch state, resolved from the retained
+    // superseded generations while the later compaction is already
+    // committed
+    val expect2 = dump(Retrieval.segBuildUnified(
+      batches.take(2).flatten.toDF("doc_id", "text")))
+    assert(dump(IndexMaintenance.readAt(spark, root, 1L).get) == expect2,
+      "readAt must serve the exact as-of state")
+    assert(IndexMaintenance.readAt(spark, root, -1L).isEmpty,
+      "nothing committed at or below the pin point")
     // the maintenance window: GC after readers re-resolve
     IndexMaintenance.gcSupersededDirs(root)
     assert(IndexMaintenance.committedGens(root).isEmpty,
