@@ -86,7 +86,14 @@ case class RrfFuseAggExpr(
             val id = e.getLong(1)
             val v = e.getLong(2)
             if (side == 0L) buf.text.update(id, buf.text.getOrElse(id, 0L) + v)
-            else buf.vec.update(id, math.min(buf.vec.getOrElse(id, v), v))
+            else if (side == 1L)
+              buf.vec.update(id, math.min(buf.vec.getOrElse(id, v), v))
+            else
+              // a value constraint checkInputDataTypes can't express:
+              // silently folding an unknown side into either map would
+              // corrupt the fusion ranks; a wiring bug must surface
+              throw new IllegalArgumentException(
+                s"graft_rrf_fuse: side must be 0 (text) or 1 (vec), got $side")
           }
         }
         i += 1

@@ -68,7 +68,8 @@ object IvfPqIndex {
     * invisible to the fresh-id probe), and compaction is monotone
     * with deferred GC by default (live readers keep their pinned
     * generation sets). */
-  def initMaintained(index: IvfPqIndex, root: String): Unit = {
+  def initMaintained(index: IvfPqIndex, root: String,
+      coverageId: Long = -1L): Unit = {
     val spark = index.codes.sparkSession
     val fs = GenerationLog.fsOf(root)
     val qdir = s"$root/quantizer"
@@ -77,15 +78,18 @@ object IvfPqIndex {
     val out = fs.create(new Path(qdir, ConfFile), true)
     try out.write(s"m=${index.m}\ndim=${index.dim}\n".getBytes("UTF-8"))
     finally out.close()
-    // the base codes land as the GENESIS COMPACTION, cgen=-1 — "the
-    // full state through before-any-batch". A plain gen=0 would
-    // collide with Spark streaming's batchId numbering (which starts
-    // at 0): GenerationLog.covered(root, 0) would see the init
-    // marker and silently drop the first streamed delta. As a cgen
-    // strictly below every batchId it covers nothing, readers base on
-    // it, and the first real compaction (always folding through a
-    // gen id >= 0) supersedes and GCs it like any other cgen.
-    val dir = GenerationLog.cgenDir(root, -1L)
+    // the base codes land as the GENESIS COMPACTION at `coverageId` —
+    // "the full state through that batchId". The default, cgen=-1, is
+    // "before any batch": a plain gen=0 would collide with Spark
+    // streaming's batchId numbering (which starts at 0) —
+    // GenerationLog.covered(root, 0) would see the init marker and
+    // silently drop the first streamed delta. As a cgen strictly below
+    // every batchId it covers nothing, readers base on it, and the
+    // first real compaction (always folding through a gen id >= 0)
+    // supersedes and GCs it like any other cgen. A RETRAIN epoch
+    // ([[retrain]]) passes the retired epoch's coverage point instead,
+    // so replayed batch ids no-op and fresh ids keep appending.
+    val dir = GenerationLog.cgenDir(root, coverageId)
     index.codes.write.mode("overwrite").parquet(s"$dir/codes")
     GenerationLog.commitMarker(fs, dir)
     spark.catalog.refreshByPath(dir)
@@ -129,6 +133,24 @@ object IvfPqIndex {
       codes = spark.read.parquet(dirs.map(d => s"$d/codes"): _*))
   }
 
+  /** [[loadMaintained]] PINNED to coverage point `throughId` — the
+    * code table as-of that batch ([[graft.streaming.IndexMaintenance.readAt]]
+    * applied to ANN). Valid while retention keeps the pinned dirs
+    * (the deferred-GC default). None when nothing ≤ throughId is
+    * committed. */
+  def loadMaintainedAt(spark: SparkSession, root: String,
+      throughId: Long): Option[IvfPqIndex] =
+    GenerationLog.stateDirsAt(root, throughId).map { case (dirs, _) =>
+      val qdir = s"$root/quantizer"
+      val conf = readConf(GenerationLog.fsOf(root), new Path(qdir))
+      IvfPqIndex(
+        m = conf("m").toInt,
+        dim = conf("dim").toInt,
+        coarse = spark.read.parquet(s"$qdir/coarse"),
+        books = spark.read.parquet(s"$qdir/books"),
+        codes = spark.read.parquet(dirs.map(d => s"$d/codes"): _*))
+    }
+
   /** Fold the committed code generations into one `cgen` — the
     * [[graft.streaming.IndexMaintenance.compact]] move on the code
     * table. Deferred GC by default (live readers); run
@@ -140,6 +162,154 @@ object IvfPqIndex {
         .write.mode("overwrite").parquet(s"$out/codes")
       spark.catalog.refreshByPath(out)
     }
+
+  // ------------------------------------------------------------------
+  // Epochal maintained index: the retrain-capable layer.
+  //
+  // PQ codes are residuals against one specific coarse quantizer, so a
+  // retrained quantizer can never share a generation log with codes
+  // encoded under the old one — the pairing must be unrepresentable-
+  // wrong, like m/dim in the bundle. The epochal layout makes each
+  // quantizer lifetime its own maintained table:
+  //
+  //   root/epoch=<E>/quantizer/{coarse,books,index.conf}
+  //   root/epoch=<E>/cgen=…|gen=…   (that epoch's GenerationLog)
+  //   root/epoch=<E>/_COMMITTED     (the epoch cutover marker)
+  //
+  // The epoch marker is written LAST — after the quantizer and the
+  // genesis compaction are fully staged — so the serving cutover is
+  // ONE atomic marker create: a crashed retrain is an invisible
+  // unmarked epoch dir (reclaimed by the next retrain's number-first
+  // discipline via [[gcEpochs]]), and readers resolve the ACTIVE
+  // epoch as the newest committed one. Retired epochs stay on disk
+  // (deferred GC) so readers pinned pre-retrain — via an epoch handle
+  // or [[loadMaintainedAt]] on the retired epoch dir — keep serving
+  // byte-identical results; run [[gcEpochs]] in a maintenance window
+  // after evaluation pins expire.
+  //
+  // Batch-id coverage CONTINUES across epochs: the retrain epoch's
+  // genesis compaction lands at the retired epoch's coverage point
+  // (its max committed id), so a replayed batchId no-ops and the next
+  // fresh delta appends to the new epoch — the reference's
+  // checkpoint-resume economics (ct-fetch.go:288-305) applied to the
+  // quantizer lifecycle.
+  // ------------------------------------------------------------------
+
+  def epochDir(root: String, e: Long): String = f"$root/epoch=$e%020d"
+
+  /** Committed epoch ids, ascending. */
+  def committedEpochs(root: String): Seq[Long] = {
+    val fs = GenerationLog.fsOf(root)
+    Option(fs.globStatus(new Path(root, "epoch=*/_COMMITTED")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getPath.getParent.getName)
+      .flatMap(_.stripPrefix("epoch=").toLongOption)
+      .sorted
+  }
+
+  /** The serving epoch: the newest committed one. */
+  def activeEpochDir(root: String): String =
+    committedEpochs(root).lastOption.map(epochDir(root, _)).getOrElse(
+      throw new IllegalStateException(s"no committed epoch under $root"))
+
+  /** Open epoch 0 (or, from [[retrain]], epoch E+1) with `index` as
+    * its genesis state covering through `coverageId`. Everything is
+    * staged first; the epoch `_COMMITTED` marker lands LAST and IS the
+    * atomic cutover. Returns the epoch id. */
+  def initEpochal(index: IvfPqIndex, root: String,
+      coverageId: Long = -1L): Long = {
+    val e = committedEpochs(root).lastOption.map(_ + 1L).getOrElse(0L)
+    val edir = epochDir(root, e)
+    initMaintained(index, edir, coverageId)
+    GenerationLog.commitMarker(GenerationLog.fsOf(root), edir)
+    e
+  }
+
+  /** [[mergeCodesBatch]] against the active epoch — the foreachBatch
+    * hook of an epochal deployment. */
+  def mergeEpochal(root: String)(vecs: DataFrame, batchId: Long): Unit =
+    mergeCodesBatch(activeEpochDir(root))(vecs, batchId)
+
+  /** [[compactCodes]] against the active epoch. */
+  def compactEpochal(spark: SparkSession, root: String,
+      gcSuperseded: Boolean = false): Unit =
+    compactCodes(spark, activeEpochDir(root), gcSuperseded)
+
+  /** The active epoch's serving view. */
+  def loadEpochal(spark: SparkSession, root: String): IvfPqIndex =
+    loadMaintained(spark, activeEpochDir(root))
+
+  /** Pinned as-of read across retrains: the newest committed epoch
+    * holding state at or below `throughId` serves the pin — after a
+    * retrain whose genesis covers the pin point, that is the retrain
+    * epoch (same corpus coverage, the now-authoritative codes); a pin
+    * BELOW every epoch's genesis falls through to the retired epoch
+    * that still holds per-generation state there. For byte-stable
+    * evaluation across a retrain, pin the EPOCH too:
+    * [[loadMaintainedAt]] on `epochDir(root, e)` is immune to
+    * cutovers by construction (deferred [[gcEpochs]]). */
+  def loadEpochalAt(spark: SparkSession, root: String,
+      throughId: Long): Option[IvfPqIndex] =
+    committedEpochs(root).reverseIterator
+      .flatMap(e => loadMaintainedAt(spark, epochDir(root, e), throughId))
+      .nextOption()
+
+  /** Train a FRESH quantizer over `corpus` (which must be the same
+    * vector set the active epoch's log has accumulated — the retrain
+    * re-encodes it in full; an increment cannot fix a skewed quantizer
+    * because stored codes are residuals against the old centroids),
+    * keep the epoch's PQ config (m, dim), and cut over atomically to
+    * a new epoch whose genesis compaction covers the retired epoch's
+    * coverage point. `coarseStride`/`iters` are the retrain knobs
+    * ("more centroids or more iterations"). Returns the new epoch id. */
+  def retrain(spark: SparkSession, root: String, corpus: DataFrame,
+      coarseStride: Int, bookStride: Int, iters: Int = 0,
+      temps: TempCache = TempCache.noop): Long = {
+    val edir = activeEpochDir(root)
+    val old = loadMaintained(spark, edir)
+    val coverage = (GenerationLog.committedCgens(edir) ++
+      GenerationLog.committedGens(edir)).max
+    val (coarse, books) = Similarity.ivfPqTrain(corpus, coarseStride,
+      old.m, old.dim, bookStride, iters, temps)
+    val codes = Similarity.ivfPqEncode(corpus, coarse, books, old.m, old.dim)
+    initEpochal(IvfPqIndex(old.m, old.dim, coarse, books, codes), root,
+      coverage)
+  }
+
+  /** The wired operational loop: [[driftAlarm]] on the active epoch's
+    * code table; when it fires, [[retrain]]. Returns the alarm tuple
+    * (n_lists, max_ppm, balanced_ppm, fired) plus the new epoch id
+    * when a retrain ran. Single-writer like every maintenance entry
+    * point here — run it from the nightly driver, not concurrently
+    * with merges. */
+  def retrainIfDrifted(spark: SparkSession, root: String,
+      corpus: DataFrame, coarseStride: Int, bookStride: Int,
+      iters: Int = 0, alarmFactor: Long = 4L,
+      temps: TempCache = TempCache.noop)
+      : ((Long, Long, Long, Boolean), Option[Long]) = {
+    val alarm = driftAlarm(loadEpochal(spark, root).codes, alarmFactor)
+    if (!alarm._4) (alarm, None)
+    else (alarm, Some(retrain(spark, root, corpus, coarseStride,
+      bookStride, iters, temps)))
+  }
+
+  /** Collect retired epochs (committed or not, strictly below the
+    * active one) — the deferred-GC half of a cutover. An unmarked
+    * orphan ABOVE the active epoch (a retrain crashed mid-stage) is
+    * left alone: the next retrain recomputes the same epoch number
+    * and overwrites it in place, so it self-heals without GC. Run
+    * this after pinned evaluation readers have re-resolved past the
+    * retrain. */
+  def gcEpochs(root: String): Unit = {
+    val fs = GenerationLog.fsOf(root)
+    for (active <- committedEpochs(root).lastOption) {
+      val dirs = Option(fs.globStatus(new Path(root, "epoch=*")))
+        .map(_.toSeq).getOrElse(Seq.empty).map(_.getPath)
+      dirs.filter(_.getName.stripPrefix("epoch=").toLongOption
+          .exists(_ < active))
+        .foreach(p => fs.delete(p, true))
+    }
+  }
 
   /** Quantizer drift alarm: the retrain decision wired to
     * q_llm_ivf_stats' skew signal. Serving cost per probe is
@@ -161,6 +331,10 @@ object IvfPqIndex {
         expr("(1000000 * max_n) div total").as("max_ppm"),
         expr("1000000 div n_lists").as("balanced_ppm"))
       .head()
+    if (row.getLong(0) == 0L)
+      throw new IllegalArgumentException(
+        "driftAlarm: empty code table — nothing encoded under this " +
+          "index yet, so there is no list distribution to judge")
     val (nLists, maxPpm, balanced) =
       (row.getLong(0), row.getLong(1), row.getLong(2))
     (nLists, maxPpm, balanced, maxPpm > alarmFactor * balanced)

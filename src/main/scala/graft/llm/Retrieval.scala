@@ -403,9 +403,14 @@ object Retrieval {
     * semantics cannot drift between the BM25 and positional paths. */
   private def pushableTerms(termsOf: DataFrame,
       maxPushTerms: Int): Option[Seq[String]] = {
-    val terms = termsOf.select(col("term")).distinct()
-      .limit(maxPushTerms + 1).collect().map(_.getString(0)).toSeq
-    if (terms.length > maxPushTerms) None else Some(terms)
+    // flatMap(Option(…)) drops null terms in the driver probe — the
+    // downstream joins drop them anyway, so the pushed and non-pushed
+    // plans stay result-identical, and a future tokenizer emitting a
+    // null row can't NPE at plan-construction time
+    val rows = termsOf.select(col("term")).distinct()
+      .limit(maxPushTerms + 1).collect()
+    val terms = rows.toSeq.flatMap(r => Option(r.getString(0)))
+    if (rows.length > maxPushTerms) None else Some(terms)
   }
 
   /** COMPAT SHIM over [[segMerge]] for a denormalized stored table:
@@ -1548,6 +1553,57 @@ object Retrieval {
            |FROM hit h FULL OUTER JOIN relns ON h.query_id = relns.query_id
            |ORDER BY query_id""".stripMargin))
 
+  /** The unified index MAINTAINED as committed generation-log state
+    * (gen 0 = the base-tier slice, gen 1 = the catch-up over the whole
+    * corpus — mergeBatch's manifest anti join keeps only the fresh
+    * docs), built once per corpus content under
+    * [[graft.sources.IndexStore.maintainedRoot]]. The serving read is
+    * PINNED: [[graft.streaming.IndexMaintenance.readAt]](root, 1) —
+    * the as-of-batch-1 state, which a concurrent compaction or a
+    * later merge never changes (RetrievalStreamSpec proves the
+    * byte-stability end-to-end). */
+  private def pinnedUnifiedOf(s: SparkSession, d: String): IndexSegments = {
+    import graft.streaming.IndexMaintenance
+    val root = graft.sources.IndexStore.maintainedRoot(s, d,
+      "maint_unified") { dir =>
+      val docs = docsOf(s, d)
+      IndexMaintenance.mergeBatch(dir)(docs.filter(col("doc_id") < 500), 0L)
+      IndexMaintenance.mergeBatch(dir)(docs, 1L)
+    }
+    IndexMaintenance.readAt(s, root, 1L).getOrElse(
+      throw new IllegalStateException(
+        s"pinned unified state missing under $root"))
+  }
+
+  /** The eval card SERVED OFF A PINNED INDEX STATE — the
+    * serve-during-maintenance configuration: both the BM25 ranking
+    * AND the phrase-relevance side read the generation-log state
+    * pinned at readAt(root, 1) (which covers the full corpus by
+    * construction), so a concurrent nightly merge or compaction
+    * cannot perturb a running evaluation. Oracle = the same composed
+    * SQL as [[qRetrievalEval]]: the pinned state must be
+    * result-identical to the live full-corpus index. */
+  val qRetrievalEvalPinned = QuerySpec(
+    "q_llm_retrieval_eval_pinned",
+    (s, d) => {
+      val docs = docsOf(s, d)
+      val fixed = docs.filter(pmod(col("doc_id"), lit(50)) === 0 &&
+        col("doc_id") < 500)
+      val pinned = pinnedUnifiedOf(s, d)
+      val phr = phrasesOf(docs)
+      val rel = phraseSearch(
+        termPushed(pinned.postings
+          .select(col("term"), col("doc_id"), col("positions")),
+          pairTerms(phr)), phr)
+        .select(col("query_id"), col("doc_id"))
+      retrievalEval(
+        bm25TopKFromSegmentsPushed(pinned, corpusStats(docs),
+          queryTerms(fixed)),
+        rel)
+        .orderBy(col("query_id"))
+    },
+    qRetrievalEval.oracle)
+
   /** Hybrid search: RRF-fuse the BM25 top-10 with the embedding cosine
     * top-10 for the same query ids (vec_id = doc_id contract), pure
     * integer scores. The cosine side reuses q_llm_cosine_topk's
@@ -1838,6 +1894,7 @@ object Retrieval {
       qBm25Inc, qBm25IncDelta, qRrfFusion, qRrfFusionFixed,
       qRrfFusionServe,
       qPosIndex, qPhraseSearch, qPhraseK, qProxSearch, qPosInc,
-      qPhraseSnippet, qRetrievalEval, qIndexUnified, qIndexUnifiedInc,
+      qPhraseSnippet, qRetrievalEval, qRetrievalEvalPinned,
+      qIndexUnified, qIndexUnifiedInc,
       qIndexUnifiedIncDelta, qIndexStats)
 }

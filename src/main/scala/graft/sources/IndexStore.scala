@@ -74,11 +74,15 @@ object IndexStore {
   private def keyPrefix(sfDir: String, table: String): String =
     sfDir.replaceAll("[^A-Za-z0-9]", "_") + "__" + table + "_"
 
-  /** (size+mtime) -> content digest memo: content hashing costs one
+  /** file-metadata -> content digest memo: content hashing costs one
     * open per part file, so the steady state (plan re-construction per
-    * bench rep) pays only the directory stat. */
+    * bench rep) pays only the directory stat. The memo key folds in
+    * EVERY file's (name, len, mtime) — not just the totals — so a
+    * same-JVM regeneration whose per-file sizes merely swap (or that
+    * lands inside one mtime tick at an identical total byte count)
+    * still misses the memo and re-digests the content. */
   private val tagMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
 
   private def tableTag(spark: SparkSession, sfDir: String,
       table: String): String = {
@@ -87,9 +91,11 @@ object IndexStore {
     if (!fs.exists(src)) return "0"
     val files = listFiles(fs, src).sortBy(_.toString)
     val sizes = files.map(f => fs.getFileStatus(f))
-    val totalLen = sizes.map(_.getLen).sum
-    val newest = (0L +: sizes.map(_.getModificationTime)).max
-    tagMemo.computeIfAbsent((src.toString, totalLen, newest), _ => {
+    val metaKey = files.zip(sizes)
+      .map { case (f, st) =>
+        s"${f.getName}:${st.getLen}:${st.getModificationTime}" }
+      .mkString("|")
+    tagMemo.computeIfAbsent((src.toString, metaKey), _ => {
       val md = MessageDigest.getInstance("MD5")
       for ((f, st) <- files.zip(sizes)) {
         md.update(f.getName.getBytes("UTF-8"))
@@ -150,6 +156,32 @@ object IndexStore {
       ManifestStore.currentDataPath(fs, artRoot).get
     }
     spark.read.parquet(data.toString)
+  }
+
+  /** A [[graft.streaming.GenerationLog]]-MAINTAINED artifact root per
+    * corpus content: `build` receives the root directory and commits
+    * generations through the log's own protocol (mergeBatch /
+    * compact); a `_READY` marker written after the build completes
+    * makes later calls skip it. Crash-safe without coordination: a
+    * build that died mid-way left no marker, and the retry's
+    * generation commits are idempotent (covered batch ids no-op), so
+    * re-running `build` from the top converges on the same state.
+    * This is the seam for queries that SERVE off pinned
+    * generation-log states (readAt) rather than a flat promoted
+    * artifact. */
+  def maintainedRoot(spark: SparkSession, sfDir: String, name: String,
+      table: String = "documents")(build: String => Unit): String = {
+    val key = corpusKey(spark, sfDir, table)
+    val dir = s"$root/$key/$name"
+    val fs = new Path(dir).getFileSystem(hconf(spark))
+    val ready = new Path(dir, "_READY")
+    if (!fs.exists(ready)) {
+      build(dir)
+      if (!fs.createNewFile(ready) && !fs.exists(ready))
+        throw new java.io.IOException(s"ready-marker write failed: $ready")
+      gcStale(fs, new Path(root), keyPrefix(sfDir, table), key)
+    }
+    dir
   }
 
   /** A `buckets`-way hash-bucketed, in-bucket-sorted catalog table per

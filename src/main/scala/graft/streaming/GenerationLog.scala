@@ -112,8 +112,31 @@ private[graft] object GenerationLog {
     val fs = fsOf(root)
     val garbage =
       committedCgens(root).filter(_ < throughId).map(cgenDir(root, _)) ++
-        committedGens(root).filter(_ <= throughId).map(genDir(root, _))
+        committedGens(root).filter(_ <= throughId).map(genDir(root, _)) ++
+        // unmarked dirs at ids the committed cgen=throughId covers: a
+        // compaction (or merge) that crashed between its data writes
+        // and its marker, then was retried under a HIGHER id — the
+        // orphan is invisible by construction (no marker, id covered),
+        // so deleting it is safe, and nothing else ever would
+        unmarkedDirsThrough(root, throughId)
     garbage.foreach(d => fs.delete(new Path(d), true))
+  }
+
+  /** gen=/cgen= dirs with NO `_COMMITTED` marker whose id ≤ throughId.
+    * Uncommitted dirs ABOVE throughId are in-flight writers — never
+    * touched. */
+  private def unmarkedDirsThrough(root: String,
+      throughId: Long): Seq[String] = {
+    val fs = fsOf(root)
+    val dirs = Option(fs.globStatus(new Path(root, "*gen=*")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("gen=") ||
+        p.getName.startsWith("cgen="))
+    dirs.filter { p =>
+      val id = p.getName.dropWhile(_ != '=').drop(1).toLongOption
+      id.exists(_ <= throughId) && !fs.exists(marker(p.toString))
+    }.map(_.toString)
   }
 
   /** Collect everything the LATEST committed compaction supersedes —

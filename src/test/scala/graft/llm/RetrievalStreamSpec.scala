@@ -232,6 +232,74 @@ class RetrievalStreamSpec extends SparkSpec {
       "shuffled-probe merge must equal the broadcast-probe result")
   }
 
+  test("eval card + BM25 serving off a readAt PIN: byte-stable while a " +
+    "merge and a compaction commit mid-evaluation; the pin survives " +
+    "until the GC maintenance window") {
+    import graft.streaming.IndexMaintenance
+    val root = java.nio.file.Files.createTempDirectory("idxpin").toString
+    val docs01 = Seq(
+      (0L, "alpha beta shared"), (1L, "alpha gamma shared"),
+      (2L, "beta gamma shared"), (3L, "alpha beta gamma"),
+      (4L, "delta shared alpha"), (5L, "beta delta gamma"))
+    val docs2 = Seq(
+      (6L, "alpha alpha beta"), (7L, "gamma delta shared"))
+    IndexMaintenance.mergeBatch(root)(
+      docs01.take(3).toDF("doc_id", "text"), 0L)
+    IndexMaintenance.mergeBatch(root)(docs01.toDF("doc_id", "text"), 1L)
+
+    // the evaluation session pins the as-of-batch-1 state ONCE and
+    // runs both the ranking and the relevance side off it
+    val pin = IndexMaintenance.readAt(spark, root, 1L).get
+    val stats = Retrieval.corpusStats(docs01.toDF("doc_id", "text"))
+    val queries = docs01.take(2).toDF("doc_id", "text")
+    val phrases = Seq((0L, "alpha", "beta"), (1L, "alpha", "gamma"))
+      .toDF("query_id", "t1", "t2")
+    def evalCard(seg: IndexSegments): Seq[Seq[Any]] = {
+      val rel = Retrieval.phraseSearch(
+        seg.postings.select(col("term"), col("doc_id"), col("positions")),
+        phrases).select(col("query_id"), col("doc_id"))
+      Retrieval.retrievalEval(
+        Retrieval.bm25TopKFromSegments(seg, stats,
+          Retrieval.queryTerms(queries)), rel)
+        .orderBy(col("query_id")).collect().map(_.toSeq).toSeq
+    }
+    def serve(seg: IndexSegments): Seq[Seq[Any]] =
+      Retrieval.bm25TopKFromSegments(seg, stats,
+        Retrieval.queryTerms(queries))
+        .orderBy(col("query_id"), col("rank"))
+        .collect().map(_.toSeq).toSeq
+    val evalBefore = evalCard(pin)
+    val serveBefore = serve(pin)
+    assert(evalBefore.nonEmpty && serveBefore.nonEmpty)
+
+    // MID-EVALUATION maintenance: a nightly merge lands AND the
+    // accumulated generations compact (deferred GC) while the pinned
+    // session is still open
+    IndexMaintenance.mergeBatch(root)(docs2.toDF("doc_id", "text"), 2L)
+    IndexMaintenance.compact(spark, root)
+    assert(IndexMaintenance.committedCgens(root) == Seq(2L))
+
+    // the SAME pin handle and a RE-RESOLVED pin both serve the exact
+    // pre-maintenance bytes
+    assert(evalCard(pin) == evalBefore,
+      "eval card off the open pin must be byte-stable across the compact")
+    assert(serve(pin) == serveBefore,
+      "BM25 serving off the open pin must be byte-stable across the compact")
+    val repin = IndexMaintenance.readAt(spark, root, 1L).get
+    assert(evalCard(repin) == evalBefore && serve(repin) == serveBefore,
+      "a re-resolved pin at the same point must reproduce the evaluation")
+    // while the LIVE view has moved past it
+    assert(IndexMaintenance.read(spark, root).get.docIds.count() ==
+      (docs01 ++ docs2).length)
+
+    // retention contract: the pin is valid until the GC maintenance
+    // window collects the superseded dirs
+    IndexMaintenance.gcSupersededDirs(root)
+    assert(IndexMaintenance.readAt(spark, root, 1L).isEmpty,
+      "after gcSupersededDirs the pre-compaction pin point is gone")
+    assert(IndexMaintenance.read(spark, root).nonEmpty)
+  }
+
   private def ts(minute: Long) = new java.sql.Timestamp(minute * 60000L)
 
   test("streamingBm25Serve: stream top-k == batch stored-postings serving") {

@@ -432,6 +432,128 @@ class SimilaritySpec extends SparkSpec {
       "a skewed coarse quantizer must trip the retrain alarm")
   }
 
+  test("epochal retrain loop: drift fires the alarm, retrain cuts over " +
+    "atomically to a fresh-quantizer epoch, recall@k recovers, batch-id " +
+    "coverage continues, pinned pre-retrain reads stay byte-stable, " +
+    "crashed cutover is invisible and self-heals") {
+    import graft.streaming.GenerationLog
+    val root = java.nio.file.Files.createTempDirectory("ivfepoch").toString
+    graft.functions.GraftFunctions.register(spark)
+    def mk(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .withColumn("nrm", Similarity.norm(col("embedding")))
+    // region A: 20 spread vectors — the world the initial quantizer
+    // was trained on (10 centroids via stride 2)
+    val aRows = (0L until 20L).map(i => i -> Seq.tabulate(8)(j =>
+      if (j == (i % 8).toInt) 60f + i else (i % 5).toFloat))
+    // drift region B: 120 near-duplicate vectors far from every A
+    // centroid — the corpus the deployment ACTUALLY accumulates; all
+    // of B lands in one inverted list of the A-trained quantizer
+    val bRows = (0L until 120L).map(i => (1000L + i) -> Seq.tabulate(8)(j =>
+      100f + ((i * (j + 3)) % 17)))
+    val vecsA = mk(aRows)
+    val all = mk(aRows ++ bRows)
+    val queries = mk((aRows ++ bRows).filter(r =>
+      Seq(1000L, 1007L, 1033L, 1060L, 1111L).contains(r._1)))
+    def recallAt5(idx: IvfPqIndex): Double = {
+      val exact = Similarity.cosineTopK(all, queries, 5)
+        .select(col("q_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = idx.topK(queries, 5, probes = 1)
+        .select(col("q_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    def codesOf(idx: IvfPqIndex): Map[Long, (Long, Seq[Int])] =
+      idx.codes.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Int](2).toSeq)).toMap
+
+    // epoch 0: quantizer trained on A, genesis = A's codes
+    val (coarse0, books0) = Similarity.ivfPqTrain(vecsA, coarseStride = 2,
+      m = 2, dim = 8, bookStride = 4, iters = 0)
+    assert(IvfPqIndex.initEpochal(IvfPqIndex(2, 8, coarse0, books0,
+      Similarity.ivfPqEncode(vecsA, coarse0, books0, 2, 8)), root) == 0L)
+    // the drifted nightly delta lands as batch 0 of the active epoch
+    IvfPqIndex.mergeEpochal(root)(all, 0L)
+    val drifted = IvfPqIndex.loadEpochal(spark, root)
+    assert(codesOf(drifted).keySet ==
+      (aRows ++ bRows).map(_._1).toSet)
+    val (_, maxPpm0, balPpm0, fired) = IvfPqIndex.driftAlarm(drifted.codes)
+    assert(fired && maxPpm0 > 4 * balPpm0,
+      s"drift must trip the alarm: max=$maxPpm0 balanced=$balPpm0")
+    val recallBefore = recallAt5(drifted)
+    val pinnedEpoch0 = IvfPqIndex.loadMaintainedAt(spark,
+      IvfPqIndex.epochDir(root, 0L), 0L).get
+    val pinnedBefore = codesOf(pinnedEpoch0)
+
+    // the wired loop: alarm -> fresh quantizer over the accumulated
+    // corpus -> full re-encode -> atomic epoch cutover
+    val (alarm1, retrained) = IvfPqIndex.retrainIfDrifted(spark, root,
+      all, coarseStride = 10, bookStride = 10, iters = 1)
+    assert(alarm1._4 && retrained.contains(1L))
+    val healthyCodes = codesOf(IvfPqIndex.loadEpochal(spark, root))
+
+    // crashed cutover: the epoch marker never landed — the retrain is
+    // INVISIBLE (old epoch keeps serving) and the retry recomputes the
+    // same epoch number over the same corpus, byte-identically
+    val fs = GenerationLog.fsOf(root)
+    assert(fs.delete(GenerationLog.marker(
+      IvfPqIndex.epochDir(root, 1L)), false))
+    assert(IvfPqIndex.activeEpochDir(root) == IvfPqIndex.epochDir(root, 0L))
+    assert(IvfPqIndex.driftAlarm(
+      IvfPqIndex.loadEpochal(spark, root).codes)._4,
+      "with the cutover invisible, the alarm still stands")
+    assert(IvfPqIndex.retrain(spark, root, all, coarseStride = 10,
+      bookStride = 10, iters = 1) == 1L)
+    assert(codesOf(IvfPqIndex.loadEpochal(spark, root)) == healthyCodes,
+      "the healed cutover must reproduce the crashed one byte-stably")
+
+    // post-retrain: alarm quiet, recall recovered, loop is a no-op
+    val after = IvfPqIndex.loadEpochal(spark, root)
+    val (_, maxPpm1, balPpm1, fired1) = IvfPqIndex.driftAlarm(after.codes)
+    assert(!fired1,
+      s"retrained quantizer must quiet the alarm: max=$maxPpm1 balanced=$balPpm1")
+    val recallAfter = recallAt5(after)
+    assert(recallAfter > recallBefore,
+      s"recall@5 must recover: before=$recallBefore after=$recallAfter")
+    assert(recallAfter >= 0.8, s"retrained recall@5 too low: $recallAfter")
+    assert(IvfPqIndex.retrainIfDrifted(spark, root, all,
+      coarseStride = 10, bookStride = 10, iters = 1)._2.isEmpty,
+      "a healthy index must not retrain")
+
+    // batch-id coverage continues across the cutover: the retrain
+    // genesis covers through the retired epoch's max id (0), so a
+    // replayed batch 0 no-ops and batch 1 appends to the new epoch
+    IvfPqIndex.mergeEpochal(root)(all, 0L)
+    assert(GenerationLog.committedGens(IvfPqIndex.activeEpochDir(root)).isEmpty,
+      "a replayed covered batchId must not write a generation")
+    val cRows = (0L until 4L).map(i => (2000L + i) -> Seq.tabulate(8)(j =>
+      (i + j).toFloat))
+    IvfPqIndex.mergeEpochal(root)(mk(aRows ++ bRows ++ cRows), 1L)
+    assert(codesOf(IvfPqIndex.loadEpochal(spark, root)).keySet ==
+      (aRows ++ bRows ++ cRows).map(_._1).toSet)
+
+    // pinned reads: a pre-retrain pin on the retired epoch is
+    // byte-stable under the cutover (deferred epoch GC); the as-of
+    // resolver serves pins below the new genesis from the retired
+    // epoch and pins at/above it from the retrain epoch
+    assert(codesOf(pinnedEpoch0) == pinnedBefore,
+      "pinned pre-retrain reader must keep serving across the cutover")
+    assert(codesOf(IvfPqIndex.loadEpochalAt(spark, root, -1L).get).keySet ==
+      aRows.map(_._1).toSet,
+      "a pin below the retrain genesis falls through to the retired epoch")
+    assert(codesOf(IvfPqIndex.loadEpochalAt(spark, root, 0L).get) ==
+      healthyCodes,
+      "a pin at the retrain coverage point serves the retrain epoch")
+
+    // deferred GC: after eval pins expire, the retired epoch goes
+    IvfPqIndex.gcEpochs(root)
+    assert(IvfPqIndex.committedEpochs(root) == Seq(1L))
+    assert(IvfPqIndex.loadEpochalAt(spark, root, -1L).isEmpty)
+    assert(codesOf(IvfPqIndex.loadEpochalAt(spark, root, 1L).get).keySet ==
+      (aRows ++ bRows ++ cRows).map(_._1).toSet)
+  }
+
   test("stored-code serving raises on a code table built with a different m") {
     val vecs = graft.Tables.load(spark, sf0001, "embeddings")
     val (coarse, books) = Similarity.ivfPqTrain(vecs, coarseStride = 100,
