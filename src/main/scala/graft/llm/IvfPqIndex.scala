@@ -220,8 +220,16 @@ object IvfPqIndex {
       coverageId: Long = -1L): Long = {
     val e = committedEpochs(root).lastOption.map(_ + 1L).getOrElse(0L)
     val edir = epochDir(root, e)
+    val fs = GenerationLog.fsOf(root)
+    // a crashed earlier attempt at this epoch number left an unmarked
+    // orphan; its contents are invisible by construction but its INNER
+    // cgen markers are real, so a retry staged at a different coverage
+    // point must not leave residue a pinned as-of read could pair with
+    // the WRONG quantizer — purge before staging
+    val p = new Path(edir)
+    if (fs.exists(p)) fs.delete(p, true)
     initMaintained(index, edir, coverageId)
-    GenerationLog.commitMarker(GenerationLog.fsOf(root), edir)
+    GenerationLog.commitMarker(fs, edir)
     e
   }
 

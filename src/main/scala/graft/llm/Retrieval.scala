@@ -1157,7 +1157,18 @@ object Retrieval {
     * semantic rows collapse by min (idempotent); duplicate lexical
     * term rows are deduped by streamQueryTerms' (win, query, term)
     * state exactly as in the packed server. Spec-pinned result-equal
-    * to batch rrfFuse over the two stored-index servers. */
+    * to batch rrfFuse over the two stored-index servers.
+    *
+    * STATE BOUND (measured, sf10 soak): the lexical half of the
+    * fusion buffer is an exact per-doc sum map — candidate-
+    * proportional per open (window, query), because exact BM25 top-k
+    * cannot truncate partial sums. At bounded vocabularies that map
+    * is small and this one-operator form is the windowed-serving
+    * contract; at corpus-scale posting lists (stopword-class terms ×
+    * a 500k-doc tier) one buffer holds a corpus-shaped map and the
+    * state path OOMs by construction. Past that point serve with
+    * [[rrfFusionServeEachBatch]] — the zero-state micro-batch twin
+    * whose sums run in spillable hash aggregation. */
   def streamingRrfFusionServe(queries: DataFrame, packed: DataFrame,
       stats: DataFrame, codeTable: DataFrame, coarse: DataFrame,
       books: DataFrame, m: Int, dim: Int, k: Int = 10, probes: Int = 2,
@@ -1197,6 +1208,53 @@ object Retrieval {
         when(col("t.rank_text") > 0, col("t.rank_text")).as("rank_text"),
         when(col("t.rank_vec") > 0, col("t.rank_vec")).as("rank_vec"))
   }
+
+  /** The ZERO-STATE twin of [[streamingRrfFusionServe]] — the hybrid
+    * serving configuration for CORPUS-SCALE posting lists. The
+    * one-buffer form's fusion state is candidate-proportional per open
+    * (window, query): BM25 totals are exact sums over every matched
+    * posting row, so a stopword-class query at a 500k-doc tier holds a
+    * corpus-sized map in ONE aggregation buffer — the sf10 soak OOMs
+    * the state path by construction, not by accident (the buffer can
+    * neither spill nor truncate without breaking exact top-k). Here
+    * each batch-complete query micro-batch is answered inside
+    * `foreachBatch` by the BATCH stored-index servers
+    * ([[bm25TopKFromSegmentsPushed]] + [[Similarity.ivfPqTopKFromCodes]]
+    * + [[rrfFuse]]): the per-doc sums run in Spark's SPILLABLE hash
+    * aggregation, memory is bounded regardless of posting-list
+    * length, and state held across batches is NONE. Trade: answers
+    * come per micro-batch, not per event-time window — a replayed
+    * query in a later batch is re-answered BYTE-IDENTICALLY (the
+    * servers are deterministic), so downstream idempotence is an
+    * upsert on query_id. Pick the one-buffer form at bounded
+    * vocabularies (its state is the windowed-serving contract); pick
+    * this past the point where candidate maps are corpus-shaped. */
+  def rrfFusionServeEachBatch(queries: DataFrame, seg: IndexSegments,
+      stats: DataFrame, codes: DataFrame, coarse: DataFrame,
+      books: DataFrame, m: Int, dim: Int, k: Int = 10, probes: Int = 2,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+        val qb = b.toDF().dropDuplicates("query_id").localCheckpoint()
+        val text = bm25TopKFromSegmentsPushed(seg, stats,
+          queryTerms(qb.select(col("query_id").as("doc_id"),
+            col("text"))), k)
+        val vec = Similarity.ivfPqTopKFromCodes(codes,
+            qb.select(col("query_id").as("vec_id"), col("embedding")),
+            k, coarse, books, m, dim, probes)
+          .select(col("q_id").as("query_id"), col("rank"),
+            col("neighbor_id").as("doc_id"))
+        sink(rrfFuse(text, vec, k), id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
 
   // ---- declared queries --------------------------------------------------
 
@@ -1310,7 +1368,7 @@ object Retrieval {
     * a vocab-too-big-to-broadcast denormalize) re-shuffles NOTHING
     * (RetrievalSpec pins the exchange-free shapes). Built once per
     * session per corpus ([[graft.sources.IndexStore.bucketedTable]]). */
-  private[llm] def servingSegOf(s: SparkSession, d: String): IndexSegments = {
+  private[graft] def servingSegOf(s: SparkSession, d: String): IndexSegments = {
     val docs = docsOf(s, d)
     // lazy + by-name: the build (one corpus explode, shared persisted
     // per-doc frame) only runs when a table is actually missing

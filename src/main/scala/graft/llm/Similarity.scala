@@ -1359,7 +1359,7 @@ object Similarity {
     * quantizer config (a different config is a rebuild, not a reuse);
     * the frozen coarse/books frames are stride slices — centroid-count
     * sized, derived in-plan each session. */
-  private[llm] def storedCodesOf(s: SparkSession, d: String)
+  private[graft] def storedCodesOf(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val (coarse, books) = storedQuantizerOf(s, d)
     // encode against the STORED quantizer readers, not the in-memory

@@ -271,15 +271,33 @@ object Inventory {
            |  count(*) AS n_events
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** F1-at-scale: approximate distinct (HLL). No oracle — the driver
-    * records a rows-only check; exactness is inherently approximate. */
+  /** F1-at-scale: approximate distinct (HLL), oracle'd WITH TOLERANCE
+    * (SURVEY §2.F's declared option). An HLL estimate can't hash-match
+    * a foreign engine, so the query emits (a) the exact per-group
+    * count — pinned verbatim by DuckDB's `count(DISTINCT …)` — and
+    * (b) a boolean asserting the HLL estimate landed within ±5% of
+    * that SAME exact count, evaluated in-plan. The oracle side states
+    * the tolerance contract as literal `true`: the check is
+    * non-vacuous because the exact count the boolean was computed
+    * against is itself the hash-compared column (a drifting estimate
+    * flips the boolean and fails the hash). The sketch runs at
+    * rsd = 0.01, so the ±5% bound sits ~5 standard deviations out —
+    * tier-robust, not a coin flip on the 1-sigma default. The
+    * production form remains the approx-only aggregate — the exact
+    * leg here is the verification harness, not the serving plan. */
   val qApproxDistinct = QuerySpec(
     "q_approx_distinct",
     (s, d) =>
       Tables.events(s, d).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("approx_users") - col("n_users")).cast("double") <=
+            col("n_users").cast("double") * 0.05).as("approx_within_5pct"))
         .orderBy(col("event_type")),
-    None)
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+           |  true AS approx_within_5pct
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** F2 FLAGSHIP hierarchical rollup (storage-statistics.go:33-82):
     * per issuer(≈nation) × expDate(≈month) counts, per-issuer

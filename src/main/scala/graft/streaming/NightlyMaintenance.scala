@@ -1,0 +1,193 @@
+package graft.streaming
+
+import graft.llm.{IvfPqIndex, Retrieval}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** THE nightly job a serving deployment schedules: one curated
+  * document stream drives a committed generation into EVERY index
+  * family — BM25 segments, the positional index, the unified
+  * (BM25+positional) index, and the IVF-PQ code table — then spends
+  * one SHARED compaction budget across the stores, so the operator
+  * schedules a single maintenance loop instead of four drifting ones
+  * (the reference's one ct-fetch daemon owning every log's
+  * checkpoint, ct-fetch.go:288-305, applied to index maintenance).
+  *
+  * Each store keeps its own [[GenerationLog]] root and its own
+  * exactly-once markers, so the fan-out is NOT transactional across
+  * stores — and does not need to be: a crash between store A's commit
+  * and store B's commit replays the batch, A no-ops on its marker, B
+  * recomputes the identical generation over its identical pre-state
+  * (the per-store replay contract RetrievalStreamSpec pins). The
+  * batch is deduplicated and `localCheckpoint`ed ONCE here, so every
+  * store sees the same survivor rows — cross-store consistency within
+  * a batch comes from pinning the input, not from coordination.
+  *
+  * Scale shape: each store's merge is delta-sized (manifest anti join
+  * + fresh-rows-only tokenize/encode — the [[IndexMaintenance]] and
+  * [[IvfPqIndex.mergeCodesBatch]] economics); the fan-out multiplies
+  * the nightly cost by the number of families, never by corpus size.
+  * The shared budget bounds TOTAL read amplification across stores:
+  * the window folds the longest tails first until the sum of tail
+  * generations fits the budget, so serving reads stay bounded even
+  * when the families accumulate at different rates.
+  */
+object NightlyMaintenance {
+
+  /** The four maintained roots. `codes` is an EPOCHAL root
+    * ([[IvfPqIndex.initEpochal]] must have opened epoch 0 with the
+    * trained quantizer before the stream starts — training needs a
+    * corpus sample, which is a batch decision, not a streaming one). */
+  final case class Stores(bm25: String, positional: String,
+      unified: String, codes: String)
+
+  /** One micro-batch = one committed generation in each store. The
+    * batch must carry `doc_id`, `text`, and `embedding` (the
+    * encoder's output riding the curated stream; rows with a null
+    * embedding index as text only). Public for direct replay in
+    * specs — `foreachBatch` calls exactly this. */
+  def nightlyBatch(stores: Stores, maxBroadcastDelta: Long = 4000000L)
+      (batch: DataFrame, batchId: Long): Unit = {
+    // one dedup + one pin for every store: recomputing a lost cache
+    // block must never elect DIFFERENT survivors for different stores
+    val docs = batch.dropDuplicates("doc_id").localCheckpoint()
+    IndexMaintenance.mergeBatch(stores.bm25, positional = false,
+      maxBroadcastDelta)(docs.select(col("doc_id"), col("text")), batchId)
+    IndexMaintenance.mergeBatch(stores.unified, positional = true,
+      maxBroadcastDelta)(docs.select(col("doc_id"), col("text")), batchId)
+    mergePositionalBatch(stores.positional)(
+      docs.select(col("doc_id"), col("text")), batchId)
+    IvfPqIndex.mergeEpochal(stores.codes)(
+      docs.filter(col("embedding").isNotNull)
+        .select(col("doc_id").as("vec_id"), col("embedding")), batchId)
+  }
+
+  /** Positional-only generations: `gen=<batchId>/{postings, doc_ids}`
+    * — the stored-positional (+inc) family as maintained state. Fresh
+    * docs resolve against the union of committed doc-id manifests
+    * (broadcast anti join — the delta never shuffles the store), and
+    * only they pay the positions explode. */
+  def mergePositionalBatch(root: String)(batch: DataFrame,
+      batchId: Long): Unit = {
+    import GenerationLog._
+    if (covered(root, batchId)) return
+    val spark = batch.sparkSession
+    val docs = batch.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id").localCheckpoint()
+    val fresh = stateDirs(root) match {
+      case Some((dirs, _)) =>
+        val storedIds = spark.read.parquet(dirs.map(d => s"$d/doc_ids"): _*)
+        docs.join(broadcast(storedIds.select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+      case None => docs
+    }
+    val pinned = fresh.localCheckpoint()
+    val dir = genDir(root, batchId)
+    Retrieval.positionalPostings(pinned)
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    pinned.select(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/doc_ids")
+    commitMarker(fsOf(root), dir)
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** The positional store's serving view: the union of committed
+    * postings. None before the first commit. */
+  def readPositional(spark: SparkSession, root: String): Option[DataFrame] =
+    GenerationLog.stateDirs(root).map { case (dirs, _) =>
+      spark.read.parquet(dirs.map(d => s"$d/postings"): _*)
+    }
+
+  private def compactPositional(spark: SparkSession, root: String): Unit =
+    GenerationLog.compactWith(root, gc = false) { (dirs, out) =>
+      spark.read.parquet(dirs.map(d => s"$d/postings"): _*)
+        .write.mode("overwrite").parquet(s"$out/postings")
+      spark.read.parquet(dirs.map(d => s"$d/doc_ids"): _*)
+        .write.mode("overwrite").parquet(s"$out/doc_ids")
+      spark.catalog.refreshByPath(out)
+    }
+
+  private def tailGens(root: String): Int = {
+    val lastCg = GenerationLog.committedCgens(root).lastOption
+    GenerationLog.committedGens(root).count(g => lastCg.forall(g > _))
+  }
+
+  /** The SHARED size-tiered compaction window: while the TOTAL tail
+    * generations across the four stores exceed `maxTotalTailGens`,
+    * fold the store with the longest tail (deferred GC — live readers
+    * keep their pinned sets; schedule the gc passes separately).
+    * Returns the roots folded this window, longest-tail first. */
+  def maybeCompactAll(spark: SparkSession, stores: Stores,
+      maxTotalTailGens: Int): Seq[String] = {
+    val codesRoot = IvfPqIndex.activeEpochDir(stores.codes)
+    def compactOf(root: String): () => Unit = root match {
+      case r if r == stores.positional =>
+        () => compactPositional(spark, r)
+      case r if r == codesRoot =>
+        () => IvfPqIndex.compactCodes(spark, r)
+      case r => () => IndexMaintenance.compact(spark, r)
+    }
+    val roots = Seq(stores.bm25, stores.positional, stores.unified,
+      codesRoot)
+    var tails = roots.map(r => r -> tailGens(r)).toMap
+    val folded = Seq.newBuilder[String]
+    var progress = true
+    while (progress && tails.values.sum > maxTotalTailGens) {
+      progress = false
+      // longest tail first; a store whose fold is a no-op (a single
+      // never-compacted generation) simply can't shrink — skip it
+      for ((r, before) <- tails.toSeq.sortBy(-_._2)
+          if !progress && before > 0) {
+        compactOf(r)()
+        val after = tailGens(r)
+        if (after < before) {
+          folded += r
+          tails += r -> after
+          progress = true
+        }
+      }
+    }
+    folded.result()
+  }
+
+  /** The drift-retrain leg of the nightly window: `corpus` supplies
+    * the full accumulated vector set (the warehouse read retrain
+    * re-encodes — an epochal retrain can never be derived from codes
+    * alone, PQ is lossy), the strides/iters are the retrain knobs. */
+  final case class RetrainPolicy(corpus: () => DataFrame,
+      coarseStride: Int, bookStride: Int, iters: Int = 0,
+      alarmFactor: Long = 4L)
+
+  /** Everything the nightly window does AFTER the batch merges: spend
+    * the shared compaction budget, then check the drift alarm and
+    * retrain the ANN epoch when it fires. Returns the folded roots
+    * and the new epoch id if a retrain ran. */
+  def nightlyWindow(spark: SparkSession, stores: Stores,
+      maxTotalTailGens: Int,
+      retrain: Option[RetrainPolicy] = None): (Seq[String], Option[Long]) = {
+    val folded = maybeCompactAll(spark, stores, maxTotalTailGens)
+    val epoch = retrain.flatMap { p =>
+      IvfPqIndex.retrainIfDrifted(spark, stores.codes, p.corpus(),
+        p.coarseStride, p.bookStride, p.iters, p.alarmFactor)._2
+    }
+    (folded, epoch)
+  }
+
+  /** Drive every family from one curated document stream.
+    * AvailableNow by default — the nightly catch-up trigger. */
+  def start(docsStream: DataFrame, stores: Stores, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxTotalTailGens: Int = 8,
+      maxBroadcastDelta: Long = 4000000L,
+      retrain: Option[RetrainPolicy] = None): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        nightlyBatch(stores, maxBroadcastDelta)(b.toDF(), id)
+        nightlyWindow(b.sparkSession, stores, maxTotalTailGens, retrain)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+}

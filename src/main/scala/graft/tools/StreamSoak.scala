@@ -255,6 +255,60 @@ object StreamSoak {
             packedPost.unpersist(); stats.unpersist(); codes.unpersist()
             temps.release()
           }
+        case "hybridfb" =>
+          // the ZERO-STATE hybrid twin (rrfFusionServeEachBatch): the
+          // corpus-scale serving configuration — batch-complete query
+          // micro-batches answered by the batch stored-index servers
+          // (term-bucketed segments + materialized IVF-PQ codes),
+          // per-doc sums in SPILLABLE hash aggregation, state across
+          // batches NONE. The one-buffer `hybrid` mode's fusion state
+          // is candidate-proportional per open query and OOMs at sf10
+          // (stopword posting lists × 5k queries) — this mode is the
+          // measured answer past that point.
+          val docs = Tables.load(spark, sfDir, "documents")
+          val vecs = Tables.load(spark, sfDir, "embeddings")
+            .select(col("vec_id"), col("embedding"))
+          val seg = graft.llm.Retrieval.servingSegOf(spark, sfDir)
+          val stats = graft.llm.Retrieval.corpusStats(docs).persist()
+          stats.count()
+          val (codes, coarse, books) =
+            graft.llm.Similarity.storedCodesOf(spark, sfDir)
+          val dir = s"$feedRoot/hybridfb_queries"
+          val qs = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+            .join(vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+            .select(col("doc_id").as("query_id"), col("text"),
+              col("embedding"))
+            .withColumn("event_ts",
+              timestamp_millis(lit(base) + col("query_id")))
+          buildFeed(qs, chunks, dir)
+          val feed = spark.readStream
+            .schema(spark.read.parquet(dir).schema)
+            .option("maxFilesPerTrigger", perTrigger).parquet(dir)
+          val answered = new java.util.concurrent.atomic.AtomicLong
+          val batches = new java.util.concurrent.atomic.AtomicLong
+          val t0 = System.nanoTime()
+          val q = graft.llm.Retrieval.rrfFusionServeEachBatch(feed, seg,
+            stats, codes, coarse, books, m = 4, dim = 64, k = 10,
+            probes = 2,
+            checkpoint = java.nio.file.Files
+              .createTempDirectory("soak_ckpt_hybridfb").toString) {
+            (fused, _) =>
+              answered.addAndGet(
+                fused.select(col("query_id")).distinct().count())
+              batches.incrementAndGet()
+              ()
+          }
+          q.awaitTermination()
+          val wall = (System.nanoTime() - t0) / 1e9
+          stats.unpersist()
+          Map(
+            "mode" -> mode,
+            "batches" -> batches.get(),
+            "queries_answered" -> answered.get(),
+            "wall_sec" -> f"$wall%.2f",
+            "q_per_sec" -> f"${answered.get() / wall}%.1f",
+            "state_rows" -> 0L)
+
         case "idxmaint" =>
           // nightly index maintenance under the replayed feed: one
           // committed generation per micro-batch on RocksDB-era

@@ -167,6 +167,138 @@ class RetrievalStreamSpec extends SparkSpec {
     assert(ids == (0L until 6L).toSet, s"gated docs leaked: $ids")
   }
 
+  test("one nightly driver for ALL FOUR index families: ingest → curate " +
+    "→ BM25 + positional + unified + IVF-PQ generations per batch; each " +
+    "store equals its batch build; the shared compaction budget folds " +
+    "the longest tails; the fan-out replays exactly-once per store") {
+    import graft.streaming.{GenerationLog, IndexMaintenance,
+      NightlyMaintenance}
+    import graft.streaming.NightlyMaintenance.Stores
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    def tmp(n: String) =
+      java.nio.file.Files.createTempDirectory(n).toString
+    val stores = Stores(tmp("nb_bm25"), tmp("nb_pos"), tmp("nb_uni"),
+      tmp("nb_codes"))
+    val ckpt = tmp("nb_ck")
+    // docs 0-5 pass the curation gates; 6 (shingle loop) and 7 (too
+    // short) must reach NO store
+    val good = (0L until 6L).map(i => (i, "src", ts(i),
+      s"the quick brown fox jumps over a lazy dog number$i and then " +
+        s"walks away to rest for a while before it returns again"))
+    val bad = Seq(
+      (6L, "src", ts(6), ("spam ham " * 40).trim),
+      (7L, "src", ts(7), "too short"))
+    def vecOf(i: Long): Seq[Float] =
+      Seq.tabulate(8)(j => ((i * (j + 3)) % 23 - 11).toFloat)
+    val embTable = (0L until 8L).map(i => i -> vecOf(i))
+      .toDF("doc_id", "embedding")
+
+    // the quantizer decision is a batch decision: train on a sample,
+    // open epoch 0 with the already-indexed base slice (docs 0-1)
+    val trainVecs = embTable.select(col("doc_id").as("vec_id"),
+      col("embedding"))
+    val (coarse, books) = Similarity.ivfPqTrain(trainVecs,
+      coarseStride = 2, m = 2, dim = 8, bookStride = 3, iters = 0)
+    IvfPqIndex.initEpochal(IvfPqIndex(2, 8, coarse, books,
+      Similarity.ivfPqEncode(trainVecs.filter(col("vec_id") < 2),
+        coarse, books, 2, 8)), stores.codes)
+
+    val in = MemoryStream[(Long, String, java.sql.Timestamp, String)]
+    val curated = StreamingCuration.streamingCurate(
+        in.toDF().toDF("doc_id", "source", "event_ts", "text"))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("cleaned").as("text"))
+      .join(embTable, Seq("doc_id")) // the encoder riding the stream
+    def run(): Unit = NightlyMaintenance.start(curated, stores, ckpt,
+      maxTotalTailGens = 2).awaitTermination()
+    in.addData((good.take(3) ++ bad.take(1)): _*); run()
+    in.addData((good.drop(3) ++ bad.drop(1)): _*); run()
+
+    // every family equals its batch build over the batch-curated corpus
+    val batchCurated = StreamingCuration.streamingCurate(
+        (good ++ bad).toDF("doc_id", "source", "event_ts", "text"))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("cleaned").as("text"))
+      .localCheckpoint()
+    def dumpSeg(seg: IndexSegments) = Retrieval.segDenormalize(seg)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+      .orderBy("term", "doc_id").collect().map(_.toSeq).toSeq
+    def dumpPos(pp: org.apache.spark.sql.DataFrame) = pp
+      .select(col("term"), col("doc_id"),
+        array_join(col("positions"), ",").as("positions"))
+      .orderBy("term", "doc_id").collect().map(_.toSeq).toSeq
+    def codesOf(idx: IvfPqIndex) = idx.codes.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2).toSeq))
+      .toMap
+    assert(dumpSeg(IndexMaintenance.read(spark, stores.bm25).get) ==
+      dumpSeg(Retrieval.segBuild(batchCurated)), "bm25 store drift")
+    assert(dumpSeg(IndexMaintenance.read(spark, stores.unified).get) ==
+      dumpSeg(Retrieval.segBuildUnified(batchCurated)), "unified drift")
+    assert(dumpPos(
+      NightlyMaintenance.readPositional(spark, stores.positional).get) ==
+      dumpPos(Retrieval.positionalPostings(batchCurated)),
+      "positional store drift")
+    val wantCodes = codesOf(IvfPqIndex(2, 8, coarse, books,
+      Similarity.ivfPqEncode(trainVecs.filter(col("vec_id") < 6),
+        coarse, books, 2, 8)))
+    assert(codesOf(IvfPqIndex.loadEpochal(spark, stores.codes)) ==
+      wantCodes, "code-table drift")
+    // gated docs reached NO store
+    assert(IndexMaintenance.read(spark, stores.unified).get.docIds
+      .collect().map(_.getLong(0)).toSet == (0L until 6L).toSet)
+
+    // the shared budget folded the longest tails: total tail gens
+    // across the four stores is within budget
+    val roots = Seq(stores.bm25, stores.positional, stores.unified,
+      IvfPqIndex.activeEpochDir(stores.codes))
+    def tailOf(r: String): Int = {
+      val lastCg = GenerationLog.committedCgens(r).lastOption
+      GenerationLog.committedGens(r).count(g => lastCg.forall(g > _))
+    }
+    assert(roots.map(tailOf).sum <= 2,
+      s"budget breached: tails=${roots.map(tailOf)}")
+
+    // exactly-once across the fan-out: a direct replay of batch 0
+    // no-ops in every store (each is covered by marker or fold)
+    val before = (dumpSeg(IndexMaintenance.read(spark, stores.bm25).get),
+      dumpSeg(IndexMaintenance.read(spark, stores.unified).get),
+      dumpPos(NightlyMaintenance.readPositional(spark,
+        stores.positional).get),
+      codesOf(IvfPqIndex.loadEpochal(spark, stores.codes)))
+    NightlyMaintenance.nightlyBatch(stores)(
+      (good.take(3) ++ bad.take(1)).map { case (i, _, _, t) =>
+        (i, t, vecOf(i)) }.toDF("doc_id", "text", "embedding"), 0L)
+    val after = (dumpSeg(IndexMaintenance.read(spark, stores.bm25).get),
+      dumpSeg(IndexMaintenance.read(spark, stores.unified).get),
+      dumpPos(NightlyMaintenance.readPositional(spark,
+        stores.positional).get),
+      codesOf(IvfPqIndex.loadEpochal(spark, stores.codes)))
+    assert(before == after, "replayed batch must no-op in every store")
+
+    // the drift-retrain leg of the window: a quiet alarm leaves the
+    // epoch alone; a firing one (alarmFactor = 0 forces it) retrains,
+    // cuts over, and the store keeps serving the same vector set
+    val policy = NightlyMaintenance.RetrainPolicy(
+      () => trainVecs.filter(col("vec_id") < 6),
+      coarseStride = 2, bookStride = 3)
+    assert(NightlyMaintenance.nightlyWindow(spark, stores, 2,
+      Some(policy))._2.isEmpty, "a healthy epoch must not retrain")
+    val (_, retrained) = NightlyMaintenance.nightlyWindow(spark, stores,
+      2, Some(policy.copy(alarmFactor = 0L)))
+    assert(retrained.contains(1L), "forced alarm must open epoch 1")
+    assert(codesOf(IvfPqIndex.loadEpochal(spark, stores.codes)).keySet ==
+      (0L until 6L).toSet,
+      "the retrained epoch must serve the same vector set")
+    // and the next nightly delta appends to the NEW epoch
+    NightlyMaintenance.nightlyBatch(stores)(
+      Seq((8L, "a fresh doc after the retrain cutover", vecOf(8L)))
+        .toDF("doc_id", "text", "embedding"), 2L)
+    assert(codesOf(IvfPqIndex.loadEpochal(spark, stores.codes)).keySet ==
+      ((0L until 6L).toSet + 8L),
+      "post-retrain deltas must land in the new epoch")
+  }
+
   test("IndexMaintenance: size-tiered auto-compaction bounds read " +
     "amplification; a pre-compaction reader keeps serving (deferred GC); " +
     "gcSupersededDirs finishes the cleanup; an oversized batch degrades " +
@@ -429,6 +561,66 @@ class RetrievalStreamSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
       assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
     } finally stream.stop()
+  }
+
+  test("rrfFusionServeEachBatch: the zero-state micro-batch hybrid equals " +
+    "batch fusion over the same stored state; a replayed query " +
+    "re-answers byte-identically (upsert idempotence)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    val seg0 = Retrieval.segBuild(docs)
+    val seg = IndexSegments(seg0.postings.localCheckpoint(true),
+      seg0.df.localCheckpoint(true), seg0.docIds.localCheckpoint(true))
+    val stats = Retrieval.corpusStats(docs).localCheckpoint(true)
+    val (coarse0, books0) = Similarity.ivfPqTrain(vecs, coarseStride = 100,
+      m = 4, dim = 64, bookStride = 50, iters = 0)
+    val coarse = coarse0.localCheckpoint(true)
+    val books = books0.localCheckpoint(true)
+    val codes = Similarity.ivfPqEncode(vecs, coarse, books, m = 4, dim = 64)
+      .localCheckpoint(true)
+    val queryDocs = docs.filter(col("doc_id") < 3)
+    val batch = Retrieval.rrfFuse(
+        Retrieval.bm25TopKFromSegmentsPushed(seg, stats,
+          Retrieval.queryTerms(queryDocs)),
+        Similarity.ivfPqTopKFromCodes(codes,
+            vecs.filter(col("vec_id") < 3), k = 10, coarse, books,
+            m = 4, dim = 64, probes = 2)
+          .select(col("q_id").as("query_id"), col("rank"),
+            col("neighbor_id").as("doc_id")))
+      .collect().map(_.toSeq).toSet
+    val qrows = queryDocs.join(
+        vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2)))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("hybridfb_ck").toString
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    def drain(): Unit = {
+      val q = Retrieval.rrfFusionServeEachBatch(
+        in.toDF().toDF("query_id", "text", "embedding"),
+        seg, stats, codes, coarse, books, m = 4, dim = 64, k = 10,
+        probes = 2, checkpoint = ckpt) { (fused, _) =>
+        val rows = fused
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            col("rrf_ppm"), col("rank_text"), col("rank_vec"))
+          .collect().map(_.toSeq).toSeq
+        got.synchronized { got += rows; () }
+      }
+      q.awaitTermination()
+    }
+    in.addData(qrows: _*); drain()
+    assert(got.flatten.toSet == batch,
+      s"micro-batch twin drift:\n${got.flatten.toSet}\nvs\n$batch")
+    // at-least-once upstream: the replayed query is RE-ANSWERED in its
+    // batch, byte-identically — downstream idempotence is an upsert
+    val firstAnswer = got.flatten.filter(_.head == 0L).toSet
+    got.clear()
+    in.addData(qrows.head); drain()
+    assert(got.flatten.toSet == firstAnswer,
+      "a replayed query must re-answer byte-identically")
   }
 
   test("packed serving state (dedup + top-k map) survives a checkpointed restart") {

@@ -96,4 +96,193 @@ class GenerationLogPropsSpec extends SparkSpec {
       }
     }
   }
+
+  test("maintained IVF-PQ code table under random merge/crash/compact/gc " +
+    "interleavings always equals one full encode of the committed " +
+    "corpus (8 seeded scenarios, duplicate deltas included)") {
+    import graft.llm.{IvfPqIndex, Similarity}
+    graft.functions.GraftFunctions.register(spark)
+    // fixed vector pool — every id any batch can reference — and the
+    // FROZEN quantizer trained over it once (retrain is a different
+    // net: SimilaritySpec's epochal case)
+    def vecOf(i: Long): Seq[Float] =
+      Seq.tabulate(8)(j => ((i * (j + 3)) % 23 - 11).toFloat)
+    def vecsDf(ids: Seq[Long]) =
+      ids.map(i => i -> vecOf(i)).toDF("vec_id", "embedding")
+    val pool = vecsDf(0L until 32L)
+    val (coarse, books) = Similarity.ivfPqTrain(pool, coarseStride = 5,
+      m = 2, dim = 8, bookStride = 7, iters = 0)
+    def codesOf(idx: IvfPqIndex): Map[Long, (Long, Seq[Int])] =
+      idx.codes.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Int](2).toSeq)).toMap
+    val fullPoolCodes = codesOf(IvfPqIndex(2, 8, coarse, books,
+      Similarity.ivfPqEncode(pool, coarse, books, 2, 8)))
+
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(seed * 6397 + 29)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"cglprops_$seed").toString
+      // batch b owns ids [2b, 2b+3): every batch overlaps the next,
+      // and batch 0 overlaps the GENESIS slice (ids 0..2) — the
+      // duplicate-delta legs are structural, not incidental
+      def batchIds(b: Long): Seq[Long] = 2 * b until 2 * b + 3
+      var ids = (0L until 3L).toSet // the genesis slice
+      IvfPqIndex.initMaintained(IvfPqIndex(2, 8, coarse, books,
+        Similarity.ivfPqEncode(vecsDf(ids.toSeq.sorted), coarse, books,
+          2, 8)), root)
+      var nextBatch = 0L
+      def check(tag: String): Unit = {
+        val got = codesOf(IvfPqIndex.loadMaintained(spark, root))
+        val want = ids.map(i => i -> fullPoolCodes(i)).toMap
+        assert(got == want,
+          s"seed=$seed after $tag: maintained codes != full encode of $ids")
+      }
+      val steps = 7 + rnd.nextInt(3)
+      for (step <- 0 until steps) {
+        rnd.nextInt(6) match {
+          case 0 | 1 => // nightly delta (overlapping the previous one)
+            IvfPqIndex.mergeCodesBatch(root)(
+              vecsDf(batchIds(nextBatch)), nextBatch)
+            ids ++= batchIds(nextBatch)
+            nextBatch += 1
+            check(s"merge($nextBatch)")
+          case 2 => // covered replay of a random earlier batch
+            if (nextBatch > 0) {
+              val b = rnd.nextInt(nextBatch.toInt).toLong
+              IvfPqIndex.mergeCodesBatch(root)(vecsDf(batchIds(b)), b)
+              check(s"covered-replay($b)")
+            }
+          case 3 => // crash: newest gen marker lost between data writes
+            // and commit; the replay recomputes over the same pre-state
+            val gens = GenerationLog.committedGens(root)
+            if (gens.nonEmpty) {
+              val b = gens.max
+              val fs = GenerationLog.fsOf(root)
+              assert(fs.delete(
+                GenerationLog.marker(GenerationLog.genDir(root, b)), false))
+              IvfPqIndex.mergeCodesBatch(root)(vecsDf(batchIds(b)), b)
+              check(s"crash-replay($b)")
+            }
+          case 4 =>
+            val gc = rnd.nextBoolean()
+            IvfPqIndex.compactCodes(spark, root, gcSuperseded = gc)
+            if (GenerationLog.committedCgens(root).nonEmpty && gc)
+              assert(GenerationLog.readAmplification(root) == 1,
+                s"seed=$seed: immediate-GC fold must reset amplification")
+            check(s"compact(gc=$gc)")
+          case 5 =>
+            GenerationLog.gcSuperseded(root)
+            check("gcSuperseded")
+        }
+      }
+      IvfPqIndex.compactCodes(spark, root, gcSuperseded = true)
+      GenerationLog.gcSuperseded(root)
+      check("final fold")
+      assert(GenerationLog.readAmplification(root) == 1,
+        s"seed=$seed: terminal state must be a single folded dir")
+    }
+  }
+
+  test("EPOCHAL maintained index under random merge/crash/compact/" +
+    "retrain/epoch-crash/gc interleavings: the active epoch always " +
+    "serves one full encode of the committed corpus under its own " +
+    "quantizer (8 seeded scenarios)") {
+    import graft.llm.{IvfPqIndex, Similarity}
+    graft.functions.GraftFunctions.register(spark)
+    def vecOf(i: Long): Seq[Float] =
+      Seq.tabulate(8)(j => ((i * (j + 5)) % 19 - 9).toFloat)
+    def vecsDf(ids: Seq[Long]) =
+      ids.map(i => i -> vecOf(i)).toDF("vec_id", "embedding")
+    def codesOf(idx: IvfPqIndex): Map[Long, (Long, Seq[Int])] =
+      idx.codes.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Int](2).toSeq)).toMap
+
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(seed * 4241 + 7)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"epprops_$seed").toString
+      def batchIds(b: Long): Seq[Long] = 2 * b until 2 * b + 3
+      var ids = (0L until 3L).toSet
+      // retrain strides vary per retrain (the "more centroids" knob) —
+      // the invariant must hold under ANY quantizer the loop installs
+      var stride = 4
+      val pool0 = vecsDf(ids.toSeq.sorted)
+      val (c0, b0) = Similarity.ivfPqTrain(pool0, coarseStride = 2,
+        m = 2, dim = 8, bookStride = 2, iters = 0)
+      IvfPqIndex.initEpochal(IvfPqIndex(2, 8, c0, b0,
+        Similarity.ivfPqEncode(pool0, c0, b0, 2, 8)), root)
+      var nextBatch = 0L
+      def check(tag: String): Unit = {
+        // the invariant: active-epoch state == one full encode of the
+        // committed id set under the ACTIVE epoch's own quantizer
+        val active = IvfPqIndex.loadEpochal(spark, root)
+        val want = codesOf(IvfPqIndex(2, 8, active.coarse, active.books,
+          Similarity.ivfPqEncode(vecsDf(ids.toSeq.sorted),
+            active.coarse, active.books, 2, 8)))
+        assert(codesOf(active) == want,
+          s"seed=$seed after $tag: epochal state != full encode of $ids")
+      }
+      val steps = 6 + rnd.nextInt(3)
+      for (_ <- 0 until steps) {
+        rnd.nextInt(8) match {
+          case 0 | 1 => // nightly delta into the active epoch
+            IvfPqIndex.mergeEpochal(root)(vecsDf(batchIds(nextBatch)),
+              nextBatch)
+            ids ++= batchIds(nextBatch)
+            nextBatch += 1
+            check(s"merge($nextBatch)")
+          case 2 => // covered replay (possibly from BEFORE a retrain —
+            // the new epoch's genesis coverage must absorb it)
+            if (nextBatch > 0) {
+              val b = rnd.nextInt(nextBatch.toInt).toLong
+              IvfPqIndex.mergeEpochal(root)(vecsDf(batchIds(b)), b)
+              check(s"covered-replay($b)")
+            }
+          case 3 => // crash-replay of the newest gen in the active epoch
+            val edir = IvfPqIndex.activeEpochDir(root)
+            val gens = GenerationLog.committedGens(edir)
+            if (gens.nonEmpty) {
+              val b = gens.max
+              assert(GenerationLog.fsOf(root).delete(
+                GenerationLog.marker(GenerationLog.genDir(edir, b)), false))
+              IvfPqIndex.mergeEpochal(root)(vecsDf(batchIds(b)), b)
+              check(s"crash-replay($b)")
+            }
+          case 4 =>
+            IvfPqIndex.compactEpochal(spark, root,
+              gcSuperseded = rnd.nextBoolean())
+            check("compact")
+          case 5 => // RETRAIN: fresh quantizer over the accumulated
+            // corpus, atomic epoch cutover
+            stride = 2 + rnd.nextInt(3)
+            IvfPqIndex.retrain(spark, root, vecsDf(ids.toSeq.sorted),
+              coarseStride = stride, bookStride = 2)
+            check(s"retrain(stride=$stride)")
+          case 6 => // CRASHED retrain: stage a retrain, lose the epoch
+            // marker — must be invisible; the next retrain self-heals
+            val before = IvfPqIndex.committedEpochs(root).max
+            stride = 2 + rnd.nextInt(3)
+            val e = IvfPqIndex.retrain(spark, root,
+              vecsDf(ids.toSeq.sorted), coarseStride = stride,
+              bookStride = 2)
+            assert(GenerationLog.fsOf(root).delete(
+              new org.apache.hadoop.fs.Path(
+                IvfPqIndex.epochDir(root, e), "_COMMITTED"), false))
+            assert(IvfPqIndex.committedEpochs(root).max == before,
+              s"seed=$seed: crashed cutover must be invisible")
+            check("epoch-crash")
+          case 7 => // epoch GC: retired epochs go, the active one serves
+            IvfPqIndex.gcEpochs(root)
+            check("gcEpochs")
+        }
+      }
+      // terminal: one more retrain + full GC leaves exactly one epoch
+      IvfPqIndex.retrain(spark, root, vecsDf(ids.toSeq.sorted),
+        coarseStride = 2, bookStride = 2)
+      IvfPqIndex.gcEpochs(root)
+      assert(IvfPqIndex.committedEpochs(root).size == 1,
+        s"seed=$seed: terminal state must be a single epoch")
+      check("terminal retrain")
+    }
+  }
 }
