@@ -309,6 +309,76 @@ object StreamSoak {
             "q_per_sec" -> f"${answered.get() / wall}%.1f",
             "state_rows" -> 0L)
 
+        case "nightly" =>
+          // THE combined nightly job (NightlyMaintenance): every
+          // micro-batch commits one generation into ALL FOUR index
+          // families — BM25 segments, positional, unified, epochal
+          // IVF-PQ codes — then spends the shared compaction budget.
+          // The soak claim: the fan-out multiplies nightly cost by
+          // the family count, never by corpus size, and per-batch
+          // wall stays flat as every store accumulates the tier.
+          import graft.streaming.NightlyMaintenance
+          import graft.streaming.NightlyMaintenance.Stores
+          val stores = Stores(s"$feedRoot/n_bm25", s"$feedRoot/n_pos",
+            s"$feedRoot/n_uni", s"$feedRoot/n_codes")
+          val vecs = Tables.load(spark, sfDir, "embeddings")
+            .select(col("vec_id"), col("embedding")).persist()
+          val nv = vecs.count()
+          // quantizer decision is a batch decision: fixed-K train on
+          // the tier, epoch 0 opens EMPTY of codes beyond a seed slice
+          val (coarse, books) = graft.llm.Similarity.ivfPqTrain(vecs,
+            math.max(1, (nv / 64).toInt), m = 4, dim = 64,
+            math.max(1, (nv / 256).toInt))
+          IvfPqIndex.initEpochal(IvfPqIndex(4, 64, coarse, books,
+            graft.llm.Similarity.ivfPqEncode(
+              vecs.filter(col("vec_id") < 0), coarse, books, 4, 64)),
+            stores.codes)
+          val embByDoc = vecs.withColumnRenamed("vec_id", "doc_id")
+          val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val t0 = System.nanoTime()
+          val q = docFeed().select(col("doc_id"), col("text"))
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  id: Long) =>
+                val withEmb = b.toDF().join(embByDoc, Seq("doc_id"), "left")
+                val bt = System.nanoTime()
+                NightlyMaintenance.nightlyBatch(stores)(withEmb, id)
+                times += (System.nanoTime() - bt) / 1e9
+                NightlyMaintenance.maybeCompactAll(b.sparkSession,
+                  stores, 8)
+                ()
+            }
+            .option("checkpointLocation", java.nio.file.Files
+              .createTempDirectory("soak_ckpt_nightly").toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val wallSec = (System.nanoTime() - t0) / 1e9
+          import graft.streaming.{GenerationLog, IndexMaintenance}
+          val uni = IndexMaintenance.read(spark, stores.unified).get
+          val docsIndexed = uni.docIds.count()
+          val nCodes = IvfPqIndex.loadEpochal(spark, stores.codes)
+            .codes.count()
+          val ts = times.toVector.sorted
+          def tailAmp(r: String): Int =
+            GenerationLog.readAmplification(r)
+          vecs.unpersist()
+          Map(
+            "mode" -> mode,
+            "batches" -> times.size,
+            "docs_indexed" -> docsIndexed,
+            "codes_rows" -> nCodes,
+            "wall_sec" -> f"$wallSec%.2f",
+            "docs_per_sec" -> f"${docsIndexed / wallSec}%.0f",
+            "batch_sec_first" -> f"${times.headOption.getOrElse(0.0)}%.2f",
+            "batch_sec_median" ->
+              f"${if (ts.isEmpty) 0.0 else ts(ts.size / 2)}%.2f",
+            "batch_sec_last" -> f"${times.lastOption.getOrElse(0.0)}%.2f",
+            "read_amp" -> Seq(stores.bm25, stores.positional,
+              stores.unified,
+              IvfPqIndex.activeEpochDir(stores.codes)).map(tailAmp).sum)
+
         case "idxmaint" =>
           // nightly index maintenance under the replayed feed: one
           // committed generation per micro-batch on RocksDB-era
