@@ -32,6 +32,25 @@ case class IvfPqIndex(m: Int, dim: Int, coarse: DataFrame,
     Similarity.ivfPqTopKFromCodes(codes, queries, k, coarse, books,
       m, dim, probes)
 
+  /** Metadata-FILTERED serving (q_llm_ann_filtered semantics off the
+    * maintained table): candidates restricted by `pred` BEFORE the
+    * top-k aggregate — a pushed parquet filter on the code-table scan
+    * when the predicate hits an attribute column the index was encoded
+    * with ([[Similarity.ivfPqEncode]]'s `attrs`; [[attrColumns]] lists
+    * them). Pre-filter ≡ serving an index of only the matching
+    * sub-corpus (frozen-quantizer per-vector encode independence). */
+  def topKFiltered(queries: DataFrame, k: Int,
+      pred: org.apache.spark.sql.Column, probes: Int = 1): DataFrame =
+    Similarity.ivfPqTopKFromCodes(codes.filter(pred), queries, k,
+      coarse, books, m, dim, probes)
+
+  /** The attribute columns this index's stored rows carry beyond the
+    * (vec_id, list_id, codes) triple — the filterable surface. The
+    * maintenance entry points infer THIS list to keep deltas,
+    * compactions, and retrains schema-identical to the genesis. */
+  def attrColumns: Seq[String] =
+    codes.columns.toSeq.filterNot(Set("vec_id", "list_id", "codes"))
+
   /** Streaming serving — [[Similarity.streamingIvfPqServe]] with the
     * manifest's own config. */
   def serveStream(queries: DataFrame, k: Int, probes: Int = 1,
@@ -108,8 +127,11 @@ object IvfPqIndex {
     val fresh = vecs
       .join(idx.codes.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .dropDuplicates("vec_id")
+    // an attribute-embedded genesis keeps its filterable columns
+    // across every delta: the schema is inferred from the maintained
+    // table itself, never re-declared by the caller
     val freshCodes = Similarity.ivfPqEncode(fresh, idx.coarse, idx.books,
-      idx.m, idx.dim)
+      idx.m, idx.dim, idx.attrColumns)
     val dir = GenerationLog.genDir(root, batchId)
     freshCodes.write.mode("overwrite").parquet(s"$dir/codes")
     GenerationLog.commitMarker(GenerationLog.fsOf(root), dir)
@@ -279,7 +301,11 @@ object IvfPqIndex {
       GenerationLog.committedGens(edir)).max
     val (coarse, books) = Similarity.ivfPqTrain(corpus, coarseStride,
       old.m, old.dim, bookStride, iters, temps)
-    val codes = Similarity.ivfPqEncode(corpus, coarse, books, old.m, old.dim)
+    // the retrain epoch re-encodes with the SAME attribute layout the
+    // retired epoch served — filtered queries keep working across the
+    // cutover without re-declaration
+    val codes = Similarity.ivfPqEncode(corpus, coarse, books, old.m,
+      old.dim, old.attrColumns)
     initEpochal(IvfPqIndex(old.m, old.dim, coarse, books, codes), root,
       coverage)
   }

@@ -912,10 +912,10 @@ object Similarity {
     * reassembles in a per-vector aggregate — the corpus never joins
     * itself, and the stored row is a list id + m small ints. */
   def ivfPqEncode(vecs: DataFrame, coarse: DataFrame, books: DataFrame,
-      m: Int, dim: Int): DataFrame = {
+      m: Int, dim: Int, attrs: Seq[String] = Nil): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val q = vecs.select(col("vec_id"), quantize(col("embedding")).as("qfull"))
-    residualSubvectors(assignCoarse(q, coarse), "vec_id", m, dim)
+    val enc = residualSubvectors(assignCoarse(q, coarse), "vec_id", m, dim)
       .join(broadcast(books), Seq("sub_id"))
       .withColumn("dist", call_udf("graft_l2_int", col("q"), col("c_q")))
       .groupBy(col("vec_id"), col("sub_id"))
@@ -926,6 +926,13 @@ object Similarity {
       .agg(first(col("list_id")).as("list_id"),
         transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
           s => s.getField("code")).as("codes"))
+    // filter ATTRIBUTES ride the stored row (the attribute-embedded
+    // index layout filtered serving needs — q_llm_ann_filtered): one
+    // build-time id join, amortized over every serve; attrs = Nil
+    // leaves the plan untouched
+    if (attrs.isEmpty) enc
+    else enc.join(vecs.select(col("vec_id") +: attrs.map(col): _*),
+      Seq("vec_id"))
   }
 
   /** IVFADC serving against a PRECOMPUTED code table (the output of
@@ -984,9 +991,19 @@ object Similarity {
     // segMergeParts stance) and pass only never-seen vectors here.
     val fresh = vecs.join(codeTable.select(col("vec_id")),
       Seq("vec_id"), "left_anti")
-    guardCodes(codeTable, m)
-      .select(col("vec_id"), col("list_id"), col("codes"))
-      .unionByName(ivfPqEncode(fresh, coarse, books, m, dim))
+    // attribute columns the stored table carries (anything beyond the
+    // code triple) are INFERRED and preserved: the delta encodes with
+    // the same attrs, so an attribute-embedded index stays filterable
+    // across increments without the caller re-declaring its layout
+    val attrs = codeTable.columns.toSeq
+      .filterNot(Set("vec_id", "list_id", "codes"))
+    if (attrs.isEmpty)
+      guardCodes(codeTable, m)
+        .select(col("vec_id"), col("list_id"), col("codes"))
+        .unionByName(ivfPqEncode(fresh, coarse, books, m, dim))
+    else
+      guardCodes(codeTable, m)
+        .unionByName(ivfPqEncode(fresh, coarse, books, m, dim, attrs))
   }
 
   /** Streaming IVFADC serving: a continuous query feed (vec_id,
@@ -1362,15 +1379,24 @@ object Similarity {
   private[graft] def storedCodesOf(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val (coarse, books) = storedQuantizerOf(s, d)
+    val vs = Tables.load(s, d, "embeddings")
     // encode against the STORED quantizer readers, not the in-memory
     // trained frames: if the codes artifact is ever rebuilt separately
     // (crash between artifact builds, selective GC), the new codes
     // must be residuals against exactly the centroids serving reads
-    // back — and the rebuild must not re-pay the training scan
+    // back — and the rebuild must not re-pay the training scan.
+    // The stored row ALSO carries the vector's filter attribute
+    // (label) — the attribute-embedded index layout filtered ANN
+    // serving needs: a metadata predicate lands on the code-table
+    // parquet scan itself (PushedFilters + row-group pruning) instead
+    // of paying a corpus-sized join per query batch. The one join here
+    // is build-time, amortized over every serve. Name carries `_attr`
+    // so caches written before the layout change rebuild instead of
+    // serving a label-less table.
     val stored = graft.sources.IndexStore.parquet(s, d,
-      "seg_ivfpq_full_c100_m4_b50/codes", table = "embeddings")(
-      ivfPqEncode(Tables.load(s, d, "embeddings"), coarse, books,
-        m = 4, dim = 64))
+      "seg_ivfpq_attr_c100_m4_b50/codes", table = "embeddings")(
+      ivfPqEncode(vs, coarse, books, m = 4, dim = 64,
+        attrs = Seq("label")))
     (stored, coarse, books)
   }
 
@@ -1410,6 +1436,50 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     },
     qIvfPqAnnP2.oracle)
+
+  /** Metadata-FILTERED ANN serving — "top-k among vectors whose
+    * attribute matches" (the filtered-search semantics of every
+    * production vector store: restrict by language, source, license,
+    * time range BEFORE ranking, not after). Implementation is the
+    * attribute-embedded index: [[storedCodesOf]]'s stored row carries
+    * the label beside the codes, so the predicate is a plain filter on
+    * the code-table scan — pushed to parquet (PlanSpec pins
+    * PushedFilters), pruning row groups before a single ADC lookup
+    * runs, with ZERO serve-time joins. Candidates are filtered BEFORE
+    * the top-k aggregate (pre-filter), so the result is exactly the
+    * top-k of the matching sub-corpus — equivalently, serving an index
+    * built over only the matching vectors (SimilaritySpec pins that
+    * equivalence; it holds because a frozen quantizer encodes each
+    * vector independently of the rest of the corpus).
+    *
+    * Scale shape: the per-query candidate set is the probed lists
+    * INTERSECTED with the predicate — selectivity multiplies the
+    * serving cost DOWN (a 10% filter scores ~10% of the probed rows).
+    * The flip side a deployment must know: at high selectivity the
+    * probed lists may hold fewer than k matches, so recall targets
+    * need `probes` raised as the filter narrows — the q_llm_ivf_stats
+    * occupancy card is the tuning input. Oracle: the q_llm_ivfpq_ann_p2
+    * replay with the label predicate applied to candidates. */
+  val qAnnFiltered = QuerySpec(
+    "q_llm_ann_filtered",
+    (s, d) => {
+      val (stored, coarse, books) = storedCodesOf(s, d)
+      val vs = Tables.load(s, d, "embeddings")
+      ivfPqTopKFromCodes(stored.filter(col("label") === 1),
+        vs.filter(col("vec_id") < 5), k = 5, coarse, books,
+        m = 4, dim = 64, probes = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    qIvfPqAnnP2.oracle.map { sql =>
+      // identical chain, candidates restricted to the attribute match:
+      // derive from the p2 replay so the two oracles can never drift
+      val anchor = "  WHERE codes.vec_id != qt.q_id"
+      require(sql.contains(anchor), "p2 oracle shape changed under " +
+        "q_llm_ann_filtered — update the filtered anchor")
+      sql.replace(anchor,
+        "  JOIN embeddings attr ON codes.vec_id = attr.vec_id\n" +
+          "  WHERE codes.vec_id != qt.q_id AND attr.label = 1")
+    })
 
   /** The nightly delta job, oracle'd through the FULL-encode SQL: a
     * stored table holding the even-id half of the corpus plus an
@@ -2186,6 +2256,6 @@ object Similarity {
   val all: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qEmbOutlier, qQuantize, qKmeansStep,
       qPqAnn, qPqRecall, qIvfPqAnn, qIvfPqAnnP2, qIvfPqCodes, qIvfPqServe,
-      qIvfPqInc, qIvfStats, qSqRecall, qRpReduce, qRpRecall, qSemDedup,
-      qAnnRecall, qDiversify, qEmbContam)
+      qAnnFiltered, qIvfPqInc, qIvfStats, qSqRecall, qRpReduce, qRpRecall,
+      qSemDedup, qAnnRecall, qDiversify, qEmbContam)
 }

@@ -31,7 +31,7 @@ object PlanCount {
         s"termex=${n("Exchange hashpartitioning\\(term")} " +
         s"srvpost=${p.contains("graft_idx_srv_post")} " +
         s"srvdf=${p.contains("graft_idx_srv_df")} " +
-        s"storedcodes=${p.contains("seg_ivfpq_full")}")
+        s"storedcodes=${p.contains("seg_ivfpq_attr")}")
       if (sys.env.contains("SPARK_GRAFT_PLAN_DUMP")) println(p)
     }
     spark.stop()

@@ -391,7 +391,7 @@ class PlanSpec extends SparkSpec {
           .findFirstMatchIn(p).exists(_.group(1).toInt < 32),
         s"$q must bucket-prune the stored index by query terms:\n$p")
       if (q == "q_llm_rrf_fusion_serve")
-        assert(p.contains("seg_ivfpq_full"),
+        assert(p.contains("seg_ivfpq_attr"),
           s"$q's semantic side must read the MATERIALIZED code table — " +
             s"an in-plan re-encode (or a cosine corpus scan) is the " +
             s"r10 weak this query exists to clear:\n$p")
@@ -402,6 +402,21 @@ class PlanSpec extends SparkSpec {
       assert(termEx <= 1,
         s"$q: $termEx term-keyed exchanges — the index side shuffled:\n$p")
     }
+  }
+
+  test("filtered ANN pushes the attribute predicate into the stored " +
+    "code-table scan") {
+    // the attribute-embedded index layout's whole point: the metadata
+    // filter prunes parquet row groups BEFORE any ADC lookup runs, and
+    // the serve pays zero joins for it — at 100 TB, a post-scoring
+    // filter (or a serve-time attr join) re-reads the full code table
+    // per query batch
+    val p = plan("q_llm_ann_filtered")
+    assert(p.contains("seg_ivfpq_attr"),
+      s"filtered ANN must read the materialized attribute-embedded " +
+        s"code table:\n$p")
+    assert(p.contains("EqualTo(label,1)"),
+      s"label predicate not pushed into the code-table scan:\n$p")
   }
 
   test("heavy-query BNLJ / single-partition-exchange budgets (annotated invariants)") {

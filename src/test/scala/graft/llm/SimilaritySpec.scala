@@ -278,6 +278,40 @@ class SimilaritySpec extends SparkSpec {
     assert(served == inline, s"served=$served\ninline=$inline")
   }
 
+  test("filtered ANN: a label predicate on the attribute-embedded code " +
+    "table equals an index built over only the matching sub-corpus") {
+    val m = 4; val dim = 64
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val (coarse, books) = Similarity.ivfPqTrain(vecs, coarseStride = 100,
+      m = m, dim = dim, bookStride = 50, iters = 0)
+    val codes = Similarity.ivfPqEncode(vecs, coarse, books, m, dim)
+      .join(vecs.select(col("vec_id"), col("label")), Seq("vec_id"))
+    // pre-filter semantics: candidates restricted BEFORE the top-k agg
+    val filteredServe = Similarity.ivfPqTopKFromCodes(
+      codes.filter(col("label") === 1), queries, k = 5, coarse, books,
+      m, dim, probes = 2).collect().map(_.toSeq).toSet
+    // ... must equal serving an index that only ever contained the
+    // matching vectors: a frozen quantizer encodes each vector
+    // independently of the rest of the corpus, so the two states are
+    // row-identical on the matching subset — the classic filtered-ANN
+    // correctness statement
+    val subCorpus = Similarity.ivfPqTopKFromCodes(
+      Similarity.ivfPqEncode(vecs.filter(col("label") === 1),
+        coarse, books, m, dim),
+      queries, k = 5, coarse, books, m, dim, probes = 2)
+      .collect().map(_.toSeq).toSet
+    assert(filteredServe.nonEmpty, "filter must leave candidates to rank")
+    assert(filteredServe == subCorpus,
+      s"filtered=$filteredServe\nsub-corpus=$subCorpus")
+    // and every returned neighbor satisfies the predicate
+    val allowed = vecs.filter(col("label") === 1)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val neighbors = filteredServe.map(_.apply(2).asInstanceOf[Long])
+    assert(neighbors.subsetOf(allowed),
+      s"neighbors outside the predicate: ${neighbors -- allowed}")
+  }
+
   test("IvfPqIndex: build/save/load round-trip, delta generation, crash-orphan invisibility") {
     import org.apache.hadoop.fs.Path
     val m = 4; val dim = 64
@@ -430,6 +464,54 @@ class SimilaritySpec extends SparkSpec {
     val (_, maxS, _, fireS) = IvfPqIndex.driftAlarm(skewed)
     assert(maxS == 810000 && fireS,
       "a skewed coarse quantizer must trip the retrain alarm")
+  }
+
+  test("attribute-embedded maintained index: filter attrs survive delta " +
+    "generations, compaction, and a retrain epoch; filtered serving " +
+    "equals the loose-frame filtered serve") {
+    import org.apache.spark.sql.functions.pmod
+    val root = java.nio.file.Files.createTempDirectory("ivfattr").toString
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    val (coarse, books) = Similarity.ivfPqTrain(vecs, coarseStride = 100,
+      m = 4, dim = 64, bookStride = 50, iters = 0)
+    val queries = vecs.filter(col("vec_id") < 3)
+    // genesis: attr-carrying codes over a third of the corpus
+    val genesis = IvfPqIndex(4, 64, coarse, books,
+      Similarity.ivfPqEncode(vecs.filter(pmod(col("vec_id"), lit(3)) === 0),
+        coarse, books, 4, 64, attrs = Seq("label")))
+    assert(genesis.attrColumns == Seq("label"))
+    IvfPqIndex.initEpochal(genesis, root)
+    // deltas infer the attribute layout from the maintained table
+    // itself — the caller never re-declares it
+    IvfPqIndex.mergeEpochal(root)(vecs, 0L)
+    IvfPqIndex.compactEpochal(spark, root)
+    val maintained = IvfPqIndex.loadEpochal(spark, root)
+    assert(maintained.attrColumns == Seq("label"),
+      "delta + compaction must preserve the attribute layout")
+    // filtered serving off the maintained table == the loose-frame
+    // filtered serve over an equivalent one-shot encode
+    val expect = Similarity.ivfPqTopKFromCodes(
+      Similarity.ivfPqEncode(vecs, coarse, books, 4, 64, Seq("label"))
+        .filter(col("label") === 1),
+      queries, k = 5, coarse, books, 4, 64, probes = 2)
+      .collect().map(_.toSeq).toSet
+    val got = maintained.topKFiltered(queries, k = 5,
+      col("label") === 1, probes = 2).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == expect,
+      s"maintained filtered serve drifted:\ngot=$got\nexpect=$expect")
+    // a retrain epoch re-encodes with the same filterable layout, so
+    // filtered queries keep working across the cutover
+    val e = IvfPqIndex.retrain(spark, root, vecs, coarseStride = 50,
+      bookStride = 50)
+    val retrained = IvfPqIndex.loadEpochal(spark, root)
+    assert(e == 1L && retrained.attrColumns == Seq("label"))
+    val allowed = vecs.filter(col("label") === 1).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val nbrs = retrained.topKFiltered(queries, k = 5,
+      col("label") === 1, probes = 2).collect().map(_.getLong(2)).toSet
+    assert(nbrs.nonEmpty && nbrs.subsetOf(allowed),
+      s"retrained filtered serve leaked outside the predicate: " +
+        s"${nbrs -- allowed}")
   }
 
   test("epochal retrain loop: drift fires the alarm, retrain cuts over " +
