@@ -490,6 +490,49 @@ object Retrieval {
     bm25TopKFromPostings(post, corpusStats(docs), qt, k)
   }
 
+  /** Attribute-SCOPED postings: one inverted index PER SCOPE of a
+    * low-cardinality document attribute (language, source, license) —
+    * (attr, term, doc_id, tf, dl, df) with df computed WITHIN the
+    * scope. Serving a scope is then BM25 over exactly the sub-corpus
+    * index: statistics (df, and [[scopedStats]]' n_docs/avgdl) are
+    * in-scope, so scores match an index that only ever contained the
+    * matching documents — the text-side analogue of
+    * q_llm_ann_filtered's sub-corpus equivalence.
+    *
+    * Scale shape: stored `partitionBy(attr)`
+    * ([[graft.sources.IndexStore.partitionedParquet]]), so a scope
+    * predicate prunes whole directories at plan time
+    * (PartitionFilters) — a lang='en' serve never opens the other
+    * languages' files. The build is the [[postings]] chain with the
+    * attribute riding the scan projection and keying the df
+    * aggregate; one corpus scan, map-side-combined. */
+  def scopedPostings(docs: DataFrame, attr: String,
+      temps: TempCache = TempCache.noop): DataFrame = {
+    val perDoc = temps.register(docs
+      .select(col(attr), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy(col(attr), col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfT = perDoc.groupBy(col(attr), col("term"))
+      .agg(count(lit(1)).as("df"))
+    perDoc.join(dfT, Seq(attr, "term"))
+      .select(col(attr), col("term"), col("doc_id"), col("tf"),
+        col("dl"), col("df"))
+  }
+
+  /** Per-scope corpus statistics: (attr, n_docs, avgdl) — the
+    * [[corpusStats]] row per attribute scope, scope-count-sized. */
+  def scopedStats(docs: DataFrame, attr: String): DataFrame =
+    docs
+      .groupBy(col(attr))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("total_tokens"))
+      .select(col(attr), col("n_docs"),
+        (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+
   /** POSITIONAL postings: (term, doc_id, positions) with 1-based
     * token positions, sorted — the index layout that upgrades term
     * search to exact PHRASE search (and proximity scoring) without
@@ -1264,7 +1307,11 @@ object Retrieval {
   /** The whole BM25 oracle chain with the query-set predicate
     * parameterized (the curate_rel gate-predicate stance: every other
     * CTE byte is shared, so variants cannot drift). */
-  private def bm25CteFor(queryPred: String) =
+  /** `corpusPred` scopes the CANDIDATE corpus (and its df / n_docs /
+    * avgdl statistics — a scoped index is the index of exactly that
+    * sub-corpus, q_llm_bm25_scoped); the query set stays drawn from
+    * the full documents table. Default TRUE = the unscoped family. */
+  private def bm25CteFor(queryPred: String, corpusPred: String = "TRUE") =
     s"""WITH qt AS (
       |  SELECT DISTINCT query_id, term FROM (
       |    SELECT doc_id AS query_id,
@@ -1273,11 +1320,11 @@ object Retrieval {
       |), per_doc AS (
       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      |        FROM documents)
+      |        FROM documents WHERE $corpusPred)
       |  GROUP BY doc_id, term
       |), dls AS (
       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-      |  FROM documents
+      |  FROM documents WHERE $corpusPred
       |), slice AS (
       |  SELECT * FROM per_doc WHERE term IN (SELECT term FROM qt)
       |), dft AS (
@@ -1286,7 +1333,7 @@ object Retrieval {
       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
       |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
       |      / CAST(count(*) AS DOUBLE) AS avgdl
-      |  FROM documents
+      |  FROM documents WHERE $corpusPred
       |), cand AS (
       |  SELECT qt.query_id, s.doc_id,
       |    CAST(floor(
@@ -1414,6 +1461,42 @@ object Retrieval {
         .orderBy(col("query_id"), col("rank"))
     },
     Some(bm25CteFixed + "\n" + bm25TailSql))
+
+  /** Attribute-SCOPED BM25 serving — restrict retrieval to one scope
+    * of a document attribute (here lang='en'), scored against the
+    * SCOPE's own statistics: the stored index is partitioned by the
+    * attribute ([[scopedPostings]] via
+    * [[graft.sources.IndexStore.partitionedParquet]]), so the scope
+    * predicate prunes whole partition directories at plan time
+    * (PlanSpec pins PartitionFilters) and serving equals BM25 over an
+    * index that only ever contained the matching documents
+    * (RetrievalSpec pins that equivalence against [[bm25TopK]] on the
+    * filtered corpus). The tier-fixed query set stays drawn from the
+    * FULL corpus — queries are external to the scope, candidates are
+    * not. Low-cardinality attr ⇒ partition layout here;
+    * high-cardinality ⇒ the attribute-embedded row layout
+    * (q_llm_ann_filtered). */
+  val qBm25Scoped = QuerySpec(
+    "q_llm_bm25_scoped",
+    (s, d) => {
+      val docs = docsOf(s, d)
+      val post = graft.sources.IndexStore.partitionedParquet(s, d,
+        "srv_post_scoped_lang", "lang")(scopedPostings(docs, "lang"))
+      val stats = graft.sources.IndexStore.parquet(s, d,
+        "srv_stats_scoped_lang")(scopedStats(docs, "lang"))
+      val qt = queryTerms(docs.filter(pmod(col("doc_id"), lit(50)) === 0 &&
+        col("doc_id") < 500))
+      bm25TopKFromPostings(
+        post.filter(col("lang") === "en")
+          .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+            col("df")),
+        stats.filter(col("lang") === "en")
+          .select(col("n_docs"), col("avgdl")),
+        qt)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(bm25CteFor("doc_id % 50 = 0 AND doc_id < 500",
+      corpusPred = "lang = 'en'") + "\n" + bm25TailSql))
 
   /** The tier-FIXED serving workload: the SAME end-to-end chain with
     * the query set capped to the base-tier id range (10 queries at
@@ -1948,7 +2031,8 @@ object Retrieval {
            |ORDER BY base.source""".stripMargin))
 
   def all: Seq[QuerySpec] =
-    Seq(qBm25, qBm25Index, qBm25Serve, qBm25ServeFixed, qBm25Fixed,
+    Seq(qBm25, qBm25Index, qBm25Serve, qBm25ServeFixed, qBm25Scoped,
+      qBm25Fixed,
       qBm25Inc, qBm25IncDelta, qRrfFusion, qRrfFusionFixed,
       qRrfFusionServe,
       qPosIndex, qPhraseSearch, qPhraseK, qProxSearch, qPosInc,

@@ -158,6 +158,33 @@ object IndexStore {
     spark.read.parquet(data.toString)
   }
 
+  /** [[parquet]] written PARTITIONED by a low-cardinality attribute
+    * column — the scoped-index layout: a filter on the partition
+    * column prunes whole directories at PLAN time (PartitionFilters),
+    * so an attribute-scoped serve never opens the other scopes' files
+    * at all. The high-cardinality complement is the attribute-EMBEDDED
+    * row layout (q_llm_ann_filtered's code table), where the predicate
+    * prunes row groups via PushedFilters instead. Same manifest
+    * promote/GC discipline as [[parquet]]; partition directories ride
+    * inside the immutable generation. */
+  def partitionedParquet(spark: SparkSession, sfDir: String,
+      name: String, partCol: String,
+      table: String = "documents")(build: => DataFrame): DataFrame = {
+    val key = corpusKey(spark, sfDir, table)
+    val artRoot = new Path(s"$root/$key/$name")
+    val fs = artRoot.getFileSystem(hconf(spark))
+    val data = ManifestStore.currentDataPath(fs, artRoot).getOrElse {
+      val gen = ManifestStore.nextGen(fs, artRoot)
+      build.write.mode("overwrite").partitionBy(partCol)
+        .parquet(ManifestStore.stagingPath(artRoot, gen).toString)
+      ManifestStore.promote(fs, artRoot, gen)
+      ManifestStore.gc(fs, artRoot)
+      gcStale(fs, new Path(root), keyPrefix(sfDir, table), key)
+      ManifestStore.currentDataPath(fs, artRoot).get
+    }
+    spark.read.parquet(data.toString)
+  }
+
   /** A [[graft.streaming.GenerationLog]]-MAINTAINED artifact root per
     * corpus content: `build` receives the root directory and commits
     * generations through the log's own protocol (mergeBatch /

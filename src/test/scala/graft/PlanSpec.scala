@@ -419,6 +419,20 @@ class PlanSpec extends SparkSpec {
       s"label predicate not pushed into the code-table scan:\n$p")
   }
 
+  test("scoped BM25 prunes the stored index to the scope's partition " +
+    "directories at plan time") {
+    // the partition-layout half of the filtered-serving story (the
+    // row-embedded half is q_llm_ann_filtered): the lang predicate is
+    // a PartitionFilter on the partitionBy(lang) postings artifact, so
+    // the other scopes' files are never opened — at 100 TB, a
+    // post-scan filter re-reads every language's postings per query
+    // batch
+    val p = plan("q_llm_bm25_scoped")
+    assert("PartitionFilters: \\[[^\\]]*lang[^\\]]* = en".r
+        .findFirstIn(p).isDefined,
+      s"lang scope not a partition filter on the postings scan:\n$p")
+  }
+
   test("heavy-query BNLJ / single-partition-exchange budgets (annotated invariants)") {
     // The cartesian rule, generalized (VERDICT r6): a
     // BroadcastNestedLoopJoin or an Exchange SinglePartition is

@@ -77,6 +77,36 @@ class RetrievalSpec extends SparkSpec {
     assert(e2e == served)
   }
 
+  test("attribute-scoped serving equals BM25 over an index of only the " +
+    "matching sub-corpus (in-scope df / n_docs / avgdl)") {
+    val docs = docsDf((0L until 30L).map(i =>
+        i -> s"t${i % 7} t${i % 5} t${i % 3} common pad${i % 2}"): _*)
+      .withColumn("lang",
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("en")).otherwise(lit("de")))
+    // queries drawn from the FULL corpus (external to the scope)
+    val queries = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val scopedPost = Retrieval.scopedPostings(docs, "lang")
+    val scopedStat = Retrieval.scopedStats(docs, "lang")
+    val served = Retrieval.bm25TopKFromPostings(
+        scopedPost.filter(col("lang") === "en")
+          .select("term", "doc_id", "tf", "dl", "df"),
+        scopedStat.filter(col("lang") === "en").select("n_docs", "avgdl"),
+        Retrieval.queryTerms(queries), k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    // ... must equal the end-to-end chain over ONLY the scope's docs:
+    // a scoped index is the index of exactly that sub-corpus
+    val subCorpus = Retrieval.bm25TopK(docs.filter(col("lang") === "en"),
+        queries, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(served.nonEmpty && served == subCorpus,
+      s"scoped=$served\nsub-corpus=$subCorpus")
+    // per-scope stats are in-scope, not global: the en scope's n_docs
+    // counts only en docs
+    val statRow = scopedStat.filter(col("lang") === "en").collect().head
+    assert(statRow.getLong(1) == 10L,
+      s"in-scope n_docs must be the scope size: $statRow")
+  }
+
   test("bounded top-k tail is result-identical to the rank window") {
     val docs = docsDf((0L until 40L).map(i =>
       i -> s"t${i % 7} t${i % 5} t${i % 3} common pad${i % 2}"): _*)
