@@ -466,6 +466,45 @@ class RetrievalStreamSpec extends SparkSpec {
     } finally stream.stop()
   }
 
+  test("streaming scoped BM25: lang-scoped postings + in-scope stats " +
+    "serve identically on the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    // the q_llm_bm25_scoped layout: per-scope postings (in-scope df)
+    // and per-scope stats, the scope predicate restricting the
+    // stream-static join's static side — no new operator
+    val post = Retrieval.scopedPostings(docs, "lang")
+      .filter(col("lang") === "en")
+      .select("term", "doc_id", "tf", "dl", "df").localCheckpoint(true)
+    val stats = Retrieval.scopedStats(docs, "lang")
+      .filter(col("lang") === "en")
+      .select("n_docs", "avgdl").localCheckpoint(true)
+    val queryDocs = docs.filter(col("doc_id") < 3)
+    val batch = Retrieval.bm25TopKFromPostings(post, stats,
+        Retrieval.queryTerms(queryDocs), k = 5)
+      .collect().map(_.toSeq).toSet
+    val qtexts = queryDocs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[Query]
+    val stream = Retrieval.streamingBm25Serve(in.toDF(), post, stats,
+      k = 5, windowDur = "1 minute", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sbm25sc")
+      .outputMode("append").start()
+    try {
+      in.addData(qtexts.map { case (id, t) => q(id, 60, t) }.toSeq: _*)
+      stream.processAllAvailable()
+      in.addData(q(999, 200, "late watermark pusher"))
+      stream.processAllAvailable()
+      val streamed = spark.table("sbm25sc")
+        .filter(col("query_id") < 3)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("score_ppm"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed.nonEmpty && streamed == batch,
+        s"stream=$streamed\nbatch=$batch")
+    } finally stream.stop()
+  }
+
   test("streamingBm25ServePacked: one-state-row-per-query form equals batch " +
     "and the chained-aggregation form") {
     implicit val sqlCtx = spark.sqlContext

@@ -543,6 +543,45 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming filtered ANN: a label predicate on the attribute-" +
+    "embedded code table serves identically on the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val m = 4; val dim = 64
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    val (coarse0, books0) = Similarity.ivfPqTrain(vecs, coarseStride = 100,
+      m, dim, bookStride = 50, iters = 2)
+    val coarse = coarse0.localCheckpoint(true)
+    val books = books0.localCheckpoint(true)
+    // the attribute-embedded stored table (q_llm_ann_filtered's
+    // layout); the predicate restricts the stream-static join's
+    // static side — no new operator, the same stored state
+    val filtered = Similarity.ivfPqEncode(vecs, coarse, books, m, dim,
+      attrs = Seq("label")).localCheckpoint(true)
+      .filter(col("label") === 1)
+    val queries = vecs.filter(col("vec_id") < 3)
+    val batch = Similarity.ivfPqTopKFromCodes(filtered, queries, k = 5,
+      coarse, books, m, dim, probes = 2).collect().map(_.toSeq).toSet
+    val qembs = queries.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val in = MemoryStream[VDoc]
+    val q = Similarity.streamingIvfPqServe(in.toDF(), filtered, coarse,
+      books, m, dim, k = 5, probes = 2, windowDur = "1 minute",
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sivfpqf")
+      .outputMode("append").start()
+    try {
+      in.addData(qembs.map { case (id, e) => vdoc(id, 60, e) }.toSeq: _*)
+      q.processAllAvailable()
+      in.addData(vdoc(999, 200, qembs.head._2))
+      q.processAllAvailable()
+      val streamed = spark.table("sivfpqf").filter(col("q_id") < 3)
+        .select(col("q_id"), col("rank"), col("neighbor_id"), col("adist"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed.nonEmpty && streamed == batch,
+        s"stream=$streamed\nbatch=$batch")
+    } finally q.stop()
+  }
+
   private case class EDoc(doc_id: Long, event_ts: java.sql.Timestamp,
       text: String, embedding: Seq[Float])
 
