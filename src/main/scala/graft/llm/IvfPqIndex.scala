@@ -375,14 +375,18 @@ object IvfPqIndex {
   }
 
   /** Train + encode in one call: [[Similarity.ivfPqTrain]] then
-    * [[Similarity.ivfPqEncode]] over the corpus. */
+    * [[Similarity.ivfPqEncode]] over the corpus. `attrs` embeds filter
+    * attribute columns in the stored rows (the [[topKFiltered]]
+    * surface); the maintenance entry points preserve them from here
+    * on via [[IvfPqIndex.attrColumns]] inference. */
   def build(vecs: DataFrame, coarseStride: Int, m: Int, dim: Int,
       bookStride: Int, iters: Int = 0,
-      temps: TempCache = TempCache.noop): IvfPqIndex = {
+      temps: TempCache = TempCache.noop,
+      attrs: Seq[String] = Nil): IvfPqIndex = {
     val (coarse, books) = Similarity.ivfPqTrain(vecs, coarseStride, m,
       dim, bookStride, iters, temps)
     IvfPqIndex(m, dim, coarse, books,
-      Similarity.ivfPqEncode(vecs, coarse, books, m, dim))
+      Similarity.ivfPqEncode(vecs, coarse, books, m, dim, attrs))
   }
 
   /** Publish the bundle as a new generation under `root`: stage the

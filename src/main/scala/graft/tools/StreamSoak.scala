@@ -171,6 +171,44 @@ object StreamSoak {
           try runDrain(spark,
             idx.serveStream(vecFeed(), k = 10, probes = 2), mode, coll)
           finally idx.codes.unpersist()
+        case "servef" =>
+          // FILTERED serving soak (q_llm_ann_filtered's layout under
+          // the fixed-K production config): the label predicate
+          // restricts the stream-static join's static side, so the
+          // state shape is identical to `serve` and the drain
+          // measures the candidate-pruning benefit directly
+          val vecs = Tables.load(spark, sfDir, "embeddings")
+            .select(col("vec_id"), col("embedding"), col("label"))
+          val n = vecs.count()
+          val idx = IvfPqIndex.build(vecs,
+            coarseStride = math.max(1, (n / 64).toInt), m = 4, dim = 64,
+            bookStride = math.max(1, (n / 256).toInt),
+            attrs = Seq("label"))
+          val filtered = idx.copy(
+            codes = idx.codes.filter(col("label") === 1))
+          filtered.codes.persist().count()
+          try runDrain(spark,
+            filtered.serveStream(vecFeed(), k = 10, probes = 2), mode, coll)
+          finally filtered.codes.unpersist()
+        case "bm25sc" =>
+          // SCOPED serving soak (q_llm_bm25_scoped's layout): per-scope
+          // postings with in-scope statistics; the scope restricts the
+          // static side, state shape identical to `bm25`
+          val temps = new graft.llm.TempCache
+          val docs = Tables.load(spark, sfDir, "documents")
+          val post = graft.llm.Retrieval.scopedPostings(docs, "lang", temps)
+            .filter(col("lang") === "en")
+            .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+              col("df"))
+          post.persist().count()
+          val stats = graft.llm.Retrieval.scopedStats(docs, "lang")
+            .filter(col("lang") === "en")
+            .select(col("n_docs"), col("avgdl")).persist()
+          stats.count()
+          try runDrain(spark, graft.llm.Retrieval.streamingBm25Serve(
+            queryFeed(docs, s"$feedRoot/queries_sc"), post, stats, k = 10),
+            mode, coll)
+          finally { post.unpersist(); stats.unpersist(); temps.release() }
         case "asof" =>
           val dir = s"$feedRoot/events"
           val ev = Tables.events(spark, sfDir)
