@@ -47,9 +47,10 @@ case class IvfPqIndex(m: Int, dim: Int, coarse: DataFrame,
   /** The attribute columns this index's stored rows carry beyond the
     * (vec_id, list_id, codes) triple — the filterable surface. The
     * maintenance entry points infer THIS list to keep deltas,
-    * compactions, and retrains schema-identical to the genesis. */
-  def attrColumns: Seq[String] =
-    codes.columns.toSeq.filterNot(Set("vec_id", "list_id", "codes"))
+    * compactions, and retrains schema-identical to the genesis. One
+    * shared definition with the loose-frame merge
+    * ([[Similarity.attrColumnsOf]]). */
+  def attrColumns: Seq[String] = Similarity.attrColumnsOf(codes)
 
   /** Streaming serving — [[Similarity.streamingIvfPqServe]] with the
     * manifest's own config. */
@@ -124,18 +125,28 @@ object IvfPqIndex {
     if (GenerationLog.covered(root, batchId)) return
     val spark = vecs.sparkSession
     val idx = loadMaintained(spark, root)
+    // materialized BEFORE the encode: the attribute-embedded encode
+    // reads its input through TWO subtrees (the code chain and the
+    // attrs join), and dropDuplicates' pick is nondeterministic — an
+    // unmaterialized plan evaluated twice could pair one duplicate
+    // row's codes with another's attrs under at-least-once replay.
+    // The persist also keeps the corpus-sized anti-join probe from
+    // running twice per nightly delta.
     val fresh = vecs
       .join(idx.codes.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .dropDuplicates("vec_id")
-    // an attribute-embedded genesis keeps its filterable columns
-    // across every delta: the schema is inferred from the maintained
-    // table itself, never re-declared by the caller
-    val freshCodes = Similarity.ivfPqEncode(fresh, idx.coarse, idx.books,
-      idx.m, idx.dim, idx.attrColumns)
-    val dir = GenerationLog.genDir(root, batchId)
-    freshCodes.write.mode("overwrite").parquet(s"$dir/codes")
-    GenerationLog.commitMarker(GenerationLog.fsOf(root), dir)
-    spark.catalog.refreshByPath(dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // an attribute-embedded genesis keeps its filterable columns
+      // across every delta: the schema is inferred from the maintained
+      // table itself, never re-declared by the caller
+      val freshCodes = Similarity.ivfPqEncode(fresh, idx.coarse,
+        idx.books, idx.m, idx.dim, idx.attrColumns)
+      val dir = GenerationLog.genDir(root, batchId)
+      freshCodes.write.mode("overwrite").parquet(s"$dir/codes")
+      GenerationLog.commitMarker(GenerationLog.fsOf(root), dir)
+      spark.catalog.refreshByPath(dir)
+    } finally fresh.unpersist()
   }
 
   /** The maintained index: frozen quantizer + the union of committed

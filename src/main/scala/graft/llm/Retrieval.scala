@@ -1306,10 +1306,10 @@ object Retrieval {
 
   /** The whole BM25 oracle chain with the query-set predicate
     * parameterized (the curate_rel gate-predicate stance: every other
-    * CTE byte is shared, so variants cannot drift). */
-  /** `corpusPred` scopes the CANDIDATE corpus (and its df / n_docs /
-    * avgdl statistics — a scoped index is the index of exactly that
-    * sub-corpus, q_llm_bm25_scoped); the query set stays drawn from
+    * CTE byte is shared, so variants cannot drift). `corpusPred`
+    * scopes the CANDIDATE corpus and its df / n_docs / avgdl
+    * statistics — a scoped index is the index of exactly that
+    * sub-corpus (q_llm_bm25_scoped); the query set stays drawn from
     * the full documents table. Default TRUE = the unscoped family. */
   private def bm25CteFor(queryPred: String, corpusPred: String = "TRUE") =
     s"""WITH qt AS (

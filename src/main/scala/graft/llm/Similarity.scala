@@ -929,11 +929,29 @@ object Similarity {
     // filter ATTRIBUTES ride the stored row (the attribute-embedded
     // index layout filtered serving needs — q_llm_ann_filtered): one
     // build-time id join, amortized over every serve; attrs = Nil
-    // leaves the plan untouched
+    // leaves the plan untouched. The attrs join reads `vecs` through a
+    // SECOND subtree — a caller whose input is nondeterministically
+    // deduplicated must materialize it first so codes and attrs cannot
+    // pair rows from different duplicate picks (mergeCodesBatch does).
     if (attrs.isEmpty) enc
-    else enc.join(vecs.select(col("vec_id") +: attrs.map(col): _*),
-      Seq("vec_id"))
+    else {
+      val missing = attrs.filterNot(vecs.columns.contains)
+      require(missing.isEmpty,
+        s"ivfPqEncode: input frame lacks attribute column(s) " +
+          s"${missing.mkString(", ")} — an attribute-embedded index's " +
+          s"delta feed must carry the attrs its genesis was encoded with")
+      enc.join(vecs.select(col("vec_id") +: attrs.map(col): _*),
+        Seq("vec_id"))
+    }
   }
+
+  /** The attribute columns a stored code frame carries beyond the
+    * (vec_id, list_id, codes) triple — ONE definition of reserved-vs-
+    * attribute, shared by the loose-frame merge and the
+    * [[IvfPqIndex]] bundle API so the two maintenance paths cannot
+    * drift. */
+  private[llm] def attrColumnsOf(codes: DataFrame): Seq[String] =
+    codes.columns.toSeq.filterNot(Set("vec_id", "list_id", "codes"))
 
   /** IVFADC serving against a PRECOMPUTED code table (the output of
     * [[ivfPqEncode]], typically read back from storage): identical
@@ -995,8 +1013,7 @@ object Similarity {
     // code triple) are INFERRED and preserved: the delta encodes with
     // the same attrs, so an attribute-embedded index stays filterable
     // across increments without the caller re-declaring its layout
-    val attrs = codeTable.columns.toSeq
-      .filterNot(Set("vec_id", "list_id", "codes"))
+    val attrs = attrColumnsOf(codeTable)
     if (attrs.isEmpty)
       guardCodes(codeTable, m)
         .select(col("vec_id"), col("list_id"), col("codes"))
@@ -1397,6 +1414,11 @@ object Similarity {
       "seg_ivfpq_attr_c100_m4_b50/codes", table = "embeddings")(
       ivfPqEncode(vs, coarse, books, m = 4, dim = 64,
         attrs = Seq("label")))
+    // the pre-round-12 label-less codes artifact lives under the
+    // still-live quantizer root, so the store's stale-KEY gc never
+    // reaches it — reclaim the dead corpus-sized generation explicitly
+    graft.sources.IndexStore.dropArtifact(s, d,
+      "seg_ivfpq_full_c100_m4_b50/codes", table = "embeddings")
     (stored, coarse, books)
   }
 

@@ -139,16 +139,18 @@ object IndexStore {
 
   /** [[parquet]] with an explicit store root (any Hadoop-resolvable
     * URI — the spec drives it over a rename-is-copy object-store
-    * fake). */
+    * fake). `partitionBy` (when non-empty) writes the generation
+    * partitioned by those columns — ONE generation protocol for the
+    * flat and partitioned layouts. */
   def parquetAt(spark: SparkSession, rootDir: String, sfDir: String,
-      name: String,
-      table: String = "documents")(build: => DataFrame): DataFrame = {
+      name: String, table: String = "documents",
+      partitionBy: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
     val key = corpusKey(spark, sfDir, table)
     val artRoot = new Path(s"$rootDir/$key/$name")
     val fs = artRoot.getFileSystem(hconf(spark))
     val data = ManifestStore.currentDataPath(fs, artRoot).getOrElse {
       val gen = ManifestStore.nextGen(fs, artRoot)
-      build.write.mode("overwrite")
+      build.write.mode("overwrite").partitionBy(partitionBy: _*)
         .parquet(ManifestStore.stagingPath(artRoot, gen).toString)
       ManifestStore.promote(fs, artRoot, gen)
       ManifestStore.gc(fs, artRoot)
@@ -165,24 +167,25 @@ object IndexStore {
     * at all. The high-cardinality complement is the attribute-EMBEDDED
     * row layout (q_llm_ann_filtered's code table), where the predicate
     * prunes row groups via PushedFilters instead. Same manifest
-    * promote/GC discipline as [[parquet]]; partition directories ride
-    * inside the immutable generation. */
+    * promote/GC discipline as [[parquet]] (shared [[parquetAt]] body);
+    * partition directories ride inside the immutable generation. */
   def partitionedParquet(spark: SparkSession, sfDir: String,
       name: String, partCol: String,
-      table: String = "documents")(build: => DataFrame): DataFrame = {
-    val key = corpusKey(spark, sfDir, table)
-    val artRoot = new Path(s"$root/$key/$name")
-    val fs = artRoot.getFileSystem(hconf(spark))
-    val data = ManifestStore.currentDataPath(fs, artRoot).getOrElse {
-      val gen = ManifestStore.nextGen(fs, artRoot)
-      build.write.mode("overwrite").partitionBy(partCol)
-        .parquet(ManifestStore.stagingPath(artRoot, gen).toString)
-      ManifestStore.promote(fs, artRoot, gen)
-      ManifestStore.gc(fs, artRoot)
-      gcStale(fs, new Path(root), keyPrefix(sfDir, table), key)
-      ManifestStore.currentDataPath(fs, artRoot).get
-    }
-    spark.read.parquet(data.toString)
+      table: String = "documents")(build: => DataFrame): DataFrame =
+    parquetAt(spark, root, sfDir, name, table,
+      partitionBy = Seq(partCol))(build)
+
+  /** Delete a retired artifact name under the current corpus key — the
+    * migration hook for LAYOUT renames (e.g. the round-12
+    * seg_ivfpq_full→_attr code-table change): [[gcStale]] collects
+    * stale corpus KEYS, but a renamed artifact under a still-live key
+    * (its siblings still read) is dead bytes nothing else reclaims.
+    * Idempotent; a no-op when the name never existed. */
+  def dropArtifact(spark: SparkSession, sfDir: String, name: String,
+      table: String = "documents"): Unit = {
+    val dir = new Path(s"$root/${corpusKey(spark, sfDir, table)}/$name")
+    val fs = dir.getFileSystem(hconf(spark))
+    if (fs.exists(dir)) fs.delete(dir, true)
   }
 
   /** A [[graft.streaming.GenerationLog]]-MAINTAINED artifact root per
