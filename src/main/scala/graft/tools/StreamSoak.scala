@@ -209,6 +209,27 @@ object StreamSoak {
             queryFeed(docs, s"$feedRoot/queries_sc"), post, stats, k = 10),
             mode, coll)
           finally { post.unpersist(); stats.unpersist(); temps.release() }
+        case "bm25scp" =>
+          // the PACKED scoped form — the production configuration
+          // (the chained `bm25sc` run confirms the same candidate-
+          // proportional state blowup the unscoped chained form has;
+          // packing collapses it to one state row per (window, query))
+          val temps = new graft.llm.TempCache
+          val docs = Tables.load(spark, sfDir, "documents")
+          val packed = graft.llm.Retrieval.packPostings(
+            graft.llm.Retrieval.scopedPostings(docs, "lang", temps)
+              .filter(col("lang") === "en")
+              .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+                col("df")))
+          packed.persist().count()
+          val stats = graft.llm.Retrieval.scopedStats(docs, "lang")
+            .filter(col("lang") === "en")
+            .select(col("n_docs"), col("avgdl")).persist()
+          stats.count()
+          try runDrain(spark, graft.llm.Retrieval.streamingBm25ServePacked(
+            queryFeed(docs, s"$feedRoot/queries_scp"), packed, stats,
+            k = 10), mode, coll)
+          finally { packed.unpersist(); stats.unpersist(); temps.release() }
         case "asof" =>
           val dir = s"$feedRoot/events"
           val ev = Tables.events(spark, sfDir)
