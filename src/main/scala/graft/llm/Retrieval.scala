@@ -1814,6 +1814,46 @@ object Retrieval {
     },
     Some(rrfServeSql))
 
+  /** The round-12 capstone composition: hybrid search where BOTH
+    * stored halves carry a predicate — the text ranking reads the
+    * lang-scoped partition of the scoped index (q_llm_bm25_scoped's
+    * layout: directory pruning + in-scope statistics) and the semantic
+    * ranking serves the label-filtered attribute-embedded code table
+    * (q_llm_ann_filtered's layout: row-group pruning, zero serve-time
+    * joins), fused by the same integer RRF. The production shape of
+    * "search English docs, among vectors licensed for training": every
+    * predicate lands on a stored-index scan, so the fusion inherits
+    * BOTH pruned floors. Oracle composes the two standalone halves'
+    * SQL through the shared builders. */
+  val qRrfFusionScoped = QuerySpec(
+    "q_llm_rrf_fusion_scoped",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = docsOf(s, d)
+      def pred(c: Column) = pmod(c, lit(50)) === 0 && c < 500
+      val post = graft.sources.IndexStore.partitionedParquet(s, d,
+        "srv_post_scoped_lang", "lang")(scopedPostings(docs, "lang"))
+      val stats = graft.sources.IndexStore.parquet(s, d,
+        "srv_stats_scoped_lang")(scopedStats(docs, "lang"))
+      val text = bm25TopKFromPostings(
+        post.filter(col("lang") === "en")
+          .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+            col("df")),
+        stats.filter(col("lang") === "en")
+          .select(col("n_docs"), col("avgdl")),
+        queryTerms(docs.filter(pred(col("doc_id")))))
+      val (codes, coarse, books) = Similarity.storedCodesOf(s, d)
+      val vs = Tables.load(s, d, "embeddings")
+      val vec = Similarity.ivfPqTopKFromCodes(
+          codes.filter(col("label") === 1),
+          vs.filter(pred(col("vec_id"))), k = 10, coarse, books,
+          m = 4, dim = 64, probes = 2)
+        .select(col("q_id").as("query_id"), col("rank"),
+          col("neighbor_id").as("doc_id"))
+      rrfFuse(text, vec).orderBy(col("query_id"), col("rank"))
+    },
+    Some(rrfServeScopedSql))
+
   private def rrfSqlFor(bmCte: String, vqPred: String): String =
     bmCte.replace("WITH qt AS (", s"""WITH v AS (
       |  SELECT vec_id, embedding,
@@ -1864,8 +1904,28 @@ object Retrieval {
     * oracle. Every scoring byte matches the standalone IVF-PQ and BM25
     * oracles (the shared-CTE-prefix discipline), so the fusion cannot
     * drift from its two halves. */
-  private lazy val rrfServeSql =
-    bm25CteFixed + """, ivq AS (
+  private lazy val rrfServeSql = rrfServeSqlFor(bm25CteFixed)
+
+  /** The scoped+filtered hybrid's oracle: the SAME stored-stored
+    * fusion chain with the text half scoped (corpusPred) and the
+    * semantic half's candidates restricted by the attribute predicate
+    * — both derived from the shared builders (guarded surgery, the
+    * qAnnFiltered discipline) so the composed oracle can never drift
+    * from its two standalone halves. */
+  private lazy val rrfServeScopedSql = {
+    val base = rrfServeSqlFor(bm25CteFor(
+      "doc_id % 50 = 0 AND doc_id < 500", corpusPred = "lang = 'en'"))
+    val anchor = "  WHERE c.vec_id != q.q_id"
+    require(base.contains(anchor),
+      "rrf serve oracle shape changed under q_llm_rrf_fusion_scoped — " +
+        "update the filtered anchor")
+    base.replace(anchor,
+      "  JOIN embeddings attr ON c.vec_id = attr.vec_id\n" +
+        "  WHERE c.vec_id != q.q_id AND attr.label = 1")
+  }
+
+  private def rrfServeSqlFor(bmCte: String): String =
+    bmCte + """, ivq AS (
       |  SELECT vec_id,
       |    CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
       |      THEN list_transform(embedding, x -> 0)
@@ -2034,7 +2094,7 @@ object Retrieval {
     Seq(qBm25, qBm25Index, qBm25Serve, qBm25ServeFixed, qBm25Scoped,
       qBm25Fixed,
       qBm25Inc, qBm25IncDelta, qRrfFusion, qRrfFusionFixed,
-      qRrfFusionServe,
+      qRrfFusionServe, qRrfFusionScoped,
       qPosIndex, qPhraseSearch, qPhraseK, qProxSearch, qPosInc,
       qPhraseSnippet, qRetrievalEval, qRetrievalEvalPinned,
       qIndexUnified, qIndexUnifiedInc,

@@ -433,6 +433,19 @@ class PlanSpec extends SparkSpec {
       s"lang scope not a partition filter on the postings scan:\n$p")
   }
 
+  test("scoped+filtered hybrid fusion: BOTH stored halves keep their " +
+    "pruning — partition filter on the text side, pushed attribute " +
+    "filter on the semantic side") {
+    val p = plan("q_llm_rrf_fusion_scoped")
+    assert("PartitionFilters: \\[[^\\]]*lang[^\\]]* = en".r
+        .findFirstIn(p).isDefined,
+      s"text half lost its partition pruning:\n$p")
+    assert(p.contains("EqualTo(label,1)"),
+      s"semantic half lost its pushed attribute filter:\n$p")
+    assert(p.contains("seg_ivfpq_attr"),
+      s"semantic half must read the materialized code table:\n$p")
+  }
+
   test("heavy-query BNLJ / single-partition-exchange budgets (annotated invariants)") {
     // The cartesian rule, generalized (VERDICT r6): a
     // BroadcastNestedLoopJoin or an Exchange SinglePartition is
