@@ -602,6 +602,66 @@ class RetrievalStreamSpec extends SparkSpec {
     } finally stream.stop()
   }
 
+  test("streaming scoped+filtered fusion: both predicates restrict the " +
+    "static sides and the stream equals the batch scoped fusion") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    // the q_llm_rrf_fusion_scoped stored state: lang-scoped packed
+    // postings + in-scope stats, label-filtered attr-embedded codes
+    val scopedFlat = Retrieval.scopedPostings(docs, "lang")
+      .filter(col("lang") === "en")
+      .select("term", "doc_id", "tf", "dl", "df").localCheckpoint(true)
+    val packed = Retrieval.packPostings(scopedFlat).localCheckpoint(true)
+    val stats = Retrieval.scopedStats(docs, "lang")
+      .filter(col("lang") === "en")
+      .select("n_docs", "avgdl").localCheckpoint(true)
+    val (coarse0, books0) = Similarity.ivfPqTrain(vecs, coarseStride = 100,
+      m = 4, dim = 64, bookStride = 50, iters = 0)
+    val coarse = coarse0.localCheckpoint(true)
+    val books = books0.localCheckpoint(true)
+    val codes = Similarity.ivfPqEncode(vecs, coarse, books, m = 4,
+        dim = 64, attrs = Seq("label")).localCheckpoint(true)
+      .filter(col("label") === 1)
+    val queryDocs = docs.filter(col("doc_id") < 3)
+    val batch = Retrieval.rrfFuse(
+        Retrieval.bm25TopKFromPostings(scopedFlat, stats,
+          Retrieval.queryTerms(queryDocs), k = 10),
+        Similarity.ivfPqTopKFromCodes(codes,
+            vecs.filter(col("vec_id") < 3), k = 10, coarse, books,
+            m = 4, dim = 64, probes = 2)
+          .select(col("q_id").as("query_id"), col("rank"),
+            col("neighbor_id").as("doc_id")))
+      .collect().map(_.toSeq).toSet
+    val qrows = queryDocs.join(
+        vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), new java.sql.Timestamp(60 * 60000L),
+        r.getString(1), r.getSeq[Float](2)))
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, Seq[Float])]
+    val stream = Retrieval.streamingRrfFusionServe(
+        in.toDF().toDF("query_id", "event_ts", "text", "embedding"),
+        packed, stats, codes, coarse, books, m = 4, dim = 64, k = 10,
+        probes = 2, windowDur = "1 minute", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("srrfsc")
+      .outputMode("append").start()
+    try {
+      in.addData(qrows: _*)
+      stream.processAllAvailable()
+      in.addData((999L, new java.sql.Timestamp(200 * 60000L),
+        "late watermark pusher", qrows.head._4))
+      stream.processAllAvailable()
+      val streamed = spark.table("srrfsc")
+        .filter(col("query_id") < 3)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("rrf_ppm"), col("rank_text"), col("rank_vec"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed.nonEmpty && streamed == batch,
+        s"stream=$streamed\nbatch=$batch")
+    } finally stream.stop()
+  }
+
   test("rrfFusionServeEachBatch: the zero-state micro-batch hybrid equals " +
     "batch fusion over the same stored state; a replayed query " +
     "re-answers byte-identically (upsert idempotence)") {
