@@ -35,12 +35,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object NightlyMaintenance {
 
-  /** The four maintained roots. `codes` is an EPOCHAL root
+  /** The maintained roots. `codes` is an EPOCHAL root
     * ([[IvfPqIndex.initEpochal]] must have opened epoch 0 with the
     * trained quantizer before the stream starts — training needs a
-    * corpus sample, which is a batch decision, not a streaming one). */
+    * corpus sample, which is a batch decision, not a streaming one).
+    * `scoped` (round 12) optionally adds the attribute-SCOPED BM25
+    * family as a fifth maintained store: (root, attr) — one
+    * independent segment log per scope value under the root
+    * ([[mergeScopedBatch]]); the batch must then carry the attr
+    * column. */
   final case class Stores(bm25: String, positional: String,
-      unified: String, codes: String)
+      unified: String, codes: String,
+      scoped: Option[(String, String)] = None)
 
   /** One micro-batch = one committed generation in each store. The
     * batch must carry `doc_id`, `text`, and `embedding` (the
@@ -61,6 +67,62 @@ object NightlyMaintenance {
     IvfPqIndex.mergeEpochal(stores.codes)(
       docs.filter(col("embedding").isNotNull)
         .select(col("doc_id").as("vec_id"), col("embedding")), batchId)
+    stores.scoped.foreach { case (root, attr) =>
+      mergeScopedBatch(root, attr, maxBroadcastDelta)(docs, batchId)
+    }
+  }
+
+  /** Scoped-index maintenance (round 12): one INDEPENDENT segment log
+    * per scope of a low-cardinality document attribute
+    * (`root/<attr>=<value>/`). A scoped index IS the sub-corpus' index
+    * (q_llm_bm25_scoped's serving semantics), so its maintained form
+    * is simply the existing per-store protocol instantiated per scope
+    * — in-scope df falls out for free because each scope's log only
+    * ever sees its own documents, and every exactly-once property
+    * (covered-replay no-op, crash-recompute, compaction) is inherited
+    * per root. The batch routes by the attribute; a scope with no rows
+    * in a batch commits nothing for it (each scope's covered() probe
+    * is per-root, so later batches still merge). Scope values are
+    * collected from the batch — bounded by the attribute's
+    * cardinality, the same contract as the partition layout. */
+  def mergeScopedBatch(root: String, attr: String,
+      maxBroadcastDelta: Long = 4000000L)(batch: DataFrame,
+      batchId: Long): Unit = {
+    val docs = batch.select(col("doc_id"), col("text"), col(attr))
+      .filter(col(attr).isNotNull)
+      .dropDuplicates("doc_id").localCheckpoint()
+    val scopes = docs.select(col(attr)).distinct()
+      .collect().map(_.getString(0)).sorted
+    for (v <- scopes)
+      IndexMaintenance.mergeBatch(scopeDir(root, attr, v),
+        positional = false, maxBroadcastDelta)(
+        docs.filter(col(attr) === v).select(col("doc_id"), col("text")),
+        batchId)
+  }
+
+  /** One scope's log directory — the value is URL-encoded so any
+    * attribute value maps to a safe path segment. */
+  def scopeDir(root: String, attr: String, value: String): String =
+    s"$root/$attr=${java.net.URLEncoder.encode(value, "UTF-8")}"
+
+  /** The maintained scoped store's serving view for one scope (None
+    * before that scope's first commit). Serving a scope from here IS
+    * q_llm_bm25_scoped over the maintained state: the segment's df is
+    * in-scope by construction. */
+  def readScope(spark: SparkSession, root: String, attr: String,
+      value: String): Option[graft.llm.IndexSegments] =
+    IndexMaintenance.read(spark, scopeDir(root, attr, value))
+
+  /** Scope values with at least one committed generation. */
+  def scopesOf(root: String, attr: String): Seq[String] = {
+    val fs = GenerationLog.fsOf(root)
+    Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(root, s"$attr=*")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .map(s => java.net.URLDecoder.decode(
+        s.getPath.getName.stripPrefix(s"$attr="), "UTF-8"))
+      .filter(v => GenerationLog.stateDirs(scopeDir(root, attr, v)).nonEmpty)
+      .sorted
   }
 
   /** Positional-only generations: `gen=<batchId>/{postings, doc_ids}`
@@ -128,8 +190,13 @@ object NightlyMaintenance {
         () => IvfPqIndex.compactCodes(spark, r)
       case r => () => IndexMaintenance.compact(spark, r)
     }
+    // the scoped family's per-scope logs join the SAME budget: each
+    // scope is its own root, compacted by the segment-store fold
+    val scopeRoots = stores.scoped.toSeq.flatMap { case (r, attr) =>
+      scopesOf(r, attr).map(scopeDir(r, attr, _))
+    }
     val roots = Seq(stores.bm25, stores.positional, stores.unified,
-      codesRoot)
+      codesRoot) ++ scopeRoots
     var tails = roots.map(r => r -> tailGens(r)).toMap
     val folded = Seq.newBuilder[String]
     var progress = true

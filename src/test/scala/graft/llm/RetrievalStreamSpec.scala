@@ -602,6 +602,83 @@ class RetrievalStreamSpec extends SparkSpec {
     } finally stream.stop()
   }
 
+  test("scoped maintenance: per-scope generation logs equal per-scope " +
+    "batch builds; a scope absent from a batch no-ops; maintained " +
+    "scoped serving equals the one-shot scoped serve") {
+    import graft.streaming.{IndexMaintenance, NightlyMaintenance}
+    val root = java.nio.file.Files.createTempDirectory("scopedmaint").toString
+    val all = Seq(
+      (0L, "en", "a b a shared"), (1L, "de", "c d shared"),
+      (2L, "en", "a c shared"), (3L, "de", "d d c shared"),
+      (4L, "en", "b b shared"), (5L, "en", "a query terms shared"))
+    val allDf = all.toDF("doc_id", "lang", "text")
+    def dump(seg: IndexSegments) = Retrieval.segDenormalize(seg)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+      .orderBy("term", "doc_id").collect().map(_.toSeq).toSeq
+    // batch 0 carries ONLY en docs — the de scope must stay empty and
+    // still accept batch 1 (covered() is per scope root)
+    NightlyMaintenance.mergeScopedBatch(root, "lang")(
+      allDf.filter(col("lang") === "en" && col("doc_id") < 4), 0L)
+    assert(NightlyMaintenance.scopesOf(root, "lang") == Seq("en"))
+    NightlyMaintenance.mergeScopedBatch(root, "lang")(allDf, 1L)
+    assert(NightlyMaintenance.scopesOf(root, "lang") == Seq("de", "en"))
+    // de saw nothing in batch 0: exactly one committed generation
+    assert(graft.streaming.GenerationLog.committedGens(
+      NightlyMaintenance.scopeDir(root, "lang", "de")) == Seq(1L))
+    // each scope's maintained state == the batch build of ONLY its docs
+    for (v <- Seq("en", "de")) {
+      val seg = NightlyMaintenance.readScope(spark, root, "lang", v).get
+      val want = dump(Retrieval.segBuild(
+        allDf.filter(col("lang") === v).select(col("doc_id"), col("text"))))
+      assert(dump(seg) == want, s"scope $v drifted from its batch build")
+    }
+    // committed replay is a per-scope no-op
+    val before = dump(NightlyMaintenance.readScope(spark, root,
+      "lang", "en").get)
+    NightlyMaintenance.mergeScopedBatch(root, "lang")(allDf, 1L)
+    assert(dump(NightlyMaintenance.readScope(spark, root,
+      "lang", "en").get) == before)
+    // serving a scope from the maintained store == the one-shot scoped
+    // serve (q_llm_bm25_scoped semantics: in-scope df/n_docs/avgdl)
+    val docs = allDf.select(col("doc_id"), col("text"), col("lang"))
+    val qt = Retrieval.queryTerms(docs.filter(col("doc_id") === 5))
+    val enDocs = docs.filter(col("lang") === "en")
+      .select(col("doc_id"), col("text"))
+    val oneShot = Retrieval.bm25TopK(enDocs,
+        docs.filter(col("doc_id") === 5), k = 5)
+      .collect().map(_.toSeq).toSet
+    val seg = NightlyMaintenance.readScope(spark, root, "lang", "en").get
+    val served = Retrieval.bm25TopKFromSegments(seg,
+        Retrieval.corpusStats(enDocs), qt, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(served.nonEmpty && served == oneShot,
+      s"maintained scoped serve drifted:\n$served\n$oneShot")
+
+    // the scoped family joins the SHARED compaction budget: with the
+    // en scope holding two tail generations and a budget of 1,
+    // maybeCompactAll folds the scope root (the other stores are
+    // empty/genesis-only and cannot shrink) and serving is unchanged
+    import graft.streaming.NightlyMaintenance.Stores
+    def tmp(n: String) =
+      java.nio.file.Files.createTempDirectory(n).toString
+    val codesRoot = tmp("scm_codes")
+    val vecs2 = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val (c2, b2) = Similarity.ivfPqTrain(vecs2, coarseStride = 1,
+      m = 1, dim = 2, bookStride = 1, iters = 0)
+    IvfPqIndex.initEpochal(IvfPqIndex(1, 2, c2, b2,
+      Similarity.ivfPqEncode(vecs2, c2, b2, 1, 2)), codesRoot)
+    val stores = Stores(tmp("scm_bm25"), tmp("scm_pos"), tmp("scm_uni"),
+      codesRoot, scoped = Some((root, "lang")))
+    val folded = NightlyMaintenance.maybeCompactAll(spark, stores,
+      maxTotalTailGens = 1)
+    assert(folded.contains(NightlyMaintenance.scopeDir(root, "lang", "en")),
+      s"the scoped root must join the shared budget: $folded")
+    assert(dump(NightlyMaintenance.readScope(spark, root,
+      "lang", "en").get) == before,
+      "compaction must not change the scope's served state")
+  }
+
   test("streaming scoped+filtered fusion: both predicates restrict the " +
     "static sides and the stream equals the batch scoped fusion") {
     implicit val sqlCtx = spark.sqlContext
