@@ -368,7 +368,7 @@ object StreamSoak {
             "q_per_sec" -> f"${answered.get() / wall}%.1f",
             "state_rows" -> 0L)
 
-        case "nightly" =>
+        case "nightly" | "nightly5" =>
           // THE combined nightly job (NightlyMaintenance): every
           // micro-batch commits one generation into ALL FOUR index
           // families — BM25 segments, positional, unified, epochal
@@ -376,10 +376,15 @@ object StreamSoak {
           // The soak claim: the fan-out multiplies nightly cost by
           // the family count, never by corpus size, and per-batch
           // wall stays flat as every store accumulates the tier.
+          // `nightly5` adds the scoped family (round 12): per-lang
+          // segment logs riding the same loop and the same budget.
           import graft.streaming.NightlyMaintenance
           import graft.streaming.NightlyMaintenance.Stores
+          val scoped =
+            if (mode == "nightly5") Some((s"$feedRoot/n_scoped", "lang"))
+            else None
           val stores = Stores(s"$feedRoot/n_bm25", s"$feedRoot/n_pos",
-            s"$feedRoot/n_uni", s"$feedRoot/n_codes")
+            s"$feedRoot/n_uni", s"$feedRoot/n_codes", scoped)
           val vecs = Tables.load(spark, sfDir, "embeddings")
             .select(col("vec_id"), col("embedding")).persist()
           val nv = vecs.count()
@@ -393,6 +398,9 @@ object StreamSoak {
               vecs.filter(col("vec_id") < 0), coarse, books, 4, 64)),
             stores.codes)
           val embByDoc = vecs.withColumnRenamed("vec_id", "doc_id")
+          val langByDoc = Tables.load(spark, sfDir, "documents")
+            .select(col("doc_id"), col("lang")).persist()
+          if (scoped.isDefined) langByDoc.count()
           val times = scala.collection.mutable.ArrayBuffer.empty[Double]
           val t0 = System.nanoTime()
           val q = docFeed().select(col("doc_id"), col("text"))
@@ -401,8 +409,12 @@ object StreamSoak {
               (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                   id: Long) =>
                 val withEmb = b.toDF().join(embByDoc, Seq("doc_id"), "left")
+                val withAttr =
+                  if (scoped.isDefined)
+                    withEmb.join(langByDoc, Seq("doc_id"), "left")
+                  else withEmb
                 val bt = System.nanoTime()
-                NightlyMaintenance.nightlyBatch(stores)(withEmb, id)
+                NightlyMaintenance.nightlyBatch(stores)(withAttr, id)
                 times += (System.nanoTime() - bt) / 1e9
                 NightlyMaintenance.maybeCompactAll(b.sparkSession,
                   stores, 8)
@@ -434,9 +446,13 @@ object StreamSoak {
             "batch_sec_median" ->
               f"${if (ts.isEmpty) 0.0 else ts(ts.size / 2)}%.2f",
             "batch_sec_last" -> f"${times.lastOption.getOrElse(0.0)}%.2f",
-            "read_amp" -> Seq(stores.bm25, stores.positional,
+            "read_amp" -> (Seq(stores.bm25, stores.positional,
               stores.unified,
-              IvfPqIndex.activeEpochDir(stores.codes)).map(tailAmp).sum)
+              IvfPqIndex.activeEpochDir(stores.codes)) ++
+              scoped.toSeq.flatMap { case (r, attr) =>
+                NightlyMaintenance.scopesOf(r, attr)
+                  .map(NightlyMaintenance.scopeDir(r, attr, _))
+              }).map(tailAmp).sum)
 
         case "idxmaint" =>
           // nightly index maintenance under the replayed feed: one
