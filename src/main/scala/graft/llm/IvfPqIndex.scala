@@ -130,23 +130,25 @@ object IvfPqIndex {
     // attrs join), and dropDuplicates' pick is nondeterministic — an
     // unmaterialized plan evaluated twice could pair one duplicate
     // row's codes with another's attrs under at-least-once replay.
-    // The persist also keeps the corpus-sized anti-join probe from
-    // running twice per nightly delta.
+    // localCheckpoint (not persist): cached blocks are best-effort,
+    // and a recompute after eviction could elect DIFFERENT survivors
+    // for the two subtrees within one committed generation — the pin
+    // must be immutable, exactly as nightlyBatch pins its batch. It
+    // also keeps the corpus-sized anti-join probe from running twice
+    // per nightly delta.
     val fresh = vecs
       .join(idx.codes.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .dropDuplicates("vec_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // an attribute-embedded genesis keeps its filterable columns
-      // across every delta: the schema is inferred from the maintained
-      // table itself, never re-declared by the caller
-      val freshCodes = Similarity.ivfPqEncode(fresh, idx.coarse,
-        idx.books, idx.m, idx.dim, idx.attrColumns)
-      val dir = GenerationLog.genDir(root, batchId)
-      freshCodes.write.mode("overwrite").parquet(s"$dir/codes")
-      GenerationLog.commitMarker(GenerationLog.fsOf(root), dir)
-      spark.catalog.refreshByPath(dir)
-    } finally fresh.unpersist()
+      .localCheckpoint()
+    // an attribute-embedded genesis keeps its filterable columns
+    // across every delta: the schema is inferred from the maintained
+    // table itself, never re-declared by the caller
+    val freshCodes = Similarity.ivfPqEncode(fresh, idx.coarse,
+      idx.books, idx.m, idx.dim, idx.attrColumns)
+    val dir = GenerationLog.genDir(root, batchId)
+    freshCodes.write.mode("overwrite").parquet(s"$dir/codes")
+    GenerationLog.commitMarker(GenerationLog.fsOf(root), dir)
+    spark.catalog.refreshByPath(dir)
   }
 
   /** The maintained index: frozen quantizer + the union of committed

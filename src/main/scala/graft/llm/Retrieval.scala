@@ -396,6 +396,25 @@ object Retrieval {
     bm25TopKFromSegments(pruned, stats, qTerms, k)
   }
 
+  /** [[bm25TopKFromPostings]] with the SAME bounded pushed-`In(term,…)`
+    * stance as [[bm25TopKFromSegmentsPushed]], for serving off a
+    * stored DENORMALIZED postings frame (the scoped partitioned
+    * layout): when the query-term set fits the push budget it lands
+    * as a data filter ON the stored scan — PushedFilters + row-group
+    * pruning on a parquet store, batch pruning on a cached one — so
+    * non-matching storage is dropped before any join or shuffle.
+    * Result-identical either way (the broadcast probe re-applies the
+    * exact term semi-filter). */
+  def bm25TopKFromPostingsPushed(post: DataFrame, stats: DataFrame,
+      qTerms: DataFrame, k: Int = 10,
+      maxPushTerms: Int = 10000): DataFrame = {
+    val pruned = pushableTerms(qTerms, maxPushTerms) match {
+      case Some(ts) => post.filter(col("term").isin(ts: _*))
+      case None => post
+    }
+    bm25TopKFromPostings(pruned, stats, qTerms, k)
+  }
+
   /** The bounded probe-term collect shared by every pushed server:
     * Some(distinct terms) when the set fits the push budget, None when
     * a corpus-coupled workload exceeds it (fall back to the pure
@@ -1299,6 +1318,46 @@ object Retrieval {
       .trigger(trigger)
       .start()
 
+  /** Per-micro-batch BM25 serving with the pushed-term stance — the
+    * [[rrfFusionServeEachBatch]] shape applied to the (scoped) text
+    * stream. The windowed stream-static form
+    * ([[streamingBm25ServePacked]]) declares its static side ONCE, so
+    * every micro-batch re-scans (and re-shuffles) the whole stored
+    * postings frame regardless of which terms the batch actually
+    * asks for — fine at bounded corpora, but the sf10 soak measured
+    * the scoped drain falling 27 → 8 q/s across sf1→sf10 while the
+    * BATCH scoped serve held flat, precisely because the batch path
+    * pushes its bounded `In(term,…)` set into the stored scan
+    * ([[bm25TopKFromSegmentsPushed]]). Here each batch-complete query
+    * micro-batch is answered inside `foreachBatch` by
+    * [[bm25TopKFromPostingsPushed]]: the batch's term set (bounded by
+    * qLen × queries-per-trigger, the [[pushableTerms]] contract) lands
+    * on the static scan as PushedFilters — partition pruning for a
+    * scoped store, row-group pruning for term-clustered files — so
+    * per-batch cost tracks the QUERY terms' postings, not the store.
+    * Trade (the rrfFusionServeEachBatch contract): answers come per
+    * micro-batch, not per event-time window; a replayed query is
+    * re-answered byte-identically, so downstream idempotence is an
+    * upsert on query_id. */
+  def bm25ServeEachBatch(queries: DataFrame, post: DataFrame,
+      stats: DataFrame, k: Int = 10, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+        val qb = b.toDF().dropDuplicates("query_id").localCheckpoint()
+        sink(bm25TopKFromPostingsPushed(post, stats,
+          queryTerms(qb.select(col("query_id").as("doc_id"),
+            col("text"))), k), id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   // ---- declared queries --------------------------------------------------
 
   private def docsOf(s: SparkSession, d: String): DataFrame =
@@ -1476,14 +1535,32 @@ object Retrieval {
     * not. Low-cardinality attr ⇒ partition layout here;
     * high-cardinality ⇒ the attribute-embedded row layout
     * (q_llm_ann_filtered). */
+  /** The stored scoped serving state shared by q_llm_bm25_scoped, the
+    * scoped fusion, and the streaming soak (one builder so the
+    * variants cannot drift): lang-PARTITIONED postings — the scope
+    * predicate prunes whole directories at plan time — with rows
+    * term-SORTED within each written file, so a pushed `In(term,…)`
+    * set also prunes row groups INSIDE the scope (already-promoted
+    * generations keep serving unsorted; the sort only shapes fresh
+    * builds). */
+  private[graft] def scopedPostStoredOf(s: SparkSession,
+      d: String): DataFrame =
+    graft.sources.IndexStore.partitionedParquet(s, d,
+      "srv_post_scoped_lang", "lang")(
+      scopedPostings(docsOf(s, d), "lang")
+        .sortWithinPartitions(col("lang"), col("term")))
+
+  private[graft] def scopedStatsStoredOf(s: SparkSession,
+      d: String): DataFrame =
+    graft.sources.IndexStore.parquet(s, d, "srv_stats_scoped_lang")(
+      scopedStats(docsOf(s, d), "lang"))
+
   val qBm25Scoped = QuerySpec(
     "q_llm_bm25_scoped",
     (s, d) => {
       val docs = docsOf(s, d)
-      val post = graft.sources.IndexStore.partitionedParquet(s, d,
-        "srv_post_scoped_lang", "lang")(scopedPostings(docs, "lang"))
-      val stats = graft.sources.IndexStore.parquet(s, d,
-        "srv_stats_scoped_lang")(scopedStats(docs, "lang"))
+      val post = scopedPostStoredOf(s, d)
+      val stats = scopedStatsStoredOf(s, d)
       val qt = queryTerms(docs.filter(pmod(col("doc_id"), lit(50)) === 0 &&
         col("doc_id") < 500))
       bm25TopKFromPostings(
@@ -1497,6 +1574,56 @@ object Retrieval {
     },
     Some(bm25CteFor("doc_id % 50 = 0 AND doc_id < 500",
       corpusPred = "lang = 'en'") + "\n" + bm25TailSql))
+
+  /** The en scope of the lang-scoped store MAINTAINED as per-scope
+    * generation-log state ([[graft.streaming.NightlyMaintenance
+    * .mergeScopedBatch]]: gen 0 = the base slice routed by lang,
+    * gen 1 = the catch-up over the whole corpus), built once per
+    * corpus content, served PINNED at readAt(scope, 1) — the
+    * [[pinnedUnifiedOf]] stance applied to scopes, closing the gap
+    * between "scoped artifact built in-session" (q_llm_bm25_scoped)
+    * and "serving the nightly-maintained scoped state". */
+  private def pinnedScopeOf(s: SparkSession, d: String,
+      value: String): IndexSegments = {
+    import graft.streaming.{IndexMaintenance, NightlyMaintenance}
+    val root = graft.sources.IndexStore.maintainedRoot(s, d,
+      "maint_scoped_lang") { dir =>
+      val docs = docsOf(s, d)
+        .select(col("doc_id"), col("text"), col("lang"))
+      NightlyMaintenance.mergeScopedBatch(dir, "lang")(
+        docs.filter(col("doc_id") < 500), 0L)
+      NightlyMaintenance.mergeScopedBatch(dir, "lang")(docs, 1L)
+    }
+    IndexMaintenance.readAt(s,
+      NightlyMaintenance.scopeDir(root, "lang", value), 1L).getOrElse(
+      throw new IllegalStateException(
+        s"pinned scoped state missing under $root for lang=$value"))
+  }
+
+  /** q_llm_bm25_scoped SERVED FROM THE MAINTAINED PER-SCOPE STORE,
+    * PINNED: ranking runs off the en scope's generation-log state at
+    * readAt(scope, 1) — byte-stable under concurrent merges and
+    * compactions (the q_llm_retrieval_eval_pinned stance applied to
+    * scopes) — with the scope's stored statistics and the pushed
+    * bounded term set. In-scope df/n_docs/avgdl are structural: the
+    * scope's log only ever saw its own documents. Oracle = the scoped
+    * SQL verbatim (the pin covers the full corpus by construction, so
+    * the maintained state must be result-identical to the one-shot
+    * scoped index). */
+  val qBm25ScopedPinned = QuerySpec(
+    "q_llm_bm25_scoped_pinned",
+    (s, d) => {
+      val docs = docsOf(s, d)
+      val seg = pinnedScopeOf(s, d, "en")
+      val stats = scopedStatsStoredOf(s, d)
+        .filter(col("lang") === "en")
+        .select(col("n_docs"), col("avgdl"))
+      val qt = queryTerms(docs.filter(pmod(col("doc_id"), lit(50)) === 0 &&
+        col("doc_id") < 500))
+      bm25TopKFromSegmentsPushed(seg, stats, qt)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    qBm25Scoped.oracle)
 
   /** The tier-FIXED serving workload: the SAME end-to-end chain with
     * the query set capped to the base-tier id range (10 queries at
@@ -1831,10 +1958,8 @@ object Retrieval {
       graft.functions.GraftFunctions.register(s)
       val docs = docsOf(s, d)
       def pred(c: Column) = pmod(c, lit(50)) === 0 && c < 500
-      val post = graft.sources.IndexStore.partitionedParquet(s, d,
-        "srv_post_scoped_lang", "lang")(scopedPostings(docs, "lang"))
-      val stats = graft.sources.IndexStore.parquet(s, d,
-        "srv_stats_scoped_lang")(scopedStats(docs, "lang"))
+      val post = scopedPostStoredOf(s, d)
+      val stats = scopedStatsStoredOf(s, d)
       val text = bm25TopKFromPostings(
         post.filter(col("lang") === "en")
           .select(col("term"), col("doc_id"), col("tf"), col("dl"),
@@ -2092,7 +2217,7 @@ object Retrieval {
 
   def all: Seq[QuerySpec] =
     Seq(qBm25, qBm25Index, qBm25Serve, qBm25ServeFixed, qBm25Scoped,
-      qBm25Fixed,
+      qBm25ScopedPinned, qBm25Fixed,
       qBm25Inc, qBm25IncDelta, qRrfFusion, qRrfFusionFixed,
       qRrfFusionServe, qRrfFusionScoped,
       qPosIndex, qPhraseSearch, qPhraseK, qProxSearch, qPosInc,

@@ -1410,15 +1410,21 @@ object Similarity {
     // is build-time, amortized over every serve. Name carries `_attr`
     // so caches written before the layout change rebuild instead of
     // serving a label-less table.
+    val firstBuild = !graft.sources.IndexStore.artifactExists(s, d,
+      "seg_ivfpq_attr_c100_m4_b50/codes", table = "embeddings")
     val stored = graft.sources.IndexStore.parquet(s, d,
       "seg_ivfpq_attr_c100_m4_b50/codes", table = "embeddings")(
       ivfPqEncode(vs, coarse, books, m = 4, dim = 64,
         attrs = Seq("label")))
     // the pre-round-12 label-less codes artifact lives under the
     // still-live quantizer root, so the store's stale-KEY gc never
-    // reaches it — reclaim the dead corpus-sized generation explicitly
-    graft.sources.IndexStore.dropArtifact(s, d,
-      "seg_ivfpq_full_c100_m4_b50/codes", table = "embeddings")
+    // reaches it — reclaim the dead corpus-sized generation on the
+    // ONE call that migrated (built the replacement), never on the
+    // steady-state read path: a recursive delete in a serve accessor
+    // could race a concurrent session still scanning the old artifact
+    if (firstBuild)
+      graft.sources.IndexStore.dropArtifact(s, d,
+        "seg_ivfpq_full_c100_m4_b50/codes", table = "embeddings")
     (stored, coarse, books)
   }
 

@@ -175,6 +175,18 @@ object IndexStore {
     parquetAt(spark, root, sfDir, name, table,
       partitionBy = Seq(partCol))(build)
 
+  /** Whether a promoted generation already exists for this artifact
+    * under the current corpus key — the probe a one-time migration
+    * gate needs ([[Similarity.storedCodesOf]]'s legacy-layout
+    * reclaim runs only when the REPLACEMENT artifact was just built,
+    * never on the steady-state read path). */
+  def artifactExists(spark: SparkSession, sfDir: String, name: String,
+      table: String = "documents"): Boolean = {
+    val dir = new Path(s"$root/${corpusKey(spark, sfDir, table)}/$name")
+    val fs = dir.getFileSystem(hconf(spark))
+    ManifestStore.currentDataPath(fs, dir).isDefined
+  }
+
   /** Delete a retired artifact name under the current corpus key — the
     * migration hook for LAYOUT renames (e.g. the round-12
     * seg_ivfpq_full→_attr code-table change): [[gcStale]] collects

@@ -64,9 +64,18 @@ object NightlyMaintenance {
       maxBroadcastDelta)(docs.select(col("doc_id"), col("text")), batchId)
     mergePositionalBatch(stores.positional)(
       docs.select(col("doc_id"), col("text")), batchId)
+    // the epochal codes store may be attribute-embedded (filtered
+    // serving): mergeCodesBatch infers the attr layout from the
+    // maintained table and the encode REQUIRES those columns on the
+    // delta, so forward them from the batch — a batch missing a
+    // maintained attr column fails loudly here (analysis error on the
+    // select), not deep inside the encode
+    val codeAttrs = IvfPqIndex
+      .loadEpochal(docs.sparkSession, stores.codes).attrColumns
     IvfPqIndex.mergeEpochal(stores.codes)(
       docs.filter(col("embedding").isNotNull)
-        .select(col("doc_id").as("vec_id"), col("embedding")), batchId)
+        .select(col("doc_id").as("vec_id") +: col("embedding") +:
+          codeAttrs.map(col): _*), batchId)
     stores.scoped.foreach { case (root, attr) =>
       mergeScopedBatch(root, attr, maxBroadcastDelta)(docs, batchId)
     }
@@ -88,11 +97,16 @@ object NightlyMaintenance {
   def mergeScopedBatch(root: String, attr: String,
       maxBroadcastDelta: Long = 4000000L)(batch: DataFrame,
       batchId: Long): Unit = {
-    val docs = batch.select(col("doc_id"), col("text"), col(attr))
+    // the attr is routed by its STRING form (scopeDir encodes it into
+    // a path segment), so cast up front — a non-string attribute
+    // (date, int) routes by its canonical string rendering instead of
+    // throwing on the collect
+    val docs = batch.select(col("doc_id"), col("text"),
+        col(attr).cast("string").as(attr))
       .filter(col(attr).isNotNull)
       .dropDuplicates("doc_id").localCheckpoint()
     val scopes = docs.select(col(attr)).distinct()
-      .collect().map(_.getString(0)).sorted
+      .collect().map(r => String.valueOf(r.get(0))).sorted
     for (v <- scopes)
       IndexMaintenance.mergeBatch(scopeDir(root, attr, v),
         positional = false, maxBroadcastDelta)(

@@ -230,6 +230,47 @@ object StreamSoak {
             queryFeed(docs, s"$feedRoot/queries_scp"), packed, stats,
             k = 10), mode, coll)
           finally { packed.unpersist(); stats.unpersist(); temps.release() }
+        case "bm25scf" =>
+          // the PUSHED scoped serving twin (bm25ServeEachBatch): the
+          // static side is the STORED lang-partitioned postings
+          // artifact — q_llm_bm25_scoped's exact serving state — and
+          // each query micro-batch pushes its bounded In(term,…) set
+          // into that scan, so per-batch cost tracks the batch's
+          // query-term postings instead of re-scanning (and
+          // re-shuffling) the whole scope per trigger. The answer to
+          // the bm25scp 27→8 q/s drop across sf1→sf10.
+          val docs = Tables.load(spark, sfDir, "documents")
+          val post = graft.llm.Retrieval.scopedPostStoredOf(spark, sfDir)
+            .filter(col("lang") === "en")
+            .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+              col("df"))
+          val stats = graft.llm.Retrieval
+            .scopedStatsStoredOf(spark, sfDir)
+            .filter(col("lang") === "en")
+            .select(col("n_docs"), col("avgdl"))
+          val answered = new java.util.concurrent.atomic.AtomicLong
+          val batches = new java.util.concurrent.atomic.AtomicLong
+          val t0 = System.nanoTime()
+          val q = graft.llm.Retrieval.bm25ServeEachBatch(
+            queryFeed(docs, s"$feedRoot/queries_scf"), post, stats,
+            k = 10,
+            checkpoint = java.nio.file.Files
+              .createTempDirectory("soak_ckpt_bm25scf").toString) {
+            (served, _) =>
+              answered.addAndGet(
+                served.select(col("query_id")).distinct().count())
+              batches.incrementAndGet()
+              ()
+          }
+          q.awaitTermination()
+          val wall = (System.nanoTime() - t0) / 1e9
+          Map(
+            "mode" -> mode,
+            "batches" -> batches.get(),
+            "queries_answered" -> answered.get(),
+            "wall_sec" -> f"$wall%.2f",
+            "q_per_sec" -> f"${answered.get() / wall}%.1f",
+            "state_rows" -> 0L)
         case "asof" =>
           val dir = s"$feedRoot/events"
           val ev = Tables.events(spark, sfDir)

@@ -677,6 +677,22 @@ class RetrievalStreamSpec extends SparkSpec {
     assert(dump(NightlyMaintenance.readScope(spark, root,
       "lang", "en").get) == before,
       "compaction must not change the scope's served state")
+
+    // PINNED scoped read (q_llm_bm25_scoped_pinned's contract): the
+    // as-of-batch-0 en state is byte-stable across a later merge AND
+    // a compaction of the scope's log
+    val enDir = NightlyMaintenance.scopeDir(root, "lang", "en")
+    val pinned0 = dump(IndexMaintenance.readAt(spark, root =
+      enDir, throughId = 0L).get)
+    NightlyMaintenance.mergeScopedBatch(root, "lang")(
+      Seq((9L, "en", "a b c freshly merged shared"))
+        .toDF("doc_id", "lang", "text"), 2L)
+    IndexMaintenance.compact(spark, enDir)
+    assert(dump(IndexMaintenance.readAt(spark, enDir, 0L).get) ==
+      pinned0, "pinned scoped read must survive merge + compaction")
+    // and the live read moved on
+    assert(dump(NightlyMaintenance.readScope(spark, root, "lang",
+      "en").get) != pinned0)
   }
 
   test("streaming scoped+filtered fusion: both predicates restrict the " +
@@ -1047,5 +1063,119 @@ class RetrievalStreamSpec extends SparkSpec {
       assert(rows == Set((1L, 1L, 101L), (1L, 2L, 100L), (2L, 1L, 102L)),
         rows.toString)
     } finally stream.stop()
+  }
+
+  test("nightlyBatch forwards the maintained ATTR layout to the epochal " +
+    "codes store (an attribute-embedded index survives its first nightly " +
+    "delta) and scoped routing tolerates non-string attribute types") {
+    import graft.streaming.NightlyMaintenance
+    import graft.streaming.NightlyMaintenance.Stores
+    graft.functions.GraftFunctions.register(spark)
+    def tmp(n: String) =
+      java.nio.file.Files.createTempDirectory(n).toString
+    def vecOf(i: Long): Seq[Float] =
+      Seq.tabulate(8)(j => ((i * (j + 3)) % 23 - 11).toFloat)
+    val base = (0L until 4L).map(i =>
+      (i, vecOf(i), (i % 2).toInt)).toDF("vec_id", "embedding", "label")
+    val (coarse, books) = Similarity.ivfPqTrain(base, coarseStride = 2,
+      m = 2, dim = 8, bookStride = 3, iters = 0)
+    val codesRoot = tmp("attr_codes")
+    // epoch 0 is ATTRIBUTE-EMBEDDED: stored rows carry `label`
+    IvfPqIndex.initEpochal(IvfPqIndex(2, 8, coarse, books,
+      Similarity.ivfPqEncode(base.filter(col("vec_id") < 2), coarse,
+        books, 2, 8, attrs = Seq("label"))), codesRoot)
+    val stores = Stores(tmp("attr_bm25"), tmp("attr_pos"),
+      tmp("attr_uni"), codesRoot)
+    // the first nightly delta through the FULL driver: the batch
+    // carries the attr column and nightlyBatch must forward it into
+    // the epochal merge (the round-12 shape crashed here)
+    val batch = (2L until 6L).map(i =>
+      (i, s"document number$i with enough text to index", vecOf(i),
+        (i % 2).toInt)).toDF("doc_id", "text", "embedding", "label")
+    NightlyMaintenance.nightlyBatch(stores)(batch, 0L)
+    val idx = IvfPqIndex.loadEpochal(spark, codesRoot)
+    assert(idx.attrColumns == Seq("label"),
+      s"attr layout lost across the delta: ${idx.attrColumns}")
+    assert(idx.codes.collect().map(_.getAs[Long]("vec_id")).toSet ==
+      (0L until 6L).toSet)
+    // filtered serving over the maintained table still prunes by attr
+    val hits = idx.topKFiltered(
+        Seq((100L, vecOf(1))).toDF("vec_id", "embedding"), k = 10,
+        pred = col("label") === 1, probes = 2)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty && hits.subsetOf(Set(1L, 3L, 5L)),
+      s"filtered serve leaked out-of-predicate rows: $hits")
+
+    // non-string scoped attr: routing goes by the value's string form
+    val root = tmp("int_scope")
+    val docs = Seq((0L, "a b shared", 2024), (1L, "c d shared", 2025),
+      (2L, "a c shared", 2024)).toDF("doc_id", "text", "year")
+    NightlyMaintenance.mergeScopedBatch(root, "year")(docs, 0L)
+    assert(NightlyMaintenance.scopesOf(root, "year") ==
+      Seq("2024", "2025"))
+    val seg = NightlyMaintenance.readScope(spark, root, "year", "2024").get
+    assert(seg.docIds.collect().map(_.getLong(0)).toSet == Set(0L, 2L))
+  }
+
+  test("per-batch PUSHED scoped BM25 serving (bm25ServeEachBatch): " +
+    "equals the batch scoped serve, a replayed query re-answers " +
+    "identically, and the bounded term set lands on the stored scan " +
+    "as PushedFilters inside the scope's PartitionFilters") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.FormattedMode
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("scopedpush").toString
+    Retrieval.scopedPostings(docs, "lang")
+      .sortWithinPartitions(col("lang"), col("term"))
+      .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val post = spark.read.parquet(dir).filter(col("lang") === "en")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+    val stats = Retrieval.scopedStats(docs, "lang")
+      .filter(col("lang") === "en")
+      .select(col("n_docs"), col("avgdl")).localCheckpoint(true)
+    val qset = docs.filter(pmod(col("doc_id"), lit(50)) === 0 &&
+      col("doc_id") < 500)
+    val qt = Retrieval.queryTerms(qset)
+    def dump(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_ppm")).collect().map(_.toSeq).toSet
+    val want = dump(Retrieval.bm25TopKFromPostings(post, stats, qt))
+    assert(want.nonEmpty)
+
+    // the pushed batch plan: term In(...) reaches the parquet scan,
+    // and the scope predicate stays a partition filter
+    val pushed = Retrieval.bm25TopKFromPostingsPushed(post, stats, qt)
+    assert(dump(pushed) == want, "pushed serve drifted from unpushed")
+    val pp = pushed.queryExecution.explainString(FormattedMode)
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(pp).isDefined,
+      s"query-term set not pushed into the stored postings scan:\n$pp")
+    assert("PartitionFilters: \\[[^\\]]*lang[^\\]]* = en".r
+        .findFirstIn(pp).isDefined,
+      s"scope predicate lost partition pruning:\n$pp")
+
+    // the streaming form: each micro-batch answered from the stored
+    // scan; a query replayed in a later batch re-answers identically
+    val qrows = qset.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[Seq[Any]])]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("scopedpush_ck").toString
+    def run(): Unit = Retrieval.bm25ServeEachBatch(
+        in.toDF().toDF("query_id", "text"), post, stats, k = 10,
+        checkpoint = ckpt) { (served, id) =>
+      got.synchronized { got += ((id, dump(served))); () }
+    }.awaitTermination()
+    in.addData(qrows.take(1): _*); run()
+    in.addData(qrows: _*); run() // replays query 0 in a later batch
+    val answered = got.flatMap(_._2).toSet
+    assert(answered == want,
+      s"per-batch pushed serving drifted from the batch scoped serve")
+    // the replayed query's rows are byte-identical across batches
+    val q0 = want.filter(_.head == qrows.head._1)
+    assert(got.filter(_._2.exists(_.head == qrows.head._1))
+      .forall(_._2.filter(_.head == qrows.head._1) == q0),
+      "a replayed query must re-answer identically")
   }
 }
