@@ -93,9 +93,23 @@ object NightlyMaintenance {
     * in a batch commits nothing for it (each scope's covered() probe
     * is per-root, so later batches still merge). Scope values are
     * collected from the batch — bounded by the attribute's
-    * cardinality, the same contract as the partition layout. */
+    * cardinality, the same contract as the partition layout.
+    *
+    * Scopes merge CONCURRENTLY (round 13): each scope's log is an
+    * independent root with its own markers, so nothing orders them —
+    * a sequential loop made the nightly batch linear in scope count
+    * (fine at 5 langs, a wall at a 100-scope corpus) while each
+    * scope's merge is delta-sized and leaves most executor slots
+    * idle. A bounded pool (`scopeParallelism`) submits the per-scope
+    * merge JOBS in parallel and Spark's scheduler interleaves their
+    * stages across the cluster; the shared `docs` frame is pinned
+    * (localCheckpoint) before fan-out, so every thread reads the same
+    * survivor rows. Crash mid-batch leaves a prefix of scopes
+    * committed in ANY order — exactly the state a replay already
+    * handles, since each scope's covered() probe is per-root. */
   def mergeScopedBatch(root: String, attr: String,
-      maxBroadcastDelta: Long = 4000000L)(batch: DataFrame,
+      maxBroadcastDelta: Long = 4000000L,
+      scopeParallelism: Int = 8)(batch: DataFrame,
       batchId: Long): Unit = {
     // the attr is routed by its STRING form (scopeDir encodes it into
     // a path segment), so cast up front — a non-string attribute
@@ -107,11 +121,32 @@ object NightlyMaintenance {
       .dropDuplicates("doc_id").localCheckpoint()
     val scopes = docs.select(col(attr)).distinct()
       .collect().map(r => String.valueOf(r.get(0))).sorted
-    for (v <- scopes)
+    if (scopes.isEmpty) return
+    val spark = docs.sparkSession
+    def mergeOne(v: String): Unit =
       IndexMaintenance.mergeBatch(scopeDir(root, attr, v),
         positional = false, maxBroadcastDelta)(
         docs.filter(col(attr) === v).select(col("doc_id"), col("text")),
         batchId)
+    val width = math.max(1, math.min(scopeParallelism, scopes.length))
+    if (width == 1) scopes.foreach(mergeOne)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(width)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val merges = scopes.toSeq.map(v => scala.concurrent.Future {
+          // worker threads inherit no thread-local session; pin it so
+          // fsOf resolves the same Hadoop conf (credentials) as the
+          // caller
+          org.apache.spark.sql.SparkSession.setActiveSession(spark)
+          mergeOne(v)
+        })
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(merges),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
   }
 
   /** One scope's log directory — the value is URL-encoded so any

@@ -355,7 +355,7 @@ object StreamSoak {
             packedPost.unpersist(); stats.unpersist(); codes.unpersist()
             temps.release()
           }
-        case "hybridfb" =>
+        case "hybridfb" | "hybridfbmem" =>
           // the ZERO-STATE hybrid twin (rrfFusionServeEachBatch): the
           // corpus-scale serving configuration — batch-complete query
           // micro-batches answered by the batch stored-index servers
@@ -368,11 +368,23 @@ object StreamSoak {
           val docs = Tables.load(spark, sfDir, "documents")
           val vecs = Tables.load(spark, sfDir, "embeddings")
             .select(col("vec_id"), col("embedding"))
-          val seg = graft.llm.Retrieval.servingSegOf(spark, sfDir)
+          val seg0 = graft.llm.Retrieval.servingSegOf(spark, sfDir)
           val stats = graft.llm.Retrieval.corpusStats(docs).persist()
           stats.count()
-          val (codes, coarse, books) =
+          val (codes0, coarse, books) =
             graft.llm.Similarity.storedCodesOf(spark, sfDir)
+          // `hybridfbmem` = the HOT serving tier: the static sides
+          // pinned in executor memory, so each micro-batch scans
+          // cached columnar batches (with stats-based batch pruning
+          // under the pushed term filter) instead of re-reading the
+          // store per trigger — memory traded for per-batch scan cost
+          val hot = mode == "hybridfbmem"
+          val seg =
+            if (!hot) seg0
+            else graft.llm.IndexSegments(seg0.postings.persist(),
+              seg0.df.persist(), seg0.docIds)
+          val codes = if (hot) codes0.persist() else codes0
+          if (hot) { seg.postings.count(); seg.df.count(); codes.count() }
           val dir = s"$feedRoot/hybridfb_queries"
           val qs = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
             .join(vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
@@ -401,6 +413,80 @@ object StreamSoak {
           q.awaitTermination()
           val wall = (System.nanoTime() - t0) / 1e9
           stats.unpersist()
+          Map(
+            "mode" -> mode,
+            "batches" -> batches.get(),
+            "queries_answered" -> answered.get(),
+            "wall_sec" -> f"$wall%.2f",
+            "q_per_sec" -> f"${answered.get() / wall}%.1f",
+            "state_rows" -> 0L)
+
+        case "hybridfbsc" =>
+          // the zero-state SCOPED+FILTERED hybrid (q_llm_rrf_fusion_scoped
+          // served per micro-batch): the production configuration past
+          // the exact-unscoped floor — the text half serves the
+          // lang-scoped stored postings with the batch's pushed term
+          // set (partition + row-group pruning), the semantic half the
+          // label-filtered attribute-embedded code table (pushed
+          // attribute filter), fused by the same integer RRF. Both
+          // sides prune BEFORE scoring, so candidate volume — the
+          // unscoped form's measured bound — is cut at the scan.
+          val docs = Tables.load(spark, sfDir, "documents")
+          val vecs = Tables.load(spark, sfDir, "embeddings")
+            .select(col("vec_id"), col("embedding"))
+          val post = graft.llm.Retrieval.scopedPostStoredOf(spark, sfDir)
+            .filter(col("lang") === "en")
+            .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+              col("df"))
+          val stats = graft.llm.Retrieval
+            .scopedStatsStoredOf(spark, sfDir)
+            .filter(col("lang") === "en")
+            .select(col("n_docs"), col("avgdl"))
+          val (codes, coarse, books) =
+            graft.llm.Similarity.storedCodesOf(spark, sfDir)
+          val fcodes = codes.filter(col("label") === 1)
+          val dir = s"$feedRoot/hybridfbsc_queries"
+          val qs = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+            .join(vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+            .select(col("doc_id").as("query_id"), col("text"),
+              col("embedding"))
+            .withColumn("event_ts",
+              timestamp_millis(lit(base) + col("query_id")))
+          buildFeed(qs, chunks, dir)
+          val feed = spark.readStream
+            .schema(spark.read.parquet(dir).schema)
+            .option("maxFilesPerTrigger", perTrigger).parquet(dir)
+          val answered = new java.util.concurrent.atomic.AtomicLong
+          val batches = new java.util.concurrent.atomic.AtomicLong
+          val t0 = System.nanoTime()
+          val q = feed.writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  id: Long) =>
+                val qb = b.toDF().dropDuplicates("query_id")
+                  .localCheckpoint()
+                val text = graft.llm.Retrieval.bm25TopKFromPostingsPushed(
+                  post, stats, graft.llm.Retrieval.queryTerms(
+                    qb.select(col("query_id").as("doc_id"), col("text"))),
+                  k = 10)
+                val vec = graft.llm.Similarity.ivfPqTopKFromCodes(fcodes,
+                    qb.select(col("query_id").as("vec_id"),
+                      col("embedding")),
+                    k = 10, coarse, books, m = 4, dim = 64, probes = 2)
+                  .select(col("q_id").as("query_id"), col("rank"),
+                    col("neighbor_id").as("doc_id"))
+                val fused = graft.llm.Retrieval.rrfFuse(text, vec, k = 10)
+                answered.addAndGet(
+                  fused.select(col("query_id")).distinct().count())
+                batches.incrementAndGet()
+                ()
+            }
+            .option("checkpointLocation", java.nio.file.Files
+              .createTempDirectory("soak_ckpt_hybridfbsc").toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val wall = (System.nanoTime() - t0) / 1e9
           Map(
             "mode" -> mode,
             "batches" -> batches.get(),
@@ -494,6 +580,162 @@ object StreamSoak {
                 NightlyMaintenance.scopesOf(r, attr)
                   .map(NightlyMaintenance.scopeDir(r, attr, _))
               }).map(tailAmp).sum)
+
+        case "retrainmid" =>
+          // DRIFT → RETRAIN → CUTOVER under the LIVE maintenance loop:
+          // the vector feed drains through epochal merges; at the
+          // middle batch the drift alarm is forced (alarmFactor = 0 —
+          // the real trigger needs organic skew) so retrain + cutover
+          // run INSIDE the stream. Around the cutover the soak samples
+          // the SERVING path (loadEpochal + fixed ADC query batch):
+          // the serving-visible pause is serve_after_cutover minus the
+          // pre-cutover serve floor — expected ~zero, because the
+          // cutover is ONE atomic marker create and readers simply
+          // resolve the new epoch on their next load; the retrain
+          // itself blocks only the maintenance loop (merges), never a
+          // reader. A pre-cutover epoch-pinned read is re-taken after
+          // the cutover and must match byte-for-byte (deferred
+          // gcEpochs).
+          import graft.streaming.NightlyMaintenance
+          val root = s"$feedRoot/retrainmid_codes"
+          val vecs = Tables.load(spark, sfDir, "embeddings")
+            .select(col("vec_id"), col("embedding")).persist()
+          val nv = vecs.count()
+          val (coarse, books) = graft.llm.Similarity.ivfPqTrain(vecs,
+            math.max(1, (nv / 64).toInt), m = 4, dim = 64,
+            math.max(1, (nv / 256).toInt))
+          IvfPqIndex.initEpochal(IvfPqIndex(4, 64, coarse, books,
+            graft.llm.Similarity.ivfPqEncode(
+              vecs.filter(col("vec_id") < 0), coarse, books, 4, 64)),
+            root)
+          val queries = vecs.filter(pmod(col("vec_id"), lit(1000)) === 0)
+            .localCheckpoint()
+          def serveSec(): Double = {
+            val t = System.nanoTime()
+            IvfPqIndex.loadEpochal(spark, root)
+              .topK(queries, k = 10, probes = 2).count()
+            (System.nanoTime() - t) / 1e9
+          }
+          val dir = s"$feedRoot/retrainmid_feed"
+          buildFeed(vecs.withColumn("event_ts",
+            timestamp_millis(lit(base) + col("vec_id"))), chunks, dir)
+          val feed = spark.readStream
+            .schema(spark.read.parquet(dir).schema)
+            .option("maxFilesPerTrigger", perTrigger).parquet(dir)
+            .select(col("vec_id"), col("embedding"))
+          val nBatches = math.max(1, chunks / perTrigger.toInt)
+          val mid = nBatches / 2
+          var serveBefore = 0.0
+          var serveAfter = 0.0
+          var serveAfterWarm = 0.0
+          var retrainSec = 0.0
+          var pinStable = false
+          val mergeTimes =
+            scala.collection.mutable.ArrayBuffer.empty[Double]
+          val t0 = System.nanoTime()
+          val q = feed.writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  id: Long) =>
+                val bt = System.nanoTime()
+                IvfPqIndex.mergeEpochal(root)(b.toDF(), id)
+                mergeTimes += (System.nanoTime() - bt) / 1e9
+                if (id == mid) {
+                  serveBefore = serveSec()
+                  val preEpoch = IvfPqIndex.committedEpochs(root).last
+                  val preDir = IvfPqIndex.epochDir(root, preEpoch)
+                  val pinCount = IvfPqIndex
+                    .loadMaintained(spark, preDir).codes.count()
+                  val rt = System.nanoTime()
+                  val accumulated = vecs.join(
+                    IvfPqIndex.loadEpochal(spark, root).codes
+                      .select(col("vec_id")), Seq("vec_id"))
+                  IvfPqIndex.retrain(spark, root, accumulated,
+                    coarseStride = math.max(1, (nv / 64).toInt),
+                    bookStride = math.max(1, (nv / 256).toInt))
+                  retrainSec = (System.nanoTime() - rt) / 1e9
+                  serveAfter = serveSec()
+                  serveAfterWarm = serveSec()
+                  pinStable = IvfPqIndex.loadMaintained(spark, preDir)
+                    .codes.count() == pinCount
+                }
+                ()
+            }
+            .option("checkpointLocation", java.nio.file.Files
+              .createTempDirectory("soak_ckpt_retrainmid").toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val wallSec = (System.nanoTime() - t0) / 1e9
+          val codesN = IvfPqIndex.loadEpochal(spark, root).codes.count()
+          vecs.unpersist()
+          Map(
+            "mode" -> mode,
+            "batches" -> mergeTimes.size,
+            "codes_rows" -> codesN,
+            "epochs" -> IvfPqIndex.committedEpochs(root).size,
+            "wall_sec" -> f"$wallSec%.2f",
+            "merge_sec_median" -> f"${mergeTimes.sorted.apply(
+              mergeTimes.size / 2)}%.2f",
+            "retrain_sec" -> f"$retrainSec%.2f",
+            "serve_before_cutover_sec" -> f"$serveBefore%.2f",
+            "serve_after_cutover_sec" -> f"$serveAfter%.2f",
+            "serve_after_cutover_warm_sec" -> f"$serveAfterWarm%.2f",
+            "retired_epoch_pin_stable" -> pinStable)
+
+        case "scopesN" =>
+          // SCOPE-EXPLOSION soak: mergeScopedBatch alone, driven over
+          // a synthetic N-value attribute (pmod(doc_id, N)) so the
+          // scope count is a dial — SPARK_GRAFT_SOAK_SCOPES (default
+          // 20) and SPARK_GRAFT_SOAK_SCOPE_PAR (merge parallelism,
+          // default 8). The claim: per-batch cost is SUBLINEAR in
+          // scope count because the per-scope merges are independent
+          // roots running concurrently — compare N=5 vs N=20 rows at
+          // the same tier. Timings bracket mergeScopedBatch itself.
+          import graft.streaming.NightlyMaintenance
+          val nScopes = sys.env.getOrElse(
+            "SPARK_GRAFT_SOAK_SCOPES", "20").toInt
+          val scopePar = sys.env.getOrElse(
+            "SPARK_GRAFT_SOAK_SCOPE_PAR", "8").toInt
+          val root = s"$feedRoot/scopesN_root"
+          val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val t0 = System.nanoTime()
+          val q = docFeed()
+            .select(col("doc_id"), col("text"),
+              pmod(col("doc_id"), lit(nScopes)).cast("string").as("scope"))
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  id: Long) =>
+                val bt = System.nanoTime()
+                NightlyMaintenance.mergeScopedBatch(root, "scope",
+                  scopeParallelism = scopePar)(b.toDF(), id)
+                times += (System.nanoTime() - bt) / 1e9
+                ()
+            }
+            .option("checkpointLocation", java.nio.file.Files
+              .createTempDirectory("soak_ckpt_scopesN").toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val wallSec = (System.nanoTime() - t0) / 1e9
+          val scopes = NightlyMaintenance.scopesOf(root, "scope")
+          val docsIndexed = scopes.map(v =>
+            NightlyMaintenance.readScope(spark, root, "scope", v)
+              .get.docIds.count()).sum
+          val ts = times.toVector.sorted
+          Map(
+            "mode" -> mode,
+            "scopes" -> scopes.size,
+            "scope_par" -> scopePar,
+            "batches" -> times.size,
+            "docs_indexed" -> docsIndexed,
+            "wall_sec" -> f"$wallSec%.2f",
+            "docs_per_sec" -> f"${docsIndexed / wallSec}%.0f",
+            "batch_sec_first" -> f"${times.headOption.getOrElse(0.0)}%.2f",
+            "batch_sec_median" ->
+              f"${if (ts.isEmpty) 0.0 else ts(ts.size / 2)}%.2f",
+            "batch_sec_last" -> f"${times.lastOption.getOrElse(0.0)}%.2f")
 
         case "idxmaint" =>
           // nightly index maintenance under the replayed feed: one

@@ -433,6 +433,18 @@ class PlanSpec extends SparkSpec {
       s"lang scope not a partition filter on the postings scan:\n$p")
   }
 
+  test("pinned scoped serving pushes the bounded term set into the " +
+    "maintained generation-log scan") {
+    // q_llm_bm25_scoped_pinned reads per-scope generation dirs (not a
+    // partitioned artifact), so the pruning story is the pushed
+    // In(term,…) on the pinned postings scan — without it a pinned
+    // evaluation re-reads the scope's whole stored postings per query
+    // batch
+    val p = plan("q_llm_bm25_scoped_pinned")
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(p).isDefined,
+      s"query-term set not pushed into the pinned scoped scan:\n$p")
+  }
+
   test("scoped+filtered hybrid fusion: BOTH stored halves keep their " +
     "pruning — partition filter on the text side, pushed attribute " +
     "filter on the semantic side") {

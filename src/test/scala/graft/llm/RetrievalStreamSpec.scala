@@ -1178,4 +1178,90 @@ class RetrievalStreamSpec extends SparkSpec {
       .forall(_._2.filter(_.head == qrows.head._1) == q0),
       "a replayed query must re-answer identically")
   }
+
+  test("retrain fires INSIDE the live nightly loop: the epoch cuts over " +
+    "between batches, an epoch-pinned reader keeps serving " +
+    "byte-identically across the cutover, post-cutover deltas land in " +
+    "the new epoch, and gcEpochs defers until the pin is released") {
+    import graft.streaming.NightlyMaintenance
+    import graft.streaming.NightlyMaintenance.{RetrainPolicy, Stores}
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    def tmp(n: String) =
+      java.nio.file.Files.createTempDirectory(n).toString
+    def vecOf(i: Long): Seq[Float] =
+      Seq.tabulate(8)(j => ((i * (j + 3)) % 23 - 11).toFloat)
+    val embTable = (0L until 8L).map(i => i -> vecOf(i))
+      .toDF("doc_id", "embedding")
+    val trainVecs = embTable.select(col("doc_id").as("vec_id"),
+      col("embedding"))
+    val (coarse, books) = Similarity.ivfPqTrain(trainVecs,
+      coarseStride = 2, m = 2, dim = 8, bookStride = 3, iters = 0)
+    val codesRoot = tmp("lrt_codes")
+    IvfPqIndex.initEpochal(IvfPqIndex(2, 8, coarse, books,
+      Similarity.ivfPqEncode(trainVecs.filter(col("vec_id") < 2),
+        coarse, books, 2, 8)), codesRoot)
+    val stores = Stores(tmp("lrt_bm25"), tmp("lrt_pos"), tmp("lrt_uni"),
+      codesRoot)
+    val ckpt = tmp("lrt_ck")
+    // the policy retrains over whatever the epoch has accumulated;
+    // alarmFactor = 0 forces the alarm every nightly window, so the
+    // cutover runs INSIDE the live stream (not in a separate session)
+    def accumulated(): org.apache.spark.sql.DataFrame = {
+      val ids = IvfPqIndex.loadEpochal(spark, codesRoot).codes
+        .select(col("vec_id"))
+      trainVecs.join(ids, Seq("vec_id"))
+    }
+    val policy = RetrainPolicy(() => accumulated().localCheckpoint(),
+      coarseStride = 2, bookStride = 3, alarmFactor = 0L)
+    def codesOf(idx: IvfPqIndex) = idx.codes.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2).toSeq))
+      .toMap
+
+    val in = MemoryStream[(Long, String)]
+    val docsStream = in.toDF().toDF("doc_id", "text")
+      .join(embTable, Seq("doc_id"))
+    def run(): Unit = NightlyMaintenance.start(docsStream, stores, ckpt,
+      maxTotalTailGens = 8, retrain = Some(policy)).awaitTermination()
+
+    // batch 0: docs 0-3 merge into epoch 0, then the in-loop window
+    // retrains -> epoch 1 covering exactly {0,1,2,3}
+    in.addData((0L until 4L).map(i => (i, s"doc number$i text")): _*)
+    run()
+    assert(IvfPqIndex.committedEpochs(codesRoot) == Seq(0L, 1L),
+      "the in-loop alarm must have cut over to epoch 1")
+    assert(codesOf(IvfPqIndex.loadEpochal(spark, codesRoot)).keySet ==
+      (0L until 4L).toSet)
+
+    // pin epoch 1 by DIR *and coverage point* (the byte-stable
+    // evaluation pin: the epoch dir is immune to cutovers, the
+    // throughId to later deltas landing in this epoch before the
+    // next cutover) and dump
+    val e1 = IvfPqIndex.epochDir(codesRoot, 1L)
+    val pinned = codesOf(IvfPqIndex.loadMaintainedAt(spark, e1,
+      0L).get)
+
+    // batch 1 runs WHILE the pin is held: fresh docs 4-5 merge into
+    // the active epoch, the window retrains again -> epoch 2
+    in.addData((4L until 6L).map(i => (i, s"doc number$i text")): _*)
+    run()
+    assert(IvfPqIndex.committedEpochs(codesRoot) == Seq(0L, 1L, 2L))
+    assert(codesOf(IvfPqIndex.loadEpochal(spark, codesRoot)).keySet ==
+      (0L until 6L).toSet,
+      "post-cutover deltas must be visible in the new epoch")
+    // the epoch-pinned reader is BYTE-stable across the cutover
+    assert(codesOf(IvfPqIndex.loadMaintainedAt(spark, e1,
+      0L).get) == pinned,
+      "the epoch-dir pin must survive a live-loop retrain")
+    // the coverage-pinned read resolves on the NEWEST epoch covering
+    // the pin point with the SAME vector set (retrain re-encodes)
+    assert(codesOf(IvfPqIndex.loadEpochalAt(spark, codesRoot,
+      0L).get).keySet == (0L until 4L).toSet)
+
+    // deferred GC: gcEpochs drops the retired epochs only when run
+    IvfPqIndex.gcEpochs(codesRoot)
+    assert(IvfPqIndex.committedEpochs(codesRoot) == Seq(2L))
+    assert(codesOf(IvfPqIndex.loadEpochal(spark, codesRoot)).keySet ==
+      (0L until 6L).toSet, "serving must be unaffected by epoch GC")
+  }
 }
