@@ -285,4 +285,62 @@ class GenerationLogPropsSpec extends SparkSpec {
       check("terminal retrain")
     }
   }
+
+  test("parallel per-scope merges under random crash subsets: a batch " +
+    "interrupted with an ARBITRARY subset of scopes committed always " +
+    "converges on replay to the per-scope batch builds (6 seeded " +
+    "scenarios)") {
+    // the round-13 concurrency makes mid-batch crash states richer:
+    // scopes commit in ANY order, so a crash leaves an arbitrary
+    // committed SUBSET — simulate it by merging a random subset of
+    // scopes directly (what a half-finished pool leaves behind), then
+    // replay the FULL batch through mergeScopedBatch and require the
+    // per-root covered() no-ops + fresh merges to converge on exactly
+    // the per-scope builds
+    import graft.streaming.NightlyMaintenance
+    // scoped stores are positional-free: dump without positions
+    def dumpS(seg: IndexSegments) = Retrieval.segDenormalize(seg)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+      .orderBy("term", "doc_id").collect().map(_.toSeq).toSeq
+    def segDump(root: String, attr: String, v: String) =
+      NightlyMaintenance.readScope(spark, root, attr, v).map(dumpS)
+    for (seed <- 0 until 6) {
+      val rnd = new scala.util.Random(seed * 104729 + 7)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"scpar_$seed").toString
+      val nScopes = 3 + rnd.nextInt(4) // 3-6 scopes
+      def scopeOf(i: Long) = s"s${i % nScopes}"
+      def batchDocs(b: Long) = (4 * b until 4 * b + 6).map(i =>
+        (i, scopeOf(i), docText(i))) // overlapping ids across batches
+      var applied = Set.empty[Long]
+      for (b <- 0L until 3L) {
+        val full = batchDocs(b).toDF("doc_id", "lang", "text")
+        // the crash: a random strict subset of this batch's scopes
+        // already committed (pool died mid-fan-out)
+        val scopes = batchDocs(b).map(_._2).distinct
+        val committed = rnd.shuffle(scopes).take(rnd.nextInt(scopes.size))
+        for (v <- committed)
+          IndexMaintenance.mergeBatch(
+            NightlyMaintenance.scopeDir(root, "lang", v),
+            positional = false)(
+            full.filter(col("lang") === v)
+              .select(col("doc_id"), col("text")), b)
+        // the replay: the full batch through the parallel driver (a
+        // random pool width, including 1)
+        NightlyMaintenance.mergeScopedBatch(root, "lang",
+          scopeParallelism = 1 + rnd.nextInt(8))(full, b)
+        applied += b
+        // every scope == the batch build over exactly its committed docs
+        val docsSoFar = applied.toSeq.sorted.flatMap(batchDocs).distinct
+        for (v <- docsSoFar.map(_._2).distinct.sorted) {
+          val want = dumpS(Retrieval.segBuild(
+            docsSoFar.filter(_._2 == v).map(d => (d._1, d._3))
+              .toDF("doc_id", "text")))
+          assert(segDump(root, "lang", v).contains(want),
+            s"seed=$seed batch=$b scope=$v drifted after crash-subset " +
+              s"$committed + parallel replay")
+        }
+      }
+    }
+  }
 }
