@@ -1296,7 +1296,8 @@ object Retrieval {
       books: DataFrame, m: Int, dim: Int, k: Int = 10, probes: Int = 2,
       checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxPushTerms: Int = 10000, maxQueriesPerSlice: Int = 512)
       (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
@@ -1304,19 +1305,45 @@ object Retrieval {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             id: Long) =>
         val qb = b.toDF().dropDuplicates("query_id").localCheckpoint()
-        val text = bm25TopKFromSegmentsPushed(seg, stats,
-          queryTerms(qb.select(col("query_id").as("doc_id"),
-            col("text"))), k)
-        val vec = Similarity.ivfPqTopKFromCodes(codes,
-            qb.select(col("query_id").as("vec_id"), col("embedding")),
-            k, coarse, books, m, dim, probes)
-          .select(col("q_id").as("query_id"), col("rank"),
-            col("neighbor_id").as("doc_id"))
-        sink(rrfFuse(text, vec, k), id)
+        sink(rrfServeBatchAdaptive(seg, stats, codes, coarse, books,
+          m, dim, qb, k, probes, maxPushTerms, maxQueriesPerSlice), id)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  /** One hybrid query micro-batch with the [[bm25ServeBatchAdaptive]]
+    * slice bounds: both halves AND the fusion are per-query
+    * independent, so an oversized batch slices by query-id hash with
+    * no result change — the text half keeps its pushed term set
+    * inside the budget and the per-slice partial-sum volume stays
+    * under the measured spill bound at any arrival batch size. */
+  private[llm] def rrfServeBatchAdaptive(seg: IndexSegments,
+      stats: DataFrame, codes: DataFrame, coarse: DataFrame,
+      books: DataFrame, m: Int, dim: Int, qb: DataFrame, k: Int,
+      probes: Int, maxPushTerms: Int,
+      maxQueriesPerSlice: Int): DataFrame = {
+    def serveOne(slice: DataFrame): DataFrame = {
+      val text = bm25TopKFromSegmentsPushed(seg, stats,
+        queryTerms(slice.select(col("query_id").as("doc_id"),
+          col("text"))), k, maxPushTerms)
+      val vec = Similarity.ivfPqTopKFromCodes(codes,
+          slice.select(col("query_id").as("vec_id"), col("embedding")),
+          k, coarse, books, m, dim, probes)
+        .select(col("q_id").as("query_id"), col("rank"),
+          col("neighbor_id").as("doc_id"))
+      rrfFuse(text, vec, k)
+    }
+    val nTerms = queryTerms(qb.select(col("query_id").as("doc_id"),
+      col("text"))).select(col("term")).distinct().count()
+    val groups = math.max(1, math.max(
+      math.ceil(nTerms.toDouble / maxPushTerms).toInt,
+      math.ceil(qb.count().toDouble / maxQueriesPerSlice).toInt))
+    if (groups == 1) serveOne(qb)
+    else (0 until groups).map(g => serveOne(
+      qb.filter(pmod(col("query_id"), lit(groups)) === g)))
+      .reduce(_.unionByName(_))
+  }
 
   /** Per-micro-batch BM25 serving with the pushed-term stance — the
     * [[rrfFusionServeEachBatch]] shape applied to the (scoped) text
@@ -1338,11 +1365,23 @@ object Retrieval {
     * Trade (the rrfFusionServeEachBatch contract): answers come per
     * micro-batch, not per event-time window; a replayed query is
     * re-answered byte-identically, so downstream idempotence is an
-    * upsert on query_id. */
+    * upsert on query_id.
+    *
+    * ADAPTIVE batching (round 13, from the measured sf10 trigger
+    * sweep): a batch whose distinct term set exceeds the push budget
+    * would fall back to an unpushed full-store scan — the sweep
+    * showed exactly that cliff (q/s DROPPING as triggers coarsen once
+    * the term set outgrows the budget). Queries score independently,
+    * so an oversized batch is SPLIT into id-hash slices sized to keep
+    * each slice's term set inside the budget, served pushed, and
+    * unioned — result-identical (per-query top-k never crosses
+    * slices), bounded driver state per slice, and the pushdown
+    * survives ANY arrival batch size. */
   def bm25ServeEachBatch(queries: DataFrame, post: DataFrame,
       stats: DataFrame, k: Int = 10, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxPushTerms: Int = 10000)
       (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
@@ -1350,13 +1389,48 @@ object Retrieval {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             id: Long) =>
         val qb = b.toDF().dropDuplicates("query_id").localCheckpoint()
-        sink(bm25TopKFromPostingsPushed(post, stats,
-          queryTerms(qb.select(col("query_id").as("doc_id"),
-            col("text"))), k), id)
+        sink(bm25ServeBatchAdaptive(post, stats, qb, k, maxPushTerms), id)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  /** One query micro-batch against a stored postings frame with the
+    * push budget enforced by SPLITTING, not by falling back: when the
+    * batch's distinct terms fit `maxPushTerms` this is exactly
+    * [[bm25TopKFromPostingsPushed]]; past it, queries are sliced by
+    * id hash into the fewest groups whose EXPECTED term sets fit, and
+    * each slice serves pushed. A slice that still exceeds the budget
+    * (pathological term skew) degrades to the safe unpushed plan for
+    * that slice alone — result-identical in every path. */
+  private[llm] def bm25ServeBatchAdaptive(post: DataFrame,
+      stats: DataFrame, qb: DataFrame, k: Int,
+      maxPushTerms: Int, maxQueriesPerSlice: Int = 512): DataFrame = {
+    val qt = queryTerms(qb.select(col("query_id").as("doc_id"),
+      col("text")))
+    val nTerms = qt.select(col("term")).distinct().count()
+    val nQueries = qb.count()
+    // two slice bounds, both measured on the sf10 trigger sweep:
+    // term count (past the push budget the slice falls back to an
+    // unpushed full-store scan) and QUERY count (per-slice
+    // (query, doc) partial-sum volume grows with queries × matched
+    // postings, and past ~0.5-1k stopword-class queries the hash
+    // aggregation tips into spill — 14.5 → 11.8 q/s at 505 → 1,262
+    // queries per trigger on the 505k-doc tier)
+    val groups = math.max(1, math.max(
+      math.ceil(nTerms.toDouble / maxPushTerms).toInt,
+      math.ceil(nQueries.toDouble / maxQueriesPerSlice).toInt))
+    if (groups == 1) bm25TopKFromPostingsPushed(post, stats, qt, k,
+      maxPushTerms)
+    else
+      (0 until groups).map { g =>
+        val slice = qb.filter(
+          pmod(col("query_id"), lit(groups)) === g)
+        bm25TopKFromPostingsPushed(post, stats,
+          queryTerms(slice.select(col("query_id").as("doc_id"),
+            col("text"))), k, maxPushTerms)
+      }.reduce(_.unionByName(_))
+  }
 
   // ---- declared queries --------------------------------------------------
 

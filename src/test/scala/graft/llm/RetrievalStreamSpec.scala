@@ -813,6 +813,21 @@ class RetrievalStreamSpec extends SparkSpec {
     in.addData(qrows.head); drain()
     assert(got.flatten.toSet == firstAnswer,
       "a replayed query must re-answer byte-identically")
+
+    // ADAPTIVE slicing (round 13): a forced one-query-per-slice bound
+    // must leave the fused answer byte-identical — both halves and
+    // the fusion are per-query independent
+    val sliced = Retrieval.rrfServeBatchAdaptive(seg, stats, codes,
+        coarse, books, m = 4, dim = 64,
+        queryDocs.join(vecs.withColumnRenamed("vec_id", "doc_id"),
+            Seq("doc_id"))
+          .select(col("doc_id").as("query_id"), col("text"),
+            col("embedding")).localCheckpoint(true),
+        k = 10, probes = 2, maxPushTerms = 10000,
+        maxQueriesPerSlice = 1)
+      .collect().map(_.toSeq).toSet
+    assert(sliced == batch,
+      "query-sliced hybrid serve drifted from the one-shot fusion")
   }
 
   test("packed serving state (dedup + top-k map) survives a checkpointed restart") {
@@ -1177,6 +1192,17 @@ class RetrievalStreamSpec extends SparkSpec {
     assert(got.filter(_._2.exists(_.head == qrows.head._1))
       .forall(_._2.filter(_.head == qrows.head._1) == q0),
       "a replayed query must re-answer identically")
+
+    // ADAPTIVE splitting: a push budget far below the batch's term
+    // set forces the id-hash slice path — result-identical to the
+    // one-shot serve (queries score independently, so slicing cannot
+    // change any per-query top-k)
+    val sliced = dump(Retrieval.bm25ServeBatchAdaptive(post, stats,
+      qset.select(col("doc_id").as("query_id"), col("text"))
+        .localCheckpoint(true),
+      k = 10, maxPushTerms = 3))
+    assert(sliced == want,
+      "budget-forced slicing drifted from the one-shot serve")
   }
 
   test("retrain fires INSIDE the live nightly loop: the epoch cuts over " +
