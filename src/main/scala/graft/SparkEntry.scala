@@ -17,6 +17,7 @@ object SparkEntry {
       graft.queries.Temporal.all ++ llm.TextAnalysis.all ++
       llm.TextDedup.all ++ llm.Similarity.all ++ llm.Retrieval.all ++
       llm.Classifier.all ++ llm.Multimodal.all ++
+      llm.MultimodalCompressed.all ++
       llm.Curation.all ++ llm.Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

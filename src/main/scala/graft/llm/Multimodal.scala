@@ -74,7 +74,7 @@ object Multimodal {
   /** Per-partition codec lifetime: open before the first row, close on
     * task completion (covers both exhaustion and task failure — an
     * iterator wrapper alone would leak the context on error). */
-  private def codecScope[T](codec: MediaCodec, rows: Iterator[T]): Iterator[T] = {
+  private[llm] def codecScope[T](codec: MediaCodec, rows: Iterator[T]): Iterator[T] = {
     codec.open()
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))

@@ -101,3 +101,97 @@ object MediaProps extends Properties("llm.MediaCodecs") {
       !WavCodec.decode(1L, torn).ok
     }
 }
+
+/** The compressed-codec family under the same contracts: total on
+  * untrusted bytes, geometry round-trips on generated valid payloads,
+  * and the decompression-specific invariants (companding identity,
+  * adaptive-decoder sample bounds). */
+object CompressedMediaProps extends Properties("llm.CompressedCodecs") {
+
+  private val genJunk: Gen[Array[Byte]] = for {
+    n <- Gen.chooseNum(0, 300)
+    bytes <- Gen.listOfN(n, Gen.chooseNum(0, 255).map(_.toByte))
+  } yield bytes.toArray
+
+  private val genHostileJunk: Gen[Array[Byte]] = for {
+    prefix <- Gen.oneOf("RIFF", "RIFFxxxxWAVE", "RIFFxxxxAVI ",
+      "RIFFxxxxWAVEfmt ", "LIST", "ÿØ")
+    tail <- genJunk
+  } yield prefix.getBytes("ISO-8859-1") ++ tail
+
+  property("total on junk: decode/resize/embed never throw") =
+    forAll(Gen.oneOf(genJunk, genHostileJunk)) { b =>
+      val codecs = Seq(MuLawCodec, AdpcmCodec, MjpegCodec)
+      codecs.forall { c =>
+        scala.util.Try {
+          c.decode(1L, b)
+          c.resize(1L, b, 1, 3)
+          c.embed(1L, b, 8).length == 8
+        }.getOrElse(false)
+      } && scala.util.Try(MjpegCodec.sampledFrameMeans(b, 2)).isSuccess
+    }
+
+  private val genMuLaw: Gen[(Int, Int, Array[Byte])] = for {
+    ch <- Gen.chooseNum(1, 4)
+    frames <- Gen.chooseNum(1, 40)
+    rate <- Gen.oneOf(8000, 16000, 44100)
+    codes <- Gen.listOfN(frames * ch, Gen.chooseNum(0, 255).map(_.toByte))
+  } yield (ch, rate, codes.toArray)
+
+  property("mu-law: encode -> parse round-trips; junk chunk transparent") =
+    forAll(genMuLaw) { case (ch, rate, codes) =>
+      val p = MuLawCodec.encode(ch, rate, codes)
+      val d = MuLawCodec.decode(1L, p)
+      val dj = MuLawCodec.decode(1L, WavCodec.withJunkChunk(p))
+      d.ok && d.width == ch && d.height == rate &&
+        d.n_frames == codes.length / ch &&
+        dj.ok && dj.n_frames == d.n_frames
+    }
+
+  property("mu-law: identity resample expands every code exactly") =
+    forAll(genMuLaw) { case (ch, rate, codes) =>
+      val frames = codes.length / ch
+      val rs = MuLawCodec.resize(1L, MuLawCodec.encode(ch, rate, codes),
+        ch, frames)
+      val data = rs.payload.drop(44)
+      val got = Array.tabulate(data.length / 2)(
+        k => (data(2 * k) & 0xff) | (data(2 * k + 1) << 8))
+      rs.ok && got.sameElements(codes.map(c => MuLawCodec.expand(c & 0xff))) &&
+        WavCodec.decode(1L, rs.payload).ok
+    }
+
+  private val genAdpcm: Gen[(Int, Seq[(Int, Int, Array[Byte])])] = for {
+    db <- Gen.chooseNum(1, 12)
+    nb <- Gen.chooseNum(1, 5)
+    blocks <- Gen.listOfN(nb, for {
+      pred <- Gen.chooseNum(-32768, 32767)
+      idx <- Gen.chooseNum(0, 88)
+      data <- Gen.listOfN(db, Gen.chooseNum(0, 255).map(_.toByte))
+    } yield (pred, idx, data.toArray))
+  } yield (4 + db, blocks)
+
+  property("adpcm: encodeRaw -> parse -> decode round-trips state and counts") =
+    forAll(genAdpcm) { case (ba, blocks) =>
+      val spb = (ba - 4) * 2 + 1
+      val p = AdpcmCodec.encodeRaw(8000, ba, blocks)
+      val d = AdpcmCodec.decode(1L, p)
+      val (_, _, _, off, dl) = AdpcmCodec.parseHeader(p).get
+      val s = AdpcmCodec.decodeSamples(p, ba, off, dl)
+      d.ok && d.width == 1 && d.n_frames == blocks.size * spb &&
+        s.length == d.n_frames &&
+        // every block's first decoded sample IS its header predictor,
+        // and every sample stays inside the clamp rails
+        blocks.zipWithIndex.forall { case ((pred, _, _), b) =>
+          s(b * spb) == pred
+        } && s.forall(v => v >= -32768 && v <= 32767)
+    }
+
+  property("adpcm: lossy compress stays decodable with padded-block length") =
+    forAll(Gen.chooseNum(5, 16), Gen.nonEmptyListOf(Gen.chooseNum(-32768, 32767))) {
+      (ba, samples) =>
+        val spb = (ba - 4) * 2 + 1
+        val p = AdpcmCodec.compress(8000, ba, samples.toArray)
+        val d = AdpcmCodec.decode(1L, p)
+        d.ok && d.n_frames == ((samples.length + spb - 1) / spb) * spb
+    }
+}
