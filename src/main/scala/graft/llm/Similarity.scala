@@ -1465,6 +1465,100 @@ object Similarity {
     },
     qIvfPqAnnP2.oracle)
 
+  /** Exact REFINE stage over IVFADC candidates (the classic
+    * two-stage retrieve-then-rerank every production vector store
+    * offers, e.g. FAISS's IndexRefineFlat): serve top-(k·refine) per
+    * query by ADC from the stored code table, then re-score ONLY
+    * those candidates by exact integer L2 against the raw vectors and
+    * keep the exact-ranked top-k. Buys back the PQ reconstruction
+    * error at candidate-set prices: the exact pass touches q·k·refine
+    * vectors, never the corpus (vs q·n for brute force).
+    *
+    * Scale shape: the candidate frame is aggregate-bounded
+    * (k·refine rows per query — [[ivfPqTopKFromCodes]]'s TopKMinAgg
+    * tail), broadcast into ONE raw-vector scan (no shuffle of
+    * embeddings), queries ride the same single-row-ish broadcast as
+    * every serving path, and the re-rank tail is again the bounded
+    * TopKMinAgg — nothing anywhere is corpus-sized but the one scan.
+    * Recall: refined@k ≥ ADC@k against the exact ranking whenever the
+    * ADC top-k ⊆ ADC top-(k·refine) candidate pool (always), with
+    * equality to EXACT top-k once the pool covers it —
+    * SimilaritySpec pins both directions. */
+  def ivfPqTopKRefined(codeTable: DataFrame, queries: DataFrame,
+      rawVecs: DataFrame, k: Int, refine: Int, coarse: DataFrame,
+      books: DataFrame, m: Int, dim: Int, probes: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val cands = ivfPqTopKFromCodes(codeTable, queries, k * refine, coarse,
+      books, m, dim, probes)
+      .select(col("q_id"), col("neighbor_id").as("vec_id"))
+    val qv = rawVecs.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val qq = broadcast(queries.select(col("vec_id").as("q_id"),
+      quantize(col("embedding")).as("qq")))
+    broadcast(cands).join(qv, Seq("vec_id"))
+      .join(qq, Seq("q_id"))
+      .withColumn("d", call_udf("graft_l2_int", col("q"), col("qq")))
+      .groupBy(col("q_id"))
+      .agg(call_udf("graft_topk_min",
+        struct(col("d"), col("vec_id")), lit(k)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.vec_id").as("neighbor_id"), col("t.d").as("d"))
+  }
+
+  /** The refine stage as a declared serving query: stored codes +
+    * frozen stored quantizer (the q_llm_ivfpq_serve stance), ADC
+    * candidate pool of k·3, exact integer-L2 re-rank to top-5.
+    * Oracle derived from the p2 replay by string surgery on its final
+    * ranking block (the q_llm_ann_filtered drift-proofing stance):
+    * candidates = ADC rank ≤ 15, then the exact re-rank replayed over
+    * the `q` CTE's quantized vectors — the integer L2 is the same
+    * wrap-free BIGINT fold both engines compute bit-equally. */
+  val qAnnRefine = QuerySpec(
+    "q_llm_ann_refine",
+    (s, d) => {
+      val (stored, coarse, books) = storedCodesOf(s, d)
+      val vs = Tables.load(s, d, "embeddings")
+      ivfPqTopKRefined(stored, vs.filter(col("vec_id") < 5), vs, k = 5,
+        refine = 3, coarse, books, m = 4, dim = 64, probes = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    qIvfPqAnnP2.oracle.map { sql =>
+      val anchor =
+        """SELECT q_id,
+          |  CAST(row_number() OVER (PARTITION BY q_id
+          |    ORDER BY adist, vec_id) AS BIGINT) AS "rank",
+          |  vec_id AS neighbor_id, adist
+          |FROM adist
+          |QUALIFY "rank" <= 5
+          |ORDER BY q_id, "rank"""".stripMargin
+      require(sql.endsWith(anchor), "p2 oracle shape changed under " +
+        "q_llm_ann_refine — update the refine anchor")
+      // the dropped tail leaves "...)\n" closing the adist CTE — the
+      // refine chain continues the WITH list, hence the leading comma
+      sql.dropRight(anchor.length).stripSuffix("\n") + ", " +
+        """cand AS (
+          |  SELECT q_id, vec_id FROM adist
+          |  QUALIFY row_number() OVER (PARTITION BY q_id
+          |    ORDER BY adist, vec_id) <= 15
+          |), refined AS (
+          |  SELECT c.q_id, c.vec_id,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(list_zip(v.qfull, u.qfull),
+          |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+          |      (a, x) -> a + x) AS d
+          |  FROM cand c
+          |  JOIN q v ON c.vec_id = v.vec_id
+          |  JOIN q u ON c.q_id = u.vec_id
+          |)
+          |SELECT q_id,
+          |  CAST(row_number() OVER (PARTITION BY q_id
+          |    ORDER BY d, vec_id) AS BIGINT) AS "rank",
+          |  vec_id AS neighbor_id, d
+          |FROM refined
+          |QUALIFY "rank" <= 5
+          |ORDER BY q_id, "rank"""".stripMargin
+    })
+
   /** Metadata-FILTERED ANN serving — "top-k among vectors whose
     * attribute matches" (the filtered-search semantics of every
     * production vector store: restrict by language, source, license,
@@ -2284,6 +2378,6 @@ object Similarity {
   val all: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qEmbOutlier, qQuantize, qKmeansStep,
       qPqAnn, qPqRecall, qIvfPqAnn, qIvfPqAnnP2, qIvfPqCodes, qIvfPqServe,
-      qAnnFiltered, qIvfPqInc, qIvfStats, qSqRecall, qRpReduce, qRpRecall,
+      qAnnFiltered, qAnnRefine, qIvfPqInc, qIvfStats, qSqRecall, qRpReduce, qRpRecall,
       qSemDedup, qAnnRecall, qDiversify, qEmbContam)
 }

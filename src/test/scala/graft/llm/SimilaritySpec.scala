@@ -833,4 +833,59 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(_._1 >= 100L).map(x => x._1 - 100L -> x._2).toMap ==
       Map(0L -> 0L, 3L -> 3L), "planted copies must match their source")
   }
+
+  test("ivfPqTopKRefined: exact re-rank dominates plain ADC recall and " +
+    "converges to the exact ranking when the pool covers the corpus") {
+    val m = 4; val dim = 64; val k = 5
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    val (coarse, books) = Similarity.ivfPqTrain(vecs, coarseStride = 100,
+      m, dim, bookStride = 50, iters = 0)
+    val codes = Similarity.ivfPqEncode(vecs, coarse, books, m, dim)
+      .localCheckpoint()
+    val queries = vecs.filter(col("vec_id") < 3)
+
+    // driver-side exact ground truth over the same quantized vectors
+    val q = vecs.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    def l2(a: Vector[Int], b: Vector[Int]): Long =
+      a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
+    val qids = q.keys.filter(_ < 3).toSeq.sorted
+    val exact = qids.map { qid =>
+      qid -> q.toSeq.filter(_._1 != qid)
+        .map { case (vid, v) => (l2(v, q(qid)), vid) }
+        .sorted.take(k).map { case (d, vid) => (vid, d) }
+    }.toMap
+
+    def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("q_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recallVs(exactSide: Map[Long, Seq[(Long, Long)]],
+        approx: Map[Long, Set[Long]]): Double =
+      qids.map(qid => exactSide(qid).count(p => approx(qid)(p._1))).sum.toDouble /
+        (qids.size * k)
+
+    // refined@k recall >= plain ADC@k recall at the same probes: the
+    // refine pool contains the ADC top-k, and the exact re-rank can
+    // only improve agreement with the exact ranking
+    val adc = neighborSets(Similarity.ivfPqTopKFromCodes(codes, queries, k,
+      coarse, books, m, dim, probes = 2))
+    val refined = neighborSets(Similarity.ivfPqTopKRefined(codes, queries,
+      vecs, k, refine = 3, coarse, books, m, dim, probes = 2))
+    assert(recallVs(exact, refined) >= recallVs(exact, adc),
+      s"refine must not lose recall: ${recallVs(exact, refined)} vs ${recallVs(exact, adc)}")
+
+    // full coverage: every list probed + pool >= corpus => the refined
+    // result IS the exact ranking, rank for rank, distance for distance
+    val nLists = q.keys.count(_ % 100 == 0)
+    val full = Similarity.ivfPqTopKRefined(codes, queries, vecs, k,
+      refine = (q.size + k - 1) / k, coarse, books, m, dim, probes = nLists)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    qids.foreach { qid =>
+      exact(qid).zipWithIndex.foreach { case ((vid, d), i) =>
+        assert(full((qid, i + 1L)) == ((vid, d)),
+          s"q=$qid rank=${i + 1}: got ${full((qid, i + 1L))}, want ($vid, $d)")
+      }
+    }
+  }
 }
