@@ -437,25 +437,50 @@ object MjpegCodec extends MediaCodec {
     else Some((w, h, usPerFrame, fs))
   }
 
+  // ImageIO reader/writer instances are NOT thread-safe but ARE
+  // reusable: per-frame ImageIO.read/getImageWriters... pays plugin
+  // lookup + context allocation on every 16x16 frame, which dominates
+  // the codec cost at corpus scale. One instance per executor thread
+  // (Spark reuses task threads) is the object-codec analog of the
+  // seam's open()-per-partition contract. Marked transient-safe by
+  // construction: ThreadLocal re-initializes per JVM.
+  private val readerTl =
+    new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+    }
+  private val writerTl =
+    new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    }
+
   private def readJpeg(b: Array[Byte], off: Int,
       len: Int): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(b, off, len)))
-    catch { case _: java.io.IOException => None }
+    try {
+      val r = readerTl.get()
+      val mis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(b, off, len))
+      try {
+        r.setInput(mis, true, true)
+        Option(r.read(0))
+      } finally { r.setInput(null); mis.close() }
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
 
   /** Deterministic JPEG encode at explicit quality (the JDK writer is
     * deterministic per (pixels, quality) — measured in spec). */
   private[llm] def encodeJpeg(img: java.awt.image.BufferedImage,
       quality: Float = 0.95f): Array[Byte] = {
-    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val w = writerTl.get()
     val p = w.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(quality)
     val bos = new java.io.ByteArrayOutputStream()
     val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-    w.setOutput(mos)
-    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    w.dispose(); mos.close()
+    try {
+      w.setOutput(mos)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { w.setOutput(null); mos.close() }
     bos.toByteArray
   }
 
