@@ -1559,6 +1559,57 @@ object Similarity {
           |ORDER BY q_id, "rank"""".stripMargin
     })
 
+  /** The ANN code table MAINTAINED as generation-log state
+    * ([[IvfPqIndex.initMaintained]] genesis = the even-id half at
+    * coverage −1, batch 0 = the catch-up delta over the whole corpus,
+    * batch 1 = "tomorrow's" vectors at shifted ids, then a compaction
+    * folding all of it), built once per corpus content and served
+    * PINNED at `loadMaintainedAt(root, 0)` — the pinnedScopeOf stance
+    * applied to ANN. The pin resolves the full corpus and NOTHING
+    * later: batch 1's shifted near-copies would dominate any top-k
+    * they entered (identical embeddings ⇒ adist 0), so the oracle
+    * match is also the proof the pinned read excludes post-pin
+    * merges, and deferred GC is what keeps the pinned generation set
+    * readable under the later compaction. */
+  private[llm] def pinnedIvfPqOf(s: SparkSession, d: String): IvfPqIndex = {
+    val (coarse, books) = storedQuantizerOf(s, d)
+    val root = graft.sources.IndexStore.maintainedRoot(s, d,
+      "maint_ivfpq_c100_m4_b50", table = "embeddings") { dir =>
+      val vs = Tables.load(s, d, "embeddings")
+      IvfPqIndex.initMaintained(
+        IvfPqIndex(m = 4, dim = 64, coarse, books,
+          ivfPqEncode(vs.filter(pmod(col("vec_id"), lit(2)) === 0),
+            coarse, books, m = 4, dim = 64)), dir)
+      IvfPqIndex.mergeCodesBatch(dir)(vs, 0L)
+      IvfPqIndex.mergeCodesBatch(dir)(
+        vs.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          col("embedding")), 1L)
+      IvfPqIndex.compactCodes(s, dir)
+    }
+    IvfPqIndex.loadMaintainedAt(s, root, 0L).getOrElse(
+      throw new IllegalStateException(
+        s"pinned maintained ivfpq state missing under $root"))
+  }
+
+  /** q_llm_ivfpq_serve SERVED FROM THE MAINTAINED CODE TABLE, PINNED:
+    * ranking runs off the generation-log state as-of batch 0 —
+    * byte-stable under the later delta and compaction the builder
+    * already committed (the q_llm_bm25_scoped_pinned stance applied
+    * to the ANN family, closing the same "artifact built in-session"
+    * vs "serving the nightly-maintained state" gap). Oracle = the p2
+    * replay verbatim: the pin covers exactly the corpus, so the
+    * maintained state must be result-identical to the one-shot
+    * stored-code serve. */
+  val qIvfPqServePinned = QuerySpec(
+    "q_llm_ivfpq_serve_pinned",
+    (s, d) => {
+      val idx = pinnedIvfPqOf(s, d)
+      val vs = Tables.load(s, d, "embeddings")
+      idx.topK(vs.filter(col("vec_id") < 5), k = 5, probes = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    qIvfPqAnnP2.oracle)
+
   /** Metadata-FILTERED ANN serving — "top-k among vectors whose
     * attribute matches" (the filtered-search semantics of every
     * production vector store: restrict by language, source, license,
@@ -2378,6 +2429,7 @@ object Similarity {
   val all: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qEmbOutlier, qQuantize, qKmeansStep,
       qPqAnn, qPqRecall, qIvfPqAnn, qIvfPqAnnP2, qIvfPqCodes, qIvfPqServe,
-      qAnnFiltered, qAnnRefine, qIvfPqInc, qIvfStats, qSqRecall, qRpReduce, qRpRecall,
+      qAnnFiltered, qAnnRefine, qIvfPqServePinned, qIvfPqInc, qIvfStats,
+      qSqRecall, qRpReduce, qRpRecall,
       qSemDedup, qAnnRecall, qDiversify, qEmbContam)
 }

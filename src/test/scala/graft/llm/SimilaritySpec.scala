@@ -834,6 +834,40 @@ class SimilaritySpec extends SparkSpec {
       Map(0L -> 0L, 3L -> 3L), "planted copies must match their source")
   }
 
+  test("pinned maintained ANN serve excludes post-pin merges; the live read sees them") {
+    // building the pinned state also commits batch 1 (every corpus
+    // vector re-merged at vec_id + 1e7 — identical embeddings) and a
+    // compaction; the pin at batch 0 must see none of that
+    val pinned = Similarity.pinnedIvfPqOf(spark, sf0001)
+    val root = graft.sources.IndexStore.maintainedRoot(spark, sf0001,
+      "maint_ivfpq_c100_m4_b50", table = "embeddings")(_ =>
+      fail("root must already be built by pinnedIvfPqOf"))
+    val live = IvfPqIndex.loadMaintained(spark, root)
+    val vs = graft.Tables.load(spark, sf0001, "embeddings")
+    val queries = vs.filter(col("vec_id") < 3)
+    val pinnedIds = pinned.topK(queries, k = 5, probes = 2)
+      .select(col("neighbor_id")).collect().map(_.getLong(0))
+    assert(pinnedIds.nonEmpty && pinnedIds.forall(_ < 10000000L),
+      "pinned read must never surface batch-1 codes")
+    // the live state holds exactly the pinned corpus PLUS its shifted
+    // batch-1 copy (a serving-tail membership check would be tie-
+    // fragile: the copies share their originals' codes, so they TIE at
+    // minimal ADC distance and the (adist, vec_id) tie-break keeps
+    // small ids — the state-level equality is the deterministic pin)
+    val n = pinned.codes.count()
+    assert(live.codes.count() == 2 * n, "live = corpus + shifted batch 1")
+    assert(pinned.codes.agg(max(col("vec_id"))).head.getLong(0) < 10000000L)
+    assert(live.codes.agg(max(col("vec_id"))).head.getLong(0) >= 10000000L)
+    // and the live serve DOES score batch-1 candidates: a query only
+    // batch 1 answers (every original excluded by a filter on the
+    // stored scan) must return purely shifted neighbors
+    val onlyNew = IvfPqIndex(live.m, live.dim, live.coarse, live.books,
+      live.codes.filter(col("vec_id") >= 10000000L))
+      .topK(queries, k = 5, probes = 2)
+      .select(col("neighbor_id")).collect().map(_.getLong(0))
+    assert(onlyNew.nonEmpty && onlyNew.forall(_ >= 10000000L))
+  }
+
   test("ivfPqTopKRefined: exact re-rank dominates plain ADC recall and " +
     "converges to the exact ranking when the pool covers the corpus") {
     val m = 4; val dim = 64; val k = 5
