@@ -1505,6 +1505,40 @@ object Similarity {
         col("t.vec_id").as("neighbor_id"), col("t.d").as("d"))
   }
 
+  /** Zero-state micro-batch twin of the REFINED serve (the
+    * [[Retrieval.rrfFusionServeEachBatch]] stance applied to ANN):
+    * each arriving query micro-batch is answered inside `foreachBatch`
+    * by the batch [[ivfPqTopKRefined]] over the stored code table and
+    * raw vectors — candidate pools and re-rank tails are
+    * TopKMinAgg-bounded per batch, cross-batch state is NONE, so the
+    * path carries any arrival rate the batch server carries. The
+    * windowed [[streamingIvfPqServe]] cannot host the refine join
+    * (its candidate aggregation is the stream's one legal stateful
+    * operator — a post-aggregation stream-static join + second
+    * aggregation is illegal in append mode), which is exactly the
+    * per-batch family's niche. Replayed queries re-answer
+    * byte-identically (deterministic servers) — downstream
+    * idempotence is an upsert on q_id. */
+  def refineServeEachBatch(queries: DataFrame, codeTable: DataFrame,
+      rawVecs: DataFrame, coarse: DataFrame, books: DataFrame,
+      m: Int, dim: Int, k: Int = 10, refine: Int = 3, probes: Int = 2,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+        val qb = b.toDF().dropDuplicates("vec_id").localCheckpoint()
+        sink(ivfPqTopKRefined(codeTable, qb, rawVecs, k, refine,
+          coarse, books, m, dim, probes), id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** The refine stage as a declared serving query: stored codes +
     * frozen stored quantizer (the q_llm_ivfpq_serve stance), ADC
     * candidate pool of k·3, exact integer-L2 re-rank to top-5.
@@ -1778,6 +1812,23 @@ object Similarity {
       coarse: DataFrame, books: DataFrame, m: Int, dim: Int,
       probes: Int = 1): DataFrame = {
     val approx = ivfPqTopK(vecs, queries, k, coarse, books, m, dim, probes)
+      .select(col("q_id"), col("neighbor_id"))
+    recallOf(exactIntTopK(vecs, queries, k), approx, queries, k)
+  }
+
+  /** Refined-serve quality harness: recall@k of [[ivfPqTopKRefined]]
+    * against brute-force integer L2 — the number that justifies the
+    * refine stage's extra raw-vector scan (vs [[ivfPqRecall]] at the
+    * same probes). The exact re-rank removes the PQ-reconstruction
+    * loss entirely; what remains is ONLY the inverted-list pruning
+    * loss on the candidate pool, so refined recall at pool ≥ corpus
+    * is 1.0 by construction (SimilaritySpec pins the equality). */
+  def ivfPqRefinedRecall(vecs: DataFrame, queries: DataFrame, k: Int,
+      refine: Int, coarse: DataFrame, books: DataFrame, m: Int, dim: Int,
+      probes: Int = 1): DataFrame = {
+    val codes = ivfPqEncode(vecs, coarse, books, m, dim)
+    val approx = ivfPqTopKRefined(codes, queries, vecs, k, refine,
+      coarse, books, m, dim, probes)
       .select(col("q_id"), col("neighbor_id"))
     recallOf(exactIntTopK(vecs, queries, k), approx, queries, k)
   }

@@ -421,6 +421,54 @@ object StreamSoak {
             "q_per_sec" -> f"${answered.get() / wall}%.1f",
             "state_rows" -> 0L)
 
+        case "refinefb" =>
+          // the REFINED per-batch ANN serve (refineServeEachBatch):
+          // stored fixed-K codes answer each query micro-batch with
+          // an ADC pool of k·refine, then ONLY those candidates
+          // re-score exactly against the raw vectors — measures what
+          // the exact re-rank adds on top of the `serve` floor at
+          // this tier (the candidate-bounded exact pass, one raw
+          // scan per batch)
+          val vecs = Tables.load(spark, sfDir, "embeddings")
+            .select(col("vec_id"), col("embedding"))
+          val n = vecs.count()
+          val idx = IvfPqIndex.build(vecs,
+            coarseStride = math.max(1, (n / 64).toInt), m = 4, dim = 64,
+            bookStride = math.max(1, (n / 256).toInt))
+          idx.codes.persist().count()
+          val dir = s"$feedRoot/refinefb_queries"
+          val qs = vecs.filter(pmod(col("vec_id"), lit(100)) === 0)
+            .withColumn("event_ts",
+              timestamp_millis(lit(base) + col("vec_id")))
+          buildFeed(qs, chunks, dir)
+          val feed = spark.readStream
+            .schema(spark.read.parquet(dir).schema)
+            .option("maxFilesPerTrigger", perTrigger).parquet(dir)
+          val answered = new java.util.concurrent.atomic.AtomicLong
+          val batches = new java.util.concurrent.atomic.AtomicLong
+          val t0 = System.nanoTime()
+          val q = graft.llm.Similarity.refineServeEachBatch(feed,
+            idx.codes, vecs, idx.coarse, idx.books, m = 4, dim = 64,
+            k = 10, refine = 3, probes = 2,
+            checkpoint = java.nio.file.Files
+              .createTempDirectory("soak_ckpt_refinefb").toString) {
+            (out, _) =>
+              answered.addAndGet(
+                out.select(col("q_id")).distinct().count())
+              batches.incrementAndGet()
+              ()
+          }
+          q.awaitTermination()
+          val wall = (System.nanoTime() - t0) / 1e9
+          idx.codes.unpersist()
+          Map(
+            "mode" -> mode,
+            "batches" -> batches.get(),
+            "queries_answered" -> answered.get(),
+            "wall_sec" -> f"$wall%.2f",
+            "q_per_sec" -> f"${answered.get() / wall}%.1f",
+            "state_rows" -> 0L)
+
         case "hybridfbsc" =>
           // the zero-state SCOPED+FILTERED hybrid (q_llm_rrf_fusion_scoped
           // served per micro-batch): the production configuration past

@@ -419,6 +419,19 @@ class PlanSpec extends SparkSpec {
       s"label predicate not pushed into the code-table scan:\n$p")
   }
 
+  test("refined ANN: the exact re-rank joins broadcast-side, never " +
+    "shuffling the raw vectors") {
+    // the refine stage's scale contract: the candidate frame
+    // (q·k·refine rows) and the query frame broadcast into ONE
+    // raw-vector scan — a sort-merge join here would shuffle the full
+    // embedding table per query batch
+    val p = plan("q_llm_ann_refine")
+    assert(p.contains("BroadcastHashJoin"),
+      s"refine candidate join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"refine must not shuffle the raw-vector side:\n$p")
+  }
+
   test("scoped BM25 prunes the stored index to the scope's partition " +
     "directories at plan time") {
     // the partition-layout half of the filtered-serving story (the

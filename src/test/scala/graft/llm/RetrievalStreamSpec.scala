@@ -830,6 +830,49 @@ class RetrievalStreamSpec extends SparkSpec {
       "query-sliced hybrid serve drifted from the one-shot fusion")
   }
 
+  test("refineServeEachBatch: the zero-state micro-batch refined serve " +
+    "equals the batch refine; replays re-answer byte-identically") {
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    val (coarse0, books0) = Similarity.ivfPqTrain(vecs, coarseStride = 100,
+      m = 4, dim = 64, bookStride = 50, iters = 0)
+    val coarse = coarse0.localCheckpoint(true)
+    val books = books0.localCheckpoint(true)
+    val codes = Similarity.ivfPqEncode(vecs, coarse, books, m = 4, dim = 64)
+      .localCheckpoint(true)
+    val rawVecs = vecs.localCheckpoint(true)
+    val queries = vecs.filter(col("vec_id") < 3)
+    val batch = Similarity.ivfPqTopKRefined(codes, queries, rawVecs,
+        k = 5, refine = 3, coarse, books, m = 4, dim = 64, probes = 2)
+      .collect().map(_.toSeq).toSet
+    val qrows = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("refinefb_ck").toString
+    val in = MemoryStream[(Long, Seq[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    def drain(): Unit = {
+      val q = Similarity.refineServeEachBatch(
+        in.toDF().toDF("vec_id", "embedding"),
+        codes, rawVecs, coarse, books, m = 4, dim = 64, k = 5,
+        refine = 3, probes = 2, checkpoint = ckpt) { (out, _) =>
+        val rows = out
+          .select(col("q_id"), col("rank"), col("neighbor_id"), col("d"))
+          .collect().map(_.toSeq).toSeq
+        got.synchronized { got += rows; () }
+      }
+      q.awaitTermination()
+    }
+    in.addData(qrows: _*); drain()
+    assert(got.flatten.toSet == batch,
+      s"refined micro-batch twin drift:\n${got.flatten.toSet}\nvs\n$batch")
+    val firstAnswer = got.flatten.filter(_.head == 0L).toSet
+    got.clear()
+    in.addData(qrows.head); drain()
+    assert(got.flatten.toSet == firstAnswer,
+      "a replayed query must re-answer byte-identically")
+  }
+
   test("packed serving state (dedup + top-k map) survives a checkpointed restart") {
     import java.nio.file.Files
     val feedDir = Files.createTempDirectory("bm25_feed").toString
