@@ -139,6 +139,50 @@ object Multimodal {
       implicit spark: SparkSession): DataFrame =
     embedWith(media, StubMediaCodec, dim)
 
+  /** Mixed-corpus decode: one pass over a media table whose rows span
+    * FORMATS, dispatching each payload to its mime's codec — the shape
+    * a real multimodal corpus scan takes (one partition iterator, all
+    * codecs' contexts opened once per partition, every row routed
+    * row-locally; no per-format re-scan). Unknown mimes and
+    * empty/null payloads are the not-ok row, never a throw. Stateless
+    * per row, so the SAME chain serves a readStream DataFrame
+    * unchanged (spec-pinned). */
+  def decodeMixed(media: DataFrame, codecs: Map[String, MediaCodec])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val mimeCol =
+      if (media.columns.contains("mime")) col("mime") else col("meta.mime")
+    media.select(col("media_id"), col("payload"), mimeCol.as("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        codecs.values.foreach(_.open())
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ =>
+            codecs.values.foreach(_.close())))
+        rows.map { case (id, p, mime) =>
+          codecs.get(mime) match {
+            case Some(c) if p != null && p.nonEmpty =>
+              val d = c.decode(id, p)
+              (id, mime, d.width, d.height, d.n_frames, d.ok)
+            case _ => (id, mime, 0, 0, 0, false)
+          }
+        }
+      }.toDF("media_id", "mime", "width", "height", "n_frames", "ok")
+  }
+
+  /** The media data card over a [[decodeMixed]] frame: per-mime row
+    * counts, decode-ok counts, and geometry totals — the release-card
+    * numbers a multimodal corpus publishes (the q_llm_source_report
+    * stance on media). One bounded-cardinality groupBy (mimes), all
+    * sums map-side combined. */
+  def mediaCard(decoded: DataFrame): DataFrame =
+    decoded.groupBy(col("mime")).agg(
+      count(lit(1)).as("n_media"),
+      sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+      sum(col("n_frames").cast("long")).as("total_frames"),
+      sum(col("width").cast("long")).as("total_width"),
+      sum(col("height").cast("long")).as("total_height"))
+
   /** Oracle-checkable slice of the plumbing: metadata extraction over
     * binary payloads (documents.text cast to bytes stands in for a blob
     * column). The decode stub itself is exercised by ScalaTest. */

@@ -281,5 +281,86 @@ object MultimodalCompressed {
            |  array_to_string(cols, ',') AS sampled_colors
            |FROM samp ORDER BY media_id""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(qMmMulaw, qMmAdpcm, qMmMjpeg)
+  /** The MIXED-corpus media card: one pass over a corpus whose rows
+    * span THREE formats (binary PPM images, μ-law WAVs, IMA ADPCM
+    * WAVs — each built in-plan from its id class), every payload
+    * dispatched row-locally to its mime's codec
+    * ([[Multimodal.decodeMixed]] — all codec contexts opened once per
+    * partition), rolled up to the per-mime release card
+    * ([[Multimodal.mediaCard]]: counts, decode-ok, geometry totals).
+    * The production shape for a real multimodal corpus scan: no
+    * per-format re-scan, one bounded-cardinality groupBy. The oracle
+    * replays every geometry total arithmetically per id class — a
+    * hash match proves all three parsers agreed on every row. */
+  val qMmCard = QuerySpec(
+    "q_llm_mm_card",
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val built = Tables.load(s, d, "documents").select(
+        col("doc_id"),
+        expr("CASE WHEN text IS NULL OR text = '' THEN 'x' ELSE text END").as("t"))
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          rows.map { case (id, t) =>
+            val tb = t.getBytes("UTF-8")
+            (id % 3) match {
+              case 0 =>
+                val w = (1 + id % 8).toInt; val h = (1 + id % 5).toInt
+                val npix = w * h * 3
+                val raster = Array.tabulate[Byte](npix)(j => tb(j % tb.length))
+                val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+                (id, header ++ raster, "image/x-portable-pixmap")
+              case 1 =>
+                val frames = (4 + id % 12).toInt
+                val channels = (1 + id % 2).toInt
+                val codes = Array.tabulate[Byte](frames * channels)(
+                  j => tb(j % tb.length))
+                (id, WavCodec.withJunkChunk(
+                  MuLawCodec.encode(channels, 12000, codes)), "audio/basic")
+              case _ =>
+                val nb = (1 + id % 2).toInt
+                val db = (4 + id % 4).toInt
+                val blocks = (0 until nb).map { b =>
+                  ((((id * 31 + b * 17) % 65536) - 32768).toInt,
+                    ((id + 13 * b) % 89).toInt,
+                    Array.tabulate[Byte](db)(j => tb((b * db + j) % tb.length)))
+                }
+                (id, AdpcmCodec.encodeRaw(8000, 4 + db, blocks),
+                  "audio/vnd.ima-adpcm")
+            }
+          }
+        }.toDF("media_id", "payload", "mime")
+      val decoded = Multimodal.decodeMixed(built, Map(
+        "image/x-portable-pixmap" -> PpmCodec,
+        "audio/basic" -> MuLawCodec,
+        "audio/vnd.ima-adpcm" -> AdpcmCodec))
+      Multimodal.mediaCard(decoded).orderBy(col("mime"))
+    },
+    Some("""WITH src AS (
+           |  SELECT doc_id AS media_id, doc_id % 3 AS cls FROM documents
+           |), per AS (
+           |  SELECT media_id,
+           |    CASE cls WHEN 0 THEN 'image/x-portable-pixmap'
+           |             WHEN 1 THEN 'audio/basic'
+           |             ELSE 'audio/vnd.ima-adpcm' END AS mime,
+           |    CASE cls WHEN 0 THEN 1
+           |             WHEN 1 THEN 4 + media_id % 12
+           |             ELSE (1 + media_id % 2) * (2 * (4 + media_id % 4) + 1)
+           |             END AS frames,
+           |    CASE cls WHEN 0 THEN 1 + media_id % 8
+           |             WHEN 1 THEN 1 + media_id % 2
+           |             ELSE 1 END AS w,
+           |    CASE cls WHEN 0 THEN 1 + media_id % 5
+           |             WHEN 1 THEN 12000
+           |             ELSE 8000 END AS h
+           |  FROM src
+           |)
+           |SELECT mime, count(*) AS n_media, count(*) AS n_ok,
+           |  CAST(sum(frames) AS BIGINT) AS total_frames,
+           |  CAST(sum(w) AS BIGINT) AS total_width,
+           |  CAST(sum(h) AS BIGINT) AS total_height
+           |FROM per GROUP BY mime ORDER BY mime""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(qMmMulaw, qMmAdpcm, qMmMjpeg, qMmCard)
 }

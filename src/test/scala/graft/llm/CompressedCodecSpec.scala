@@ -229,6 +229,69 @@ class CompressedCodecSpec extends SparkSpec {
     assert(MjpegCodec.embed(1L, Array[Byte](1, 2, 3), 16).forall(_ == 0f))
   }
 
+  // ---- mixed-corpus dispatch + the streaming twin ---------------------------
+
+  private def mixedRows: Seq[(Long, Array[Byte], String)] = {
+    val ppm = ("P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6), "image/x-portable-pixmap")
+    val mu = (MuLawCodec.encode(1, 8000, Array[Byte](10, 20, 30)),
+      "audio/basic")
+    val ad = (AdpcmCodec.encodeRaw(8000, 8,
+      Seq((50, 3, Array[Byte](0x21, 0x43, 0x65, 0x07)))),
+      "audio/vnd.ima-adpcm")
+    Seq(
+      (1L, ppm._1, ppm._2), (2L, mu._1, mu._2), (3L, ad._1, ad._2),
+      (4L, Array[Byte](9, 9, 9), "audio/basic"),     // junk payload
+      (5L, ppm._1, "application/unknown"),           // unknown mime
+      (6L, Array.emptyByteArray, "audio/basic"))     // empty payload
+  }
+
+  private val mixedCodecs = Map(
+    "image/x-portable-pixmap" -> (PpmCodec: MediaCodec),
+    "audio/basic" -> (MuLawCodec: MediaCodec),
+    "audio/vnd.ima-adpcm" -> (AdpcmCodec: MediaCodec))
+
+  test("decodeMixed dispatches per mime in one pass; unknowns/junk are not-ok") {
+    implicit val sp = spark
+    import spark.implicits._
+    val df = mixedRows.toDF("media_id", "payload", "mime")
+    val got = Multimodal.decodeMixed(df, mixedCodecs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5)))
+      .toMap
+    assert(got(1L) == (("image/x-portable-pixmap", 2, 1, 1, true)))
+    assert(got(2L) == (("audio/basic", 1, 8000, 3, true)))
+    assert(got(3L) == (("audio/vnd.ima-adpcm", 1, 8000, 9, true)))
+    assert(!got(4L)._5 && !got(5L)._5 && !got(6L)._5)
+    // the card rolls it up per mime with exact totals
+    val card = Multimodal.mediaCard(Multimodal.decodeMixed(df, mixedCodecs))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(card("audio/basic") == ((3L, 1L)), "3 rows, 1 decodable")
+    assert(card("application/unknown") == ((1L, 0L)))
+  }
+
+  test("decodeMixed is stateless: the same chain serves a stream equal to batch") {
+    implicit val sp = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val batch = Multimodal.decodeMixed(
+        mixedRows.toDF("media_id", "payload", "mime"), mixedCodecs)
+      .collect().map(_.toSeq).toSet
+    val in = MemoryStream[(Long, Array[Byte], String)]
+    val q = Multimodal.decodeMixed(
+        in.toDF().toDF("media_id", "payload", "mime"), mixedCodecs)
+      .writeStream.format("memory").queryName("mmdecstream")
+      .outputMode("append").start()
+    try {
+      in.addData(mixedRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mmdecstream").collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    } finally q.stop()
+  }
+
   // ---- cross-codec: the compressed family rides the shared seam ------------
 
   test("compressed audio embeds agree with WavCodec on identical signals") {
