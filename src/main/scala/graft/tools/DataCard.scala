@@ -50,7 +50,9 @@ object DataCard {
     ("Retrieval quality (BM25 eval card)", "q_llm_retrieval_eval",
       "tier-fixed BM25 top-10 scored against exact-phrase relevance: hits@k, first relevant rank, reciprocal rank in integer ppm per query"),
     ("Learned language-ID confusion matrix", "q_llm_clf_confusion",
-      "exact doc counts per (true label, predicted class) for the in-plan-trained multiclass perceptron — the shipped-classifier eval artifact"))
+      "exact doc counts per (true label, predicted class) for the in-plan-trained multiclass perceptron — the shipped-classifier eval artifact"),
+    ("Multimodal media card", "q_llm_mm_card",
+      "per-mime rows, decode-ok counts, and geometry totals from ONE dispatching codec pass over the mixed-format corpus — the 'is the media column healthy' feed"))
 
   /** Pipes and newlines in cell values would split/break the markdown
     * row — escape them so the table stays well-formed whatever the
