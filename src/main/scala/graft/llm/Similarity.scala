@@ -1688,6 +1688,62 @@ object Similarity {
           "  WHERE codes.vec_id != qt.q_id AND attr.label = 1")
     })
 
+  /** The serving-matrix capstone: metadata-FILTERED candidates
+    * (q_llm_ann_filtered's pushed-predicate code-table scan) exactly
+    * RE-RANKED (q_llm_ann_refine's candidate-bounded raw-vector
+    * pass) — filter × refine composed in one serve, because the two
+    * stages touch different frames: the predicate prunes the stored
+    * scan BEFORE any ADC lookup, the refine re-scores only the
+    * k·refine survivors. Oracle = the filtered replay with the refine
+    * tail (both string surgeries compose on the p2 SQL — the refine
+    * anchor sits after the filtered oracle's candidate-predicate
+    * rewrite, so the candidates the exact pass re-ranks are already
+    * the label-restricted ones). */
+  val qAnnRefineFiltered = QuerySpec(
+    "q_llm_ann_refine_filtered",
+    (s, d) => {
+      val (stored, coarse, books) = storedCodesOf(s, d)
+      val vs = Tables.load(s, d, "embeddings")
+      ivfPqTopKRefined(stored.filter(col("label") === 1),
+        vs.filter(col("vec_id") < 5), vs, k = 5, refine = 3,
+        coarse, books, m = 4, dim = 64, probes = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    qAnnFiltered.oracle.map { sql =>
+      val anchor =
+        """SELECT q_id,
+          |  CAST(row_number() OVER (PARTITION BY q_id
+          |    ORDER BY adist, vec_id) AS BIGINT) AS "rank",
+          |  vec_id AS neighbor_id, adist
+          |FROM adist
+          |QUALIFY "rank" <= 5
+          |ORDER BY q_id, "rank"""".stripMargin
+      require(sql.endsWith(anchor), "filtered oracle shape changed " +
+        "under q_llm_ann_refine_filtered — update the refine anchor")
+      sql.dropRight(anchor.length).stripSuffix("\n") + ", " +
+        """cand AS (
+          |  SELECT q_id, vec_id FROM adist
+          |  QUALIFY row_number() OVER (PARTITION BY q_id
+          |    ORDER BY adist, vec_id) <= 15
+          |), refined AS (
+          |  SELECT c.q_id, c.vec_id,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(list_zip(v.qfull, u.qfull),
+          |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+          |      (a, x) -> a + x) AS d
+          |  FROM cand c
+          |  JOIN q v ON c.vec_id = v.vec_id
+          |  JOIN q u ON c.q_id = u.vec_id
+          |)
+          |SELECT q_id,
+          |  CAST(row_number() OVER (PARTITION BY q_id
+          |    ORDER BY d, vec_id) AS BIGINT) AS "rank",
+          |  vec_id AS neighbor_id, d
+          |FROM refined
+          |QUALIFY "rank" <= 5
+          |ORDER BY q_id, "rank"""".stripMargin
+    })
+
   /** The nightly delta job, oracle'd through the FULL-encode SQL: a
     * stored table holding the even-id half of the corpus plus an
     * incremental pass over the whole corpus must equal a from-scratch
@@ -2480,7 +2536,8 @@ object Similarity {
   val all: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qEmbOutlier, qQuantize, qKmeansStep,
       qPqAnn, qPqRecall, qIvfPqAnn, qIvfPqAnnP2, qIvfPqCodes, qIvfPqServe,
-      qAnnFiltered, qAnnRefine, qIvfPqServePinned, qIvfPqInc, qIvfStats,
+      qAnnFiltered, qAnnRefine, qAnnRefineFiltered, qIvfPqServePinned,
+      qIvfPqInc, qIvfStats,
       qSqRecall, qRpReduce, qRpRecall,
       qSemDedup, qAnnRecall, qDiversify, qEmbContam)
 }
