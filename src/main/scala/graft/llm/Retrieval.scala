@@ -509,6 +509,220 @@ object Retrieval {
     bm25TopKFromPostings(post, corpusStats(docs), qt, k)
   }
 
+  // ------------------------------------------------------------------
+  // MaxScore exact top-k pruning (round 14).
+  //
+  // The exact-unscoped servers above score EVERY posting of every
+  // query term — the sf10 soak adjudicated the zero-state hybrid
+  // stream candidate-volume-bound at 3.6-5.9 q/s precisely because a
+  // stopword-class term contributes a corpus-shaped posting list to
+  // the (query, doc) partial-sum shuffle. The classic IR answer
+  // (Turtle & Flood's MaxScore; Ding & Suel's block-max refinement)
+  // is exact and public: keep a per-term score UPPER BOUND beside the
+  // vocab table, split each query's terms into essential / non-
+  // essential by whether the UB suffix-sum can still reach the
+  // current top-k threshold, and never materialize a document that
+  // appears only in non-essential lists. Here as three bounded plan
+  // phases (document-at-a-time cursors don't exist in a dataflow
+  // engine; term-at-a-time MaxScore maps cleanly):
+  //
+  //   seed    θ = k-th EXACT score among the top-k docs of the single
+  //           highest-UB term per query (valid lower bound on the
+  //           k-th true score — any k real scores are);
+  //   phase A score ONLY essential-term postings → per-doc partial
+  //           sums; a doc's total is ≤ partial + Σ non-essential UB,
+  //           so candidates strictly below θ drop (survivor prune);
+  //   phase B add non-essential contributions for SURVIVORS only —
+  //           a semi-join, so the stopword lists never enter the
+  //           aggregate for docs already proven out.
+  //
+  // Exactness: every true top-k doc appears in ≥1 essential list
+  // (a doc confined to non-essential lists scores ≤ the non-essential
+  // UB suffix-sum < θ ≤ k-th true score — STRICT, so doc_id
+  // tie-breaks can't resurrect it), and survivors are scored over ALL
+  // their posting rows. RetrievalMaxScoreSpec pins row-identity with
+  // the unpruned server on randomized skewed corpora.
+  //
+  // The UB table is vocab-sized state with a merge law as cheap as
+  // df's: bm25Ppm is monotone increasing in tf and decreasing in dl
+  // (idf is per-term constant and non-negative — the rational idf is
+  // a positive ratio, never log-negative), so ppm(max_tf, min_dl)
+  // bounds every posting, and (max, min) fold across nightly deltas
+  // without reading stored postings ([[mergeTermBounds]]).
+  // ------------------------------------------------------------------
+
+  /** Per-term score-bound statistics (term, max_tf, min_dl): the
+    * vocab-sized side table MaxScore serving reads next to
+    * [[IndexSegments.df]]. One postings scan, map-side-combined —
+    * built once per store, merged per delta, never per query. */
+  def termBounds(postings: DataFrame): DataFrame =
+    postings.groupBy(col("term"))
+      .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+
+  /** Nightly merge of the bounds table: stored bounds ∪ the FRESH
+    * delta's per-doc rows, folded under (max, min) — vocab-sized work
+    * keyed like the df full-outer sum, stored postings untouched.
+    * Law (spec-pinned): mergeTermBounds(termBounds(stored),
+    * freshRows) == termBounds(stored ∪ freshRows). Monotone-safe:
+    * bounds only widen, so a stale (wider) row can never under-bound
+    * a posting — deletes may leave bounds loose, never wrong. */
+  def mergeTermBounds(storedBounds: DataFrame,
+      freshPostings: DataFrame): DataFrame =
+    storedBounds.unionByName(termBounds(freshPostings))
+      .groupBy(col("term"))
+      .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"))
+
+  /** The MaxScore plan's intermediate frames, exposed so the soak can
+    * count scored-vs-skipped posting rows without duplicating plan
+    * logic. `slice` is every candidate posting row (what the unpruned
+    * server aggregates); `scoredA`/`scoredB` are the rows that
+    * actually enter the two scoring aggregates — the skipped fraction
+    * is 1 − (|scoredA| + |scoredB|) / |slice|. */
+  private[graft] final case class MaxScoreParts(slice: DataFrame,
+      scoredA: DataFrame, scoredB: DataFrame, result: DataFrame)
+
+  /** Exact BM25 top-k from segment state with MaxScore pruning —
+    * result-identical to [[bm25TopKFromSegmentsPushed]] (same pushed
+    * `In(term,…)` scan prune, same broadcast probes, same bounded
+    * top-k tail) but the (query, doc) aggregate only receives
+    * essential-term postings plus the survivors' non-essential tail,
+    * so the partial-sum shuffle volume tracks the DISCRIMINATIVE
+    * terms' lists, not the stopwords'. `bounds` is the stored
+    * [[termBounds]] table (served pruned to the query terms — a
+    * broadcast probe, never a vocab scan). */
+  def bm25TopKFromSegmentsMaxScore(seg: IndexSegments, bounds: DataFrame,
+      stats: DataFrame, qTerms: DataFrame, k: Int = 10,
+      maxPushTerms: Int = 10000,
+      temps: TempCache = TempCache.noop): DataFrame =
+    bm25MaxScoreParts(seg, bounds, stats, qTerms, k, maxPushTerms,
+      temps).result
+
+  private[graft] def bm25MaxScoreParts(seg: IndexSegments,
+      bounds: DataFrame, stats: DataFrame, qTerms: DataFrame, k: Int,
+      maxPushTerms: Int, temps: TempCache): MaxScoreParts = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(seg.postings.sparkSession)
+    val qt = qTerms.select(col("query_id"), col("term")).distinct()
+    val termSet = qt.select(col("term")).distinct()
+    // the pushed-In scan prune (the bm25TopKFromSegmentsPushed stance):
+    // bounded driver collect or fall back to pure broadcast probes
+    val (post0, df0) = pushableTerms(qt, maxPushTerms) match {
+      case Some(ts) => (seg.postings.filter(col("term").isin(ts: _*)),
+        seg.df.filter(col("term").isin(ts: _*)))
+      case None => (seg.postings, seg.df)
+    }
+    val qdf = df0.join(broadcast(termSet), Seq("term"))
+    // every candidate posting row, scored once, persisted for its
+    // phase consumers (seed, A, B) — the SAME row set the unpruned
+    // server feeds wholesale into its (query, doc) aggregate
+    val slice = temps.register(post0
+      .join(broadcast(qdf), Seq("term"))
+      .join(broadcast(qt), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("ppm",
+        bm25Ppm(col("tf"), col("df"), col("dl"), col("n_docs"),
+          col("avgdl")))
+      .select(col("query_id"), col("term"), col("doc_id"), col("ppm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // per-(query, term) score upper bound: vocab-side only — the
+    // bounds probe never touches postings
+    val qub = qt
+      .join(broadcast(qdf), Seq("term"))
+      .join(broadcast(bounds.join(broadcast(termSet), Seq("term"))),
+        Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("ub_ppm",
+        bm25Ppm(col("max_tf"), col("df"), col("min_dl"), col("n_docs"),
+          col("avgdl")))
+      .select(col("query_id"), col("term"), col("ub_ppm"))
+    // seed θ: exact scores of the top-k docs of each query's single
+    // highest-UB term; k real scores ⇒ θ ≤ k-th true score. Queries
+    // with fewer than k seed docs keep θ = Long.MinValue (no pruning
+    // — every term essential, phase A = the unpruned plan).
+    val wSeed = Window.partitionBy(col("query_id"))
+      .orderBy(col("ub_ppm").desc, col("term"))
+    val seedTerm = qub
+      .withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("term"))
+    val seedCand = slice
+      .join(broadcast(seedTerm), Seq("query_id", "term"))
+      .groupBy(col("query_id"))
+      .agg(call_udf("graft_topk_min",
+        struct((-col("ppm")).as("nscore"), col("doc_id"), col("ppm")),
+        lit(k)).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.doc_id").as("doc_id"))
+    val thetaSeed = slice
+      .join(broadcast(seedCand), Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ppm")).as("s"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_seed"), min(col("s")).as("min_s"))
+      .select(col("query_id"),
+        when(col("n_seed") >= k, col("min_s"))
+          .otherwise(lit(Long.MinValue)).as("theta"))
+    // completed over the query universe: a query whose seed term has
+    // no non-self postings gets NO thetaSeed row — it must fall into
+    // the θ=MinValue no-pruning leg, not drop out of the inner joins
+    val theta = qub.select(col("query_id")).distinct()
+      .join(thetaSeed, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("theta"), lit(Long.MinValue)).as("theta"))
+    // essential split: terms sorted by UB desc; a term is
+    // NON-essential iff the UB suffix-sum from it on is STRICTLY
+    // below θ (strict, so score ties at θ survive to tie-break)
+    val wSuffix = Window.partitionBy(col("query_id"))
+      .orderBy(col("ub_ppm").desc, col("term"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val split = qub
+      .join(broadcast(theta), Seq("query_id"))
+      .withColumn("suffix_ub", sum(col("ub_ppm")).over(wSuffix))
+    val essPairs = split.filter(col("suffix_ub") >= col("theta"))
+      .select(col("query_id"), col("term"))
+    val nonEssPairs = split.filter(col("suffix_ub") < col("theta"))
+      .select(col("query_id"), col("term"))
+    val nonEssUb = split.filter(col("suffix_ub") < col("theta"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("ub_ppm")).as("ness_ub"))
+    // phase A: essential postings only → per-doc partials; prune
+    // candidates whose optimistic total (partial + all non-essential
+    // UB) is strictly below θ
+    val scoredA = slice.join(broadcast(essPairs), Seq("query_id", "term"))
+    val survivors = temps.register(scoredA
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ppm")).as("partial"))
+      .join(broadcast(theta), Seq("query_id"))
+      .join(broadcast(nonEssUb), Seq("query_id"), "left")
+      .filter(col("partial") + coalesce(col("ness_ub"), lit(0L)) >=
+        col("theta"))
+      .select(col("query_id"), col("doc_id"), col("partial"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // phase B: non-essential postings for survivors only (hint-free
+    // semi — AQE broadcasts the survivor side when it is small, the
+    // common case; a no-pruning θ=MinValue query has no non-essential
+    // pairs, so this branch is empty, not corpus-shaped)
+    val scoredB = slice
+      .join(broadcast(nonEssPairs), Seq("query_id", "term"))
+      .join(survivors.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_semi")
+    val result = survivors
+      .select(col("query_id"), col("doc_id"), col("partial").as("ppm"))
+      .unionByName(scoredB.select(col("query_id"), col("doc_id"),
+        col("ppm")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ppm")).as("score_ppm"))
+      .groupBy(col("query_id"))
+      .agg(call_udf("graft_topk_min",
+        struct((-col("score_ppm")).as("nscore"), col("doc_id"),
+          col("score_ppm")), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.doc_id").as("doc_id"), col("t.score_ppm").as("score_ppm"))
+    MaxScoreParts(slice, scoredA, scoredB, result)
+  }
+
   /** Attribute-SCOPED postings: one inverted index PER SCOPE of a
     * low-cardinality document attribute (language, source, license) —
     * (attr, term, doc_id, tf, dl, df) with df computed WITHIN the
@@ -1297,7 +1511,8 @@ object Retrieval {
       checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      maxPushTerms: Int = 10000, maxQueriesPerSlice: Int = 512)
+      maxPushTerms: Int = 10000, maxQueriesPerSlice: Int = 512,
+      boundsOpt: Option[DataFrame] = None)
       (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
@@ -1305,8 +1520,15 @@ object Retrieval {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             id: Long) =>
         val qb = b.toDF().dropDuplicates("query_id").localCheckpoint()
-        sink(rrfServeBatchAdaptive(seg, stats, codes, coarse, books,
-          m, dim, qb, k, probes, maxPushTerms, maxQueriesPerSlice), id)
+        // the MaxScore text half persists its per-batch candidate
+        // slice for the phase consumers — released after the sink has
+        // materialized, so stream state across batches stays NONE
+        val temps = if (boundsOpt.isDefined) new TempCache else
+          TempCache.noop
+        try sink(rrfServeBatchAdaptive(seg, stats, codes, coarse, books,
+          m, dim, qb, k, probes, maxPushTerms, maxQueriesPerSlice,
+          boundsOpt, temps), id)
+        finally temps.release()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -1322,11 +1544,18 @@ object Retrieval {
       stats: DataFrame, codes: DataFrame, coarse: DataFrame,
       books: DataFrame, m: Int, dim: Int, qb: DataFrame, k: Int,
       probes: Int, maxPushTerms: Int,
-      maxQueriesPerSlice: Int): DataFrame = {
+      maxQueriesPerSlice: Int,
+      boundsOpt: Option[DataFrame] = None,
+      temps: TempCache = TempCache.noop): DataFrame = {
     def serveOne(slice: DataFrame): DataFrame = {
-      val text = bm25TopKFromSegmentsPushed(seg, stats,
-        queryTerms(slice.select(col("query_id").as("doc_id"),
-          col("text"))), k, maxPushTerms)
+      val qt = queryTerms(slice.select(col("query_id").as("doc_id"),
+        col("text")))
+      val text = boundsOpt match {
+        case Some(bounds) => bm25TopKFromSegmentsMaxScore(seg, bounds,
+          stats, qt, k, maxPushTerms, temps)
+        case None => bm25TopKFromSegmentsPushed(seg, stats, qt, k,
+          maxPushTerms)
+      }
       val vec = Similarity.ivfPqTopKFromCodes(codes,
           slice.select(col("query_id").as("vec_id"), col("embedding")),
           k, coarse, books, m, dim, probes)
@@ -1589,6 +1818,34 @@ object Retrieval {
     (s, d) => {
       val docs = docsOf(s, d)
       bm25TopKFromSegmentsPushed(servingSegOf(s, d), corpusStats(docs),
+        queryTerms(docs.filter(pmod(col("doc_id"), lit(50)) === 0 &&
+          col("doc_id") < 500)))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(bm25CteFixed + "\n" + bm25TailSql))
+
+  /** The stored [[termBounds]] table for the full-corpus serving
+    * segments — vocab-sized, term-bucketed beside srv_post/srv_df so
+    * the whole serving-state trio shares one warehouse layout. */
+  private[graft] def servingBoundsOf(s: SparkSession,
+      d: String): DataFrame =
+    graft.sources.IndexStore.bucketedTable(s, d, "srv_bounds", "term")(
+      termBounds(servingSegOf(s, d).postings))
+
+  /** MaxScore-pruned exact serving (round 14): the
+    * [[bm25TopKFromSegmentsMaxScore]] two-phase bound prune over the
+    * SAME stored segments and tier-fixed query set as
+    * q_llm_bm25_serve_fixed, sharing its oracle VERBATIM — the
+    * exactness claim (top-k identical to exhaustive scoring) is
+    * hash-checked cross-engine, not just spec-asserted. The pruning
+    * economics (skipped posting fraction, sf10 q/s) are StreamSoak's
+    * `hybridfbms` row. */
+  val qBm25MaxScore = QuerySpec(
+    "q_llm_bm25_maxscore",
+    (s, d) => {
+      val docs = docsOf(s, d)
+      bm25TopKFromSegmentsMaxScore(servingSegOf(s, d),
+        servingBoundsOf(s, d), corpusStats(docs),
         queryTerms(docs.filter(pmod(col("doc_id"), lit(50)) === 0 &&
           col("doc_id") < 500)))
         .orderBy(col("query_id"), col("rank"))
@@ -2290,7 +2547,8 @@ object Retrieval {
            |ORDER BY base.source""".stripMargin))
 
   def all: Seq[QuerySpec] =
-    Seq(qBm25, qBm25Index, qBm25Serve, qBm25ServeFixed, qBm25Scoped,
+    Seq(qBm25, qBm25Index, qBm25Serve, qBm25ServeFixed, qBm25MaxScore,
+      qBm25Scoped,
       qBm25ScopedPinned, qBm25Fixed,
       qBm25Inc, qBm25IncDelta, qRrfFusion, qRrfFusionFixed,
       qRrfFusionServe, qRrfFusionScoped,

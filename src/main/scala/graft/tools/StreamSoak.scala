@@ -355,7 +355,7 @@ object StreamSoak {
             packedPost.unpersist(); stats.unpersist(); codes.unpersist()
             temps.release()
           }
-        case "hybridfb" | "hybridfbmem" =>
+        case "hybridfb" | "hybridfbmem" | "hybridfbms" =>
           // the ZERO-STATE hybrid twin (rrfFusionServeEachBatch): the
           // corpus-scale serving configuration — batch-complete query
           // micro-batches answered by the batch stored-index servers
@@ -385,6 +385,14 @@ object StreamSoak {
               seg0.df.persist(), seg0.docIds)
           val codes = if (hot) codes0.persist() else codes0
           if (hot) { seg.postings.count(); seg.df.count(); codes.count() }
+          // `hybridfbms` = the MaxScore text half: exact top-k with
+          // the Turtle & Flood bound prune off the stored termBounds
+          // table — the answer to the adjudicated candidate-volume
+          // bound of the exact-unscoped hybrid (VERDICT r13 item 1)
+          val boundsOpt =
+            if (mode == "hybridfbms")
+              Some(graft.llm.Retrieval.servingBoundsOf(spark, sfDir))
+            else None
           val dir = s"$feedRoot/hybridfb_queries"
           val qs = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
             .join(vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
@@ -403,7 +411,8 @@ object StreamSoak {
             stats, codes, coarse, books, m = 4, dim = 64, k = 10,
             probes = 2,
             checkpoint = java.nio.file.Files
-              .createTempDirectory("soak_ckpt_hybridfb").toString) {
+              .createTempDirectory("soak_ckpt_hybridfb").toString,
+            boundsOpt = boundsOpt) {
             (fused, _) =>
               answered.addAndGet(
                 fused.select(col("query_id")).distinct().count())
@@ -413,13 +422,37 @@ object StreamSoak {
           q.awaitTermination()
           val wall = (System.nanoTime() - t0) / 1e9
           stats.unpersist()
+          // skipped-posting fraction for the MaxScore mode: one
+          // representative batch-sized query set re-run through the
+          // diagnostic parts AFTER the timed soak (never inside it)
+          val skipDiag = boundsOpt.map { bounds =>
+            val nq = math.max(1L,
+              spark.read.parquet(dir).count() / math.max(1, chunks))
+            val diagQt = graft.llm.Retrieval.queryTerms(
+              spark.read.parquet(dir).orderBy(col("query_id")).limit(
+                nq.toInt)
+                .select(col("query_id").as("doc_id"), col("text")))
+            val temps = new graft.llm.TempCache
+            val parts = graft.llm.Retrieval.bm25MaxScoreParts(seg,
+              bounds, stats, diagQt, 10, 10000, temps)
+            val slice = parts.slice.count()
+            val scored = parts.scoredA.count() + parts.scoredB.count()
+            temps.release()
+            (slice, scored)
+          }
           Map(
             "mode" -> mode,
             "batches" -> batches.get(),
             "queries_answered" -> answered.get(),
             "wall_sec" -> f"$wall%.2f",
             "q_per_sec" -> f"${answered.get() / wall}%.1f",
-            "state_rows" -> 0L)
+            "state_rows" -> 0L) ++
+            skipDiag.map { case (slice, scored) => Map(
+              "slice_rows" -> slice,
+              "scored_rows" -> scored,
+              "skipped_frac" ->
+                f"${1.0 - scored.toDouble / math.max(1L, slice)}%.3f")
+            }.getOrElse(Map.empty)
 
         case "refinefb" =>
           // the REFINED per-batch ANN serve (refineServeEachBatch):

@@ -830,6 +830,55 @@ class RetrievalStreamSpec extends SparkSpec {
       "query-sliced hybrid serve drifted from the one-shot fusion")
   }
 
+  test("rrfFusionServeEachBatch with MaxScore bounds: pruned hybrid " +
+    "stream == unpruned hybrid stream, batch by batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+    val seg0 = Retrieval.segBuild(docs)
+    val seg = IndexSegments(seg0.postings.localCheckpoint(true),
+      seg0.df.localCheckpoint(true), seg0.docIds.localCheckpoint(true))
+    val bounds = Retrieval.termBounds(seg.postings).localCheckpoint(true)
+    val stats = Retrieval.corpusStats(docs).localCheckpoint(true)
+    val (coarse0, books0) = Similarity.ivfPqTrain(vecs, coarseStride = 100,
+      m = 4, dim = 64, bookStride = 50, iters = 0)
+    val coarse = coarse0.localCheckpoint(true)
+    val books = books0.localCheckpoint(true)
+    val codes = Similarity.ivfPqEncode(vecs, coarse, books, m = 4, dim = 64)
+      .localCheckpoint(true)
+    val qrows = docs.filter(col("doc_id") < 12)
+      .join(vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2)))
+    def serve(boundsOpt: Option[org.apache.spark.sql.DataFrame])
+        : Set[Seq[Any]] = {
+      val in = MemoryStream[(Long, String, Seq[Float])]
+      val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      in.addData(qrows: _*)
+      val q = Retrieval.rrfFusionServeEachBatch(
+        in.toDF().toDF("query_id", "text", "embedding"),
+        seg, stats, codes, coarse, books, m = 4, dim = 64, k = 10,
+        probes = 2,
+        checkpoint = java.nio.file.Files
+          .createTempDirectory("hybridfbms_ck").toString,
+        boundsOpt = boundsOpt) { (fused, _) =>
+        val rows = fused
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            col("rrf_ppm"), col("rank_text"), col("rank_vec"))
+          .collect().map(_.toSeq).toSeq
+        got.synchronized { got ++= rows; () }
+      }
+      q.awaitTermination()
+      got.toSet
+    }
+    val pruned = serve(Some(bounds))
+    val plain = serve(None)
+    assert(pruned == plain,
+      s"MaxScore hybrid stream drifted:\n$pruned\nvs\n$plain")
+    assert(pruned.nonEmpty, "vacuous hybrid comparison")
+  }
+
   test("refineServeEachBatch: the zero-state micro-batch refined serve " +
     "equals the batch refine; replays re-answer byte-identically") {
     implicit val sqlCtx = spark.sqlContext
