@@ -455,9 +455,17 @@ object MjpegCodec extends MediaCodec {
         javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
     }
 
+  /** ImageIO read counter — test instrumentation ONLY: the
+    * decode-skip contract (unsampled frames never enter ImageIO —
+    * [[sampledFrameMeans]] walks '00dc' chunk offsets from [[parse]]
+    * and DCTs only the stride hits) is pinned by counting real reads,
+    * not by inferring from outputs. */
+  private[llm] val jpegReads = new java.util.concurrent.atomic.AtomicLong
+
   private def readJpeg(b: Array[Byte], off: Int,
       len: Int): Option[java.awt.image.BufferedImage] =
     try {
+      jpegReads.incrementAndGet()
       val r = readerTl.get()
       val mis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(b, off, len))

@@ -218,6 +218,15 @@ object MultimodalCompressed {
       val built = Tables.load(s, d, "documents").select(col("doc_id"))
       built.as[Long]
         .mapPartitions { rows =>
+          // fixture-encode cache: every channel of the synthetic color
+          // map depends only on (id mod 256, frame) — ≤ 256 × 6
+          // distinct solid frames corpus-WIDE — and the JDK encoder is
+          // deterministic per (pixels, quality), so caching by rgb
+          // returns byte-identical payloads while cutting the
+          // fixture-build ImageIO passes from n_docs × nf to ~1.5k
+          // per partition (the sf10 wall was fixture-encode-bound:
+          // the DECODE side already frame-samples by chunk offset)
+          val encCache = new java.util.HashMap[Int, Array[Byte]]()
           codecScope(MjpegCodec, rows).map { id =>
             val nf = (2 + id % 5).toInt
             val colors = (0 until nf).map(f => (
@@ -225,16 +234,18 @@ object MultimodalCompressed {
               ((id * 91 + f * 5) % 256).toInt,
               ((id * 53 + f * 29) % 256).toInt))
             val frames = colors.map { case (r, g, b) =>
-              val img = new java.awt.image.BufferedImage(16, 16,
-                java.awt.image.BufferedImage.TYPE_INT_RGB)
               val rgb = (r << 16) | (g << 8) | b
-              var y = 0
-              while (y < 16) {
-                var x = 0
-                while (x < 16) { img.setRGB(x, y, rgb); x += 1 }
-                y += 1
-              }
-              MjpegCodec.encodeJpeg(img)
+              encCache.computeIfAbsent(rgb, { key =>
+                val img = new java.awt.image.BufferedImage(16, 16,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < 16) {
+                  var x = 0
+                  while (x < 16) { img.setRGB(x, y, key); x += 1 }
+                  y += 1
+                }
+                MjpegCodec.encodeJpeg(img)
+              })
             }
             val payload = MjpegCodec.encode(16, 16, 40000, frames)
             val dec = MjpegCodec.decode(id, payload)

@@ -600,8 +600,9 @@ object Retrieval {
   private[graft] def bm25MaxScoreParts(seg: IndexSegments,
       bounds: DataFrame, stats: DataFrame, qTerms: DataFrame, k: Int,
       maxPushTerms: Int, temps: TempCache): MaxScoreParts = {
-    import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(seg.postings.sparkSession)
+    val sp = seg.postings.sparkSession
+    import sp.implicits._
+    graft.functions.GraftFunctions.register(sp)
     val qt = qTerms.select(col("query_id"), col("term")).distinct()
     val termSet = qt.select(col("term")).distinct()
     // the pushed-In scan prune (the bm25TopKFromSegmentsPushed stance):
@@ -625,9 +626,29 @@ object Retrieval {
           col("avgdl")))
       .select(col("query_id"), col("term"), col("doc_id"), col("ppm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // per-(query, term) score upper bound: vocab-side only — the
-    // bounds probe never touches postings
-    val qub = qt
+    // the unpruned tail over the same slice — the no-pruning fallback
+    // AND the shape the phase plan must equal (RetrievalMaxScoreSpec)
+    def plainTail(rows: DataFrame): DataFrame = rows
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ppm")).as("score_ppm"))
+      .groupBy(col("query_id"))
+      .agg(call_udf("graft_topk_min",
+        struct((-col("score_ppm")).as("nscore"), col("doc_id"),
+          col("score_ppm")), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.doc_id").as("doc_id"), col("t.score_ppm").as("score_ppm"))
+    // per-(query, term) score upper bound, COLLECTED: bounded by
+    // queries × qLen (the serving-batch contract, the pushableTerms
+    // class) — every split decision then happens on the driver and
+    // the split frames ship as LocalRelations, so the plan has no
+    // nested broadcast-subtree chains (the first cut of this operator
+    // ran the seed → θ → split as ~10 sequential broadcast jobs per
+    // batch and lost 6× to fixed job latency at sf1). A qub past the
+    // cap is a corpus-coupled verification workload, not a serving
+    // batch: fall back to the exhaustive plan, result-identical.
+    val qubCap = 300000
+    val qubRows: Seq[(Long, String, Long)] = qt
       .join(broadcast(qdf), Seq("term"))
       .join(broadcast(bounds.join(broadcast(termSet), Seq("term"))),
         Seq("term"))
@@ -636,26 +657,41 @@ object Retrieval {
         bm25Ppm(col("max_tf"), col("df"), col("min_dl"), col("n_docs"),
           col("avgdl")))
       .select(col("query_id"), col("term"), col("ub_ppm"))
-    // seed θ: exact scores of the top-k docs of each query's single
-    // highest-UB term; k real scores ⇒ θ ≤ k-th true score. Queries
-    // with fewer than k seed docs keep θ = Long.MinValue (no pruning
-    // — every term essential, phase A = the unpruned plan).
-    val wSeed = Window.partitionBy(col("query_id"))
-      .orderBy(col("ub_ppm").desc, col("term"))
-    val seedTerm = qub
-      .withColumn("rn", row_number().over(wSeed))
-      .filter(col("rn") === 1)
-      .select(col("query_id"), col("term"))
+      .limit(qubCap + 1)
+      .as[(Long, String, Long)].collect().toSeq
+    if (qubRows.size > qubCap)
+      return MaxScoreParts(slice, slice, slice.limit(0), plainTail(slice))
+    // split order per query: (ub desc, term asc)
+    val byQuery = qubRows.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.map(r => (r._2, r._3)).sortBy(t => (-t._2, t._1))
+    }
+    if (byQuery.isEmpty)
+      return MaxScoreParts(slice, slice, slice.limit(0), plainTail(slice))
+    // seed θ: the k docs with the LARGEST single-row contributions
+    // across ALL the query's posting rows, exact-scored; k real
+    // scores ⇒ θ ≤ k-th true score, and a doc with one huge
+    // contribution is a strong total-score candidate, so this θ sits
+    // near the true threshold. (The first cut seeded from the
+    // highest-UB term only — but the highest-UB term is typically the
+    // RAREST, its list often holds < k docs, and those queries fell
+    // to θ = MinValue / no pruning.) The top-5k row pool bounds the
+    // per-doc multiplicity at the qLen=5 convention; longer queries
+    // can under-fill k distinct docs and degrade safely to MinValue.
     val seedCand = slice
-      .join(broadcast(seedTerm), Seq("query_id", "term"))
       .groupBy(col("query_id"))
       .agg(call_udf("graft_topk_min",
         struct((-col("ppm")).as("nscore"), col("doc_id"), col("ppm")),
-        lit(k)).as("top"))
+        lit(5 * k)).as("top"))
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), col("t.doc_id").as("doc_id"))
-    val thetaSeed = slice
-      .join(broadcast(seedCand), Seq("query_id", "doc_id"))
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).toSeq
+      .flatMap { case (q, rows) =>
+        rows.map(_._2).distinct.take(k).map(d => (q, d))
+      }
+    val thetaMap: Map[Long, Long] = slice
+      .join(broadcast(seedCand.toDF("query_id", "doc_id")),
+        Seq("query_id", "doc_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("ppm")).as("s"))
       .groupBy(col("query_id"))
@@ -663,50 +699,59 @@ object Retrieval {
       .select(col("query_id"),
         when(col("n_seed") >= k, col("min_s"))
           .otherwise(lit(Long.MinValue)).as("theta"))
-    // completed over the query universe: a query whose seed term has
-    // no non-self postings gets NO thetaSeed row — it must fall into
-    // the θ=MinValue no-pruning leg, not drop out of the inner joins
-    val theta = qub.select(col("query_id")).distinct()
-      .join(thetaSeed, Seq("query_id"), "left")
-      .select(col("query_id"),
-        coalesce(col("theta"), lit(Long.MinValue)).as("theta"))
-    // essential split: terms sorted by UB desc; a term is
-    // NON-essential iff the UB suffix-sum from it on is STRICTLY
-    // below θ (strict, so score ties at θ survive to tie-break)
-    val wSuffix = Window.partitionBy(col("query_id"))
-      .orderBy(col("ub_ppm").desc, col("term"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val split = qub
-      .join(broadcast(theta), Seq("query_id"))
-      .withColumn("suffix_ub", sum(col("ub_ppm")).over(wSuffix))
-    val essPairs = split.filter(col("suffix_ub") >= col("theta"))
-      .select(col("query_id"), col("term"))
-    val nonEssPairs = split.filter(col("suffix_ub") < col("theta"))
-      .select(col("query_id"), col("term"))
-    val nonEssUb = split.filter(col("suffix_ub") < col("theta"))
-      .groupBy(col("query_id"))
-      .agg(sum(col("ub_ppm")).as("ness_ub"))
+      .as[(Long, Long)].collect().toMap
+    // essential split ON THE DRIVER: terms sorted by UB desc; a term
+    // is NON-essential iff the UB suffix-sum from it on is STRICTLY
+    // below θ (strict, so score ties at θ survive to tie-break).
+    // A query with no θ row (seed term had only self-postings) keeps
+    // MinValue — the no-pruning leg, never dropped.
+    val splits = byQuery.toSeq.map { case (q, terms) =>
+      val theta = thetaMap.getOrElse(q, Long.MinValue)
+      val suffix = terms.scanRight(0L)((t, acc) => acc + t._2).init
+      val (ess, ness) = terms.zip(suffix).partition(_._2 >= theta)
+      (q, theta, ess.map(_._1._1), ness.map(_._1._1),
+        ness.map(_._1._2).sum)
+    }
+    val nonEssPairs = splits.flatMap { case (q, _, _, ness, _) =>
+      ness.map(t => (q, t))
+    }
+    if (nonEssPairs.isEmpty) // nothing prunable anywhere: one-job plan
+      return MaxScoreParts(slice, slice, slice.limit(0), plainTail(slice))
+    val essPairs = splits.flatMap { case (q, _, ess, _, _) =>
+      ess.map(t => (q, t))
+    }
     // phase A: essential postings only → per-doc partials; prune
     // candidates whose optimistic total (partial + all non-essential
-    // UB) is strictly below θ
-    val scoredA = slice.join(broadcast(essPairs), Seq("query_id", "term"))
+    // UB) is strictly below θ. θ and the non-essential UB sums ride
+    // the LocalRelation join (q rows).
+    val thetaDf = splits.map { case (q, th, _, _, nUb) => (q, th, nUb) }
+      .toDF("query_id", "theta", "ness_ub")
+    val scoredA = slice.join(
+      broadcast(essPairs.toDF("query_id", "term")), Seq("query_id", "term"))
     val survivors = temps.register(scoredA
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("ppm")).as("partial"))
-      .join(broadcast(theta), Seq("query_id"))
-      .join(broadcast(nonEssUb), Seq("query_id"), "left")
-      .filter(col("partial") + coalesce(col("ness_ub"), lit(0L)) >=
-        col("theta"))
+      .join(broadcast(thetaDf), Seq("query_id"))
+      .filter(col("partial") + col("ness_ub") >= col("theta"))
       .select(col("query_id"), col("doc_id"), col("partial"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // phase B: non-essential postings for survivors only (hint-free
-    // semi — AQE broadcasts the survivor side when it is small, the
-    // common case; a no-pruning θ=MinValue query has no non-essential
-    // pairs, so this branch is empty, not corpus-shaped)
+    // phase B: non-essential postings for survivors only. The
+    // survivor probe must be a BROADCAST semi — a shuffle semi would
+    // move every non-essential posting row on (query, doc), the exact
+    // volume the prune exists to skip (and the soak session disables
+    // AQE, so no runtime rescue). survivors is persisted, so the
+    // bounded count is one cheap action; a pathological survivor set
+    // past the cap falls back to the hint-free shuffle semi — slower,
+    // still exact.
+    val survIds = survivors.select(col("query_id"), col("doc_id"))
+    val survProbe =
+      if (survivors.limit(2000001).count() <= 2000000L)
+        broadcast(survIds)
+      else survIds
     val scoredB = slice
-      .join(broadcast(nonEssPairs), Seq("query_id", "term"))
-      .join(survivors.select(col("query_id"), col("doc_id")),
-        Seq("query_id", "doc_id"), "left_semi")
+      .join(broadcast(nonEssPairs.toDF("query_id", "term")),
+        Seq("query_id", "term"))
+      .join(survProbe, Seq("query_id", "doc_id"), "left_semi")
     val result = survivors
       .select(col("query_id"), col("doc_id"), col("partial").as("ppm"))
       .unionByName(scoredB.select(col("query_id"), col("doc_id"),

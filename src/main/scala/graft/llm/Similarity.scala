@@ -1556,42 +1556,48 @@ object Similarity {
         refine = 3, coarse, books, m = 4, dim = 64, probes = 2)
         .orderBy(col("q_id"), col("rank"))
     },
-    qIvfPqAnnP2.oracle.map { sql =>
-      val anchor =
-        """SELECT q_id,
-          |  CAST(row_number() OVER (PARTITION BY q_id
-          |    ORDER BY adist, vec_id) AS BIGINT) AS "rank",
-          |  vec_id AS neighbor_id, adist
-          |FROM adist
-          |QUALIFY "rank" <= 5
-          |ORDER BY q_id, "rank"""".stripMargin
-      require(sql.endsWith(anchor), "p2 oracle shape changed under " +
-        "q_llm_ann_refine — update the refine anchor")
-      // the dropped tail leaves "...)\n" closing the adist CTE — the
-      // refine chain continues the WITH list, hence the leading comma
-      sql.dropRight(anchor.length).stripSuffix("\n") + ", " +
-        """cand AS (
-          |  SELECT q_id, vec_id FROM adist
-          |  QUALIFY row_number() OVER (PARTITION BY q_id
-          |    ORDER BY adist, vec_id) <= 15
-          |), refined AS (
-          |  SELECT c.q_id, c.vec_id,
-          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-          |      list_transform(list_zip(v.qfull, u.qfull),
-          |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
-          |      (a, x) -> a + x) AS d
-          |  FROM cand c
-          |  JOIN q v ON c.vec_id = v.vec_id
-          |  JOIN q u ON c.q_id = u.vec_id
-          |)
-          |SELECT q_id,
-          |  CAST(row_number() OVER (PARTITION BY q_id
-          |    ORDER BY d, vec_id) AS BIGINT) AS "rank",
-          |  vec_id AS neighbor_id, d
-          |FROM refined
-          |QUALIFY "rank" <= 5
-          |ORDER BY q_id, "rank"""".stripMargin
-    })
+    qIvfPqAnnP2.oracle.map(refineTailSurgery))
+
+  /** The refine-tail string surgery shared by q_llm_ann_refine and
+    * its fixed-quantizer twin — applied to a p2-shaped replay (the
+    * uncapped or the train-capped base), so the exact re-rank CTEs
+    * can never drift between the two. */
+  private def refineTailSurgery(sql: String): String = {
+    val anchor =
+      """SELECT q_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adist, vec_id) AS BIGINT) AS "rank",
+        |  vec_id AS neighbor_id, adist
+        |FROM adist
+        |QUALIFY "rank" <= 5
+        |ORDER BY q_id, "rank"""".stripMargin
+    require(sql.endsWith(anchor), "p2 oracle shape changed under " +
+      "q_llm_ann_refine — update the refine anchor")
+    // the dropped tail leaves "...)\n" closing the adist CTE — the
+    // refine chain continues the WITH list, hence the leading comma
+    sql.dropRight(anchor.length).stripSuffix("\n") + ", " +
+      """cand AS (
+        |  SELECT q_id, vec_id FROM adist
+        |  QUALIFY row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adist, vec_id) <= 15
+        |), refined AS (
+        |  SELECT c.q_id, c.vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_zip(v.qfull, u.qfull),
+        |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+        |      (a, x) -> a + x) AS d
+        |  FROM cand c
+        |  JOIN q v ON c.vec_id = v.vec_id
+        |  JOIN q u ON c.q_id = u.vec_id
+        |)
+        |SELECT q_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY d, vec_id) AS BIGINT) AS "rank",
+        |  vec_id AS neighbor_id, d
+        |FROM refined
+        |QUALIFY "rank" <= 5
+        |ORDER BY q_id, "rank"""".stripMargin
+  }
 
   /** The ANN code table MAINTAINED as generation-log state
     * ([[IvfPqIndex.initMaintained]] genesis = the even-id half at
@@ -1677,16 +1683,20 @@ object Similarity {
         m = 4, dim = 64, probes = 2)
         .orderBy(col("q_id"), col("rank"))
     },
-    qIvfPqAnnP2.oracle.map { sql =>
-      // identical chain, candidates restricted to the attribute match:
-      // derive from the p2 replay so the two oracles can never drift
-      val anchor = "  WHERE codes.vec_id != qt.q_id"
-      require(sql.contains(anchor), "p2 oracle shape changed under " +
-        "q_llm_ann_filtered — update the filtered anchor")
-      sql.replace(anchor,
-        "  JOIN embeddings attr ON codes.vec_id = attr.vec_id\n" +
-          "  WHERE codes.vec_id != qt.q_id AND attr.label = 1")
-    })
+    qIvfPqAnnP2.oracle.map(filteredCandSurgery))
+
+  /** The candidate attribute-predicate surgery shared by
+    * q_llm_ann_filtered and its fixed-quantizer twin: identical
+    * chain, candidates restricted to the attribute match — derived
+    * from the p2-shaped replay so the oracles can never drift. */
+  private def filteredCandSurgery(sql: String): String = {
+    val anchor = "  WHERE codes.vec_id != qt.q_id"
+    require(sql.contains(anchor), "p2 oracle shape changed under " +
+      "q_llm_ann_filtered — update the filtered anchor")
+    sql.replace(anchor,
+      "  JOIN embeddings attr ON codes.vec_id = attr.vec_id\n" +
+        "  WHERE codes.vec_id != qt.q_id AND attr.label = 1")
+  }
 
   /** The serving-matrix capstone: metadata-FILTERED candidates
     * (q_llm_ann_filtered's pushed-predicate code-table scan) exactly
@@ -2533,10 +2543,159 @@ object Similarity {
             |WHERE rn = 1
             |ORDER BY vec_id""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // FIXED-quantizer twins (round 14): the stride-seed oracle configs
+  // couple the centroid/codebook COUNT to corpus size (coarse = n/100,
+  // books = n/50 entries per subspace), so their DuckDB replays are
+  // n·K ~ n² and the whole ANN family sits `_excluded` at the sf10
+  // tier. The retrieval family solved exactly this with
+  // q_llm_bm25_fixed (bounded config against a growing corpus); these
+  // twins apply the same stance to the vector half: the TRAINING SET
+  // is capped at `vec_id < 2000` — the base sf0.1 id range, replica-0
+  // identity under the deterministic tier expanders — so the
+  // quantizer is a FIXED artifact at every expanded tier (20 coarse
+  // centroids, 40 codebook entries per subspace from sf0.1 up) while
+  // encode and serving still cover the FULL corpus. The replay cost
+  // becomes n·K with K constant — linear, 100×-replayable. Oracles
+  // derive from the stride SQLs by ONE train-cap surgery so the fixed
+  // and stride forms can never drift.
+  // ------------------------------------------------------------------
+
+  /** Train-cap string surgery: append `AND vec_id < 2000` to the
+    * coarse-seed and codebook-seed stride predicates of a replay SQL.
+    * Requires each present anchor to be unique in the input. */
+  private def trainCapSurgery(sql: String): String = {
+    val anchors = Seq("WHERE vec_id % 100 = 0", "WHERE vec_id % 50 = 0")
+    val present = anchors.filter(sql.contains)
+    require(present.nonEmpty, "no stride anchor found for the " +
+      "fixed-quantizer surgery — oracle shape changed")
+    present.foldLeft(sql) { (acc, a) =>
+      require(acc.indexOf(a) == acc.lastIndexOf(a),
+        s"ambiguous stride anchor '$a' under the fixed-quantizer surgery")
+      acc.replace(a, a + " AND vec_id < 2000")
+    }
+  }
+
+  private[llm] lazy val ivfPqP2FixedSql: Option[String] =
+    qIvfPqAnnP2.oracle.map(trainCapSurgery)
+
+  /** The FIXED quantizer: the stride seeds drawn from the capped
+    * base-tier id range only — constant-size coarse/books artifacts
+    * regardless of corpus size. */
+  private[llm] def ivfPqTrainFixedOf(vs: DataFrame)
+      : (DataFrame, DataFrame) =
+    ivfPqTrain(vs.filter(col("vec_id") < 2000), coarseStride = 100,
+      m = 4, dim = 64, bookStride = 50, iters = 0)
+
+  /** Stored code table under the FIXED quantizer — the
+    * [[storedCodesOf]] layout (attribute-embedded rows for filtered
+    * serving) keyed to its own artifact root so the two configs'
+    * caches never collide. */
+  private[graft] def storedCodesFixedOf(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val vs = Tables.load(s, d, "embeddings")
+    lazy val trained = ivfPqTrainFixedOf(vs)
+    val root = "seg_ivfpq_fixed_cap2k_c100_m4_b50"
+    val coarse = graft.sources.IndexStore.parquet(s, d,
+      s"$root/coarse", table = "embeddings")(trained._1)
+    val books = graft.sources.IndexStore.parquet(s, d,
+      s"$root/books", table = "embeddings")(trained._2)
+    val stored = graft.sources.IndexStore.parquet(s, d,
+      s"$root/codes", table = "embeddings")(
+      ivfPqEncode(vs, coarse, books, m = 4, dim = 64,
+        attrs = Seq("label")))
+    (stored, coarse, books)
+  }
+
+  /** Inline IVFADC end-to-end under the fixed quantizer — the
+    * q_llm_ivfpq_ann_p2 chain with a 100×-replayable oracle. */
+  val qIvfPqAnnFixed = QuerySpec(
+    "q_llm_ivfpq_ann_fixed",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val vs = Tables.load(s, d, "embeddings")
+      val (coarse, books) = ivfPqTrainFixedOf(vs)
+      ivfPqTopK(vs, vs.filter(col("vec_id") < 5), k = 5, coarse, books,
+        m = 4, dim = 64, probes = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    ivfPqP2FixedSql)
+
+  /** Stored-code serving under the fixed quantizer — the
+    * q_llm_ivfpq_serve split, hash-matched at the 100× tier. */
+  val qIvfPqServeFixed = QuerySpec(
+    "q_llm_ivfpq_serve_fixed",
+    (s, d) => {
+      val (stored, coarse, books) = storedCodesFixedOf(s, d)
+      val vs = Tables.load(s, d, "embeddings")
+      ivfPqTopKFromCodes(stored, vs.filter(col("vec_id") < 5), k = 5,
+        coarse, books, m = 4, dim = 64, probes = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    ivfPqP2FixedSql)
+
+  /** Metadata-filtered serving under the fixed quantizer (the
+    * q_llm_ann_filtered pushed-predicate scan, fixed-config replay). */
+  val qAnnFilteredFixed = QuerySpec(
+    "q_llm_ann_filtered_fixed",
+    (s, d) => {
+      val (stored, coarse, books) = storedCodesFixedOf(s, d)
+      val vs = Tables.load(s, d, "embeddings")
+      ivfPqTopKFromCodes(stored.filter(col("label") === 1),
+        vs.filter(col("vec_id") < 5), k = 5, coarse, books,
+        m = 4, dim = 64, probes = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    ivfPqP2FixedSql.map(filteredCandSurgery))
+
+  /** Exact refine over fixed-quantizer candidates (the
+    * q_llm_ann_refine two-stage serve, fixed-config replay). */
+  val qAnnRefineFixed = QuerySpec(
+    "q_llm_ann_refine_fixed",
+    (s, d) => {
+      val (stored, coarse, books) = storedCodesFixedOf(s, d)
+      val vs = Tables.load(s, d, "embeddings")
+      ivfPqTopKRefined(stored, vs.filter(col("vec_id") < 5), vs, k = 5,
+        refine = 3, coarse, books, m = 4, dim = 64, probes = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    ivfPqP2FixedSql.map(refineTailSurgery))
+
+  /** Flat-PQ ANN under a fixed codebook set (the q_llm_pq_ann chain
+    * with the codebook count decoupled from corpus size). */
+  val qPqAnnFixed = QuerySpec(
+    "q_llm_pq_ann_fixed",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val vs = Tables.load(s, d, "embeddings")
+      val cb = pqCodebooks(vs.filter(col("vec_id") < 2000), m = 4,
+        dim = 64, centroidStride = 50, iters = 0)
+      pqTopK(vs, vs.filter(col("vec_id") < 5), k = 5, cb, m = 4, dim = 64)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    qPqAnn.oracle.map(trainCapSurgery))
+
+  /** The stored-code-table dump under the fixed quantizer — the
+    * q_llm_ivfpq_codes deliverable at a 100×-replayable config. */
+  val qIvfPqCodesFixed = QuerySpec(
+    "q_llm_ivfpq_codes_fixed",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val vs = Tables.load(s, d, "embeddings")
+      val (coarse, books) = ivfPqTrainFixedOf(vs)
+      ivfPqEncode(vs, coarse, books, m = 4, dim = 64)
+        .select(col("vec_id"), col("list_id"), joined(col("codes")).as("codes"))
+        .orderBy(col("vec_id"))
+    },
+    qIvfPqCodes.oracle.map(trainCapSurgery))
+
   val all: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbNearDup, qAnnIvf, qEmbOutlier, qQuantize, qKmeansStep,
       qPqAnn, qPqRecall, qIvfPqAnn, qIvfPqAnnP2, qIvfPqCodes, qIvfPqServe,
       qAnnFiltered, qAnnRefine, qAnnRefineFiltered, qIvfPqServePinned,
+      qIvfPqAnnFixed, qIvfPqServeFixed, qAnnFilteredFixed, qAnnRefineFixed,
+      qPqAnnFixed, qIvfPqCodesFixed,
       qIvfPqInc, qIvfStats,
       qSqRecall, qRpReduce, qRpRecall,
       qSemDedup, qAnnRecall, qDiversify, qEmbContam)

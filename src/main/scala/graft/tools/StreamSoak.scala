@@ -428,9 +428,14 @@ object StreamSoak {
           val skipDiag = boundsOpt.map { bounds =>
             val nq = math.max(1L,
               spark.read.parquet(dir).count() / math.max(1, chunks))
+            // batch-sized sample SPANNING the id range (an orderBy
+            // + limit would take the lowest ids — one expander
+            // replica, not the feed's query mix)
             val diagQt = graft.llm.Retrieval.queryTerms(
-              spark.read.parquet(dir).orderBy(col("query_id")).limit(
-                nq.toInt)
+              spark.read.parquet(dir)
+                .filter(pmod(col("query_id").divide(lit(100)).cast("long"),
+                  lit(math.max(1, chunks))) === 0)
+                .limit(nq.toInt)
                 .select(col("query_id").as("doc_id"), col("text")))
             val temps = new graft.llm.TempCache
             val parts = graft.llm.Retrieval.bm25MaxScoreParts(seg,

@@ -203,6 +203,27 @@ class CompressedCodecSpec extends SparkSpec {
     }
   }
 
+  test("mjpeg: decode-skip — unsampled frames NEVER enter ImageIO, and " +
+    "sampled means are byte-equal to the full-decode run's") {
+    assume(ImageIoCodec.available, "imageio unavailable in this JVM")
+    val grays = (0 until 6).map(f => 30 * f)
+    val frames = grays.map(v =>
+      MjpegCodec.encodeJpeg(solidFrame(16, 16, (v << 16) | (v << 8) | v)))
+    val avi = MjpegCodec.encode(16, 16, 40000, frames)
+    // full decode first: the reference means per frame index
+    val full = MjpegCodec.sampledFrameMeans(avi, 1)
+    assert(full.map(_._1) == (0 until 6))
+    // stride run: exactly ⌈6/3⌉ = 2 real JPEG reads — the chunk walk
+    // skips unsampled frames by SIZE, they never reach the DCT
+    val before = MjpegCodec.jpegReads.get()
+    val sampled = MjpegCodec.sampledFrameMeans(avi, 3)
+    val reads = MjpegCodec.jpegReads.get() - before
+    assert(reads == 2, s"expected 2 ImageIO reads for stride 3, got $reads")
+    assert(sampled.map(_._1) == Seq(0, 3))
+    // and the sampled rows equal the full run's rows at those indices
+    assert(sampled == full.filter(m => m._1 % 3 == 0))
+  }
+
   test("mjpeg: resize decodes, resamples, re-encodes a valid MJPG AVI") {
     assume(ImageIoCodec.available, "imageio unavailable in this JVM")
     val frames = Seq(0x804020, 0x204080)
