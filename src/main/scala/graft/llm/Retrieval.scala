@@ -800,6 +800,23 @@ object Retrieval {
         col("dl"), col("df"))
   }
 
+  /** Per-doc term rows with the scope attribute riding the scan —
+    * (attr, term, doc_id, tf, dl), NO df: the fresh-delta half of the
+    * BATCHED scoped merge
+    * ([[graft.streaming.NightlyMaintenance.mergeScopedBatchPartitioned]]),
+    * where one job builds every scope's generation and df merges
+    * separately against each scope's stored vocab. One scan,
+    * map-side-combined (the [[scopedPostings]] shape minus the df
+    * join). */
+  def scopedPerDocTerms(docs: DataFrame, attr: String): DataFrame =
+    docs
+      .select(col(attr), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy(col(attr), col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col(attr), col("term"), col("doc_id"), col("tf"), col("dl"))
+
   /** Per-scope corpus statistics: (attr, n_docs, avgdl) — the
     * [[corpusStats]] row per attribute scope, scope-count-sized. */
   def scopedStats(docs: DataFrame, attr: String): DataFrame =
@@ -2355,6 +2372,74 @@ object Retrieval {
     },
     Some(rrfServeScopedSql))
 
+  /** The serving-matrix diagonal (round 14): scoped text × REFINED
+    * filtered ANN — the q_llm_rrf_fusion_scoped composition with the
+    * semantic half upgraded to the two-stage retrieve-then-rerank
+    * serve (q_llm_ann_refine_filtered's chain: label-filtered ADC
+    * candidates at k·refine, exact integer-L2 re-rank to k). Both
+    * predicates still land on stored scans; the exact pass touches
+    * only the bounded candidate pool, so the composed plan inherits
+    * every floor it is built from. Oracle = the scoped fusion SQL
+    * with its vrank block swapped for the refine tail — all three
+    * surgeries (scope, label, refine) compose on the same shared
+    * builders, so the row can never drift from its standalone
+    * halves. */
+  val qRrfFusionScopedRefined = QuerySpec(
+    "q_llm_rrf_fusion_scoped_refined",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = docsOf(s, d)
+      def pred(c: Column) = pmod(c, lit(50)) === 0 && c < 500
+      val post = scopedPostStoredOf(s, d)
+      val stats = scopedStatsStoredOf(s, d)
+      val text = bm25TopKFromPostings(
+        post.filter(col("lang") === "en")
+          .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+            col("df")),
+        stats.filter(col("lang") === "en")
+          .select(col("n_docs"), col("avgdl")),
+        queryTerms(docs.filter(pred(col("doc_id")))))
+      val (codes, coarse, books) = Similarity.storedCodesOf(s, d)
+      val vs = Tables.load(s, d, "embeddings")
+      val vec = Similarity.ivfPqTopKRefined(
+          codes.filter(col("label") === 1),
+          vs.filter(pred(col("vec_id"))), vs, k = 10, refine = 3,
+          coarse, books, m = 4, dim = 64, probes = 2)
+        .select(col("q_id").as("query_id"), col("rank"),
+          col("neighbor_id").as("doc_id"))
+      rrfFuse(text, vec).orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val anchor =
+        """), vrank AS (
+          |  SELECT q_id AS query_id, vec_id AS doc_id,
+          |    CAST(row_number() OVER (PARTITION BY q_id
+          |      ORDER BY adist, vec_id) AS BIGINT) AS rank_vec
+          |  FROM ivadist QUALIFY rank_vec <= 10""".stripMargin
+      require(rrfServeScopedSql.contains(anchor),
+        "scoped fusion oracle shape changed under " +
+          "q_llm_rrf_fusion_scoped_refined — update the vrank anchor")
+      rrfServeScopedSql.replace(anchor,
+        """), ivcand AS (
+          |  SELECT q_id, vec_id FROM ivadist
+          |  QUALIFY row_number() OVER (PARTITION BY q_id
+          |    ORDER BY adist, vec_id) <= 30
+          |), ivrefined AS (
+          |  SELECT c.q_id, c.vec_id,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(list_zip(v.qfull, u.qfull),
+          |        z -> CAST(z[1] - z[2] AS BIGINT) * (z[1] - z[2]))),
+          |      (a, x) -> a + x) AS d
+          |  FROM ivcand c
+          |  JOIN ivq v ON c.vec_id = v.vec_id
+          |  JOIN ivq u ON c.q_id = u.vec_id
+          |), vrank AS (
+          |  SELECT q_id AS query_id, vec_id AS doc_id,
+          |    CAST(row_number() OVER (PARTITION BY q_id
+          |      ORDER BY d, vec_id) AS BIGINT) AS rank_vec
+          |  FROM ivrefined QUALIFY rank_vec <= 10""".stripMargin)
+    })
+
   private def rrfSqlFor(bmCte: String, vqPred: String): String =
     bmCte.replace("WITH qt AS (", s"""WITH v AS (
       |  SELECT vec_id, embedding,
@@ -2596,7 +2681,7 @@ object Retrieval {
       qBm25Scoped,
       qBm25ScopedPinned, qBm25Fixed,
       qBm25Inc, qBm25IncDelta, qRrfFusion, qRrfFusionFixed,
-      qRrfFusionServe, qRrfFusionScoped,
+      qRrfFusionServe, qRrfFusionScoped, qRrfFusionScopedRefined,
       qPosIndex, qPhraseSearch, qPhraseK, qProxSearch, qPosInc,
       qPhraseSnippet, qRetrievalEval, qRetrievalEvalPinned,
       qIndexUnified, qIndexUnifiedInc,

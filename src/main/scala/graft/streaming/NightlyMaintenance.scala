@@ -149,6 +149,145 @@ object NightlyMaintenance {
     }
   }
 
+  /** [[mergeScopedBatch]] with the per-scope JOBS collapsed into ONE
+    * partitioned write set (round 14, the 100-scope ceiling): the
+    * pooled form still runs ~5 Spark jobs PER SCOPE per batch (stored
+    * read + merge + 3 artifact writes), so at a 100-language corpus
+    * the nightly batch is fixed-job-cost-bound no matter how wide the
+    * pool. Here the batch pays a CONSTANT number of jobs at any scope
+    * count:
+    *
+    *  1. one GLOBAL fresh-id probe — scopes partition documents
+    *     disjointly, so the union of every scope's committed manifest
+    *     is an exact membership set for the whole batch (broadcast
+    *     delta probe, zero manifest shuffle, the freshIdsOf stance);
+    *  2. three `partitionBy(attr)` staging writes — per-scope
+    *     postings, doc_ids, and the per-scope FULL df (each scope's
+    *     stored vocab unioned as one scan leg + the fresh counts,
+    *     summed per (attr, term));
+    *  3. per-scope generation COMMIT = one filesystem RENAME of each
+    *     staged partition into `scope/gen=<batchId>/…` + the marker —
+    *     metadata operations, not jobs.
+    *
+    * Exactly-once inherits per scope: the covered() probe still gates
+    * each scope's rename, a crash mid-commit leaves a prefix of
+    * scopes committed (replay recomputes staging and renames only the
+    * uncovered rest), and uncommitted target dirs are deleted before
+    * rename. Result-identical to the pooled form (spec-pinned), with
+    * one intended divergence: a scope whose batch rows are ALL
+    * already-stored duplicates commits no (empty) generation —
+    * serving reads and df views are unchanged either way.
+    *
+    * Attribute values must be path-literal (`[A-Za-z0-9._-]`) so
+    * Spark's partition escaping and [[scopeDir]]'s URL encoding
+    * agree; anything else falls back to the pooled form. */
+  def mergeScopedBatchPartitioned(root: String, attr: String,
+      maxBroadcastDelta: Long = 4000000L)(batch: DataFrame,
+      batchId: Long): Unit = {
+    val docs = batch.select(col("doc_id"), col("text"),
+        col(attr).cast("string").as(attr))
+      .filter(col(attr).isNotNull)
+      .dropDuplicates("doc_id").localCheckpoint()
+    val present = docs.select(col(attr)).distinct()
+      .collect().map(r => String.valueOf(r.get(0))).sorted.toSeq
+    if (present.isEmpty) return
+    if (!present.forall(_.matches("[A-Za-z0-9._-]+"))) {
+      mergeScopedBatch(root, attr, maxBroadcastDelta)(batch, batchId)
+      return
+    }
+    val uncovered = present.filterNot(v =>
+      GenerationLog.covered(scopeDir(root, attr, v), batchId))
+    if (uncovered.isEmpty) return
+    val spark = docs.sparkSession
+    val fs = GenerationLog.fsOf(root)
+    import org.apache.hadoop.fs.Path
+
+    // 1. the global fresh probe off every committed scope's manifest
+    val manifestDirs = scopesOf(root, attr).flatMap { v =>
+      GenerationLog.stateDirs(scopeDir(root, attr, v)).toSeq
+        .flatMap(_._1).map(d => s"$d/doc_ids")
+    }
+    val deltaIds = docs.select(col("doc_id")).distinct()
+    val bounded = docs.count() <= maxBroadcastDelta
+    val freshIds =
+      if (manifestDirs.isEmpty) deltaIds
+      else {
+        val manifest = spark.read.parquet(manifestDirs: _*)
+        if (bounded) {
+          val overlap = manifest.join(broadcast(deltaIds), Seq("doc_id"))
+          deltaIds.join(broadcast(overlap), Seq("doc_id"), "left_anti")
+        } else deltaIds.join(manifest, Seq("doc_id"), "left_anti")
+      }
+    val fresh = docs
+      .join(if (bounded) broadcast(freshIds) else freshIds, Seq("doc_id"))
+      .filter(col(attr).isin(uncovered: _*))
+      .localCheckpoint()
+
+    // 2. the three staged partitioned write sets (constant job count)
+    val staging = s"$root/.staging_gen=$batchId"
+    fs.delete(new Path(staging), true)
+    val perDoc = graft.llm.Retrieval.scopedPerDocTerms(fresh, attr)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    perDoc.select(col(attr), col("term"), col("doc_id"), col("tf"),
+        col("dl"))
+      .write.partitionBy(attr).mode("overwrite")
+      .parquet(s"$staging/postings")
+    fresh.select(col(attr), col("doc_id"))
+      .write.partitionBy(attr).mode("overwrite")
+      .parquet(s"$staging/doc_ids")
+    val freshDf = perDoc.groupBy(col(attr), col("term"))
+      .agg(count(lit(1)).as("df"))
+    val storedDfLegs = uncovered.flatMap { v =>
+      GenerationLog.stateDirs(scopeDir(root, attr, v)).map {
+        case (_, latest) =>
+          spark.read.parquet(s"$latest/df").withColumn(attr, lit(v))
+            .select(col(attr), col("term"), col("df"))
+      }
+    }
+    (storedDfLegs :+ freshDf.select(col(attr), col("term"), col("df")))
+      .reduce(_.unionByName(_))
+      .groupBy(col(attr), col("term"))
+      .agg(sum(col("df")).as("df"))
+      .write.partitionBy(attr).mode("overwrite").parquet(s"$staging/df")
+    perDoc.unpersist()
+
+    // 3. per-scope commit: rename staged partitions into gen dirs.
+    // Commit scopes = staged doc_ids partitions (a scope whose rows
+    // were all duplicates stages nothing and commits nothing); a
+    // fresh doc with EMPTY text still commits (its id must reach the
+    // manifest), with empty artifact dirs filled in.
+    def staged(kind: String, v: String): Path =
+      new Path(s"$staging/$kind/$attr=$v")
+    val commitScopes = uncovered.filter(v => fs.exists(staged("doc_ids", v)))
+    commitScopes.foreach { v =>
+      val gen = GenerationLog.genDir(scopeDir(root, attr, v), batchId)
+      fs.delete(new Path(gen), true) // uncommitted crash leftovers
+      fs.mkdirs(new Path(gen))
+      Seq("postings", "doc_ids", "df").foreach { kind =>
+        val src = staged(kind, v)
+        if (!fs.exists(src)) {
+          // empty-text edge: stage an empty frame with the layout's
+          // schema so the generation dir is complete
+          val empty = kind match {
+            case "postings" => fresh.limit(0).select(
+              col("doc_id").cast("string").as("term"), col("doc_id"),
+              lit(0L).as("tf"), lit(0L).as("dl"))
+            case "df" => fresh.limit(0).select(
+              col("doc_id").cast("string").as("term"), lit(0L).as("df"))
+            case _ => fresh.limit(0).select(col("doc_id"))
+          }
+          empty.write.parquet(src.toString)
+        }
+        if (!fs.rename(src, new Path(s"$gen/$kind")))
+          throw new java.io.IOException(
+            s"staging rename failed: $src -> $gen/$kind")
+      }
+      GenerationLog.commitMarker(fs, gen)
+      spark.catalog.refreshByPath(gen)
+    }
+    fs.delete(new Path(staging), true)
+  }
+
   /** One scope's log directory — the value is URL-encoded so any
     * attribute value maps to a safe path segment. */
   def scopeDir(root: String, attr: String, value: String): String =

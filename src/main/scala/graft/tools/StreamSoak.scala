@@ -783,6 +783,10 @@ object StreamSoak {
             "SPARK_GRAFT_SOAK_SCOPES", "20").toInt
           val scopePar = sys.env.getOrElse(
             "SPARK_GRAFT_SOAK_SCOPE_PAR", "8").toInt
+          // "partitioned" = the round-14 batched write set (constant
+          // job count at any scope width) vs the pooled per-scope jobs
+          val scopeMode = sys.env.getOrElse(
+            "SPARK_GRAFT_SOAK_SCOPE_MODE", "pooled")
           val root = s"$feedRoot/scopesN_root"
           val times = scala.collection.mutable.ArrayBuffer.empty[Double]
           val t0 = System.nanoTime()
@@ -794,7 +798,10 @@ object StreamSoak {
               (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                   id: Long) =>
                 val bt = System.nanoTime()
-                NightlyMaintenance.mergeScopedBatch(root, "scope",
+                if (scopeMode == "partitioned")
+                  NightlyMaintenance.mergeScopedBatchPartitioned(
+                    root, "scope")(b.toDF(), id)
+                else NightlyMaintenance.mergeScopedBatch(root, "scope",
                   scopeParallelism = scopePar)(b.toDF(), id)
                 times += (System.nanoTime() - bt) / 1e9
                 ()
@@ -814,6 +821,7 @@ object StreamSoak {
             "mode" -> mode,
             "scopes" -> scopes.size,
             "scope_par" -> scopePar,
+            "scope_mode" -> scopeMode,
             "batches" -> times.size,
             "docs_indexed" -> docsIndexed,
             "wall_sec" -> f"$wallSec%.2f",
