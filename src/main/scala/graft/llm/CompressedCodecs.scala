@@ -131,7 +131,11 @@ object MuLawCodec extends MediaCodec {
       targetH: Int): Multimodal.ResizedMeta =
     parseHeader(payload) match {
       case Some((ch, rate, off, dl))
-          if targetW > 0 && targetH > 0 && dl > 0 &&
+          // targetW ≤ 64: the output contract is "a WavCodec-decodable
+          // PCM WAV", and WavCodec.parseHeader rejects channels > 64 —
+          // an ok=true transcode must stay inside the family's own
+          // decode envelope
+          if targetW > 0 && targetW <= 64 && targetH > 0 && dl > 0 &&
             targetW.toLong * targetH * 2 <= Int.MaxValue =>
         val srcFrames = dl / ch
         val out = new Array[Byte](targetW * targetH * 2)

@@ -155,10 +155,15 @@ object Multimodal {
     media.select(col("media_id"), col("payload"), mimeCol.as("mime"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
-        codecs.values.foreach(_.open())
+        // track opens as they succeed and register the close-all
+        // listener FIRST: if a later codec's open() throws, the
+        // already-opened contexts still close on task completion
+        // (opening everything before registering would leak them)
+        val opened = scala.collection.mutable.ArrayBuffer.empty[MediaCodec]
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ =>
-            codecs.values.foreach(_.close())))
+            opened.foreach(_.close())))
+        codecs.values.foreach { c => c.open(); opened += c }
         rows.map { case (id, p, mime) =>
           codecs.get(mime) match {
             case Some(c) if p != null && p.nonEmpty =>

@@ -35,7 +35,8 @@ object MultimodalCompressed {
       import sp.implicits._
       val built = Tables.load(s, d, "documents").select(
         col("doc_id"),
-        expr("CASE WHEN text IS NULL OR text = '' THEN 'x' ELSE text END").as("t"))
+        expr("CASE WHEN regexp_replace(coalesce(text, ''), '[^ -~]', '') = ''" +
+          " THEN 'x' ELSE regexp_replace(text, '[^ -~]', '') END").as("t"))
       built.as[(Long, String)]
         .mapPartitions { rows =>
           codecScope(MuLawCodec, rows).map { case (id, t) =>
@@ -67,9 +68,12 @@ object MultimodalCompressed {
            |    CAST(4 + doc_id % 12 AS INT) AS f,
            |    CAST(1 + doc_id % 2 AS INT) AS c,
            |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate,
-           |    CASE WHEN text IS NULL OR text = '' THEN 'x' ELSE text END AS text,
-           |    length(CASE WHEN text IS NULL OR text = '' THEN 'x'
-           |      ELSE text END) AS n
+           |    CASE WHEN regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') = ''
+           |      THEN 'x'
+           |      ELSE regexp_replace(text, '[^ -~]', '', 'g') END AS text,
+           |    length(CASE WHEN regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') = ''
+           |      THEN 'x'
+           |      ELSE regexp_replace(text, '[^ -~]', '', 'g') END) AS n
            |  FROM documents
            |), res AS (
            |  -- output sample k (6 frames x c channels, frame-major):
@@ -118,7 +122,8 @@ object MultimodalCompressed {
       import sp.implicits._
       val built = Tables.load(s, d, "documents").select(
         col("doc_id"),
-        expr("CASE WHEN text IS NULL OR text = '' THEN 'x' ELSE text END").as("t"))
+        expr("CASE WHEN regexp_replace(coalesce(text, ''), '[^ -~]', '') = ''" +
+          " THEN 'x' ELSE regexp_replace(text, '[^ -~]', '') END").as("t"))
       built.as[(Long, String)]
         .mapPartitions { rows =>
           codecScope(AdpcmCodec, rows).map { case (id, t) =>
@@ -157,9 +162,12 @@ object MultimodalCompressed {
          |  SELECT doc_id AS media_id,
          |    CAST(1 + doc_id % 2 AS INT) AS nb,
          |    CAST(4 + doc_id % 4 AS INT) AS db,
-         |    CASE WHEN text IS NULL OR text = '' THEN 'x' ELSE text END AS text,
-         |    length(CASE WHEN text IS NULL OR text = '' THEN 'x'
-         |      ELSE text END) AS n
+         |    CASE WHEN regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') = ''
+         |      THEN 'x'
+         |      ELSE regexp_replace(text, '[^ -~]', '', 'g') END AS text,
+         |    length(CASE WHEN regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') = ''
+         |      THEN 'x'
+         |      ELSE regexp_replace(text, '[^ -~]', '', 'g') END) AS n
          |  FROM documents
          |), blocks AS (
          |  -- per block: nibble list from the text bytes (low first),
@@ -218,6 +226,13 @@ object MultimodalCompressed {
       val built = Tables.load(s, d, "documents").select(col("doc_id"))
       built.as[Long]
         .mapPartitions { rows =>
+          // availability gate (the CompressedCodecSpec assume() made
+          // executable): on a JVM without java.desktop the declared
+          // query reports not-ok rows instead of dying on
+          // NoClassDefFoundError deep inside ImageIO
+          if (!ImageIoCodec.available)
+            rows.map(id => (id, 0, 0, 0, false, 0, 0, ""))
+          else {
           // fixture-encode cache: every channel of the synthetic color
           // map depends only on (id mod 256, frame) — ≤ 256 × 6
           // distinct solid frames corpus-WIDE — and the JDK encoder is
@@ -267,6 +282,7 @@ object MultimodalCompressed {
                 .mkString(",")
             (id, dec.width, dec.height, dec.n_frames, dec.ok,
               means.length, withinTol, sampled)
+          }
           }
         }
         .toDF("media_id", "width", "height", "n_frames", "ok",
