@@ -579,7 +579,8 @@ object Retrieval {
     * actually enter the two scoring aggregates — the skipped fraction
     * is 1 − (|scoredA| + |scoredB|) / |slice|. */
   private[graft] final case class MaxScoreParts(slice: DataFrame,
-      scoredA: DataFrame, scoredB: DataFrame, result: DataFrame)
+      scoredA: DataFrame, scoredB: DataFrame, result: DataFrame,
+      survivors: Option[DataFrame] = None)
 
   /** Exact BM25 top-k from segment state with MaxScore pruning —
     * result-identical to [[bm25TopKFromSegmentsPushed]] (same pushed
@@ -613,19 +614,39 @@ object Retrieval {
       case None => (seg.postings, seg.df)
     }
     val qdf = df0.join(broadcast(termSet), Seq("term"))
-    // every candidate posting row, scored once, persisted for its
-    // phase consumers (seed, A, B) — the SAME row set the unpruned
-    // server feeds wholesale into its (query, doc) aggregate
-    val slice = temps.register(post0
-      .join(broadcast(qdf), Seq("term"))
-      .join(broadcast(qt), Seq("term"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("ppm",
-        bm25Ppm(col("tf"), col("df"), col("dl"), col("n_docs"),
-          col("avgdl")))
-      .select(col("query_id"), col("term"), col("doc_id"), col("ppm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Candidate posting rows for an arbitrary (query, term) pair set,
+    // scored in-stream — NEVER persisted: a stopword-heavy batch's
+    // candidate slice is tens of millions of rows (48.8M per 200-query
+    // batch measured at sf10), and caching it traded one term-pruned
+    // store scan for heap-pressure GC that ran 1.9× SLOWER than the
+    // exhaustive server. Each phase instead re-reads the store scan
+    // with its own pre-scoring broadcast filter — phase A's
+    // non-essential rows are never scored, shuffled, OR materialized.
+    // Each phase also pushes ITS OWN term set into the scan (the
+    // phase term lists are already driver values from the qub
+    // collect, so this costs nothing): the seed and essential sets
+    // are the RARE high-UB terms, so those two passes read
+    // lookup-sized bucket slices instead of re-paying the full
+    // candidate-volume scan IO three times — only phase B's
+    // stopword-list scan stays corpus-candidate-shaped, and its rows
+    // never reach an aggregate.
+    def sliceFor(pairs: DataFrame,
+        phaseTerms: Option[Seq[String]]): DataFrame = {
+      val base = phaseTerms match {
+        case Some(ts) if ts.nonEmpty && ts.size <= maxPushTerms =>
+          seg.postings.filter(col("term").isin(ts: _*))
+        case _ => post0
+      }
+      base.join(broadcast(pairs), Seq("term"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(broadcast(qdf), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("ppm",
+          bm25Ppm(col("tf"), col("df"), col("dl"), col("n_docs"),
+            col("avgdl")))
+        .select(col("query_id"), col("term"), col("doc_id"), col("ppm"))
+    }
+    val slice = sliceFor(qt, None)
     // the unpruned tail over the same slice — the no-pruning fallback
     // AND the shape the phase plan must equal (RetrievalMaxScoreSpec)
     def plainTail(rows: DataFrame): DataFrame = rows
@@ -648,7 +669,7 @@ object Retrieval {
     // cap is a corpus-coupled verification workload, not a serving
     // batch: fall back to the exhaustive plan, result-identical.
     val qubCap = 300000
-    val qubRows: Seq[(Long, String, Long)] = qt
+    val qubRows: Seq[(Long, String, Long, Long)] = qt
       .join(broadcast(qdf), Seq("term"))
       .join(broadcast(bounds.join(broadcast(termSet), Seq("term"))),
         Seq("term"))
@@ -656,50 +677,54 @@ object Retrieval {
       .withColumn("ub_ppm",
         bm25Ppm(col("max_tf"), col("df"), col("min_dl"), col("n_docs"),
           col("avgdl")))
-      .select(col("query_id"), col("term"), col("ub_ppm"))
+      .select(col("query_id"), col("term"), col("ub_ppm"), col("df"))
       .limit(qubCap + 1)
-      .as[(Long, String, Long)].collect().toSeq
+      .as[(Long, String, Long, Long)].collect().toSeq
     if (qubRows.size > qubCap)
       return MaxScoreParts(slice, slice, slice.limit(0), plainTail(slice))
-    // split order per query: (ub desc, term asc)
+    // split order per query: (ub desc, term asc); df rides along for
+    // the seed-term volume decision
     val byQuery = qubRows.groupBy(_._1).map { case (q, rows) =>
-      q -> rows.map(r => (r._2, r._3)).sortBy(t => (-t._2, t._1))
+      q -> rows.map(r => (r._2, r._3, r._4)).sortBy(t => (-t._2, t._1))
     }
     if (byQuery.isEmpty)
       return MaxScoreParts(slice, slice, slice.limit(0), plainTail(slice))
-    // seed θ: the k docs with the LARGEST single-row contributions
-    // across ALL the query's posting rows, exact-scored; k real
-    // scores ⇒ θ ≤ k-th true score, and a doc with one huge
-    // contribution is a strong total-score candidate, so this θ sits
-    // near the true threshold. (The first cut seeded from the
-    // highest-UB term only — but the highest-UB term is typically the
-    // RAREST, its list often holds < k docs, and those queries fell
-    // to θ = MinValue / no pruning.) The top-5k row pool bounds the
-    // per-doc multiplicity at the qLen=5 convention; longer queries
-    // can under-fill k distinct docs and degrade safely to MinValue.
-    val seedCand = slice
-      .groupBy(col("query_id"))
-      .agg(call_udf("graft_topk_min",
-        struct((-col("ppm")).as("nscore"), col("doc_id"), col("ppm")),
-        lit(5 * k)).as("top"))
-      .select(col("query_id"), explode(col("top")).as("t"))
-      .select(col("query_id"), col("t.doc_id").as("doc_id"))
-      .as[(Long, Long)].collect().toSeq
-      .groupBy(_._1).toSeq
-      .flatMap { case (q, rows) =>
-        rows.map(_._2).distinct.take(k).map(d => (q, d))
-      }
-    val thetaMap: Map[Long, Long] = slice
-      .join(broadcast(seedCand.toDF("query_id", "doc_id")),
-        Seq("query_id", "doc_id"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("ppm")).as("s"))
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_seed"), min(col("s")).as("min_s"))
-      .select(col("query_id"),
-        when(col("n_seed") >= k, col("min_s"))
-          .otherwise(lit(Long.MinValue)).as("theta"))
-      .as[(Long, Long)].collect().toMap
+    // seed θ in ONE BOUNDED-VOLUME pass: per query, walk terms in UB
+    // order until their df covers k docs with margin (the rare
+    // high-UB lists — usually a tiny fraction of the candidate
+    // volume), aggregate (query, doc) PARTIAL sums over just those
+    // lists, and take θ = k-th best partial. Partials are lower
+    // bounds of totals over k real docs, so θ ≤ k-th true score —
+    // exact pruning, no full-volume pass. (The previous cut seeded
+    // from a full-slice top-row pool + a second full-slice exact
+    // pass: 58 s of the 97 s sf10 batch wall was those two passes —
+    // the probe showed a bare candidate pass costs 24 s, so seeding
+    // must never touch the whole slice.) Queries whose seed lists
+    // yield < k docs keep θ = MinValue (no pruning, still exact).
+    val seedPairs = byQuery.toSeq.flatMap { case (q, terms) =>
+      var cum = 0L
+      terms.takeWhile { t =>
+        val need = cum < 8L * k
+        if (need) cum += t._3
+        need
+      }.map(t => (q, t._1))
+    }
+    val thetaMap: Map[Long, Long] =
+      if (seedPairs.isEmpty) Map.empty
+      else sliceFor(seedPairs.toDF("query_id", "term"),
+        Some(seedPairs.map(_._2).distinct))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("ppm")).as("partial"))
+        .groupBy(col("query_id"))
+        .agg(call_udf("graft_topk_min",
+          struct((-col("partial")).as("nscore"), col("doc_id"),
+            col("partial")), lit(k)).as("top"))
+        .select(col("query_id"), size(col("top")).as("n_seed"),
+          element_at(col("top"), k).getField("partial").as("kth"))
+        .select(col("query_id"),
+          when(col("n_seed") >= k, col("kth"))
+            .otherwise(lit(Long.MinValue)).as("theta"))
+        .as[(Long, Long)].collect().toMap
     // essential split ON THE DRIVER: terms sorted by UB desc; a term
     // is NON-essential iff the UB suffix-sum from it on is STRICTLY
     // below θ (strict, so score ties at θ survive to tie-break).
@@ -726,8 +751,8 @@ object Retrieval {
     // the LocalRelation join (q rows).
     val thetaDf = splits.map { case (q, th, _, _, nUb) => (q, th, nUb) }
       .toDF("query_id", "theta", "ness_ub")
-    val scoredA = slice.join(
-      broadcast(essPairs.toDF("query_id", "term")), Seq("query_id", "term"))
+    val scoredA = sliceFor(essPairs.toDF("query_id", "term"),
+      Some(essPairs.map(_._2).distinct))
     val survivors = temps.register(scoredA
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("ppm")).as("partial"))
@@ -748,9 +773,8 @@ object Retrieval {
       if (survivors.limit(2000001).count() <= 2000000L)
         broadcast(survIds)
       else survIds
-    val scoredB = slice
-      .join(broadcast(nonEssPairs.toDF("query_id", "term")),
-        Seq("query_id", "term"))
+    val scoredB = sliceFor(nonEssPairs.toDF("query_id", "term"),
+      Some(nonEssPairs.map(_._2).distinct))
       .join(survProbe, Seq("query_id", "doc_id"), "left_semi")
     val result = survivors
       .select(col("query_id"), col("doc_id"), col("partial").as("ppm"))
@@ -765,7 +789,7 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("t.doc_id").as("doc_id"), col("t.score_ppm").as("score_ppm"))
-    MaxScoreParts(slice, scoredA, scoredB, result)
+    MaxScoreParts(slice, scoredA, scoredB, result, Some(survivors))
   }
 
   /** Attribute-SCOPED postings: one inverted index PER SCOPE of a
@@ -1582,9 +1606,10 @@ object Retrieval {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             id: Long) =>
         val qb = b.toDF().dropDuplicates("query_id").localCheckpoint()
-        // the MaxScore text half persists its per-batch candidate
-        // slice for the phase consumers — released after the sink has
-        // materialized, so stream state across batches stays NONE
+        // the MaxScore text half persists its per-batch SURVIVOR
+        // frame (k-adjacent, never the candidate slice) — released
+        // after the sink has materialized, so stream state across
+        // batches stays NONE
         val temps = if (boundsOpt.isDefined) new TempCache else
           TempCache.noop
         try sink(rrfServeBatchAdaptive(seg, stats, codes, coarse, books,

@@ -389,10 +389,16 @@ object StreamSoak {
           // the Turtle & Flood bound prune off the stored termBounds
           // table — the answer to the adjudicated candidate-volume
           // bound of the exact-unscoped hybrid (VERDICT r13 item 1)
+          // the bounds table is vocab-sized serving state: pinned in
+          // memory for the life of the server (the production stance),
+          // not re-scanned per micro-batch
           val boundsOpt =
-            if (mode == "hybridfbms")
-              Some(graft.llm.Retrieval.servingBoundsOf(spark, sfDir))
-            else None
+            if (mode == "hybridfbms") {
+              val b = graft.llm.Retrieval.servingBoundsOf(spark, sfDir)
+                .persist()
+              b.count()
+              Some(b)
+            } else None
           val dir = s"$feedRoot/hybridfb_queries"
           val qs = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
             .join(vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
