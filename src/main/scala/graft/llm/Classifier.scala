@@ -55,41 +55,87 @@ object Classifier {
       .select(col("doc_id"), col("y"), featureId(col("term"), dims).as("f"))
       .distinct()
 
-  /** One batch-perceptron pass: margins under `w`, then
-    * w' = w + Σ_{misclassified} y·x (margin 0 counts as misclassified
-    * — the standard convention, and what makes pass 1 from w = 0 learn
-    * the class-count-weighted feature frequencies). `w` has (f, w)
-    * rows and BROADCASTS — it is at most `dims` rows. */
-  private def pass(feat: DataFrame, w: DataFrame): DataFrame = {
-    val margins = feat.join(broadcast(w), Seq("f"), "left")
-      .groupBy(col("doc_id"), col("y"))
-      .agg(sum(coalesce(col("w"), lit(0L))).as("m"))
-    val dw = feat
-      .join(margins.filter(col("y") * col("m") <= 0).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-      .groupBy(col("f")).agg(sum(col("y")).as("dw"))
-    w.join(dw, Seq("f"), "full_outer")
-      .select(col("f"),
-        (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("w"))
-  }
+  /** [[featureFrame]]'s rows packed per document WITHOUT any shuffle:
+    * (doc_id, y, fs) where fs is the doc's distinct hashed feature set
+    * as a row-local array — `array_distinct` dedups inside the token
+    * array (term-level then feature-level, so md5 collisions fold
+    * identically to the exploded `.distinct()`), exactly the
+    * [[streamingScore]] derivation. Replaces featureFrame's
+    * corpus-sized distinct Exchange with zero exchanges (optimization
+    * round 14, guide §2.4); content-equal by construction since every
+    * consumer folds or sums over the set. */
+  private def featureArrays(docs: DataFrame, label: Column,
+      dims: Int): DataFrame =
+    TextDedup.spreadSmallInput(docs)
+      .select(col("doc_id"), label.as("y"),
+        array_distinct(transform(array_distinct(tokens(col("text"))),
+          t => featureId(t, dims))).as("fs"))
 
   /** Train `passes` batch-perceptron passes from w = 0 and return the
     * `dims`-row integer weight vector. The feature frame is persisted
-    * once for its 2·passes+1 consumers. */
+    * once for its 2·passes+1 consumers.
+    *
+    * Reworked in optimization round 14 to the ROW-LOCAL margin shape
+    * the multiclass trainer already uses: the per-doc feature set
+    * rides as an array ([[featureArrays]] — no corpus-sized distinct),
+    * the weight vector pivots to a one-row dense array broadcast per
+    * pass, margins are an O(|fs|) row-local fold (no per-pass
+    * groupBy(doc_id) Exchange and no misclassified-set semi-join
+    * shuffle), and the only per-pass shuffle is the ≤dims-group
+    * map-side-combined ±1 aggregate. Weight-identical to the exploded
+    * form — integer sums over the same feature sets (ClassifierSpec's
+    * sequential-reference test pins it). */
   def train(docs: DataFrame, label: Column, dims: Int = 1024,
       passes: Int = 2, temps: TempCache = TempCache.noop): DataFrame =
-    trainOnFeat(persistFeat(featureFrame(docs, label, dims), temps), passes)
+    trainOnArr(persistFeat(featureArrays(docs, label, dims), temps),
+      passes, dims)
 
   private def persistFeat(feat: DataFrame, temps: TempCache): DataFrame =
     temps.register(feat
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Run `passes` binary batch passes from w = 0 (an empty (f, w)
-    * frame) over a prebuilt feature frame. */
-  private def trainOnFeat(feat: DataFrame, passes: Int): DataFrame = {
-    val w0 = feat.sparkSession.range(0).select(col("id").as("f"),
+    * frame) over a prebuilt per-doc feature-array frame. */
+  private def trainOnArr(featA: DataFrame, passes: Int,
+      dims: Int): DataFrame = {
+    val w0 = featA.sparkSession.range(0).select(col("id").as("f"),
       col("id").as("w")) // empty (f, w): w = 0 everywhere
-    (1 to passes).foldLeft(w0)((w, _) => pass(feat, w))
+    (1 to passes).foldLeft(w0)((w, _) => passArr(featA, w, dims))
+  }
+
+  /** The (f, w) vector pivoted to a ONE-ROW dense long array (slot f
+    * holds w, absent features 0) — the binary twin of [[weightsOne]]:
+    * O(1) slot reads per margin term instead of a per-pass broadcast
+    * hash join against the exploded corpus. try_element_at for the
+    * same ANSI empty-map reason. */
+  private def weightsOneBinary(w: DataFrame, dims: Int): DataFrame =
+    w.agg(map_from_entries(collect_list(struct(col("f").as("k"),
+        col("w").as("v")))).as("wm"))
+      .select(transform(sequence(lit(0L), lit(dims - 1L)),
+        k => coalesce(try_element_at(col("wm"), k), lit(0L))).as("wa"))
+
+  /** Per-doc integer margin under `w`, computed row-locally from the
+    * feature array and the broadcast dense weight row. f < dims by
+    * construction, so the 1-based slot read is always in bounds. */
+  private def marginArr(featA: DataFrame, w: DataFrame,
+      dims: Int): DataFrame =
+    featA.crossJoin(broadcast(weightsOneBinary(w, dims)))
+      .withColumn("m", aggregate(col("fs"), lit(0L),
+        (acc, f) => acc + element_at(col("wa"), (f + 1L).cast("int"))))
+
+  /** One batch-perceptron pass in the row-local shape: margins from
+    * [[marginArr]], then the misclassified docs' features explode and
+    * sum ±1 per feature — ≤dims groups, map-side combined. Exactly
+    * [[pass]]'s algebra with the corpus-sized exchanges removed. */
+  private def passArr(featA: DataFrame, w: DataFrame,
+      dims: Int): DataFrame = {
+    val dw = marginArr(featA, w, dims)
+      .filter(col("y") * col("m") <= 0)
+      .select(col("y"), explode(col("fs")).as("f"))
+      .groupBy(col("f")).agg(sum(col("y")).as("dw"))
+    w.join(dw, Seq("f"), "full_outer")
+      .select(col("f"),
+        (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("w"))
   }
 
   /** Score every document under a trained weight vector: integer
@@ -104,12 +150,19 @@ object Classifier {
 
   /** Train-and-score in one plan on the `documents` table with
     * lang = 'en' as the positive class — the fastText language-filter
-    * shape. Two passes, 1024 hashed dims. */
+    * shape. Two passes, 1024 hashed dims. Scoring is the same
+    * row-local margin fold as training — the whole train-and-score
+    * chain's only corpus-sized exchanges are gone (the per-pass dw
+    * aggregates shuffle ≤dims groups). */
   def langClassifier(docs: DataFrame,
       temps: TempCache = TempCache.noop): DataFrame = {
     val label = when(col("lang") === "en", 1L).otherwise(-1L)
-    val feat = persistFeat(featureFrame(docs, label), temps)
-    score(feat, trainOnFeat(feat, passes = 2))
+    val dims = 1024
+    val featA = persistFeat(featureArrays(docs, label, dims), temps)
+    marginArr(featA, trainOnArr(featA, passes = 2, dims), dims)
+      .select(col("doc_id"), col("y").as("label"), col("m").as("margin"),
+        when(col("m") > 0, 1L).otherwise(-1L).as("pred"))
+      .withColumn("correct", (col("label") === col("pred")).cast("boolean"))
   }
 
   /** Multiclass one-vs-all perceptron as ONE relational plan,
@@ -122,7 +175,9 @@ object Classifier {
     * replicates per class. The ONLY corpus-sized frame is the per-doc
     * distinct-feature ARRAY frame (one row per document, the array
     * bounded by the document's own token count — the bounded-unit
-    * stance), built with one shuffle and persisted across passes.
+    * stance), built row-locally with ZERO shuffles (round 14: the
+    * explode→distinct→collect_list exchanges folded into the array
+    * expression) and persisted across passes.
     * Each pass pivots the (c, f, w) table into a ONE-ROW broadcast
     * map keyed classIdx·dims + f (≤ n_classes·dims entries — KBs,
     * the streamingScore layout), computes every class's margin
@@ -154,15 +209,10 @@ object Classifier {
     * (they could never be predicted, only distort real weights). */
   private def docFeatures(docs: DataFrame, classCol: Column,
       dims: Int): DataFrame =
-    docs
-      .filter(classCol.isNotNull)
+    TextDedup.spreadSmallInput(docs.filter(classCol.isNotNull))
       .select(col("doc_id"), classCol.as("lab"),
-        explode(array_distinct(tokens(col("text")))).as("term"))
-      .select(col("doc_id"), col("lab"),
-        featureId(col("term"), dims).as("f"))
-      .distinct()
-      .groupBy(col("doc_id"), col("lab"))
-      .agg(collect_list(col("f")).as("fs"))
+        array_distinct(transform(array_distinct(tokens(col("text"))),
+          t => featureId(t, dims))).as("fs"))
 
   /** One-row (cs) frame: the sorted class list — sorted so the
     * row-local argmax's keep-first tie rule IS "lexicographically

@@ -596,7 +596,13 @@ class PlanSpec extends SparkSpec {
       "q_llm_bm25_fixed" -> (2, 0),
       // perceptron passes: dims-row weight frames broadcast-hash-join
       // back; the misclassified-doc semi join is doc-keyed
-      "q_llm_doc_clf" -> (0, 0),
+      // round-14 row-local binary perceptron: every BNLJ is the
+      // ONE-ROW dense weight-array broadcast (weightsOneBinary ≤ dims
+      // longs) feeding the row-local margin fold — the shape that
+      // replaced the per-pass corpus groupBy(doc_id) + misclassified
+      // semi-join exchanges. 3 margin sites (2 passes + scoring),
+      // printed with cached-subtree duplication pre-AQE
+      "q_llm_doc_clf" -> (8, 0),
       // multiclass (round-9 map-typed form): every BNLJ is a ONE-ROW
       // broadcast by construction — the sorted class list, the dense
       // weight pivot, and their 1×1 composition (three such operators
@@ -617,7 +623,10 @@ class PlanSpec extends SparkSpec {
       // binary quality-gate curation: every classifier stage is a
       // dims-row broadcast HASH join (equi on f) — nothing
       // broadcast-nests
-      "q_llm_curate_clf" -> (0, 0),
+      // same one-row weight-array broadcasts as q_llm_doc_clf, through
+      // the curation composition's two persisted consumers (more
+      // pre-AQE duplicate prints; runtime collapses to the 3 sites)
+      "q_llm_curate_clf" -> (12, 0),
       // positional index/phrase: hash-keyed build, broadcast phrase
       // probes, equi pair join — nothing broadcast-nests
       "q_llm_pos_index" -> (0, 0),
