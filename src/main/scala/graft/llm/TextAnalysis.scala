@@ -1038,9 +1038,17 @@ object TextAnalysis {
     val uni = toksDf.select(explode(col("toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    // Reassociated (optimization round 14, guide §2.3): score each
+    // DISTINCT bigram once at vocabulary granularity (bg ⋈ uni — both
+    // sides are count tables), then attach the scored-bigram table to
+    // the corpus pair frame with ONE corpus-granularity join instead
+    // of two. Same inner-join semantics — every pair's (w1, w2) exists
+    // in bg and uni by construction — so the per-pair s and the
+    // per-doc sums are bit-identical.
+    val sb = bg.join(uni, Seq("w1"))
+      .select(col("w1"), col("w2"), expr("(1000000 * cb) div cu").as("s"))
     pairs
-      .join(bg, Seq("w1", "w2")).join(uni, Seq("w1"))
-      .withColumn("s", expr("(1000000 * cb) div cu"))
+      .join(sb, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("lm_score"))
       .withColumn("mean_score", expr("lm_score div n_bigrams"))
@@ -1112,11 +1120,19 @@ object TextAnalysis {
       .groupBy(col("w1")).agg(count(lit(1)).as("cu_t"))
     val tBg = adjacentPairsOf(tToksDf)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb_t"))
-    pairs
-      .join(bg, Seq("w1", "w2")).join(uni, Seq("w1"))
+    // Reassociated like [[lmScore]] (round 14): all four count tables
+    // fold into ONE scored-bigram table at vocabulary granularity, and
+    // the corpus pair frame joins once instead of four times. The
+    // left-join null cases land in the same coalesce(…, 0) floor, per
+    // distinct bigram instead of per occurrence — same value either
+    // way since s_tgt is a function of (w1, w2).
+    val sb = bg.join(uni, Seq("w1"))
       .join(tBg, Seq("w1", "w2"), "left").join(tUni, Seq("w1"), "left")
-      .withColumn("s_raw", expr("(1000000 * cb) div cu"))
-      .withColumn("s_tgt", coalesce(expr("(1000000 * cb_t) div cu_t"), lit(0L)))
+      .select(col("w1"), col("w2"),
+        expr("(1000000 * cb) div cu").as("s_raw"),
+        coalesce(expr("(1000000 * cb_t) div cu_t"), lit(0L)).as("s_tgt"))
+    pairs
+      .join(sb, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("s_raw")).as("raw_sum"), sum(col("s_tgt")).as("tgt_sum"))
