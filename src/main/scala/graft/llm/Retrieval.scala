@@ -614,6 +614,17 @@ object Retrieval {
       case None => (seg.postings, seg.df)
     }
     val qdf = df0.join(broadcast(termSet), Seq("term"))
+    // ONE bounded collect of the one-row stats frame: the per-phase
+    // crossJoin(broadcast(stats)) subtrees each re-ran the corpus
+    // aggregate as their own broadcast job (4× per serve — round-14
+    // isolation measured them as pure fixed latency). As literals the
+    // ppm arithmetic is bit-identical (same exact long count and
+    // double avgdl), and the subtree disappears from every phase.
+    val statsRow = stats
+      .select(col("n_docs").cast("long"), col("avgdl").cast("double"))
+      .head()
+    val (nDocsLit, avgdlLit) =
+      (lit(statsRow.getLong(0)), lit(statsRow.getDouble(1)))
     // Candidate posting rows for an arbitrary (query, term) pair set,
     // scored in-stream — NEVER persisted: a stopword-heavy batch's
     // candidate slice is tens of millions of rows (48.8M per 200-query
@@ -630,8 +641,8 @@ object Retrieval {
     // candidate-volume scan IO three times — only phase B's
     // stopword-list scan stays corpus-candidate-shaped, and its rows
     // never reach an aggregate.
-    def sliceFor(pairs: DataFrame,
-        phaseTerms: Option[Seq[String]]): DataFrame = {
+    def sliceFor(pairs: DataFrame, phaseTerms: Option[Seq[String]],
+        dfSide: DataFrame = qdf): DataFrame = {
       val base = phaseTerms match {
         case Some(ts) if ts.nonEmpty && ts.size <= maxPushTerms =>
           seg.postings.filter(col("term").isin(ts: _*))
@@ -639,11 +650,9 @@ object Retrieval {
       }
       base.join(broadcast(pairs), Seq("term"))
         .filter(col("doc_id") =!= col("query_id"))
-        .join(broadcast(qdf), Seq("term"))
-        .crossJoin(broadcast(stats))
+        .join(broadcast(dfSide), Seq("term"))
         .withColumn("ppm",
-          bm25Ppm(col("tf"), col("df"), col("dl"), col("n_docs"),
-            col("avgdl")))
+          bm25Ppm(col("tf"), col("df"), col("dl"), nDocsLit, avgdlLit))
         .select(col("query_id"), col("term"), col("doc_id"), col("ppm"))
     }
     val slice = sliceFor(qt, None)
@@ -673,15 +682,22 @@ object Retrieval {
       .join(broadcast(qdf), Seq("term"))
       .join(broadcast(bounds.join(broadcast(termSet), Seq("term"))),
         Seq("term"))
-      .crossJoin(broadcast(stats))
       .withColumn("ub_ppm",
-        bm25Ppm(col("max_tf"), col("df"), col("min_dl"), col("n_docs"),
-          col("avgdl")))
+        bm25Ppm(col("max_tf"), col("df"), col("min_dl"), nDocsLit,
+          avgdlLit))
       .select(col("query_id"), col("term"), col("ub_ppm"), col("df"))
       .limit(qubCap + 1)
       .as[(Long, String, Long, Long)].collect().toSeq
     if (qubRows.size > qubCap)
       return MaxScoreParts(slice, slice, slice.limit(0), plainTail(slice))
+    // (term, df) for every scorable (query, term) pair is already on
+    // the driver in qubRows — a term absent from qubRows is absent
+    // from the stored df/bounds tables alike (both derive from the
+    // same postings), so it can contribute nothing to any phase.
+    // Shipping the pairs back as a LocalRelation removes the df-table
+    // scan + broadcast subtree from all three phase slices (round 14).
+    val dfLocal = qubRows.map(r => (r._2, r._4)).distinct
+      .toDF("term", "df")
     // split order per query: (ub desc, term asc); df rides along for
     // the seed-term volume decision
     val byQuery = qubRows.groupBy(_._1).map { case (q, rows) =>
@@ -712,7 +728,7 @@ object Retrieval {
     val thetaMap: Map[Long, Long] =
       if (seedPairs.isEmpty) Map.empty
       else sliceFor(seedPairs.toDF("query_id", "term"),
-        Some(seedPairs.map(_._2).distinct))
+        Some(seedPairs.map(_._2).distinct), dfLocal)
         .groupBy(col("query_id"), col("doc_id"))
         .agg(sum(col("ppm")).as("partial"))
         .groupBy(col("query_id"))
@@ -752,7 +768,7 @@ object Retrieval {
     val thetaDf = splits.map { case (q, th, _, _, nUb) => (q, th, nUb) }
       .toDF("query_id", "theta", "ness_ub")
     val scoredA = sliceFor(essPairs.toDF("query_id", "term"),
-      Some(essPairs.map(_._2).distinct))
+      Some(essPairs.map(_._2).distinct), dfLocal)
     val survivors = temps.register(scoredA
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("ppm")).as("partial"))
@@ -774,7 +790,7 @@ object Retrieval {
         broadcast(survIds)
       else survIds
     val scoredB = sliceFor(nonEssPairs.toDF("query_id", "term"),
-      Some(nonEssPairs.map(_._2).distinct))
+      Some(nonEssPairs.map(_._2).distinct), dfLocal)
       .join(survProbe, Seq("query_id", "doc_id"), "left_semi")
     val result = survivors
       .select(col("query_id"), col("doc_id"), col("partial").as("ppm"))
