@@ -350,6 +350,97 @@ case class Md5ShinglePosExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Per-document term frequencies in ONE pass: text →
+  * array<struct<term, tf>> over whitespace tokens (split(' ', -1) —
+  * the exact `split(text, ' ')` convention, empty tokens kept), terms
+  * in first-occurrence order. Equivalent SQL: explode(tokens) →
+  * groupBy(doc, term).count() — i.e. the index build's ONLY
+  * corpus-sized Exchange, folded into a row-local hash map
+  * (optimization round 14: the tf aggregate never needs to shuffle,
+  * because a term's count within one document is a property of that
+  * row alone). Output order is irrelevant downstream (everything
+  * aggregates or joins), but deterministic anyway. */
+case class DocTfExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_doc_tf needs string, got $t")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.toString.split(" ", -1)
+    val counts = new java.util.LinkedHashMap[String, Long](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      counts.merge(toks(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(e.getKey), e.getValue))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-document positional postings in ONE pass: text →
+  * array<struct<term, positions array<int>>> with 1-based ascending
+  * positions — the row-local form of posexplode →
+  * groupBy(doc, term).agg(sort_array(collect_list(p0 + 1))). Same
+  * split convention and the same folded-Exchange rationale as
+  * [[DocTfExpr]]; positions are ascending by construction (one
+  * left-to-right scan). */
+case class DocPositionsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("positions", ArrayType(IntegerType, containsNull = false),
+      nullable = false))), containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_doc_pos needs string, got $t")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.toString.split(" ", -1)
+    val pos = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Int]](
+      toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      pos.computeIfAbsent(toks(i),
+        _ => new scala.collection.mutable.ArrayBuffer[Int](4)) += (i + 1)
+      i += 1
+    }
+    val out = new Array[Any](pos.size)
+    val it = pos.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(e.getKey),
+        new GenericArrayData(e.getValue.toArray[Any])))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Binary-search membership in a SORTED array<long> — the probe side
   * of a broadcast hash-set scan without the O(|set|) linear walk
   * `array_contains` does per call: decontamScrub probes every n-gram
@@ -1209,6 +1300,8 @@ object GraftFunctions {
       case Seq(c, Literal(n: Int, IntegerType)) => Md5ShinglePosExpr(c, n)
       case es => Md5ShinglePosExpr(es.head, 10)
     },
+    "graft_doc_tf" -> (es => DocTfExpr(es.head)),
+    "graft_doc_pos" -> (es => DocPositionsExpr(es.head)),
     "graft_sorted_contains" -> (es => SortedContainsExpr(es(0), es(1))),
     "graft_sorted_lookup" -> (es => SortedLookupExpr(es(0), es(1), es(2))),
     "graft_adc_sum" -> (es => AdcSumExpr(es(0), es(1), es(2), es(3))),

@@ -77,14 +77,21 @@ object Retrieval {
 
   /** (doc_id, dl, term, tf): one row per distinct term of each
     * document, with the document's whitespace-token length. One scan,
-    * map-side-combined. */
-  def perDocTerms(docs: DataFrame): DataFrame =
-    docs
+    * ZERO exchanges (round 14): a term's tf within one document is a
+    * property of that row alone, so the per-(doc, term) count folds
+    * into the row-local graft_doc_tf kernel instead of the
+    * explode → groupBy(doc, term) shuffle that used to be the index
+    * build's only corpus-sized Exchange. Row-identical by
+    * construction (same split(' ') token convention, same counts). */
+  def perDocTerms(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    TextDedup.spreadSmallInput(docs)
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("dl"),
-        explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+        explode(call_udf("graft_doc_tf", col("text"))).as("e"))
+      .select(col("doc_id"), col("dl"),
+        col("e.term").as("term"), col("e.tf").as("tf"))
+  }
 
   /** The stored inverted-index deliverable: (term, doc_id, tf, dl, df)
     * — postings denormalized with the document length and the term's
@@ -124,14 +131,16 @@ object Retrieval {
     * positional frame shared by [[buildIndexes]] and
     * [[buildIndexesIncremental]] — one definition so the full build
     * and the nightly merge cannot drift (the perDocTerms stance). */
-  private def perDocPositions(docs: DataFrame): DataFrame =
-    docs
+  private def perDocPositions(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    TextDedup.spreadSmallInput(docs)
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("dl"),
-        posexplode(tokens(col("text"))).as(Seq("p0", "term")))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(sort_array(collect_list(col("p0") + 1)).as("positions"))
+        explode(call_udf("graft_doc_pos", col("text"))).as("e"))
+      .select(col("doc_id"), col("dl"), col("e.term").as("term"),
+        col("e.positions").as("positions"))
       .withColumn("tf", size(col("positions")).cast("long"))
+  }
 
   /** One-row corpus statistics: (n_docs, avgdl). avgdl is ONE exact
     * long/long IEEE division — identical in DuckDB. */
@@ -826,13 +835,9 @@ object Retrieval {
     * aggregate; one corpus scan, map-side-combined. */
   def scopedPostings(docs: DataFrame, attr: String,
       temps: TempCache = TempCache.noop): DataFrame = {
-    val perDoc = temps.register(docs
-      .select(col(attr), col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("dl"),
-        explode(tokens(col("text"))).as("term"))
-      .groupBy(col(attr), col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val perDoc = temps.register(
+      scopedPerDocTerms(docs, attr)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfT = perDoc.groupBy(col(attr), col("term"))
       .agg(count(lit(1)).as("df"))
     perDoc.join(dfT, Seq(attr, "term"))
@@ -848,14 +853,15 @@ object Retrieval {
     * separately against each scope's stored vocab. One scan,
     * map-side-combined (the [[scopedPostings]] shape minus the df
     * join). */
-  def scopedPerDocTerms(docs: DataFrame, attr: String): DataFrame =
-    docs
+  def scopedPerDocTerms(docs: DataFrame, attr: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    TextDedup.spreadSmallInput(docs)
       .select(col(attr), col("doc_id"),
         size(tokens(col("text"))).cast("long").as("dl"),
-        explode(tokens(col("text"))).as("term"))
-      .groupBy(col(attr), col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .select(col(attr), col("term"), col("doc_id"), col("tf"), col("dl"))
+        explode(call_udf("graft_doc_tf", col("text"))).as("e"))
+      .select(col(attr), col("e.term").as("term"), col("doc_id"),
+        col("e.tf").as("tf"), col("dl"))
+  }
 
   /** Per-scope corpus statistics: (attr, n_docs, avgdl) — the
     * [[corpusStats]] row per attribute scope, scope-count-sized. */
@@ -875,12 +881,14 @@ object Retrieval {
     * map-side-combined per (doc, term); the positions array is bounded
     * by the document's own length (documents are the bounded unit of
     * this engine, the chunking stance). */
-  def positionalPostings(docs: DataFrame): DataFrame =
-    docs
+  def positionalPostings(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    TextDedup.spreadSmallInput(docs)
       .select(col("doc_id"),
-        posexplode(tokens(col("text"))).as(Seq("p0", "term")))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(sort_array(collect_list(col("p0") + 1)).as("positions"))
+        explode(call_udf("graft_doc_pos", col("text"))).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"),
+        col("e.positions").as("positions"))
+  }
 
   /** Exact two-term phrase search from the positional index: documents
     * where `t1` is immediately followed by `t2`, with the exact
