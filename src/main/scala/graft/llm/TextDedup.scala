@@ -436,11 +436,19 @@ object TextDedup {
       reliable: Boolean = false): DataFrame = {
     def ck(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    val edges = pairs
+    // CHECKPOINTED, not persisted (round 14): a persisted edges frame
+    // keeps its full upstream LOGICAL plan (in the curate composition:
+    // the gate + LSH + verification lineage, hundreds of nodes), and
+    // every round's new plan embeds it twice — Catalyst re-analyzes
+    // and re-optimizes the whole tree per round, measured ~600 ms of
+    // DRIVER time per round at sf0.1 against ~50 ms of actual task
+    // work. The checkpoint truncates the lineage to a LogicalRDD, so
+    // each round plans a three-node tree; the materialization job is
+    // the same one the persist paid on first use.
+    val edges = ck(pairs
       .select(col("ida").cast("long").as("src"), col("idb").cast("long").as("dst"))
       .union(pairs.select(col("idb").cast("long"), col("ida").cast("long")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     // round 0 folds the first neighbor-min in directly: label = min(id,
     // neighbors), one round fewer to converge
     var labels = edges
@@ -453,6 +461,7 @@ object TextDedup {
       // neighbor labels flow along edges; min with the node's own label.
       // The changed-count rides the checkpoint materialization as an
       // observed metric — one Spark job per round, not two.
+      pairs.sparkSession.sparkContext.setJobDescription(s"cc round $i")
       val viaEdges = edges
         .join(labels.select(col("id").as("src"), col("cluster_id")), "src")
         .select(col("dst").as("id"), col("cluster_id"))
@@ -471,7 +480,8 @@ object TextDedup {
       labels = next
       i += 1
     }
-    edges.unpersist()
+    pairs.sparkSession.sparkContext.setJobDescription(null)
+    freeCheckpoint(edges)
     labels
   }
 
