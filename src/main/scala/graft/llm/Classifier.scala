@@ -106,13 +106,20 @@ object Classifier {
   /** The (f, w) vector pivoted to a ONE-ROW dense long array (slot f
     * holds w, absent features 0) — the binary twin of [[weightsOne]]:
     * O(1) slot reads per margin term instead of a per-pass broadcast
-    * hash join against the exploded corpus. try_element_at for the
-    * same ANSI empty-map reason. */
-  private def weightsOneBinary(w: DataFrame, dims: Int): DataFrame =
-    w.agg(map_from_entries(collect_list(struct(col("f").as("k"),
-        col("w").as("v")))).as("wm"))
+    * hash join against the exploded corpus. Densified by sorted-array
+    * binary search (absent slot → null → coalesce 0, element_at's
+    * missing-key semantics — ANSI-safe on the pass-1 empty vector). */
+  private def weightsOneBinary(w: DataFrame, dims: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(w.sparkSession)
+    w.agg(sort_array(collect_list(struct(col("f").as("k"),
+        col("w").as("v")))).as("kv"))
+      .select(expr("transform(kv, e -> e.k)").as("ks"),
+        expr("transform(kv, e -> e.v)").as("vs"))
       .select(transform(sequence(lit(0L), lit(dims - 1L)),
-        k => coalesce(try_element_at(col("wm"), k), lit(0L))).as("wa"))
+        k => coalesce(
+          call_udf("graft_sorted_lookup", col("ks"), col("vs"), k),
+          lit(0L))).as("wa"))
+  }
 
   /** Per-doc integer margin under `w`, computed row-locally from the
     * feature array and the broadcast dense weight row. f < dims by
@@ -244,21 +251,28 @@ object Classifier {
     * ≈ 40 KB at 5×1024 — trivially broadcastable. Empty w (pass 1)
     * pivots to all zeros, the w = 0 start. */
   private def weightsOne(w: DataFrame, cls: DataFrame, dims: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(w.sparkSession)
     val cIdx = cls.select(posexplode(col("cs")).as(Seq("ci", "c")))
     w.join(broadcast(cIdx), Seq("c"))
-      .agg(map_from_entries(collect_list(struct(
+      // sorted (k, v) arrays + per-slot BINARY SEARCH (round 14): the
+      // previous map pivot's try_element_at is a linear scan over the
+      // entries, so densifying cost (n_classes·dims)² ≈ 26M boxed
+      // comparisons in ONE single-threaded row eval per pass;
+      // graft_sorted_lookup has element_at's exact semantics (null on
+      // miss — the pass-1 empty-pivot / ANSI case lands in the same
+      // coalesce) at slots·log(entries). Keys are unique (one (c, f)
+      // per slot id), so the struct sort orders by k alone.
+      .agg(sort_array(collect_list(struct(
         (col("ci").cast("long") * dims + col("f")).as("k"),
-        col("w").as("v")))).as("wm"))
+        col("w").as("v")))).as("kv"))
+      .select(expr("transform(kv, e -> e.k)").as("ks"),
+        expr("transform(kv, e -> e.v)").as("vs"))
       .crossJoin(cls.select(size(col("cs")).as("ncls")))
-      // one row, built once per pass: the per-slot map scan here is
-      // (n_classes·dims)² ≈ 26M comparisons total, not per document.
-      // try_element_at, not element_at: on pass 1 the weight map is
-      // empty so every key misses, and under spark.sql.ansi.enabled
-      // element_at on a missing map key throws MAP_KEY_DOES_NOT_EXIST
-      // instead of feeding null to the coalesce
       .select(transform(
         sequence(lit(0L), col("ncls").cast("long") * dims - 1),
-        k => coalesce(try_element_at(col("wm"), k), lit(0L))).as("wa"))
+        k => coalesce(
+          call_udf("graft_sorted_lookup", col("ks"), col("vs"), k),
+          lit(0L))).as("wa"))
   }
 
   /** Every class's margin per document, computed ROW-LOCALLY from the
