@@ -100,7 +100,15 @@ object Classifier {
       dims: Int): DataFrame = {
     val w0 = featA.sparkSession.range(0).select(col("id").as("f"),
       col("id").as("w")) // empty (f, w): w = 0 everywhere
-    (1 to passes).foldLeft(w0)((w, _) => passArr(featA, w, dims))
+    // each pass's ≤dims-row weight frame is CHECKPOINTED (the
+    // Similarity.kmeansStep idiom): pass N's plan references pass N−1
+    // twice (the dense pivot and the update join), so without the
+    // truncation pass 1's dw aggregate re-executes ~2^passes times by
+    // scoring and the plan tree doubles per pass. Passes are
+    // inherently sequential — eager materialization loses no
+    // concurrency (unlike the rejected ivfPqTrain checkpoint).
+    (1 to passes).foldLeft(w0)((w, _) =>
+      passArr(featA, w, dims).localCheckpoint(true))
   }
 
   /** The (f, w) vector pivoted to a ONE-ROW dense long array (slot f
@@ -205,7 +213,11 @@ object Classifier {
       passes: Int, dims: Int): DataFrame = {
     val w0 = docFeat.sparkSession.range(0).select(
       col("id").cast("string").as("c"), col("id").as("f"), col("id").as("w"))
-    (1 to passes).foldLeft(w0)((w, _) => passMulti(docFeat, cls, w, dims))
+    // per-pass checkpoint — see trainOnArr: the (c, f, w) frame is
+    // n_classes·dims rows at most, its plan otherwise doubles per pass
+    // and pass-1 work re-executes at every later reference.
+    (1 to passes).foldLeft(w0)((w, _) =>
+      passMulti(docFeat, cls, w, dims).localCheckpoint(true))
   }
 
   /** (doc_id, lab, fs): one row per document carrying its DISTINCT

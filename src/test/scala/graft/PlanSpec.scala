@@ -600,9 +600,10 @@ class PlanSpec extends SparkSpec {
       // ONE-ROW dense weight-array broadcast (weightsOneBinary ≤ dims
       // longs) feeding the row-local margin fold — the shape that
       // replaced the per-pass corpus groupBy(doc_id) + misclassified
-      // semi-join exchanges. 3 margin sites (2 passes + scoring),
-      // printed with cached-subtree duplication pre-AQE
-      "q_llm_doc_clf" -> (8, 0),
+      // semi-join exchanges. Per-pass weight checkpoints truncate the
+      // trained-pass subtrees to LogicalRDDs, so only the scoring
+      // pivot's 1×1 composition prints in the final plan
+      "q_llm_doc_clf" -> (2, 0),
       // multiclass (round-9 map-typed form): every BNLJ is a ONE-ROW
       // broadcast by construction — the sorted class list, the dense
       // weight pivot, and their 1×1 composition (three such operators
@@ -614,19 +615,19 @@ class PlanSpec extends SparkSpec {
       // rework makes: one-row broadcasts instead of corpus×classes
       // shuffles (measured sf10 ladder: 60.5 s → 13.6 s, SCALE.md §7
       // round-10 row; tier oracles re-verified post-rework)
-      "q_llm_lang_clf" -> (24, 0),
+      "q_llm_lang_clf" -> (6, 0),
       // same operators, printed once more per cached-subtree
       // reference (normalize frame + docFeat each feed two consumers)
-      "q_llm_curate_lang" -> (36, 0),
+      "q_llm_curate_lang" -> (9, 0),
       // confusion card: lang_clf's chain + one k×k aggregate
-      "q_llm_clf_confusion" -> (24, 0),
+      "q_llm_clf_confusion" -> (6, 0),
       // binary quality-gate curation: every classifier stage is a
       // dims-row broadcast HASH join (equi on f) — nothing
       // broadcast-nests
       // same one-row weight-array broadcasts as q_llm_doc_clf, through
       // the curation composition's two persisted consumers (more
       // pre-AQE duplicate prints; runtime collapses to the 3 sites)
-      "q_llm_curate_clf" -> (12, 0),
+      "q_llm_curate_clf" -> (3, 0),
       // positional index/phrase: hash-keyed build, broadcast phrase
       // probes, equi pair join — nothing broadcast-nests
       "q_llm_pos_index" -> (0, 0),
