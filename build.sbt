@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// -oD: per-test durations in the report, so slow suites are visible
+// from any single run (the suite's wall clock is driver-gated).
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -63,7 +63,24 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The full line above is the declared contract, but at 187 queries it
+    // is ~6 KB and the driver keeps only a 2000-byte output tail — PERF
+    // r13/r14 both recorded `parsed: null` because the line head (with
+    // "metric"/"value") was truncated away. So ALSO: (a) persist the full
+    // per-query JSON to a file, (b) after spark.stop(), print a compact
+    // summary line LAST so it lands intact inside any tail capture.
+    val perQueryFile = "bench_per_query.json"
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(perQueryFile),
+        fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+      s""""sf":"$sfDir","cpus":$cpus,"per_query_file":"$perQueryFile"}""")
   }
 }

@@ -107,8 +107,17 @@ object Classifier {
     // scoring and the plan tree doubles per pass. Passes are
     // inherently sequential — eager materialization loses no
     // concurrency (unlike the rejected ivfPqTrain checkpoint).
-    (1 to passes).foldLeft(w0)((w, _) =>
-      passArr(featA, w, dims).localCheckpoint(true))
+    // pass N−1's checkpointed blocks are dead once pass N is
+    // materialized (localCheckpoint(true) is eager) — free them, or a
+    // long-running driver that retrains repeatedly (the StreamSoak
+    // drift→retrain loop) accumulates small cached RDDs unboundedly
+    // (clearCache() does not drop RDD-level checkpoint blocks).
+    // freeCheckpoint is a no-op on the non-checkpointed w0.
+    (1 to passes).foldLeft(w0) { (w, _) =>
+      val next = passArr(featA, w, dims).localCheckpoint(true)
+      TextDedup.freeCheckpoint(w)
+      next
+    }
   }
 
   /** The (f, w) vector pivoted to a ONE-ROW dense long array (slot f
@@ -216,8 +225,13 @@ object Classifier {
     // per-pass checkpoint — see trainOnArr: the (c, f, w) frame is
     // n_classes·dims rows at most, its plan otherwise doubles per pass
     // and pass-1 work re-executes at every later reference.
-    (1 to passes).foldLeft(w0)((w, _) =>
-      passMulti(docFeat, cls, w, dims).localCheckpoint(true))
+    // free pass N−1's checkpoint blocks once pass N is materialized —
+    // see trainOnArr (the StreamSoak retrain-loop leak)
+    (1 to passes).foldLeft(w0) { (w, _) =>
+      val next = passMulti(docFeat, cls, w, dims).localCheckpoint(true)
+      TextDedup.freeCheckpoint(w)
+      next
+    }
   }
 
   /** (doc_id, lab, fs): one row per document carrying its DISTINCT

@@ -631,9 +631,17 @@ object Retrieval {
     // double avgdl), and the subtree disappears from every phase.
     val statsRow = stats
       .select(col("n_docs").cast("long"), col("avgdl").cast("double"))
-      .head()
-    val (nDocsLit, avgdlLit) =
-      (lit(statsRow.getLong(0)), lit(statsRow.getDouble(1)))
+      .collect().headOption
+    // Empty-corpus guard (round 15 ADVICE): n_docs == 0 leaves avgdl
+    // NULL (0/0) — there are no postings to score, so any finite
+    // literal yields the same (empty) result; 0.0 keeps the old
+    // crossJoin form's graceful degradation instead of an NPE.
+    val (nDocsLit, avgdlLit) = statsRow match {
+      case Some(r) if !r.isNullAt(1) =>
+        (lit(r.getLong(0)), lit(r.getDouble(1)))
+      case Some(r) => (lit(r.getLong(0)), lit(0.0))
+      case None => (lit(0L), lit(0.0))
+    }
     // Candidate posting rows for an arbitrary (query, term) pair set,
     // scored in-stream — NEVER persisted: a stopword-heavy batch's
     // candidate slice is tens of millions of rows (48.8M per 200-query

@@ -449,17 +449,36 @@ object TextDedup {
       .select(col("ida").cast("long").as("src"), col("idb").cast("long").as("dst"))
       .union(pairs.select(col("idb").cast("long"), col("ida").cast("long")))
       .distinct())
+    // Convergence detection (round 15) uses the star variant's
+    // fingerprint trick on the LABEL frame: cardinality + order-
+    // independent XOR of per-row hashes, observed on the checkpoint
+    // materialization. The previous shape re-joined each round's
+    // result against the OLD labels frame just to count changed rows —
+    // an extra per-round join (and an Exchange of the old frame).
+    // Fingerprint equality is necessary but not sufficient, so a
+    // claimed fixpoint is confirmed with ONE exact set-difference
+    // anti join (runs once, on the final round; a colliding
+    // non-fixpoint merely loops on) — labels are bit-identical.
+    def labelMetrics: Seq[Column] = Seq(
+      count(lit(1)).as("n_labels"),
+      bit_xor(xxhash64(col("id"), col("cluster_id"))).as("x_labels"))
+    def xOf(o: org.apache.spark.sql.Observation): Long =
+      o.get("x_labels") match { case null => 0L; case x => x.asInstanceOf[Long] }
     // round 0 folds the first neighbor-min in directly: label = min(id,
     // neighbors), one round fewer to converge
+    val obs0 = new org.apache.spark.sql.Observation()
     var labels = edges
       .groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), col("src")).as("cluster_id"))
+      .observe(obs0, labelMetrics.head, labelMetrics.tail: _*)
       .transform(ck)
-    var changed = 1L
+    var prevN = obs0.get("n_labels").asInstanceOf[Long]
+    var prevX = xOf(obs0)
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (!converged && i < maxIter) {
       // neighbor labels flow along edges; min with the node's own label.
-      // The changed-count rides the checkpoint materialization as an
+      // The fingerprint rides the checkpoint materialization as an
       // observed metric — one Spark job per round, not two.
       pairs.sparkSession.sparkContext.setJobDescription(s"cc round $i")
       val viaEdges = edges
@@ -470,14 +489,19 @@ object TextDedup {
         .union(viaEdges)
         .groupBy(col("id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
-        .join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .observe(obs,
-          sum(when(col("cluster_id") =!= col("old"), 1L).otherwise(0L)).as("changed"))
-        .select(col("id"), col("cluster_id"))
+        .observe(obs, labelMetrics.head, labelMetrics.tail: _*)
         .transform(ck)
-      changed = obs.get("changed").asInstanceOf[Long]
+      val nextN = obs.get("n_labels").asInstanceOf[Long]
+      val nextX = xOf(obs)
+      // the id set is fixed (every node of `edges`), and labels only
+      // decrease — so labels-unchanged ⟺ multiset equality, claimed
+      // by the fingerprint and confirmed exactly below
+      converged = nextN == prevN && nextX == prevX &&
+        next.join(labels, Seq("id", "cluster_id"), "left_anti").isEmpty
       freeCheckpoint(labels) // next is materialized; round i−1's blocks are dead
       labels = next
+      prevN = nextN
+      prevX = nextX
       i += 1
     }
     pairs.sparkSession.sparkContext.setJobDescription(null)

@@ -297,11 +297,15 @@ object Inventory {
       // sketch buffers at sf0.1 where the query needs 5 (measured
       // 3.2-4.6 s; split form ~0.6 s). Same aggregates over the same
       // rows, identical output.
-      val approx = ev.groupBy(col("event_type"))
+      val approx = ev.groupBy(col("event_type").as("event_type_a"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       val exact = ev.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"))
-      exact.join(broadcast(approx), Seq("event_type"))
+      // null-SAFE equality (round 15 ADVICE): both sides group the same
+      // rows, but a NULL event_type group would be dropped by a plain
+      // equi-join where the original single mixed aggregate kept it
+      exact.join(broadcast(approx),
+          col("event_type") <=> col("event_type_a"))
         .select(col("event_type"), col("n_users"),
           (abs(col("approx_users") - col("n_users")).cast("double") <=
             col("n_users").cast("double") * 0.05).as("approx_within_5pct"))
