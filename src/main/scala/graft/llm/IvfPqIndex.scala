@@ -93,8 +93,12 @@ object IvfPqIndex {
     val spark = index.codes.sparkSession
     val fs = GenerationLog.fsOf(root)
     val qdir = s"$root/quantizer"
-    index.coarse.write.mode("overwrite").parquet(s"$qdir/coarse")
-    index.books.write.mode("overwrite").parquet(s"$qdir/books")
+    // REBALANCE before stored writes (guide §6): files sized by AQE,
+    // not one micro file per shuffle partition of the training plan
+    index.coarse.hint("rebalance")
+      .write.mode("overwrite").parquet(s"$qdir/coarse")
+    index.books.hint("rebalance")
+      .write.mode("overwrite").parquet(s"$qdir/books")
     val out = fs.create(new Path(qdir, ConfFile), true)
     try out.write(s"m=${index.m}\ndim=${index.dim}\n".getBytes("UTF-8"))
     finally out.close()
@@ -110,7 +114,8 @@ object IvfPqIndex {
     // ([[retrain]]) passes the retired epoch's coverage point instead,
     // so replayed batch ids no-op and fresh ids keep appending.
     val dir = GenerationLog.cgenDir(root, coverageId)
-    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    index.codes.hint("rebalance")
+      .write.mode("overwrite").parquet(s"$dir/codes")
     GenerationLog.commitMarker(fs, dir)
     spark.catalog.refreshByPath(dir)
   }
@@ -146,7 +151,8 @@ object IvfPqIndex {
     val freshCodes = Similarity.ivfPqEncode(fresh, idx.coarse,
       idx.books, idx.m, idx.dim, idx.attrColumns)
     val dir = GenerationLog.genDir(root, batchId)
-    freshCodes.write.mode("overwrite").parquet(s"$dir/codes")
+    freshCodes.hint("rebalance")
+      .write.mode("overwrite").parquet(s"$dir/codes")
     GenerationLog.commitMarker(GenerationLog.fsOf(root), dir)
     spark.catalog.refreshByPath(dir)
   }
@@ -194,6 +200,7 @@ object IvfPqIndex {
       gcSuperseded: Boolean = false): Unit =
     GenerationLog.compactWith(root, gcSuperseded) { (dirs, out) =>
       spark.read.parquet(dirs.map(d => s"$d/codes"): _*)
+        .hint("rebalance")
         .write.mode("overwrite").parquet(s"$out/codes")
       spark.catalog.refreshByPath(out)
     }
@@ -415,9 +422,12 @@ object IvfPqIndex {
     val gen = ManifestStore.nextGen(fs, rootPath)
     ManifestStore.gc(fs, rootPath)
     val staged = ManifestStore.stagingPath(rootPath, gen)
-    index.coarse.write.mode("overwrite").parquet(s"$staged/coarse")
-    index.books.write.mode("overwrite").parquet(s"$staged/books")
-    index.codes.write.mode("overwrite").parquet(s"$staged/codes")
+    index.coarse.hint("rebalance")
+      .write.mode("overwrite").parquet(s"$staged/coarse")
+    index.books.hint("rebalance")
+      .write.mode("overwrite").parquet(s"$staged/books")
+    index.codes.hint("rebalance")
+      .write.mode("overwrite").parquet(s"$staged/codes")
     val out = fs.create(new Path(staged, ConfFile), true)
     try out.write(s"m=${index.m}\ndim=${index.dim}\n".getBytes("UTF-8"))
     finally out.close()

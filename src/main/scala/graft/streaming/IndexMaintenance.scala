@@ -132,9 +132,14 @@ object IndexMaintenance {
       // fold through read() (not the dirs param) so the df side keeps
       // its newest-dir-wins semantics
       val state = read(spark, root).get
-      state.postings.write.mode("overwrite").parquet(s"$dir/postings")
-      state.df.write.mode("overwrite").parquet(s"$dir/df")
-      state.docIds.write.mode("overwrite").parquet(s"$dir/doc_ids")
+      // REBALANCE before each artifact write (guide §6) — see
+      // [[mergeBatch]]: output files sized by AQE, not by the
+      // shuffle-partition count of whatever plan produced the frame
+      state.postings.hint("rebalance")
+        .write.mode("overwrite").parquet(s"$dir/postings")
+      state.df.hint("rebalance").write.mode("overwrite").parquet(s"$dir/df")
+      state.docIds.hint("rebalance")
+        .write.mode("overwrite").parquet(s"$dir/doc_ids")
       spark.catalog.refreshByPath(dir)
     }
 
@@ -187,9 +192,19 @@ object IndexMaintenance {
           else Retrieval.segBuild(docs, temps)
       }
       val dir = genDir(root, batchId)
-      gen.postings.write.mode("overwrite").parquet(s"$dir/postings")
-      gen.df.write.mode("overwrite").parquet(s"$dir/df")
-      gen.docIds.write.mode("overwrite").parquet(s"$dir/doc_ids")
+      // REBALANCE before each artifact write (guide §6): a nightly
+      // delta otherwise lands as shuffle-partition-many micro files
+      // (32 × ~15 KB per generation at the bench tier — measured) and
+      // EVERY later serve of EVERY generation pays the per-file
+      // open/footer cost. AQE coalesces the rebalance exchange to
+      // advisoryPartitionSizeInBytes — one file for a tiny delta,
+      // ~64 MB files for a production one. Content unchanged: the
+      // survivor choice is already pinned by the localCheckpoint above.
+      gen.postings.hint("rebalance")
+        .write.mode("overwrite").parquet(s"$dir/postings")
+      gen.df.hint("rebalance").write.mode("overwrite").parquet(s"$dir/df")
+      gen.docIds.hint("rebalance")
+        .write.mode("overwrite").parquet(s"$dir/doc_ids")
       commitMarker(fsOf(root), dir)
       // a replay overwrites this generation's files in place; drop any
       // cached file listings so long-lived serving sessions (and the

@@ -334,9 +334,12 @@ object NightlyMaintenance {
     }
     val pinned = fresh.localCheckpoint()
     val dir = genDir(root, batchId)
-    Retrieval.positionalPostings(pinned)
+    // REBALANCE before the generation writes (guide §6): output files
+    // sized by AQE instead of one micro file per shuffle partition —
+    // see IndexMaintenance.mergeBatch
+    Retrieval.positionalPostings(pinned).hint("rebalance")
       .write.mode("overwrite").parquet(s"$dir/postings")
-    pinned.select(col("doc_id"))
+    pinned.select(col("doc_id")).hint("rebalance")
       .write.mode("overwrite").parquet(s"$dir/doc_ids")
     commitMarker(fsOf(root), dir)
     spark.catalog.refreshByPath(dir)
@@ -352,8 +355,10 @@ object NightlyMaintenance {
   private def compactPositional(spark: SparkSession, root: String): Unit =
     GenerationLog.compactWith(root, gc = false) { (dirs, out) =>
       spark.read.parquet(dirs.map(d => s"$d/postings"): _*)
+        .hint("rebalance")
         .write.mode("overwrite").parquet(s"$out/postings")
       spark.read.parquet(dirs.map(d => s"$d/doc_ids"): _*)
+        .hint("rebalance")
         .write.mode("overwrite").parquet(s"$out/doc_ids")
       spark.catalog.refreshByPath(out)
     }
