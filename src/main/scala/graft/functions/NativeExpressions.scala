@@ -361,7 +361,7 @@ case class Md5ShinglePosExpr(child: Expression, n: Int)
   * row alone). Output order is irrelevant downstream (everything
   * aggregates or joins), but deterministic anyway. */
 case class DocTfExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("term", StringType, nullable = false),
     StructField("tf", LongType, nullable = false))), containsNull = false)
@@ -372,8 +372,63 @@ case class DocTfExpr(child: Expression)
     case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"graft_doc_tf needs string, got $t")
   }
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.toString.split(" ", -1)
+  // doGenCode (round 15): the kernel sat on CodegenFallback in the
+  // single hottest scan of the engine (every index build), breaking
+  // the WholeStageCodegen span it sits in — every row paid an
+  // interpreted-expression wrapper around the same work. The generated
+  // code calls the SAME static helper the interpreted path uses
+  // (DocKernels.docTf — one body, bit-identical), so the scan stage
+  // stays fused and only the genuinely library-shaped work (tokenize +
+  // hash map) leaves the generated code.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DocKernels.docTf($c);")
+  override def nullSafeEval(v: Any): Any =
+    DocKernels.docTf(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-document positional postings in ONE pass: text →
+  * array<struct<term, positions array<int>>> with 1-based ascending
+  * positions — the row-local form of posexplode →
+  * groupBy(doc, term).agg(sort_array(collect_list(p0 + 1))). Same
+  * split convention and the same folded-Exchange rationale as
+  * [[DocTfExpr]]; positions are ascending by construction (one
+  * left-to-right scan). */
+case class DocPositionsExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("positions", ArrayType(IntegerType, containsNull = false),
+      nullable = false))), containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_doc_pos needs string, got $t")
+  }
+  // doGenCode — see [[DocTfExpr]]: same static helper on both paths,
+  // scan stage stays in one WholeStageCodegen span
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DocKernels.docPositions($c);")
+  override def nullSafeEval(v: Any): Any =
+    DocKernels.docPositions(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The shared row bodies of [[DocTfExpr]] / [[DocPositionsExpr]]:
+  * ONE implementation called by both the interpreted eval and the
+  * generated code, so the two paths cannot drift (the bit-exact
+  * NativeKernelSpec pins exercise both). */
+object DocKernels {
+  /** text → array<struct<term, tf>>, terms in first-occurrence order,
+    * split(" ", -1) token convention (empty tokens kept). */
+  def docTf(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
     val counts = new java.util.LinkedHashMap[String, Long](toks.length * 2)
     var i = 0
     while (i < toks.length) {
@@ -391,32 +446,10 @@ case class DocTfExpr(child: Expression)
     }
     new GenericArrayData(out)
   }
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
 
-/** Per-document positional postings in ONE pass: text →
-  * array<struct<term, positions array<int>>> with 1-based ascending
-  * positions — the row-local form of posexplode →
-  * groupBy(doc, term).agg(sort_array(collect_list(p0 + 1))). Same
-  * split convention and the same folded-Exchange rationale as
-  * [[DocTfExpr]]; positions are ascending by construction (one
-  * left-to-right scan). */
-case class DocPositionsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("term", StringType, nullable = false),
-    StructField("positions", ArrayType(IntegerType, containsNull = false),
-      nullable = false))), containsNull = false)
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
-    case StringType =>
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"graft_doc_pos needs string, got $t")
-  }
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.toString.split(" ", -1)
+  /** text → array<struct<term, positions>>, 1-based ascending. */
+  def docPositions(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
     val pos = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Int]](
       toks.length * 2)
     var i = 0
@@ -437,8 +470,6 @@ case class DocPositionsExpr(child: Expression)
     }
     new GenericArrayData(out)
   }
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 /** Binary-search membership in a SORTED array<long> — the probe side

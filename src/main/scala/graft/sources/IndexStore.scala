@@ -117,6 +117,43 @@ object IndexStore {
     else fs.listStatus(p).toSeq.flatMap(s => listFiles(fs, s.getPath))
   }
 
+  /** Cross-PROCESS serialization of a cold build-and-promote: two JVMs
+    * that both find an artifact missing would otherwise build it
+    * concurrently — the manifest swap keeps each write internally
+    * consistent, but writer B's post-promote GC can delete the
+    * generation writer A's reader just resolved, and maintainedRoot's
+    * in-place generation replays are not concurrent-writer-safe. An
+    * OS file lock on `<artifact>.lock` serializes builders; callers
+    * re-probe INSIDE the lock, so the loser registers the winner's
+    * build instead of repeating it. Only meaningful (and only
+    * possible) on a local filesystem — exactly where concurrent
+    * builders occur (parallel test JVMs, multi-process drivers on one
+    * box); on object stores behavior is unchanged (single-driver
+    * assumption, as before). */
+  private val buildMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
+  private def withBuildLock[T](fs: FileSystem, artRoot: Path)(body: => T): T =
+    if (fs.getUri.getScheme == "file") {
+      // per-path JVM monitor first (FileLock throws
+      // OverlappingFileLockException on same-JVM contention), then the
+      // OS lock for cross-process exclusion
+      val mon = buildMonitors.computeIfAbsent(artRoot.toString,
+        _ => new Object)
+      mon.synchronized {
+        val lockFile = new java.io.File(
+          artRoot.toUri.getPath + ".lock")
+        Option(lockFile.getParentFile).foreach(_.mkdirs())
+        val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lk = ch.lock()
+          try body finally lk.release()
+        } finally ch.close()
+      }
+    } else body
+
   /** Delete sibling dirs under `parent` that share `prefix` but are
     * not `current` — stale keys from older regenerations of the same
     * corpus+table. Correctness never depends on these deletes (a
@@ -149,25 +186,33 @@ object IndexStore {
     val artRoot = new Path(s"$rootDir/$key/$name")
     val fs = artRoot.getFileSystem(hconf(spark))
     val data = ManifestStore.currentDataPath(fs, artRoot).getOrElse {
-      val gen = ManifestStore.nextGen(fs, artRoot)
-      // REBALANCE before the write (guide §6): without it every stored
-      // artifact lands with shuffle-partition-many files regardless of
-      // size (32 files of ~15 KB each at the bench tier — measured),
-      // and every serve pays the per-file open/footer cost; AQE sizes
-      // the output to advisoryPartitionSizeInBytes instead (one file
-      // for a tiny artifact, ~64 MB files at scale). Partitioned
-      // layouts rebalance BY the partition columns so one directory
-      // gets one writer, not one file per (task × partition value).
-      val sized =
-        if (partitionBy.nonEmpty)
-          build.hint("rebalance", partitionBy.map(org.apache.spark.sql.functions.col): _*)
-        else build.hint("rebalance")
-      sized.write.mode("overwrite").partitionBy(partitionBy: _*)
-        .parquet(ManifestStore.stagingPath(artRoot, gen).toString)
-      ManifestStore.promote(fs, artRoot, gen)
-      ManifestStore.gc(fs, artRoot)
-      gcStale(fs, new Path(rootDir), keyPrefix(sfDir, table), key)
-      ManifestStore.currentDataPath(fs, artRoot).get
+      withBuildLock(fs, artRoot) {
+        // re-probe inside the lock: a concurrent builder may have
+        // promoted while this process waited
+        ManifestStore.currentDataPath(fs, artRoot).getOrElse {
+          val gen = ManifestStore.nextGen(fs, artRoot)
+          // REBALANCE before the write (guide §6): without it every
+          // stored artifact lands with shuffle-partition-many files
+          // regardless of size (32 files of ~15 KB each at the bench
+          // tier — measured), and every serve pays the per-file
+          // open/footer cost; AQE sizes the output to
+          // advisoryPartitionSizeInBytes instead (one file for a tiny
+          // artifact, ~64 MB files at scale). Partitioned layouts
+          // rebalance BY the partition columns so one directory gets
+          // one writer, not one file per (task × partition value).
+          val sized =
+            if (partitionBy.nonEmpty)
+              build.hint("rebalance",
+                partitionBy.map(org.apache.spark.sql.functions.col): _*)
+            else build.hint("rebalance")
+          sized.write.mode("overwrite").partitionBy(partitionBy: _*)
+            .parquet(ManifestStore.stagingPath(artRoot, gen).toString)
+          ManifestStore.promote(fs, artRoot, gen)
+          ManifestStore.gc(fs, artRoot)
+          gcStale(fs, new Path(rootDir), keyPrefix(sfDir, table), key)
+          ManifestStore.currentDataPath(fs, artRoot).get
+        }
+      }
     }
     spark.read.parquet(data.toString)
   }
@@ -229,11 +274,14 @@ object IndexStore {
     val dir = s"$root/$key/$name"
     val fs = new Path(dir).getFileSystem(hconf(spark))
     val ready = new Path(dir, "_READY")
-    if (!fs.exists(ready)) {
-      build(dir)
-      if (!fs.createNewFile(ready) && !fs.exists(ready))
-        throw new java.io.IOException(s"ready-marker write failed: $ready")
-      gcStale(fs, new Path(root), keyPrefix(sfDir, table), key)
+    if (!fs.exists(ready)) withBuildLock(fs, new Path(dir)) {
+      // re-probe inside the lock (see withBuildLock)
+      if (!fs.exists(ready)) {
+        build(dir)
+        if (!fs.createNewFile(ready) && !fs.exists(ready))
+          throw new java.io.IOException(s"ready-marker write failed: $ready")
+        gcStale(fs, new Path(root), keyPrefix(sfDir, table), key)
+      }
     }
     dir
   }
@@ -257,6 +305,7 @@ object IndexStore {
     if (!spark.catalog.tableExists(tbl)) {
       val artRoot = new Path(s"$rootDir/wh/$tbl")
       val fs = artRoot.getFileSystem(hconf(spark))
+      withBuildLock(fs, artRoot) {
       // a promoted generation WITHOUT a _bucketspec predates the spec
       // guard (or lost it): treat it as unpromoted and rebuild — one
       // fresh generation supersedes it via the normal manifest swap
@@ -302,6 +351,7 @@ object IndexStore {
           ManifestStore.gc(fs, artRoot)
           gcStale(fs, new Path(s"$rootDir/wh"),
             s"graft_idx_${name}_${keyPrefix(sfDir, table)}".toLowerCase, tbl)
+      }
       }
     }
     spark.table(tbl)
