@@ -1277,13 +1277,21 @@ object TextDedup {
     * task); run lengths use the gaps-and-islands window PARTITIONED BY
     * doc_id, so the window state is bounded by one document's
     * shingles regardless of corpus size. */
-  def dupRuns(docs: DataFrame, minDocs: Int = 2): DataFrame = {
+  def dupRuns(docs: DataFrame, minDocs: Int = 2,
+      temps: TempCache = TempCache.noop): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = spreadSmallInput(docs)
+    // PERSISTED (round 15): three downstream consumers read this frame
+    // (the cross-document df aggregate, the run join's probe side, and
+    // the per-doc shingle count) — without the persist each one re-ran
+    // the tokenize + shingle-hash kernel over the whole corpus, the
+    // minhashPairs lesson applied here. Narrow projection (doc_id,
+    // pos, h — 20 B/row), spills to disk if it outgrows memory.
+    val sh = temps.register(spreadSmallInput(docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         posexplode(TextAnalysis.shingleHashesOfToks(col("toks"))))
       .withColumnRenamed("col", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfs = sh.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
