@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, Literal, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.unsafe.types.UTF8String
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -16,14 +16,19 @@ import org.apache.spark.sql.types._
   * JVM loop instead (~100× faster), while staying inside the Catalyst
   * planner: null-safe and prunable.
   *
-  * The pure-arithmetic kernels (dot product, SimHash, MinHash
-  * signature, sign-LSH) implement `doGenCode`, so whole-stage codegen
-  * inlines their loops directly into the generated stage — no per-row
-  * InternalRow boxing or interpreted dispatch. The string-shaped
-  * kernels (shingle hashing, fingerprints) stay on CodegenFallback:
-  * their cost is the tokenizer and UTF8 hashing, which generated code
-  * would call out to anyway. Every kernel's interpreted and generated
-  * paths are exercised by the same bit-exact ScalaTest pins.
+  * Every kernel implements `doGenCode` (round 15 — none is left on
+  * CodegenFallback). The pure-arithmetic kernels (dot products, L2,
+  * SimHash, MinHash signature, sign-LSH, quantize, sorted binary
+  * search) inline their loops directly into the generated stage — no
+  * per-row InternalRow boxing or interpreted dispatch. The
+  * string/struct-shaped kernels (shingle hashing, fingerprints, doc
+  * tf/positions, BPE, ADC probes) generate a call to the SAME static
+  * helper their interpreted eval uses (one body per kernel — the
+  * [[DocKernels]] discipline, so the two paths cannot drift), which
+  * keeps the enclosing stage in one WholeStageCodegen span and drops
+  * only the interpreted-expression wrapper. Every kernel's interpreted
+  * and generated paths are exercised by the same bit-exact ScalaTest
+  * pins.
   *
   * Semantics are bit-for-bit identical to the SQL formulations they
   * replace (documented per expression), so ScalaTest golden values pin
@@ -129,7 +134,8 @@ case class MinHashSigExpr(child: Expression, numPerm: Int)
          |  }
          |  $sig[$k] = $n == 0 ? ${P}L : $best;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($sig);
        """.stripMargin
     })
   override def nullSafeEval(v: Any): Any = {
@@ -151,7 +157,9 @@ case class MinHashSigExpr(child: Expression, numPerm: Int)
       sig(k) = if (n == 0) P else best
       k += 1
     }
-    new GenericArrayData(sig)
+    // primitive-backed — see [[TextKernels.shingleHashes]]
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(sig)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -172,8 +180,7 @@ case class MinHashSigExpr(child: Expression, numPerm: Int)
   * five interpreted higher-order lambdas per shingle; this kernel is
   * one eval per row. */
 case class ShingleHashesExpr(child: Expression, n: Int, modP: Boolean)
-    extends UnaryExpression with CodegenFallback {
-  private val P = 2147483647L
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
@@ -182,38 +189,15 @@ case class ShingleHashesExpr(child: Expression, n: Int, modP: Boolean)
     case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"shingle_hashes needs string, got $t")
   }
-  private def xx(s: String): Long = {
-    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
-    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(u, StringType, 42L)
-  }
-  override def nullSafeEval(v: Any): Any = {
-    val text = v.toString
-    val toks = text.split(" ", -1)
-    val shingles: Iterator[String] =
-      if (toks.length >= n) {
-        val seen = new java.util.LinkedHashSet[String]()
-        var i = 0
-        val sb = new java.lang.StringBuilder()
-        while (i + n <= toks.length) {
-          sb.setLength(0)
-          var j = 0
-          while (j < n) {
-            if (j > 0) sb.append(' ')
-            sb.append(toks(i + j))
-            j += 1
-          }
-          seen.add(sb.toString)
-          i += 1
-        }
-        import scala.jdk.CollectionConverters._
-        seen.iterator().asScala
-      } else Iterator.single(text)
-    val hs = shingles.map { s =>
-      val h = xx(s)
-      if (modP) { val m = h % P; if (m < 0) m + P else m } else h
-    }.toArray
-    new GenericArrayData(hs)
-  }
+  // doGenCode — the [[DocTfExpr]] stance: the generated code calls the
+  // SAME static helper the interpreted path uses (one body, bit-exact
+  // by construction), so the scan stage stays in one WholeStageCodegen
+  // span and only the library-shaped work (tokenize + hash) leaves it.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.shingleHashes($c, $n, $modP);")
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.shingleHashes(v.asInstanceOf[UTF8String], n, modP)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -237,8 +221,7 @@ case class ShingleHashesExpr(child: Expression, n: Int, modP: Boolean)
   *    sketch bits — an accepted trade for cross-engine checkability.
   */
 case class Md5ShingleHashesExpr(child: Expression, n: Int, modP: Boolean)
-    extends UnaryExpression with CodegenFallback {
-  private val P = 2147483647L
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
@@ -247,45 +230,13 @@ case class Md5ShingleHashesExpr(child: Expression, n: Int, modP: Boolean)
     case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"shingle_hashes_md5 needs string, got $t")
   }
-  @transient private lazy val mdTL: ThreadLocal[java.security.MessageDigest] =
-    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
-  override def nullSafeEval(v: Any): Any = {
-    val text = v.toString
-    val toks = text.split(" ", -1)
-    val shingles: Iterator[String] =
-      if (toks.length >= n) {
-        val seen = new java.util.LinkedHashSet[String]()
-        var i = 0
-        val sb = new java.lang.StringBuilder()
-        while (i + n <= toks.length) {
-          sb.setLength(0)
-          var j = 0
-          while (j < n) {
-            if (j > 0) sb.append(' ')
-            sb.append(toks(i + j))
-            j += 1
-          }
-          seen.add(sb.toString)
-          i += 1
-        }
-        import scala.jdk.CollectionConverters._
-        seen.iterator().asScala
-      } else Iterator.single(text)
-    val md = mdTL.get()
-    val hs = shingles.map { s =>
-      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      if (modP) {
-        (((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
-          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)) % P
-      } else {
-        (((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
-          ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
-          ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
-          ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 1
-      }
-    }.toArray
-    new GenericArrayData(hs)
-  }
+  // doGenCode — see [[ShingleHashesExpr]]: same static helper on both
+  // paths, scan stage stays in one WholeStageCodegen span
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.md5ShingleHashes($c, $n, $modP);")
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.md5ShingleHashes(v.asInstanceOf[UTF8String], n, modP)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -303,8 +254,7 @@ case class Md5ShingleHashesExpr(child: Expression, n: Int, modP: Boolean)
   * one digest per position in a single eval. DuckDB replay:
   * q_llm_span_scrub's `ph` CTE. */
 case class Md5ShinglePosExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  private val P = 2147483647L
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("i", IntegerType, nullable = false),
     StructField("h", LongType, nullable = false))), containsNull = false)
@@ -315,37 +265,13 @@ case class Md5ShinglePosExpr(child: Expression, n: Int)
     case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"shingle_pos_md5 needs string, got $t")
   }
-  @transient private lazy val mdTL: ThreadLocal[java.security.MessageDigest] =
-    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
-  override def nullSafeEval(v: Any): Any = {
-    val text = v.toString
-    val toks = text.split(" ", -1)
-    val md = mdTL.get()
-    def hashOf(s: String): Long = {
-      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      (((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
-        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)) % P
-    }
-    val rows: Array[Any] =
-      if (toks.length >= n) {
-        val out = new Array[Any](toks.length - n + 1)
-        val sb = new java.lang.StringBuilder()
-        var i = 0
-        while (i + n <= toks.length) {
-          sb.setLength(0)
-          var j = 0
-          while (j < n) {
-            if (j > 0) sb.append(' ')
-            sb.append(toks(i + j))
-            j += 1
-          }
-          out(i) = new GenericInternalRow(Array[Any](i + 1, hashOf(sb.toString)))
-          i += 1
-        }
-        out
-      } else Array[Any](new GenericInternalRow(Array[Any](1, hashOf(text))))
-    new GenericArrayData(rows)
-  }
+  // doGenCode — see [[ShingleHashesExpr]]: same static helper on both
+  // paths, scan stage stays in one WholeStageCodegen span
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.md5ShinglePos($c, $n);")
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.md5ShinglePos(v.asInstanceOf[UTF8String], n)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -472,6 +398,171 @@ object DocKernels {
   }
 }
 
+/** The shared row bodies of the string-shaped kernels
+  * ([[ShingleHashesExpr]], [[Md5ShingleHashesExpr]],
+  * [[Md5ShinglePosExpr]], [[TopShingleRunExpr]], [[FingerprintExpr]],
+  * [[Md5FingerprintExpr]]) — the [[DocKernels]] discipline: ONE
+  * implementation called by both the interpreted eval and the
+  * generated code, so the two paths cannot drift (the bit-exact
+  * NativeKernelSpec pins exercise both). Bodies are verbatim moves of
+  * the former per-expression eval code. */
+object TextKernels {
+  private val P = 2147483647L
+  private val mdTL: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  private def xx(s: String): Long = {
+    val u = UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(u, StringType, 42L)
+  }
+
+  /** Distinct word-n-gram shingle strings in first-occurrence order;
+    * whole text as the single shingle when shorter than n tokens. */
+  private def distinctShingles(text: String, n: Int): Iterator[String] = {
+    val toks = text.split(" ", -1)
+    if (toks.length >= n) {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      val sb = new java.lang.StringBuilder()
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      import scala.jdk.CollectionConverters._
+      seen.iterator().asScala
+    } else Iterator.single(text)
+  }
+
+  def shingleHashes(text: UTF8String, n: Int, modP: Boolean): ArrayData = {
+    val hs = distinctShingles(text.toString, n).map { s =>
+      val h = xx(s)
+      if (modP) { val m = h % P; if (m < 0) m + P else m } else h
+    }.toArray
+    // primitive-backed result: the downstream kernels (minhash_sig's
+    // numPerm×n loop, simhash64) read this array element-wise in the
+    // SAME fused stage — GenericArrayData would box every getLong
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(hs)
+  }
+
+  def md5ShingleHashes(text: UTF8String, n: Int, modP: Boolean): ArrayData = {
+    val md = mdTL.get()
+    val hs = distinctShingles(text.toString, n).map { s =>
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (modP) {
+        (((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)) % P
+      } else {
+        (((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+          ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+          ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+          ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 1
+      }
+    }.toArray
+    // primitive-backed — see [[shingleHashes]]
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(hs)
+  }
+
+  def md5ShinglePos(text0: UTF8String, n: Int): ArrayData = {
+    val text = text0.toString
+    val toks = text.split(" ", -1)
+    val md = mdTL.get()
+    def hashOf(s: String): Long = {
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)) % P
+    }
+    val rows: Array[Any] =
+      if (toks.length >= n) {
+        val out = new Array[Any](toks.length - n + 1)
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i + n <= toks.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out(i) = new GenericInternalRow(Array[Any](i + 1, hashOf(sb.toString)))
+          i += 1
+        }
+        out
+      } else Array[Any](new GenericInternalRow(Array[Any](1, hashOf(text))))
+    new GenericArrayData(rows)
+  }
+
+  def topShingleRun(text0: UTF8String, n: Int): GenericInternalRow = {
+    val text = text0.toString
+    val toks = text.split(" ", -1)
+    val shingles: Array[String] =
+      if (toks.length >= n) {
+        val out = new Array[String](toks.length - n + 1)
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i + n <= toks.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out(i) = sb.toString
+          i += 1
+        }
+        out
+      } else Array(text)
+    java.util.Arrays.sort(shingles, java.util.Comparator.naturalOrder[String]())
+    var best = 0L
+    var run = 0L
+    var i = 0
+    while (i < shingles.length) {
+      if (i > 0 && shingles(i) == shingles(i - 1)) run += 1 else run = 1
+      if (run > best) best = run
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](shingles.length.toLong, best))
+  }
+
+  def fingerprint(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    var acc = 7L
+    var i = 0
+    while (i < toks.length) {
+      val h = xx(toks(i))
+      val th = { val m = h % 1000003L; if (m < 0) m + 1000003L else m }
+      acc = (acc * 31L + th) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  def md5Fingerprint(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val md = mdTL.get()
+    var acc = 7L
+    var i = 0
+    while (i < toks.length) {
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      acc = (acc * 31L + h % 1000003L) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+}
+
 /** Binary-search membership in a SORTED array<long> — the probe side
   * of a broadcast hash-set scan without the O(|set|) linear walk
   * `array_contains` does per call: decontamScrub probes every n-gram
@@ -482,7 +573,7 @@ object DocKernels {
   * input gives garbage, not an error — this is a kernel, not a
   * validator. Null-safe via UnaryExpression-style null propagation. */
 case class SortedContainsExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -499,6 +590,31 @@ case class SortedContainsExpr(left: Expression, right: Expression)
       case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
         .TypeCheckFailure(s"sorted_contains needs (array<bigint>, bigint), got ($l, $r)")
     }
+  // doGenCode (round 15): pure primitive binary search — inlined into
+  // the generated stage like the arithmetic kernels, so the probe scan
+  // (decontamScrub: every n-gram position of every doc) stays in one
+  // WholeStageCodegen span with no per-call interpreted dispatch.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, x) => {
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      val m = ctx.freshName("m")
+      val found = ctx.freshName("found")
+      s"""
+         |boolean $found = false;
+         |int $lo = 0;
+         |int $hi = $a.numElements() - 1;
+         |while ($lo <= $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  long $m = $a.getLong($mid);
+         |  if ($m == $x) { $found = true; break; }
+         |  else if ($m < $x) $lo = $mid + 1;
+         |  else $hi = $mid - 1;
+         |}
+         |${ev.value} = $found;
+       """.stripMargin
+    })
   override def nullSafeEval(arr: Any, x: Any): Any = {
     val a = arr.asInstanceOf[ArrayData]
     val v = x.asInstanceOf[Long]
@@ -531,7 +647,7 @@ case class SortedContainsExpr(left: Expression, right: Expression)
   * key is absent — exactly `element_at(map, key)`'s semantics, so the
   * swap is result-identical. */
 case class SortedLookupExpr(keys: Expression, vals: Expression,
-    key: Expression) extends TernaryExpression with CodegenFallback {
+    key: Expression) extends TernaryExpression {
   override def first: Expression = keys
   override def second: Expression = vals
   override def third: Expression = key
@@ -551,28 +667,22 @@ case class SortedLookupExpr(keys: Expression, vals: Expression,
         .TypeCheckFailure(
           s"sorted_lookup needs (array<bigint>, array<bigint>, bigint), got ($a, $b, $c)")
     }
-  override def nullSafeEval(ks: Any, vs: Any, x: Any): Any = {
-    val ka = ks.asInstanceOf[ArrayData]
-    val va = vs.asInstanceOf[ArrayData]
-    val v = x.asInstanceOf[Long]
-    var lo = 0
-    var hi = ka.numElements() - 1
-    while (lo <= hi) {
-      val mid = (lo + hi) >>> 1
-      if (ka.isNullAt(mid))
-        throw new IllegalArgumentException(
-          "graft_sorted_lookup: null key slot — the keys array must be " +
-            "null-free and ascending")
-      val m = ka.getLong(mid)
-      if (m == v) {
-        if (va.isNullAt(mid)) return null
-        return va.getLong(mid)
-      }
-      else if (m < v) lo = mid + 1
-      else hi = mid - 1
-    }
-    null
-  }
+  // doGenCode — the [[DocTfExpr]] stance: generated code calls the
+  // SAME static helper as the interpreted path (boxed return carries
+  // the absent-key NULL), keeping the serve stage in one codegen span.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ks, vs, x) => {
+      val r = ctx.freshName("r")
+      s"""
+         |java.lang.Long $r =
+         |  graft.functions.ProbeKernels.sortedLookup($ks, $vs, $x);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+  override def nullSafeEval(ks: Any, vs: Any, x: Any): Any =
+    ProbeKernels.sortedLookup(ks.asInstanceOf[ArrayData],
+      vs.asInstanceOf[ArrayData], x.asInstanceOf[Long])
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): Expression =
     copy(keys = newFirst, vals = newSecond, key = newThird)
@@ -590,7 +700,7 @@ case class SortedLookupExpr(keys: Expression, vals: Expression,
   * pins stream == batch across the swap. */
 case class AdcSumExpr(keys: Expression, vals: Expression,
     codes: Expression, keyBase: Expression)
-    extends QuaternaryExpression with CodegenFallback {
+    extends QuaternaryExpression {
   override def first: Expression = keys
   override def second: Expression = vals
   override def third: Expression = codes
@@ -607,39 +717,22 @@ case class AdcSumExpr(keys: Expression, vals: Expression,
         .TypeCheckFailure("adc_sum needs (array<bigint>, array<bigint>, " +
           s"array<bigint>, bigint), got ($a, $b, $c, $d)")
     }
-  override def nullSafeEval(ks: Any, vs: Any, cs: Any, kb: Any): Any = {
-    val ka = ks.asInstanceOf[ArrayData]
-    val va = vs.asInstanceOf[ArrayData]
-    val ca = cs.asInstanceOf[ArrayData]
-    val base = kb.asInstanceOf[Long]
-    var acc = 0L
-    var sub = 0
-    while (sub < ca.numElements()) {
-      if (ca.isNullAt(sub)) return null
-      val key = sub.toLong * base + ca.getLong(sub)
-      var lo = 0
-      var hi = ka.numElements() - 1
-      var found = false
-      while (lo <= hi && !found) {
-        val mid = (lo + hi) >>> 1
-        if (ka.isNullAt(mid))
-          throw new IllegalArgumentException(
-            "graft_adc_sum: null key slot — the keys array must be " +
-              "null-free and ascending")
-        val m = ka.getLong(mid)
-        if (m == key) {
-          if (va.isNullAt(mid)) return null
-          acc += va.getLong(mid)
-          found = true
-        }
-        else if (m < key) lo = mid + 1
-        else hi = mid - 1
-      }
-      if (!found) return null
-      sub += 1
-    }
-    acc
-  }
+  // doGenCode — see [[SortedLookupExpr]]: same static helper on both
+  // paths, boxed return carries the absent/null-poisoned NULL.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ks, vs, cs, kb) => {
+      val r = ctx.freshName("r")
+      s"""
+         |java.lang.Long $r =
+         |  graft.functions.ProbeKernels.adcSum($ks, $vs, $cs, $kb);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+  override def nullSafeEval(ks: Any, vs: Any, cs: Any, kb: Any): Any =
+    ProbeKernels.adcSum(ks.asInstanceOf[ArrayData],
+      vs.asInstanceOf[ArrayData], cs.asInstanceOf[ArrayData],
+      kb.asInstanceOf[Long])
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression,
       newFourth: Expression): Expression =
@@ -668,7 +761,7 @@ case class AdcSumExpr(keys: Expression, vals: Expression,
   * children: (lkeys, lvals, members, qId, keyBase, k) where members is
   * array<struct<vec_id: long, codes: array<long>>> and k is a literal. */
 case class AdcTopKExpr(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression {
   require(children.size == 6, "adc_topk(lkeys, lvals, members, qId, keyBase, k)")
   private val outStruct = StructType(Seq(
     StructField("adist", LongType, nullable = false),
@@ -702,12 +795,99 @@ case class AdcTopKExpr(children: Seq[Expression])
     val kk = children(5).eval(input)
     if (ks == null || vs == null || ms == null || qi == null ||
       kb == null || kk == null) return null
-    val ka = ks.asInstanceOf[ArrayData]
-    val va = vs.asInstanceOf[ArrayData]
-    val members = ms.asInstanceOf[ArrayData]
-    val qId = qi.asInstanceOf[Long]
-    val base = kb.asInstanceOf[Long]
-    val k = kk.asInstanceOf[Int]
+    ProbeKernels.adcTopK(ks.asInstanceOf[ArrayData],
+      vs.asInstanceOf[ArrayData], ms.asInstanceOf[ArrayData],
+      qi.asInstanceOf[Long], kb.asInstanceOf[Long], kk.asInstanceOf[Int])
+  }
+  // doGenCode — see [[SortedLookupExpr]]: generated code calls the SAME
+  // static helper as eval (any-null-child → NULL, matching eval above).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evs = children.map(_.genCode(ctx))
+    val childCode = evs.map(_.code).reduce(_ + _)
+    val anyNull = evs.map(_.isNull.code).mkString(" || ")
+    val jt = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    val callArgs = evs.map(_.value.code).mkString(", ")
+    ev.copy(code = childCode + code"""
+      |boolean ${ev.isNull} = true;
+      |$jt ${ev.value} = null;
+      |if (!($anyNull)) {
+      |  ${ev.isNull} = false;
+      |  ${ev.value} = graft.functions.ProbeKernels.adcTopK($callArgs);
+      |}
+    """.stripMargin)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** The shared bodies of the probe kernels ([[SortedLookupExpr]],
+  * [[AdcSumExpr]], [[AdcTopKExpr]]) — the [[DocKernels]] discipline:
+  * ONE implementation called by both the interpreted eval and the
+  * generated code. Boxed returns carry the NULL semantics (absent key,
+  * null-poisoned slot) across both paths identically; bodies are
+  * verbatim moves of the former per-expression eval code. */
+object ProbeKernels {
+  /** Binary-search value lookup; null when the key is absent or its
+    * value slot is null. Throws on a null KEY slot (contract breach). */
+  def sortedLookup(ka: ArrayData, va: ArrayData, v: Long): java.lang.Long = {
+    var lo = 0
+    var hi = ka.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (ka.isNullAt(mid))
+        throw new IllegalArgumentException(
+          "graft_sorted_lookup: null key slot — the keys array must be " +
+            "null-free and ascending")
+      val m = ka.getLong(mid)
+      if (m == v) {
+        if (va.isNullAt(mid)) return null
+        return java.lang.Long.valueOf(va.getLong(mid))
+      }
+      else if (m < v) lo = mid + 1
+      else hi = mid - 1
+    }
+    null
+  }
+
+  /** Fused ADC distance; null when any code slot is null or any code
+    * key is absent (the `acc + null` propagation of the HOF form). */
+  def adcSum(ka: ArrayData, va: ArrayData, ca: ArrayData,
+      base: Long): java.lang.Long = {
+    var acc = 0L
+    var sub = 0
+    while (sub < ca.numElements()) {
+      if (ca.isNullAt(sub)) return null
+      val key = sub.toLong * base + ca.getLong(sub)
+      var lo = 0
+      var hi = ka.numElements() - 1
+      var found = false
+      while (lo <= hi && !found) {
+        val mid = (lo + hi) >>> 1
+        if (ka.isNullAt(mid))
+          throw new IllegalArgumentException(
+            "graft_adc_sum: null key slot — the keys array must be " +
+              "null-free and ascending")
+        val m = ka.getLong(mid)
+        if (m == key) {
+          if (va.isNullAt(mid)) return null
+          acc += va.getLong(mid)
+          found = true
+        }
+        else if (m < key) lo = mid + 1
+        else hi = mid - 1
+      }
+      if (!found) return null
+      sub += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  /** Whole-list ADC top-k — [[AdcTopKExpr]]'s row body. */
+  def adcTopK(ka: ArrayData, va: ArrayData, members: ArrayData,
+      qId: Long, base: Long, k: Int): ArrayData = {
     // bounded selection: k is small (serving top-k), so an insertion
     // pass into parallel arrays beats heap overhead
     val topD = new Array[Long](k)
@@ -772,9 +952,6 @@ case class AdcTopKExpr(children: Seq[Expression])
     }
     new GenericArrayData(out)
   }
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): Expression =
-    copy(children = newChildren)
 }
 
 /** Repetition-dominance kernel: word n-gram shingles of a text column
@@ -788,7 +965,7 @@ case class AdcTopKExpr(children: Seq[Expression])
   * TextAnalysis.repetitionSql — ~6 interpreted lambda nodes per
   * shingle; this kernel is one eval per row. */
 case class TopShingleRunExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_tri", LongType, nullable = false),
     StructField("top_count", LongType, nullable = false)))
@@ -799,38 +976,13 @@ case class TopShingleRunExpr(child: Expression, n: Int)
     case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"top_shingle_run needs string, got $t")
   }
-  override def nullSafeEval(v: Any): Any = {
-    val text = v.toString
-    val toks = text.split(" ", -1)
-    val shingles: Array[String] =
-      if (toks.length >= n) {
-        val out = new Array[String](toks.length - n + 1)
-        val sb = new java.lang.StringBuilder()
-        var i = 0
-        while (i + n <= toks.length) {
-          sb.setLength(0)
-          var j = 0
-          while (j < n) {
-            if (j > 0) sb.append(' ')
-            sb.append(toks(i + j))
-            j += 1
-          }
-          out(i) = sb.toString
-          i += 1
-        }
-        out
-      } else Array(text)
-    java.util.Arrays.sort(shingles, java.util.Comparator.naturalOrder[String]())
-    var best = 0L
-    var run = 0L
-    var i = 0
-    while (i < shingles.length) {
-      if (i > 0 && shingles(i) == shingles(i - 1)) run += 1 else run = 1
-      if (run > best) best = run
-      i += 1
-    }
-    new GenericInternalRow(Array[Any](shingles.length.toLong, best))
-  }
+  // doGenCode — see [[ShingleHashesExpr]]: same static helper on both
+  // paths, scan stage stays in one WholeStageCodegen span
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.topShingleRun($c, $n);")
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.topShingleRun(v.asInstanceOf[UTF8String], n)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -848,7 +1000,7 @@ case class TopShingleRunExpr(child: Expression, n: Int)
   * (not produced by the tokenizer, but legal in the array type) pass
   * through unmerged. */
 case class BpeMergeExpr(tokens: Expression, a: Expression, b: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def first: Expression = tokens
   override def second: Expression = a
   override def third: Expression = b
@@ -862,27 +1014,14 @@ case class BpeMergeExpr(tokens: Expression, a: Expression, b: Expression)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"bpe_merge needs (array<string>, string, string), got $t")
     }
-  override def nullSafeEval(tv: Any, av: Any, bv: Any): Any = {
-    val arr = tv.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val aStr = av.asInstanceOf[UTF8String]
-    val bStr = bv.asInstanceOf[UTF8String]
-    lazy val merged = UTF8String.concat(aStr, UTF8String.fromString(" "), bStr)
-    val out = new java.util.ArrayList[UTF8String](n)
-    var i = 0
-    while (i < n) {
-      val t = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
-      val u = if (i + 1 < n && !arr.isNullAt(i + 1)) arr.getUTF8String(i + 1) else null
-      if (t != null && u != null && t == aStr && u == bStr) {
-        out.add(merged)
-        i += 2
-      } else {
-        out.add(t)
-        i += 1
-      }
-    }
-    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
-  }
+  // doGenCode — the [[DocTfExpr]] stance: same static helper on both
+  // paths, stage stays in one WholeStageCodegen span.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (tv, av, bv) =>
+      s"${ev.value} = graft.functions.BpeKernels.merge($tv, $av, $bv);")
+  override def nullSafeEval(tv: Any, av: Any, bv: Any): Any =
+    BpeKernels.merge(tv.asInstanceOf[ArrayData],
+      av.asInstanceOf[UTF8String], bv.asInstanceOf[UTF8String])
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): Expression =
     copy(tokens = newFirst, a = newSecond, b = newThird)
@@ -904,11 +1043,13 @@ case class BpeMergeExpr(tokens: Expression, a: Expression, b: Expression)
   * makes skipped ranks O(1)), so a 30k-rank vocabulary costs ~30k
   * probes per doc, not 30k passes.
   *
-  * CodegenFallback like [[BpeMergeExpr]]: the tokenizer family's cost
-  * is UTF8 comparison inside this loop, which generated code would
-  * call out to anyway. */
+  * Generated code calls the SAME static helper as the interpreted
+  * path ([[BpeKernels.encode]]): the tokenizer family's cost is UTF8
+  * comparison inside this loop, which generated code would call out
+  * to anyway — keeping the stage fused removes only the per-row
+  * interpreted-dispatch wrapper. */
 case class BpeEncodeExpr(tokens: Expression, merges: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = tokens
   override def right: Expression = merges
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
@@ -922,9 +1063,44 @@ case class BpeEncodeExpr(tokens: Expression, merges: Expression)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"bpe_encode needs (array<string>, array<struct<string,string>>), got $t")
     }
-  override def nullSafeEval(tv: Any, mv: Any): Any = {
-    val arr = tv.asInstanceOf[ArrayData]
-    val table = mv.asInstanceOf[ArrayData]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (tv, mv) =>
+      s"${ev.value} = graft.functions.BpeKernels.encode($tv, $mv);")
+  override def nullSafeEval(tv: Any, mv: Any): Any =
+    BpeKernels.encode(tv.asInstanceOf[ArrayData], mv.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(tokens = newLeft, merges = newRight)
+}
+
+/** The shared bodies of the BPE kernels ([[BpeMergeExpr]],
+  * [[BpeEncodeExpr]]) — the [[DocKernels]] discipline: ONE
+  * implementation called by both the interpreted eval and the
+  * generated code. Bodies are verbatim moves of the former
+  * per-expression eval code. */
+object BpeKernels {
+  /** One greedy left-to-right merge pass — [[BpeMergeExpr]]'s body. */
+  def merge(arr: ArrayData, aStr: UTF8String, bStr: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    lazy val merged = UTF8String.concat(aStr, UTF8String.fromString(" "), bStr)
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val t = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      val u = if (i + 1 < n && !arr.isNullAt(i + 1)) arr.getUTF8String(i + 1) else null
+      if (t != null && u != null && t == aStr && u == bStr) {
+        out.add(merged)
+        i += 2
+      } else {
+        out.add(t)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
+
+  /** Greedy whole-table BPE encode — [[BpeEncodeExpr]]'s body. */
+  def encode(arr: ArrayData, table: ArrayData): ArrayData = {
     val n0 = arr.numElements()
     var toks = new java.util.ArrayList[UTF8String](n0)
     var i = 0
@@ -954,7 +1130,7 @@ case class BpeEncodeExpr(tokens: Expression, merges: Expression)
         val a = row.getUTF8String(0)
         val b = row.getUTF8String(1)
         if (present.contains((a, b))) {
-          // one BpeMergeExpr pass: merge every occurrence, skip 2
+          // one merge pass: merge every occurrence, skip 2
           val merged = UTF8String.concat(a, UTF8String.fromString(" "), b)
           val out = new java.util.ArrayList[UTF8String](toks.size())
           var j = 0
@@ -977,9 +1153,6 @@ case class BpeEncodeExpr(tokens: Expression, merges: Expression)
     }
     new GenericArrayData(toks.toArray(new Array[AnyRef](toks.size())))
   }
-  override protected def withNewChildrenInternal(newLeft: Expression,
-      newRight: Expression): Expression =
-    copy(tokens = newLeft, merges = newRight)
 }
 
 /** Dot product of two array<float> columns as double. Matches the SQL
@@ -1039,7 +1212,7 @@ case class DotProductFExpr(left: Expression, right: Expression)
   * The SQL fold evaluates ~6 interpreted expression nodes per token;
   * this kernel is one eval per row. */
 case class FingerprintExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
@@ -1048,19 +1221,13 @@ case class FingerprintExpr(child: Expression)
     case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"fingerprint needs string, got $t")
   }
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.toString.split(" ", -1)
-    var acc = 7L
-    var i = 0
-    while (i < toks.length) {
-      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)), StringType, 42L)
-      val th = { val m = h % 1000003L; if (m < 0) m + 1000003L else m }
-      acc = (acc * 31L + th) % 1000000007L
-      i += 1
-    }
-    acc
-  }
+  // doGenCode — see [[ShingleHashesExpr]]: same static helper on both
+  // paths, scan stage stays in one WholeStageCodegen span
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.fingerprint($c);")
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.fingerprint(v.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -1074,24 +1241,15 @@ case class FingerprintExpr(child: Expression)
   *     pmod(acc * 31 + pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10)
   *       AS BIGINT), 1000003), 1000000007)) */
 case class Md5FingerprintExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
-  @transient private lazy val mdTL: ThreadLocal[java.security.MessageDigest] =
-    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.toString.split(" ", -1)
-    val md = mdTL.get()
-    var acc = 7L
-    var i = 0
-    while (i < toks.length) {
-      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
-        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
-      acc = (acc * 31L + h % 1000003L) % 1000000007L
-      i += 1
-    }
-    acc
-  }
+  // doGenCode — see [[ShingleHashesExpr]]: same static helper on both
+  // paths, scan stage stays in one WholeStageCodegen span
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.md5Fingerprint($c);")
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.md5Fingerprint(v.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -1105,9 +1263,34 @@ case class Md5FingerprintExpr(child: Expression)
   * nodes per dimension — the n×k assignment scoring is the k-means
   * hot loop. */
 case class IntL2Expr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
+  // doGenCode (round 15): pure integer arithmetic — inlined into the
+  // generated stage like [[DotProductFExpr]]. The n×k k-means
+  // assignment scoring and the PQ codebook training loop evaluate this
+  // once per (vector, centroid) pair; the interpreted wrapper was the
+  // hottest non-codegen dispatch in the ANN family.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = (long) ($a.getInt($i) - $b.getInt($i));
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -1128,9 +1311,28 @@ case class IntL2Expr(left: Expression, right: Expression)
 }
 
 case class IntDotExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
+  // doGenCode — see [[IntL2Expr]]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -1154,7 +1356,7 @@ case class IntDotExpr(left: Expression, right: Expression)
   * corpus: float→double promotion, correctly rounded divide/multiply,
   * exact floor — identical IEEE sequences). */
 case class QuantizeExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
@@ -1163,6 +1365,35 @@ case class QuantizeExpr(child: Expression)
     case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"quantize needs array<float>, got $t")
   }
+  // doGenCode — pure float/double arithmetic inlined like
+  // [[MinHashSigExpr]]; the IEEE op sequence is byte-identical to the
+  // interpreted loop (float abs/compare, double divide/multiply,
+  // Math.floor), so both paths stay pinned by the same golden values.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val a = ctx.freshName("a")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $c.numElements();
+         |float $s = 0f;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  float $a = Math.abs($c.getFloat($i));
+         |  if ($a > $s) $s = $a;
+         |}
+         |int[] $out = new int[$n];
+         |if ($s != 0f) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = (int) Math.floor(
+         |      ((double) $c.getFloat($i)) / ((double) $s) * 127.0 + 0.5);
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -1181,7 +1412,10 @@ case class QuantizeExpr(child: Expression)
         i += 1
       }
     }
-    new GenericArrayData(out)
+    // primitive-backed — the quantized vectors feed graft_l2_int /
+    // graft_dot_int n×k loops; see [[TextKernels.shingleHashes]]
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -314,10 +314,10 @@ class NativeKernelSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
-  test("arithmetic kernels compile under CODEGEN_ONLY (no silent fallback)") {
-    // the four doGenCode kernels must produce janino-compilable code —
-    // a generation bug would otherwise degrade silently to interpreted
-    // eval with only a WARN in the logs
+  test("every doGenCode kernel compiles under CODEGEN_ONLY (no silent fallback)") {
+    // every kernel implements doGenCode (round 15) and must produce
+    // janino-compilable code — a generation bug would otherwise degrade
+    // silently to interpreted eval with only a WARN in the logs
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try {
       val vecs = graft.Tables.load(spark, sf0001, "embeddings").limit(50)
@@ -325,13 +325,73 @@ class NativeKernelSpec extends SparkSpec {
         .withColumn("dot", Similarity.dot(col("embedding"), col("embedding")))
         .withColumn("lsh", call_udf("graft_signlsh",
           col("embedding"), lit(16), lit(64), lit(42L)))
-      assert(sims.filter(col("dot").isNull || col("lsh").isNull).count() == 0L)
+        .withColumn("q", call_udf("graft_quantize", col("embedding")))
+        .withColumn("l2", call_udf("graft_l2_int", col("q"), col("q")))
+        .withColumn("di", call_udf("graft_dot_int", col("q"), col("q")))
+      assert(sims.filter(col("dot").isNull || col("lsh").isNull ||
+        col("l2").isNull || col("di").isNull).count() == 0L)
       val sketches = docs.limit(50)
-        .select(call_udf("graft_shingle_hashes", col("text"), lit(3), lit(true)).as("th"))
+        .select(col("text"),
+          call_udf("graft_shingle_hashes", col("text"), lit(3), lit(true)).as("th"),
+          call_udf("graft_shingle_hashes_md5", col("text"), lit(3), lit(true)).as("thm"),
+          call_udf("graft_shingle_pos_md5", col("text"), lit(3)).as("pos"),
+          call_udf("graft_top_shingle_run", col("text"), lit(3)).as("run"),
+          call_udf("graft_fingerprint", col("text")).as("fp"),
+          call_udf("graft_fingerprint_md5", col("text")).as("fpm"),
+          call_udf("graft_doc_tf", col("text")).as("tf"),
+          call_udf("graft_doc_pos", col("text")).as("dp"))
         .withColumn("sig", call_udf("graft_minhash_sig", col("th"), lit(64)))
         .withColumn("sim", call_udf("graft_simhash64", col("th")))
-      assert(sketches.filter(size(col("sig")) =!= 64).count() == 0L)
+      assert(sketches.filter(size(col("sig")) =!= 64 || col("fp").isNull ||
+        col("fpm").isNull || size(col("thm")) === 0 || size(col("pos")) === 0 ||
+        col("run").isNull || size(col("tf")) === 0 || size(col("dp")) === 0)
+        .count() == 0L)
+      // probe + BPE kernels over literal fixtures (values hand-checked)
+      val probe = spark.sql(
+        """SELECT graft_sorted_contains(array(1L, 3L, 5L), 3L) sc,
+          |       graft_sorted_lookup(array(1L, 3L, 5L),
+          |                           array(10L, 30L, 50L), 5L) sl,
+          |       graft_adc_sum(array(0L, 1L, 256L, 257L),
+          |                     array(1L, 2L, 3L, 4L), array(1L, 1L), 256L) adc,
+          |       graft_adc_topk(array(0L, 1L, 256L, 257L),
+          |                      array(1L, 2L, 3L, 4L),
+          |                      array(named_struct('vec_id', 7L,
+          |                            'codes', array(1L, 1L))),
+          |                      0L, 256L, 5) topk,
+          |       graft_bpe_merge(array('a', 'b', 'c'), 'a', 'b') bm,
+          |       graft_bpe_encode(array('a', 'b', 'c'),
+          |                        array(named_struct('a', 'a', 'b', 'b'))) be
+          |FROM range(1)""".stripMargin)
+      val r = probe.collect()(0)
+      assert(r.getBoolean(0) && r.getLong(1) == 50L && r.getLong(2) == 6L)
+      assert(r.getSeq[Any](3).map(_.toString) == Seq("[6,7]"))
+      assert(r.getSeq[String](4) == Seq("a b", "c"))
+      assert(r.getSeq[String](5) == Seq("a b", "c"))
     } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
+  test("inline-codegen kernels match interpreted eval bit-for-bit") {
+    // the kernels whose doGenCode INLINES a loop (rather than calling
+    // the shared static helper) have two bodies by construction —
+    // pin generated == interpreted on real data
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings").limit(200)
+      .select(col("vec_id"), col("embedding"),
+        reverse(col("embedding")).as("other"))
+    def run(mode: String): Array[String] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try vecs
+        .withColumn("q", call_udf("graft_quantize", col("embedding")))
+        .withColumn("qo", call_udf("graft_quantize", col("other")))
+        .select(col("vec_id").cast("string"),
+          call_udf("graft_l2_int", col("q"), col("qo")).cast("string"),
+          call_udf("graft_dot_int", col("q"), col("qo")).cast("string"),
+          call_udf("graft_sorted_contains", array(lit(1L), lit(3L), lit(5L)),
+            pmod(col("vec_id"), lit(6L))).cast("string"),
+          col("q").cast("string"))
+        .collect().map(_.mkString("|")).sorted
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(run("CODEGEN_ONLY").toSeq == run("NO_CODEGEN").toSeq)
   }
 
   test("graft_collect_capped == collect_list under the cap; saturated groups null") {
